@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local pre-flight of the driver's t2 oracle compare (SURVEY §5.1).
+
+Usage: python3 scripts/check.py [sfDir] [verifyOutDir]
+
+Replicates the driver's check: for each key in oracle_sql.json, run the SQL
+in DuckDB over views named after the fixture tables, load the Spark parquet
+output, sort columns by name, and require EXACT equality (values and row
+order). Never ship a query that hasn't passed here at sf0.01.
+"""
+import sys, json, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
+        try:
+            ddf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        sdf = sdf[sorted(sdf.columns)]
+        ddf = ddf[sorted(ddf.columns)]
+        errs = []
+        if list(sdf.columns) != list(ddf.columns):
+            errs.append(f"columns spark={list(sdf.columns)} duck={list(ddf.columns)}")
+        elif len(sdf) != len(ddf):
+            errs.append(f"rows spark={len(sdf)} duck={len(ddf)}")
+        else:
+            for c in sdf.columns:
+                a, b = sdf[c].tolist(), ddf[c].tolist()
+                for i, (x, y) in enumerate(zip(a, b)):
+                    same = (x == y) or (x is None and y is None)
+                    try:
+                        if not same and isinstance(x, float) and isinstance(y, float):
+                            same = (math.isnan(x) and math.isnan(y))
+                    except Exception:
+                        pass
+                    # pandas NaT/NaN cross-type nulls
+                    if not same:
+                        try:
+                            import pandas as pd
+                            same = pd.isna(x) and pd.isna(y)
+                        except Exception:
+                            pass
+                    if not same:
+                        errs.append(f"col {c} row {i}: spark={x!r} duck={y!r}")
+                        if len(errs) > 5:
+                            break
+                if len(errs) > 5:
+                    break
+            # dtype report (informational — driver may hash raw values)
+            for c in sdf.columns:
+                if str(sdf[c].dtype) != str(ddf[c].dtype):
+                    errs.append(f"DTYPE col {c}: spark={sdf[c].dtype} duck={ddf[c].dtype}")
+        if errs:
+            print(f"FAIL {name}:")
+            for e in errs[:8]:
+                print(f"   {e}")
+            n_fail += 1
+        else:
+            print(f"OK   {name} ({len(sdf)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §2 (operator inventory) and §7 (plan).
+  *
+  * Every implemented operator registers a [[Q]] in one of the `graft.ops` /
+  * `graft.stream` modules; this object only aggregates them into the maps
+  * the driver harness consumes (Verify.scala / Bench.scala).
+  */
 object SparkEntry {
+
+  private lazy val registry: Seq[Q] =
+    ops.Aggregates.queries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("agg_hash_q1")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.key -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  lazy val oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(sql => q.key -> sql)).toMap
 }
