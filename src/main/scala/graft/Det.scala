@@ -45,12 +45,20 @@ object Det {
     * cast, then one IEEE division — identical in both engines. */
   def avgMoney(c: Column): Column = emit(sum(money(c)), 2) / count(c)
 
+  /** Full-precision doubles (e.g. `events.value`): deterministic per-row
+    * rounding to 6dp decimal, then exact order-independent aggregation. */
+  val Val6: DecimalType = DecimalType(18, 6)
+  def val6(c: Column): Column = c.cast(Val6)
+  def sumVal6(c: Column): Column = emit(sum(val6(c)), 6)
+
   // ---- SQL text twins (DuckDB side) ----
   def sqlMoney(x: String): String = s"CAST($x AS DECIMAL(12,2))"
   def sqlFactor(x: String): String = s"CAST($x AS DECIMAL(8,4))"
   def sqlEmit(x: String, scale: Int): String =
     s"CAST(CAST($x AS DECIMAL(18,$scale)) AS DOUBLE)"
   def sqlSumMoney(x: String): String = sqlEmit(s"SUM(CAST($x AS DECIMAL(12,2)))", 2)
+  def sqlVal6(x: String): String = s"CAST($x AS DECIMAL(18,6))"
+  def sqlSumVal6(x: String): String = sqlEmit(s"SUM(${sqlVal6(x)})", 6)
   def sqlAvgMoney(x: String): String =
     sqlEmit(s"SUM(CAST($x AS DECIMAL(12,2)))", 2) + s" / COUNT($x)"
 }

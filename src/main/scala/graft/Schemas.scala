@@ -69,9 +69,22 @@ object Schemas {
     StructField("l_shipdate", TimestampType),
   ))
 
-  /** `ts` is physically timestamp[ns] in parquet; Spark truncates ns→µs on
-    * read. Never emit raw `ts` in an oracle-checked query (SURVEY §7.3).
+  /** `ts` is physically INT64 TIMESTAMP(NANOS) in parquet. Spark has no
+    * native ns timestamp: with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set by [[Tables.events]]) the column reads as raw ns LongType, which
+    * [[Tables.events]] converts to a µs TimestampType — exact here (every
+    * fixture value is µs-aligned) and identical to DuckDB's ns→µs cast.
     */
+  val eventsRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Logical events schema after the ns→µs conversion in [[Tables.events]]. */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -98,7 +111,7 @@ object Schemas {
   val all: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> events,
+    "lineitem" -> lineitem, "events" -> eventsRaw,
     "documents" -> documents, "embeddings" -> embeddings,
   )
 }

@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private lazy val registry: Seq[Q] =
-    ops.Aggregates.queries
+    ops.Scans.queries ++ ops.Functions.queries ++ ops.Joins.queries ++
+      ops.Aggregates.queries ++ ops.Windows.queries ++ ops.SortsSetops.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -21,7 +21,15 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = read(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "events")
+  /** `ts` is parquet INT64 TIMESTAMP(NANOS): read raw ns (legacy config),
+    * convert to µs TimestampType — exact for the fixtures (µs-aligned) and
+    * identical to DuckDB's ns→µs cast of the same column. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 
@@ -29,6 +37,7 @@ object Tables {
     * the DataFrame API converge on one plan space (SURVEY §3.2). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     Schemas.all.keys.foreach { name =>
-      read(spark, sfDir, name).createOrReplaceTempView(name)
+      val df = if (name == "events") events(spark, sfDir) else read(spark, sfDir, name)
+      df.createOrReplaceTempView(name)
     }
 }

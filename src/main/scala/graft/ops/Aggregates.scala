@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   * HashAggregate (partial map-side combine, then final after a shuffle on
   * the group keys), which is exactly the plan that scales: at 100 TB the
   * shuffle carries only one partial row per (partition, group), not data.
+  * `agg_highcard` exercises the many-groups path (shuffle carries one row
+  * per group — still output-bound, not input-bound); distinct aggs plan via
+  * Expand + two aggregations, also shuffle-minimal.
   */
 object Aggregates {
   import Det._
@@ -50,6 +53,139 @@ object Aggregates {
         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
-      """.stripMargin.trim)),
+      """.trim)),
+
+    // High-cardinality group (one group per order) — spill-path shape.
+    Q("agg_highcard",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_lines"), sumMoney(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_orderkey")),
+      Some(s"""
+        SELECT l_orderkey, COUNT(*) AS n_lines, ${sqlSumMoney("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY l_orderkey""".trim)),
+
+    // COUNT(DISTINCT) per group (Expand + 2-phase agg).
+    Q("agg_distinct",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""".trim)),
+
+    // Two distinct aggregates in one query (planner Expand coverage).
+    Q("agg_multi_distinct",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_linestatus"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_linestatus")),
+      Some("""
+        SELECT l_linestatus, COUNT(DISTINCT l_suppkey) AS n_supp,
+          COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""".trim)),
+
+    // ROLLUP over a 2-join star; NULL totals pinned NULLS FIRST + grouping id.
+    Q("agg_rollup",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir)
+        val c = Tables.customer(spark, sfDir)
+        val n = Tables.nation(spark, sfDir)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .rollup(col("n_name"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("revenue"),
+            grouping_id().cast("int").as("gid"))
+          .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+      },
+      Some(s"""
+        SELECT n_name, o_orderstatus, COUNT(*) AS n_orders,
+          ${sqlSumMoney("o_totalprice")} AS revenue,
+          CAST(GROUPING(n_name, o_orderstatus) AS INT) AS gid
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderstatus)
+        ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""".trim)),
+
+    // CUBE over lineitem flags.
+    Q("agg_cube",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"),
+            grouping_id().cast("int").as("gid"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some(s"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          ${sqlSumMoney("l_quantity")} AS sum_qty,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".trim)),
+
+    // Explicit GROUPING SETS with grouping() markers (SQL entry point —
+    // the same text runs in Spark SQL and DuckDB).
+    Q("agg_grouping_sets",
+      (spark, sfDir) => {
+        Tables.registerAll(spark, sfDir)
+        spark.sql(Aggregates.groupingSetsSql)
+      },
+      Some(groupingSetsSql)),
+
+    // Statistical aggregates; bounded-range inputs + rounding per §7.3.
+    Q("agg_stats",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+          round(stddev_samp(l_quantity), 4) AS sd_qty,
+          round(var_samp(l_quantity), 4) AS var_qty,
+          round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+          round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""".trim)),
+
+    // HLL sketch — engine-specific, no SQL oracle (SURVEY §2.4); bounds
+    // vs exact distinct are property-tested in AggregatesSpec.
+    Q("agg_approx_distinct",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      None),
   )
+
+  /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */
+  lazy val groupingSetsSql: String = s"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      ${sqlSumMoney("l_extendedprice")} AS sum_price,
+      CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".trim
 }

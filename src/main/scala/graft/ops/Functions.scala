@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType}
+
+/** SURVEY §2.8 — scalar function surface (string / date / math /
+  * conditional / json / array / map).
+  *
+  * Everything here is a built-in codegen'd Catalyst expression — no UDFs —
+  * so each query is one whole-stage-codegen span over the scan. Determinism
+  * notes per query; the JSON/array/map keys exercise the semi-structured
+  * `events.props` payload surface the event-stream domain is built on.
+  */
+object Functions {
+
+  val queries: Seq[Q] = Seq(
+
+    Q("fn_string",
+      (spark, sfDir) =>
+        Tables.part(spark, sfDir)
+          .select(
+            col("p_partkey"),
+            concat(upper(col("p_name")), lit("|"), lower(col("p_brand"))).as("shout"),
+            substring(col("p_name"), 1, 5).as("head5"),
+            length(col("p_name")).as("len"),
+            lpad(col("p_type"), 12, "*").as("padded"),
+            regexp_replace(col("p_name"), " ", "_").as("snake"),
+            regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+            substring_index(col("p_name"), " ", -1).as("last_word"),
+            col("p_name").like("%small%").as("is_small"))
+          .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey,
+          upper(p_name) || '|' || lower(p_brand) AS shout,
+          substring(p_name, 1, 5) AS head5,
+          CAST(length(p_name) AS INT) AS len,
+          lpad(p_type, 12, '*') AS padded,
+          replace(p_name, ' ', '_') AS snake,
+          regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+          split_part(p_name, ' ', -1) AS last_word,
+          p_name LIKE '%small%' AS is_small
+        FROM part
+        ORDER BY p_partkey""".trim)),
+
+    Q("fn_date",
+      (spark, sfDir) =>
+        Tables.orders(spark, sfDir)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("days_since"),
+            date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+            (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("plus90"),
+            unix_micros(col("o_orderdate")).as("epoch_us"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+          CAST(year(o_orderdate) AS INT) AS yr,
+          CAST(month(o_orderdate) AS INT) AS mo,
+          CAST(day(o_orderdate) AS INT) AS dom,
+          date_trunc('month', o_orderdate) AS month_start,
+          CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+          CAST(o_orderdate AS DATE) + 30 AS due_date,
+          o_orderdate + INTERVAL 90 DAY AS plus90,
+          epoch_us(o_orderdate) AS epoch_us
+        FROM orders
+        ORDER BY o_orderkey""".trim)),
+
+    // Irrational results rounded to 6dp (libm last-ulp differences between
+    // JVM and C are masked; sqrt is IEEE-correctly-rounded everywhere).
+    Q("fn_math",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+            round(log(col("l_extendedprice")), 6).as("ln_price"),
+            round(exp(col("l_discount")), 6).as("exp_disc"),
+            (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+            abs(col("l_quantity") - 25.0).as("qty_dev"),
+            ceil(col("l_quantity") / 7.0).as("qty_ceil7"),
+            floor(col("l_quantity") / 7.0).as("qty_floor7"),
+            pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+            signum(col("l_quantity") - 25.0).as("qty_sign"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          round(sqrt(l_extendedprice), 6) AS sqrt_price,
+          round(ln(l_extendedprice), 6) AS ln_price,
+          round(exp(l_discount), 6) AS exp_disc,
+          l_quantity * l_quantity AS qty_sq,
+          abs(l_quantity - 25.0) AS qty_dev,
+          CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+          CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor7,
+          l_orderkey % 7 AS key_mod7,
+          CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber""".trim)),
+
+    // CASE tiering + NULL-handling over a real NULL source (outer join).
+    Q("fn_case_null",
+      (spark, sfDir) => {
+        val c = Tables.customer(spark, sfDir)
+        val o = Tables.orders(spark, sfDir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(
+            col("c_custkey"),
+            coalesce(col("o_orderkey"), lit(-1L)).as("okey"),
+            when(col("o_totalprice") > 300000, "high")
+              .when(col("o_totalprice") > 100000, "mid")
+              .when(col("o_totalprice").isNotNull, "low")
+              .otherwise("none").as("tier"),
+            coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status"),
+            col("o_totalprice").isNull.as("no_order"))
+          .orderBy(col("c_custkey"), col("okey"))
+      },
+      Some("""
+        SELECT c_custkey,
+          coalesce(o_orderkey, -1) AS okey,
+          CASE WHEN o_totalprice > 300000 THEN 'high'
+               WHEN o_totalprice > 100000 THEN 'mid'
+               WHEN o_totalprice IS NOT NULL THEN 'low'
+               ELSE 'none' END AS tier,
+          coalesce(nullif(o_orderstatus, 'O'), 'open') AS status,
+          o_totalprice IS NULL AS no_order
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        ORDER BY c_custkey, okey""".trim)),
+
+    // JSON payload extraction + aggregation — the core event-stream op.
+    Q("fn_json",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k").cast(LongType)).as("sum_k"),
+            avg(col("k")).as("avg_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+          AVG(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+          MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+          MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
+    // Array surface over tokenized text (arrays emitted as joined strings —
+    // scalars only in oracle-compared output).
+    Q("fn_array",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_distinct"),
+            col("toks").getItem(0).as("first_tok"),
+            array_contains(col("toks"), "spark").as("has_spark"),
+            array_join(slice(sort_array(col("toks")), 1, 3), ",").as("top3"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+          string_split(text, ' ')[1] AS first_tok,
+          list_contains(string_split(text, ' '), 'spark') AS has_spark,
+          array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS top3
+        FROM documents
+        ORDER BY doc_id""".trim)),
+
+    // Map surface: parse props into a typed map, inspect keys/values.
+    Q("fn_map",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .select(col("event_id"),
+            from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+          .select(
+            col("event_id"),
+            array_join(map_keys(col("m")), ",").as("keys"),
+            element_at(col("m"), "k").as("k_val"),
+            size(col("m")).as("n_keys"))
+          .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+          array_to_string(json_keys(props), ',') AS keys,
+          CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+          CAST(len(json_keys(props)) AS INT) AS n_keys
+        FROM events
+        ORDER BY event_id""".trim)),
+  )
+}

@@ -1,0 +1,223 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — join surface.
+  *
+  * Scale design notes (the 100 TB contract, not the 60 k-row test):
+  *  - Equi-joins shuffle both sides on the key; dims (`nation`, `region`,
+  *    `customer` at dim-scale) are broadcast — `join_broadcast` pins the
+  *    hint, the others let AQE convert when the built side is small.
+  *  - `join_interval` is equi on `user_id` + a range residual: the shuffle
+  *    key is the equi part, so the range predicate never becomes a
+  *    cartesian; skewed users are split by AQE skew-join.
+  *  - `join_asof` is one shuffle on the key + one window pass over the
+  *    unioned stream — no per-row probe, no broadcast of the big side;
+  *    this is the sort-merge as-of shape that survives 1000 executors.
+  */
+object Joins {
+  import Det._
+
+  val queries: Seq[Q] = Seq(
+
+    // 3-way star join: revenue per nation.
+    Q("join_inner_equi",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir)
+        val c = Tables.customer(spark, sfDir)
+        val n = Tables.nation(spark, sfDir)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sumMoney(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name, ${sqlSumMoney("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""".trim)),
+
+    // Same logical join, dims explicitly broadcast (plan-shape-tested).
+    Q("join_broadcast",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir)
+        val c = Tables.customer(spark, sfDir)
+        val n = Tables.nation(spark, sfDir)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sumMoney(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name, ${sqlSumMoney("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""".trim)),
+
+    // Null-extension for order-less customers.
+    Q("join_left_outer",
+      (spark, sfDir) => {
+        val c = Tables.customer(spark, sfDir)
+        val o = Tables.orders(spark, sfDir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            max(col("o_orderstatus")).as("max_status"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders, MAX(o_orderstatus) AS max_status
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey""".trim)),
+
+    // Full outer over overlapping + one-sided key sets.
+    Q("join_full_outer",
+      (spark, sfDir) => {
+        val perCust = Tables.orders(spark, sfDir)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        val third = Tables.customer(spark, sfDir)
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        perCust.join(third, perCust("o_custkey") === third("c_custkey"), "full")
+          .select(
+            coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            col("c_mktsegment").isNotNull.as("in_third"),
+            col("o_custkey").isNotNull.as("has_orders"))
+          .orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT coalesce(o_custkey, c_custkey) AS custkey,
+          coalesce(n_orders, 0) AS n_orders,
+          c_mktsegment IS NOT NULL AS in_third,
+          o_custkey IS NOT NULL AS has_orders
+        FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) oc
+        FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0) c3
+          ON oc.o_custkey = c3.c_custkey
+        ORDER BY custkey""".trim)),
+
+    // Customers having at least one order (EXISTS).
+    Q("join_semi",
+      (spark, sfDir) => {
+        val c = Tables.customer(spark, sfDir)
+        val o = Tables.orders(spark, sfDir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""".trim)),
+
+    // Customers with no URGENT order — NOT EXISTS semantics (NULL-safe),
+    // not NOT IN. (Every customer has *some* order in the fixtures, so the
+    // predicate keeps the result non-trivial at every sf.)
+    Q("join_anti",
+      (spark, sfDir) => {
+        val c = Tables.customer(spark, sfDir)
+        val o = Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""".trim)),
+
+    // Bounded cartesian (5 × 25).
+    Q("join_cross",
+      (spark, sfDir) =>
+        Tables.region(spark, sfDir).crossJoin(Tables.nation(spark, sfDir))
+          .select(col("r_name"), col("n_name"))
+          .orderBy(col("r_name"), col("n_name")),
+      Some("""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name""".trim)),
+
+    // Theta: nation pairs within the same region, strictly ordered keys.
+    Q("join_theta",
+      (spark, sfDir) => {
+        val a = Tables.nation(spark, sfDir).select(
+          col("n_nationkey").as("a_key"), col("n_name").as("a_name"),
+          col("n_regionkey").as("a_region"))
+        val b = Tables.nation(spark, sfDir).select(
+          col("n_nationkey").as("b_key"), col("n_name").as("b_name"),
+          col("n_regionkey").as("b_region"))
+        a.join(b, col("a_region") === col("b_region") && col("a_key") < col("b_key"))
+          .select(col("a_region").as("regionkey"), col("a_key"), col("b_key"),
+            col("a_name"), col("b_name"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""
+        SELECT a.n_regionkey AS regionkey, a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+          a.n_name AS a_name, b.n_name AS b_name
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        ORDER BY a_key, b_key""".trim)),
+
+    // Interval self-join: related events of the same user within 5 minutes.
+    // Equi on user_id carries the shuffle; the range is a residual filter.
+    Q("join_interval",
+      (spark, sfDir) => {
+        val e = Tables.events(spark, sfDir)
+        val a = e.select(col("user_id"), col("event_id").as("a_id"),
+          col("ts").as("a_ts"))
+        val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+          col("ts").as("b_ts"))
+        a.join(b,
+            col("user_id") === col("b_user")
+              && col("b_ts") > col("a_ts")
+              && col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+          .select(col("user_id"), col("a_id"), col("b_id"),
+            (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("delta_us"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+          epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        ORDER BY a_id, b_id""".trim)),
+
+    // As-of: for each event, the latest order date of that user at-or-before
+    // the event time. Composed as union-tag + last(ignoreNulls) window — one
+    // shuffle on the key, no per-row probes (SURVEY §7.5). Oracle: native
+    // DuckDB ASOF LEFT JOIN.
+    Q("join_asof",
+      (spark, sfDir) => {
+        val ords = Tables.orders(spark, sfDir).select(
+          col("o_custkey").as("k"), col("o_orderdate").as("t"),
+          col("o_orderdate").as("ord_date"), lit(null).cast("long").as("event_id"),
+          lit(0).as("tag"))
+        val evts = Tables.events(spark, sfDir).select(
+          col("user_id").as("k"), col("ts").as("t"),
+          lit(null).cast("timestamp").as("ord_date"), col("event_id"),
+          lit(1).as("tag"))
+        val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ords.unionByName(evts)
+          .withColumn("last_order_date", last(col("ord_date"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("k").as("user_id"), col("last_order_date"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+        FROM events e ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY event_id""".trim)),
+  )
+}

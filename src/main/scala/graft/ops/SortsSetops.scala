@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.6–2.7 — sorts, limits, top-k, set operations.
+  *
+  * `sort_limit_topk` must plan as `TakeOrderedAndProject` (per-partition
+  * top-k + merge of k·partitions rows — no global sort, no full shuffle);
+  * asserted by a plan-shape test. `sort_global` is the real
+  * range-partitioned exchange + per-partition sort. Set ops are
+  * shuffle-on-all-columns; at scale prefer keyed EXCEPT/INTERSECT via
+  * semi/anti joins when only a key column matters — both shapes covered
+  * here and in JoinsSpec.
+  */
+object SortsSetops {
+
+  val queries: Seq[Q] = Seq(
+
+    // Global top-100 without a global sort.
+    Q("sort_limit_topk",
+      (spark, sfDir) =>
+        Tables.orders(spark, sfDir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""".trim)),
+
+    // Full multi-column sort (range-partition exchange); LIMIT bounds the
+    // oracle output, large enough to exercise the sort across partitions.
+    Q("sort_global",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"))
+          .orderBy(col("l_quantity").desc, col("l_returnflag"),
+            col("l_orderkey"), col("l_linenumber"))
+          .limit(2000),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem
+        ORDER BY l_quantity DESC, l_returnflag, l_orderkey, l_linenumber
+        LIMIT 2000""".trim)),
+
+    // Bag union (duplicates preserved) — ordered by key; duplicate rows are
+    // identical so the order is total for comparison purposes.
+    Q("setop_union_all",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+        val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("custkey"))
+        o.unionAll(c).orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT o_custkey AS custkey FROM orders
+        UNION ALL
+        SELECT c_custkey AS custkey FROM customer
+        ORDER BY custkey""".trim)),
+
+    // Set intersection (distinct): custkeys that placed orders.
+    Q("setop_intersect",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+        val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("custkey"))
+        c.intersect(o).orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT c_custkey AS custkey FROM customer
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+        ORDER BY custkey""".trim)),
+
+    // Set difference (distinct): customers with no URGENT order (the
+    // unfiltered difference is empty in the fixtures — every customer has
+    // an order — so the predicate keeps the result non-trivial).
+    Q("setop_except",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey"))
+        val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("custkey"))
+        c.except(o).orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY custkey""".trim)),
+  )
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.5 — window functions.
+  *
+  * Window operators shuffle once on the partition key, sort within
+  * partitions, and stream the frame — at 100 TB the only hazard is a skewed
+  * partition key; `user_id` and `c_mktsegment` are bounded-fanout here, and
+  * a skewed key would be salted upstream. Frames are ROWS or RANGE on an
+  * integer epoch column — never on raw timestamps (§7.3).
+  */
+object Windows {
+  import Det._
+
+  val queries: Seq[Q] = Seq(
+
+    // Ranking family over a total per-partition order (tie-broken by PK).
+    Q("window_rank",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            row_number().over(w).as("rn"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"))
+          .orderBy(col("c_mktsegment"), col("rn"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+          CAST(rank() OVER w AS INT) AS rnk,
+          CAST(dense_rank() OVER w AS INT) AS drnk,
+          CAST(row_number() OVER w AS INT) AS rn,
+          CAST(ntile(4) OVER w AS INT) AS quartile,
+          percent_rank() OVER w AS pr
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_mktsegment, rn""".trim)),
+
+    // Per-user running sum (ROWS frame), exact decimal accumulation.
+    Q("window_running",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            emit(sum(val6(col("value"))).over(w), 6).as("running_value"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some(s"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          ${sqlEmit(s"SUM(${sqlVal6("value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6)} AS running_value
+        FROM events
+        ORDER BY user_id, ts_us, event_id""".trim)),
+
+    // RANGE frame: trailing 1-hour average per user, on integer epoch-µs.
+    Q("window_range_frame",
+      (spark, sfDir) => {
+        val hourUs = 3600L * 1000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-hourUs, 0)
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            val6(col("value")).as("v"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            (emit(sum(col("v")).over(w), 6) / count(col("v")).over(w)).as("trailing_avg"),
+            count(col("v")).over(w).as("n_in_window"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some(s"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          ${sqlEmit(s"SUM(${sqlVal6("value")}) OVER w", 6)} / COUNT(value) OVER w AS trailing_avg,
+          COUNT(value) OVER w AS n_in_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_us, event_id""".trim)),
+
+    // lag/lead inter-event gaps — the sessionization precursor.
+    Q("window_lag_lead",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_from_prev_us"),
+            (lead(col("ts_us"), 1).over(w) - col("ts_us")).as("gap_to_next_us"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_from_prev_us,
+          lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_to_next_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ORDER BY user_id, ts_us, event_id""".trim)),
+
+    // Canonical top-k per group via row_number ≤ 3.
+    Q("window_topk_group",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(spark, sfDir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn""".trim)),
+  )
+}
