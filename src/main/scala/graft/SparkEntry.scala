@@ -12,7 +12,8 @@ object SparkEntry {
 
   private lazy val registry: Seq[Q] =
     ops.Scans.queries ++ ops.Functions.queries ++ ops.Joins.queries ++
-      ops.Aggregates.queries ++ ops.Windows.queries ++ ops.SortsSetops.queries
+      ops.Aggregates.queries ++ ops.Windows.queries ++ ops.SortsSetops.queries ++
+      ops.Llm.queries ++ ops.Udx.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

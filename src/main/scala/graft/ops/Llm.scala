@@ -1,0 +1,192 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.BinaryType
+
+/** SURVEY §2.10 — LLM-training-data pipeline operators (dedup, similarity,
+  * text analysis, embedding hygiene, multimodal slot).
+  *
+  * Scale design notes:
+  *  - `llm_dedup_exact` is a hash-groupBy: the shuffle carries (hash,
+  *    doc_id) pairs only, never text — at 100 TB, group by `sha2` digest and
+  *    keep min id; identical plan here.
+  *  - `llm_dedup_near` is banded MinHash-LSH (shingle → minhash → band →
+  *    bucket-join): candidates come from bucket equality joins, NEVER an
+  *    all-pairs product; the exact-Jaccard verify runs per candidate pair.
+  *  - `llm_sim_knn` is the brute-force cosine baseline (oracle-checkable);
+  *    at 100 TB the same dot-product kernel runs behind an LSH/IVF bucket
+  *    join — the per-pair arithmetic below is unchanged, only the candidate
+  *    generation swaps (see `llm_dedup_near` for the bucketed pattern).
+  *  - Dot products fold sequentially in float64 (`aggregate` over the
+  *    array) — bit-identical to DuckDB's `list_sum(list_transform(...))`
+  *    double fold, so similarity values need no rounding slack to match.
+  */
+object Llm {
+
+  /** Sequential float64 dot product of two float arrays (exact: each
+    * f32×f32 product is exactly representable in f64; the fold order is
+    * the array order in both Spark and the DuckDB twin). */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB twin of [[dotExpr]] — explicit double fold, NOT
+    * `list_inner_product` (which accumulates in float32 and diverges in the
+    * 7th decimal; measured). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup by content hash, keep min doc_id. The fixture corpus has
+    // no duplicate texts, so the query plants copies of the first 50 docs
+    // under shifted ids — the dedup then provably collapses them.
+    Q("llm_dedup_exact",
+      (spark, sfDir) => {
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        docs.unionByName(planted)
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"), col("h"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+        )
+        SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, sha256(text) AS h
+        FROM all_docs
+        GROUP BY sha256(text)
+        ORDER BY keep_id""".trim)),
+
+    // Near-dup detection: 3-word shingles → MinHash (16 tables, seeded) →
+    // LSH bucket join → exact-Jaccard verification ≥ 0.5. Permutation-
+    // dependent candidates ⇒ no SQL oracle (SURVEY §2.10); planted-dup
+    // recall is property-tested in LlmSpec.
+    Q("llm_dedup_near",
+      (spark, sfDir) => {
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        // Plant near-duplicates: first 20 docs with their last word dropped.
+        val planted = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            regexp_replace(col("text"), " \\w+$", "").as("text"))
+        val all = docs.unionByName(planted)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("shingles",
+            expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+          .setNumFeatures(1 << 18).setBinary(true)
+        val feat = tf.transform(all).select(col("doc_id"), col("features"))
+        val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+          .setNumHashTables(16).setSeed(42L)
+        val model = mh.fit(feat)
+        model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+          .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
+            round(lit(1.0) - col("jaccard_dist"), 4).as("jaccard_sim"))
+          .filter(col("a_id") < col("b_id"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // Brute-force cosine top-10 (vectors are L2-normalized ⇒ cosine ≡ dot).
+    // Ranked on the ROUNDED similarity with vec_id tiebreak so ordering is
+    // identical across engines even at float boundaries.
+    Q("llm_sim_knn",
+      (spark, sfDir) => {
+        val e = Tables.embeddings(spark, sfDir)
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim_r").desc, col("vec_id"))
+        probes.crossJoin(corpus)
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            round(expr(dotExpr("p_emb", "embedding")), 6).as("sim_r"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("sim_r"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some(s"""
+        WITH sims AS (
+          SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+            round(${sqlDot("a.embedding", "b.embedding")}, 6) AS sim_r
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < 10 AND b.vec_id != a.vec_id
+        ), ranked AS (
+          SELECT probe_id, vec_id, sim_r,
+            row_number() OVER (PARTITION BY probe_id ORDER BY sim_r DESC, vec_id) AS rank
+          FROM sims
+        )
+        SELECT probe_id, CAST(rank AS INT) AS rank, vec_id, sim_r
+        FROM ranked WHERE rank <= 10
+        ORDER BY probe_id, rank""".trim)),
+
+    // Tokenize + wordcount top-50 — integer counts, exact.
+    Q("llm_text_stats",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(50),
+      Some("""
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 50""".trim)),
+
+    // Embedding hygiene: L2 norm (exact double fold) + renormalized first
+    // component. Raw doubles — the fold is bit-identical across engines.
+    Q("llm_embed_norm",
+      (spark, sfDir) =>
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), size(col("embedding")).as("dim"),
+            sqrt(expr(dotExpr("embedding", "embedding"))).as("norm"),
+            (element_at(col("embedding"), 1).cast("double")
+              / sqrt(expr(dotExpr("embedding", "embedding")))).as("renorm_first"))
+          .orderBy(col("vec_id")),
+      Some(s"""
+        SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+          sqrt(${sqlDot("embedding", "embedding")}) AS norm,
+          CAST(embedding[1] AS DOUBLE) / sqrt(${sqlDot("embedding", "embedding")}) AS renorm_first
+        FROM embeddings
+        ORDER BY vec_id""".trim)),
+
+    // Multimodal schema slot: opaque binary payload + typed metadata
+    // struct. No media fixture exists, so the payload is the UTF-8 text and
+    // the "decode" step is a clearly-marked deterministic fake — the Spark
+    // plumbing (BinaryType column, metadata struct, per-batch decode shape)
+    // is the real, tested part.
+    Q("llm_multimodal_schema",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").cast(BinaryType).as("payload"),
+            struct(lit("text/plain").as("mime"), col("lang").as("lang"),
+              col("n_chars").as("orig_bytes")).as("meta"))
+          .select(
+            col("doc_id"),
+            length(col("payload")).as("n_bytes"),
+            sha2(col("payload"), 256).as("digest"),
+            col("meta.mime").as("mime"),
+            // STUB decoder: a real deployment maps payload -> decoded
+            // features via a batch decode UDF; no media libs exist in this
+            // environment, so derive deterministic fake dimensions from the
+            // digest (keeps schema + partition shape real end-to-end).
+            (abs(hash(col("payload"))) % 1920).as("fake_width"),
+            (abs(hash(col("payload"), lit(1))) % 1080).as("fake_height"))
+          .orderBy(col("doc_id")),
+      None),
+  )
+}
