@@ -1,0 +1,58 @@
+package graft.stream
+
+import graft.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 — streaming sources.
+  *
+  * The replay source re-plays the `events` parquet as an unbounded stream —
+  * the Twitter-firehose stand-in. The source API is deliberately shaped so
+  * a Kafka source drops in where the file-replay source sits (no Kafka
+  * connector jar exists in this environment, SURVEY §0): every downstream
+  * op consumes a DataFrame with the logical events schema and nothing else.
+  */
+object Sources {
+
+  /** JSON wire format for socket ingestion (one event per line). */
+  val eventJsonSchema = Schemas.events
+
+  /** File-replay of events parquet as an unbounded stream. `dir` must be a
+    * directory (file-source requirement); `glob` restricts which files
+    * replay. `ts` follows the same ns→µs conversion as the batch reader
+    * ([[graft.Tables.events]]). */
+  def replayEvents(spark: SparkSession, dir: String,
+      glob: String = "*.parquet", maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(Schemas.eventsRaw)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Line-JSON events over a TCP socket — the literal "socket source". */
+  def socketEvents(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load()
+      // ts arrives as epoch-µs long on the wire; converted like replay.
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      )).as("e"))
+      .select(col("e.event_id").as("event_id"),
+        timestamp_micros(col("e.ts_us")).as("ts"),
+        col("e.user_id").as("user_id"), col("e.event_type").as("event_type"),
+        col("e.value").as("value"), col("e.props").as("props"))
+
+  /** Deterministic synthetic load: rate-micro-batch emits exactly
+    * `rowsPerBatch` rows per micro-batch (bench/soak harness). */
+  def rateMicroBatch(spark: SparkSession, rowsPerBatch: Int): DataFrame =
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .load()
+}

@@ -1,0 +1,280 @@
+package graft.stream
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.net.{InetAddress, ServerSocket}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** SURVEY §2.9 + streaming halves of §2.1/§2.3 — Structured Streaming.
+  *
+  * Two kinds of contract keys live here:
+  *  - **Batch twins** (`stream_tumbling`/`sliding`/`session`): the window
+  *    semantics are batch-expressible, so the oracle-checked query runs the
+  *    native window operator in batch mode; StreamingSpec asserts the
+  *    streaming run over the same data produces identical results
+  *    (prefix-consistency makes this exact).
+  *  - **Streaming-only keys**: each runs a real StreamingQuery (file-replay
+  *    / socket / rate-micro-batch source → memory sink, AvailableNow
+  *    trigger) inside the query function and returns the sink table —
+  *    the driver's rows-only check sees genuinely streamed results.
+  *
+  * Scale notes: stateful ops key their state by (group, window) in the
+  * state store — at 100 TB the watermark bounds state size; every shuffle
+  * below is on the aggregation key, identical to the batch plans.
+  */
+object StreamOps {
+  import Det._
+
+  private val sinkId = new AtomicInteger
+
+  /** Run a streaming DF to completion (AvailableNow) into a memory sink,
+    * return the sink contents as a batch DataFrame. */
+  private def runToTable(spark: SparkSession, sdf: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val tbl = s"graft_sink_${sinkId.incrementAndGet()}"
+    val q = sdf.writeStream.format("memory").queryName(tbl).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(tbl)
+  }
+
+  // ---- typed records for the stateful op ----
+  case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
+  case class UserState(n: Long, sessions: Long, firstTs: Long, lastTs: Long)
+  case class UserStats(user_id: Long, n_events: Long, n_sessions: Long, span_us: Long)
+
+  /** Arbitrary per-user state machine: event count, 30-min-gap session
+    * count, and first→last span. Associative across batches via the
+    * persisted [[UserState]]; events within a batch are sorted by time
+    * (arrival order within a micro-batch is not time order). */
+  def sessionStateFn(gapUs: Long)(
+      key: Long, it: Iterator[Ev], state: GroupState[UserState]): Iterator[UserStats] = {
+    val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue, Long.MinValue))
+    evs.foreach { e =>
+      val newSession = s.lastTs == Long.MinValue || e.ts_us - s.lastTs >= gapUs
+      s = UserState(s.n + 1, s.sessions + (if (newSession) 1 else 0),
+        if (s.firstTs == Long.MinValue) e.ts_us else s.firstTs, e.ts_us)
+    }
+    if (evs.nonEmpty) state.update(s)
+    Iterator.single(UserStats(key, s.n, s.sessions,
+      if (s.firstTs == Long.MinValue) 0L else s.lastTs - s.firstTs))
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- batch twins (oracle-checked SQL; streaming equality in tests) ----
+
+    // 1-hour tumbling count+sum per event_type.
+    Q("stream_tumbling",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+            col("n"), col("sum_val"))
+          .orderBy(col("ws_us"), col("event_type")),
+      Some(s"""
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+          COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY ws_us, event_type""".trim)),
+
+    // 1-hour window sliding every 15 min (each event lands in 4 windows).
+    Q("stream_sliding",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+            col("n"), col("sum_val"))
+          .orderBy(col("ws_us"), col("event_type")),
+      Some(s"""
+        SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS ws_us, event_type,
+          COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) slides
+        GROUP BY 1, 2
+        ORDER BY ws_us, event_type""".trim)),
+
+    // Per-user sessions with 30-min inactivity gap — native session_window;
+    // oracle is an independent gap-and-island formulation.
+    Q("stream_session",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
+            unix_micros(col("w.end")).as("se_us"), col("n"))
+          .orderBy(col("user_id"), col("ss_us")),
+      Some("""
+        WITH t AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts_us,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM t
+        )
+        SELECT user_id, MIN(ts_us) AS ss_us, MAX(ts_us) + 1800000000 AS se_us,
+          COUNT(*) AS n
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, ss_us""".trim)),
+
+    // ---- real streaming runs (rows-only check; semantics in tests) ----
+
+    // Replay the events parquet as an unbounded stream, aggregate per type.
+    Q("source_stream_replay",
+      (spark, sfDir) => {
+        val agg = Sources.replayEvents(spark, sfDir, "events.parquet")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+        runToTable(spark, agg, OutputMode.Complete()).orderBy(col("event_type"))
+      },
+      None),
+
+    // Line-JSON over a real TCP socket served in-process.
+    Q("source_socket",
+      (spark, sfDir) => {
+        val types = Seq("click", "view", "signup", "purchase", "error")
+        val payload = (0 until 60).map { i =>
+          s"""{"event_id":$i,"ts_us":${1700000000000000L + i * 1000000L},"user_id":${i % 5},"event_type":"${types(i % types.size)}","value":${i * 1.5},"props":"{\\"k\\":${i % 100}}"}"""
+        }
+        val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+        val feeder = new Thread(() => {
+          val sock = server.accept()
+          val out = new java.io.PrintWriter(sock.getOutputStream, true)
+          payload.foreach(out.println)
+          out.flush()
+          // keep the connection open until the query is done reading
+          Thread.sleep(30000)
+          sock.close()
+        })
+        feeder.setDaemon(true)
+        feeder.start()
+        val tbl = s"graft_sink_${sinkId.incrementAndGet()}"
+        val q = Sources.socketEvents(spark, "127.0.0.1", server.getLocalPort)
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode(OutputMode.Append()).start()
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        while (spark.table(tbl).count() < payload.size && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          Thread.sleep(100)
+        }
+        q.stop(); q.awaitTermination(); server.close()
+        spark.table(tbl)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
+    // Deterministic synthetic generator: exactly one 256-row micro-batch.
+    Q("source_rate",
+      (spark, sfDir) => {
+        val tbl = s"graft_sink_${sinkId.incrementAndGet()}"
+        val q = Sources.rateMicroBatch(spark, 256)
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode(OutputMode.Append()).trigger(Trigger.Once()).start()
+        q.awaitTermination()
+        spark.table(tbl)
+          .groupBy((col("value") % 8).as("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"))
+          .orderBy(col("bucket"))
+      },
+      None),
+
+    // Streaming sinks: foreachBatch → parquet (prod path) then read back.
+    Q("sink_stream",
+      (spark, sfDir) => {
+        val outDir = Files.createTempDirectory("graft_sink_parquet").toString
+        val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+        val purchases = Sources.replayEvents(spark, sfDir, "events.parquet")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val q = purchases.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.read.parquet(outDir)
+          .groupBy((col("user_id") % 10).as("user_mod"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("user_mod"))
+      },
+      None),
+
+    // Event-time watermark + append mode: only finalized windows emit.
+    Q("stream_watermark_late",
+      (spark, sfDir) => {
+        val agg = Sources.replayEvents(spark, sfDir, "events.parquet")
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"), col("n"))
+        runToTable(spark, agg, OutputMode.Append())
+          .orderBy(col("ws_us"), col("event_type"))
+      },
+      None),
+
+    // Exactly-once per event_id across micro-batches: the replay dir holds
+    // two copies of the events file (2 batches); state dedups the second.
+    Q("stream_dedup",
+      (spark, sfDir) => {
+        val dir = Files.createTempDirectory("graft_dedup")
+        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("b.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val deduped = Sources.replayEvents(spark, dir.toString)
+          .dropDuplicates("event_id")
+        runToTable(spark, deduped, OutputMode.Append())
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
+    // Arbitrary per-user state via flatMapGroupsWithState.
+    Q("stream_stateful",
+      (spark, sfDir) => {
+        import spark.implicits._
+        val evs: Dataset[Ev] = Sources.replayEvents(spark, sfDir, "events.parquet")
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("value"))
+          .as[Ev]
+        val stats = evs.groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+            sessionStateFn(30L * 60 * 1000000))
+        runToTable(spark, stats.toDF(), OutputMode.Update())
+          .orderBy(col("user_id"))
+      },
+      None),
+
+    // Streaming events ⋈ static customer dim (broadcast), revenue by nation.
+    Q("join_stream_static",
+      (spark, sfDir) => {
+        val cust = Tables.customer(spark, sfDir)
+        val nat = Tables.nation(spark, sfDir)
+        val joined = Sources.replayEvents(spark, sfDir, "events.parquet")
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_events"), sumVal6(col("value")).as("sum_val"))
+        runToTable(spark, joined, OutputMode.Complete()).orderBy(col("n_name"))
+      },
+      None),
+  )
+}
