@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
 object Joins {
   import Det._
 
+  /** As-of composition (SURVEY §7.5): for each row of `rights` (key `k`,
+    * time `t`, id `event_id`), the latest `ord_date` from `lefts` (key `k`,
+    * time `t`, payload `ord_date`) with left.t <= right.t — DuckDB
+    * `ASOF LEFT JOIN` semantics incl. ties (`<=`) and no-match rows (NULL).
+    * One shuffle on `k` + one window pass over the tagged union; no per-row
+    * probe, no broadcast of the big side — the shape that survives 1000
+    * executors. */
+  def asofLatestAtOrBefore(lefts: org.apache.spark.sql.DataFrame,
+      rights: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val l = lefts.select(col("k"), col("t"), col("t").as("ord_date"),
+      lit(null).cast("long").as("event_id"), lit(0).as("tag"))
+    val r = rights.select(col("k"), col("t"),
+      lit(null).cast("timestamp").as("ord_date"), col("event_id"), lit(1).as("tag"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("last_order_date", last(col("ord_date"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k"), col("last_order_date"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // 3-way star join: revenue per nation.
@@ -198,19 +219,11 @@ object Joins {
     // DuckDB ASOF LEFT JOIN.
     Q("join_asof",
       (spark, sfDir) => {
-        val ords = Tables.orders(spark, sfDir).select(
-          col("o_custkey").as("k"), col("o_orderdate").as("t"),
-          col("o_orderdate").as("ord_date"), lit(null).cast("long").as("event_id"),
-          lit(0).as("tag"))
-        val evts = Tables.events(spark, sfDir).select(
-          col("user_id").as("k"), col("ts").as("t"),
-          lit(null).cast("timestamp").as("ord_date"), col("event_id"),
-          lit(1).as("tag"))
-        val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ords.unionByName(evts)
-          .withColumn("last_order_date", last(col("ord_date"), ignoreNulls = true).over(w))
-          .filter(col("tag") === 1)
+        val ords = Tables.orders(spark, sfDir)
+          .select(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+        val evts = Tables.events(spark, sfDir)
+          .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+        asofLatestAtOrBefore(ords, evts)
           .select(col("event_id"), col("k").as("user_id"), col("last_order_date"))
           .orderBy(col("event_id"))
       },

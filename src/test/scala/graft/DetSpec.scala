@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Determinism policy (SURVEY §7.3) — the hash-match make-or-break. */
+class DetSpec extends SparkFixture {
+  import spark.implicits._
+
+  test("decimal sum is order-independent (same result under any permutation)") {
+    val xs = Seq(0.01, 123.45, -7.89, 1e9, 0.07, 42.42)
+    val sums = Seq(xs, xs.reverse, xs.sortBy(identity)).map { perm =>
+      perm.toDF("v").select(Det.sumMoney(col("v"))).head.getDouble(0)
+    }
+    assert(sums.distinct.size == 1)
+  }
+
+  test("sumMoney matches exact BigDecimal arithmetic") {
+    checkAll(Gen.listOfN(50, Gen.chooseNum(-99999L, 99999L)), n = 5) { cents =>
+      val doubles = cents.map(_ / 100.0)
+      val expected = cents.sum / 100.0
+      val got = doubles.toDF("v").select(Det.sumMoney(col("v"))).head.getDouble(0)
+      assert(got == expected)
+    }
+  }
+
+  test("avgMoney ignores NULLs exactly like SQL AVG (count(col) skips nulls)") {
+    val df = Seq(Some(10.0), None, Some(20.0)).toDF("v")
+    val got = df.select(Det.avgMoney(col("v")).as("a")).head.getDouble(0)
+    assert(got == 15.0) // NULL excluded from both sum and count
+  }
+
+  test("emit narrows losslessly within DECIMAL(18,s) headroom") {
+    // max magnitude that fits DECIMAL(12,2): 10 integer digits
+    val df = Seq(1234567890.12).toDF("v")
+    val got = df.select(Det.emit(Det.money(col("v")), 2)).head.getDouble(0)
+    assert(got == 1234567890.12)
+  }
+
+  test("emit overflow fails loudly under ANSI mode (not silent NULL)") {
+    // 10^16 overflows DECIMAL(18,2); ANSI mode must throw, not return NULL.
+    val df = Seq(1e16).toDF("v")
+    intercept[Exception] {
+      df.select(Det.emit(sum(Det.money(col("v"))), 2)).collect()
+    }
+  }
+}

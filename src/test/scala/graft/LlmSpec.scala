@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator semantics (SURVEY §2.10 + §5.2 property tests). */
+class LlmSpec extends SparkFixture {
+
+  test("llm_dedup_exact collapses planted duplicates to the min doc_id") {
+    val out = SparkEntry.queries("llm_dedup_exact")(spark, sf001)
+    val dups = out.filter(col("n_copies") > 1)
+    assert(dups.count() == 50) // exactly the 50 planted copies
+    // every duplicate group kept the ORIGINAL id (min), not the planted one
+    assert(dups.filter(col("keep_id") >= 100000).count() == 0)
+    // idempotence: re-deduping the kept set changes nothing
+    val kept = out.select(col("keep_id")).distinct().count()
+    assert(kept == out.count())
+  }
+
+  test("llm_dedup_near finds every planted near-duplicate pair (recall = 1)") {
+    val out = SparkEntry.queries("llm_dedup_near")(spark, sf001)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
+    // verified similarity on planted pairs is high (last word dropped only)
+    val sims = out.filter(col("b_id") >= 100000 && col("a_id") === col("b_id") - 100000)
+      .select(col("jaccard_sim")).collect().map(_.getDouble(0))
+    assert(sims.forall(_ >= 0.8), sims.mkString(","))
+  }
+
+  test("llm_sim_knn returns exactly 10 ranked neighbors per probe, no self") {
+    val out = SparkEntry.queries("llm_sim_knn")(spark, sf001).cache()
+    val perProbe = out.groupBy("probe_id").count().collect()
+    assert(perProbe.length == 10 && perProbe.forall(_.getLong(1) == 10))
+    assert(out.filter(col("probe_id") === col("vec_id")).count() == 0)
+    // similarities are a descending sequence within each probe
+    val sims = out.orderBy(col("probe_id"), col("rank"))
+      .collect().groupBy(_.getLong(0)).values
+    sims.foreach { rows =>
+      val s = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+    out.unpersist()
+  }
+
+  test("llm_sim_knn matches an independent driver-side brute-force top-10") {
+    // (fixture labels are near-noise — mean same-label cosine ≈ 0.02 — so
+    // exactness vs an independent implementation is the real ground truth)
+    val vecs = Tables.embeddings(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val expected = (0L until 10L).map { p =>
+      p -> vecs.keys.filter(_ != p).toSeq
+        .map(v => (v, BigDecimal(dot(vecs(p), vecs(v)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (v, s) => (-s, v) }.take(10).map(_._1)
+    }.toMap
+    val got = SparkEntry.queries("llm_sim_knn")(spark, sf001)
+      .orderBy(col("probe_id"), col("rank")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+    expected.foreach { case (p, exp) =>
+      assert(got(p) == exp, s"probe $p: got ${got(p)} expected $exp")
+    }
+  }
+
+  test("llm_embed_norm: fixture vectors are unit-norm to float precision") {
+    val out = SparkEntry.queries("llm_embed_norm")(spark, sf001)
+    val norms = out.select(col("norm")).collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-6))
+    assert(out.filter(col("dim") =!= 64).count() == 0)
+  }
+
+  test("llm_text_stats: top-50 counts sum to at most total token count") {
+    val out = SparkEntry.queries("llm_text_stats")(spark, sf001)
+    val topSum = out.agg(sum("n")).head.getLong(0)
+    val total = Tables.documents(spark, sf001)
+      .select(size(split(col("text"), " ")).as("k")).agg(sum("k")).head.getLong(0)
+    assert(out.count() <= 50 && topSum <= total && topSum > 0)
+  }
+
+  test("llm_multimodal_schema: payload round-trips and digest is stable") {
+    val out = SparkEntry.queries("llm_multimodal_schema")(spark, sf001)
+    val docs = Tables.documents(spark, sf001)
+    // n_bytes == n_chars for ASCII fixture text
+    val j = out.join(docs, "doc_id")
+    assert(j.filter(col("n_bytes") =!= col("n_chars")).count() == 0)
+    assert(out.filter(length(col("digest")) =!= 64).count() == 0)
+    assert(out.filter(col("fake_width") < 0 || col("fake_width") >= 1920).count() == 0)
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.Row
+import org.scalacheck.Gen
+
+/** Adversarial per-operator unit fixtures (SURVEY §5.2): empty inputs,
+  * NULL keys, ties, no-match rows.
+  */
+class OperatorSpec extends SparkFixture {
+  import spark.implicits._
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  // ---- join semantics ----
+
+  test("equi join: NULL keys never match (SQL three-valued logic)") {
+    val a = Seq((Some(1L), "a"), (None, "null-key")).toDF("k", "va")
+    val b = Seq((Some(1L), "b"), (None, "null-key")).toDF("k", "vb")
+    val j = a.join(b, a("k") === b("k"))
+    assert(j.count() == 1)
+  }
+
+  test("anti join keeps rows whose key has no match — NOT EXISTS, not NOT IN") {
+    val c = Seq(Some(1L), Some(2L), None).toDF("k")
+    val o = Seq(Some(1L), None).toDF("k")
+    val anti = c.join(o, c("k") === o("k"), "left_anti")
+    // NOT IN with a NULL on the right would return 0 rows; NOT EXISTS keeps 2 & NULL.
+    assert(anti.collect().map(r => Option(r.get(0))).toSet == Set(Some(2L), None))
+  }
+
+  test("full outer join null-extends both sides") {
+    val l = Seq((1L, "l1"), (2L, "l2")).toDF("k", "lv")
+    val r = Seq((2L, "r2"), (3L, "r3")).toDF("k", "rv")
+    val f = l.join(r, l("k") === r("k"), "full")
+      .select(coalesce(l("k"), r("k")).as("k"), col("lv"), col("rv"))
+    val rows = f.collect().map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    assert(rows == Set((1L, Some("l1"), None), (2L, Some("l2"), Some("r2")),
+      (3L, None, Some("r3"))))
+  }
+
+  // ---- as-of composition (SURVEY §7.5 hard-part fixture) ----
+
+  test("asof: <= semantics, ties, and no-match rows match DuckDB ASOF LEFT JOIN") {
+    val schemaL = StructType(Seq(StructField("k", LongType), StructField("t", TimestampType)))
+    val lefts = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, ts(10000000L)), Row(1L, ts(10000000L)), // duplicate order at t=10
+        Row(1L, ts(20000000L)))),
+      schemaL)
+    val schemaR = StructType(Seq(StructField("k", LongType), StructField("t", TimestampType),
+      StructField("event_id", LongType)))
+    val rights = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, ts(5000000L), 100L),   // before any order -> NULL
+        Row(1L, ts(10000000L), 101L),  // exactly at order time -> t=10 (<=)
+        Row(1L, ts(15000000L), 102L),  // between -> t=10
+        Row(1L, ts(25000000L), 103L),  // after both -> t=20
+        Row(2L, ts(50000000L), 200L))), // key with no orders -> NULL
+      schemaR)
+    val got = Joins.asofLatestAtOrBefore(lefts, rights)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString)).toMap
+    assert(got(100L).isEmpty)
+    assert(got(101L).contains(ts(10000000L).toString))
+    assert(got(102L).contains(ts(10000000L).toString))
+    assert(got(103L).contains(ts(20000000L).toString))
+    assert(got(200L).isEmpty)
+  }
+
+  // ---- aggregates ----
+
+  test("aggregation over empty input produces zero groups") {
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(empty.groupBy("g").agg(sum("v")).count() == 0)
+  }
+
+  test("NULL group keys form their own group") {
+    val df = Seq((Some("a"), 1), (None, 2), (None, 3)).toDF("g", "v")
+    val m = df.groupBy("g").agg(sum("v").as("s"))
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    assert(m(Some("a")) == 1 && m(None) == 5)
+  }
+
+  test("cube produces 2^d grouping combinations; rollup produces d+1 levels") {
+    val df = Seq(("a", "x", 1), ("a", "y", 1), ("b", "x", 1)).toDF("f", "g", "v")
+    val cubeGids = df.cube("f", "g").agg(grouping_id().as("gid"))
+      .select("gid").distinct().count()
+    assert(cubeGids == 4) // (f,g), (f), (g), ()
+    val rollupGids = df.rollup("f", "g").agg(grouping_id().as("gid"))
+      .select("gid").distinct().count()
+    assert(rollupGids == 3) // (f,g), (f), ()
+  }
+
+  test("sum over groups equals global sum (partial-aggregation invariant)") {
+    checkAll(Gen.listOfN(60, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-1000L, 1000L))),
+      n = 5) { xs =>
+      val df = xs.toDF("g", "v")
+      val grouped = df.groupBy("g").agg(sum("v").as("s")).agg(sum("s")).head.getLong(0)
+      val global = df.agg(sum("v")).head.getLong(0)
+      assert(grouped == global)
+    }
+  }
+
+  test("approx_count_distinct(rsd=0.01) lands within 5% of exact on fixtures") {
+    val e = Tables.events(spark, sf001)
+    val exact = e.select(countDistinct(col("user_id"))).head.getLong(0)
+    val approx = e.select(approx_count_distinct(col("user_id"), 0.01)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"approx=$approx exact=$exact")
+  }
+
+  // ---- windows ----
+
+  test("running sum's last value per partition equals the partition total") {
+    val df = Seq(("u1", 1.0), ("u1", 2.0), ("u1", 3.0), ("u2", 5.0)).toDF("u", "v")
+      .withColumn("i", monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val last = df.withColumn("rs", sum("v").over(w))
+      .groupBy("u").agg(max("rs").as("final"), sum("v").as("total"))
+    last.collect().foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+  }
+
+  test("rank vs dense_rank vs row_number on ties") {
+    val df = Seq(("a", 10), ("a", 10), ("a", 5)).toDF("g", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy(col("v").desc)
+    val r = df.select(col("v"), rank().over(w).as("r"), dense_rank().over(w).as("d"),
+      row_number().over(w).as("n")).orderBy("n").collect()
+    assert(r.map(_.getInt(1)).toSeq == Seq(1, 1, 3))   // rank skips
+    assert(r.map(_.getInt(2)).toSeq == Seq(1, 1, 2))   // dense_rank doesn't
+    assert(r.map(_.getInt(3)).toSeq == Seq(1, 2, 3))   // row_number total
+  }
+
+  // ---- set ops ----
+
+  test("intersect/except are DISTINCT set semantics; unionAll is bag") {
+    val a = Seq(1, 1, 2, 3).toDF("v")
+    val b = Seq(1, 1, 4).toDF("v")
+    assert(a.intersect(b).count() == 1)          // {1}
+    assert(a.except(b).collect().map(_.getInt(0)).toSet == Set(2, 3))
+    assert(a.unionAll(b).count() == 7)
+    assert(a.distinct().unionAll(a.distinct()).distinct().count() == 3) // A∪A≡A
+  }
+
+  test("except is idempotent: (A\\B)\\B == A\\B") {
+    checkAll(Gen.zip(Gen.nonEmptyListOf(Gen.chooseNum(0, 20)),
+      Gen.listOf(Gen.chooseNum(0, 20))), n = 5) { case (la, lb) =>
+      val a = la.toDF("v"); val b = lb.toDF("v")
+      val once = a.except(b)
+      assert(once.except(b).collect().toSet == once.collect().toSet)
+    }
+  }
+}

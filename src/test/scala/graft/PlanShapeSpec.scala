@@ -1,0 +1,79 @@
+package graft
+
+/** Plan-shape asserts (SURVEY §4 verification hooks): the optimizer must
+  * actually produce the 100 TB-safe physical plans the operator docs claim —
+  * pushdown reaching the scan, broadcast joins staying broadcast, top-k
+  * avoiding a global sort, aggregates running partial+final.
+  */
+class PlanShapeSpec extends SparkFixture {
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("scan_pruned pushes the shipdate predicate into the parquet scan") {
+    val p = plan("scan_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scan_pruned prunes columns: scan reads only the 3 needed columns") {
+    val p = plan("scan_pruned")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"))
+  }
+
+  test("join_broadcast plans BroadcastHashJoin for both dims") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sort_limit_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_hash_q1 plans two-phase HashAggregate (partial map-side combine)") {
+    val p = plan("agg_hash_q1")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final")
+  }
+
+  test("agg_hash_q1 runs inside WholeStageCodegen") {
+    // AQE wraps the plan lazily and hides codegen subtrees until runtime;
+    // disable it for this inspection — codegen eligibility is what's tested.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val codegen = SparkEntry.queries("agg_hash_q1")(spark, sf001)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen subtrees") && !codegen.startsWith("Found 0"),
+        codegen.take(200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("filter_pred predicate reaches the parquet scan as pushed filters") {
+    val p = plan("filter_pred")
+    // PushedFilters text is truncated in toString; assert the scan carries
+    // data filters and the full compound predicate survives in the Filter.
+    assert(p.contains("PushedFilters: [IsNotNull("), p)
+    assert(p.contains("isnotnull(p_name"), p)
+  }
+
+  test("join_inner_equi aggregates after the join without extra exchanges") {
+    val p = plan("join_inner_equi")
+    // 3-way join + group + sort: expect no CartesianProduct anywhere.
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("join_cross is the only plan allowed a cartesian") {
+    val p = plan("join_cross")
+    assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("window_running plans a single Window operator over one shuffle") {
+    val p = plan("window_running")
+    assert(p.contains("Window"), p)
+    assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined)
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared SparkSession across all suites (Test/fork = one JVM). */
+object SparkFixture {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkFixture extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkFixture.session
+  val sf001 = "/root/testdata/sf0.001"
+
+  /** Deterministic property check over a scalacheck Gen (no scalatestplus
+    * bridge in the offline cache): n samples from fixed seeds. */
+  def checkAll[A](gen: org.scalacheck.Gen[A], n: Int = 30)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).foreach(f)
+    }
+}

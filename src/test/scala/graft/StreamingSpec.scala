@@ -1,0 +1,147 @@
+package graft
+
+import graft.stream.{Sources, StreamOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Streaming semantics (SURVEY §5.3): batch-twin equivalence via
+  * prefix-consistency, watermark late-drop, cross-batch dedup, and state
+  * accumulation — all on MemoryStream or file-replay with a memory sink.
+  */
+class StreamingSpec extends SparkFixture {
+  import spark.implicits._
+
+  private var n = 0
+  private def sinkName(): String = { n += 1; s"test_sink_$n" }
+
+  private def runAvailableNow(sdf: DataFrame, mode: OutputMode): DataFrame = {
+    val tbl = sinkName()
+    val q = sdf.writeStream.format("memory").queryName(tbl).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(tbl)
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling aggregation equals the batch twin exactly") {
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val streamed = runAvailableNow(
+      Sources.replayEvents(spark, sf001, "events.parquet")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+          col("n"), col("sum_val")),
+      OutputMode.Complete()
+    ).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming session_window equals the batch twin exactly") {
+    val batch = SparkEntry.queries("stream_session")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val streamed = runAvailableNow(
+      Sources.replayEvents(spark, sf001, "events.parquet")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
+          unix_micros(col("w.end")).as("se_us"), col("n")),
+      OutputMode.Complete()
+    ).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("watermark drops events later than 10 minutes past the max seen time") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val tbl = sinkName()
+    val q = input.toDF().toDF("event_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"))
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: one event in the 00:00 window, one far ahead at 02:30 —
+    // advances the watermark to 02:20, finalizing the 00:00 window.
+    input.addData((1L, ts("2024-01-01 00:10:00"), "a"),
+      (2L, ts("2024-01-01 02:30:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: a LATE event for the already-finalized 00:00 window (dropped)
+    // plus a fresh one at 04:00 to advance and finalize more windows.
+    input.addData((3L, ts("2024-01-01 00:20:00"), "a"),
+      (4L, ts("2024-01-01 04:00:00"), "a"))
+    q.processAllAvailable()
+    input.addData((5L, ts("2024-01-01 06:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+
+    val w0 = spark.table(tbl)
+      .filter(col("ws_us") === unix_micros(lit(ts("2024-01-01 00:00:00"))))
+      .collect()
+    assert(w0.length == 1 && w0.head.getLong(1) == 1,
+      s"late event must not reopen the finalized window: ${w0.mkString}")
+  }
+
+  test("streaming dedup is exactly-once per event_id across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val tbl = sinkName()
+    val q = input.toDF().toDF("event_id", "payload")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, "a"), (2L, "b"), (1L, "a-dup-in-batch"))
+    q.processAllAvailable()
+    input.addData((2L, "b-dup-across-batch"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val ids = spark.table(tbl).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState accumulates per-key state across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Ev]
+    val tbl = sinkName()
+    val q = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        StreamOps.sessionStateFn(30L * 60 * 1000000))
+      .toDF()
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode(OutputMode.Update()).start()
+    val h = 3600L * 1000000L
+    input.addData(StreamOps.Ev(1, 0 * h, 7, 1.0), StreamOps.Ev(2, 0 * h + 60000000L, 7, 1.0))
+    q.processAllAvailable()
+    input.addData(StreamOps.Ev(3, 5 * h, 7, 1.0)) // new session, state remembered
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table(tbl).filter(col("user_id") === 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (n_events, n_sessions)
+    assert(rows.contains((2L, 1L)), s"after batch 1: $rows")
+    assert(rows.contains((3L, 2L)), s"after batch 2 state must accumulate: $rows")
+  }
+
+  test("stream-static join enriches streamed events against the static dim") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val dim = Seq((7L, "GOLD"), (8L, "SILVER")).toDF("id", "tier")
+    val tbl = sinkName()
+    val q = input.toDF().toDF("user", "v")
+      .join(broadcast(dim), col("user") === col("id"))
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode(OutputMode.Append()).start()
+    input.addData((7L, 1.0), (9L, 2.0)) // 9 has no dim row -> dropped (inner)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table(tbl).collect()
+    assert(rows.length == 1 && rows.head.getString(3) == "GOLD")
+  }
+}
