@@ -33,6 +33,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm the session (classloading, codegen compiler, shuffle machinery)
+    // with a data-free job so the first timed query doesn't absorb one-time
+    // JVM costs. No fixture data is read or cached — queries stay cold.
+    spark.range(1000000).selectExpr("sum(id % 7)").collect()
+
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.BinaryType
@@ -38,6 +37,34 @@ object Llm {
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Compiled MinHash kernel: tokens → `nHashes` min-signatures over 3-word
+    * shingles. One string hash per shingle, then splitmix64 rehashes — a
+    * tight primitive loop. Spark's higher-order-function lambdas evaluate
+    * interpreted (boxed, per element); 16 interpreted passes over every
+    * shingle array measured ~8 s at sf0.1 vs milliseconds here. (Next step
+    * up, if ever needed, is a codegen'd Catalyst expression — the UDF is
+    * already off the hot path's allocation profile.) */
+  def minhashSig(nHashes: Int): Seq[String] => Array[Long] = { toks =>
+    val mins = Array.fill(nHashes)(Long.MaxValue)
+    var i = 0
+    val n = toks.length - 2
+    while (i < n) {
+      val h = scala.util.hashing.MurmurHash3
+        .stringHash(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).toLong
+      var j = 0
+      while (j < nHashes) {
+        var z = h + 0x9E3779B97F4A7C15L * (j + 1)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        if (z < mins(j)) mins(j) = z
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup by content hash, keep min doc_id. The fixture corpus has
@@ -65,32 +92,59 @@ object Llm {
         GROUP BY sha256(text)
         ORDER BY keep_id""".trim)),
 
-    // Near-dup detection: 3-word shingles → MinHash (16 tables, seeded) →
-    // LSH bucket join → exact-Jaccard verification ≥ 0.5. Permutation-
-    // dependent candidates ⇒ no SQL oracle (SURVEY §2.10); planted-dup
-    // recall is property-tested in LlmSpec.
+    // Near-dup detection: 3-word shingles → 16 MinHash signatures → banded
+    // LSH (8 bands × 2 rows) → bucket-join candidates → exact-Jaccard
+    // verification ≥ 0.5. Banding with r=2 keeps the candidate set ∝ sim²
+    // per band (r=1 tables — e.g. MLlib MinHashLSH — flood the bucket join
+    // with low-sim collisions on a small-vocab corpus; measured 10.9 s vs
+    // <2 s for this plan at sf0.1). Permutation-dependent candidates ⇒ no
+    // SQL oracle (SURVEY §2.10); planted-dup recall is property-tested.
     Q("llm_dedup_near",
       (spark, sfDir) => {
+        val nHashes = 16; val bandRows = 2
         val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
         // Plant near-duplicates: first 20 docs with their last word dropped.
         val planted = docs.filter(col("doc_id") < 20)
           .select((col("doc_id") + 100000).as("doc_id"),
             regexp_replace(col("text"), " \\w+$", "").as("text"))
-        val all = docs.unionByName(planted)
+        val toksDf = docs.unionByName(planted)
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
-          .withColumn("shingles",
-            expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-        val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-          .setNumFeatures(1 << 18).setBinary(true)
-        val feat = tf.transform(all).select(col("doc_id"), col("features"))
-        val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-          .setNumHashTables(16).setSeed(42L)
-        val model = mh.fit(feat)
-        model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
-          .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
-            round(lit(1.0) - col("jaccard_dist"), 4).as("jaccard_sim"))
-          .filter(col("a_id") < col("b_id"))
+          .select(col("doc_id"), col("toks"))
+        // Signatures via the compiled kernel (see [[minhashSig]]); the
+        // string shingle arrays are NOT materialized corpus-wide — only per
+        // verified candidate pair below.
+        val sigUdf = udf(minhashSig(nHashes))
+        val sig = toksDf.withColumn("sig", sigUdf(col("toks")))
+        // 8 bands of 2 rows each; band key = hash of the band's slice.
+        // Candidates come from a per-bucket collect + pair-explode: the
+        // signature computation runs exactly once (a self-join would
+        // recompute its lineage per side) and the shuffle carries only
+        // (band, bucket, doc_id) — never the shingle payload.
+        val banded = sig.select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${nHashes / bandRows - 1}, 1), b -> xxhash64(b, slice(sig, b * $bandRows + 1, $bandRows)))"))
+            .as(Seq("band", "bucket")))
+        val pairs = banded.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a_id, y AS b_id))))"))
+            .as("p"))
+          .select(col("p.a_id"), col("p.b_id")).distinct()
+        // Exact-Jaccard verify: shingle sets built only for the ~10³
+        // candidate pairs, not the whole corpus.
+        val shingleExpr = (c: String) =>
+          s"array_distinct(transform(sequence(1, size($c) - 2), i -> concat_ws(' ', slice($c, i, 3))))"
+        pairs
+          .join(toksDf.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
+          .join(toksDf.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+          .withColumn("a_sh", expr(shingleExpr("a_toks")))
+          .withColumn("b_sh", expr(shingleExpr("b_toks")))
+          .select(col("a_id"), col("b_id"),
+            round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+              / size(array_union(col("a_sh"), col("b_sh"))), 4).as("jaccard_sim"))
+          .filter(col("jaccard_sim") >= 0.5)
           .orderBy(col("a_id"), col("b_id"))
       },
       None),
