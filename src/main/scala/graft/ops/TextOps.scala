@@ -1,0 +1,303 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline extensions beyond SURVEY §2.10: language-ID,
+  * quality scoring, token counting, document fingerprinting, and the
+  * remaining dedup/similarity families (n-gram Jaccard, SimHash,
+  * embedding-cosine, sign-LSH ANN).
+  *
+  * Scale notes: every per-document op here is a single narrow projection
+  * over the scan (no shuffle); the pairwise ops reuse the banded-LSH
+  * pattern from [[Llm]] — candidates from bucket equality, never all-pairs,
+  * with the per-element kernels compiled (interpreted HOF lambdas are kept
+  * off the corpus-wide hot path).
+  */
+object TextOps {
+
+  /** Per-language stopword profiles for the n-gram/stopword heuristic.
+    * Deterministic tiebreak order: en > fr > es > de > und. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "en", "que", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "mit"),
+  )
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def sparkList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** 64-bit SimHash over tokens (with multiplicity) — compiled kernel, same
+    * rationale as [[Llm.minhashSig]]. */
+  def simhash64: Seq[String] => Long = { toks =>
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      var z = scala.util.hashing.MurmurHash3.stringHash(t).toLong + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      var b = 0
+      while (b < 64) { if (((z >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Sign-LSH bucket (random-hyperplane signs) for embedding vectors:
+    * `nBits` deterministic pseudo-hyperplanes (splitmix64 components in
+    * [-1, 1)), bucket = the sign pattern. Vectors within a small angle land
+    * in the same bucket with high probability. */
+  def signBucket(nBits: Int): Seq[Float] => Int = { v =>
+    var bucket = 0
+    var j = 0
+    while (j < nBits) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        var z = (j.toLong * 1021 + i) * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        acc += v(i) * (z.toDouble / 9.223372036854776e18)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Sign-LSH ANN top-k: candidates share the probe's bucket; exact dot
+    * ranking within candidates. The bucketed candidate join is the 100 TB
+    * path (brute-force `llm_sim_knn` is the small-corpus oracle baseline). */
+  def annTopK(emb: DataFrame, probeFilter: Column, nBits: Int, k: Int): DataFrame = {
+    val bucketUdf = udf(signBucket(nBits))
+    val bucketed = emb.withColumn("bucket", bucketUdf(col("embedding")))
+    val probes = bucketed.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("bucket"))
+    val dot = "aggregate(zip_with(p_emb, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim_r").desc, col("vec_id"))
+    probes.join(bucketed.select(col("vec_id"), col("embedding"), col("bucket")), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), round(expr(dot), 6).as("sim_r"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("sim_r"))
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Language-ID by stopword-profile hits (n-gram heuristic family).
+    // The CASE text is shared verbatim between Spark SQL and DuckDB.
+    Q("llm_lang_id",
+      (spark, sfDir) => {
+        val hits = stopwords.toSeq.sortBy(_._1).foldLeft(
+          Tables.documents(spark, sfDir)
+            .select(col("doc_id"), split(col("text"), " ").as("toks"))) {
+          case (df, (lang, ws)) =>
+            df.withColumn(s"${lang}_hits",
+              expr(s"size(filter(toks, t -> array_contains(${sparkList(ws)}, t)))"))
+        }
+        hits.select(col("doc_id"), col("en_hits"), col("fr_hits"), col("es_hits"), col("de_hits"),
+            expr("""CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                         WHEN fr_hits >= es_hits AND fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                         WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                         WHEN de_hits > 0 THEN 'de'
+                         ELSE 'und' END""").as("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(stopwords("en"))}, t))) AS INT) AS en_hits,
+            CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(stopwords("fr"))}, t))) AS INT) AS fr_hits,
+            CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(stopwords("es"))}, t))) AS INT) AS es_hits,
+            CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(stopwords("de"))}, t))) AS INT) AS de_hits
+          FROM documents)
+        SELECT doc_id, en_hits, fr_hits, es_hits, de_hits,
+          CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+               WHEN fr_hits >= es_hits AND fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+               WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+               WHEN de_hits > 0 THEN 'de'
+               ELSE 'und' END AS pred_lang
+        FROM h
+        ORDER BY doc_id""".trim)),
+
+    // Quality scoring: length / punctuation / stopword / alpha ratios.
+    Q("llm_text_quality",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars_c"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"),
+            expr(s"size(filter(split(text, ' '), t -> array_contains(${sparkList(stopwords("en"))}, t)))").as("n_stop"))
+          .select(col("doc_id"), col("n_chars_c"), col("n_tokens"),
+            (col("n_alpha").cast("double") / col("n_chars_c")).as("alpha_ratio"),
+            (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+            ((col("n_alpha").cast("double") / col("n_chars_c")) * 0.5
+              + (col("n_stop").cast("double") / col("n_tokens")) * 0.5).as("quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id,
+            CAST(length(text) AS INT) AS n_chars_c,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
+            CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(stopwords("en"))}, t))) AS INT) AS n_stop
+          FROM documents)
+        SELECT doc_id, n_chars_c, n_tokens,
+          CAST(n_alpha AS DOUBLE) / n_chars_c AS alpha_ratio,
+          CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+          (CAST(n_alpha AS DOUBLE) / n_chars_c) * 0.5
+            + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality
+        FROM b
+        ORDER BY doc_id""".trim)),
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens + the
+    // chars/4 heuristic estimate.
+    Q("llm_token_count",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("ws_tokens"),
+            size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).as("bpe_ish_tokens"),
+            ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS bpe_ish_tokens,
+          CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+        ORDER BY doc_id""".trim)),
+
+    // Document fingerprinting: polynomial rolling hash over code points
+    // (explicit fold — identical arithmetic in both engines) + a winnowed
+    // min-4-gram variant of the same hash.
+    Q("llm_fingerprint",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            expr("""aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+                              0L, (h, c) -> (h * 31 + c) % 1000000007)""").as("roll_hash"),
+            expr("""array_min(transform(sequence(1, length(text) - 3),
+                              i -> aggregate(transform(sequence(i, i + 3), j -> ascii(substring(text, j, 1))),
+                                             0L, (h, c) -> (h * 31 + c) % 1000000007)))""").as("min_gram_hash"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(unicode(text[i]) AS BIGINT))),
+                      (h, c) -> (h * 31 + c) % 1000000007) AS roll_hash,
+          list_min(list_transform(range(1, length(text) - 2),
+                   i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(i, i + 4), j -> CAST(unicode(text[j]) AS BIGINT))),
+                                    (h, c) -> (h * 31 + c) % 1000000007))) AS min_gram_hash
+        FROM documents
+        ORDER BY doc_id""".trim)),
+
+    // Character-4-gram Jaccard near-dup on a bounded sub-corpus + planted
+    // perturbed copies — the exact (non-probabilistic) dedup twin, fully
+    // oracle-checkable. At scale the MinHash path generates candidates and
+    // THIS verification runs per candidate pair.
+    Q("llm_dedup_ngram",
+      (spark, sfDir) => {
+        val docs = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            regexp_replace(col("text"), " \\w+$", "").as("text"))
+        val grams = docs.unionByName(planted)
+          .select(col("doc_id"), expr(
+            "array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))").as("g"))
+        val a = grams.select(col("doc_id").as("a_id"), col("g").as("a_g"))
+        val b = grams.select(col("doc_id").as("b_id"), col("g").as("b_g"))
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(size(array_intersect(col("a_g"), col("b_g"))).cast("double")
+              / size(array_union(col("a_g"), col("b_g"))), 4).as("jaccard_4gram"))
+          .filter(col("jaccard_4gram") >= 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, regexp_replace(text, ' \w+$', '') AS text
+          FROM documents WHERE doc_id < 20
+        ), grams AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))) AS g
+          FROM base)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / len(list_distinct(a.g || b.g)), 4) AS jaccard_4gram
+        FROM grams a, grams b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.8
+        ORDER BY a_id, b_id""".trim)),
+
+    // SimHash near-dup: 64-bit signature, 4×16-bit bands for candidates,
+    // hamming ≤ 6 verification via bit_count(xor). Hash-dependent ⇒ omit
+    // oracle; planted recall property-tested.
+    Q("llm_dedup_simhash",
+      (spark, sfDir) => {
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            regexp_replace(col("text"), " \\w+$", "").as("text"))
+        val sigUdf = udf(simhash64)
+        val sigs = docs.unionByName(planted)
+          .select(col("doc_id"), sigUdf(split(col("text"), " ")).as("sig"))
+        val banded = sigs.select(col("doc_id"), col("sig"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")).as(Seq("band", "bucket")))
+        val pairs = banded.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(collect_set(struct(col("doc_id"), col("sig")))).as("ms"))
+          .filter(size(col("ms")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x.doc_id AS a_id, y.doc_id AS b_id, x.sig AS a_sig, y.sig AS b_sig))))"))
+            .as("p"))
+          .select(col("p.a_id"), col("p.b_id"), col("p.a_sig"), col("p.b_sig")).distinct()
+        pairs
+          .select(col("a_id"), col("b_id"),
+            expr("bit_count(a_sig ^ b_sig)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 6)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // Embedding-cosine near-dup: sign-LSH buckets → exact cosine ≥ 0.95.
+    // Planted duplicate vectors (shifted ids) make the result non-trivial
+    // on the random fixture corpus. Omit oracle (hash-dependent candidates).
+    Q("llm_dedup_embed",
+      (spark, sfDir) => {
+        val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+        val planted = emb.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        val all = emb.unionByName(planted)
+        val bucketUdf = udf(signBucket(16))
+        val bucketed = all.withColumn("bucket", bucketUdf(col("embedding")))
+        val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_e"))
+        val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_e"))
+        val dot = "aggregate(zip_with(a_e, b_e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        a.join(b, "bucket").filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), round(expr(dot), 6).as("cosine"))
+          .filter(col("cosine") >= 0.95)
+          .distinct()
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+
+    // ANN similarity search — the bucketed scale path for llm_sim_knn.
+    Q("llm_sim_ann",
+      (spark, sfDir) =>
+        annTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 10, nBits = 8, k = 10)
+          .orderBy(col("probe_id"), col("rank")),
+      None),
+  )
+}
