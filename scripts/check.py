@@ -65,7 +65,8 @@ def main():
                             break
                 if len(errs) > 5:
                     break
-            # dtype report (informational — driver may hash raw values)
+            # dtype check — intentionally STRICT (counts as FAIL): aligned
+            # dtypes keep the driver's value-hash comparison trivially safe
             for c in sdf.columns:
                 if str(sdf[c].dtype) != str(ddf[c].dtype):
                     errs.append(f"DTYPE col {c}: spark={sdf[c].dtype} duck={ddf[c].dtype}")
