@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // ANSI mode: decimal/cast overflow fails loudly instead of silently
       // returning NULL — matches DuckDB's behavior (ADVICE r1).
       .config("spark.sql.ansi.enabled", "true")

@@ -31,6 +31,12 @@ object Llm {
   private def dotExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
+  /** Same semantics, native codegen'd path when [[graft.plans.GraftExtensions]]
+    * is installed in the session (Verify/Bench/tests); HOF fallback keeps
+    * vanilla sessions working. Bit-identical results either way. */
+  def dotFn(spark: org.apache.spark.sql.SparkSession, a: String, b: String): String =
+    if (spark.catalog.functionExists("vec_dot")) s"vec_dot($a, $b)" else dotExpr(a, b)
+
   /** DuckDB twin of [[dotExpr]] — explicit double fold, NOT
     * `list_inner_product` (which accumulates in float32 and diverges in the
     * 7th decimal; measured). */
@@ -163,7 +169,7 @@ object Llm {
         probes.crossJoin(corpus)
           .filter(col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id"),
-            round(expr(dotExpr("p_emb", "embedding")), 6).as("sim_r"))
+            round(expr(dotFn(spark, "p_emb", "embedding")), 6).as("sim_r"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 10)
           .select(col("probe_id"), col("rank"), col("vec_id"), col("sim_r"))
@@ -206,9 +212,9 @@ object Llm {
       (spark, sfDir) =>
         Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), size(col("embedding")).as("dim"),
-            sqrt(expr(dotExpr("embedding", "embedding"))).as("norm"),
+            sqrt(expr(dotFn(spark, "embedding", "embedding"))).as("norm"),
             (element_at(col("embedding"), 1).cast("double")
-              / sqrt(expr(dotExpr("embedding", "embedding")))).as("renorm_first"))
+              / sqrt(expr(dotFn(spark, "embedding", "embedding")))).as("renorm_first"))
           .orderBy(col("vec_id")),
       Some(s"""
         SELECT vec_id, CAST(len(embedding) AS INT) AS dim,

@@ -79,7 +79,7 @@ object TextOps {
     val bucketed = emb.withColumn("bucket", bucketUdf(col("embedding")))
     val probes = bucketed.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("bucket"))
-    val dot = "aggregate(zip_with(p_emb, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val dot = Llm.dotFn(emb.sparkSession, "p_emb", "embedding")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim_r").desc, col("vec_id"))
     probes.join(bucketed.select(col("vec_id"), col("embedding"), col("bucket")), "bucket")
@@ -284,7 +284,7 @@ object TextOps {
         val bucketed = all.withColumn("bucket", bucketUdf(col("embedding")))
         val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_e"))
         val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_e"))
-        val dot = "aggregate(zip_with(a_e, b_e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        val dot = Llm.dotFn(spark, "a_e", "b_e")
         a.join(b, "bucket").filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"), round(expr(dot), 6).as("cosine"))
           .filter(col("cosine") >= 0.95)

@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd float-vector dot product: `vec_dot(a, b)`.
+  *
+  * The escalation ladder for custom scalar kernels (SURVEY §4 / the 100 TB
+  * design rules) is: built-in functions → native Catalyst `Expression` with
+  * `doGenCode` → Scala UDF → interpreted higher-order functions. The
+  * similarity operators' hot path is a 64-float dot product per candidate
+  * pair; the HOF formulation (`aggregate(zip_with(...))`) evaluates
+  * interpreted with per-element boxing, and a UDF pays serialization at the
+  * row boundary. This expression compiles to a primitive loop inside
+  * whole-stage codegen — no boxing, no lambda dispatch, fuseable with the
+  * surrounding operators.
+  *
+  * Semantics are IDENTICAL to the HOF fold the oracle SQL mirrors: a
+  * sequential float64 accumulation in array order (each f32×f32 product is
+  * exact in f64), so swapping it in cannot change any oracle-checked value.
+  * Array elements must be non-null (fixture embeddings declare
+  * `containsNull = false`).
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects two ARRAY<FLOAT> inputs, got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session extension registering the native functions; enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Query builders fall back to the equivalent HOF formulation when the
+  * extension is not installed (e.g. a vanilla driver session). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+  }
+}

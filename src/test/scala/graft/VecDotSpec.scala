@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Native `vec_dot` Catalyst expression (graft.plans.VecDot). */
+class VecDotSpec extends SparkFixture {
+  import spark.implicits._
+
+  test("vec_dot is registered via SparkSessionExtensions and evaluates") {
+    assert(spark.catalog.functionExists("vec_dot"))
+    val r = spark.sql("SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)))").head.getDouble(0)
+    assert(r == 4.0)
+  }
+
+  test("vec_dot is bit-identical to the interpreted HOF fold on fixture vectors") {
+    val e = Tables.embeddings(spark, sf001).limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val both = e.select(col("vec_id"),
+      expr("vec_dot(embedding, embedding)").as("native"),
+      expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("vec_dot NULL inputs yield NULL (nullSafe binary expression)") {
+    val r = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
+      .head
+    assert(r.isNullAt(0))
+  }
+
+  test("vec_dot participates in whole-stage codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Tables.embeddings(spark, sf001)
+        .select(expr("vec_dot(embedding, embedding)").as("d"))
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!codegen.startsWith("Found 0"), codegen.take(150))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
