@@ -213,6 +213,32 @@ object Joins {
           ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         ORDER BY a_id, b_id""".trim)),
 
+    // Skew-salted equi join: the fact side gets a deterministic salt, the
+    // dim side is exploded over the salt range, and the join key becomes
+    // (key, salt) — a hot key's rows spread over `salts` reducers instead
+    // of one. Result is provably identical to the unsalted join (the oracle
+    // IS the unsalted join). At 100 TB this is the manual fallback when
+    // AQE's skew-join splitting isn't available (e.g. bucketed tables).
+    Q("join_skew_salted",
+      (spark, sfDir) => {
+        val salts = 8
+        val e = Tables.events(spark, sfDir)
+          .select(col("user_id"), col("value"), col("event_id"))
+          .withColumn("e_salt", pmod(hash(col("event_id")), lit(salts)))
+        val c = Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("c_salt", explode(expr(s"sequence(0, ${salts - 1})")))
+        e.join(c, col("user_id") === col("c_custkey") && col("e_salt") === col("c_salt"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment, COUNT(*) AS n_events, ${sqlSumVal6("value")} AS sum_val
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""".trim)),
+
     // As-of: for each event, the latest order date of that user at-or-before
     // the event time. Composed as union-tag + last(ignoreNulls) window — one
     // shuffle on the key, no per-row probes (SURVEY §7.5). Oracle: native

@@ -55,6 +55,20 @@ class StreamingSpec extends SparkFixture {
     assert(streamed == batch)
   }
 
+  test("streaming sliding-window aggregation equals the batch twin exactly") {
+    val batch = SparkEntry.queries("stream_sliding")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val streamed = runAvailableNow(
+      Sources.replayEvents(spark, sf001, "events.parquet")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+          col("n"), col("sum_val")),
+      OutputMode.Complete()
+    ).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("watermark drops events later than 10 minutes past the max seen time") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
