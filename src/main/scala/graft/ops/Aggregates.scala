@@ -167,6 +167,30 @@ object Aggregates {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""".trim)),
 
+    // Pivot / crosstab: order counts per priority × status. Spark's
+    // pivot() with explicit values plans as a single aggregate (no
+    // per-value scans); missing cells coalesce to 0 like the oracle's
+    // FILTER counts.
+    Q("agg_pivot",
+      (spark, sfDir) =>
+        Tables.orders(spark, sfDir)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""".trim)),
+
     // HLL sketch — engine-specific, no SQL oracle (SURVEY §2.4); bounds
     // vs exact distinct are property-tested in AggregatesSpec.
     Q("agg_approx_distinct",

@@ -179,6 +179,30 @@ object Functions {
         FROM documents
         ORDER BY doc_id""".trim)),
 
+    // Struct surface: build a nested struct, project through its fields —
+    // the pattern for typed payload columns (and the multimodal metadata
+    // slot). Only scalar leaves are emitted (oracle-comparable).
+    Q("fn_struct",
+      (spark, sfDir) =>
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"),
+            struct(
+              col("o_totalprice").as("price"),
+              col("o_orderstatus").as("status"),
+              struct(year(col("o_orderdate")).as("yr"),
+                month(col("o_orderdate")).as("mo")).as("when")).as("o"))
+          .select(col("o_orderkey"),
+            col("o.price").as("price"),
+            col("o.status").as("status"),
+            col("o.when.yr").as("yr"),
+            col("o.when.mo").as("mo"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
+          CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo
+        FROM orders
+        ORDER BY o_orderkey""".trim)),
+
     // Map surface: parse props into a typed map, inspect keys/values.
     Q("fn_map",
       (spark, sfDir) =>
