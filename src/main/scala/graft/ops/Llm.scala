@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.BinaryType
@@ -71,6 +72,43 @@ object Llm {
     mins
   }
 
+  /** Banded-LSH candidate pairs from `(doc_id, sig: ARRAY<LONG>)` MinHash
+    * signatures: `nBands` bands of `bandRows` rows, band key = xxhash64 of
+    * the band's slice, candidates = distinct (a_id, b_id) with a < b that
+    * share at least one band bucket.
+    *
+    * Scale hardening: buckets are pre-counted (ids only) so singleton
+    * buckets — the vast majority — drop before any list is collected, and
+    * buckets above `bucketCap` are salted into ⌈n/cap⌉ per-band sub-buckets
+    * BEFORE the collect+pair-explode. A degenerate corpus (millions of
+    * identical documents landing in one bucket) therefore bounds every
+    * reducer's collected list at ~cap instead of OOMing one task. The
+    * trade-off — cross-salt pairs inside a mega-bucket are not emitted — is
+    * deliberate: a bucket that large is an exact-dup clique, which
+    * `llm_dedup_exact` collapses outright; near-dup LSH only needs each doc
+    * to surface in SOME candidate pair. Shuffles carry (band, bucket,
+    * doc_id) only — never document payloads. */
+  def lshCandidates(sig: DataFrame, nBands: Int, bandRows: Int,
+      bucketCap: Int = 64): DataFrame = {
+    val banded = sig.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $bandRows + 1, $bandRows)))"))
+        .as(Seq("band", "bucket")))
+    val counts = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > 1)
+    banded.join(counts, Seq("band", "bucket"))
+      .withColumn("salt", when(col("bn") <= bucketCap, lit(0))
+        .otherwise(pmod(xxhash64(col("band"), col("doc_id")),
+          ceil(col("bn") / bucketCap).cast("int"))))
+      .groupBy(col("band"), col("bucket"), col("salt"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a_id, y AS b_id))))"))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id")).distinct()
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup by content hash, keep min doc_id. The fixture corpus has
@@ -122,22 +160,13 @@ object Llm {
         // verified candidate pair below.
         val sigUdf = udf(minhashSig(nHashes))
         val sig = toksDf.withColumn("sig", sigUdf(col("toks")))
-        // 8 bands of 2 rows each; band key = hash of the band's slice.
-        // Candidates come from a per-bucket collect + pair-explode: the
+        // 8 bands of 2 rows each via the shared banded-LSH candidate
+        // generator (mega-bucket-salted; see [[lshCandidates]]): the
         // signature computation runs exactly once (a self-join would
         // recompute its lineage per side) and the shuffle carries only
         // (band, bucket, doc_id) — never the shingle payload.
-        val banded = sig.select(col("doc_id"),
-          posexplode(expr(
-            s"transform(sequence(0, ${nHashes / bandRows - 1}, 1), b -> xxhash64(b, slice(sig, b * $bandRows + 1, $bandRows)))"))
-            .as(Seq("band", "bucket")))
-        val pairs = banded.groupBy(col("band"), col("bucket"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a_id, y AS b_id))))"))
-            .as("p"))
-          .select(col("p.a_id"), col("p.b_id")).distinct()
+        val pairs = lshCandidates(sig.select(col("doc_id"), col("sig")),
+          nHashes / bandRows, bandRows)
         // Exact-Jaccard verify: shingle sets built only for the ~10³
         // candidate pairs, not the whole corpus.
         val shingleExpr = (c: String) =>

@@ -47,44 +47,68 @@ object TextOps {
     sig
   }
 
-  /** Sign-LSH bucket (random-hyperplane signs) for embedding vectors:
-    * `nBits` deterministic pseudo-hyperplanes (splitmix64 components in
-    * [-1, 1)), bucket = the sign pattern. Vectors within a small angle land
-    * in the same bucket with high probability. */
-  def signBucket(nBits: Int): Seq[Float] => Int = { v =>
-    var bucket = 0
-    var j = 0
-    while (j < nBits) {
-      var acc = 0.0
-      var i = 0
-      while (i < v.length) {
-        var z = (j.toLong * 1021 + i) * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^= (z >>> 31)
-        acc += v(i) * (z.toDouble / 9.223372036854776e18)
-        i += 1
+  /** L independent sign-LSH tables (random-hyperplane signs) for embedding
+    * vectors: table `t` uses its own `nBits` deterministic
+    * pseudo-hyperplanes (splitmix64 components in [-1, 1)); per-table
+    * bucket = the sign pattern.
+    *
+    * Why multiple tables: a single table's recall for a true neighbor at
+    * angle θ is (1 − θ/π)^nBits — at cos 0.95 (θ ≈ 18°) with 8 bits that is
+    * only ≈ 0.43, so one table silently drops most non-identical neighbors.
+    * OR-amplification over L tables (candidate = same bucket in ANY table)
+    * lifts recall to 1 − (1 − (1−θ/π)^b)^L ≈ 0.99 at L = 8, b = 8 — while
+    * keeping the per-table collision rate for near-orthogonal background
+    * pairs at ~2^-b, so the candidate set stays ∝ L·n²/2^b, never all
+    * pairs. Table 0 reproduces the previous single-table seed layout. */
+  def signBuckets(nTables: Int, nBits: Int): Seq[Float] => Array[Int] = { v =>
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0
+      var j = 0
+      while (j < nBits) {
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) {
+          var z = ((t * nBits + j).toLong * 1021 + i) * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^= (z >>> 31)
+          acc += v(i) * (z.toDouble / 9.223372036854776e18)
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1 << j)
+        j += 1
       }
-      if (acc >= 0) bucket |= (1 << j)
-      j += 1
+      out(t) = bucket
+      t += 1
     }
-    bucket
+    out
   }
 
-  /** Sign-LSH ANN top-k: candidates share the probe's bucket; exact dot
-    * ranking within candidates. The bucketed candidate join is the 100 TB
-    * path (brute-force `llm_sim_knn` is the small-corpus oracle baseline). */
-  def annTopK(emb: DataFrame, probeFilter: Column, nBits: Int, k: Int): DataFrame = {
-    val bucketUdf = udf(signBucket(nBits))
-    val bucketed = emb.withColumn("bucket", bucketUdf(col("embedding")))
+  /** Multi-table sign-LSH ANN top-k: candidates share the probe's bucket in
+    * at least one of `nTables` tables; exact dot ranking within the deduped
+    * candidate set. The bucketed candidate join is the 100 TB path
+    * (brute-force `llm_sim_knn` is the small-corpus oracle baseline); the
+    * shuffle key is (table, bucket) and the post-join dedup carries only
+    * (probe_id, vec_id, sim) — the cheap re-computed dot per duplicate
+    * collision beats re-joining embeddings onto deduped id pairs. */
+  def annTopK(emb: DataFrame, probeFilter: Column, nTables: Int, nBits: Int,
+      k: Int): DataFrame = {
+    val bucketsUdf = udf(signBuckets(nTables, nBits))
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      posexplode(bucketsUdf(col("embedding"))).as(Seq("tbl", "bucket")))
     val probes = bucketed.filter(probeFilter)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("tbl"), col("bucket"))
     val dot = Llm.dotFn(emb.sparkSession, "p_emb", "embedding")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim_r").desc, col("vec_id"))
-    probes.join(bucketed.select(col("vec_id"), col("embedding"), col("bucket")), "bucket")
+    probes.join(bucketed.select(col("tbl"), col("bucket"), col("vec_id"), col("embedding")),
+        Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), round(expr(dot), 6).as("sim_r"))
+      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("sim_r"))
@@ -183,6 +207,10 @@ object TextOps {
     Q("llm_fingerprint",
       (spark, sfDir) =>
         Tables.documents(spark, sfDir)
+          // Guard: sequence(1, length(text) - 3) auto-steps DESCENDING for
+          // texts < 4 chars (garbage substrings) while the oracle's range()
+          // is empty — filter sub-gram docs identically on both sides.
+          .filter(length(col("text")) >= 4)
           .select(col("doc_id"),
             expr("""aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
                               0L, (h, c) -> (h * 31 + c) % 1000000007)""").as("roll_hash"),
@@ -198,12 +226,40 @@ object TextOps {
                    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(i, i + 4), j -> CAST(unicode(text[j]) AS BIGINT))),
                                     (h, c) -> (h * 31 + c) % 1000000007))) AS min_gram_hash
         FROM documents
+        WHERE length(text) >= 4
         ORDER BY doc_id""".trim)),
 
     // Character-4-gram Jaccard near-dup on a bounded sub-corpus + planted
-    // perturbed copies — the exact (non-probabilistic) dedup twin, fully
-    // oracle-checkable. At scale the MinHash path generates candidates and
-    // THIS verification runs per candidate pair.
+    // perturbed copies — candidates via EXACT prefix filtering (the
+    // AllPairs/PPJoin scheme), verification per candidate pair only.
+    //
+    // Design, with measurements (r3):
+    //  - Grams are hashed to longs once per document (xxhash64) and kept
+    //    sorted; Jaccard on the hashed sets equals Jaccard on the strings
+    //    absent a 64-bit collision among this corpus's ~10⁴ distinct grams
+    //    (P ≈ 10⁻¹¹), and the per-pair verify drops from string-set
+    //    intersection+union to one long-array intersection plus the
+    //    |A∪B| = |A|+|B|−|A∩B| identity — the pair kernel that made the
+    //    r2 cross join 3.3 s is where the time actually was.
+    //  - Prefix filter: index each doc's ⌊|g|⌋ − ⌈t·|g|⌉ + 1 smallest gram
+    //    hashes (integer arithmetic — float ceil(0.8·n) over-ceils exact
+    //    multiples and would shorten the prefix below the theorem's bound);
+    //    any pair with J ≥ t provably shares an indexed gram under ANY
+    //    fixed global order, so candidate generation is complete — no
+    //    probabilistic miss on this oracle-gated key. Hash order trades
+    //    the classic rarity order's stronger pruning for zero extra
+    //    shuffles (rarity order needs a df aggregate + per-doc window;
+    //    measured 17.4k vs 24.1k candidates on this corpus but 4× the
+    //    stage cost — background char-4-gram J here is 0.26 mean/0.44 max,
+    //    so NO order prunes much; on a diverse open corpus background J→0
+    //    and the same prefix index prunes hard). Banded MinHash (16×2 over
+    //    char grams) was also measured: 53% of all pairs survive — the
+    //    S-curve cannot separate 0.44 from 0.8.
+    //  - Size filter before the intersect: J ≥ 0.8 forces 4·|B| ≤ 5·|A|
+    //    and vice versa (integer compare, prunes 24k → 6.7k pairs here).
+    //  - A degenerate all-identical corpus degrades to the true all-pairs
+    //    answer (the output itself is O(n²)); that corpus belongs to
+    //    llm_dedup_exact / the bucket-capped MinHash path.
     Q("llm_dedup_ngram",
       (spark, sfDir) => {
         val docs = Tables.documents(spark, sfDir)
@@ -211,15 +267,33 @@ object TextOps {
         val planted = docs.filter(col("doc_id") < 20)
           .select((col("doc_id") + 100000).as("doc_id"),
             regexp_replace(col("text"), " \\w+$", "").as("text"))
-        val grams = docs.unionByName(planted)
-          .select(col("doc_id"), expr(
-            "array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))").as("g"))
-        val a = grams.select(col("doc_id").as("a_id"), col("g").as("a_g"))
-        val b = grams.select(col("doc_id").as("b_id"), col("g").as("b_g"))
-        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        // Sub-gram docs (< 4 chars) have no 4-grams: the oracle's range()
+        // is empty while Spark's sequence() would step descending — filter
+        // identically on both sides.
+        val base = docs.unionByName(planted).filter(length(col("text")) >= 4)
+        val hashed = base.select(col("doc_id"), expr(
+            "array_sort(array_distinct(transform(sequence(1, length(text) - 3), i -> xxhash64(substring(text, i, 4)))))").as("h"))
+          .select(col("doc_id"), col("h"), size(col("h")).as("glen"))
+        val cands = hashed
+          .select(col("doc_id"),
+            explode(expr("slice(h, 1, size(h) - CAST((4 * size(h) + 4) div 5 AS INT) + 1)")).as("gram"))
+          .groupBy(col("gram")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a_id, y AS b_id))))"))
+            .as("p"))
+          .select(col("p.a_id"), col("p.b_id")).distinct()
+        // The per-doc hash arrays are bounded by the operator's sub-corpus
+        // filter — broadcast them onto the candidate pairs.
+        cands
+          .join(broadcast(hashed.select(col("doc_id").as("a_id"), col("h").as("a_h"),
+            col("glen").as("a_len"))), "a_id")
+          .join(broadcast(hashed.select(col("doc_id").as("b_id"), col("h").as("b_h"),
+            col("glen").as("b_len"))), "b_id")
+          .filter(col("a_len") * 5 >= col("b_len") * 4 && col("b_len") * 5 >= col("a_len") * 4)
+          .withColumn("inter", size(array_intersect(col("a_h"), col("b_h"))).cast("double"))
           .select(col("a_id"), col("b_id"),
-            round(size(array_intersect(col("a_g"), col("b_g"))).cast("double")
-              / size(array_union(col("a_g"), col("b_g"))), 4).as("jaccard_4gram"))
+            round(col("inter") / (col("a_len") + col("b_len") - col("inter")), 4).as("jaccard_4gram"))
           .filter(col("jaccard_4gram") >= 0.8)
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -232,7 +306,8 @@ object TextOps {
         ), grams AS (
           SELECT doc_id,
             list_distinct(list_transform(range(1, length(text) - 2), i -> substr(text, i, 4))) AS g
-          FROM base)
+          FROM base
+          WHERE length(text) >= 4)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
             / len(list_distinct(a.g || b.g)), 4) AS jaccard_4gram
@@ -271,21 +346,32 @@ object TextOps {
       },
       None),
 
-    // Embedding-cosine near-dup: sign-LSH buckets → exact cosine ≥ 0.95.
-    // Planted duplicate vectors (shifted ids) make the result non-trivial
-    // on the random fixture corpus. Omit oracle (hash-dependent candidates).
+    // Embedding-cosine near-dup: multi-table sign-LSH buckets (8 tables ×
+    // 8 bits, OR-amplified — see [[signBuckets]]) → exact cosine ≥ 0.95.
+    // The plants are PERTURBED copies, not exact ones: the last component
+    // negated keeps unit norm and gives cosine = 1 − 2·x_d² ≈ 0.97 for
+    // 64-d unit vectors — a genuine near-duplicate that sits across
+    // hyperplanes, so single-table LSH would silently miss ~half of them
+    // while the 8-table union recalls them all (TextOpsSpec measures this
+    // against driver-side exact cosine). Omit oracle (hash-dependent
+    // candidates).
     Q("llm_dedup_embed",
       (spark, sfDir) => {
         val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
         val planted = emb.filter(col("vec_id") < 20)
-          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+          .select((col("vec_id") + 100000).as("vec_id"),
+            expr("transform(embedding, (x, i) -> IF(i = size(embedding) - 1, -x, x))")
+              .as("embedding"))
         val all = emb.unionByName(planted)
-        val bucketUdf = udf(signBucket(16))
-        val bucketed = all.withColumn("bucket", bucketUdf(col("embedding")))
-        val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_e"))
-        val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_e"))
+        val bucketsUdf = udf(signBuckets(8, 8))
+        val banded = all.select(col("vec_id"), col("embedding"),
+          posexplode(bucketsUdf(col("embedding"))).as(Seq("tbl", "bucket")))
+        val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"),
+          col("embedding").as("a_e"))
+        val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("b_id"),
+          col("embedding").as("b_e"))
         val dot = Llm.dotFn(spark, "a_e", "b_e")
-        a.join(b, "bucket").filter(col("a_id") < col("b_id"))
+        a.join(b, Seq("tbl", "bucket")).filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"), round(expr(dot), 6).as("cosine"))
           .filter(col("cosine") >= 0.95)
           .distinct()
@@ -293,10 +379,13 @@ object TextOps {
       },
       None),
 
-    // ANN similarity search — the bucketed scale path for llm_sim_knn.
+    // ANN similarity search — the bucketed scale path for llm_sim_knn,
+    // OR-amplified over 8 independent 8-bit tables for recall (a single
+    // table only finds near-identical vectors; see [[signBuckets]]).
     Q("llm_sim_ann",
       (spark, sfDir) =>
-        annTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 10, nBits = 8, k = 10)
+        annTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 10,
+          nTables = 8, nBits = 8, k = 10)
           .orderBy(col("probe_id"), col("rank")),
       None),
   )

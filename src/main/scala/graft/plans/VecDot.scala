@@ -22,14 +22,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics are IDENTICAL to the HOF fold the oracle SQL mirrors: a
   * sequential float64 accumulation in array order (each f32×f32 product is
-  * exact in f64), so swapping it in cannot change any oracle-checked value.
-  * Array elements must be non-null (fixture embeddings declare
-  * `containsNull = false`).
+  * exact in f64), and ragged inputs return NULL — exactly what
+  * `aggregate(zip_with(...))` produces when zip_with null-pads the shorter
+  * array — so swapping it in cannot change any value, with or without the
+  * extension installed. Array elements must be non-null (fixture embeddings
+  * declare `containsNull = false`).
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // nullable even over non-null children: length mismatch yields NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -44,11 +48,14 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    acc
+    if (a.numElements() != b.numElements()) null
+    else {
+      val n = a.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      acc
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,12 +64,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -42,16 +42,36 @@ object StreamOps {
   }
 
   // ---- typed records for the stateful op ----
-  case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
+  // `ts` stays in the record even though the state machine only reads
+  // `ts_us`: event-time timeout requires the WATERMARKED column to survive
+  // into the flatMapGroupsWithState input (the analyzer checks for the
+  // watermark metadata on the operator's child output).
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      user_id: Long, value: Double)
   case class UserState(n: Long, sessions: Long, firstTs: Long, lastTs: Long)
   case class UserStats(user_id: Long, n_events: Long, n_sessions: Long, span_us: Long)
 
   /** Arbitrary per-user state machine: event count, 30-min-gap session
     * count, and first→last span. Associative across batches via the
     * persisted [[UserState]]; events within a batch are sorted by time
-    * (arrival order within a micro-batch is not time order). */
-  def sessionStateFn(gapUs: Long)(
+    * (arrival order within a micro-batch is not time order; the buffer is
+    * bounded per (user, micro-batch) — maxFilesPerTrigger caps it here, and
+    * an open-corpus deployment caps it the same way via source rate limits).
+    *
+    * State TTL (`ttlMs` > 0, requires `EventTimeTimeout` + an upstream
+    * watermark): every update re-arms an event-time timeout at
+    * lastTs + TTL; once the watermark passes that with no new events for
+    * the user, the state is evicted silently — update-mode consumers
+    * already hold the user's last emitted stats, and a user returning
+    * after the TTL starts a fresh state. Without eviction, per-user state
+    * at 100 TB × months of users grows without bound (r2's NoTimeout
+    * version was flagged for exactly this). */
+  def sessionStateFn(gapUs: Long, ttlMs: Long = 0L)(
       key: Long, it: Iterator[Ev], state: GroupState[UserState]): Iterator[UserStats] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
     var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue, Long.MinValue))
     evs.foreach { e =>
@@ -59,7 +79,10 @@ object StreamOps {
       s = UserState(s.n + 1, s.sessions + (if (newSession) 1 else 0),
         if (s.firstTs == Long.MinValue) e.ts_us else s.firstTs, e.ts_us)
     }
-    if (evs.nonEmpty) state.update(s)
+    if (evs.nonEmpty) {
+      state.update(s)
+      if (ttlMs > 0) state.setTimeoutTimestamp(s.lastTs / 1000 + ttlMs)
+    }
     Iterator.single(UserStats(key, s.n, s.sessions,
       if (s.firstTs == Long.MinValue) 0L else s.lastTs - s.firstTs))
   }
@@ -150,13 +173,16 @@ object StreamOps {
           s"""{"event_id":$i,"ts_us":${1700000000000000L + i * 1000000L},"user_id":${i % 5},"event_type":"${types(i % types.size)}","value":${i * 1.5},"props":"{\\"k\\":${i % 100}}"}"""
         }
         val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+        val done = new java.util.concurrent.CountDownLatch(1)
         val feeder = new Thread(() => {
           val sock = server.accept()
           val out = new java.io.PrintWriter(sock.getOutputStream, true)
           payload.foreach(out.println)
           out.flush()
-          // keep the connection open until the query is done reading
-          Thread.sleep(30000)
+          // hold the connection only until the sink confirms receipt (the
+          // r2 version slept 30 s unconditionally — the one construct in
+          // the repo with nondeterministic latency under load)
+          done.await(30, java.util.concurrent.TimeUnit.SECONDS)
           sock.close()
         })
         feeder.setDaemon(true)
@@ -170,7 +196,13 @@ object StreamOps {
           q.processAllAvailable()
           Thread.sleep(100)
         }
+        done.countDown()
         q.stop(); q.awaitTermination(); server.close()
+        // a partial read must be a visible failure, not a silently small
+        // aggregate the driver's rows-only check would accept as green
+        val received = spark.table(tbl).count()
+        require(received == payload.size,
+          s"source_socket: received $received of ${payload.size} events before deadline")
         spark.table(tbl)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
@@ -247,17 +279,21 @@ object StreamOps {
       },
       None),
 
-    // Arbitrary per-user state via flatMapGroupsWithState.
+    // Arbitrary per-user state via flatMapGroupsWithState, with event-time
+    // TTL eviction (24 h after a user's last event; watermark-driven — see
+    // [[sessionStateFn]]). The fixture replay is a single micro-batch so no
+    // state ages out here; StreamingSpec drives a multi-batch eviction.
     Q("stream_stateful",
       (spark, sfDir) => {
         import spark.implicits._
         val evs: Dataset[Ev] = Sources.replayEvents(spark, sfDir, "events.parquet")
-          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          .withWatermark("ts", "10 minutes")
+          .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
             col("user_id"), col("value"))
           .as[Ev]
         val stats = evs.groupByKey(_.user_id)
-          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
-            sessionStateFn(30L * 60 * 1000000))
+          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+            sessionStateFn(30L * 60 * 1000000, ttlMs = 24L * 3600 * 1000))
         runToTable(spark, stats.toDF(), OutputMode.Update())
           .orderBy(col("user_id"))
       },

@@ -27,6 +27,24 @@ class LlmSpec extends SparkFixture {
     assert(sims.forall(_ >= 0.8), sims.mkString(","))
   }
 
+  test("lshCandidates bounds reducers on a degenerate all-identical corpus (mega-bucket salting)") {
+    import spark.implicits._
+    import graft.ops.Llm
+    // 1,000 byte-identical documents: every banded bucket holds all 1,000
+    // ids. Without the bucket cap one reducer collects the full list and
+    // the pair-explode is all-pairs (499,500); with cap 64 each collected
+    // sub-bucket stays ~2·cap and the emitted pair set is far smaller,
+    // while every doc still surfaces in at least one candidate pair.
+    val docs = (0L until 1000L).map(i => (i, "exactly the same document text for every single row"))
+      .toDF("doc_id", "text")
+    val sigUdf = udf(Llm.minhashSig(16))
+    val sig = docs.select(col("doc_id"), sigUdf(split(col("text"), " ")).as("sig"))
+    val pairs = Llm.lshCandidates(sig, nBands = 8, bandRows = 2, bucketCap = 64).collect()
+    val covered = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(covered.size == 1000, s"only ${covered.size}/1000 docs surfaced in a candidate pair")
+    assert(pairs.length < 499500 / 2, s"${pairs.length} pairs — salting did not bound the explode")
+  }
+
   test("llm_sim_knn returns exactly 10 ranked neighbors per probe, no self") {
     val out = SparkEntry.queries("llm_sim_knn")(spark, sf001).cache()
     val perProbe = out.groupBy("probe_id").count().collect()

@@ -66,6 +66,11 @@ class PlanShapeSpec extends SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("llm_dedup_ngram generates candidates via LSH — no all-pairs product in the plan") {
+    val p = plan("llm_dedup_ngram")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("join_cross is the only plan allowed a cartesian") {
     val p = plan("join_cross")
     assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)

@@ -132,15 +132,55 @@ class StreamingSpec extends SparkFixture {
       .writeStream.format("memory").queryName(tbl)
       .outputMode(OutputMode.Update()).start()
     val h = 3600L * 1000000L
-    input.addData(StreamOps.Ev(1, 0 * h, 7, 1.0), StreamOps.Ev(2, 0 * h + 60000000L, 7, 1.0))
+    def ev(id: Long, tsUs: Long): StreamOps.Ev =
+      StreamOps.Ev(id, new Timestamp(tsUs / 1000), tsUs, 7, 1.0)
+    input.addData(ev(1, 0 * h), ev(2, 0 * h + 60000000L))
     q.processAllAvailable()
-    input.addData(StreamOps.Ev(3, 5 * h, 7, 1.0)) // new session, state remembered
+    input.addData(ev(3, 5 * h)) // new session, state remembered
     q.processAllAvailable()
     q.stop(); q.awaitTermination()
     val rows = spark.table(tbl).filter(col("user_id") === 7)
       .collect().map(r => (r.getLong(1), r.getLong(2))) // (n_events, n_sessions)
     assert(rows.contains((2L, 1L)), s"after batch 1: $rows")
     assert(rows.contains((3L, 2L)), s"after batch 2 state must accumulate: $rows")
+  }
+
+  test("stateful TTL evicts idle user state once the watermark passes lastTs + TTL") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val tbl = sinkName()
+    val q = input.toDF().toDF("event_id", "ts", "user_id", "value")
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"))
+      .as[StreamOps.Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        StreamOps.sessionStateFn(30L * 60 * 1000000, ttlMs = 3600L * 1000))
+      .toDF()
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: user 7 active around midnight -> watermark 00:05 after batch
+    input.addData((1L, ts("2024-01-01 00:00:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 00:05:00"), 7L, 1.0))
+    q.processAllAvailable()
+    // batch 2: only user 8, far ahead -> watermark advances to 12:00
+    input.addData((3L, ts("2024-01-01 12:00:00"), 8L, 1.0))
+    q.processAllAvailable()
+    // batch 3: user 8 again; watermark (12:00) > user 7's 00:05 + 1 h TTL
+    // and user 7 has no data in this batch -> 7's state evicts silently
+    input.addData((4L, ts("2024-01-01 12:05:00"), 8L, 1.0))
+    q.processAllAvailable()
+    // batch 4: user 7 returns -> must start a FRESH state, not accumulate
+    input.addData((5L, ts("2024-01-01 13:00:00"), 7L, 1.0))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows7 = spark.table(tbl).filter(col("user_id") === 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (n_events, n_sessions)
+    assert(rows7.contains((2L, 1L)), s"pre-eviction state missing: ${rows7.mkString(",")}")
+    assert(rows7.contains((1L, 1L)), s"state must restart after TTL eviction: ${rows7.mkString(",")}")
+    assert(!rows7.exists(_._1 == 3L), s"evicted state must not accumulate: ${rows7.mkString(",")}")
   }
 
   test("stream-static join enriches streamed events against the static dim") {

@@ -18,11 +18,75 @@ class TextOpsSpec extends SparkFixture {
     assert(planted.subsetOf(pairs), s"missing ${planted -- pairs}")
   }
 
-  test("llm_dedup_embed finds exactly the planted duplicate vectors at cosine 1") {
+  test("llm_dedup_embed finds exactly the planted PERTURBED near-dups above threshold") {
+    // Ground truth computed driver-side with the same fold the query uses:
+    // the query plants vec' = vec with the last component negated
+    // (cos = 1 − 2·x_d², typically ≈ 0.97 — NOT an exact copy), so a pair
+    // only belongs in the output when its exact rounded cosine ≥ 0.95.
+    // Multi-table LSH must recall every such pair; a single 16-bit table
+    // missed ~half of them (that was round 2's silent-recall gap).
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val expected = Tables.embeddings(spark, sf001).filter(col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .flatMap { case (id, v) =>
+        val vp = v.clone(); vp(vp.length - 1) = -vp(vp.length - 1)
+        val cos = BigDecimal(dot(v, vp))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (cos >= 0.95) Some((id, id + 100000L)) else None
+      }.toSet
     val out = SparkEntry.queries("llm_dedup_embed")(spark, sf001).collect()
-    val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
-    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == planted)
-    assert(out.forall(_.getDouble(2) >= 0.999999))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.size >= 10, s"degenerate fixture: only ${expected.size} plants over 0.95")
+    assert(out == expected, s"missed: ${expected -- out}; spurious: ${out -- expected}")
+  }
+
+  test("multi-table ANN recalls >= 0.9 of perturbed (cos 0.95-0.98) true nearest neighbors") {
+    // 400 deterministic pseudo-random unit vectors; probes 0..39 each get a
+    // planted twin at id+1000 perturbed to cosine ≈ 0.95–0.98 (normalize
+    // (v + ε·u), ε swept over [0.20, 0.33]). Ground truth is a driver-side
+    // exact brute force; recall counts probes whose true top-1 neighbor
+    // appears anywhere in the ANN top-10.
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(raw: Array[Double]): Array[Float] = {
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 400).map(id =>
+      id.toLong -> unit(Array.tabulate(64)(i => mix(id * 64L + i).toDouble / 9.223372036854776e18)))
+    val twins = (0 until 40).map { id =>
+      val eps = 0.20 + 0.13 * id / 39.0
+      val noise = Array.tabulate(64)(i => mix(id * 64L + i + 999999).toDouble / 9.223372036854776e18)
+      val nn = math.sqrt(noise.map(x => x * x).sum)
+      (id + 1000L, unit(base(id)._2.zip(noise).map { case (v, u) => v + eps * u / nn }))
+    }
+    val all = (base ++ twins).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    // sanity: perturbation landed in the intended band and IS the top-1
+    val cosines = (0 until 40).map(id => dot(all(id.toLong), all(id + 1000L)))
+    assert(cosines.forall(c => c > 0.93 && c < 0.995), cosines.min + ".." + cosines.max)
+    val truth = (0 until 40).map { p =>
+      p.toLong -> all.keys.filter(_ != p.toLong).maxBy(v =>
+        (BigDecimal(dot(all(p.toLong), all(v))).setScale(6, BigDecimal.RoundingMode.HALF_UP), -v))
+    }.toMap
+    assert(truth.forall { case (p, t) => t == p + 1000L }, "twin should be the true NN")
+    val df = all.toSeq.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val ann = TextOps.annTopK(df, col("vec_id") < 40, nTables = 8, nBits = 8, k = 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalled = truth.count { case (p, t) => ann.getOrElse(p, Set.empty).contains(t) }
+    assert(recalled >= 36, s"recall ${recalled / 40.0} < 0.9 on perturbed planted neighbors")
   }
 
   test("sign-LSH ANN recalls cluster neighbors on planted cluster structure") {
@@ -45,7 +109,7 @@ class TextOpsSpec extends SparkFixture {
       (c * 30L + m, unit(centers(c).zip(noise).map { case (a, b) => a + b }), c)
     }
     val df = vecs.toSeq.toDF("vec_id", "embedding", "cluster")
-    val ann = TextOps.annTopK(df, col("vec_id") % 30 === 0, nBits = 8, k = 5)
+    val ann = TextOps.annTopK(df, col("vec_id") % 30 === 0, nTables = 8, nBits = 8, k = 5)
     val withCluster = ann
       .join(df.select(col("vec_id"), col("cluster")), "vec_id")
       .join(df.select(col("vec_id").as("probe_id"), col("cluster").as("p_cluster")), "probe_id")

@@ -22,6 +22,14 @@ class VecDotSpec extends SparkFixture {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("vec_dot on ragged arrays is NULL, matching the zip_with null-pad fallback") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))), " +
+        "aggregate(zip_with(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)), " +
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").head
+    assert(r.isNullAt(0) && r.isNullAt(1), "native and HOF must agree on ragged inputs")
+  }
+
   test("vec_dot NULL inputs yield NULL (nullSafe binary expression)") {
     val r = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
       .head
