@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned table layout — the 100 TB scan story SURVEY §4 deferred
+  * while fixtures were single files.
+  *
+  * At scale, `events` lives date-partitioned (`.../event_date=2024-01-01/`)
+  * so that:
+  *  - a literal date predicate becomes STATIC partition pruning — the scan
+  *    plans only the matching directories (`PartitionFilters`, zero I/O on
+  *    the rest);
+  *  - a join against a filtered date dimension becomes DYNAMIC partition
+  *    pruning (DPP) — the broadcast side's date set is pushed into the
+  *    fact scan's partition filter at runtime
+  *    (`dynamicpruningexpression(...)`), so a "revenue for promo weeks"
+  *    query reads only the promo weeks' partitions.
+  *
+  * PlanShapeSpec asserts both plan shapes on a real date-partitioned copy
+  * of the fixture events. Partition count scales as days × writers — at
+  * 100 TB keep files ≥ ~128 MB per partition (compaction), and partition
+  * ONLY on the columns queries filter by (over-partitioning makes small
+  * files and kills the scan).
+  */
+object Layout {
+
+  /** Write the fixture events date-partitioned (one directory per
+    * event_date). Idempotent overwrite. */
+  def writeDatePartitionedEvents(spark: SparkSession, sfDir: String,
+      outDir: String): Unit =
+    Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+
+  /** Read a date-partitioned events layout (partition column restored as a
+    * regular column by partition discovery). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+}

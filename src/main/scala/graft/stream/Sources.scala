@@ -12,6 +12,46 @@ import org.apache.spark.sql.functions._
   * connector jar exists in this environment, SURVEY §0): every downstream
   * op consumes a DataFrame with the logical events schema and nothing else.
   */
+/** The logical event record every source must produce (field names/types =
+  * the events schema downstream operators consume). */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Source-agnostic ingestion seam: anything able to produce the logical
+  * events stream. Downstream operators take the DataFrame, never the
+  * source — so a broker-backed source (e.g. Kafka: `format("kafka")` +
+  * `from_json(value)` projected to [[EventRow]]'s fields) drops in as one
+  * more implementation without touching a single operator. The three
+  * implementations below prove the seam against the three source families
+  * that exist offline: files, sockets, and in-memory (the CI stand-in for
+  * a broker). */
+trait EventSource {
+  def load(spark: SparkSession): DataFrame
+}
+
+/** File-replay implementation (micro-batched parquet re-play). */
+final case class FileReplaySource(dir: String, glob: String = "*.parquet",
+    maxFilesPerTrigger: Int = 1) extends EventSource {
+  override def load(spark: SparkSession): DataFrame =
+    Sources.replayEvents(spark, dir, glob, maxFilesPerTrigger)
+}
+
+/** Line-JSON-over-TCP implementation. */
+final case class SocketEventSource(host: String, port: Int) extends EventSource {
+  override def load(spark: SparkSession): DataFrame =
+    Sources.socketEvents(spark, host, port)
+}
+
+/** In-memory implementation over a test-fed
+  * [[org.apache.spark.sql.execution.streaming.runtime.MemoryStream]] —
+  * the stand-in proving the seam compiles against more than file/socket
+  * (a broker-backed source occupies exactly this slot). */
+final class MemoryEventSource(
+    val stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow])
+  extends EventSource {
+  override def load(spark: SparkSession): DataFrame = stream.toDF()
+}
+
 object Sources {
 
   /** JSON wire format for socket ingestion (one event per line). */

@@ -81,4 +81,48 @@ class PlanShapeSpec extends SparkFixture {
     assert(p.contains("Window"), p)
     assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined)
   }
+
+  // ---- partitioned layout: the 100 TB scan story (graft.ops.Layout) ----
+
+  private lazy val dppDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.ops.Layout.writeDatePartitionedEvents(spark, sf001, dir)
+    dir
+  }
+
+  test("date-partitioned events: a literal date predicate prunes partitions statically") {
+    import org.apache.spark.sql.functions._
+    val fact = graft.ops.Layout.readEvents(spark, dppDir)
+    val nDates = fact.select(col("event_date")).distinct().count()
+    assert(nDates > 1, "fixture must span multiple dates for pruning to mean anything")
+    val d = fact.select(min(col("event_date"))).head.getDate(0)
+    val p = fact.filter(col("event_date") === lit(d))
+      .groupBy(col("event_type")).count()
+      .queryExecution.executedPlan.toString
+    // the date predicate must land in PartitionFilters (directory pruning),
+    // not in PushedFilters (row-group evaluation inside every file)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"), p.take(2000))
+  }
+
+  test("join against a filtered date dim triggers dynamic partition pruning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fact = graft.ops.Layout.readEvents(spark, dppDir)
+    val someDates = fact.select(col("event_date")).distinct().orderBy(col("event_date"))
+      .limit(2).collect().map(_.getDate(0))
+    // the dim must be scan-backed: a LocalRelation's filter constant-folds
+    // away before the PartitionPruning rule looks for a selective predicate
+    val dimPath = dppDir + "_dim"
+    someDates.toSeq.map(d => (d, "promo")).toDF("d", "tag")
+      .union(Seq((java.sql.Date.valueOf("1970-01-01"), "other")).toDF("d", "tag"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = fact.join(dim, col("event_date") === col("d"))
+      .filter(col("tag") === "promo")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamicpruningexpression partition filter on the fact scan:\n" + p.take(3000))
+  }
 }

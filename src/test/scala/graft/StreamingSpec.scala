@@ -183,6 +183,34 @@ class StreamingSpec extends SparkFixture {
     assert(!rows7.exists(_._1 == 3L), s"evicted state must not accumulate: ${rows7.mkString(",")}")
   }
 
+  test("EventSource seam: a memory-backed source yields the same tumbling agg as file replay") {
+    // The broker-shaped slot: feed the SAME fixture events through a
+    // MemoryEventSource (in two micro-batches, proving the seam is not
+    // single-batch-trivial) and through FileReplaySource; the tumbling
+    // aggregation downstream must not be able to tell them apart.
+    implicit val ctx = spark.sqlContext
+    def tumbling(src: stream.EventSource): Set[Seq[Any]] = runAvailableNow(
+      src.load(spark)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+          col("n"), col("sum_val")),
+      OutputMode.Complete()
+    ).collect().map(_.toSeq).toSet
+
+    val rows = Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(r => stream.EventRow(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+    val ms = MemoryStream[stream.EventRow]
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    ms.addData(h1.toIndexedSeq)
+    ms.addData(h2.toIndexedSeq)
+    val viaMemory = tumbling(new stream.MemoryEventSource(ms))
+    val viaReplay = tumbling(stream.FileReplaySource(sf001, "events.parquet"))
+    assert(viaMemory == viaReplay && viaMemory.nonEmpty)
+  }
+
   test("stream-static join enriches streamed events against the static dim") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
