@@ -39,6 +39,37 @@ object Bench {
     // JVM costs. No fixture data is read or cached — queries stay cold.
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
 
+    // Split mode (SPARK_GRAFT_BENCH_MODE=split): separate the FIXED
+    // per-query cost (analysis + optimization + codegen + job scheduling)
+    // from the MARGINAL data-path cost, per baseline12 query. Fixed is
+    // approximated by the warm time at sf0.001 (data ≈ 0 — the same plan,
+    // schedule, and stage structure run over ~1/100 the rows); marginal at
+    // the target SF is warm(target) − warm(sf0.001). "Warm" = min of three
+    // repeat runs AFTER a cold run, so codegen compilation is amortized
+    // while each run still re-plans and re-schedules like the driver's
+    // protocol does. Feeds the BASELINE.md fixed/marginal appendix.
+    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("split")) {
+      val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+      def jstr0(s: String): String = "\"" + s + "\""
+      val rows = baseline12.map { name =>
+        def runs(dir: String): Seq[Double] = (1 to 4).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val big = runs(sfDir)
+        val small = runs(sfSmall)
+        val fixed = small.tail.min
+        val warm = big.tail.min
+        s"""{"query":${jstr0(name)},"cold_sec":${big.head},"warm_sec":$warm,"fixed_sec":$fixed,"marginal_sec":${warm - fixed}}"""
+      }
+      val out = "[" + rows.mkString(",") + "]"
+      Files.writeString(Paths.get("bench_split.json"), out + "\n")
+      println(out)
+      spark.stop()
+      return
+    }
+
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
