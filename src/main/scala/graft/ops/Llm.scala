@@ -89,14 +89,25 @@ object Llm {
     * to surface in SOME candidate pair. Shuffles carry (band, bucket,
     * doc_id) only — never document payloads. */
   def lshCandidates(sig: DataFrame, nBands: Int, bandRows: Int,
-      bucketCap: Int = 64): DataFrame = {
-    val banded = sig.select(col("doc_id"),
+      bucketCap: Int = 64): DataFrame =
+    bandedPairs(sig.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $bandRows + 1, $bandRows)))"))
-        .as(Seq("band", "bucket")))
-    val counts = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > 1)
-    banded.join(counts, Seq("band", "bucket"))
+        .as(Seq("band", "bucket"))), bucketCap)
+
+  /** The bucket-join half of [[lshCandidates]], reusable by any banding
+    * scheme that can produce `(doc_id, band, bucket)` rows (MinHash band
+    * slices, SimHash bit-bands, multi-table sign-LSH, ...): distinct
+    * (a_id, b_id) pairs with a < b sharing at least one (band, bucket),
+    * with the mega-bucket salting described on [[lshCandidates]]. */
+  def bandedPairs(banded: DataFrame, bucketCap: Int = 64): DataFrame = {
+    // bucket sizes via a window over the one (band, bucket) exchange —
+    // cheaper than a count-aggregate + join back (which shuffles the
+    // banded rows twice and re-evaluates their lineage per side)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    banded.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") > 1)
       .withColumn("salt", when(col("bn") <= bucketCap, lit(0))
         .otherwise(pmod(xxhash64(col("band"), col("doc_id")),
           ceil(col("bn") / bucketCap).cast("int"))))

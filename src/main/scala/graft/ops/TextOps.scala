@@ -104,7 +104,10 @@ object TextOps {
     val dot = Llm.dotFn(emb.sparkSession, "p_emb", "embedding")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim_r").desc, col("vec_id"))
-    probes.join(bucketed.select(col("tbl"), col("bucket"), col("vec_id"), col("embedding")),
+    // probes are few by construction — broadcast them so the corpus side
+    // joins map-side with no shuffle of (vec_id, embedding) rows
+    broadcast(probes)
+      .join(bucketed.select(col("tbl"), col("bucket"), col("vec_id"), col("embedding")),
         Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), round(expr(dot), 6).as("sim_r"))
@@ -364,17 +367,20 @@ object TextOps {
               .as("embedding"))
         val all = emb.unionByName(planted)
         val bucketsUdf = udf(signBuckets(8, 8))
-        val banded = all.select(col("vec_id"), col("embedding"),
-          posexplode(bucketsUdf(col("embedding"))).as(Seq("tbl", "bucket")))
-        val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"),
-          col("embedding").as("a_e"))
-        val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("b_id"),
-          col("embedding").as("b_e"))
+        // Candidate pairs via the shared salted bucket-join (tables are the
+        // bands): the bucketing kernel evaluates ONCE and the shuffle
+        // carries (table, bucket, vec_id) only — a bucketed SELF-join would
+        // re-evaluate the kernel per side and shuffle the embedding
+        // payloads. Exact cosine runs per deduped candidate pair, with the
+        // vector dim broadcast back onto the id pairs.
+        val banded = all.select(col("vec_id").as("doc_id"),
+          posexplode(bucketsUdf(col("embedding"))).as(Seq("band", "bucket")))
         val dot = Llm.dotFn(spark, "a_e", "b_e")
-        a.join(b, Seq("tbl", "bucket")).filter(col("a_id") < col("b_id"))
+        Llm.bandedPairs(banded)
+          .join(broadcast(all.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))), "a_id")
+          .join(broadcast(all.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))), "b_id")
           .select(col("a_id"), col("b_id"), round(expr(dot), 6).as("cosine"))
           .filter(col("cosine") >= 0.95)
-          .distinct()
           .orderBy(col("a_id"), col("b_id"))
       },
       None),
