@@ -331,17 +331,17 @@ object TextOps {
         val sigUdf = udf(simhash64)
         val sigs = docs.unionByName(planted)
           .select(col("doc_id"), sigUdf(split(col("text"), " ")).as("sig"))
-        val banded = sigs.select(col("doc_id"), col("sig"),
+        // candidates via the shared salted bucket-join (16-bit signature
+        // quarters as bands — r2's inline collect_set carried full sigs
+        // through an uncapped bucket, the same mega-bucket exposure
+        // lshCandidates was hardened against); signatures rejoin onto the
+        // deduped id pairs for the hamming verify
+        val banded = sigs.select(col("doc_id"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")).as(Seq("band", "bucket")))
-        val pairs = banded.groupBy(col("band"), col("bucket"))
-          .agg(sort_array(collect_set(struct(col("doc_id"), col("sig")))).as("ms"))
-          .filter(size(col("ms")) > 1)
-          .select(explode(expr(
-            "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x.doc_id AS a_id, y.doc_id AS b_id, x.sig AS a_sig, y.sig AS b_sig))))"))
-            .as("p"))
-          .select(col("p.a_id"), col("p.b_id"), col("p.a_sig"), col("p.b_sig")).distinct()
-        pairs
+        Llm.bandedPairs(banded)
+          .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
           .select(col("a_id"), col("b_id"),
             expr("bit_count(a_sig ^ b_sig)").cast("int").as("hamming"))
           .filter(col("hamming") <= 6)
