@@ -201,6 +201,28 @@ object Aggregates {
             count(lit(1)).as("n"))
           .orderBy(col("event_type")),
       None),
+
+    // Quantile sketch (§2.12 extension): per-group median/p95/p99 via
+    // approx_percentile — the profiling aggregate a data pipeline runs
+    // before choosing filters/thresholds. Mergeable sketch ⇒ two-phase
+    // partial aggregation like every other agg here; sketch output is
+    // engine-specific ⇒ no SQL oracle (rank-error bounds vs the exact
+    // percentiles are property-tested, same policy as agg_approx_distinct).
+    Q("agg_approx_quantile",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+              .as("q"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            element_at(col("q"), 1).as("p50"),
+            element_at(col("q"), 2).as("p95"),
+            element_at(col("q"), 3).as("p99"),
+            col("n"))
+          .orderBy(col("l_returnflag")),
+      None),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

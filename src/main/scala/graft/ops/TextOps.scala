@@ -86,6 +86,27 @@ object TextOps {
     out
   }
 
+  /** EXACT prefix-filter candidate pairs (the AllPairs/PPJoin scheme) for
+    * set-similarity joins at threshold t = `tNum`/`tDen`: `hashed` carries
+    * per-document SORTED arrays of element hashes (`h`); each document
+    * indexes its |h| − ⌈t·|h|⌉ + 1 smallest hashes (integer ceil — float
+    * ceil over-shoots exact multiples and would break the completeness
+    * theorem), and any pair with Jaccard ≥ t provably shares an indexed
+    * hash under this fixed global order — candidate generation with NO
+    * probabilistic miss, unlike MinHash banding. Shuffles carry
+    * (hash, doc_id) postings only. */
+  def prefixCandidates(hashed: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    hashed
+      .select(col("doc_id"), explode(expr(
+        s"slice(h, 1, size(h) - CAST(($tNum * size(h) + $tDen - 1) div $tDen AS INT) + 1)"))
+        .as("gram"))
+      .groupBy(col("gram")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a_id, y AS b_id))))"))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id")).distinct()
+
   /** Multi-table sign-LSH ANN top-k: candidates share the probe's bucket in
     * at least one of `nTables` tables; exact dot ranking within the deduped
     * candidate set. The bucketed candidate join is the 100 TB path
@@ -277,15 +298,7 @@ object TextOps {
         val hashed = base.select(col("doc_id"), expr(
             "array_sort(array_distinct(transform(sequence(1, length(text) - 3), i -> xxhash64(substring(text, i, 4)))))").as("h"))
           .select(col("doc_id"), col("h"), size(col("h")).as("glen"))
-        val cands = hashed
-          .select(col("doc_id"),
-            explode(expr("slice(h, 1, size(h) - CAST((4 * size(h) + 4) div 5 AS INT) + 1)")).as("gram"))
-          .groupBy(col("gram")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a_id, y AS b_id))))"))
-            .as("p"))
-          .select(col("p.a_id"), col("p.b_id")).distinct()
+        val cands = prefixCandidates(hashed, tNum = 4, tDen = 5)
         // The per-doc hash arrays are bounded by the operator's sub-corpus
         // filter — broadcast them onto the candidate pairs.
         cands
@@ -385,6 +398,25 @@ object TextOps {
       },
       None),
 
+    // Deterministic hash sampling (§2.12 extension): training pipelines
+    // need REPRODUCIBLE subsamples — TABLESAMPLE / rand() change under
+    // retries, AQE re-splits, and engine versions, so the predicate is a
+    // pure function of the key: one LCG step (exact 64-bit integer
+    // arithmetic, bit-identical in DuckDB) bucketed mod 2048, keep 205
+    // buckets ≈ 10.01%. Scale-safe by construction: a pushed-down scan
+    // filter, no shuffle, stable under any partitioning.
+    Q("llm_doc_sample",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .filter((col("doc_id") * 1103515245L + 12345L) % 2048 < 205)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE (doc_id * 1103515245 + 12345) % 2048 < 205
+        ORDER BY doc_id""".trim)),
+
     // ANN similarity search — the bucketed scale path for llm_sim_knn,
     // OR-amplified over 8 independent 8-bit tables for recall (a single
     // table only finds near-identical vectors; see [[signBuckets]]).
@@ -394,5 +426,97 @@ object TextOps {
           nTables = 8, nBits = 8, k = 10)
           .orderBy(col("probe_id"), col("rank")),
       None),
+
+    // Dedup connected components (§2.12 extension): near-duplicate
+    // similarity is NOT transitive — the corpus below plants chains
+    // A–B–C (A = first 20 words, B = first 16, C = first 12; word-3-gram
+    // Jaccard A↔B ≈ 0.78, B↔C ≈ 0.71, but A↔C ≈ 0.56 < the 0.6 edge
+    // threshold), so picking one canonical doc per duplicate GROUP needs
+    // the transitive closure, not a pairwise filter. Edges come from the
+    // exact prefix filter at t = 3/5 (no probabilistic miss — this key is
+    // oracle-gated against a DuckDB recursive-CTE closure); components via
+    // distributed min-label propagation, one shuffle round per graph
+    // diameter step, labels checkpointed per round so lineage stays flat.
+    // At 100 TB the same loop runs with the large-star/small-star
+    // alternation to bound rounds and skew; near-dup component diameters
+    // are small in practice, so O(diameter) rounds is the honest cost.
+    Q("llm_dedup_components",
+      (spark, sfDir) => {
+        val base = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 20)
+        def variant(shift: Int, keep: Int) = base.select(
+          (col("doc_id") + shift).as("doc_id"), expr(s"slice(w, 1, $keep)").as("w"))
+        val nodes = variant(0, 20)
+          .unionByName(variant(100000, 16))
+          .unionByName(variant(200000, 12))
+        val sh = nodes.select(col("doc_id"), expr(
+            "array_sort(array_distinct(transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', slice(w, i, 3))))))").as("h"))
+          .select(col("doc_id"), col("h"), size(col("h")).as("n"))
+        val edges = prefixCandidates(sh, tNum = 3, tDen = 5)
+          .join(broadcast(sh.select(col("doc_id").as("a_id"), col("h").as("a_h"),
+            col("n").as("a_n"))), "a_id")
+          .join(broadcast(sh.select(col("doc_id").as("b_id"), col("h").as("b_h"),
+            col("n").as("b_n"))), "b_id")
+          .withColumn("inter", size(array_intersect(col("a_h"), col("b_h"))).cast("double"))
+          .filter(col("inter") / (col("a_n") + col("b_n") - col("inter")) >= 0.6)
+          .select(col("a_id"), col("b_id"))
+        val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
+          .localCheckpoint()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 15) {
+          val viaNbr = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(col("dst").as("doc_id")).agg(min(col("component")).as("nbr_min"))
+          val next = labels.join(viaNbr, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("component"), coalesce(col("nbr_min"), col("component")))
+                .as("component"))
+            .localCheckpoint()
+          converged = next
+            .join(labels.withColumnRenamed("component", "prev"), "doc_id")
+            .filter(col("component") =!= col("prev")).isEmpty
+          labels = next
+          iter += 1
+        }
+        labels.orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE
+        b0 AS (
+          SELECT doc_id, list_slice(string_split(text, ' '), 1, 20) AS w
+          FROM documents
+          WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 20
+        ),
+        nodes AS (
+          SELECT doc_id, w FROM b0
+          UNION ALL SELECT doc_id + 100000 AS doc_id, list_slice(w, 1, 16) AS w FROM b0
+          UNION ALL SELECT doc_id + 200000 AS doc_id, list_slice(w, 1, 12) AS w FROM b0
+        ),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM nodes
+        ),
+        edges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM sh a, sh b
+          WHERE a.doc_id <> b.doc_id
+            AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.6
+        ),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        )
+        SELECT id AS doc_id, MIN(r) AS component
+        FROM reach
+        GROUP BY id
+        ORDER BY doc_id""".trim)),
   )
 }

@@ -153,6 +153,73 @@ class TextOpsSpec extends SparkFixture {
     assert(out.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
   }
 
+  test("llm_doc_sample is deterministic and draws ~10% of documents") {
+    val total = Tables.documents(spark, sf001).count().toDouble
+    val s1 = SparkEntry.queries("llm_doc_sample")(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = SparkEntry.queries("llm_doc_sample")(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "hash sampling must be rerun-identical")
+    val frac = s1.size / total
+    assert(frac > 0.05 && frac < 0.16, s"sample fraction $frac far from 205/2048")
+  }
+
+  test("agg_approx_quantile estimates sit within tight rank bounds of exact percentiles") {
+    import org.apache.spark.sql.Row
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // exact percentile ranks ±1% as the acceptance band (accuracy 10000
+    // gives rank error 1/10000; ±1% is three orders of slack for ties)
+    val exact = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96, 0.98, 1.0))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1).map(_.toString.toDouble)).toMap
+    exact.foreach { case (flag, e) =>
+      val Row(_, p50, p95, p99, _) = approx(flag)
+      def d(x: Any): Double = BigDecimal(x.toString).toDouble
+      assert(d(p50) >= e(0) && d(p50) <= e(1), s"$flag p50 ${d(p50)} outside [${e(0)}, ${e(1)}]")
+      assert(d(p95) >= e(2) && d(p95) <= e(3), s"$flag p95 ${d(p95)} outside [${e(2)}, ${e(3)}]")
+      assert(d(p99) >= e(4) && d(p99) <= e(5), s"$flag p99 ${d(p99)} outside [${e(4)}, ${e(5)}]")
+    }
+  }
+
+  test("llm_dedup_components matches an independent driver-side union-find closure") {
+    val rows = SparkEntry.queries("llm_dedup_components")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    // independent ground truth: rebuild the planted corpus, compute exact
+    // word-3-gram Jaccard edges at 0.6, union-find the closure
+    val words = Tables.documents(spark, sf001).filter(col("doc_id") < 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 20)
+    val nodes: Seq[(Long, Array[String])] = words.toSeq.flatMap { case (id, w) =>
+      Seq(id -> w.take(20), (id + 100000L) -> w.take(16), (id + 200000L) -> w.take(12))
+    }
+    val shingles = nodes.map { case (id, w) =>
+      id -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val parent = scala.collection.mutable.Map(nodes.map(n => n._1 -> n._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for ((a, ga) <- shingles; (b, gb) <- shingles if a < b) {
+      val inter = (ga & gb).size.toDouble
+      if (inter / (ga.size + gb.size - inter) >= 0.6) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expected = nodes.map(n => n._1 -> find(n._1)).toMap
+    assert(rows == expected,
+      s"diff: ${(rows.toSet diff expected.toSet).take(5)} vs ${(expected.toSet diff rows.toSet).take(5)}")
+    // and the transitivity is genuinely exercised: some A-C pair must be
+    // in one component while being below the pairwise edge threshold
+    val chained = words.exists { case (id, _) =>
+      val (ga, gc) = (shingles(id), shingles(id + 200000L))
+      val inter = (ga & gc).size.toDouble
+      inter / (ga.size + gc.size - inter) < 0.6 && expected(id + 200000L) == expected(id)
+    }
+    assert(chained, "fixture must contain at least one closure-only A..C link")
+  }
+
   test("llm_dedup_ngram: planted pairs all found at 4-gram Jaccard ≥ 0.8") {
     val out = SparkEntry.queries("llm_dedup_ngram")(spark, sf001)
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
