@@ -466,20 +466,25 @@ object TextOps {
           .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
         var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
           .localCheckpoint()
+        // labels move monotonically DOWN (elementwise min each round), so
+        // the fixpoint test is one aggregate: Σcomponent unchanged ⟺ no
+        // label changed — no per-round diff join needed
+        var sum = labels.agg(org.apache.spark.sql.functions.sum(col("component")))
+          .head.getLong(0)
         var converged = false
         var iter = 0
         while (!converged && iter < 15) {
           val viaNbr = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
             .groupBy(col("dst").as("doc_id")).agg(min(col("component")).as("nbr_min"))
-          val next = labels.join(viaNbr, Seq("doc_id"), "left")
+          labels = labels.join(viaNbr, Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("component"), coalesce(col("nbr_min"), col("component")))
                 .as("component"))
             .localCheckpoint()
-          converged = next
-            .join(labels.withColumnRenamed("component", "prev"), "doc_id")
-            .filter(col("component") =!= col("prev")).isEmpty
-          labels = next
+          val nextSum = labels.agg(org.apache.spark.sql.functions.sum(col("component")))
+            .head.getLong(0)
+          converged = nextSum == sum
+          sum = nextSum
           iter += 1
         }
         labels.orderBy(col("doc_id"))
