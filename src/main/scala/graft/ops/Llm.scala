@@ -120,6 +120,34 @@ object Llm {
       .select(col("p.a_id"), col("p.b_id")).distinct()
   }
 
+  // ---- multimodal batch-decode seam ----
+
+  /** Input record for the media decode stage: opaque payload + typed
+    * metadata, the schema multimodal columns carry at rest. */
+  case class MediaIn(doc_id: Long, payload: Array[Byte], mime: String)
+
+  /** Decoded features + sampled frame indexes. */
+  case class MediaFeat(doc_id: Long, mime: String, width: Int, height: Int,
+      n_frames: Int, sampled_frames: Array[Int])
+
+  /** Batch decode kernel — the narrow seam a real decoder drops into.
+    * Batch-in/batch-out like a vectorized (Pandas-style) UDF: the caller
+    * feeds bounded slices of a partition so a native decoder can amortize
+    * codec/context setup across the batch and memory stays bounded by
+    * (batch size × frame size), not partition size.
+    *
+    * STUB: no media libraries exist in this environment (SURVEY §0), so
+    * the "decode" derives deterministic fake dimensions/frame-counts from
+    * the payload bytes; frame sampling (1 per 24 frames ≈ 1/s @ 24 fps) is
+    * real arithmetic. A production build replaces ONLY this function. */
+  def decodeBatch(batch: Seq[MediaIn]): Seq[MediaFeat] = batch.map { m =>
+    val h = java.util.Arrays.hashCode(m.payload)
+    val nFrames = math.floorMod(h, 240) + 1
+    MediaFeat(m.doc_id, m.mime,
+      math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1,
+      nFrames, (0 until nFrames by 24).toArray)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup by content hash, keep min doc_id. The fixture corpus has
@@ -287,6 +315,32 @@ object Llm {
             (abs(hash(col("payload"))) % 1920).as("fake_width"),
             (abs(hash(col("payload"), lit(1))) % 1080).as("fake_height"))
           .orderBy(col("doc_id")),
+      None),
+
+    // Multimodal batch decode + frame sampling (§2.12 extension): the
+    // per-partition BATCHED decode pipeline — payload rows stream through
+    // [[decodeBatch]] in bounded 64-row slices inside each partition (no
+    // shuffle before decode; the one exchange in the plan is the final
+    // presentation sort). This is the Spark-side plumbing a real
+    // image/audio/video pipeline needs — typed input/output schemas,
+    // partition-local batching, bounded memory — with only the codec call
+    // stubbed (see [[decodeBatch]]). No oracle: the stub's outputs are
+    // engine-specific; determinism + sampling arithmetic + plan shape are
+    // property-tested.
+    Q("llm_multimodal_decode",
+      (spark, sfDir) => {
+        import spark.implicits._
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").cast(BinaryType).as("payload"),
+            lit("video/fake").as("mime"))
+          .as[MediaIn]
+          .mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b.toSeq)))
+          .toDF()
+          .select(col("doc_id"), col("mime"), col("width"), col("height"),
+            col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
+          .orderBy(col("doc_id"))
+      },
       None),
   )
 }

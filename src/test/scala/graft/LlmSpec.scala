@@ -99,6 +99,25 @@ class LlmSpec extends SparkFixture {
     assert(out.count() <= 50 && topSum <= total && topSum > 0)
   }
 
+  test("llm_multimodal_decode: deterministic, correct frame sampling, decode stays partition-local") {
+    val q = SparkEntry.queries("llm_multimodal_decode")
+    val a = q(spark, sf001).collect()
+    val b = q(spark, sf001).collect()
+    assert(a.toSeq == b.toSeq, "batched decode must be rerun-identical")
+    assert(a.nonEmpty)
+    // frame sampling: 1 per 24 frames, always includes frame 0
+    a.foreach { r =>
+      val (nFrames, nSampled) = (r.getInt(4), r.getInt(5))
+      assert(nSampled == (nFrames + 23) / 24, s"doc ${r.getLong(0)}: $nSampled of $nFrames")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 1920 && r.getInt(3) >= 1 && r.getInt(3) <= 1080)
+    }
+    // plumbing: decode runs inside the partition — the only exchange in
+    // the plan is the final presentation sort
+    val plan = q(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan.take(800))
+    assert("Exchange".r.findAllIn(plan).size <= 1, "decode must not sit behind a shuffle:\n" + plan.take(1500))
+  }
+
   test("llm_multimodal_schema: payload round-trips and digest is stable") {
     val out = SparkEntry.queries("llm_multimodal_schema")(spark, sf001)
     val docs = Tables.documents(spark, sf001)
