@@ -72,19 +72,63 @@ object StreamOps {
       state.remove()
       return Iterator.empty
     }
-    val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
-    var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue, Long.MinValue))
-    evs.foreach { e =>
-      val newSession = s.lastTs == Long.MinValue || e.ts_us - s.lastTs >= gapUs
-      s = UserState(s.n + 1, s.sessions + (if (newSession) 1 else 0),
-        if (s.firstTs == Long.MinValue) e.ts_us else s.firstTs, e.ts_us)
-    }
-    if (evs.nonEmpty) {
+    val s = foldEvents(
+      state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue, Long.MinValue)),
+      it.toArray, gapUs)
+    if (s.n > state.getOption.map(_.n).getOrElse(0L)) {
       state.update(s)
       if (ttlMs > 0) state.setTimeoutTimestamp(s.lastTs / 1000 + ttlMs)
     }
     Iterator.single(UserStats(key, s.n, s.sessions,
       if (s.firstTs == Long.MinValue) 0L else s.lastTs - s.firstTs))
+  }
+
+  /** The state fold shared by both state APIs: batch events sorted by
+    * time (micro-batch arrival order is not time order), then the
+    * count/session/span machine. */
+  private def foldEvents(init: UserState, batch: Array[Ev], gapUs: Long): UserState = {
+    var s = init
+    batch.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      val newSession = s.lastTs == Long.MinValue || e.ts_us - s.lastTs >= gapUs
+      s = UserState(s.n + 1, s.sessions + (if (newSession) 1 else 0),
+        if (s.firstTs == Long.MinValue) e.ts_us else s.firstTs, e.ts_us)
+    }
+    s
+  }
+
+  /** The same per-user machine on the MODERN state API
+    * (`transformWithState`, Spark 4.x): state lives in a named
+    * `ValueState` with STORE-MANAGED value TTL (`TTLConfig`) — eviction is
+    * the state store's job, not hand-armed timeouts — and the operator
+    * requires the RocksDB provider, the store that actually holds
+    * 100 TB-scale state (changelog checkpointing, out-of-heap).
+    *
+    * Environment note: an engine-level run of this operator hangs in THIS
+    * offline container — the RocksDB snapshot upload spins forever inside
+    * `RocksDBFileManager.zipToDfsFile` (JDK deflater loop; confirmed by
+    * thread dump, not a logic error, and unrelated to disk space). The
+    * shipped `stream_stateful` key therefore stays on the
+    * `flatMapGroupsWithState` + event-time-timeout path (SURVEY §7.5's
+    * sanctioned fallback), and this processor's state machine is covered
+    * by StreamingSpec through a faked
+    * `org.apache.spark.sql.streaming.StatefulProcessorHandle`. */
+  class UserSessionProcessor(gapUs: Long, ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserStats] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("user_state",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      val init = if (st.exists()) st.get()
+        else UserState(0L, 0L, Long.MinValue, Long.MinValue)
+      val s = foldEvents(init, rows.toArray, gapUs)
+      st.update(s)
+      Iterator.single(UserStats(key, s.n, s.sessions,
+        if (s.firstTs == Long.MinValue) 0L else s.lastTs - s.firstTs))
+    }
   }
 
   val queries: Seq[Q] = Seq(

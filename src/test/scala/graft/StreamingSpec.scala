@@ -211,6 +211,59 @@ class StreamingSpec extends SparkFixture {
     assert(viaMemory == viaReplay && viaMemory.nonEmpty)
   }
 
+  test("UserSessionProcessor (transformWithState seam): accumulation and TTL-expiry semantics") {
+    // Engine-level transformWithState requires the RocksDB provider, whose
+    // snapshot upload hangs in this offline container (deflater spin in
+    // RocksDBFileManager.zipToDfsFile — thread-dump-verified environment
+    // issue). The processor's STATE MACHINE is driven here through a faked
+    // handle: same init/handleInputRows contract, in-memory ValueState
+    // whose expiry models the store-managed value TTL.
+    import org.apache.spark.sql.streaming.{ListState, MapState, QueryInfo, TTLConfig, TimeMode, ValueState}
+    class FakeValueState[T] extends ValueState[T] {
+      var v: Option[T] = None
+      var expired = false
+      override def exists(): Boolean = v.isDefined && !expired
+      override def get(): T = if (exists()) v.get else null.asInstanceOf[T]
+      override def update(newState: T): Unit = { v = Some(newState); expired = false }
+      override def clear(): Unit = v = None
+    }
+    val fake = new FakeValueState[StreamOps.UserState]
+    var ttlSeen: TTLConfig = null
+    val handle = new org.apache.spark.sql.streaming.StatefulProcessorHandle {
+      override def getValueState[T](name: String, enc: org.apache.spark.sql.Encoder[T],
+          ttl: TTLConfig): ValueState[T] = { ttlSeen = ttl; fake.asInstanceOf[ValueState[T]] }
+      override def getValueState[T](name: String, ttl: TTLConfig)(
+          implicit enc: org.apache.spark.sql.Encoder[T]): ValueState[T] = { ttlSeen = ttl; fake.asInstanceOf[ValueState[T]] }
+      override def getListState[T](n: String, e: org.apache.spark.sql.Encoder[T], t: TTLConfig): ListState[T] = fail("unused")
+      override def getListState[T](n: String, t: TTLConfig)(
+          implicit e: org.apache.spark.sql.Encoder[T]): ListState[T] = fail("unused")
+      override def getMapState[K, V](n: String, ek: org.apache.spark.sql.Encoder[K], ev: org.apache.spark.sql.Encoder[V], t: TTLConfig): MapState[K, V] = fail("unused")
+      override def getMapState[K, V](n: String, t: TTLConfig)(
+          implicit ek: org.apache.spark.sql.Encoder[K], ev: org.apache.spark.sql.Encoder[V]): MapState[K, V] = fail("unused")
+      override def getQueryInfo(): QueryInfo = fail("unused")
+      override def registerTimer(expiryTimestampMs: Long): Unit = fail("unused")
+      override def deleteTimer(expiryTimestampMs: Long): Unit = fail("unused")
+      override def listTimers(): Iterator[Long] = fail("unused")
+      override def deleteIfExists(stateName: String): Unit = fail("unused")
+    }
+    val p = new StreamOps.UserSessionProcessor(30L * 60 * 1000000,
+      java.time.Duration.ofHours(1))
+    p.setHandle(handle)
+    p.init(OutputMode.Update(), TimeMode.ProcessingTime())
+    assert(ttlSeen != null && ttlSeen.ttlDuration.toHours == 1, "TTL must be store-managed")
+    val h = 3600L * 1000000L
+    def ev(id: Long, tsUs: Long): StreamOps.Ev =
+      StreamOps.Ev(id, new Timestamp(tsUs / 1000), tsUs, 9, 1.0)
+    val b1 = p.handleInputRows(9L, Iterator(ev(2, 60000000L), ev(1, 0)), null).toSeq
+    assert(b1.map(s => (s.n_events, s.n_sessions)) == Seq((2L, 1L)), b1.toString)
+    val b2 = p.handleInputRows(9L, Iterator(ev(3, 5 * h)), null).toSeq
+    assert(b2.map(s => (s.n_events, s.n_sessions)) == Seq((3L, 2L)), "state accumulates within TTL")
+    fake.expired = true // the store expired the value past its TTL
+    val b3 = p.handleInputRows(9L, Iterator(ev(4, 6 * h)), null).toSeq
+    assert(b3.map(s => (s.n_events, s.n_sessions)) == Seq((1L, 1L)),
+      "expired state must restart, not accumulate")
+  }
+
   test("stream-static join enriches streamed events against the static dim") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
