@@ -343,6 +343,39 @@ object StreamOps {
       },
       None),
 
+    // Stream-stream join, batch twin (r3): click→purchase attribution —
+    // every purchase within 1 h after a click by the same user. The twin
+    // is oracle-checked SQL (equi join on user_id + event-time range
+    // residual, the same shuffle the streaming operator keys on);
+    // StreamingSpec runs the REAL watermarked stream-stream join over the
+    // same replay and asserts set equality. At 100 TB the range condition
+    // is what lets the streaming operator evict buffered rows: state per
+    // side is bounded by (watermark delay + join window), never the
+    // stream's history.
+    Q("join_stream_stream",
+      (spark, sfDir) => {
+        val e = Tables.events(spark, sfDir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        clicks.join(purchases, Seq("user_id"))
+          .filter(col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+          .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      },
+      Some("""
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ORDER BY c.user_id, click_id, purchase_id""".trim)),
+
     // Streaming events ⋈ static customer dim (broadcast), revenue by nation.
     Q("join_stream_static",
       (spark, sfDir) => {

@@ -264,6 +264,29 @@ class StreamingSpec extends SparkFixture {
       "expired state must restart, not accumulate")
   }
 
+  test("watermarked stream-stream join equals the batch twin exactly") {
+    val batch = SparkEntry.queries("join_stream_stream")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val clicks = Sources.replayEvents(spark, sf001, "events.parquet")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = Sources.replayEvents(spark, sf001, "events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+    val streamed = runAvailableNow(joined, OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stream-static join enriches streamed events against the static dim") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
