@@ -82,6 +82,37 @@ class PlanShapeSpec extends SparkFixture {
     assert("RunningWindowFunction|Window".r.findFirstIn(p).isDefined)
   }
 
+  test("runtime bloom-filter reduction injects might_contain on the big shuffle side") {
+    import org.apache.spark.sql.functions._
+    // The 100 TB shuffle-join reducer: a bloom filter built from the
+    // filtered dim side is pushed into the fact side's scan stage, cutting
+    // shuffled fact rows before the exchange. Thresholds floored so the
+    // fixture-sized tables qualify; broadcast disabled so the join is a
+    // genuine shuffle join (broadcast joins don't need the bloom).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation threshold is a MAX (the dim must be small enough to build
+      // the bloom from); application threshold is a MIN (the fact must be
+      // big enough to be worth filtering) — floor only the latter
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf001)
+      val part = Tables.part(spark, sf001).filter(col("p_size") === 1)
+      val q = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type")).agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected a runtime bloom filter on the fact side:\n" + p.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ---- partitioned layout: the 100 TB scan story (graft.ops.Layout) ----
 
   private lazy val dppDir: String = {
