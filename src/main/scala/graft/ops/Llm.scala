@@ -44,6 +44,17 @@ object Llm {
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Count of common elements of two SORTED `ARRAY<LONG>` columns — the
+    * set-similarity verify kernel. Native zero-allocation sorted-merge
+    * ([[graft.plans.SortedIntersectCount]]) when the extension is
+    * installed; built-in hash-set intersection otherwise. Identical values
+    * either way (inputs are distinct and sorted). */
+  def intersectCountFn(spark: org.apache.spark.sql.SparkSession,
+      a: String, b: String): String =
+    if (spark.catalog.functionExists("sorted_intersect_count"))
+      s"sorted_intersect_count($a, $b)"
+    else s"size(array_intersect($a, $b))"
+
   /** Compiled MinHash kernel: tokens → `nHashes` min-signatures over 3-word
     * shingles. One string hash per shingle, then splitmix64 rehashes — a
     * tight primitive loop. Spark's higher-order-function lambdas evaluate

@@ -307,7 +307,7 @@ object TextOps {
           .join(broadcast(hashed.select(col("doc_id").as("b_id"), col("h").as("b_h"),
             col("glen").as("b_len"))), "b_id")
           .filter(col("a_len") * 5 >= col("b_len") * 4 && col("b_len") * 5 >= col("a_len") * 4)
-          .withColumn("inter", size(array_intersect(col("a_h"), col("b_h"))).cast("double"))
+          .withColumn("inter", expr(Llm.intersectCountFn(spark, "a_h", "b_h")).cast("double"))
           .select(col("a_id"), col("b_id"),
             round(col("inter") / (col("a_len") + col("b_len") - col("inter")), 4).as("jaccard_4gram"))
           .filter(col("jaccard_4gram") >= 0.8)
@@ -459,7 +459,7 @@ object TextOps {
             col("n").as("a_n"))), "a_id")
           .join(broadcast(sh.select(col("doc_id").as("b_id"), col("h").as("b_h"),
             col("n").as("b_n"))), "b_id")
-          .withColumn("inter", size(array_intersect(col("a_h"), col("b_h"))).cast("double"))
+          .withColumn("inter", expr(Llm.intersectCountFn(spark, "a_h", "b_h")).cast("double"))
           .filter(col("inter") / (col("a_n") + col("b_n") - col("inter")) >= 0.6)
           .select(col("a_id"), col("b_id"))
         val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))

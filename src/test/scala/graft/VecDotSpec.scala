@@ -36,6 +36,26 @@ class VecDotSpec extends SparkFixture {
     assert(r.isNullAt(0))
   }
 
+  test("sorted_intersect_count equals the built-in intersection on random sorted sets") {
+    def lit(xs: List[Long]): String =
+      s"CAST(array(${xs.map(_ + "L").mkString(",")}) AS ARRAY<BIGINT>)"
+    checkAll(org.scalacheck.Gen.listOfN(2,
+      org.scalacheck.Gen.listOf(org.scalacheck.Gen.chooseNum(-1000L, 1000L)))) { lists =>
+      val Seq(a, b) = lists.map(_.distinct.sorted)
+      val row = spark.sql(
+        s"SELECT sorted_intersect_count(${lit(a)}, ${lit(b)}), " +
+          s"size(array_intersect(${lit(a)}, ${lit(b)}))").head
+      assert(row.getInt(0) == row.getInt(1), s"a=$a b=$b")
+    }
+  }
+
+  test("sorted_intersect_count: NULL input yields NULL; empty arrays count 0") {
+    val r = spark.sql(
+      "SELECT sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)), " +
+        "sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L, 2L))").head
+    assert(r.isNullAt(0) && r.getInt(1) == 0)
+  }
+
   test("vec_dot participates in whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
