@@ -271,6 +271,11 @@ object StreamOps {
       None),
 
     // Streaming sinks: foreachBatch → parquet (prod path) then read back.
+    // Exactly-once across retries AND restarts: each micro-batch writes to
+    // a deterministic batch=<id> directory with overwrite — a replayed
+    // batch (task retry, restart from checkpoint re-running the last
+    // uncommitted batch) overwrites its own output instead of appending a
+    // duplicate. StreamingSpec proves the restart path end-to-end.
     Q("sink_stream",
       (spark, sfDir) => {
         val outDir = Files.createTempDirectory("graft_sink_parquet").toString
@@ -280,7 +285,7 @@ object StreamOps {
           .select(col("event_id"), col("user_id"), col("value"))
         val q = purchases.writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.write.mode("append").parquet(outDir)
+            batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()

@@ -287,6 +287,38 @@ class StreamingSpec extends SparkFixture {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("foreachBatch parquet sink is exactly-once across a checkpointed restart") {
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("graft_restart_src")
+    val outDir = Files.createTempDirectory("graft_restart_out").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val n = Tables.events(spark, sf001).count()
+    var processedThisRun = 0L
+    def run(): Unit = {
+      processedThisRun = 0L
+      val q = Sources.replayEvents(spark, srcDir.toString)
+        .select(col("event_id"), col("user_id"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processedThisRun += batch.count()
+          batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: only file A exists
+    Files.copy(Paths.get(s"$sf001/events.parquet"), srcDir.resolve("a.parquet"))
+    run()
+    assert(processedThisRun == n, s"run 1 must process A: $processedThisRun != $n")
+    // run 2, SAME checkpoint: file B appears — A must NOT be reprocessed
+    // (no duplicates), B must not be missed (no loss)
+    Files.copy(Paths.get(s"$sf001/events.parquet"), srcDir.resolve("b.parquet"))
+    run()
+    assert(processedThisRun == n, s"run 2 must process ONLY B: $processedThisRun != $n")
+    assert(spark.read.parquet(outDir).count() == 2 * n, "sink must hold A ∪ B exactly once")
+  }
+
   test("stream-static join enriches streamed events against the static dim") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
