@@ -113,6 +113,40 @@ class PlanShapeSpec extends SparkFixture {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // one key owns ~all fact rows; thresholds floored so the fixture-sized
+    // skew qualifies; broadcast disabled so the join is a sort-merge join
+    // AQE can rewrite
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200000)
+        .select(when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(64).select(col("id").as("k"), (col("id") * 10).as("v"))
+      val q = fact.join(dim, "k").groupBy(col("k") % 8).agg(count(lit(1)))
+      q.collect() // AQE decides from RUNTIME shuffle sizes — must execute
+      val finalPlan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(finalPlan.contains("skew=true"),
+        "expected AQE to mark the skewed SMJ side:\n" + finalPlan.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ---- partitioned layout: the 100 TB scan story (graft.ops.Layout) ----
 
   private lazy val dppDir: String = {
@@ -134,6 +168,17 @@ class PlanShapeSpec extends SparkFixture {
     // not in PushedFilters (row-group evaluation inside every file)
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("event_date"), p.take(2000))
+  }
+
+  test("date-partitioned layout round-trips the events table losslessly") {
+    import org.apache.spark.sql.functions._
+    val before = graft.Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(_.toSeq).toSet
+    val after = graft.ops.Layout.readEvents(spark, dppDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(_.toSeq).toSet
+    assert(after == before && before.nonEmpty)
   }
 
   test("join against a filtered date dim triggers dynamic partition pruning") {
