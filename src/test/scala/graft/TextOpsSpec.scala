@@ -220,6 +220,34 @@ class TextOpsSpec extends SparkFixture {
     assert(chained, "fixture must contain at least one closure-only A..C link")
   }
 
+  test("prefixCandidates is COMPLETE: every pair at J >= t shares an indexed hash (t = 4/5 and 3/5)") {
+    // the completeness theorem is what makes the exact dedup keys
+    // oracle-gateable — property-test it on random set corpora with
+    // planted near-identical copies (drop one element: J = (n-1)/n)
+    import spark.implicits._
+    checkAll(org.scalacheck.Gen.listOfN(20,
+      org.scalacheck.Gen.chooseNum(5, 40).flatMap(n =>
+        org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.chooseNum(0L, 99L)))), n = 5) { raw =>
+      val docs: Seq[(Long, Set[Long])] = raw.zipWithIndex.map { case (xs, i) =>
+        (i.toLong, xs.toSet)
+      }.filter(_._2.size >= 5)
+      val planted = docs.take(8).map { case (id, s) => (id + 1000L, s - s.min) }
+      val all = (docs ++ planted).toMap
+      val df = all.toSeq.map { case (id, s) => (id, s.toSeq.sorted) }.toDF("doc_id", "h")
+      for ((tn, td) <- Seq((4, 5), (3, 5))) {
+        val t = tn.toDouble / td
+        val cands = TextOps.prefixCandidates(df, tn, td)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        for ((a, sa) <- all; (b, sb) <- all if a < b) {
+          val j = (sa & sb).size.toDouble / (sa | sb).size
+          if (j >= t)
+            assert(cands.contains((a, b)),
+              s"t=$tn/$td missed ($a,$b) at J=$j: |a|=${sa.size} |b|=${sb.size}")
+        }
+      }
+    }
+  }
+
   test("llm_dedup_ngram: planted pairs all found at 4-gram Jaccard ≥ 0.8") {
     val out = SparkEntry.queries("llm_dedup_ngram")(spark, sf001)
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
