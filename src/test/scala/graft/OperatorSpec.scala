@@ -151,4 +151,39 @@ class OperatorSpec extends SparkFixture {
       assert(once.except(b).collect().toSet == once.collect().toSet)
     }
   }
+
+  // ---- SQL entry point ----
+
+  test("spark.sql over registered views equals the DataFrame API on every ANSI-portable key") {
+    // The oracle SQL doubles as the engine's own SQL surface wherever the
+    // dialect is shared ANSI (34 of 60 declared oracles parse on Spark
+    // unchanged); users of the reference run SQL, so both entry points
+    // must converge on identical results, not merely identical plans.
+    val portable = Seq(
+      "agg_distinct", "agg_grouping_sets", "agg_hash_q1", "agg_highcard",
+      "agg_multi_distinct", "agg_pivot", "agg_stats", "filter_pred",
+      // fn_string is excluded: it PARSES on Spark but '\w' regex literals
+      // escape differently between the dialects (DuckDB keeps the
+      // backslash, Spark's string parser eats it) — parseable ≠ portable
+      "fn_case_null", "fn_math", "fn_struct",
+      "join_anti", "join_broadcast", "join_cross", "join_full_outer",
+      "join_inner_equi", "join_left_outer", "join_semi", "join_skew_salted",
+      "join_theta", "llm_doc_sample", "project_expr", "scan_parquet",
+      "scan_pruned", "setop_except", "setop_intersect", "setop_union_all",
+      "sort_global", "sort_limit_topk", "udaf_aggregator", "udf_scalar",
+      "window_rank", "window_topk_group")
+    Tables.registerAll(spark, sf001)
+    def norm(rows: Array[org.apache.spark.sql.Row]): Map[Seq[Any], Int] =
+      rows.map(_.toSeq.map {
+        case d: java.math.BigDecimal => d.doubleValue
+        case d: BigDecimal => d.doubleValue
+        case f: Float => f.toDouble
+        case x => x
+      }).groupBy(identity).view.mapValues(_.length).toMap
+    portable.foreach { k =>
+      val api = norm(SparkEntry.queries(k)(spark, sf001).collect())
+      val sql = norm(spark.sql(SparkEntry.oracleSql(k)).collect())
+      assert(api == sql, s"$k: SQL and DataFrame entry points diverge")
+    }
+  }
 }
