@@ -22,11 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics are IDENTICAL to the HOF fold the oracle SQL mirrors: a
   * sequential float64 accumulation in array order (each f32×f32 product is
-  * exact in f64), and ragged inputs return NULL — exactly what
+  * exact in f64); ragged inputs return NULL — exactly what
   * `aggregate(zip_with(...))` produces when zip_with null-pads the shorter
-  * array — so swapping it in cannot change any value, with or without the
-  * extension installed. Array elements must be non-null (fixture embeddings
-  * declare `containsNull = false`).
+  * array — and a NULL ELEMENT returns NULL too (a null product absorbs the
+  * whole fold in the HOF). Swapping it in therefore cannot change any
+  * value, with or without the extension installed; the element-null check
+  * is only code-generated when the input type says `containsNull`, so the
+  * non-null fast path stays a bare fused loop.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -45,6 +47,11 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       s"vec_dot expects two ARRAY<FLOAT> inputs, got (${left.dataType}, ${right.dataType})")
   }
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -53,7 +60,11 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = a.numElements()
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        if (elementsNullable && (a.isNullAt(i) || b.isNullAt(i))) return null
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
       acc
     }
   }
@@ -63,6 +74,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -70,9 +84,12 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })
@@ -96,5 +113,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))))
+    // queries written against the documented HOF fallback get the native
+    // kernel automatically (see [[RewriteHofDotProduct]] soundness gates)
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -14,12 +14,19 @@ class VecDotSpec extends SparkFixture {
   }
 
   test("vec_dot is bit-identical to the interpreted HOF fold on fixture vectors") {
-    val e = Tables.embeddings(spark, sf001).limit(100)
-      .select(col("vec_id"), col("embedding"))
-    val both = e.select(col("vec_id"),
-      expr("vec_dot(embedding, embedding)").as("native"),
-      expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
-    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // exclude the rewrite rule here, or the "HOF" side silently becomes a
+    // second vec_dot and the comparison proves nothing
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.RewriteHofDotProduct")
+    try {
+      val e = Tables.embeddings(spark, sf001).limit(100)
+        .select(col("vec_id"), col("embedding"))
+      val both = e.select(col("vec_id"),
+        expr("vec_dot(embedding, embedding)").as("native"),
+        expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
+      val plan = both.queryExecution.optimizedPlan.toString
+      assert("vec_dot".r.findAllIn(plan).size == 1, "exclusion must leave the HOF interpreted")
+      assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
   test("vec_dot on ragged arrays is NULL, matching the zip_with null-pad fallback") {
@@ -54,6 +61,38 @@ class VecDotSpec extends SparkFixture {
       "SELECT sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)), " +
         "sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L, 2L))").head
     assert(r.isNullAt(0) && r.getInt(1) == 0)
+  }
+
+  test("optimizer rewrites the HOF dot-product fallback into native vec_dot") {
+    val hof = "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val df = Tables.embeddings(spark, sf001).select(expr(hof).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot"), "HOF pattern must rewrite:\n" + optimized.take(800))
+    // rewritten results are the values the interpreted fold produces
+    val viaRule = df.limit(50).collect().map(_.getDouble(0))
+    val viaNative = Tables.embeddings(spark, sf001)
+      .select(expr("vec_dot(embedding, embedding)")).limit(50).collect().map(_.getDouble(0))
+    assert(viaRule.toSeq == viaNative.toSeq)
+  }
+
+  test("the HOF rewrite declines unsound shapes (wrong zero, wrong merge)") {
+    // zero != 0.0 changes the fold result — must NOT rewrite
+    val wrongZero = Tables.embeddings(spark, sf001).select(expr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(1.0 AS DOUBLE), (acc, v) -> acc + v)").as("d"))
+    assert(!wrongZero.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    // subtraction merge is not the dot fold — must NOT rewrite
+    val wrongMerge = Tables.embeddings(spark, sf001).select(expr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc - v)").as("d"))
+    assert(!wrongMerge.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+  }
+
+  test("vec_dot NULL element yields NULL, matching the HOF's absorbing null product") {
+    val r = spark.sql(
+      "SELECT vec_dot(a, b), " +
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) " +
+        "FROM (SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a, " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)) AS b)").head
+    assert(r.isNullAt(0) && r.isNullAt(1), "native and HOF must agree on null elements")
   }
 
   test("vec_dot participates in whole-stage codegen") {
