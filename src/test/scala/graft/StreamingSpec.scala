@@ -287,6 +287,42 @@ class StreamingSpec extends SparkFixture {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("left-outer stream-stream join emits null-extended rows only after the watermark closes the window") {
+    implicit val ctx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Timestamp, Long)]
+    val buysIn = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = clicksIn.toDF().toDF("c_user", "c_ts", "click_id")
+      .withWatermark("c_ts", "0 seconds")
+    val buys = buysIn.toDF().toDF("b_user", "b_ts", "buy_id")
+      .withWatermark("b_ts", "0 seconds")
+    val joined = clicks.join(buys,
+      col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") && col("b_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("c_user"), col("click_id"), col("buy_id"))
+    val tbl = sinkName()
+    val q = joined.writeStream.format("memory").queryName(tbl)
+      .outputMode(OutputMode.Append()).start()
+    // user 1 clicks and buys within the hour; user 2 clicks, never buys
+    clicksIn.addData((1L, ts("2024-01-01 00:00:00"), 10L), (2L, ts("2024-01-01 00:00:00"), 20L))
+    buysIn.addData((1L, ts("2024-01-01 00:30:00"), 100L))
+    q.processAllAvailable()
+    val matchedOnly = spark.table(tbl).collect().map(r => (r.getLong(0), r.get(2)))
+    assert(matchedOnly.contains((1L, 100L)))
+    assert(!matchedOnly.exists(_._1 == 2L),
+      "user 2's outer row must NOT emit while its join window is still open")
+    // advance BOTH watermarks past 01:00 -> user 2's window is closed and
+    // the null-extended row must flush
+    clicksIn.addData((9L, ts("2024-01-01 03:00:00"), 90L))
+    buysIn.addData((9L, ts("2024-01-01 03:00:01"), 900L))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val rows = spark.table(tbl).collect().map(r => (r.getLong(0), r.get(2)))
+    assert(rows.contains((2L, null)),
+      s"outer row for user 2 must emit after watermark passes: ${rows.mkString(",")}")
+  }
+
   test("foreachBatch parquet sink is exactly-once across a checkpointed restart") {
     import java.nio.file.{Files, Paths}
     val srcDir = Files.createTempDirectory("graft_restart_src")
