@@ -202,6 +202,26 @@ object Aggregates {
           .orderBy(col("event_type")),
       None),
 
+    // Mergeable-sketch re-aggregation (§2.12 extension): per-(type, day)
+    // HLL sketches — the KB-sized persisted partial — merged per type with
+    // hll_union_agg. This is the incremental-rollup pattern at 100 TB:
+    // store the day-level sketch once, then answer any date-range distinct
+    // count by merging sketches instead of rescanning events. Sketch bytes
+    // are engine-specific ⇒ no SQL oracle; AggregatesSpec checks the
+    // merged estimate against the exact distinct count and against the
+    // directly-built single sketch.
+    Q("agg_sketch_merge",
+      (spark, sfDir) => {
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sketch"))
+        daily.groupBy(col("event_type"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("approx_users"),
+            count(lit(1)).as("n_days"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
     // Quantile sketch (§2.12 extension): per-group median/p95/p99 via
     // approx_percentile — the profiling aggregate a data pipeline runs
     // before choosing filters/thresholds. Mergeable sketch ⇒ two-phase

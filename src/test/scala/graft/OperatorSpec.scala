@@ -110,6 +110,25 @@ class OperatorSpec extends SparkFixture {
     assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("agg_sketch_merge: merged daily HLL sketches match exact and direct-sketch counts") {
+    val merged = SparkEntry.queries("agg_sketch_merge")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.events(spark, sf001)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val (est, days) = merged(t)
+      assert(days > 1, s"$t: merging must span multiple daily partials")
+      assert(math.abs(est - n).toDouble / n <= 0.05, s"$t: merged=$est exact=$n")
+      assert(est == direct(t),
+        s"$t: union of same-lgK partials must equal the directly built sketch")
+    }
+  }
+
   // ---- windows ----
 
   test("running sum's last value per partition equals the partition total") {
