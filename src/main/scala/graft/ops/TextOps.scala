@@ -5,15 +5,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline extensions beyond SURVEY §2.10: language-ID,
-  * quality scoring, token counting, document fingerprinting, and the
-  * remaining dedup/similarity families (n-gram Jaccard, SimHash,
-  * embedding-cosine, sign-LSH ANN).
+  * quality scoring, token counting, document fingerprinting, deterministic
+  * sampling, and the remaining dedup/similarity families (n-gram Jaccard,
+  * SimHash, embedding-cosine, sign-LSH ANN, dedup connected components).
   *
   * Scale notes: every per-document op here is a single narrow projection
-  * over the scan (no shuffle); the pairwise ops reuse the banded-LSH
-  * pattern from [[Llm]] — candidates from bucket equality, never all-pairs,
-  * with the per-element kernels compiled (interpreted HOF lambdas are kept
-  * off the corpus-wide hot path).
+  * over the scan (no shuffle); the pairwise ops generate candidates from
+  * bucket equality — salted banded-LSH ([[Llm.bandedPairs]]) for the
+  * probabilistic families, the exact prefix filter ([[prefixCandidates]])
+  * for the oracle-gated ones — never an all-pairs product, with the
+  * per-element kernels compiled (interpreted HOF lambdas are kept off the
+  * corpus-wide hot path).
   */
 object TextOps {
 
@@ -94,7 +96,10 @@ object TextOps {
     * theorem), and any pair with Jaccard ≥ t provably shares an indexed
     * hash under this fixed global order — candidate generation with NO
     * probabilistic miss, unlike MinHash banding. Shuffles carry
-    * (hash, doc_id) postings only. */
+    * (hash, doc_id) postings only. Unlike [[Llm.bandedPairs]] this
+    * generator cannot salt over-full postings without losing exactness —
+    * a corpus where one indexed hash posts O(n) documents has a truly
+    * O(n²) answer and belongs to the capped probabilistic path. */
   def prefixCandidates(hashed: DataFrame, tNum: Int, tDen: Int): DataFrame =
     hashed
       .select(col("doc_id"), explode(expr(
