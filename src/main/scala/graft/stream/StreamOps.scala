@@ -312,6 +312,12 @@ object StreamOps {
 
     // Exactly-once per event_id across micro-batches: the replay dir holds
     // two copies of the events file (2 batches); state dedups the second.
+    // WITHIN-WATERMARK dedup, not plain dropDuplicates: the plain variant
+    // keys state on every event_id ever seen — unbounded at 100 TB — while
+    // this one expires state once the watermark passes, bounding it by
+    // (watermark delay + duplicate skew). The delay here exceeds the
+    // fixture's whole span, so the output is identical to the unbounded
+    // variant; StreamingSpec pins the bounded-state semantics.
     Q("stream_dedup",
       (spark, sfDir) => {
         val dir = Files.createTempDirectory("graft_dedup")
@@ -320,7 +326,8 @@ object StreamOps {
         Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("b.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
         val deduped = Sources.replayEvents(spark, dir.toString)
-          .dropDuplicates("event_id")
+          .withWatermark("ts", "30 days")
+          .dropDuplicatesWithinWatermark("event_id")
         runToTable(spark, deduped, OutputMode.Append())
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))

@@ -287,6 +287,34 @@ class StreamingSpec extends SparkFixture {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark dedups inside the window and expires state past it") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val tbl = sinkName()
+    val q = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: id 1 twice in-batch -> one survivor; watermark -> 00:50
+    input.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:00:30")),
+      (2L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    // batch 2: id 2 again within its watermark window -> dropped as dup;
+    // advance watermark far past id 1's state
+    input.addData((2L, ts("2024-01-01 01:01:00")), (3L, ts("2024-01-01 09:00:00")))
+    q.processAllAvailable()
+    // batch 3: id 1 returns AFTER its dedup state expired -> re-admitted —
+    // the bounded-state trade-off (state ∝ watermark window, not history)
+    input.addData((1L, ts("2024-01-01 09:30:00")))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val ids = spark.table(tbl).select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.count(_ == 2L) == 1, s"in-window duplicate must drop: $ids")
+    assert(ids.count(_ == 1L) == 2, s"expired-state id must re-admit (bounded state): $ids")
+    assert(ids.count(_ == 3L) == 1)
+  }
+
   test("left-outer stream-stream join emits null-extended rows only after the watermark closes the window") {
     implicit val ctx = spark.sqlContext
     val clicksIn = MemoryStream[(Long, Timestamp, Long)]
