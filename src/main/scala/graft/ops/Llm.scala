@@ -328,16 +328,18 @@ object Llm {
           .orderBy(col("doc_id")),
       None),
 
-    // Multimodal batch decode + frame sampling (§2.12 extension): the
-    // per-partition BATCHED decode pipeline — payload rows stream through
-    // [[decodeBatch]] in bounded 64-row slices inside each partition (no
-    // shuffle before decode; the one exchange in the plan is the final
-    // presentation sort). This is the Spark-side plumbing a real
-    // image/audio/video pipeline needs — typed input/output schemas,
+    // Multimodal batch decode + resize + frame sampling (§2.12 extension):
+    // the per-partition BATCHED decode pipeline — payload rows stream
+    // through [[decodeBatch]] in bounded 64-row slices inside each
+    // partition (no shuffle before decode; the one exchange in the plan is
+    // the final presentation sort), then the aspect-preserving fit into
+    // the 224×224 training pixel budget runs as plain codegen'd column
+    // arithmetic over the decoded dims. This is the Spark-side plumbing a
+    // real image/audio/video pipeline needs — typed input/output schemas,
     // partition-local batching, bounded memory — with only the codec call
     // stubbed (see [[decodeBatch]]). No oracle: the stub's outputs are
-    // engine-specific; determinism + sampling arithmetic + plan shape are
-    // property-tested.
+    // engine-specific; determinism + sampling/resize arithmetic + plan
+    // shape are property-tested.
     Q("llm_multimodal_decode",
       (spark, sfDir) => {
         import spark.implicits._
@@ -348,7 +350,11 @@ object Llm {
           .as[MediaIn]
           .mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b.toSeq)))
           .toDF()
+          .withColumn("scale",
+            least(lit(224.0) / col("width"), lit(224.0) / col("height")))
           .select(col("doc_id"), col("mime"), col("width"), col("height"),
+            round(col("width") * col("scale")).cast("int").as("resized_w"),
+            round(col("height") * col("scale")).cast("int").as("resized_h"),
             col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
           .orderBy(col("doc_id"))
       },

@@ -105,11 +105,22 @@ class LlmSpec extends SparkFixture {
     val b = q(spark, sf001).collect()
     assert(a.toSeq == b.toSeq, "batched decode must be rerun-identical")
     assert(a.nonEmpty)
-    // frame sampling: 1 per 24 frames, always includes frame 0
+    // frame sampling: 1 per 24 frames, always includes frame 0; resize:
+    // aspect-preserving fit into the 224x224 budget (binding axis = 224)
     a.foreach { r =>
-      val (nFrames, nSampled) = (r.getInt(4), r.getInt(5))
+      val (w, h) = (r.getInt(2), r.getInt(3))
+      val (rw, rh) = (r.getInt(4), r.getInt(5))
+      val (nFrames, nSampled) = (r.getInt(6), r.getInt(7))
       assert(nSampled == (nFrames + 23) / 24, s"doc ${r.getLong(0)}: $nSampled of $nFrames")
-      assert(r.getInt(2) >= 1 && r.getInt(2) <= 1920 && r.getInt(3) >= 1 && r.getInt(3) <= 1080)
+      assert(w >= 1 && w <= 1920 && h >= 1 && h <= 1080)
+      assert(rw <= 224 && rh <= 224 && math.max(rw, rh) == 224,
+        s"doc ${r.getLong(0)}: resize ($w,$h) -> ($rw,$rh) must bind one axis to 224")
+      val aspectIn = w.toDouble / h
+      val aspectOut = rw.toDouble / rh
+      // rounding grants ±0.5 px on the short axis, i.e. ~0.5/min(rw,rh)
+      // of relative ratio shift — scale the tolerance accordingly
+      assert(math.abs(aspectIn - aspectOut) / aspectIn < 0.01 + 0.6 / math.min(rw, rh),
+        s"doc ${r.getLong(0)}: aspect $aspectIn -> $aspectOut drifted")
     }
     // plumbing: decode runs inside the partition — the only exchange in
     // the plan is the final presentation sort
