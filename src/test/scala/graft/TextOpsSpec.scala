@@ -87,6 +87,14 @@ class TextOpsSpec extends SparkFixture {
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val recalled = truth.count { case (p, t) => ann.getOrElse(p, Set.empty).contains(t) }
     assert(recalled >= 36, s"recall ${recalled / 40.0} < 0.9 on perturbed planted neighbors")
+    // and not carried by the easy end of the band: recall must hold in the
+    // HARDEST similarity tercile too (the largest-eps plants, cos ≈ 0.95,
+    // where single-table LSH was ~43% — theory for 8×8-bit is ≈ 0.99)
+    val hardest = (0 until 40).sortBy(id => cosines(id)).take(13)
+    val hardRecalled = hardest.count(id =>
+      ann.getOrElse(id.toLong, Set.empty).contains(id + 1000L))
+    assert(hardRecalled >= 11,
+      s"hard-tercile recall $hardRecalled/13 (cos ${cosines(hardest.head)}..${cosines(hardest.last)})")
   }
 
   test("sign-LSH ANN recalls cluster neighbors on planted cluster structure") {
