@@ -38,4 +38,20 @@ object Layout {
     * regular column by partition discovery). */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Write fixture tables BUCKETED (and sorted) by their join key into a
+    * catalog database — the co-located-join layout: two tables bucketed
+    * the same way on the same key join WITHOUT a shuffle exchange on
+    * either side, the biggest repeated-join saving at 100 TB (the fact
+    * table's shuffle is paid once at write time, amortized over every
+    * subsequent join). PlanShapeSpec asserts the exchange-free plan. */
+  def writeBucketed(spark: SparkSession, sfDir: String, db: String,
+      location: String, tables: Seq[(String, String)], nBuckets: Int): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+    tables.foreach { case (t, key) =>
+      Tables.read(spark, sfDir, t).write
+        .bucketBy(nBuckets, key).sortBy(key)
+        .mode("overwrite").saveAsTable(s"$db.$t")
+    }
+  }
 }

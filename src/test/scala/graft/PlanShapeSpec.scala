@@ -155,6 +155,25 @@ class PlanShapeSpec extends SparkFixture {
     dir
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val loc = java.nio.file.Files.createTempDirectory("graft_buckets_wh").toString
+    graft.ops.Layout.writeBucketed(spark, sf001, "graft_buckets", loc,
+      Seq("orders" -> "o_custkey", "customer" -> "c_custkey"), nBuckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join path
+    try {
+      val q = spark.table("graft_buckets.orders")
+        .join(spark.table("graft_buckets.customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      assert(!p.contains("Exchange"),
+        "bucketed-by-key join must not shuffle either side:\n" + p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("date-partitioned events: a literal date predicate prunes partitions statically") {
     import org.apache.spark.sql.functions._
     val fact = graft.ops.Layout.readEvents(spark, dppDir)
