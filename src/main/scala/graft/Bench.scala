@@ -61,7 +61,11 @@ object Bench {
         val small = runs(sfSmall)
         val fixed = small.tail.min
         val warm = big.tail.min
-        s"""{"query":${jstr0(name)},"cold_sec":${big.head},"warm_sec":$warm,"fixed_sec":$fixed,"marginal_sec":${warm - fixed}}"""
+        // warm(target) can dip below warm(sf0.001) by scheduler noise on
+        // near-zero-data queries; a cost decomposition can't be negative,
+        // so clamp — both raw warm values are emitted for the appendix
+        val marginal = math.max(0.0, warm - fixed)
+        s"""{"query":${jstr0(name)},"cold_sec":${big.head},"warm_sec":$warm,"fixed_sec":$fixed,"marginal_sec":$marginal}"""
       }
       val out = "[" + rows.mkString(",") + "]"
       Files.writeString(Paths.get("bench_split.json"), out + "\n")
@@ -96,10 +100,12 @@ object Bench {
     // truncated the head of the full line in r1 AND r2 ("parsed": null) —
     // whatever ends up in the tail must parse on its own, so the totals
     // (+ the 12 baseline-protocol queries only) go out again in < 1 KB.
+    // "subset" marks this line as the baseline12-only excerpt so a parser
+    // seeing n_queries (all keys) next to a 12-entry map isn't confused
     val b12qs = results.filter(r => baseline12.contains(r._1))
       .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$b12qs,"baseline12_sec":$b12,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","subset":"baseline12","queries":$b12qs,"baseline12_sec":$b12,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

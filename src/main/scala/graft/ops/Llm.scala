@@ -353,8 +353,10 @@ object Llm {
           .withColumn("scale",
             least(lit(224.0) / col("width"), lit(224.0) / col("height")))
           .select(col("doc_id"), col("mime"), col("width"), col("height"),
-            round(col("width") * col("scale")).cast("int").as("resized_w"),
-            round(col("height") * col("scale")).cast("int").as("resized_h"),
+            // extreme aspect ratios (1×1080) round the short axis to 0 —
+            // clamp to 1 px so the output is always a valid image dim
+            greatest(lit(1), round(col("width") * col("scale")).cast("int")).as("resized_w"),
+            greatest(lit(1), round(col("height") * col("scale")).cast("int")).as("resized_h"),
             col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
           .orderBy(col("doc_id"))
       },

@@ -406,20 +406,25 @@ object TextOps {
     // Deterministic hash sampling (§2.12 extension): training pipelines
     // need REPRODUCIBLE subsamples — TABLESAMPLE / rand() change under
     // retries, AQE re-splits, and engine versions, so the predicate is a
-    // pure function of the key: one LCG step (exact 64-bit integer
-    // arithmetic, bit-identical in DuckDB) bucketed mod 2048, keep 205
-    // buckets ≈ 10.01%. Scale-safe by construction: a pushed-down scan
-    // filter, no shuffle, stable under any partitioning.
+    // pure function of the key: one LCG step bucketed mod 2048, keep 205
+    // buckets ≈ 10.01%. The key is reduced mod 2048 BEFORE the multiply —
+    // (k·a + c) mod 2048 depends only on k mod 2048, so the result is
+    // identical, but the intermediate stays ≤ 2047·a ≈ 2.3e12: no signed
+    // 64-bit overflow for ANY doc_id (a raw doc_id·a wraps past
+    // doc_id ≈ 8.4e9 — silently in Spark, an error in DuckDB), and the
+    // double-mod keeps the remainder non-negative even for negative keys.
+    // Scale-safe by construction: a pushed-down scan filter, no shuffle,
+    // stable under any partitioning.
     Q("llm_doc_sample",
       (spark, sfDir) =>
         Tables.documents(spark, sfDir)
-          .filter((col("doc_id") * 1103515245L + 12345L) % 2048 < 205)
+          .filter(expr("((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048 < 205"))
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .orderBy(col("doc_id")),
       Some("""
         SELECT doc_id, lang, n_chars
         FROM documents
-        WHERE (doc_id * 1103515245 + 12345) % 2048 < 205
+        WHERE ((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048 < 205
         ORDER BY doc_id""".trim)),
 
     // ANN similarity search — the bucketed scale path for llm_sim_knn,

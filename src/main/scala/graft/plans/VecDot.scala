@@ -47,10 +47,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       s"vec_dot expects two ARRAY<FLOAT> inputs, got (${left.dataType}, ${right.dataType})")
   }
 
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => false
-  })
+  // val, not def: the interpreted path reads this per element per row
+  // inside the hot loop — the dataType pattern match must run once
+  @transient private lazy val elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -113,6 +113,8 @@ class LlmSpec extends SparkFixture {
       val (nFrames, nSampled) = (r.getInt(6), r.getInt(7))
       assert(nSampled == (nFrames + 23) / 24, s"doc ${r.getLong(0)}: $nSampled of $nFrames")
       assert(w >= 1 && w <= 1920 && h >= 1 && h <= 1080)
+      assert(rw >= 1 && rh >= 1,
+        s"doc ${r.getLong(0)}: resize ($w,$h) -> ($rw,$rh) emitted a 0-px axis")
       assert(rw <= 224 && rh <= 224 && math.max(rw, rh) == 224,
         s"doc ${r.getLong(0)}: resize ($w,$h) -> ($rw,$rh) must bind one axis to 224")
       val aspectIn = w.toDouble / h

@@ -172,6 +172,20 @@ class TextOpsSpec extends SparkFixture {
     assert(frac > 0.05 && frac < 0.16, s"sample fraction $frac far from 205/2048")
   }
 
+  test("llm_doc_sample predicate holds the ~10% rate for doc_ids past the 64-bit LCG overflow point") {
+    import spark.implicits._
+    // A raw doc_id·1103515245 wraps signed 64-bit beyond doc_id ≈ 8.4e9;
+    // the mod-reduced predicate must keep sampling ≈ 205/2048 up there
+    // (the wrapped form would let every negative remainder through ≈ 55%).
+    val huge = spark.range(0, 100000)
+      .select((col("id") + (Long.MaxValue - 200000L)).as("doc_id"))
+    val kept = huge
+      .filter(expr("((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048 < 205"))
+      .count()
+    val frac = kept / 100000.0
+    assert(frac > 0.05 && frac < 0.16, s"overflow-range fraction $frac far from 205/2048")
+  }
+
   test("agg_approx_quantile estimates sit within tight rank bounds of exact percentiles") {
     import org.apache.spark.sql.Row
     val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf001)
