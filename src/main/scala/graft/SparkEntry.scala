@@ -13,8 +13,8 @@ object SparkEntry {
   private lazy val registry: Seq[Q] =
     ops.Scans.queries ++ ops.Functions.queries ++ ops.Joins.queries ++
       ops.Aggregates.queries ++ ops.Windows.queries ++ ops.SortsSetops.queries ++
-      ops.Llm.queries ++ ops.TextOps.queries ++ ops.Udx.queries ++
-      stream.StreamOps.queries
+      ops.Llm.queries ++ ops.TextOps.queries ++ ops.Pipeline.queries ++
+      ops.Udx.queries ++ stream.StreamOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

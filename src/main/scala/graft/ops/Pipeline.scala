@@ -1,0 +1,326 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Q, Tables}
+
+/** Training-data pipeline operators, round 4 (§2.12 extensions): the
+  * corpus-preparation stages between raw scraped text and a training run —
+  * chunking, repetition-quality filtering, test-set decontamination, domain
+  * mixing, embedding quantization, TF-IDF keywording, and IVF ANN.
+  *
+  * Every operator here is a narrow per-document projection or a
+  * broadcast-joined filter: the shuffles that exist (tfidf's doc-term agg,
+  * decontaminate's gram join) carry ids + short grams, never full text, so
+  * each plan's network volume is a small fraction of the corpus and the
+  * shapes survive a 100 TB / 1000-executor scale-up unchanged.
+  */
+object Pipeline {
+
+  /** Word-window chunking shared shape: 1-based start positions at the
+    * given stride; Spark `sequence`/`slice` and DuckDB
+    * `generate_series`/list-slice agree on inclusive 1-based semantics. */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
+  /** Decontamination gram width: small enough to hit the fixture's planted
+    * template overlaps, the production knob is the same expression at 8-13. */
+  private val GramN = 5
+
+  def queries: Seq[Q] = Seq(
+
+    // Chunk splitting: fixed word-window chunks with overlap (window 32,
+    // stride 24 → 8-word overlap), the standard shaping step before
+    // tokenization. Scale-safe by construction: pure per-row explode —
+    // no shuffle at all except the presentation sort; chunk count per doc
+    // is ceil(n_words/stride), bounded by document length.
+    Q("llm_chunk_split",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .select(col("doc_id"), col("words"),
+            explode(sequence(lit(1), size(col("words")), lit(ChunkStride))).as("chunk_start"))
+          .select(col("doc_id"), col("chunk_start"),
+            size(slice(col("words"), col("chunk_start"), lit(ChunkLen))).as("n_tokens"),
+            array_join(slice(col("words"), col("chunk_start"), lit(ChunkLen)), " ").as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_start")),
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        s AS (SELECT doc_id, words, unnest(generate_series(1, len(words), $ChunkStride)) AS cs FROM w)
+        SELECT doc_id, CAST(cs AS INT) AS chunk_start,
+          CAST(len(words[cs:cs+${ChunkLen - 1}]) AS INT) AS n_tokens,
+          array_to_string(words[cs:cs+${ChunkLen - 1}], ' ') AS chunk_text
+        FROM s ORDER BY doc_id, chunk_start""".trim)),
+
+    // Repetition-quality filter (Gopher-style): duplicate-word and
+    // duplicate-bigram ratios per document, with a flag for the repetitive
+    // tail. Entirely array-function arithmetic inside the row — no explode,
+    // no shuffle; the ratios are single IEEE divisions of exact ints so the
+    // oracle matches bit-for-bit. The empty-bigram guard returns
+    // `slice(words, 1, 0)` (an empty ARRAY<STRING>) because a bare
+    // `array()` would type as ARRAY<NULL> and break the CASE.
+    Q("llm_quality_repetition",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .withColumn("bigrams",
+            expr("CASE WHEN size(words) >= 2 THEN transform(sequence(1, size(words) - 1)," +
+              " i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))" +
+              " ELSE slice(words, 1, 0) END"))
+          .select(col("doc_id"),
+            size(col("words")).as("n_words"),
+            size(array_distinct(col("words"))).as("n_distinct"),
+            (lit(1.0) - size(array_distinct(col("words"))).cast("double") / size(col("words")))
+              .as("dup_word_ratio"),
+            when(size(col("bigrams")) === 0, lit(0.0))
+              .otherwise(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") / size(col("bigrams")))
+              .as("dup_bigram_ratio"))
+          .withColumn("flagged", col("dup_bigram_ratio") > 0.06)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        b AS (SELECT doc_id, words,
+          CASE WHEN len(words) >= 2 THEN list_transform(generate_series(1, len(words) - 1),
+            i -> words[i] || ' ' || words[i + 1]) ELSE words[1:0] END AS bigrams FROM w)
+        SELECT doc_id,
+          CAST(len(words) AS INT) AS n_words,
+          CAST(len(list_distinct(words)) AS INT) AS n_distinct,
+          1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_word_ratio,
+          CASE WHEN len(bigrams) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) END AS dup_bigram_ratio,
+          (CASE WHEN len(bigrams) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) END) > 0.06 AS flagged
+        FROM b ORDER BY doc_id""".trim)),
+
+    // Test-set decontamination: flag training documents sharing any word
+    // 5-gram with the held-out set (doc_id < 20 here). The held-out gram
+    // set is tiny relative to the corpus — broadcast it, so the corpus-side
+    // gram explode never shuffles: each training gram probes the hash map
+    // in place and only (doc_id, gram) survivors reach the count-distinct.
+    // At production scale the gram string would be xxhash64'd before the
+    // join (8 bytes instead of ~30); the string join keeps the DuckDB
+    // oracle exact here and changes nothing about the plan shape.
+    Q("llm_decontaminate",
+      (spark, sfDir) => {
+        val grams = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .select(col("doc_id"), explode(expr(
+            s"CASE WHEN size(words) >= $GramN THEN transform(sequence(1, size(words) - ${GramN - 1})," +
+              s" i -> array_join(slice(words, i, $GramN), ' '))" +
+              " ELSE slice(words, 1, 0) END")).as("gram"))
+        val heldout = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
+        grams.filter(col("doc_id") >= 20)
+          .join(broadcast(heldout), "gram")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        g AS (SELECT doc_id, unnest(
+          CASE WHEN len(words) >= $GramN THEN list_transform(generate_series(1, len(words) - ${GramN - 1}),
+            i -> array_to_string(words[i:i+${GramN - 1}], ' ')) ELSE words[1:0] END) AS gram FROM w),
+        h AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+        FROM g JOIN h USING (gram) WHERE g.doc_id >= 20
+        GROUP BY g.doc_id ORDER BY g.doc_id""".trim)),
+
+    // Domain mixing: per-language stratified sampling at inverse-frequency
+    // rates (en is ~44% of the fixture corpus → 10%; the minority languages
+    // → 30%), equalizing expected per-language counts in the training mix.
+    // The same overflow-safe LCG predicate as llm_doc_sample, so the draw
+    // is reproducible under retries and any partitioning, and the whole
+    // operator is one pushed-down scan filter — zero shuffle.
+    Q("llm_domain_mix",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .filter(expr("((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048" +
+            " < CASE lang WHEN 'en' THEN 205 ELSE 614 END"))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048
+          < CASE lang WHEN 'en' THEN 205 ELSE 614 END
+        ORDER BY doc_id""".trim)),
+
+    // Symmetric int8 embedding quantization: per-vector scale = 127/max|x|,
+    // q_i = floor(x_i·scale + 0.5) ∈ [-127, 127], plus the max
+    // reconstruction error — the storage/bandwidth step before ANN serving
+    // (4 B → 1 B per dim). Pure per-row array arithmetic in double
+    // precision (float inputs widen exactly), no shuffle; the two double
+    // outputs go through the DECIMAL(18,6) emit policy like every other
+    // float oracle.
+    Q("llm_embed_quant",
+      (spark, sfDir) =>
+        Tables.embeddings(spark, sfDir)
+          .withColumn("max_abs", expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
+          .withColumn("scale", expr("CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 1.0 END"))
+          .withColumn("q", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5d) AS INT))"))
+          .withColumn("err_max", expr(
+            "array_max(zip_with(embedding, q, (x, qi) -> abs(CAST(x AS DOUBLE) - qi / scale)))"))
+          .select(col("vec_id"), Det.emit(col("scale"), 6).as("scale_q"),
+            // CSV, not ARRAY<INT>: oracle outputs stay scalar-typed (the
+            // driver compare hashes scalar cells; same convention as
+            // fn_array's top3) — information-identical to the array
+            expr("array_join(transform(q, v -> CAST(v AS STRING)), ',')").as("q_csv"),
+            Det.emit(col("err_max"), 6).as("err_max_q"))
+          .orderBy(col("vec_id")),
+      Some("""
+        WITH b AS (
+          SELECT vec_id, embedding,
+            CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+          FROM embeddings),
+        c AS (SELECT vec_id, embedding,
+          CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 1.0 END AS scale FROM b),
+        d AS (SELECT vec_id, embedding, scale,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS q
+          FROM c)
+        SELECT vec_id,
+          CAST(CAST(scale AS DECIMAL(18,6)) AS DOUBLE) AS scale_q,
+          array_to_string(q, ',') AS q_csv,
+          CAST(CAST(list_max(list_transform(generate_series(1, len(embedding)),
+            i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] / scale))) AS DECIMAL(18,6)) AS DOUBLE) AS err_max_q
+        FROM d ORDER BY vec_id""".trim)),
+
+    // TF-IDF keywording: top-3 terms per document by tf·idf. Two shuffles,
+    // both narrow: the (doc, term) count carries ids + single terms, and
+    // the document-frequency side collapses to |vocab| rows — broadcast
+    // back onto the term counts, so the rank window is the only wide sort.
+    // Scores are ranked on their DECIMAL(18,6)-rounded value with the term
+    // as tiebreak: a last-ulp libm difference between engines cannot flip
+    // an order the rounding has already coarsened.
+    Q("llm_tfidf",
+      (spark, sfDir) => {
+        val docs = Tables.documents(spark, sfDir)
+        val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+        val scored = tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            Det.emit(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1))) + lit(1.0)), 6))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+        s AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+            CAST(CAST(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1)) + 1.0) AS DECIMAL(18,6)) AS DOUBLE) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        r AS (SELECT doc_id, term, tf, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+        SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, score
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".trim)),
+
+    // IVF ANN (§2.12): the centroid-quantizer scale path for similarity
+    // search, complementing the sign-LSH tables of llm_sim_ann. A 16-cell
+    // coarse quantizer is trained by three deterministic Lloyd iterations
+    // (seeded from fixed vec_ids, means reduced distributively — only the
+    // 16×dim centroid table ever reaches the driver), every vector is
+    // assigned to its nearest cell map-side against the broadcast
+    // centroids, and probes search the nprobe=4 nearest cells: ~25% of the
+    // corpus scanned per probe instead of 100%. No oracle (centroid
+    // assignment is iteration-order-free but not SQL-expressible);
+    // PipelineSpec measures recall vs brute force and pins the exactness
+    // of the full-probe limit.
+    Q("llm_ann_ivf",
+      (spark, sfDir) =>
+        ivfTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 10,
+          nCells = 16, nProbe = 4, k = 10)
+          .orderBy(col("probe_id"), col("rank")),
+      None),
+  )
+
+  /** Train a deterministic IVF coarse quantizer and run top-k cosine search
+    * over the probe rows' nprobe nearest cells.
+    *
+    * Scale shape: centroids are O(cells·dim) — broadcast; assignment and
+    * per-cell candidate generation are map-side; the only shuffles are the
+    * 16-key mean reduction per Lloyd iteration and the final per-probe
+    * top-k window. The candidate join is an equi-join on cell id, so at
+    * 1000 executors each probe touches only the partitions holding its
+    * probed cells' vectors.
+    */
+  def ivfTopK(emb: DataFrame, probeFilter: Column, nCells: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    val unit = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(x AS DOUBLE) / " +
+        "sqrt(aggregate(embedding, 0.0d, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+      .as("u"))
+
+    // Seed centroids from fixed ids (deterministic, spread by the id LCG
+    // used elsewhere), then 3 Lloyd iterations. Each iteration: map-side
+    // argmin against the broadcast centroids, distributed (cell, dim) mean,
+    // 16×dim rows collected to rebuild the table.
+    var centroids: Array[Array[Double]] = unit
+      .filter(expr(s"((vec_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048 < ${2048 / nCells}"))
+      .orderBy(col("vec_id")).limit(nCells)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(centroids.length == nCells, s"seeding drew ${centroids.length} of $nCells centroids")
+
+    def assignUdf(cents: Array[Array[Double]]) = udf { (u: Seq[Double]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0; var i = 0
+        while (i < u.length) { d += u(i) * cent(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    for (_ <- 1 to 3) {
+      val means = unit.select(assignUdf(centroids)(col("u")).as("cell"), posexplode(col("u")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val dim = centroids(0).length
+      val next = Array.fill(nCells)(Array.fill(dim)(0.0))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // renormalize so assignment-by-dot stays cosine argmin (empty cells
+      // keep their previous centroid)
+      centroids = next.zip(centroids).map { case (m, prev) =>
+        val n = math.sqrt(m.map(x => x * x).sum)
+        if (n == 0.0) prev else m.map(_ / n)
+      }
+    }
+
+    val assigned = unit.select(col("vec_id"), col("u"), assignUdf(centroids)(col("u")).as("cell"))
+
+    def probeCellsUdf(cents: Array[Array[Double]]) = udf { (u: Seq[Double]) =>
+      cents.indices
+        .map(c => c -> cents(c).zip(u).map { case (a, b) => a * b }.sum)
+        .sortBy { case (c, d) => (-d, c) }.take(nProbe).map(_._1).toArray
+    }
+
+    val probes = assigned.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("u").as("pu"),
+        explode(probeCellsUdf(centroids)(col("u"))).as("cell"))
+    // candidates are ~nProbe/nCells of the corpus per probe — the HOF dot
+    // is off the corpus-wide hot path (vec_dot is ARRAY<FLOAT>-typed; the
+    // unit vectors here are ARRAY<DOUBLE>)
+    val dot = "aggregate(zip_with(pu, u, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
+    probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(expr(dot), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

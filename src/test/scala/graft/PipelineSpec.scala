@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-4 training-pipeline operators: chunk coverage, repetition
+  * flagging, decontamination vs a driver-side brute force, stratified mix
+  * rates, int8 quantization bounds, TF-IDF ranking, and IVF ANN recall
+  * (including the full-probe-equals-brute-force limit).
+  */
+class PipelineSpec extends SparkFixture {
+
+  test("llm_chunk_split covers every word exactly with stride-24/window-32 chunks") {
+    val chunks = SparkEntry.queries("llm_chunk_split")(spark, sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    val words = Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == words.keySet, "every document must be chunked")
+    chunks.foreach { case (doc, cs) =>
+      val n = words(doc)
+      assert(cs.head.getInt(1) == 1, s"doc $doc: first chunk must start at word 1")
+      assert(cs.map(_.getInt(1)).toSeq == (1 to n by 24).toSeq,
+        s"doc $doc: starts must advance by the stride")
+      cs.foreach { c =>
+        val (start, len) = (c.getInt(1), c.getInt(2))
+        assert(len == math.min(32, n - start + 1), s"doc $doc chunk $start: bad length $len")
+        assert(c.getString(3).split(" ").length == len, s"doc $doc chunk $start: text/count mismatch")
+      }
+      assert(cs.last.getInt(1) + cs.last.getInt(2) - 1 == n, s"doc $doc: tail chunk must reach word $n")
+    }
+  }
+
+  test("llm_quality_repetition ratios match a direct recount and drive the flag") {
+    val out = SparkEntry.queries("llm_quality_repetition")(spark, sf001).collect()
+    val texts = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (doc, dupW, dupB, flagged) = (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      assert(dupW >= 0 && dupW < 1 && dupB >= 0 && dupB < 1, s"doc $doc ratios out of range")
+      val ws = texts(doc).split(" ")
+      assert(math.abs(dupW - (1.0 - ws.distinct.length.toDouble / ws.length)) < 1e-12)
+      val bs = ws.sliding(2).map(_.mkString(" ")).toSeq
+      assert(math.abs(dupB - (1.0 - bs.distinct.length.toDouble / bs.length)) < 1e-12)
+      assert(flagged == (dupB > 0.06), s"doc $doc: flag must follow the bigram ratio")
+    }
+    // the threshold must actually split the corpus, else the flag is vacuous
+    val flags = out.count(_.getBoolean(5))
+    assert(flags > 0 && flags < out.length, s"$flags/${out.length} flagged — threshold is vacuous")
+  }
+
+  test("llm_decontaminate equals a driver-side brute-force 5-gram overlap") {
+    val texts = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def grams(ws: Seq[String]): Set[String] =
+      if (ws.length < 5) Set.empty else ws.sliding(5).map(_.mkString(" ")).toSet
+    val held = texts.filter(_._1 < 20).values.flatMap(grams).toSet
+    val expected = texts.filter(_._1 >= 20)
+      .map { case (id, ws) => id -> (grams(ws) & held).size }
+      .filter(_._2 > 0)
+    val got = SparkEntry.queries("llm_decontaminate")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("llm_domain_mix draws per-language rates and nests inside llm_doc_sample for en") {
+    val mix = SparkEntry.queries("llm_domain_mix")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = Tables.documents(spark, sf001).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = mix.groupBy(_._2).view.mapValues(_.length).toMap
+    // binomial 3-sigma bands around 205/2048 (en) and 614/2048 (rest)
+    byLang.foreach { case (lang, n) =>
+      val p = if (lang == "en") 205.0 / 2048 else 614.0 / 2048
+      val sigma = math.sqrt(n * p * (1 - p))
+      val got = sampled.getOrElse(lang, 0).toDouble
+      assert(math.abs(got - n * p) <= 3 * sigma + 1,
+        s"$lang drew $got of $n, expected ~${n * p} ± ${3 * sigma}")
+    }
+    // en uses the same LCG threshold as llm_doc_sample → identical en draw
+    val ds = SparkEntry.queries("llm_doc_sample")(spark, sf001).collect()
+      .filter(_.getString(1) == "en").map(_.getLong(0)).toSet
+    assert(mix.filter(_._2 == "en").map(_._1).toSet == ds,
+      "en stratum must equal the base sampler's en draw")
+  }
+
+  test("llm_embed_quant: int8 range, max element pinned to ±127, error within half a step") {
+    val out = SparkEntry.queries("llm_embed_quant")(spark, sf001).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (id, scale, err) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+      val q = r.getString(2).split(",").map(_.toInt)
+      assert(q.length == 64, s"vec $id: ${q.length} dims")
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id: q out of int8 symmetric range")
+      assert(q.exists(v => v == 127 || v == -127), s"vec $id: max|x| element must hit ±127")
+      // |x - q/scale| ≤ 0.5/scale by round-to-nearest, + the 1e-6 emit grid
+      assert(err <= 0.5 / scale + 1e-6, s"vec $id: err $err > half step ${0.5 / scale}")
+    }
+    // spot-check reconstruction against the raw embeddings
+    val raw = Tables.embeddings(spark, sf001).filter(col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    out.filter(_.getLong(0) < 20).foreach { r =>
+      val (x, scale) = (raw(r.getLong(0)), r.getDouble(1))
+      val q = r.getString(2).split(",").map(_.toInt)
+      x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(xi.toDouble - qi / scale) <= 0.5 / scale + 1e-9)
+      }
+    }
+  }
+
+  test("llm_tfidf ranks each document's true best-scoring terms first") {
+    val rows = SparkEntry.queries("llm_tfidf")(spark, sf001).collect()
+    val texts = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val nDocs = texts.size
+    val df = texts.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == texts.size)
+    byDoc.foreach { case (doc, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to math.min(3, texts(doc).distinct.size)).toSeq, s"doc $doc ranks $ranks")
+      val scores = texts(doc).groupBy(identity).map { case (t, occ) =>
+        t -> occ.size * (math.log((nDocs + 1.0) / (df(t) + 1)) + 1.0)
+      }
+      val top1 = rs.minBy(_.getInt(1))
+      val bestScore = scores.values.max
+      assert(scores(top1.getString(2)) >= bestScore - 2e-6,
+        s"doc $doc: rank-1 term '${top1.getString(2)}' not within tolerance of best $bestScore")
+    }
+  }
+
+  test("llm_ann_ivf with nProbe = nCells equals brute-force exact search") {
+    val emb = Tables.embeddings(spark, sf001)
+    val ivfFull = ops.Pipeline.ivfTopK(emb, col("vec_id") < 10, nCells = 16, nProbe = 16, k = 10)
+      .orderBy(col("probe_id"), col("rank")).collect().toSeq
+    val unit = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(x AS DOUBLE) / " +
+        "sqrt(aggregate(embedding, 0.0d, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+      .as("u"))
+    val brute = unit.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("u").as("pu"))
+      .crossJoin(unit.select(col("vec_id").as("neighbor_id"), col("u")))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(expr(
+        "aggregate(zip_with(pu, u, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank")).collect().toSeq
+    assert(ivfFull == brute, "probing every cell must reduce IVF to exact search")
+  }
+
+  test("llm_ann_ivf at nProbe=4/16 recalls >= 0.9 of planted perturbed (cos~0.97) twins") {
+    // The meaningful ANN workload: each probe has a planted true near
+    // neighbor (last component negated, cos = 1 − 2·x_d² ≈ 0.97 — same
+    // plant as the llm_dedup_embed test). A twin that close lands in the
+    // probe's own or an adjacent centroid cell, so 4-of-16 probing must
+    // find nearly all of them.
+    val emb = Tables.embeddings(spark, sf001)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = size(embedding) - 1, -x, x))").as("embedding"),
+        col("label"))
+    val all = emb.unionByName(planted)
+    val top = ops.Pipeline.ivfTopK(all, col("vec_id") < 20, nCells = 16, nProbe = 4, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val found = (0L until 20L).count(p => top.getOrElse(p, Set.empty).contains(p + 100000))
+    assert(found >= 18, s"only $found/20 planted twins recalled at nProbe=4")
+  }
+
+  test("llm_ann_ivf background (noise-floor) recall@10 stays above 0.5 at nProbe=4/16") {
+    // Fixture embeddings are near-noise: top-10 cosines sit near 0, the
+    // worst case for any partition-based index. This pins the floor — the
+    // planted-twin test above is the recall that matters.
+    val emb = Tables.embeddings(spark, sf001)
+    val ivf = ops.Pipeline.ivfTopK(emb, col("vec_id") < 10, nCells = 16, nProbe = 4, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val exact = ops.Pipeline.ivfTopK(emb, col("vec_id") < 10, nCells = 16, nProbe = 16, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, truth) =>
+      (ivf.getOrElse(p, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 $mean < 0.5 (per-probe: ${recalls.toSeq.sorted.mkString(",")})")
+  }
+}
