@@ -256,10 +256,17 @@ object Pipeline {
     */
   def ivfTopK(emb: DataFrame, probeFilter: Column, nCells: Int, nProbe: Int,
       k: Int): DataFrame = {
-    val unit = emb.select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(x AS DOUBLE) / " +
-        "sqrt(aggregate(embedding, 0.0d, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
-      .as("u"))
+    // Hoist the norm OUT of the transform lambda: an `aggregate` nested in
+    // the lambda body re-evaluates per element — O(dim²) interpreted work
+    // per row (measured: 73 s at sf0.1 before this, ~1 s after). Then
+    // materialize: unit feeds every Lloyd round, the seeding collect, and
+    // the final search — an unmaterialized lineage re-runs the normalize
+    // per action.
+    val unit = emb
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0.0d, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("u"))
+      .localCheckpoint()
 
     // Seed centroids from fixed ids (deterministic, spread by the id LCG
     // used elsewhere), then 3 Lloyd iterations. Each iteration: map-side
@@ -285,7 +292,14 @@ object Pipeline {
     }
 
     for (_ <- 1 to 3) {
-      val means = unit.select(assignUdf(centroids)(col("u")).as("cell"), posexplode(col("u")))
+      // The assignment must be MATERIALIZED before the explode: projected
+      // next to posexplode in one select, Catalyst collapses the projects
+      // and the UDF re-evaluates per exploded OUTPUT row — dim× the calls,
+      // each re-converting the array argument (measured: 23 s/iteration at
+      // sf0.1 fused vs 0.7 s split; the checkpoint is 2 small columns).
+      val cells = unit.select(col("u"), assignUdf(centroids)(col("u")).as("cell"))
+        .localCheckpoint()
+      val means = cells.select(col("cell"), posexplode(col("u")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
         .collect()
       val dim = centroids(0).length
@@ -299,7 +313,9 @@ object Pipeline {
       }
     }
 
+    // materialized: probed twice (probe side + candidate side of the join)
     val assigned = unit.select(col("vec_id"), col("u"), assignUdf(centroids)(col("u")).as("cell"))
+      .localCheckpoint()
 
     def probeCellsUdf(cents: Array[Array[Double]]) = udf { (u: Seq[Double]) =>
       cents.indices
@@ -314,7 +330,7 @@ object Pipeline {
     // is off the corpus-wide hot path (vec_dot is ARRAY<FLOAT>-typed; the
     // unit vectors here are ARRAY<DOUBLE>)
     val dot = "aggregate(zip_with(pu, u, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
-    probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+    broadcast(probes).join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell")
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(expr(dot), 6))
       .withColumn("rank", row_number().over(

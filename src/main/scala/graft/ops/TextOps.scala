@@ -472,8 +472,13 @@ object TextOps {
           .withColumn("inter", expr(Llm.intersectCountFn(spark, "a_h", "b_h")).cast("double"))
           .filter(col("inter") / (col("a_n") + col("b_n") - col("inter")) >= 0.6)
           .select(col("a_id"), col("b_id"))
+        // materialize the edge list ONCE: labels is re-derived from sym in
+        // every propagation round (and twice per round — checkpoint + the
+        // fixpoint aggregate), so an un-checkpointed sym would re-run the
+        // whole candidate-generation + verify pipeline each time
         val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .localCheckpoint()
         var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
           .localCheckpoint()
         // labels move monotonically DOWN (elementwise min each round), so
