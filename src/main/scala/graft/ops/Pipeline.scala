@@ -225,6 +225,42 @@ object Pipeline {
         SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, score
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".trim)),
 
+    // PII scrubbing: regex redaction of emails and phone numbers with
+    // per-document redaction counts — the privacy pass before any corpus
+    // release. The fixture corpus carries no PII, so the query plants a
+    // deterministic payload on a keyed subset first (same construction in
+    // the oracle), then scrubs it; the patterns use [.]-style classes
+    // instead of backslash escapes because Spark string parsing and DuckDB
+    // literal semantics disagree on backslashes (the r3 fn_string trap).
+    // Per-row projection, zero shuffle, scale-safe by construction.
+    Q("llm_pii_scrub",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .withColumn("t", concat(col("text"), expr(
+            "CASE WHEN doc_id % 7 = 0 THEN ' contact bob@example.com or x9@mail.org today'" +
+              " WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 now' ELSE '' END")))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"),
+              lit("[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"), lit(0))).as("n_email"),
+            size(regexp_extract_all(col("t"),
+              lit("555-[0-9]{3}-[0-9]{4}"), lit(0))).as("n_phone"),
+            regexp_replace(
+              regexp_replace(col("t"), "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+", "[EMAIL]"),
+              "555-[0-9]{3}-[0-9]{4}", "[PHONE]").as("clean"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH p AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 7 = 0 THEN ' contact bob@example.com or x9@mail.org today'
+              WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 now' ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+')) AS INT) AS n_email,
+          CAST(len(regexp_extract_all(t, '555-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+          regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '[EMAIL]', 'g'),
+            '555-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+        FROM p ORDER BY doc_id""".trim)),
+
     // IVF ANN (§2.12): the centroid-quantizer scale path for similarity
     // search, complementing the sign-LSH tables of llm_sim_ann. A 16-cell
     // coarse quantizer is trained by three deterministic Lloyd iterations

@@ -133,6 +133,21 @@ class PipelineSpec extends SparkFixture {
     }
   }
 
+  test("llm_pii_scrub redacts every planted payload and touches nothing else") {
+    val out = SparkEntry.queries("llm_pii_scrub")(spark, sf001).collect()
+    assert(out.length == 500)
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+".r
+    val phone = "555-[0-9]{3}-[0-9]{4}".r
+    out.foreach { r =>
+      val (id, nE, nP, clean) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      val (expE, expP) = if (id % 7 == 0) (2, 0) else if (id % 11 == 0) (0, 1) else (0, 0)
+      assert((nE, nP) == (expE, expP), s"doc $id: counts ($nE,$nP) != planted ($expE,$expP)")
+      assert(email.findFirstIn(clean).isEmpty && phone.findFirstIn(clean).isEmpty,
+        s"doc $id: residual PII after scrub")
+      assert(clean.contains("[EMAIL]") == (expE > 0) && clean.contains("[PHONE]") == (expP > 0))
+    }
+  }
+
   test("llm_ann_ivf with nProbe = nCells equals brute-force exact search") {
     val emb = Tables.embeddings(spark, sf001)
     val ivfFull = ops.Pipeline.ivfTopK(emb, col("vec_id") < 10, nCells = 16, nProbe = 16, k = 10)
