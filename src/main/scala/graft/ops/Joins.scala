@@ -258,5 +258,49 @@ object Joins {
         FROM events e ASOF LEFT JOIN orders o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY event_id""".trim)),
+
+    // Six-table analytic join (r4, TPC-H Q5 shape): local-supplier revenue
+    // per nation for one region and a date range. The scale design: both
+    // fact tables shuffle ONCE on their join keys (lineitem→orders on
+    // orderkey carries the big shuffle), every dimension (supplier,
+    // customer, nation, region) rides a broadcast, the date filter is
+    // pushed into the orders scan, and the c_nationkey = s_nationkey twist
+    // is a post-join residual — no extra exchange. At 100 TB the planner
+    // degrades the fact-fact side to a shuffled join on the same keys;
+    // nothing in the shape depends on fitting in memory.
+    Q("join_multiway",
+      (spark, sfDir) => {
+        import graft.Det._
+        val o = Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1999-01-01 00:00:00")))
+        val nr = broadcast(Tables.nation(spark, sfDir)
+          .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey")))
+        Tables.lineitem(spark, sfDir)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(spark, sfDir)),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(nr, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(emit(sum(money(col("l_extendedprice")) * (factor(lit(1)) - factor(col("l_discount")))), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name,
+          ${graft.Det.sqlEmit(s"SUM(${graft.Det.sqlMoney("l_extendedprice")} * (${graft.Det.sqlFactor("1")} - ${graft.Det.sqlFactor("l_discount")}))", 4)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""".trim)),
   )
 }

@@ -59,6 +59,50 @@ object Scans {
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber""".trim)),
 
+    // JSON source (r4): round-trip through newline-delimited JSON — write
+    // a projection of orders as JSONL, read it back with an explicit
+    // schema (schema-on-read, no inference job at scale), aggregate. The
+    // oracle runs the same aggregate over the parquet original, so the key
+    // asserts format fidelity, not just rows. Exact-int aggregates only:
+    // doubles through a text format are a round-trip hazard by design.
+    Q("source_json",
+      (spark, sfDir) => {
+        val dir = "/tmp/graft_fmt_json_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+          .write.mode("overwrite").json(dir)
+        spark.read
+          .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING")
+          .json(dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".trim)),
+
+    // CSV source (r4): same round-trip through headered CSV with an
+    // explicit schema — the other ubiquitous interchange format.
+    Q("source_csv",
+      (spark, sfDir) => {
+        val dir = "/tmp/graft_fmt_csv_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        spark.read
+          .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING")
+          .option("header", "true").csv(dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".trim)),
+
     // Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
     Q("filter_pred",
       (spark, sfDir) =>

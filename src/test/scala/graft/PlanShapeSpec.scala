@@ -220,4 +220,15 @@ class PlanShapeSpec extends SparkFixture {
     assert(p.toLowerCase.contains("dynamicpruning"),
       "expected a dynamicpruningexpression partition filter on the fact scan:\n" + p.take(3000))
   }
+
+  test("join_multiway: every dimension broadcasts, the date filter reaches the orders scan") {
+    val p = plan("join_multiway")
+    // 5 joins total; the 4 dimension joins must be broadcast — at this size
+    // the fact-fact (lineitem-orders) side may be broadcast too, so assert
+    // no shuffle-based join appears at all and at least 4 broadcasts do
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"), "date filter must reach the scan:\n" + p.take(2000))
+  }
 }
