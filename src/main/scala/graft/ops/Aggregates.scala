@@ -202,6 +202,28 @@ object Aggregates {
           .orderBy(col("event_type")),
       None),
 
+    // Exact distinct users per event-time window (r4): the batch twin of
+    // "unique visitors per hour per type" — the distinct-agg shape OVER
+    // tumbling windows. Plans as the standard two-phase distinct: partial
+    // dedup of (window, type, user) map-side, then the count — the shuffle
+    // carries one row per distinct triple, never per event. At 100 TB the
+    // approx_count_distinct above is the cheaper knob; this key is the
+    // exact-semantics reference for it.
+    Q("agg_window_distinct",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+          .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+            col("n_users"), col("n"))
+          .orderBy(col("ws_us"), col("event_type")),
+      Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+          COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY ws_us, event_type""".trim)),
+
     // Mergeable-sketch re-aggregation (§2.12 extension): per-(type, day)
     // HLL sketches — the KB-sized persisted partial — merged per type with
     // hll_union_agg. This is the incremental-rollup pattern at 100 TB:

@@ -159,6 +159,40 @@ object Llm {
       nFrames, (0 until nFrames by 24).toArray)
   }
 
+  /** Pooled per-document feature vector from the sampled frames. */
+  case class MediaVec(doc_id: Long, mime: String, n_frames_used: Int,
+      feat: Array[Double])
+
+  /** Feature-extraction stage over the decode seam — the fourth step of
+    * the multimodal quartet (decode / resize / frame-sample / extract).
+    * Per sampled frame, an 8-bin normalized byte histogram over a
+    * frame-indexed 64-byte view of the payload (the STAND-IN for a pixel
+    * histogram — the payload slice is where decoded frame data arrives in
+    * a production build); frame histograms mean-pool into one
+    * document-level vector. Batch-in/batch-out like [[decodeBatch]], runs
+    * partition-local, memory bounded by batch size — the pooled 8-double
+    * vector is the only thing that outlives the batch. */
+  def featureBatch(batch: Seq[MediaIn]): Seq[MediaVec] = {
+    val decoded = decodeBatch(batch)
+    batch.zip(decoded).map { case (in, d) =>
+      val p = in.payload
+      val pooled = Array.fill(8)(0.0)
+      d.sampled_frames.foreach { fr =>
+        val hist = new Array[Int](8)
+        val n = math.min(64, p.length)
+        var i = 0
+        while (i < n) {
+          hist((p(math.floorMod(fr * 31 + i, p.length)) & 0xFF) >> 5) += 1
+          i += 1
+        }
+        var b = 0
+        while (b < 8) { pooled(b) += hist(b).toDouble / n; b += 1 }
+      }
+      val k = math.max(1, d.sampled_frames.length)
+      MediaVec(in.doc_id, in.mime, d.sampled_frames.length, pooled.map(_ / k))
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup by content hash, keep min doc_id. The fixture corpus has
@@ -358,6 +392,28 @@ object Llm {
             greatest(lit(1), round(col("width") * col("scale")).cast("int")).as("resized_w"),
             greatest(lit(1), round(col("height") * col("scale")).cast("int")).as("resized_h"),
             col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // Multimodal feature extraction (r4): decode → frame-sample → per-frame
+    // histogram → mean-pool, all inside the partition via [[featureBatch]];
+    // the only exchange in the plan is the presentation sort, and the
+    // pooled 8-double vector is what shuffles — never frames or payloads.
+    // No oracle (stub-derived values); LlmSpec pins determinism, histogram
+    // normalization, frame-count consistency with the decode key, and the
+    // no-shuffle-before-extract plan shape.
+    Q("llm_multimodal_features",
+      (spark, sfDir) => {
+        import spark.implicits._
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").cast(BinaryType).as("payload"),
+            lit("video/fake").as("mime"))
+          .as[MediaIn]
+          .mapPartitions(_.grouped(64).flatMap(b => featureBatch(b.toSeq)))
+          .toDF()
+          .select(col("doc_id"), col("mime"), col("n_frames_used"), col("feat"))
           .orderBy(col("doc_id"))
       },
       None),

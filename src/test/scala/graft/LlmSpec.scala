@@ -99,6 +99,28 @@ class LlmSpec extends SparkFixture {
     assert(out.count() <= 50 && topSum <= total && topSum > 0)
   }
 
+  test("llm_multimodal_features: normalized pooled histograms, consistent with decode, partition-local") {
+    val q = SparkEntry.queries("llm_multimodal_features")
+    val a = q(spark, sf001).collect()
+    val b = q(spark, sf001).collect()
+    assert(a.toSeq == b.toSeq, "feature extraction must be rerun-identical")
+    val sampled = SparkEntry.queries("llm_multimodal_decode")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(7)).toMap
+    a.foreach { r =>
+      val (id, k) = (r.getLong(0), r.getInt(2))
+      val feat = r.getSeq[Double](3)
+      assert(k == sampled(id), s"doc $id: used $k frames, decode sampled ${sampled(id)}")
+      assert(feat.length == 8, s"doc $id: ${feat.length} bins")
+      assert(feat.forall(v => v >= 0 && v <= 1), s"doc $id: bin out of [0,1]")
+      // mean of per-frame normalized histograms stays a distribution
+      assert(math.abs(feat.sum - 1.0) < 1e-9, s"doc $id: pooled histogram sums to ${feat.sum}")
+    }
+    val plan = q(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan.take(800))
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      "feature extraction must not sit behind a shuffle:\n" + plan.take(1500))
+  }
+
   test("llm_multimodal_decode: deterministic, correct frame sampling, decode stays partition-local") {
     val q = SparkEntry.queries("llm_multimodal_decode")
     val a = q(spark, sf001).collect()
