@@ -177,7 +177,8 @@ object Llm {
     batch.zip(decoded).map { case (in, d) =>
       val p = in.payload
       val pooled = Array.fill(8)(0.0)
-      d.sampled_frames.foreach { fr =>
+      // empty payload → zero vector (0/0 histograms would pool to NaN)
+      if (p.nonEmpty) d.sampled_frames.foreach { fr =>
         val hist = new Array[Int](8)
         val n = math.min(64, p.length)
         var i = 0

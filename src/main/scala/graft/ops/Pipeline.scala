@@ -332,12 +332,15 @@ object Pipeline {
       // next to posexplode in one select, Catalyst collapses the projects
       // and the UDF re-evaluates per exploded OUTPUT row — dim× the calls,
       // each re-converting the array argument (measured: 23 s/iteration at
-      // sf0.1 fused vs 0.7 s split; the checkpoint is 2 small columns).
+      // sf0.1 fused vs 0.7 s split). cache() is the barrier: the
+      // InMemoryRelation stops the project collapse but fills lazily, so
+      // the means collect is the only job this iteration runs.
       val cells = unit.select(col("u"), assignUdf(centroids)(col("u")).as("cell"))
-        .localCheckpoint()
+        .cache()
       val means = cells.select(col("cell"), posexplode(col("u")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
         .collect()
+      cells.unpersist(blocking = false)
       val dim = centroids(0).length
       val next = Array.fill(nCells)(Array.fill(dim)(0.0))
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))

@@ -119,6 +119,9 @@ class LlmSpec extends SparkFixture {
     assert(plan.contains("MapPartitions"), plan.take(800))
     assert("Exchange".r.findAllIn(plan).size <= 1,
       "feature extraction must not sit behind a shuffle:\n" + plan.take(1500))
+    // kernel edge: an empty payload must yield a finite zero vector, not NaN
+    val empty = ops.Llm.featureBatch(Seq(ops.Llm.MediaIn(1L, Array.emptyByteArray, "video/fake")))
+    assert(empty.head.feat.forall(v => v == 0.0), "empty payload must pool to zeros")
   }
 
   test("llm_multimodal_decode: deterministic, correct frame sampling, decode stays partition-local") {
