@@ -155,6 +155,35 @@ object Functions {
         GROUP BY event_type
         ORDER BY event_type""".trim)),
 
+    // JSON payload transformation between API shapes (r4): the reference's
+    // central event-stream operation — parse the v1 `props` payload,
+    // restructure into a v2 envelope (renamed fields, nested metrics
+    // object), serialize back out. `to_json(struct(...))` and DuckDB
+    // `json_object(...)` both emit compact, construction-ordered JSON, so
+    // the payload STRING is oracle-exact; fields are int/string-typed only
+    // (float formatting differs across serializers by design). Pure
+    // per-row projection, zero shuffle.
+    Q("fn_json_transform",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .select(col("event_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          .filter(col("k").isNotNull)
+          .select(col("event_id"),
+            to_json(struct(
+              col("event_id").as("id"),
+              upper(col("event_type")).as("kind"),
+              struct(col("k"), (col("k") * 2).as("k2")).as("metrics"))).as("payload"))
+          .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+          json_object('id', event_id, 'kind', upper(event_type),
+            'metrics', json_object('k', CAST(json_extract_string(props, '$.k') AS INT),
+                                   'k2', CAST(json_extract_string(props, '$.k') AS INT) * 2))::VARCHAR AS payload
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ORDER BY event_id""".trim)),
+
     // Array surface over tokenized text (arrays emitted as joined strings —
     // scalars only in oracle-compared output).
     Q("fn_array",
