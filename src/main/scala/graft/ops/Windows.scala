@@ -119,5 +119,49 @@ object Windows {
           FROM orders)
         WHERE rn <= 3
         ORDER BY o_custkey, rn""".trim)),
+
+    // Time-series resample + forward-fill (r4): per-user hourly grid over
+    // the stream's full span, each cell carrying the latest observation at
+    // or before it — the gap-fill step behind any continuous per-key
+    // metric. Scale shape: the 1-row bounds broadcast onto the distinct
+    // users, the hour grid explodes partition-locally (never more than
+    // span-hours rows per user), the grid←observations join and the ffill
+    // window both key on user_id — one shuffle each, skew-bounded by
+    // per-user fanout. `last(ignoreNulls)` over (user, hour) is exactly
+    // DuckDB's ASOF LEFT JOIN on (user, grid.h >= obs.h) — the oracle
+    // proves the equivalence; hours before a user's first observation stay
+    // NULL in both.
+    Q("window_gapfill",
+      (spark, sfDir) => {
+        val evs = Tables.events(spark, sfDir).filter(col("user_id") < 50)
+        val obs = evs
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sumVal6(col("value")).as("v"))
+        val bounds = evs.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val grid = evs.select(col("user_id")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+        grid.join(obs, Seq("user_id", "h"), "left")
+          .withColumn("v_fill", last(col("v"), ignoreNulls = true)
+            .over(Window.partitionBy(col("user_id")).orderBy(col("h"))))
+          .select(col("user_id"), unix_micros(col("h")).as("h_us"), col("v_fill"))
+          .orderBy(col("user_id"), col("h_us"))
+      },
+      Some(s"""
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+          FROM events WHERE user_id < 50),
+        grid AS (
+          SELECT u.user_id, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+          FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 50) u, bounds b),
+        obs AS (
+          SELECT user_id, date_trunc('hour', ts) AS h, ${sqlSumVal6("value")} AS v
+          FROM events WHERE user_id < 50 GROUP BY 1, 2)
+        SELECT g.user_id, epoch_us(g.h) AS h_us, o.v AS v_fill
+        FROM grid g ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.h >= o.h
+        ORDER BY g.user_id, h_us""".trim)),
   )
 }

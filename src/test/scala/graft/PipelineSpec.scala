@@ -133,6 +133,27 @@ class PipelineSpec extends SparkFixture {
     }
   }
 
+  test("window_gapfill fills forward from the first observation and never regresses") {
+    val out = SparkEntry.queries("window_gapfill")(spark, sf001).collect()
+    val byUser = out.groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val firstObs = sorted.indexWhere(!_.isNullAt(2))
+      assert(firstObs >= 0, s"user $u: no observation ever filled")
+      // NULL strictly before the first observation, filled ever after
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.isNullAt(2) == (i < firstObs),
+          s"user $u hour $i: fill state breaks at the first-observation boundary")
+      }
+      // grid is dense and hourly
+      sorted.sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(p(1).getLong(1) - p(0).getLong(1) == 3600000000L, s"user $u: grid gap")
+      }
+    }
+  }
+
   test("llm_pii_scrub redacts every planted payload and touches nothing else") {
     val out = SparkEntry.queries("llm_pii_scrub")(spark, sf001).collect()
     assert(out.length == 500)
