@@ -184,6 +184,33 @@ object Functions {
         WHERE json_extract_string(props, '$.k') IS NOT NULL
         ORDER BY event_id""".trim)),
 
+    // URL parsing (r4): host/path/query extraction via one shared regex —
+    // the link-analysis primitive for post/event payloads. The fixture has
+    // no URLs, so deterministic ones are constructed from (source, doc_id,
+    // lang) first — same construction in the oracle. The pattern uses only
+    // character classes (no backslash escapes, no parse_url — DuckDB lacks
+    // it) so both engines run the identical regex. Zero shuffle.
+    Q("fn_url_parse",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .withColumn("url", concat(lit("https://"), col("source"),
+            lit(".example.com/docs/"), col("doc_id"), lit("?lang="), col("lang")))
+          .select(col("doc_id"), col("url"),
+            regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
+            regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?]*)", 1).as("path"),
+            regexp_extract(col("url"), "[?](.*)$", 1).as("query"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            'https://' || source || '.example.com/docs/' || doc_id || '?lang=' || lang AS url
+          FROM documents)
+        SELECT doc_id, url,
+          regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+          regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+          regexp_extract(url, '[?](.*)$', 1) AS query
+        FROM u ORDER BY doc_id""".trim)),
+
     // Array surface over tokenized text (arrays emitted as joined strings —
     // scalars only in oracle-compared output).
     Q("fn_array",

@@ -221,6 +221,17 @@ class PlanShapeSpec extends SparkFixture {
       "expected a dynamicpruningexpression partition filter on the fact scan:\n" + p.take(3000))
   }
 
+  test("r4 per-row keys stay inside whole-stage codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("llm_pii_scrub", "fn_json_transform", "fn_url_parse").foreach { key =>
+      val codegen = SparkEntry.queries(key)(spark, sf001)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen subtrees") && !codegen.startsWith("Found 0"),
+        s"$key fell out of codegen: " + codegen.take(200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("join_multiway: every dimension broadcasts, the date filter reaches the orders scan") {
     val p = plan("join_multiway")
     // 5 joins total; the 4 dimension joins must be broadcast — at this size
