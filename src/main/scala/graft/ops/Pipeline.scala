@@ -261,6 +261,29 @@ object Pipeline {
             '555-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
         FROM p ORDER BY doc_id""".trim)),
 
+    // Embedding clustering (r4): the IVF coarse quantizer exposed as a
+    // curation operator — every vector with its cell id and the cosine to
+    // its centroid, the input to cluster-balanced sampling and coverage
+    // analysis of a training corpus. Deterministic end to end (fixed
+    // seeds, fixpoint-free 3-round Lloyd), so the output is rows-only
+    // stable; PipelineSpec pins rerun-identity, the argmin property
+    // against the returned centroids, and full coverage of the corpus.
+    Q("llm_cluster_assign",
+      (spark, sfDir) => {
+        val model = ivfTrain(Tables.embeddings(spark, sfDir), nCells = 16)
+        val cents = model.centroids
+        val cosUdf = udf { (u: Seq[Double], cell: Int) =>
+          val c = cents(cell)
+          var d = 0.0; var i = 0
+          while (i < u.length) { d += u(i) * c(i); i += 1 }
+          BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        model.assigned
+          .select(col("vec_id"), col("cell"), cosUdf(col("u"), col("cell")).as("centroid_cos"))
+          .orderBy(col("vec_id"))
+      },
+      None),
+
     // IVF ANN (§2.12): the centroid-quantizer scale path for similarity
     // search, complementing the sign-LSH tables of llm_sim_ann. A 16-cell
     // coarse quantizer is trained by three deterministic Lloyd iterations
@@ -290,8 +313,13 @@ object Pipeline {
     * 1000 executors each probe touches only the partitions holding its
     * probed cells' vectors.
     */
-  def ivfTopK(emb: DataFrame, probeFilter: Column, nCells: Int, nProbe: Int,
-      k: Int): DataFrame = {
+  /** Trained coarse quantizer: unit-normalized vectors with their cell
+    * assignment (materialized), plus the unit-norm centroid table. */
+  final case class IvfModel(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  /** Deterministic Lloyd training + assignment — shared by the IVF search
+    * ([[ivfTopK]]) and the clustering operator (`llm_cluster_assign`). */
+  def ivfTrain(emb: DataFrame, nCells: Int): IvfModel = {
     // Hoist the norm OUT of the transform lambda: an `aggregate` nested in
     // the lambda body re-evaluates per element — O(dim²) interpreted work
     // per row (measured: 73 s at sf0.1 before this, ~1 s after). Then
@@ -355,6 +383,12 @@ object Pipeline {
     // materialized: probed twice (probe side + candidate side of the join)
     val assigned = unit.select(col("vec_id"), col("u"), assignUdf(centroids)(col("u")).as("cell"))
       .localCheckpoint()
+    IvfModel(assigned, centroids)
+  }
+
+  def ivfTopK(emb: DataFrame, probeFilter: Column, nCells: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    val IvfModel(assigned, centroids) = ivfTrain(emb, nCells)
 
     def probeCellsUdf(cents: Array[Array[Double]]) = udf { (u: Seq[Double]) =>
       cents.indices

@@ -169,6 +169,28 @@ class PipelineSpec extends SparkFixture {
     }
   }
 
+  test("llm_cluster_assign: deterministic, covers the corpus, and assigns each vector to its argmin cell") {
+    val q = SparkEntry.queries("llm_cluster_assign")
+    val a = q(spark, sf001).collect()
+    val b = q(spark, sf001).collect()
+    assert(a.toSeq == b.toSeq, "clustering must be rerun-identical")
+    assert(a.length == 500 && a.map(_.getLong(0)).distinct.length == 500, "every vector exactly once")
+    assert(a.map(_.getInt(1)).distinct.length > 1, "degenerate single-cell clustering")
+    // argmin property: the assigned cell's cosine must not be beaten by
+    // any other centroid (re-derive centroids through the same trainer —
+    // deterministic, so they are THE centroids the query used)
+    val model = ops.Pipeline.ivfTrain(Tables.embeddings(spark, sf001), nCells = 16)
+    val units = model.assigned.select(col("vec_id"), col("u")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val byId = a.map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    units.take(100).foreach { case (id, u) =>
+      val (cell, cos) = byId(id)
+      val best = model.centroids.map(c => c.zip(u).map { case (x, y) => x * y }.sum).max
+      assert(cos >= best - 1e-6, s"vec $id: assigned-cell cos $cos beaten by $best")
+      assert(math.abs(model.centroids(cell).zip(u).map { case (x, y) => x * y }.sum - cos) < 1e-6)
+    }
+  }
+
   test("llm_ann_ivf with nProbe = nCells equals brute-force exact search") {
     val emb = Tables.embeddings(spark, sf001)
     val ivfFull = ops.Pipeline.ivfTopK(emb, col("vec_id") < 10, nCells = 16, nProbe = 16, k = 10)
