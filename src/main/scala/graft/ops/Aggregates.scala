@@ -224,6 +224,33 @@ object Aggregates {
         GROUP BY 1, 2
         ORDER BY ws_us, event_type""".trim)),
 
+    // Unpivot / melt (r4): wide metric columns → long (metric, value) rows,
+    // the inverse of agg_pivot — the reshape step before any per-metric
+    // aggregation or plotting export. Unpivot is a zero-shuffle per-row
+    // expand (Expand node, 3 output rows per input); the only exchange is
+    // the downstream per-(flag, metric) aggregate. Oracle: the portable
+    // UNION ALL stack with literal metric labels.
+    Q("agg_unpivot",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_discount"), col("l_tax"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")), "metric", "v")
+          .groupBy(col("l_returnflag"), col("metric"))
+          .agg(sumVal6(col("v")).as("sum_v"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("metric")),
+      Some(s"""
+        WITH long AS (
+          SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'l_discount' AS metric, l_discount AS v FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'l_tax' AS metric, l_tax AS v FROM lineitem)
+        SELECT l_returnflag, metric, ${sqlSumVal6("v")} AS sum_v, COUNT(*) AS n
+        FROM long
+        GROUP BY l_returnflag, metric
+        ORDER BY l_returnflag, metric""".trim)),
+
     // Mergeable-sketch re-aggregation (§2.12 extension): per-(type, day)
     // HLL sketches — the KB-sized persisted partial — merged per type with
     // hll_union_agg. This is the incremental-rollup pattern at 100 TB:

@@ -89,5 +89,37 @@ object SortsSetops {
         EXCEPT
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey""".trim)),
+
+    // Distinct union (r4): UNION's set semantics — dedup rides the same
+    // hash-aggregate shuffle a groupBy would use, one row per distinct key
+    // out of the exchange.
+    Q("setop_union_distinct",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+        val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("custkey"))
+        o.union(c).distinct().orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT o_custkey AS custkey FROM orders
+        UNION
+        SELECT c_custkey AS custkey FROM customer
+        ORDER BY custkey""".trim)),
+
+    // Bag-semantics except (r4): EXCEPT ALL keeps multiplicities
+    // (count(left) − count(right) copies survive) — the dedup-aware
+    // difference a pipeline uses to subtract an already-processed batch.
+    Q("setop_except_all",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey"))
+        val all = Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+        all.exceptAll(o).orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY custkey""".trim)),
   )
 }
