@@ -53,6 +53,10 @@ object ExplainDump {
       "(window, type, user) map-side, the shuffle carries one row per distinct triple."),
     "join_multiway" -> ("Six-table Q5 shape (r4): fact side shuffles once on orderkey, all four " +
       "dims broadcast, date filter pushed to the scan, nationkey equality a post-join residual."),
+    "agg_unpivot" -> ("Unpivot (r4): zero-shuffle Expand (3 output rows per input) feeding one " +
+      "two-phase aggregate — the melt never moves data, only the aggregate does."),
+    "window_gapfill" -> ("Gap-fill (r4): 1-row bounds broadcast, partition-local hour-grid explode, " +
+      "grid←observations join and the last(ignoreNulls) ffill window each shuffle once on user_id."),
   )
 
   def main(args: Array[String]): Unit = {
