@@ -224,6 +224,28 @@ object Aggregates {
         GROUP BY 1, 2
         ORDER BY ws_us, event_type""".trim)),
 
+    // Fixed-bin histogram (r4): 20 bins of width 25 over events.value —
+    // the profiling aggregate behind threshold choices and dashboards. The
+    // bin id is pure float arithmetic identical in both engines
+    // (floor(v/25), top edge clamped), so this stays a single two-phase
+    // aggregate whose shuffle carries one row per non-empty bin.
+    Q("agg_histogram",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .select(least(lit(19L), floor(col("value") / 25)).as("bin"),
+            col("value"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_v"))
+          .select(col("bin"), (col("bin") * 25.0).as("lo"),
+            ((col("bin") + 1) * 25.0).as("hi"), col("n"), col("sum_v"))
+          .orderBy(col("bin")),
+      Some(s"""
+        SELECT bin, bin * 25.0 AS lo, (bin + 1) * 25.0 AS hi,
+          COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_v
+        FROM (SELECT LEAST(19, CAST(FLOOR(value / 25) AS BIGINT)) AS bin, value FROM events)
+        GROUP BY bin
+        ORDER BY bin""".trim)),
+
     // Unpivot / melt (r4): wide metric columns → long (metric, value) rows,
     // the inverse of agg_pivot — the reshape step before any per-metric
     // aggregation or plotting export. Unpivot is a zero-shuffle per-row
