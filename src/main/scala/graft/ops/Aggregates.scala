@@ -224,6 +224,32 @@ object Aggregates {
         GROUP BY 1, 2
         ORDER BY ws_us, event_type""".trim)),
 
+    // Conditional aggregation (r4): FILTER-clause aggregates — several
+    // differently-predicated measures out of ONE scan and one shuffle,
+    // instead of self-joining per condition. Spark expresses the filter as
+    // the aggregate of a CASE; DuckDB as the native FILTER clause; both
+    // produce the identical two-phase plan over exact-decimal inputs.
+    Q("agg_filter_clause",
+      (spark, sfDir) =>
+        Tables.orders(spark, sfDir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_all"),
+            count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+            emit(sum(when(col("o_orderpriority") === "1-URGENT", money(col("o_totalprice")))), 2)
+              .as("sum_urgent"),
+            count(when(col("o_totalprice") > 150000, 1)).as("n_big"))
+          .orderBy(col("o_orderstatus")),
+      Some(s"""
+        SELECT o_orderstatus,
+          COUNT(*) AS n_all,
+          COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+          ${sqlEmit(s"SUM(${sqlMoney("o_totalprice")}) FILTER (WHERE o_orderpriority = '1-URGENT')", 2)} AS sum_urgent,
+          COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""".trim)),
+
     // Fixed-bin histogram (r4): 20 bins of width 25 over events.value —
     // the profiling aggregate behind threshold choices and dashboards. The
     // bin id is pure float arithmetic identical in both engines

@@ -184,6 +184,31 @@ object Functions {
         WHERE json_extract_string(props, '$.k') IS NOT NULL
         ORDER BY event_id""".trim)),
 
+    // Bitwise family (r4): AND/OR/XOR, shifts, bit_count over the id
+    // columns — flag-mask arithmetic. Exact int64 ops, identical in both
+    // engines; zero shuffle.
+    Q("fn_bitwise",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .select(col("event_id"),
+            col("user_id").bitwiseAND(lit(255L)).as("uid_low"),
+            col("user_id").bitwiseOR(lit(4096L)).as("uid_flag"),
+            col("user_id").bitwiseXOR(col("event_id")).as("uid_mix"),
+            shiftleft(col("user_id"), 3).as("uid_shl"),
+            shiftright(col("event_id"), 2).as("eid_shr"),
+            bit_count(col("event_id")).cast("int").as("eid_bits"))
+          .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+          user_id & 255 AS uid_low,
+          user_id | 4096 AS uid_flag,
+          xor(user_id, event_id) AS uid_mix,
+          user_id << 3 AS uid_shl,
+          event_id >> 2 AS eid_shr,
+          CAST(bit_count(event_id) AS INT) AS eid_bits
+        FROM events
+        ORDER BY event_id""".trim)),
+
     // URL parsing (r4): host/path/query extraction via one shared regex —
     // the link-analysis primitive for post/event payloads. The fixture has
     // no URLs, so deterministic ones are constructed from (source, doc_id,
