@@ -277,10 +277,15 @@ object Joins {
         val nr = broadcast(Tables.nation(spark, sfDir)
           .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey")))
+        // broadcast HINTS only on the genuinely-tiny nation⨝region dim;
+        // customer/supplier are left to the planner — AQE broadcasts them
+        // at this size, and at 100 TB (where a forced broadcast of a
+        // billion-row customer would OOM) the same plan degrades to
+        // shuffled joins on the keys with nothing else changing
         Tables.lineitem(spark, sfDir)
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.supplier(spark, sfDir)),
+          .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(spark, sfDir),
             col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
           .join(nr, col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))

@@ -200,7 +200,12 @@ object Pipeline {
         val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         val dfreq = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
         val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-        val scored = tf.join(broadcast(dfreq), "term")
+        // no broadcast HINT on dfreq: |vocab| is small here and AQE picks
+        // broadcast on its own, but at web scale the term dictionary is
+        // heavy-tailed-huge and this must degrade to a shuffle join on
+        // term — a forced broadcast would pin a multi-GB table to every
+        // executor. The 1-row corpus count is always broadcast-safe.
+        val scored = tf.join(dfreq, "term")
           .crossJoin(broadcast(nDocs))
           .withColumn("score",
             Det.emit(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1))) + lit(1.0)), 6))
