@@ -389,14 +389,17 @@ object TextOps {
         // bands): the bucketing kernel evaluates ONCE and the shuffle
         // carries (table, bucket, vec_id) only — a bucketed SELF-join would
         // re-evaluate the kernel per side and shuffle the embedding
-        // payloads. Exact cosine runs per deduped candidate pair, with the
-        // vector dim broadcast back onto the id pairs.
+        // payloads. Exact cosine runs per deduped candidate pair; the
+        // pairs⨝vectors joins carry NO broadcast hint — the planner
+        // broadcasts the candidate-pair side (LSH makes it tiny relative
+        // to the corpus), where a forced hint on the vector table would
+        // pin the full embedding set to every executor at 100 TB.
         val banded = all.select(col("vec_id").as("doc_id"),
           posexplode(bucketsUdf(col("embedding"))).as(Seq("band", "bucket")))
         val dot = Llm.dotFn(spark, "a_e", "b_e")
         Llm.bandedPairs(banded)
-          .join(broadcast(all.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))), "a_id")
-          .join(broadcast(all.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))), "b_id")
+          .join(all.select(col("vec_id").as("a_id"), col("embedding").as("a_e")), "a_id")
+          .join(all.select(col("vec_id").as("b_id"), col("embedding").as("b_e")), "b_id")
           .select(col("a_id"), col("b_id"), round(expr(dot), 6).as("cosine"))
           .filter(col("cosine") >= 0.95)
           .orderBy(col("a_id"), col("b_id"))
