@@ -266,6 +266,40 @@ object Pipeline {
             '555-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
         FROM p ORDER BY doc_id""".trim)),
 
+    // Unigram-LM quality proxy (r4): score each document by the mean log
+    // relative corpus frequency of its words — the cheap perplexity stand-in
+    // used to rank corpus text for filtering (high = fluent/common, very
+    // low = gibberish or OCR noise). The frequency table is |vocab|-sized
+    // and carries no hint (same reasoning as llm_tfidf: AQE broadcasts it
+    // here, a web-scale dictionary must shuffle-join). Scores rank on
+    // their DECIMAL(18,6)-coarsened value so the libm log is ulp-proof.
+    Q("llm_lm_score",
+      (spark, sfDir) => {
+        val docs = Tables.documents(spark, sfDir)
+        val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val total = terms.agg(count(lit(1)).as("n_total"))
+        val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("tc"))
+        // per-row decimal rounding BEFORE the sum (Det policy): a raw
+        // avg(log(...)) is an order-dependent double fold under partial
+        // aggregation and diverges from the oracle in the last ulp
+        terms.join(freq, "term")
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg((Det.emit(sum(Det.val6(log(col("tc").cast("double") / col("n_total")))), 6)
+              / count(lit(1))).as("lm_score"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        n AS (SELECT count(*) AS n_total FROM t),
+        f AS (SELECT term, count(*) AS tc FROM t GROUP BY term)
+        SELECT t.doc_id,
+          ${Det.sqlEmit(s"SUM(${Det.sqlVal6("ln(CAST(f.tc AS DOUBLE) / n.n_total)")})", 6)} / count(*) AS lm_score,
+          count(*) AS n_terms
+        FROM t JOIN f USING (term) CROSS JOIN n
+        GROUP BY t.doc_id ORDER BY t.doc_id""".trim)),
+
     // Embedding clustering (r4): the IVF coarse quantizer exposed as a
     // curation operator — every vector with its cell id and the cosine to
     // its centroid, the input to cluster-balanced sampling and coverage
