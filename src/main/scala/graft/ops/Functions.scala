@@ -184,6 +184,28 @@ object Functions {
         WHERE json_extract_string(props, '$.k') IS NOT NULL
         ORDER BY event_id""".trim)),
 
+    // Edit distance (r4): levenshtein between each document head and its
+    // doc_id-predecessor's — the fuzzy-match primitive behind typo-tolerant
+    // dedup and entity resolution; both engines ship the identical DP
+    // algorithm. The un-partitioned lag window is bounded to a 100-row
+    // subset by the pushed filter (same single-partition caveat as
+    // sort_global; a real run partitions by a blocking key first).
+    Q("fn_edit_distance",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+          .withColumn("prev_head",
+            lag(col("head"), 1).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+          .filter(col("prev_head").isNotNull)
+          .select(col("doc_id"), levenshtein(col("head"), col("prev_head")).as("edit_dist"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH h AS (SELECT doc_id, substr(text, 1, 40) AS head FROM documents WHERE doc_id < 100),
+        p AS (SELECT doc_id, head, lag(head) OVER (ORDER BY doc_id) AS prev_head FROM h)
+        SELECT doc_id, CAST(levenshtein(head, prev_head) AS INT) AS edit_dist
+        FROM p WHERE prev_head IS NOT NULL ORDER BY doc_id""".trim)),
+
     // Bitwise family (r4): AND/OR/XOR, shifts, bit_count over the id
     // columns — flag-mask arithmetic. Exact int64 ops, identical in both
     // engines; zero shuffle.
