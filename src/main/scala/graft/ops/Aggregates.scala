@@ -224,6 +224,27 @@ object Aggregates {
         GROUP BY 1, 2
         ORDER BY ws_us, event_type""".trim)),
 
+    // String aggregation (r4): the LISTAGG/string_agg shape — distinct
+    // member values per group joined into one string. collect_set order is
+    // partition-dependent, so the list is SORTED before the join (the only
+    // deterministic form of this aggregate under parallel execution; an
+    // unsorted listagg can never be oracle-checked).
+    Q("agg_string_concat",
+      (spark, sfDir) =>
+        Tables.orders(spark, sfDir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+            countDistinct(col("o_orderstatus")).as("n_status"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+          array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+          count(DISTINCT o_orderstatus) AS n_status
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""".trim)),
+
     // Conditional aggregation (r4): FILTER-clause aggregates — several
     // differently-predicated measures out of ONE scan and one shuffle,
     // instead of self-joining per condition. Spark expresses the filter as
