@@ -259,6 +259,61 @@ object Joins {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY event_id""".trim)),
 
+    // Lateral join (r4): per-customer top-1 order via a correlated LATERAL
+    // subquery — Catalyst DECORRELATES this into the same ranked-window
+    // plan `window_topk_group` declares directly, which is exactly the
+    // point: the correlated per-row formulation a SQL user writes runs as
+    // one shuffle + one window, never as a per-customer probe loop.
+    Q("join_lateral",
+      (spark, sfDir) => {
+        graft.Tables.registerAll(spark, sfDir)
+        spark.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM customer c,
+          LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+          ) t
+          ORDER BY c.c_custkey""")
+      },
+      Some("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+        ORDER BY c.c_custkey""".trim)),
+
+    // Correlated scalar subquery (r4): customers above their own nation's
+    // average balance. Catalyst decorrelates the per-row subquery into one
+    // aggregate + join — the Det decimal policy keeps the per-nation
+    // average exact so the comparison is oracle-stable.
+    Q("subquery_correlated",
+      (spark, sfDir) => {
+        graft.Tables.registerAll(spark, sfDir)
+        spark.sql("""
+          SELECT c_custkey, c_nationkey,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+          FROM customer c
+          WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+          SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""".trim)),
+
     // Six-table analytic join (r4, TPC-H Q5 shape): local-supplier revenue
     // per nation for one region and a date range. The scale design: both
     // fact tables shuffle ONCE on their join keys (lineitem→orders on

@@ -232,6 +232,13 @@ class PlanShapeSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("join_lateral decorrelates to WindowGroupLimit — never a per-row loop") {
+    val p = plan("join_lateral")
+    assert(p.contains("WindowGroupLimit"), "expected decorrelated ranked-window plan:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "correlated LATERAL must not plan as a loop join:\n" + p.take(1500))
+  }
+
   test("join_multiway: every dimension broadcasts, the date filter reaches the orders scan") {
     val p = plan("join_multiway")
     // 5 joins total; the 4 dimension joins must be broadcast — at this size
