@@ -57,6 +57,9 @@ object ExplainDump {
       "two-phase aggregate — the melt never moves data, only the aggregate does."),
     "window_gapfill" -> ("Gap-fill (r4): 1-row bounds broadcast, partition-local hour-grid explode, " +
       "grid←observations join and the last(ignoreNulls) ffill window each shuffle once on user_id."),
+    "join_lateral" -> ("Correlated LATERAL (r4): Catalyst decorrelates the per-customer top-1 " +
+      "subquery into WindowGroupLimit (partial+final) + one join — the SQL user's per-row " +
+      "formulation runs as a ranked window, never a loop."),
   )
 
   def main(args: Array[String]): Unit = {
