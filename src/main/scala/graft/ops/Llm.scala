@@ -403,7 +403,11 @@ object Llm {
     // pooled 8-double vector is what shuffles — never frames or payloads.
     // No oracle (stub-derived values); LlmSpec pins determinism, histogram
     // normalization, frame-count consistency with the decode key, and the
-    // no-shuffle-before-extract plan shape.
+    // no-shuffle-before-extract plan shape. The pooled vector is emitted as
+    // a rounded CSV string, not ARRAY<DOUBLE>: oracle outputs stay
+    // scalar-typed (repo convention, see llm_embed_quant's q_csv) so the
+    // driver's row comparator — which hashes scalar cells — never meets an
+    // unhashable array column.
     Q("llm_multimodal_features",
       (spark, sfDir) => {
         import spark.implicits._
@@ -414,7 +418,9 @@ object Llm {
           .as[MediaIn]
           .mapPartitions(_.grouped(64).flatMap(b => featureBatch(b.toSeq)))
           .toDF()
-          .select(col("doc_id"), col("mime"), col("n_frames_used"), col("feat"))
+          .select(col("doc_id"), col("mime"), col("n_frames_used"),
+            expr("array_join(transform(feat, v -> CAST(CAST(v AS DECIMAL(18,6)) AS STRING)), ',')")
+              .as("feat_csv"))
           .orderBy(col("doc_id"))
       },
       None),

@@ -356,9 +356,29 @@ object Pipeline {
     * assignment (materialized), plus the unit-norm centroid table. */
   final case class IvfModel(assigned: DataFrame, centroids: Array[Array[Double]])
 
+  /** Memoized trained models: `llm_ann_ivf` and `llm_cluster_assign` both
+    * quantize the same corpus, and training is the expensive part (~10
+    * driver-coordinated jobs: 3 Lloyd rounds × assign/means + checkpoint).
+    * Keyed by (session, canonicalized input plan, nCells) so a semantically
+    * identical input reuses the model — the `assigned` member is a
+    * localCheckpoint, valid for the life of the session. Training is
+    * deterministic (PipelineSpec pins the uncached path), so the cache
+    * changes no output bit, only removes the duplicated training. */
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), IvfModel]
+
   /** Deterministic Lloyd training + assignment — shared by the IVF search
     * ([[ivfTopK]]) and the clustering operator (`llm_cluster_assign`). */
   def ivfTrain(emb: DataFrame, nCells: Int): IvfModel = {
+    // keyed on the canonicalized plan itself (structural equality), not a
+    // hash — a hash collision would silently serve the wrong model
+    val key = (emb.sparkSession, emb.queryExecution.analyzed.canonicalized, nCells)
+    ivfCache.getOrElseUpdate(key, ivfTrainUncached(emb, nCells))
+  }
+
+  /** The actual training — exposed uncached so the spec can pin
+    * train-twice determinism without the memo short-circuiting it. */
+  private[graft] def ivfTrainUncached(emb: DataFrame, nCells: Int): IvfModel = {
     // Hoist the norm OUT of the transform lambda: an `aggregate` nested in
     // the lambda body re-evaluates per element — O(dim²) interpreted work
     // per row (measured: 73 s at sf0.1 before this, ~1 s after). Then

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline extensions beyond SURVEY §2.10: language-ID,
@@ -111,6 +111,42 @@ object TextOps {
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a_id, y AS b_id))))"))
         .as("p"))
       .select(col("p.a_id"), col("p.b_id")).distinct()
+
+  /** Planted A–B–C near-dup chains for the connected-components key: three
+    * prefix variants of each ≥20-word doc, adjacent pairs above the edge
+    * threshold, end pair below it — so only a transitive closure groups
+    * them. */
+  private[graft] def componentNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 20)
+    def variant(shift: Int, keep: Int) = base.select(
+      (col("doc_id") + shift).as("doc_id"), expr(s"slice(w, 1, $keep)").as("w"))
+    variant(0, 20)
+      .unionByName(variant(100000, 16))
+      .unionByName(variant(200000, 12))
+  }
+
+  /** Near-dup edge list for the components key: exact prefix-filter
+    * candidates verified at word-3-gram Jaccard ≥ 0.6. Carries NO broadcast
+    * hint — the shingle-hash side is corpus-sized at 100 TB (this key is
+    * the canonical-doc-selection path) and a forced broadcast is an
+    * executor OOM; AQE picks the small side (the candidate pairs) from
+    * measured stats. PlanShapeSpec pins the hint-free plan. */
+  private[graft] def componentEdges(spark: SparkSession, nodes: DataFrame): DataFrame = {
+    val sh = nodes.select(col("doc_id"), expr(
+        "array_sort(array_distinct(transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', slice(w, i, 3))))))").as("h"))
+      .select(col("doc_id"), col("h"), size(col("h")).as("n"))
+    prefixCandidates(sh, tNum = 3, tDen = 5)
+      .join(sh.select(col("doc_id").as("a_id"), col("h").as("a_h"),
+        col("n").as("a_n")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("h").as("b_h"),
+        col("n").as("b_n")), "b_id")
+      .withColumn("inter", expr(Llm.intersectCountFn(spark, "a_h", "b_h")).cast("double"))
+      .filter(col("inter") / (col("a_n") + col("b_n") - col("inter")) >= 0.6)
+      .select(col("a_id"), col("b_id"))
+  }
 
   /** Multi-table sign-LSH ANN top-k: candidates share the probe's bucket in
     * at least one of `nTables` tables; exact dot ranking within the deduped
@@ -304,13 +340,15 @@ object TextOps {
             "array_sort(array_distinct(transform(sequence(1, length(text) - 3), i -> xxhash64(substring(text, i, 4)))))").as("h"))
           .select(col("doc_id"), col("h"), size(col("h")).as("glen"))
         val cands = prefixCandidates(hashed, tNum = 4, tDen = 5)
-        // The per-doc hash arrays are bounded by the operator's sub-corpus
-        // filter — broadcast them onto the candidate pairs.
+        // No broadcast hint on the shingle-hash side: at 100 TB the hashed
+        // table is corpus-sized and a forced broadcast is an executor OOM.
+        // The candidate-pair side is the provably small one — leave the
+        // choice to AQE, which sees actual sizes at runtime.
         cands
-          .join(broadcast(hashed.select(col("doc_id").as("a_id"), col("h").as("a_h"),
-            col("glen").as("a_len"))), "a_id")
-          .join(broadcast(hashed.select(col("doc_id").as("b_id"), col("h").as("b_h"),
-            col("glen").as("b_len"))), "b_id")
+          .join(hashed.select(col("doc_id").as("a_id"), col("h").as("a_h"),
+            col("glen").as("a_len")), "a_id")
+          .join(hashed.select(col("doc_id").as("b_id"), col("h").as("b_h"),
+            col("glen").as("b_len")), "b_id")
           .filter(col("a_len") * 5 >= col("b_len") * 4 && col("b_len") * 5 >= col("a_len") * 4)
           .withColumn("inter", expr(Llm.intersectCountFn(spark, "a_h", "b_h")).cast("double"))
           .select(col("a_id"), col("b_id"),
@@ -455,26 +493,8 @@ object TextOps {
     // are small in practice, so O(diameter) rounds is the honest cost.
     Q("llm_dedup_components",
       (spark, sfDir) => {
-        val base = Tables.documents(spark, sfDir)
-          .filter(col("doc_id") < 20)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 20)
-        def variant(shift: Int, keep: Int) = base.select(
-          (col("doc_id") + shift).as("doc_id"), expr(s"slice(w, 1, $keep)").as("w"))
-        val nodes = variant(0, 20)
-          .unionByName(variant(100000, 16))
-          .unionByName(variant(200000, 12))
-        val sh = nodes.select(col("doc_id"), expr(
-            "array_sort(array_distinct(transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', slice(w, i, 3))))))").as("h"))
-          .select(col("doc_id"), col("h"), size(col("h")).as("n"))
-        val edges = prefixCandidates(sh, tNum = 3, tDen = 5)
-          .join(broadcast(sh.select(col("doc_id").as("a_id"), col("h").as("a_h"),
-            col("n").as("a_n"))), "a_id")
-          .join(broadcast(sh.select(col("doc_id").as("b_id"), col("h").as("b_h"),
-            col("n").as("b_n"))), "b_id")
-          .withColumn("inter", expr(Llm.intersectCountFn(spark, "a_h", "b_h")).cast("double"))
-          .filter(col("inter") / (col("a_n") + col("b_n") - col("inter")) >= 0.6)
-          .select(col("a_id"), col("b_id"))
+        val nodes = componentNodes(spark, sfDir)
+        val edges = componentEdges(spark, nodes)
         // materialize the edge list ONCE: labels is re-derived from sym in
         // every propagation round (and twice per round — checkpoint + the
         // fixpoint aggregate), so an un-checkpointed sym would re-run the

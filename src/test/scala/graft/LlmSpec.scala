@@ -108,12 +108,14 @@ class LlmSpec extends SparkFixture {
       .map(r => r.getLong(0) -> r.getInt(7)).toMap
     a.foreach { r =>
       val (id, k) = (r.getLong(0), r.getInt(2))
-      val feat = r.getSeq[Double](3)
+      // feat ships as a rounded CSV string (scalar-emit convention)
+      val feat = r.getString(3).split(',').map(_.toDouble).toSeq
       assert(k == sampled(id), s"doc $id: used $k frames, decode sampled ${sampled(id)}")
       assert(feat.length == 8, s"doc $id: ${feat.length} bins")
       assert(feat.forall(v => v >= 0 && v <= 1), s"doc $id: bin out of [0,1]")
       // mean of per-frame normalized histograms stays a distribution
-      assert(math.abs(feat.sum - 1.0) < 1e-9, s"doc $id: pooled histogram sums to ${feat.sum}")
+      // (each bin rounds to 6dp in the CSV emit → ±8 * 5e-7 on the sum)
+      assert(math.abs(feat.sum - 1.0) < 1e-5, s"doc $id: pooled histogram sums to ${feat.sum}")
     }
     val plan = q(spark, sf001).queryExecution.executedPlan.toString
     assert(plan.contains("MapPartitions"), plan.take(800))

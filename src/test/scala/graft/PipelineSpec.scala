@@ -191,6 +191,23 @@ class PipelineSpec extends SparkFixture {
     }
   }
 
+  test("ivfTrain: training is deterministic uncached, and the memo reuses one model") {
+    // The memo (ivfCache) makes rerun-identity trivially true for the query
+    // keys, so determinism is pinned here on the UNCACHED path: two
+    // independent trainings must produce bit-identical centroids.
+    val emb = Tables.embeddings(spark, sf001)
+    val m1 = ops.Pipeline.ivfTrainUncached(emb, nCells = 16)
+    val m2 = ops.Pipeline.ivfTrainUncached(emb, nCells = 16)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq,
+      "uncached Lloyd training must be bit-deterministic")
+    // Memo: two semantically identical inputs (fresh DataFrame objects)
+    // must resolve to the SAME trained model — this is what lets
+    // llm_ann_ivf and llm_cluster_assign share one training per bench run.
+    val a = ops.Pipeline.ivfTrain(Tables.embeddings(spark, sf001), nCells = 16)
+    val b = ops.Pipeline.ivfTrain(Tables.embeddings(spark, sf001), nCells = 16)
+    assert(a eq b, "memoized ivfTrain must return the shared model instance")
+  }
+
   test("llm_ann_ivf with nProbe = nCells equals brute-force exact search") {
     val emb = Tables.embeddings(spark, sf001)
     val ivfFull = ops.Pipeline.ivfTopK(emb, col("vec_id") < 10, nCells = 16, nProbe = 16, k = 10)

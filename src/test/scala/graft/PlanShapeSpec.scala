@@ -249,4 +249,20 @@ class PlanShapeSpec extends SparkFixture {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
       || p.contains("GreaterThanOrEqual(o_orderdate"), "date filter must reach the scan:\n" + p.take(2000))
   }
+
+  test("dedup verify joins carry no user broadcast hint on the shingle-hash side") {
+    // At 100 TB the shingle-hash table is corpus-sized; a user-forced
+    // broadcast there is an executor OOM. The choice must be AQE's, so the
+    // analyzed logical plans of both exact-dedup verify pipelines must be
+    // hint-free (the candidate-pair side gets broadcast at runtime from
+    // measured stats, not a pin).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    val ngram = SparkEntry.queries("llm_dedup_ngram")(spark, sf001)
+    assert(hints(ngram) == 0, "llm_dedup_ngram must not pin a broadcast side")
+    val edges = ops.TextOps.componentEdges(spark,
+      ops.TextOps.componentNodes(spark, sf001))
+    assert(hints(edges) == 0, "llm_dedup_components edges must not pin a broadcast side")
+  }
 }
