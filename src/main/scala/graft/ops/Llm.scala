@@ -141,22 +141,112 @@ object Llm {
   case class MediaFeat(doc_id: Long, mime: String, width: Int, height: Int,
       n_frames: Int, sampled_frames: Array[Int])
 
+  // ---- real PNG codec (JDK javax.imageio — no external media libs) ----
+
+  /** PNG signature prefix — decode dispatches on content, like a demuxer. */
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  /** Deterministic tiny "frame strip" PNG: `n_frames` frames of w×frameH
+    * pixels stacked vertically, pixel values from a 64-bit LCG seeded by
+    * doc_id, and the frame count carried in a REAL PNG tEXt metadata chunk
+    * (the still-image analogue of a container's stream-info header — the
+    * decoder reads it back with ImageIO metadata, not a side channel).
+    * Frame geometry derives from the text-content hash so the corpus gets
+    * varied dims and frame counts. This is the fixture generator for the
+    * multimodal keys: real bytes in, real codec out. */
+  def pngStrip(docId: Long, text: String): Array[Byte] = {
+    val h = java.util.Arrays.hashCode(text.getBytes("UTF-8"))
+    val nFrames = math.floorMod(h, 240) + 1
+    val w = math.floorMod(h, 30) + 2            // 2..31
+    val frameH = math.floorMod(h / 30, 16) + 2  // 2..17
+    val img = new java.awt.image.BufferedImage(
+      w, nFrames * frameH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // fill via the raster's backing byte array: per-pixel setRGB runs a
+    // color-model conversion per call — ~50× slower (measured 22 s vs
+    // sub-second for the whole key at sf0.1)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var seed = docId * 6364136223846793005L + 1442695040888963407L
+    var i = 0
+    while (i < data.length) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      data(i) = (seed >>> 40).toByte
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val meta = writer.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromBufferedImageType(
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR),
+      writer.getDefaultWriteParam)
+    val entry = new javax.imageio.metadata.IIOMetadataNode("tEXtEntry")
+    entry.setAttribute("keyword", "n_frames")
+    entry.setAttribute("value", nFrames.toString)
+    val tEXt = new javax.imageio.metadata.IIOMetadataNode("tEXt")
+    tEXt.appendChild(entry)
+    val root = new javax.imageio.metadata.IIOMetadataNode("javax_imageio_png_1.0")
+    root.appendChild(tEXt)
+    meta.mergeTree("javax_imageio_png_1.0", root)
+    val baos = new java.io.ByteArrayOutputStream()
+    // memory-cached stream: ImageIO.createImageOutputStream spills to a
+    // temp FILE per image by default — a disk write per row
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, meta), null)
+    } finally { out.close(); writer.dispose() }
+    baos.toByteArray
+  }
+
+  /** Decode a PNG via ImageIO: true pixel data + the frame count from the
+    * tEXt chunk (1 when absent — a plain still image). */
+  private def readPng(bytes: Array[Byte]): (java.awt.image.BufferedImage, Int) = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+    try {
+      reader.setInput(in)
+      val img = reader.read(0)
+      val root = reader.getImageMetadata(0).getAsTree("javax_imageio_png_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val entries = root.getElementsByTagName("tEXtEntry")
+      var n = 1
+      var i = 0
+      while (i < entries.getLength) {
+        val e = entries.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        if (e.getAttribute("keyword") == "n_frames") n = e.getAttribute("value").toInt
+        i += 1
+      }
+      (img, n)
+    } finally { reader.dispose(); in.close() }
+  }
+
   /** Batch decode kernel — the narrow seam a real decoder drops into.
     * Batch-in/batch-out like a vectorized (Pandas-style) UDF: the caller
     * feeds bounded slices of a partition so a native decoder can amortize
     * codec/context setup across the batch and memory stays bounded by
     * (batch size × frame size), not partition size.
     *
-    * STUB: no media libraries exist in this environment (SURVEY §0), so
-    * the "decode" derives deterministic fake dimensions/frame-counts from
-    * the payload bytes; frame sampling (1 per 24 frames ≈ 1/s @ 24 fps) is
-    * real arithmetic. A production build replaces ONLY this function. */
+    * PNG payloads decode for REAL through JDK `javax.imageio` — true
+    * dimensions from the pixel grid, frame count from the tEXt metadata
+    * chunk, per-frame pixel access for the feature stage. Non-PNG mimes
+    * (video codecs etc., which the JDK lacks and SURVEY §0's environment
+    * cannot install) fall to the clearly-marked deterministic stub; a
+    * production build replaces ONLY that branch. */
   def decodeBatch(batch: Seq[MediaIn]): Seq[MediaFeat] = batch.map { m =>
-    val h = java.util.Arrays.hashCode(m.payload)
-    val nFrames = math.floorMod(h, 240) + 1
-    MediaFeat(m.doc_id, m.mime,
-      math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1,
-      nFrames, (0 until nFrames by 24).toArray)
+    if (isPng(m.payload)) {
+      val (img, nFrames) = readPng(m.payload)
+      MediaFeat(m.doc_id, m.mime, img.getWidth, img.getHeight / nFrames,
+        nFrames, (0 until nFrames by 24).toArray)
+    } else {
+      // STUB branch: deterministic fake dims/frame-count from payload bytes;
+      // frame sampling (1 per 24 frames ≈ 1/s @ 24 fps) is real arithmetic.
+      val h = java.util.Arrays.hashCode(m.payload)
+      val nFrames = math.floorMod(h, 240) + 1
+      MediaFeat(m.doc_id, m.mime,
+        math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1,
+        nFrames, (0 until nFrames by 24).toArray)
+    }
   }
 
   /** Pooled per-document feature vector from the sampled frames. */
@@ -165,16 +255,56 @@ object Llm {
 
   /** Feature-extraction stage over the decode seam — the fourth step of
     * the multimodal quartet (decode / resize / frame-sample / extract).
-    * Per sampled frame, an 8-bin normalized byte histogram over a
-    * frame-indexed 64-byte view of the payload (the STAND-IN for a pixel
-    * histogram — the payload slice is where decoded frame data arrives in
-    * a production build); frame histograms mean-pool into one
-    * document-level vector. Batch-in/batch-out like [[decodeBatch]], runs
-    * partition-local, memory bounded by batch size — the pooled 8-double
-    * vector is the only thing that outlives the batch. */
-  def featureBatch(batch: Seq[MediaIn]): Seq[MediaVec] = {
-    val decoded = decodeBatch(batch)
-    batch.zip(decoded).map { case (in, d) =>
+    * Per sampled frame, an 8-bin normalized luminance histogram; frame
+    * histograms mean-pool into one document-level vector. For PNG payloads
+    * the histogram runs over the REAL decoded pixels of each sampled frame
+    * (luminance = mean of R,G,B, binned by the top 3 bits); for stub mimes
+    * it runs over a frame-indexed 64-byte payload view (the stand-in until
+    * a codec exists for that mime). Batch-in/batch-out like
+    * [[decodeBatch]], runs partition-local, memory bounded by batch size —
+    * the pooled 8-double vector is the only thing that outlives the
+    * batch. */
+  def featureBatch(batch: Seq[MediaIn]): Seq[MediaVec] = batch.map { in =>
+    if (isPng(in.payload)) {
+      val (img, nFrames) = readPng(in.payload)
+      val w = img.getWidth
+      val frameH = img.getHeight / nFrames
+      val sampled = 0 until nFrames by 24
+      val pooled = Array.fill(8)(0.0)
+      // hot path reads the raster's backing BGR byte array (per-pixel
+      // getRGB converts through the color model — ~50× slower); non-BGR
+      // decodes (palette PNGs etc.) fall back to getRGB for correctness
+      val bgr: Array[Byte] =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+        else null
+      sampled.foreach { fr =>
+        val hist = new Array[Int](8)
+        var y = fr * frameH
+        val yEnd = y + frameH
+        while (y < yEnd) {
+          var x = 0
+          while (x < w) {
+            val lum = if (bgr != null) {
+              val base = (y * w + x) * 3
+              ((bgr(base) & 0xFF) + (bgr(base + 1) & 0xFF) + (bgr(base + 2) & 0xFF)) / 3
+            } else {
+              val rgb = img.getRGB(x, y)
+              (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            }
+            hist(lum >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w * frameH
+        var b = 0
+        while (b < 8) { pooled(b) += hist(b).toDouble / n; b += 1 }
+      }
+      val k = math.max(1, sampled.length)
+      MediaVec(in.doc_id, in.mime, sampled.length, pooled.map(_ / k))
+    } else {
+      val d = decodeBatch(Seq(in)).head
       val p = in.payload
       val pooled = Array.fill(8)(0.0)
       // empty payload → zero vector (0/0 histograms would pool to NaN)
@@ -369,19 +499,30 @@ object Llm {
     // partition (no shuffle before decode; the one exchange in the plan is
     // the final presentation sort), then the aspect-preserving fit into
     // the 224×224 training pixel budget runs as plain codegen'd column
-    // arithmetic over the decoded dims. This is the Spark-side plumbing a
-    // real image/audio/video pipeline needs — typed input/output schemas,
-    // partition-local batching, bounded memory — with only the codec call
-    // stubbed (see [[decodeBatch]]). No oracle: the stub's outputs are
-    // engine-specific; determinism + sampling/resize arithmetic + plan
-    // shape are property-tested.
+    // arithmetic over the decoded dims. Payloads are REAL PNG frame strips
+    // ([[pngStrip]]) and the decode is a real `javax.imageio` decode —
+    // true dims from the pixel grid, frame count from the tEXt metadata
+    // chunk. No oracle (binary codec I/O isn't SQL-expressible); LlmSpec
+    // checks the decoded dims against an independent driver-side decode of
+    // the same bytes, plus sampling/resize arithmetic and plan shape.
     Q("llm_multimodal_decode",
       (spark, sfDir) => {
         import spark.implicits._
+        val png = udf((id: Long, text: String) => pngStrip(id, text))
         Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+          // spread codec work across cores BEFORE encoding: the local
+          // fixture is one file → one split, which would serialize all
+          // PNG work on one thread (measured 17 s vs sub-second). The
+          // exchange carries (doc_id, text) only — payloads never shuffle.
+          // numPartitions is EXPLICIT: rows are few but each is
+          // codec-expensive, so AQE's byte-size coalescing would fold the
+          // spread back to one partition. At 100 TB the scan has thousands
+          // of splits and this exchange is already balanced.
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
-            encode(col("text"), "UTF-8").cast(BinaryType).as("payload"),
-            lit("video/fake").as("mime"))
+            png(col("doc_id"), col("text")).as("payload"),
+            lit("image/png").as("mime"))
           .as[MediaIn]
           .mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b.toSeq)))
           .toDF()
@@ -401,20 +542,28 @@ object Llm {
     // histogram → mean-pool, all inside the partition via [[featureBatch]];
     // the only exchange in the plan is the presentation sort, and the
     // pooled 8-double vector is what shuffles — never frames or payloads.
-    // No oracle (stub-derived values); LlmSpec pins determinism, histogram
-    // normalization, frame-count consistency with the decode key, and the
-    // no-shuffle-before-extract plan shape. The pooled vector is emitted as
-    // a rounded CSV string, not ARRAY<DOUBLE>: oracle outputs stay
-    // scalar-typed (repo convention, see llm_embed_quant's q_csv) so the
-    // driver's row comparator — which hashes scalar cells — never meets an
-    // unhashable array column.
+    // The histograms run over REAL decoded PNG pixels (r5). No oracle
+    // (binary codec I/O isn't SQL-expressible); LlmSpec pins the vector
+    // against an independent driver-side decode+histogram of the same
+    // bytes, plus determinism, normalization, frame-count consistency with
+    // the decode key, and the no-shuffle-before-extract plan shape. The
+    // pooled vector is emitted as a rounded CSV string, not ARRAY<DOUBLE>:
+    // oracle outputs stay scalar-typed (repo convention, see
+    // llm_embed_quant's q_csv) so the driver's row comparator — which
+    // hashes scalar cells — never meets an unhashable array column.
     Q("llm_multimodal_features",
       (spark, sfDir) => {
         import spark.implicits._
+        val png = udf((id: Long, text: String) => pngStrip(id, text))
         Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+          // same pre-encode spread as llm_multimodal_decode: rows, not
+          // payloads, cross the wire; explicit numPartitions keeps AQE
+          // from coalescing the codec-expensive rows onto one core
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
-            encode(col("text"), "UTF-8").cast(BinaryType).as("payload"),
-            lit("video/fake").as("mime"))
+            png(col("doc_id"), col("text")).as("payload"),
+            lit("image/png").as("mime"))
           .as[MediaIn]
           .mapPartitions(_.grouped(64).flatMap(b => featureBatch(b.toSeq)))
           .toDF()

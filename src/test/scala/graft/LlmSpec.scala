@@ -119,11 +119,50 @@ class LlmSpec extends SparkFixture {
     }
     val plan = q(spark, sf001).queryExecution.executedPlan.toString
     assert(plan.contains("MapPartitions"), plan.take(800))
-    assert("Exchange".r.findAllIn(plan).size <= 1,
-      "feature extraction must not sit behind a shuffle:\n" + plan.take(1500))
+    // two exchanges allowed: the pre-encode (doc_id, text) spread and the
+    // presentation sort — PAYLOADS must never shuffle, so no exchange may
+    // sit between the png-encode project and the MapPartitions extract
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      "feature extraction must not shuffle payloads:\n" + plan.take(1500))
+    // printed tree is downstream-first: below the MapPartitions extract,
+    // the png-encode project (UDF) must appear before any Exchange — i.e.
+    // the shuffle sits under the encode, carrying rows, never payloads
+    val below = plan.substring(plan.indexOf("MapPartitions"))
+    val (udfAt, exAt) = (below.indexOf("UDF"), below.indexOf("Exchange"))
+    assert(udfAt >= 0 && (exAt == -1 || exAt > udfAt),
+      "no exchange may sit between payload encode and extract:\n" + plan.take(1500))
     // kernel edge: an empty payload must yield a finite zero vector, not NaN
     val empty = ops.Llm.featureBatch(Seq(ops.Llm.MediaIn(1L, Array.emptyByteArray, "video/fake")))
     assert(empty.head.feat.forall(v => v == 0.0), "empty payload must pool to zeros")
+  }
+
+  test("llm_multimodal_features histograms match an independent pixel-level recomputation") {
+    // Recompute the pooled luminance histogram from the raw PNG bytes with
+    // plain ImageIO.read and an independently-written loop — the engine's
+    // decode+extract path must reproduce it bin for bin (6dp CSV rounding).
+    val feats = SparkEntry.queries("llm_multimodal_features")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getString(3).split(',').map(_.toDouble)).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).limit(15).collect()
+    docs.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ops.Llm.pngStrip(id, text)))
+      val nFrames = math.floorMod(java.util.Arrays.hashCode(text.getBytes("UTF-8")), 240) + 1
+      val (w, frameH) = (img.getWidth, img.getHeight / nFrames)
+      val sampled = 0 until nFrames by 24
+      val expected = sampled.map { fr =>
+        val lums = for (y <- fr * frameH until (fr + 1) * frameH; x <- 0 until w) yield {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        }
+        (0 until 8).map(b => lums.count(_ >> 5 == b).toDouble / lums.size)
+      }.transpose.map(_.sum / sampled.size)
+      val got = feats(id)
+      expected.zip(got).zipWithIndex.foreach { case ((e, g), b) =>
+        assert(math.abs(e - g) < 1e-5, s"doc $id bin $b: engine $g != pixels $e")
+      }
+    }
   }
 
   test("llm_multimodal_decode: deterministic, correct frame sampling, decode stays partition-local") {
@@ -139,7 +178,9 @@ class LlmSpec extends SparkFixture {
       val (rw, rh) = (r.getInt(4), r.getInt(5))
       val (nFrames, nSampled) = (r.getInt(6), r.getInt(7))
       assert(nSampled == (nFrames + 23) / 24, s"doc ${r.getLong(0)}: $nSampled of $nFrames")
-      assert(w >= 1 && w <= 1920 && h >= 1 && h <= 1080)
+      // pngStrip geometry: width 2..31, frame height 2..17, 1..240 frames
+      assert(w >= 2 && w <= 31 && h >= 2 && h <= 17, s"doc ${r.getLong(0)}: ($w,$h)")
+      assert(nFrames >= 1 && nFrames <= 240)
       assert(rw >= 1 && rh >= 1,
         s"doc ${r.getLong(0)}: resize ($w,$h) -> ($rw,$rh) emitted a 0-px axis")
       assert(rw <= 224 && rh <= 224 && math.max(rw, rh) == 224,
@@ -155,7 +196,36 @@ class LlmSpec extends SparkFixture {
     // the plan is the final presentation sort
     val plan = q(spark, sf001).queryExecution.executedPlan.toString
     assert(plan.contains("MapPartitions"), plan.take(800))
-    assert("Exchange".r.findAllIn(plan).size <= 1, "decode must not sit behind a shuffle:\n" + plan.take(1500))
+    // pre-encode row spread + presentation sort; payloads never shuffle
+    assert("Exchange".r.findAllIn(plan).size <= 2, "decode must not shuffle payloads:\n" + plan.take(1500))
+    val below = plan.substring(plan.indexOf("MapPartitions"))
+    val (udfAt, exAt) = (below.indexOf("UDF"), below.indexOf("Exchange"))
+    assert(udfAt >= 0 && (exAt == -1 || exAt > udfAt),
+      "no exchange may sit between payload encode and decode:\n" + plan.take(1500))
+  }
+
+  test("llm_multimodal_decode reads REAL PNG bytes: dims and frame count match an independent decode") {
+    // Independent cross-check, bypassing readPng: decode the same generated
+    // bytes with plain ImageIO.read (pixel grid only) and derive the frame
+    // count from the GENERATOR's formula — so the engine's tEXt-metadata
+    // round trip is verified against the pixel grid, not against itself.
+    val out = SparkEntry.queries("llm_multimodal_decode")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(6)))).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).limit(25).collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val bytes = ops.Llm.pngStrip(id, text)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val h = java.util.Arrays.hashCode(text.getBytes("UTF-8"))
+      val expFrames = math.floorMod(h, 240) + 1
+      val (w, fh, n) = out(id)
+      assert(n == expFrames, s"doc $id: engine read $n frames, generator wrote $expFrames")
+      assert(w == img.getWidth, s"doc $id: width $w != decoded ${img.getWidth}")
+      assert(fh * n == img.getHeight,
+        s"doc $id: frame height $fh × $n frames != strip height ${img.getHeight}")
+    }
   }
 
   test("llm_multimodal_schema: payload round-trips and digest is stable") {
