@@ -103,6 +103,73 @@ object Scans {
           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".trim)),
 
+    // ORC source (r5): the remaining interchange round-trip (JSON/CSV
+    // above) — columnar like parquet, so unlike the text formats this
+    // path keeps types natively and supports predicate pushdown on read.
+    Q("source_orc",
+      (spark, sfDir) => {
+        val dir = "/tmp/graft_fmt_orc_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+          .write.mode("overwrite").orc(dir)
+        spark.read.orc(dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".trim)),
+
+    // MERGE-shaped keyed upsert (r5): refresh a corpus snapshot with a
+    // delta batch — updated rows replace by key, new rows append — then
+    // materialize the merged snapshot (write + read back, so the key
+    // asserts sink fidelity, not just the plan). The delta here is
+    // synthesized from the fixture: every doc_id % 17 == 0 row gets a
+    // re-crawled version, and 30 brand-new docs arrive under shifted ids.
+    //
+    // 100 TB shape: upsert = left-anti join of the snapshot against the
+    // delta's keys + union — one shuffle on the merge key for the
+    // snapshot side at worst; in practice the delta is orders of
+    // magnitude smaller than the snapshot, so AQE broadcasts the delta
+    // keys and the snapshot NEVER shuffles (no user hint — same policy as
+    // the dedup verify joins). This is exactly the copy-on-write MERGE
+    // strategy of the table formats (Delta/Iceberg), minus their commit
+    // log: rewrite only what the anti-join keeps, append the delta.
+    Q("sink_upsert",
+      (spark, sfDir) => {
+        val dir = "/tmp/graft_sink_upsert_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val snap = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val delta = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), lit("xx").as("lang"),
+            (col("n_chars") + 1000).as("n_chars"))
+          .unionByName(Tables.documents(spark, sfDir)
+            .filter(col("doc_id") < 30)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+              col("n_chars")))
+        snap.join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(delta)
+          .write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir).orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH delta AS (
+          SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
+          FROM documents WHERE doc_id % 17 = 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+          FROM documents WHERE doc_id < 30
+        )
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT s.doc_id, s.lang, s.n_chars FROM documents s
+          WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.doc_id = s.doc_id)
+          UNION ALL
+          SELECT doc_id, lang, n_chars FROM delta
+        ) ORDER BY doc_id""".trim)),
+
     // Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
     Q("filter_pred",
       (spark, sfDir) =>
