@@ -41,6 +41,25 @@ object StreamOps {
     spark.table(tbl)
   }
 
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** [[runToTable]] with the RocksDB state-store provider pinned for the
+    * query (read at stream START, so a runtime conf set/restore scopes it):
+    * `transformWithState` requires RocksDB; the other streaming keys keep
+    * the session's default provider. */
+  private def runWithRocksDb(spark: SparkSession, sdf: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDbProvider)
+    try runToTable(spark, sdf, mode)
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
   // ---- typed records for the stateful op ----
   // `ts` stays in the record even though the state machine only reads
   // `ts_us`: event-time timeout requires the WATERMARKED column to survive
@@ -98,20 +117,23 @@ object StreamOps {
 
   /** The same per-user machine on the MODERN state API
     * (`transformWithState`, Spark 4.x): state lives in a named
-    * `ValueState` with STORE-MANAGED value TTL (`TTLConfig`) — eviction is
-    * the state store's job, not hand-armed timeouts — and the operator
-    * requires the RocksDB provider, the store that actually holds
-    * 100 TB-scale state (changelog checkpointing, out-of-heap).
+    * `ValueState`, eviction is an EVENT-TIME TIMER re-armed to
+    * lastTs + TTL on every update — `handleExpiredTimer` clears the state
+    * once the watermark passes it, mirroring the
+    * `flatMapGroupsWithState` + EventTimeTimeout fallback exactly. The
+    * operator requires the RocksDB provider, the store that actually
+    * holds 100 TB-scale state (changelog checkpointing, out-of-heap).
     *
-    * Environment note: an engine-level run of this operator hangs in THIS
-    * offline container — the RocksDB snapshot upload spins forever inside
-    * `RocksDBFileManager.zipToDfsFile` (JDK deflater loop; confirmed by
-    * thread dump, not a logic error, and unrelated to disk space). The
-    * shipped `stream_stateful` key therefore stays on the
-    * `flatMapGroupsWithState` + event-time-timeout path (SURVEY §7.5's
-    * sanctioned fallback), and this processor's state machine is covered
-    * by StreamingSpec through a faked
-    * `org.apache.spark.sql.streaming.StatefulProcessorHandle`. */
+    * Why timers and not store-managed `TTLConfig`: value TTL requires
+    * `TimeMode.ProcessingTime`, and in that mode the operator reports
+    * state-cleanup work after EVERY batch, so a `Trigger.AvailableNow`
+    * drain never terminates — it loops empty "no new data but cleaning up
+    * state" batches forever (observed >1100 batches; this loop, not a
+    * RocksDB fault, was r4's "hang" — the thread dumps had merely caught
+    * the loop's per-batch uploads in flight). Event-time timers fire off
+    * the watermark, which stops moving when the replay drains, so the
+    * query terminates — and eviction keyed to event time is the semantics
+    * the fallback path pins anyway. */
   class UserSessionProcessor(gapUs: Long, ttl: java.time.Duration)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserStats] {
     @transient private var st: org.apache.spark.sql.streaming.ValueState[UserState] = _
@@ -119,15 +141,25 @@ object StreamOps {
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       st = getHandle.getValueState[UserState]("user_state",
         org.apache.spark.sql.Encoders.product[UserState],
-        org.apache.spark.sql.streaming.TTLConfig(ttl))
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
       val init = if (st.exists()) st.get()
         else UserState(0L, 0L, Long.MinValue, Long.MinValue)
       val s = foldEvents(init, rows.toArray, gapUs)
       st.update(s)
+      // exactly one live eviction timer per key: drop the stale one, arm
+      // at lastTs + TTL (timer timestamps are epoch millis)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(s.lastTs / 1000 + ttl.toMillis)
       Iterator.single(UserStats(key, s.n, s.sessions,
         if (s.firstTs == Long.MinValue) 0L else s.lastTs - s.firstTs))
+    }
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserStats] = {
+      st.clear()
+      Iterator.empty
     }
   }
 
@@ -335,10 +367,16 @@ object StreamOps {
       },
       None),
 
-    // Arbitrary per-user state via flatMapGroupsWithState, with event-time
-    // TTL eviction (24 h after a user's last event; watermark-driven — see
-    // [[sessionStateFn]]). The fixture replay is a single micro-batch so no
-    // state ages out here; StreamingSpec drives a multi-batch eviction.
+    // Arbitrary per-user state with event-time TTL eviction (24 h after a
+    // user's last event, watermark-driven). PRIMARY path (r5): the Spark
+    // 4.x-native `transformWithState` + [[UserSessionProcessor]] on the
+    // RocksDB store — named state variables, timer-based eviction, the
+    // API/store pairing that holds 100 TB-scale state. Fallback: the
+    // mature `flatMapGroupsWithState` + EventTimeTimeout machine
+    // ([[sessionStateFn]]) — same fold, same eviction semantics
+    // (StreamingSpec asserts the two paths produce identical rows). The
+    // fixture replay is a single micro-batch so no state ages out here;
+    // StreamingSpec drives multi-batch eviction on both paths.
     Q("stream_stateful",
       (spark, sfDir) => {
         import spark.implicits._
@@ -347,11 +385,28 @@ object StreamOps {
           .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
             col("user_id"), col("value"))
           .as[Ev]
-        val stats = evs.groupByKey(_.user_id)
-          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
-            sessionStateFn(30L * 60 * 1000000, ttlMs = 24L * 3600 * 1000))
-        runToTable(spark, stats.toDF(), OutputMode.Update())
-          .orderBy(col("user_id"))
+        try {
+          val stats = evs.groupByKey(_.user_id)
+            .transformWithState(
+              new UserSessionProcessor(30L * 60 * 1000000,
+                java.time.Duration.ofHours(24)),
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              OutputMode.Update())
+          runWithRocksDb(spark, stats.toDF(), OutputMode.Update())
+            .orderBy(col("user_id"))
+        } catch {
+          case e: Throwable =>
+            // environment without a usable RocksDB provider: same machine
+            // on the HDFS-backed store via flatMapGroupsWithState
+            System.err.println(s"[graft] transformWithState unavailable " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "falling back to flatMapGroupsWithState")
+            val stats = evs.groupByKey(_.user_id)
+              .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+                sessionStateFn(30L * 60 * 1000000, ttlMs = 24L * 3600 * 1000))
+            runToTable(spark, stats.toDF(), OutputMode.Update())
+              .orderBy(col("user_id"))
+        }
       },
       None),
 

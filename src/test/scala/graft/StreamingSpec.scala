@@ -211,24 +211,23 @@ class StreamingSpec extends SparkFixture {
     assert(viaMemory == viaReplay && viaMemory.nonEmpty)
   }
 
-  test("UserSessionProcessor (transformWithState seam): accumulation and TTL-expiry semantics") {
-    // Engine-level transformWithState requires the RocksDB provider, whose
-    // snapshot upload hangs in this offline container (deflater spin in
-    // RocksDBFileManager.zipToDfsFile — thread-dump-verified environment
-    // issue). The processor's STATE MACHINE is driven here through a faked
-    // handle: same init/handleInputRows contract, in-memory ValueState
-    // whose expiry models the store-managed value TTL.
+  test("UserSessionProcessor (transformWithState): timer-based accumulation and eviction semantics") {
+    // The processor's state machine driven through a faked handle: same
+    // init/handleInputRows/handleExpiredTimer contract, in-memory
+    // ValueState, recorded timers — pins that every update re-arms exactly
+    // one eviction timer at lastTs + TTL and that expiry clears the state.
+    // (Engine-level runs are covered by the tests below.)
     import org.apache.spark.sql.streaming.{ListState, MapState, QueryInfo, TTLConfig, TimeMode, ValueState}
     class FakeValueState[T] extends ValueState[T] {
       var v: Option[T] = None
-      var expired = false
-      override def exists(): Boolean = v.isDefined && !expired
-      override def get(): T = if (exists()) v.get else null.asInstanceOf[T]
-      override def update(newState: T): Unit = { v = Some(newState); expired = false }
+      override def exists(): Boolean = v.isDefined
+      override def get(): T = v.getOrElse(null.asInstanceOf[T])
+      override def update(newState: T): Unit = v = Some(newState)
       override def clear(): Unit = v = None
     }
     val fake = new FakeValueState[StreamOps.UserState]
     var ttlSeen: TTLConfig = null
+    val timers = scala.collection.mutable.SortedSet.empty[Long]
     val handle = new org.apache.spark.sql.streaming.StatefulProcessorHandle {
       override def getValueState[T](name: String, enc: org.apache.spark.sql.Encoder[T],
           ttl: TTLConfig): ValueState[T] = { ttlSeen = ttl; fake.asInstanceOf[ValueState[T]] }
@@ -241,27 +240,107 @@ class StreamingSpec extends SparkFixture {
       override def getMapState[K, V](n: String, t: TTLConfig)(
           implicit ek: org.apache.spark.sql.Encoder[K], ev: org.apache.spark.sql.Encoder[V]): MapState[K, V] = fail("unused")
       override def getQueryInfo(): QueryInfo = fail("unused")
-      override def registerTimer(expiryTimestampMs: Long): Unit = fail("unused")
-      override def deleteTimer(expiryTimestampMs: Long): Unit = fail("unused")
-      override def listTimers(): Iterator[Long] = fail("unused")
+      override def registerTimer(expiryTimestampMs: Long): Unit = timers += expiryTimestampMs
+      override def deleteTimer(expiryTimestampMs: Long): Unit = timers -= expiryTimestampMs
+      override def listTimers(): Iterator[Long] = timers.toSeq.iterator
       override def deleteIfExists(stateName: String): Unit = fail("unused")
     }
     val p = new StreamOps.UserSessionProcessor(30L * 60 * 1000000,
       java.time.Duration.ofHours(1))
     p.setHandle(handle)
-    p.init(OutputMode.Update(), TimeMode.ProcessingTime())
-    assert(ttlSeen != null && ttlSeen.ttlDuration.toHours == 1, "TTL must be store-managed")
+    p.init(OutputMode.Update(), TimeMode.EventTime())
+    assert(ttlSeen == TTLConfig.NONE,
+      "eviction must be timer-driven, not store-managed TTL (PT-mode TTL never terminates AvailableNow)")
     val h = 3600L * 1000000L
     def ev(id: Long, tsUs: Long): StreamOps.Ev =
       StreamOps.Ev(id, new Timestamp(tsUs / 1000), tsUs, 9, 1.0)
     val b1 = p.handleInputRows(9L, Iterator(ev(2, 60000000L), ev(1, 0)), null).toSeq
     assert(b1.map(s => (s.n_events, s.n_sessions)) == Seq((2L, 1L)), b1.toString)
+    assert(timers.toSeq == Seq(60000L + 3600L * 1000), s"timer at lastTs+TTL: $timers")
     val b2 = p.handleInputRows(9L, Iterator(ev(3, 5 * h)), null).toSeq
-    assert(b2.map(s => (s.n_events, s.n_sessions)) == Seq((3L, 2L)), "state accumulates within TTL")
-    fake.expired = true // the store expired the value past its TTL
+    assert(b2.map(s => (s.n_events, s.n_sessions)) == Seq((3L, 2L)), "state accumulates before expiry")
+    assert(timers.size == 1 && timers.head == 5 * h / 1000 + 3600L * 1000,
+      s"re-arm must leave exactly ONE live timer: $timers")
+    // the watermark passes the timer -> engine calls handleExpiredTimer
+    val evicted = p.handleExpiredTimer(9L, null, null).toSeq
+    assert(evicted.isEmpty, "eviction is silent")
+    assert(!fake.exists(), "expiry must clear the state")
     val b3 = p.handleInputRows(9L, Iterator(ev(4, 6 * h)), null).toSeq
     assert(b3.map(s => (s.n_events, s.n_sessions)) == Seq((1L, 1L)),
-      "expired state must restart, not accumulate")
+      "post-eviction state must restart, not accumulate")
+  }
+
+  test("stream_stateful (transformWithState primary) equals the flatMapGroupsWithState fallback") {
+    // The key's primary path is transformWithState on RocksDB; the mature
+    // fMGWS machine is the documented fallback. Both must produce
+    // IDENTICAL rows over the same replay — this is the equivalence that
+    // makes the fallback sound.
+    import spark.implicits._
+    val viaKey = SparkEntry.queries("stream_stateful")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val evs = Sources.replayEvents(spark, sf001, "events.parquet")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"))
+      .as[StreamOps.Ev]
+    val viaFmgws = runAvailableNow(
+      evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+          StreamOps.sessionStateFn(30L * 60 * 1000000, ttlMs = 24L * 3600 * 1000))
+        .toDF(),
+      OutputMode.Update()
+    ).collect().map(_.toSeq).toSet
+    assert(viaKey == viaFmgws && viaKey.nonEmpty,
+      s"paths diverge: only-tws=${(viaKey -- viaFmgws).take(3)} only-fmgws=${(viaFmgws -- viaKey).take(3)}")
+  }
+
+  test("transformWithState engine run: timer eviction clears idle state once the watermark passes") {
+    // Multi-batch ENGINE-LEVEL eviction on the primary path (RocksDB
+    // provider, event-time timers) — mirrors the fMGWS TTL test above:
+    // user 7 idles past TTL while user 8's events advance the watermark,
+    // then returns and must restart from a fresh state.
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp, Long, Double)]
+      val tbl = sinkName()
+      val q = input.toDF().toDF("event_id", "ts", "user_id", "value")
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("value"))
+        .as[StreamOps.Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new StreamOps.UserSessionProcessor(30L * 60 * 1000000,
+            java.time.Duration.ofHours(1)),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+        .toDF()
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode(OutputMode.Update()).start()
+      input.addData((1L, ts("2024-01-01 00:00:00"), 7L, 1.0),
+        (2L, ts("2024-01-01 00:05:00"), 7L, 1.0))
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-01 12:00:00"), 8L, 1.0))
+      q.processAllAvailable()
+      input.addData((4L, ts("2024-01-01 12:05:00"), 8L, 1.0))
+      q.processAllAvailable()
+      input.addData((5L, ts("2024-01-01 13:00:00"), 7L, 1.0))
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+      val rows7 = spark.table(tbl).filter(col("user_id") === 7)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(rows7.contains((2L, 1L)), s"pre-eviction state missing: ${rows7.mkString(",")}")
+      assert(rows7.contains((1L, 1L)), s"state must restart after timer eviction: ${rows7.mkString(",")}")
+      assert(!rows7.exists(_._1 == 3L), s"evicted state must not accumulate: ${rows7.mkString(",")}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   test("watermarked stream-stream join equals the batch twin exactly") {
