@@ -44,28 +44,36 @@ object Bench {
     // from the MARGINAL data-path cost, per baseline12 query. Fixed is
     // approximated by the warm time at sf0.001 (data ≈ 0 — the same plan,
     // schedule, and stage structure run over ~1/100 the rows); marginal at
-    // the target SF is warm(target) − warm(sf0.001). "Warm" = min of three
-    // repeat runs AFTER a cold run, so codegen compilation is amortized
-    // while each run still re-plans and re-schedules like the driver's
-    // protocol does. Feeds the BASELINE.md fixed/marginal appendix.
+    // the target SF is warm(target) − warm(sf0.001). "Warm" = MEDIAN of
+    // five repeat runs AFTER a cold run (r4 quoted a 2-run 1.25-2.2× band;
+    // the median over ≥5 reps is the r4-advice tightening), so codegen
+    // compilation is amortized while each run still re-plans and
+    // re-schedules like the driver's protocol does. All raw reps are
+    // emitted for the appendix. Feeds the BASELINE.md fixed/marginal
+    // decomposition.
     if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("split")) {
       val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
       def jstr0(s: String): String = "\"" + s + "\""
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
       val rows = baseline12.map { name =>
-        def runs(dir: String): Seq[Double] = (1 to 4).map { _ =>
+        def runs(dir: String): Seq[Double] = (1 to 6).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
         }
         val big = runs(sfDir)
         val small = runs(sfSmall)
-        val fixed = small.tail.min
-        val warm = big.tail.min
+        val fixed = median(small.tail)
+        val warm = median(big.tail)
         // warm(target) can dip below warm(sf0.001) by scheduler noise on
         // near-zero-data queries; a cost decomposition can't be negative,
-        // so clamp — both raw warm values are emitted for the appendix
+        // so clamp — all raw warm reps are emitted for the appendix
         val marginal = math.max(0.0, warm - fixed)
-        s"""{"query":${jstr0(name)},"cold_sec":${big.head},"warm_sec":$warm,"fixed_sec":$fixed,"marginal_sec":$marginal}"""
+        def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+        s"""{"query":${jstr0(name)},"cold_sec":${big.head},"warm_sec":$warm,"fixed_sec":$fixed,"marginal_sec":$marginal,"warm_reps":${arr(big.tail)},"fixed_reps":${arr(small.tail)}}"""
       }
       val out = "[" + rows.mkString(",") + "]"
       Files.writeString(Paths.get("bench_split.json"), out + "\n")
