@@ -167,6 +167,44 @@ object Aggregates {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""".trim)),
 
+    // Median + mode (r5): the order-statistic aggregates. Median runs the
+    // engines' native interpolating percentile over the raw doubles (2dp
+    // inputs → midpoints have ≤3 decimals, so the 4dp round is boundary-
+    // safe); mode is the DETERMINISTIC formulation — count + rank with
+    // ties broken by smallest value — because both engines' native mode()
+    // picks an arbitrary tie winner. Two-phase agg + a 1-row-per-group
+    // window; at 100 TB median would move to approx_percentile (the
+    // agg_approx_quantile key) — this is its exactness anchor.
+    Q("agg_median_mode",
+      (spark, sfDir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("cnt").desc, col("q"))
+        val modes = Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"), money(col("l_quantity")).as("q"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), emit(col("q"), 2).as("mode_qty"),
+            col("cnt").as("mode_n"))
+        val med = Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"))
+          .agg(round(median(col("l_quantity")), 4).as("median_qty"))
+        modes.join(med, "l_returnflag").orderBy(col("l_returnflag"))
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT l_returnflag, ${sqlEmit(sqlMoney("l_quantity"), 2)} AS q,
+            COUNT(*) AS cnt,
+            row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY COUNT(*) DESC, ${sqlMoney("l_quantity")}) AS rn
+          FROM lineitem GROUP BY l_returnflag, l_quantity
+        )
+        SELECT l_returnflag, q AS mode_qty, cnt AS mode_n,
+          (SELECT round(median(l_quantity), 4) FROM lineitem i
+           WHERE i.l_returnflag = m.l_returnflag) AS median_qty
+        FROM m WHERE rn = 1
+        ORDER BY l_returnflag""".trim)),
+
     // Pivot / crosstab: order counts per priority × status. Spark's
     // pivot() with explicit values plans as a single aggregate (no
     // per-value scans); missing cells coalesce to 0 like the oracle's

@@ -121,5 +121,26 @@ object SortsSetops {
         EXCEPT ALL
         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY custkey""".trim)),
+
+    // Bag-semantics intersect (r5): INTERSECT ALL keeps min(count(left),
+    // count(right)) copies — completes the ALL-variant family next to
+    // union_all/except_all. Same hash-agg shuffle shape as the distinct
+    // variants (counts ride the partial aggregate, never row copies).
+    Q("setop_intersect_all",
+      (spark, sfDir) => {
+        val urgent = Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey"))
+        val high = Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_custkey").as("custkey"))
+        high.intersectAll(urgent).orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT o_custkey AS custkey FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        INTERSECT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY custkey""".trim)),
   )
 }

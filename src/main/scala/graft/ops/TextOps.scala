@@ -444,6 +444,54 @@ object TextOps {
       },
       None),
 
+    // URL canonicalization dedup (r5): web-crawl corpora carry the same
+    // page under host-case / trailing-slash / tracking-query variants —
+    // canonicalize (lowercase host, strip query+fragment, strip trailing
+    // slashes) and collapse to one doc per canonical URL. The fixture has
+    // no URLs (SURVEY §0), so each doc constructs its variant
+    // deterministically from doc_id: 100 canonical pages spread across
+    // case/slash/query variants, provably collapsed by the dedup. Scale
+    // shape: per-row regex (zero shuffle) + one hash-agg on the canonical
+    // key — the same plan as llm_dedup_exact with URL, not digest, as key.
+    Q("llm_url_dedup",
+      (spark, sfDir) => {
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("WWW.Example.COM"))
+            .otherwise(lit("www.example.com")),
+          lit("/page/"), (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+        Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 400)
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("canon", concat(lit("https://"),
+            lower(regexp_extract(col("url"), "^https://([^/?#]+)", 1)),
+            regexp_replace(
+              regexp_extract(col("url"), "^https://[^/?#]+([^?#]*)", 1),
+              "/+$", "")))
+          .groupBy(col("canon"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+          .orderBy(col("canon"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            'https://' ||
+            CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END ||
+            '/page/' || CAST(doc_id % 100 AS VARCHAR) ||
+            CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END AS url
+          FROM documents WHERE doc_id < 400
+        )
+        SELECT 'https://' ||
+            lower(regexp_extract(url, '^https://([^/?#]+)', 1)) ||
+            regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1), '/+$', '')
+          AS canon,
+          MIN(doc_id) AS keep_id, COUNT(*) AS n_variants
+        FROM u
+        GROUP BY 1
+        ORDER BY canon""".trim)),
+
     // Deterministic hash sampling (§2.12 extension): training pipelines
     // need REPRODUCIBLE subsamples — TABLESAMPLE / rand() change under
     // retries, AQE re-splits, and engine versions, so the predicate is a

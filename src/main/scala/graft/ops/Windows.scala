@@ -101,6 +101,39 @@ object Windows {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         ORDER BY user_id, ts_us, event_id""".trim)),
 
+    // Frame navigation family (r5): first_value / last_value / nth_value
+    // over an explicit full-partition ROWS frame (the default frame stops
+    // at CURRENT ROW — the classic last_value footgun both engines share),
+    // plus cume_dist on the ordered prefix. One shuffle on user_id, same
+    // plan shape as the other window keys.
+    Q("window_first_last",
+      (spark, sfDir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            val6(col("value")).as("v"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            emit(first(col("v")).over(full), 6).as("first_v"),
+            emit(last(col("v")).over(full), 6).as("last_v"),
+            emit(nth_value(col("v"), 2).over(full), 6).as("second_v"),
+            cume_dist().over(ord).as("cd"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some(s"""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          ${sqlEmit(s"first_value(${sqlVal6("value")}) OVER wf", 6)} AS first_v,
+          ${sqlEmit(s"last_value(${sqlVal6("value")}) OVER wf", 6)} AS last_v,
+          ${sqlEmit(s"nth_value(${sqlVal6("value")}, 2) OVER wf", 6)} AS second_v,
+          cume_dist() OVER wo AS cd
+        FROM events
+        WINDOW
+          wo AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+          wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id, ts_us, event_id""".trim)),
+
     // Canonical top-k per group via row_number ≤ 3.
     Q("window_topk_group",
       (spark, sfDir) => {
