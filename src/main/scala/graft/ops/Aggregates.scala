@@ -167,6 +167,35 @@ object Aggregates {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""".trim)),
 
+    // Boolean / bitwise aggregates (r5): bool_and / bool_or over
+    // predicates, bit_and / bit_or / bit_xor over the id domain — the
+    // flag-mask reduction family. All associative-commutative, so they
+    // ride the standard two-phase HashAggregate; exact int64/boolean, no
+    // float policy needed.
+    Q("agg_bool_bit",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .groupBy(col("event_type"))
+          .agg(
+            bool_and(col("value") > 0).as("all_pos"),
+            bool_or(col("value") > 100).as("any_large"),
+            bit_and(col("user_id")).as("ids_and"),
+            bit_or(col("user_id")).as("ids_or"),
+            bit_xor(col("user_id")).as("ids_xor"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+          bool_and(value > 0) AS all_pos,
+          bool_or(value > 100) AS any_large,
+          bit_and(user_id) AS ids_and,
+          bit_or(user_id) AS ids_or,
+          bit_xor(user_id) AS ids_xor,
+          COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
     // Median + mode (r5): the order-statistic aggregates. Median runs the
     // engines' native interpolating percentile over the raw doubles (2dp
     // inputs → midpoints have ≤3 decimals, so the 4dp round is boundary-

@@ -170,6 +170,33 @@ object Scans {
           SELECT doc_id, lang, n_chars FROM delta
         ) ORDER BY doc_id""".trim)),
 
+    // Partitioned sink + pruned read-back (r5): THE 100 TB table layout —
+    // write events hive-partitioned by event date, read back through a
+    // literal date predicate that prunes to one partition directory
+    // statically (PlanShapeSpec pins `PartitionFilters` on the equivalent
+    // layout), aggregate the survivors. The oracle runs the same filtered
+    // aggregate over the unpartitioned original, so the key asserts the
+    // partitioned round-trip loses nothing and the partition column
+    // derives correctly.
+    Q("sink_partitioned",
+      (spark, sfDir) => {
+        val dir = "/tmp/graft_sink_part_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        Tables.events(spark, sfDir)
+          .withColumn("d", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("d").parquet(dir)
+        spark.read.parquet(dir)
+          .filter(col("d") === lit("2024-01-12").cast("date"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${Det.sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-12'
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
     // Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
     Q("filter_pred",
       (spark, sfDir) =>

@@ -444,6 +444,71 @@ object TextOps {
       },
       None),
 
+    // Cross-document repeated-substring profile (r5): the substring-level
+    // contamination check (RefinedWeb-style exact substring dedup, at
+    // word-8-gram granularity) — for each doc, what fraction of its
+    // distinct 8-grams also appears in ANOTHER doc; docs above 50% are
+    // near-copies at span level even when document-level Jaccard
+    // (llm_dedup_ngram) stays low. Planted: doc_id+500000 carries exactly
+    // the first 40 words of its original, so every variant gram is shared
+    // (ratio 1.0) and the dedup provably flags it. Scale shape: the
+    // shuffle carries (gram, doc_id) postings and the >1-doc filter is a
+    // hash-agg; at 100 TB the gram string is replaced by its 64-bit hash
+    // (same plan, narrower shuffle) — the string key here keeps the
+    // DuckDB oracle exact.
+    Q("llm_dedup_substring",
+      (spark, sfDir) => {
+        val docs = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val planted = docs.filter(col("doc_id") < 20 && size(col("w")) >= 40)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            expr("slice(w, 1, 40)").as("w"))
+        val grams = docs.unionByName(planted)
+          .filter(size(col("w")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8))))"))
+            .as("gram"))
+        val shared = grams.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1)
+          .select(col("gram"))
+        grams
+          .join(shared, Seq("gram"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .join(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+            Seq("doc_id"), "right")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+          .withColumn("shared_ratio", round(col("n_shared") / col("n_grams"), 4))
+          .withColumn("flagged", col("shared_ratio") >= 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id + 500000 AS doc_id, list_slice(string_split(text, ' '), 1, 40) AS w
+          FROM documents WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 40
+        ), g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(w) - 6),
+            i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS gram
+          FROM base WHERE len(w) >= 8
+        ), shared AS (
+          SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+        ), per_doc AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+            COUNT(*) FILTER (WHERE g.gram IN (SELECT gram FROM shared)) AS n_shared
+          FROM g GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_grams, n_shared,
+          round(CAST(n_shared AS DOUBLE) / n_grams, 4) AS shared_ratio,
+          round(CAST(n_shared AS DOUBLE) / n_grams, 4) >= 0.5 AS flagged
+        FROM per_doc
+        ORDER BY doc_id""".trim)),
+
     // URL canonicalization dedup (r5): web-crawl corpora carry the same
     // page under host-case / trailing-slash / tracking-query variants —
     // canonicalize (lowercase host, strip query+fragment, strip trailing

@@ -250,6 +250,15 @@ class PlanShapeSpec extends SparkFixture {
       || p.contains("GreaterThanOrEqual(o_orderdate"), "date filter must reach the scan:\n" + p.take(2000))
   }
 
+  test("sink_partitioned read-back prunes to the one matching date partition") {
+    val p = plan("sink_partitioned")
+    val scanLine = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLine.contains("= 2024-01-12"),
+      "literal date must reach the scan as a partition filter:\n" + scanLine)
+    assert(scanLine.contains("PushedFilters: []"),
+      "the date must prune partitions, not run as a data filter:\n" + scanLine)
+  }
+
   test("dedup verify joins carry no user broadcast hint on the shingle-hash side") {
     // At 100 TB the shingle-hash table is corpus-sized; a user-forced
     // broadcast there is an executor OOM. The choice must be AQE's, so the
