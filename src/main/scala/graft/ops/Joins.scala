@@ -362,5 +362,37 @@ object Joins {
           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name""".trim)),
+
+    // Bucketed co-located join (r5): both sides pre-bucketed (+ sorted) on
+    // the join key into a warehouse table, so the SortMergeJoin consumes
+    // the bucket layout directly — ZERO exchanges in the join plan
+    // (PlanShapeSpec pins the zero-exchange plan on this layout, with
+    // broadcast disabled there so the co-located SortMergeJoin — the path
+    // that matters at 100 TB, where neither side broadcasts — is the one
+    // asserted). This is the repeated-join answer at scale: pay the
+    // shuffle once at write time, every subsequent join on that key is
+    // exchange-free. The oracle is the plain logical join, proving the
+    // layout changes nothing.
+    Q("join_bucketed",
+      (spark, sfDir) => {
+        import graft.Det._
+        val db = "graft_bk_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!spark.catalog.databaseExists(db)) {
+          Layout.writeBucketed(spark, sfDir, db,
+            s"/tmp/graft_bucket_wh_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}",
+            Seq("orders" -> "o_custkey", "customer" -> "c_custkey"), nBuckets = 8)
+        }
+        spark.table(s"$db.orders")
+          .join(spark.table(s"$db.customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+          ${graft.Det.sqlSumMoney("o_totalprice")} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""".trim)),
   )
 }

@@ -101,6 +101,50 @@ object Windows {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         ORDER BY user_id, ts_us, event_id""".trim)),
 
+    // Batch sessionization via window composition (r5): the gap-and-island
+    // pattern — lag() marks session starts (gap ≥ 30 min), a running sum
+    // over the marks assigns session ids, then one aggregate per (user,
+    // session). Two stacked windows + the final agg all partition on
+    // user_id, so the whole pipeline rides ONE shuffle. Complements
+    // stream_session (native session_window): same semantics, operator
+    // composition instead of a built-in — the shape every engine needs
+    // when a windowing primitive is missing.
+    Q("window_sessionize",
+      (spark, sfDir) => {
+        val gapUs = 30L * 60 * 1000000
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("is_new",
+            when(lag(col("ts_us"), 1).over(w).isNull ||
+              col("ts_us") - lag(col("ts_us"), 1).over(w) >= gapUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("is_new")).over(run))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts_us")).as("ss_us"), max(col("ts_us")).as("se_us"),
+            count(lit(1)).as("n"))
+          .orderBy(col("user_id"), col("ss_us"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), s AS (
+          SELECT user_id, ts_us,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM t
+        )
+        SELECT user_id, CAST(sid AS BIGINT) AS sid,
+          MIN(ts_us) AS ss_us, MAX(ts_us) AS se_us, COUNT(*) AS n
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, ss_us""".trim)),
+
     // Frame navigation family (r5): first_value / last_value / nth_value
     // over an explicit full-partition ROWS frame (the default frame stops
     // at CURRENT ROW — the classic last_value footgun both engines share),
