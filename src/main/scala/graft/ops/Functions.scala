@@ -325,5 +325,30 @@ object Functions {
           CAST(len(json_keys(props)) AS INT) AS n_keys
         FROM events
         ORDER BY event_id""".trim)),
+
+    // Cryptographic digest family (r5): md5 + sha256 over document text,
+    // plus a truncated digest of a composite key — the content-address
+    // primitives behind `llm_dedup_exact` (which groups by sha2 at scale)
+    // and stable partition naming, surfaced as first-class scalars. Both
+    // engines emit lowercase hex, so the strings are oracle-exact. Per-row,
+    // zero shuffle; bounded subset keeps the dump small.
+    Q("fn_hash",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            md5(col("text")).as("md5_hex"),
+            sha2(col("text"), 256).as("sha256_hex"),
+            substring(sha2(concat_ws("|", col("source"), col("lang")), 256), 1, 16)
+              .as("part_digest"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          md5(text) AS md5_hex,
+          sha256(text) AS sha256_hex,
+          substr(sha256(source || '|' || lang), 1, 16) AS part_digest
+        FROM documents
+        WHERE doc_id < 200
+        ORDER BY doc_id""".trim)),
   )
 }

@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
 object Joins {
   import Det._
 
+  /** Shared ANSI text for `subquery_in_notin` — the same string is the
+    * Spark entry point AND the DuckDB oracle (dialect-shared, like the
+    * LATERAL pair above it in the file). */
+  private val InNotInSql = """
+    WITH risky AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer WHERE c_custkey < 500)
+    SELECT
+      (SELECT COUNT(*) FROM orders
+         WHERE o_custkey IN (SELECT k FROM risky)) AS cnt_in,
+      (SELECT COUNT(*) FROM orders
+         WHERE o_custkey NOT IN (SELECT k FROM risky)) AS cnt_not_in,
+      (SELECT COUNT(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM risky r
+                           WHERE r.k = o.o_custkey)) AS cnt_not_exists""".trim
+
   /** As-of composition (SURVEY §7.5): for each row of `rights` (key `k`,
     * time `t`, id `event_id`), the latest `ord_date` from `lefts` (key `k`,
     * time `t`, payload `ord_date`) with left.t <= right.t — DuckDB
@@ -313,6 +329,24 @@ object Joins {
                  / COUNT(*)
           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey""".trim)),
+
+    // IN / NOT IN / NOT EXISTS over a NULL-containing subquery (r5): the
+    // three-valued-logic footgun pinned as a contract. The inner list maps
+    // negative-balance customers to NULL, so NOT IN returns ZERO rows
+    // (x <> NULL is unknown for every candidate) while the NOT EXISTS
+    // formulation of "the same" predicate treats NULL as a non-match and
+    // keeps rows — both engines are ANSI-standard here and the counts pin
+    // the divergence. Spark plans the NOT IN as a null-aware anti join
+    // (single-column broadcast NAAJ), never a per-row re-scan; JoinsSpec
+    // asserts the fixture actually contains the NULL that makes
+    // cnt_not_in = 0, so the key can't silently degrade into the
+    // NULL-free case.
+    Q("subquery_in_notin",
+      (spark, sfDir) => {
+        graft.Tables.registerAll(spark, sfDir)
+        spark.sql(InNotInSql)
+      },
+      Some(InNotInSql)),
 
     // Six-table analytic join (r4, TPC-H Q5 shape): local-supplier revenue
     // per nation for one region and a date range. The scale design: both

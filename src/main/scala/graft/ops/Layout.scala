@@ -47,6 +47,13 @@ object Layout {
     * subsequent join). PlanShapeSpec asserts the exchange-free plan. */
   def writeBucketed(spark: SparkSession, sfDir: String, db: String,
       location: String, tables: Seq[(String, String)], nBuckets: Int): Unit = {
+    // A previous JVM may have left the warehouse dir behind while this
+    // session's in-memory catalog starts empty — saveAsTable then fails
+    // with LOCATION_ALREADY_EXISTS. The layout is a derived cache of the
+    // source parquet, so a stale dir is safe to clear and rebuild.
+    val loc = new org.apache.hadoop.fs.Path(location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
     tables.foreach { case (t, key) =>
       Tables.read(spark, sfDir, t).write

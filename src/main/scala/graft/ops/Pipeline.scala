@@ -27,6 +27,9 @@ object Pipeline {
   /** Decontamination gram width: small enough to hit the fixture's planted
     * template overlaps, the production knob is the same expression at 8-13. */
   private val GramN = 5
+  private val PackSeqTokens = 2048
+  private val ShardCount = 16
+  private val ShardHashMod = 1048576L
 
   def queries: Seq[Q] = Seq(
 
@@ -340,6 +343,78 @@ object Pipeline {
           nCells = 16, nProbe = 4, k = 10)
           .orderBy(col("probe_id"), col("rank")),
       None),
+
+    // Sequence packing (r5): assign documents to fixed 2048-token training
+    // sequences by a per-language prefix sum — the GPT-style "concatenate
+    // and split" packing where a document starts in sequence
+    // floor(preceding_tokens / 2048). All integer arithmetic (`div`, never
+    // IEEE division), so the assignment is bit-identical in both engines.
+    // One shuffle on lang; the prefix sum is a per-partition window. At
+    // 100 TB the partition key is the deterministic shard of
+    // `llm_shard_assign` (bounded rows per window partition), not a whole
+    // language — the shape is unchanged.
+    Q("llm_pack_sequences",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"),
+            expr(s"greatest(1L, n_chars div 4)").as("tok"))
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("seq_id", expr(s"(cum - tok) div $PackSeqTokens"))
+          .groupBy(col("lang"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang"), col("seq_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, greatest(CAST(1 AS BIGINT), n_chars // 4) AS tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, tok,
+            CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM t)
+        SELECT lang, (cum - tok) // $PackSeqTokens AS seq_id,
+          COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tok,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2 ORDER BY lang, seq_id""".trim)),
+
+    // Deterministic corpus shuffle + sharding (r5): the global "shuffle the
+    // corpus, split into N shards" step before training, WITHOUT a global
+    // sort — shard = hash % N is a plain hash partition, and the
+    // within-shard order is a per-shard window over (hash, doc_id). The
+    // hash is the overflow-safe keyed LCG of `llm_doc_sample` widened to 20
+    // bits (pre-reduce mod 2^20 before the multiply keeps the product
+    // under 2^51 — exact in both engines' int64). Rerun-stable,
+    // retry-stable, partitioning-stable; at 100 TB this is
+    // `write.partitionBy(shard)` + `sortWithinPartitions(h, doc_id)`.
+    Q("llm_shard_assign",
+      (spark, sfDir) => {
+        val rnW = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("n_chars"),
+            expr(s"((doc_id % $ShardHashMod + $ShardHashMod) % $ShardHashMod * 1103515245 + 12345) % $ShardHashMod").as("h"))
+          .withColumn("shard", expr(s"h % $ShardCount"))
+          .withColumn("rn", row_number().over(rnW))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            array_join(transform(array_sort(collect_list(
+              when(col("rn") <= 5, struct(col("rn"), col("doc_id"))))),
+              s => s.getField("doc_id").cast("string")), ",").as("head_docs"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+            ((doc_id % $ShardHashMod + $ShardHashMod) % $ShardHashMod * 1103515245 + 12345) % $ShardHashMod AS h
+          FROM documents)
+        SELECT h % $ShardCount AS shard, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          array_to_string((list(doc_id ORDER BY h, doc_id))[1:5], ',') AS head_docs
+        FROM t GROUP BY 1 ORDER BY shard""".trim)),
   )
 
   /** Train a deterministic IVF coarse quantizer and run top-k cosine search

@@ -31,6 +31,22 @@ class OperatorSpec extends SparkFixture {
     assert(anti.collect().map(r => Option(r.get(0))).toSet == Set(Some(2L), None))
   }
 
+  test("subquery_in_notin: the fixture's NULL-bearing list zeroes NOT IN but not NOT EXISTS") {
+    // The key's whole point is three-valued logic; guard that the fixture
+    // actually produces the NULL (a negative balance below custkey 500)
+    // that separates the two formulations — otherwise the contract would
+    // silently degrade into the NULL-free case where they agree.
+    val nulls = Tables.customer(spark, sf001)
+      .filter(col("c_custkey") < 500 && col("c_acctbal") < 0).count()
+    assert(nulls > 0, "fixture must contain a negative balance below custkey 500")
+    val row = SparkEntry.queries("subquery_in_notin")(spark, sf001).collect().head
+    assert(row.getLong(row.fieldIndex("cnt_not_in")) == 0L,
+      "NOT IN over a NULL-containing list must return zero rows")
+    assert(row.getLong(row.fieldIndex("cnt_not_exists")) > 0L,
+      "NOT EXISTS must keep the non-matching rows NOT IN drops")
+    assert(row.getLong(row.fieldIndex("cnt_in")) > 0L)
+  }
+
   test("full outer join null-extends both sides") {
     val l = Seq((1L, "l1"), (2L, "l2")).toDF("k", "lv")
     val r = Seq((2L, "r2"), (3L, "r3")).toDF("k", "rv")
@@ -189,8 +205,8 @@ class OperatorSpec extends SparkFixture {
       "join_inner_equi", "join_left_outer", "join_semi", "join_skew_salted",
       "join_theta", "llm_doc_sample", "project_expr", "scan_parquet",
       "scan_pruned", "setop_except", "setop_intersect", "setop_union_all",
-      "sort_global", "sort_limit_topk", "udaf_aggregator", "udf_scalar",
-      "window_rank", "window_topk_group")
+      "sort_global", "sort_limit_topk", "subquery_in_notin",
+      "udaf_aggregator", "udf_scalar", "window_rank", "window_topk_group")
     Tables.registerAll(spark, sf001)
     def norm(rows: Array[org.apache.spark.sql.Row]): Map[Seq[Any], Int] =
       rows.map(_.toSeq.map {

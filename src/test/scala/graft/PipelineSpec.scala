@@ -191,6 +191,44 @@ class PipelineSpec extends SparkFixture {
     }
   }
 
+  test("llm_pack_sequences matches an independent driver-side packing recount") {
+    val out = SparkEntry.queries("llm_pack_sequences")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), math.max(1L, r.getLong(2) / 4)))
+    // independent recount: plain Scala prefix sum per language in doc_id
+    // order — floor(preceding/2048) is the sequence a document starts in
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).toSeq.map { case (id, _, tok) =>
+        val seq = cum / 2048; cum += tok; (lang, seq, id, tok)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> ((g.size.toLong, g.map(_._4).sum, g.map(_._3).min, g.map(_._3).max))
+    }
+    assert(out == expected, "Spark packing must equal the driver recount")
+    // conservation, stated explicitly: every doc in exactly one sequence
+    assert(out.values.map(_._1).sum == docs.length)
+  }
+
+  test("llm_shard_assign: balanced deterministic shards that partition the corpus") {
+    val out = SparkEntry.queries("llm_shard_assign")(spark, sf001).collect()
+    val total = Tables.documents(spark, sf001).count()
+    assert(out.map(_.getLong(1)).sum == total, "shards must partition the corpus")
+    assert(out.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
+    out.foreach { r =>
+      val heads = r.getString(r.fieldIndex("head_docs")).split(",")
+      assert(heads.length == math.min(5L, r.getLong(1)),
+        "head_docs must list the first min(5, n_docs) docs")
+      assert(heads.distinct.length == heads.length)
+    }
+    // rerun identity — the whole point of a deterministic shuffle
+    val again = SparkEntry.queries("llm_shard_assign")(spark, sf001).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("ivfTrain: training is deterministic uncached, and the memo reuses one model") {
     // The memo (ivfCache) makes rerun-identity trivially true for the query
     // keys, so determinism is pinned here on the UNCACHED path: two
