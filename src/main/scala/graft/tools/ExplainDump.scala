@@ -60,6 +60,27 @@ object ExplainDump {
     "join_lateral" -> ("Correlated LATERAL (r4): Catalyst decorrelates the per-customer top-1 " +
       "subquery into WindowGroupLimit (partial+final) + one join — the SQL user's per-row " +
       "formulation runs as a ranked window, never a loop."),
+    "join_bucketed" -> ("Co-located join (r5): both sides read pre-bucketed+sorted tables on the " +
+      "join key — SortMergeJoin with ZERO Exchange on either side (dumped with broadcast " +
+      "disabled: at fixture scale the dim would broadcast, at 100 TB neither side fits and " +
+      "THIS is the plan); the write-time shuffle is amortized across every later join on " +
+      "that key."),
+    "sink_partitioned" -> ("Partitioned layout (r5): the dumped read-back plan shows the literal " +
+      "date predicate as PartitionFilters (directory pruning) with empty PushedFilters — the " +
+      "non-matching partitions are never opened."),
+    "window_sessionize" -> ("Batch sessionization (r5): lag-mark + running-sum + session aggregate " +
+      "all share ONE hash exchange on user_id — three logical steps, one shuffle."),
+    "subquery_in_notin" -> ("NOT IN over a nullable list (r5): planned as a null-aware anti join, " +
+      "IN as a semi join, NOT EXISTS as a plain anti join — never a per-row re-scan of the list."),
+    "llm_shard_assign" -> ("Deterministic shuffle+shard (r5): shard comes from pure hash " +
+      "arithmetic on the scan (no global sort); the per-shard order is a window inside each " +
+      "shard's partition — one exchange on shard, everything else map-side."),
+    "llm_pack_sequences" -> ("Sequence packing (r5): one exchange on the partition key, then the " +
+      "prefix-sum window and the per-sequence aggregate run partition-local — integer " +
+      "arithmetic end to end."),
+    "llm_dedup_substring" -> ("Substring-contamination profile (r5): (gram, doc_id) postings " +
+      "shuffle once; the >1-doc filter is a hash aggregate, the flag join is a semi join on " +
+      "doc_id — the text never re-shuffles."),
   )
 
   def main(args: Array[String]): Unit = {
@@ -81,8 +102,14 @@ object ExplainDump {
       "(plans are size-independent apart from AQE's runtime join choices; " +
       "the commentary per query is the 100 TB design claim the plan backs).\n")
     headline.foreach { case (key, note) =>
+      // join_bucketed's whole point is the exchange-free plan when NEITHER
+      // side broadcasts (the 100 TB case) — physical planning happens at
+      // explainString time, so the conf must be off around it.
+      val noBroadcast = key == "join_bucketed"
+      if (noBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = SparkEntry.queries(key)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      if (noBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       sb.append(s"\n## $key\n\n$note\n\n```\n$plan```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)

@@ -259,6 +259,16 @@ class PlanShapeSpec extends SparkFixture {
       "the date must prune partitions, not run as a data filter:\n" + scanLine)
   }
 
+  test("subquery_in_notin plans NOT IN as a null-aware anti join, not a re-scan loop") {
+    // the three joins live inside scalar-subquery plans, which a plan
+    // collect() does not traverse — the printed tree does include them.
+    // BroadcastHashJoin's last printed argument is isNullAwareAntiJoin.
+    val p = plan("subquery_in_notin")
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      "NOT IN over a nullable list must plan as a null-aware anti join:\n" + p)
+    assert(p.contains("LeftSemi"), "IN must plan as a semi join:\n" + p)
+  }
+
   test("dedup verify joins carry no user broadcast hint on the shingle-hash side") {
     // At 100 TB the shingle-hash table is corpus-sized; a user-forced
     // broadcast there is an executor OOM. The choice must be AQE's, so the
