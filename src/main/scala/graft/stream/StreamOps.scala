@@ -443,14 +443,18 @@ object StreamOps {
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         ORDER BY c.user_id, click_id, purchase_id""".trim)),
 
-    // Streaming events ⋈ static customer dim (broadcast), revenue by nation.
+    // Streaming events ⋈ static customer dim, revenue by nation. The static
+    // sides carry NO broadcast hint: nation is trivially broadcast by stats,
+    // but customer is corpus-sized at scale — pinning it would OOM the
+    // executors exactly like the dedup-side hints r4 removed. The planner
+    // re-plans the static side per micro-batch from its measured size.
     Q("join_stream_static",
       (spark, sfDir) => {
         val cust = Tables.customer(spark, sfDir)
         val nat = Tables.nation(spark, sfDir)
         val joined = Sources.replayEvents(spark, sfDir, "events.parquet")
-          .join(broadcast(cust), col("user_id") === col("c_custkey"))
-          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(cust, col("user_id") === col("c_custkey"))
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n_events"), sumVal6(col("value")).as("sum_val"))
         runToTable(spark, joined, OutputMode.Complete()).orderBy(col("n_name"))
