@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
 object Aggregates {
   import Det._
 
+
+  /** Shared ANSI text for `agg_funnel` (see `Joins.InNotInSql` for the
+    * dialect-shared pattern). Visible to OperatorSpec, which runs it over a
+    * hand-built events view to pin the strict-ordering semantics. */
+  private[graft] val FunnelSql = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id)
+    SELECT s1.user_id,
+      1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ORDER BY s1.user_id""".trim
+
   val queries: Seq[Q] = Seq(
 
     // Flagship: TPC-H-Q1-style scan + filter + 2-key group + sums/avgs.
@@ -428,6 +454,23 @@ object Aggregates {
             col("n"))
           .orderBy(col("l_returnflag")),
       None),
+
+    // Ordered event funnel (r5): per user, how far through
+    // view → click → purchase did they get, with each stage STRICTLY after
+    // the previous one — the sequence-matching analytic (ClickHouse's
+    // windowFunnel shape) that a plain per-type count cannot express
+    // (a click before the first view must not count). Three stage
+    // aggregates chained by time joins, every one keyed on user_id: at
+    // 100 TB all stages shuffle on the same key (one exchange under a
+    // bucketed layout), and each stage's row count only shrinks. The
+    // dialect-shared ANSI text is both the Spark entry point and the
+    // oracle.
+    Q("agg_funnel",
+      (spark, sfDir) => {
+        graft.Tables.registerAll(spark, sfDir)
+        spark.sql(FunnelSql)
+      },
+      Some(FunnelSql)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

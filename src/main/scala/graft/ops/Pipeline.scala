@@ -415,6 +415,40 @@ object Pipeline {
           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
           array_to_string((list(doc_id ORDER BY h, doc_id))[1:5], ',') AS head_docs
         FROM t GROUP BY 1 ORDER BY shard""".trim)),
+
+    // Deterministic train/val/test split (r5): 90/5/5 by the overflow-safe
+    // keyed LCG bucket (1843/103/102 of 2048) — the held-out assignment is
+    // a pure function of doc_id, so it is rerun-stable, partitioning-
+    // stable, and consistent across every pipeline that reads the corpus
+    // (the property that makes eval decontamination POSSIBLE: a doc can
+    // never drift from test into train between runs). Zero shuffle before
+    // the per-(lang, split) audit aggregate; identical CASE arithmetic in
+    // both engines.
+    Q("llm_train_test_split",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .withColumn("b", expr(
+            "((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048"))
+          .withColumn("split", expr(
+            "CASE WHEN b < 1843 THEN 'train' WHEN b < 1946 THEN 'val' ELSE 'test' END"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy(col("lang"), col("split")),
+      Some("""
+        WITH t AS (
+          SELECT lang, doc_id, n_chars,
+            ((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048 AS b
+          FROM documents)
+        SELECT lang,
+          CASE WHEN b < 1843 THEN 'train' WHEN b < 1946 THEN 'val' ELSE 'test' END AS split,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          MIN(doc_id) AS min_doc
+        FROM t
+        GROUP BY 1, 2
+        ORDER BY lang, split""".trim)),
   )
 
   /** Train a deterministic IVF coarse quantizer and run top-k cosine search

@@ -47,6 +47,35 @@ class OperatorSpec extends SparkFixture {
     assert(row.getLong(row.fieldIndex("cnt_in")) > 0L)
   }
 
+  test("agg_funnel: a click BEFORE the first view must not advance the funnel") {
+    // The ordered-sequence trap a per-type count can't see: user 1 clicks
+    // before ever viewing (stage stays 1), user 2 does view→click→purchase
+    // in order (stage 3), user 3 views then purchases without a click
+    // (stage stays 1 — strict ordering, no stage skipping).
+    val ev = Seq(
+      (1L, ts(2000000L), "click"), (1L, ts(3000000L), "view"),
+      (2L, ts(1000000L), "view"), (2L, ts(2000000L), "click"), (2L, ts(3000000L), "purchase"),
+      (3L, ts(1000000L), "view"), (3L, ts(2000000L), "purchase"),
+    ).toDF("user_id", "ts", "event_type")
+    ev.createOrReplaceTempView("events")
+    val got = spark.sql(ops.Aggregates.FunnelSql)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 3, 3L -> 1), got.toString)
+  }
+
+  test("llm_train_test_split: deterministic, disjoint, and ~90/5/5") {
+    val out = SparkEntry.queries("llm_train_test_split")(spark, sf001).collect()
+    val bySplit = out.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train fraction $trainFrac")
+    // rerun identity: the assignment is a pure function of doc_id
+    val again = SparkEntry.queries("llm_train_test_split")(spark, sf001).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("full outer join null-extends both sides") {
     val l = Seq((1L, "l1"), (2L, "l2")).toDF("k", "lv")
     val r = Seq((2L, "r2"), (3L, "r3")).toDF("k", "rv")
@@ -195,7 +224,7 @@ class OperatorSpec extends SparkFixture {
     // unchanged); users of the reference run SQL, so both entry points
     // must converge on identical results, not merely identical plans.
     val portable = Seq(
-      "agg_distinct", "agg_grouping_sets", "agg_hash_q1", "agg_highcard",
+      "agg_distinct", "agg_funnel", "agg_grouping_sets", "agg_hash_q1", "agg_highcard",
       "agg_multi_distinct", "agg_pivot", "agg_stats", "filter_pred",
       // fn_string is excluded: it PARSES on Spark but '\w' regex literals
       // escape differently between the dialects (DuckDB keeps the
