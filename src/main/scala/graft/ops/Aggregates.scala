@@ -471,6 +471,34 @@ object Aggregates {
         spark.sql(FunnelSql)
       },
       Some(FunnelSql)),
+
+    // Cohort retention (r5): users grouped by first-activity day, counted
+    // again at each later activity-day offset — THE product-analytics
+    // rollup over an event stream. Two aggregates and a join, all keyed on
+    // user_id (the distinct-day dedup, the cohort min, and the join reuse
+    // one hash partitioning); the final (cohort, offset) matrix is
+    // output-bound — days × days rows, independent of event volume.
+    Q("agg_retention",
+      (spark, sfDir) => {
+        val active = Tables.events(spark, sfDir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohorts = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        active.join(cohorts, "user_id")
+          .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("offset_days"))
+      },
+      Some("""
+        WITH active AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohorts AS (
+          SELECT user_id, MIN(day) AS cohort FROM active GROUP BY user_id)
+        SELECT cohort,
+          CAST(date_diff('day', cohort, day) AS INT) AS offset_days,
+          COUNT(DISTINCT active.user_id) AS n_users
+        FROM active JOIN cohorts USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort, offset_days""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

@@ -350,5 +350,27 @@ object Functions {
         FROM documents
         WHERE doc_id < 200
         ORDER BY doc_id""".trim)),
+
+    // Error-safe arithmetic (r5): the engine runs ANSI mode (overflow and
+    // bad casts fail LOUDLY — SURVEY §7.3), so the explicit opt-out is part
+    // of the contract: `try_divide`/`try_mod` return NULL on a zero
+    // divisor instead of raising. DuckDB's plain `/` and `%` already have
+    // exactly that NULL-on-zero semantics, so the twin is direct; the
+    // non-zero paths are single IEEE ops, bit-identical. Zero shuffle.
+    Q("fn_try_arith",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .select(col("event_id"),
+            expr("try_divide(value, user_id % 5)").as("per_bucket"),
+            expr("try_divide(CAST(1.0 AS DOUBLE), value - value)").as("div_zero"),
+            expr("try_mod(event_id, user_id % 3)").as("mod_cycle"))
+          .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+          value / (user_id % 5) AS per_bucket,
+          CAST(1.0 AS DOUBLE) / (value - value) AS div_zero,
+          event_id % (user_id % 3) AS mod_cycle
+        FROM events
+        ORDER BY event_id""".trim)),
   )
 }

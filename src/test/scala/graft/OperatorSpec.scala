@@ -63,6 +63,17 @@ class OperatorSpec extends SparkFixture {
     assert(got == Map(1L -> 1, 2L -> 3, 3L -> 1), got.toString)
   }
 
+  test("agg_retention: offset-0 covers every user exactly once across cohorts") {
+    val out = SparkEntry.queries("agg_retention")(spark, sf001).collect()
+    val day0 = out.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val users = Tables.events(spark, sf001)
+      .select(col("user_id")).distinct().count()
+    // every user's first active day puts them in exactly one cohort at
+    // offset 0, so the offset-0 column must sum to the distinct-user count
+    assert(day0 == users, s"offset-0 total $day0 != $users distinct users")
+    assert(out.forall(_.getInt(1) >= 0), "offsets are days since first activity")
+  }
+
   test("llm_train_test_split: deterministic, disjoint, and ~90/5/5") {
     val out = SparkEntry.queries("llm_train_test_split")(spark, sf001).collect()
     val bySplit = out.groupBy(_.getString(1)).view
