@@ -81,6 +81,12 @@ object ExplainDump {
     "llm_dedup_substring" -> ("Substring-contamination profile (r5): (gram, doc_id) postings " +
       "shuffle once; the >1-doc filter is a hash aggregate, the flag join is a semi join on " +
       "doc_id — the text never re-shuffles."),
+    "agg_funnel" -> ("Ordered event funnel (r5): three stage aggregates chained by strict-time " +
+      "joins, every one keyed on user_id — the stage row counts only shrink, and no stage " +
+      "ever re-scans more than the events of users still in the funnel."),
+    "agg_retention" -> ("Cohort retention (r5): distinct-day dedup, cohort min, and the " +
+      "activity⋈cohort join all hash-partition on user_id; the (cohort, offset) matrix is " +
+      "output-bound (days², independent of event volume)."),
   )
 
   def main(args: Array[String]): Unit = {
