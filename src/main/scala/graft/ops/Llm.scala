@@ -370,11 +370,17 @@ object Llm {
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), col("toks"))
-        // Signatures via the compiled kernel (see [[minhashSig]]); the
-        // string shingle arrays are NOT materialized corpus-wide — only per
-        // verified candidate pair below.
-        val sigUdf = udf(minhashSig(nHashes))
-        val sig = toksDf.withColumn("sig", sigUdf(col("toks")))
+        // Signatures via the native codegen'd expression when the session
+        // extension is installed (graft.plans.MinhashSig — no per-row
+        // Catalyst↔Scala converters), else the compiled-UDF twin
+        // ([[minhashSig]], bit-identical kernel; LlmSpec pins the
+        // equality). Either way the string shingle arrays are NOT
+        // materialized corpus-wide — only per verified candidate pair
+        // below.
+        val sigCol =
+          if (spark.catalog.functionExists("minhash_sig")) expr("minhash_sig(toks)")
+          else udf(minhashSig(nHashes)).apply(col("toks"))
+        val sig = toksDf.withColumn("sig", sigCol)
         // 8 bands of 2 rows each via the shared banded-LSH candidate
         // generator (mega-bucket-salted; see [[lshCandidates]]): the
         // signature computation runs exactly once (a self-join would

@@ -116,6 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinhashSig(children.head)))
     // queries written against the documented HOF fallback get the native
     // kernel automatically (see [[RewriteHofDotProduct]] soundness gates)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

@@ -105,4 +105,35 @@ class VecDotSpec extends SparkFixture {
       assert(!codegen.startsWith("Found 0"), codegen.take(150))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("minhash_sig is bit-identical to the compiled-UDF kernel on fixture tokens") {
+    // The near-dup bucketing depends on these exact values: a single
+    // changed bit moves band buckets. The expression and the UDF share
+    // one kernel by construction; this pins it against refactor drift.
+    assert(spark.catalog.functionExists("minhash_sig"))
+    val toks = Tables.documents(spark, sf001).limit(200)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val sigUdf = udf(ops.Llm.minhashSig(16))
+    val both = toks.select(col("doc_id"),
+      expr("minhash_sig(toks)").as("native"), sigUdf(col("toks")).as("viaUdf"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)} diverges")
+    }
+    assert(both.nonEmpty)
+  }
+
+  test("minhash_sig participates in whole-stage codegen; short token arrays are all-MaxValue") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Tables.documents(spark, sf001)
+        .select(expr("minhash_sig(split(text, ' '))").as("s"))
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!codegen.startsWith("Found 0"), codegen.take(150))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val short = spark.sql("SELECT minhash_sig(array('a', 'b'))").head.getSeq[Long](0)
+    assert(short == Seq.fill(16)(Long.MaxValue),
+      "fewer than 3 tokens has no shingle — the signature must be the empty-set one")
+  }
 }
