@@ -433,6 +433,36 @@ object Aggregates {
       },
       None),
 
+    // Count-min point-frequency sketch (r5): the third mergeable-sketch
+    // family next to HLL (distinct counts) and KLL-style quantiles —
+    // "how often did THIS key occur" without storing per-key counters.
+    // The sketch is built as a standard two-phase aggregate (counter
+    // arrays sum commutatively, so partials merge exactly); only the
+    // KB-sized sketch reaches the driver — a model-state collect like the
+    // IVF centroids, never data. Probes compare the estimate against the
+    // exact count for the 20 heaviest clickers; CMS never undercounts, so
+    // est ≥ exact always, and at this scale the overcount is ~0
+    // (OperatorSpec pins both bounds + the fixed-seed determinism).
+    // Sketch bytes are engine-specific ⇒ no SQL oracle, same policy as
+    // agg_sketch_merge.
+    Q("agg_count_min",
+      (spark, sfDir) => {
+        val clicks = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "click")
+        val bytes = clicks
+          .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
+          .head.getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        val est = udf((u: Long) => cms.estimateCount(java.lang.Long.valueOf(u)))
+        clicks.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("exact_clicks"))
+          .orderBy(col("exact_clicks").desc, col("user_id")).limit(20)
+          .withColumn("est_clicks", est(col("user_id")))
+          .select(col("user_id"), col("exact_clicks"), col("est_clicks"))
+      },
+      None),
+
     // Quantile sketch (§2.12 extension): per-group median/p95/p99 via
     // approx_percentile — the profiling aggregate a data pipeline runs
     // before choosing filters/thresholds. Mergeable sketch ⇒ two-phase

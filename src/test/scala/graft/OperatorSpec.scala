@@ -187,6 +187,26 @@ class OperatorSpec extends SparkFixture {
 
   // ---- windows ----
 
+  test("agg_count_min: estimates never undercount, stay within the eps bound, and rerun identically") {
+    val out = SparkEntry.queries("agg_count_min")(spark, sf001).collect()
+    val clickers = Tables.events(spark, sf001)
+      .filter(col("event_type") === "click")
+      .select(col("user_id")).distinct().count()
+    assert(out.length == math.min(20L, clickers), "top-20 heaviest clickers (or all)")
+    val totalClicks = Tables.events(spark, sf001)
+      .filter(col("event_type") === "click").count()
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must never undercount: user ${r.getLong(0)}")
+      // eps = 1e-4 → overcount bounded by eps * total adds (w.h.p.)
+      assert(est <= exact + math.max(1L, (1e-4 * totalClicks).toLong),
+        s"overcount beyond the eps bound for user ${r.getLong(0)}")
+    }
+    // fixed seed ⇒ the sketch (and so every estimate) is rerun-identical
+    val again = SparkEntry.queries("agg_count_min")(spark, sf001).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("running sum's last value per partition equals the partition total") {
     val df = Seq(("u1", 1.0), ("u1", 2.0), ("u1", 3.0), ("u2", 5.0)).toDF("u", "v")
       .withColumn("i", monotonically_increasing_id())
