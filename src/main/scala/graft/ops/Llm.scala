@@ -62,25 +62,18 @@ object Llm {
     * shingle array measured ~8 s at sf0.1 vs milliseconds here. (Next step
     * up, if ever needed, is a codegen'd Catalyst expression — the UDF is
     * already off the hot path's allocation profile.) */
-  def minhashSig(nHashes: Int): Seq[String] => Array[Long] = { toks =>
-    val mins = Array.fill(nHashes)(Long.MaxValue)
-    var i = 0
-    val n = toks.length - 2
-    while (i < n) {
-      val h = scala.util.hashing.MurmurHash3
-        .stringHash(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).toLong
-      var j = 0
-      while (j < nHashes) {
-        var z = h + 0x9E3779B97F4A7C15L * (j + 1)
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^= (z >>> 31)
-        if (z < mins(j)) mins(j) = z
-        j += 1
-      }
-      i += 1
-    }
-    mins
+  def minhashSig(nHashes: Int): Seq[String] => Array[Long] = {
+    // The UDF is the no-extension fallback twin of the native
+    // graft.plans.MinhashSig expression; both run the ONE kernel (the UDF
+    // pays a wrap into ArrayData first — exactly the converter cost the
+    // native path removes), so the signatures cannot drift apart.
+    require(nHashes == graft.plans.MinhashSig.NumHashes,
+      s"kernel is fixed at ${graft.plans.MinhashSig.NumHashes} hashes")
+    toks =>
+      graft.plans.MinhashSig.kernel(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any]))
+        .toLongArray()
   }
 
   /** Banded-LSH candidate pairs from `(doc_id, sig: ARRAY<LONG>)` MinHash

@@ -34,19 +34,12 @@ object TextOps {
   /** 64-bit SimHash over tokens (with multiplicity) — compiled kernel, same
     * rationale as [[Llm.minhashSig]]. */
   def simhash64: Seq[String] => Long = { toks =>
-    val acc = new Array[Int](64)
-    toks.foreach { t =>
-      var z = scala.util.hashing.MurmurHash3.stringHash(t).toLong + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^= (z >>> 31)
-      var b = 0
-      while (b < 64) { if (((z >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
-    sig
+    // no-extension fallback twin of the native graft.plans.Simhash64
+    // expression — one shared kernel (the UDF wraps into ArrayData first),
+    // so hamming distances and band buckets cannot drift between paths
+    graft.plans.Simhash64.kernel(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any]))
   }
 
   /** L independent sign-LSH tables (random-hyperplane signs) for embedding
@@ -384,9 +377,12 @@ object TextOps {
         val planted = docs.filter(col("doc_id") < 20)
           .select((col("doc_id") + 100000).as("doc_id"),
             regexp_replace(col("text"), " \\w+$", "").as("text"))
-        val sigUdf = udf(simhash64)
+        val sigCol =
+          if (spark.catalog.functionExists("simhash64"))
+            expr("simhash64(split(text, ' '))")
+          else udf(simhash64).apply(split(col("text"), " "))
         val sigs = docs.unionByName(planted)
-          .select(col("doc_id"), sigUdf(split(col("text"), " ")).as("sig"))
+          .select(col("doc_id"), sigCol.as("sig"))
         // candidates via the shared salted bucket-join (16-bit signature
         // quarters as bands — r2's inline collect_set carried full sigs
         // through an uncapped bucket, the same mega-bucket exposure

@@ -120,6 +120,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinhashSig(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => Simhash64(children.head)))
     // queries written against the documented HOF fallback get the native
     // kernel automatically (see [[RewriteHofDotProduct]] soundness gates)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

@@ -123,6 +123,27 @@ class VecDotSpec extends SparkFixture {
     assert(both.nonEmpty)
   }
 
+  test("simhash64 is bit-identical to the UDF twin and codegens; empty input is all-ties 0") {
+    assert(spark.catalog.functionExists("simhash64"))
+    val both = Tables.documents(spark, sf001).limit(200)
+      .select(col("doc_id"),
+        expr("simhash64(split(text, ' '))").as("native"),
+        udf(ops.TextOps.simhash64).apply(split(col("text"), " ")).as("viaUdf"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)} diverges"))
+    assert(both.nonEmpty)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val codegen = Tables.documents(spark, sf001)
+        .select(expr("simhash64(split(text, ' '))").as("s"))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!codegen.startsWith("Found 0"), codegen.take(150))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(spark.sql("SELECT simhash64(CAST(array() AS ARRAY<STRING>))").head.getLong(0) == 0L,
+      "no tokens, no votes — every bit ties to 0")
+  }
+
   test("minhash_sig participates in whole-stage codegen; short token arrays are all-MaxValue") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
