@@ -74,6 +74,34 @@ class OperatorSpec extends SparkFixture {
     assert(out.forall(_.getInt(1) >= 0), "offsets are days since first activity")
   }
 
+  test("agg_funnel equals a driver-side recount on random event sets (property)") {
+    val genEvents = for {
+      n <- Gen.chooseNum(1, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 5L)
+        t <- Gen.chooseNum(1L, 12L)
+        ty <- Gen.oneOf("view", "click", "purchase", "error")
+      } yield (u, t, ty))
+    } yield evs
+    checkAll(genEvents, n = 25) { evs =>
+      evs.zipWithIndex.map { case ((u, t, ty), i) => (u, ts(t * 1000000L), ty) }
+        .toDF("user_id", "ts", "event_type").createOrReplaceTempView("events")
+      val got = spark.sql(ops.Aggregates.FunnelSql)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // independent recount in plain Scala — min-time chaining, strict >
+      val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val t1 = es.filter(_._3 == "view").map(_._2).minOption
+        t1.map { v =>
+          val t2 = es.filter(e => e._3 == "click" && e._2 > v).map(_._2).minOption
+          val t3 = t2.flatMap(c =>
+            es.filter(e => e._3 == "purchase" && e._2 > c).map(_._2).minOption)
+          u -> (1 + t2.size + t3.size)
+        }
+      }
+      assert(got == expected, s"events: $evs")
+    }
+  }
+
   test("llm_train_test_split: deterministic, disjoint, and ~90/5/5") {
     val out = SparkEntry.queries("llm_train_test_split")(spark, sf001).collect()
     val bySplit = out.groupBy(_.getString(1)).view
