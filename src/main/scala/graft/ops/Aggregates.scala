@@ -433,6 +433,37 @@ object Aggregates {
       },
       None),
 
+    // Exponentially-decayed trending counts (r5): per event type, the sum
+    // of exp(-age · ln2/24h) weights relative to the stream's newest
+    // event — the "what's hot NOW" aggregate (a plain count scores a
+    // week-old spike the same as a live one). The reference instant comes
+    // from a 1-row max() broadcast, ages are exact integer µs diffs, and
+    // each weight is Det-coarsened to DECIMAL(18,6) BEFORE the sum (libm
+    // exp may differ in the last ulp between engines; the per-row decimal
+    // makes the sum order-independent and cross-engine exact — the
+    // lm_score policy). Two-phase agg, zero extra shuffle.
+    Q("agg_decay",
+      (spark, sfDir) => {
+        val ev = Tables.events(spark, sfDir)
+        val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+        ev.crossJoin(broadcast(mx))
+          .groupBy(col("event_type"))
+          .agg(
+            Det.emit(sum(Det.val6(
+              exp((col("mx") - unix_micros(col("ts"))).cast("double")
+                * lit(-8.022536812036404e-12)))), 6).as("decayed"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        WITH m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events)
+        SELECT event_type,
+          ${Det.sqlEmit(s"SUM(${Det.sqlVal6("exp(CAST(m.mx - epoch_us(ts) AS DOUBLE) * -8.022536812036404e-12)")})", 6)} AS decayed,
+          COUNT(*) AS n
+        FROM events CROSS JOIN m
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
     // Count-min point-frequency sketch (r5): the third mergeable-sketch
     // family next to HLL (distinct counts) and KLL-style quantiles —
     // "how often did THIS key occur" without storing per-key counters.

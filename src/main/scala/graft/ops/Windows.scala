@@ -197,6 +197,33 @@ object Windows {
         WHERE rn <= 3
         ORDER BY o_custkey, rn""".trim)),
 
+    // Per-key rate limiting (r5): keep the first 3 events per (user, hour),
+    // arrival-ordered — quota enforcement over an event stream, the
+    // throttling primitive next to window_topk_group's value-ranked top-k.
+    // Same WindowGroupLimit-eligible plan (rank ≤ k pushes the limit into
+    // the sort, partial + final, so a hot user's overflow never crosses
+    // the exchange); tie-break on event_id keeps reruns identical.
+    // date_trunc('hour', ...) is dialect-shared.
+    Q("window_throttle",
+      (spark, sfDir) => {
+        val w = Window
+          .partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, CAST(rn AS INT) AS rn FROM (
+          SELECT event_id, user_id, event_type,
+            row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                               ORDER BY ts, event_id) AS rn
+          FROM events)
+        WHERE rn <= 3
+        ORDER BY event_id""".trim)),
+
     // Time-series resample + forward-fill (r4): per-user hourly grid over
     // the stream's full span, each cell carrying the latest observation at
     // or before it — the gap-fill step behind any continuous per-key

@@ -232,6 +232,12 @@ class PlanShapeSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("window_throttle pushes the quota into WindowGroupLimit (no full-partition sort survives)") {
+    val p = plan("window_throttle")
+    assert(p.contains("WindowGroupLimit"),
+      "rank <= k must run as a group limit, partial+final:\n" + p.take(1500))
+  }
+
   test("join_lateral decorrelates to WindowGroupLimit — never a per-row loop") {
     val p = plan("join_lateral")
     assert(p.contains("WindowGroupLimit"), "expected decorrelated ranked-window plan:\n" + p.take(1500))
