@@ -87,6 +87,12 @@ object ExplainDump {
     "agg_retention" -> ("Cohort retention (r5): distinct-day dedup, cohort min, and the " +
       "activity⋈cohort join all hash-partition on user_id; the (cohort, offset) matrix is " +
       "output-bound (days², independent of event volume)."),
+    "agg_decay" -> ("Time-decayed trending (r5): 1-row max() broadcast fixes the reference " +
+      "instant, per-row decimal-coarsened weights feed a standard two-phase aggregate — " +
+      "zero shuffle beyond the 5-group agg."),
+    "window_throttle" -> ("Rate limiting (r5): rank ≤ k runs as WindowGroupLimit " +
+      "(partial+final) — each partition locally caps to k before the exchange, so a hot " +
+      "key's overflow is dropped where it is produced, never shuffled."),
   )
 
   def main(args: Array[String]): Unit = {
