@@ -227,7 +227,9 @@ object Aggregates {
     // inputs → midpoints have ≤3 decimals, so the 4dp round is boundary-
     // safe); mode is the DETERMINISTIC formulation — count + rank with
     // ties broken by smallest value — because both engines' native mode()
-    // picks an arbitrary tie winner. Two-phase agg + a 1-row-per-group
+    // picks an arbitrary tie winner. BOTH sides group on the 2dp decimal
+    // (ADVICE r5: a raw-value oracle group key would split counts the
+    // Spark side merges if the fixture ever carried >2dp quantities). Two-phase agg + a 1-row-per-group
     // window; at 100 TB median would move to approx_percentile (the
     // agg_approx_quantile key) — this is its exactness anchor.
     Q("agg_median_mode",
@@ -252,7 +254,7 @@ object Aggregates {
             COUNT(*) AS cnt,
             row_number() OVER (PARTITION BY l_returnflag
               ORDER BY COUNT(*) DESC, ${sqlMoney("l_quantity")}) AS rn
-          FROM lineitem GROUP BY l_returnflag, l_quantity
+          FROM lineitem GROUP BY l_returnflag, ${sqlMoney("l_quantity")}
         )
         SELECT l_returnflag, q AS mode_qty, cnt AS mode_n,
           (SELECT round(median(l_quantity), 4) FROM lineitem i
@@ -468,9 +470,9 @@ object Aggregates {
     // family next to HLL (distinct counts) and KLL-style quantiles —
     // "how often did THIS key occur" without storing per-key counters.
     // The sketch is built as a standard two-phase aggregate (counter
-    // arrays sum commutatively, so partials merge exactly); only the
-    // KB-sized sketch reaches the driver — a model-state collect like the
-    // IVF centroids, never data. Probes compare the estimate against the
+    // arrays sum commutatively, so partials merge exactly); the KB-sized
+    // sketch never leaves the cluster — it broadcasts onto the probe rows
+    // as a 1-row cross join. Probes compare the estimate against the
     // exact count for the 20 heaviest clickers; CMS never undercounts, so
     // est ≥ exact always, and at this scale the overcount is ~0
     // (OperatorSpec pins both bounds + the fixed-seed determinism).
@@ -480,16 +482,26 @@ object Aggregates {
       (spark, sfDir) => {
         val clicks = Tables.events(spark, sfDir)
           .filter(col("event_type") === "click")
-        val bytes = clicks
-          .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
-          .head.getAs[Array[Byte]](0)
-        val cms = org.apache.spark.util.sketch.CountMinSketch
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-        val est = udf((u: Long) => cms.estimateCount(java.lang.Long.valueOf(u)))
+        // LAZY (r6, VERDICT r5 finding 3): the sketch aggregate rides the
+        // plan as a broadcast 1-row cross join instead of an eager `.head`
+        // at construction time, so building the DataFrame runs zero jobs —
+        // the same `(spark, sfDir) => DataFrame` contract every other key
+        // honors. The per-row UDF deserializes the KB-sized sketch from the
+        // joined bytes column; only 20 rows survive the top-k, so the
+        // repeated readFrom is noise (and at scale the sketch column is
+        // broadcast once per executor, never shuffled with data).
+        val sk = clicks
+          .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk_bytes"))
+        val est = udf { (bytes: Array[Byte], u: Long) =>
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .estimateCount(java.lang.Long.valueOf(u))
+        }
         clicks.groupBy(col("user_id"))
           .agg(count(lit(1)).as("exact_clicks"))
           .orderBy(col("exact_clicks").desc, col("user_id")).limit(20)
-          .withColumn("est_clicks", est(col("user_id")))
+          .crossJoin(broadcast(sk))
+          .withColumn("est_clicks", est(col("sk_bytes"), col("user_id")))
           .select(col("user_id"), col("exact_clicks"), col("est_clicks"))
       },
       None),

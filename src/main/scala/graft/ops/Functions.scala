@@ -346,7 +346,7 @@ object Functions {
         SELECT doc_id,
           md5(text) AS md5_hex,
           sha256(text) AS sha256_hex,
-          substr(sha256(source || '|' || lang), 1, 16) AS part_digest
+          substr(sha256(concat_ws('|', source, lang)), 1, 16) AS part_digest
         FROM documents
         WHERE doc_id < 200
         ORDER BY doc_id""".trim)),
@@ -354,9 +354,13 @@ object Functions {
     // Error-safe arithmetic (r5): the engine runs ANSI mode (overflow and
     // bad casts fail LOUDLY — SURVEY §7.3), so the explicit opt-out is part
     // of the contract: `try_divide`/`try_mod` return NULL on a zero
-    // divisor instead of raising. DuckDB's plain `/` and `%` already have
-    // exactly that NULL-on-zero semantics, so the twin is direct; the
-    // non-zero paths are single IEEE ops, bit-identical. Zero shuffle.
+    // divisor instead of raising. The oracle spells the NULL-on-zero
+    // semantics explicitly via NULLIF(divisor, 0) — DuckDB 1.0's bare
+    // x/0 happened to return NULL too, but 1.1+ defaults
+    // ieee_floating_point_ops=true (x/0.0 → Infinity), so the bare form
+    // is version-fragile while NULL-propagation through NULLIF is not
+    // (ADVICE r5). Non-zero paths are single IEEE ops, bit-identical.
+    // Zero shuffle.
     Q("fn_try_arith",
       (spark, sfDir) =>
         Tables.events(spark, sfDir)
@@ -367,9 +371,9 @@ object Functions {
           .orderBy(col("event_id")),
       Some("""
         SELECT event_id,
-          value / (user_id % 5) AS per_bucket,
-          CAST(1.0 AS DOUBLE) / (value - value) AS div_zero,
-          event_id % (user_id % 3) AS mod_cycle
+          value / NULLIF(user_id % 5, 0) AS per_bucket,
+          CAST(1.0 AS DOUBLE) / NULLIF(value - value, 0) AS div_zero,
+          event_id % NULLIF(user_id % 3, 0) AS mod_cycle
         FROM events
         ORDER BY event_id""".trim)),
   )

@@ -472,9 +472,17 @@ object Pipeline {
     * identical input reuses the model — the `assigned` member is a
     * localCheckpoint, valid for the life of the session. Training is
     * deterministic (PipelineSpec pins the uncached path), so the cache
-    * changes no output bit, only removes the duplicated training. */
-  private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), IvfModel]
+    * changes no output bit, only removes the duplicated training.
+    *
+    * BOUNDED + ATOMIC (r6, ADVICE r5): the cache only ever needs the
+    * CURRENT corpus' model, so inserting a new key evicts the session's
+    * older entries (their pinned checkpoint blocks are freed when the
+    * evicted `assigned` frames are GC'd by the ContextCleaner) instead of
+    * accumulating checkpoints for the session lifetime; and lookup+train
+    * runs under a lock — TrieMap.getOrElseUpdate is not atomic, so two
+    * concurrent callers could both train and leak the loser's checkpoint. */
+  private val ivfCache = scala.collection.mutable
+    .Map.empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), IvfModel]
 
   /** Deterministic Lloyd training + assignment — shared by the IVF search
     * ([[ivfTopK]]) and the clustering operator (`llm_cluster_assign`). */
@@ -482,7 +490,16 @@ object Pipeline {
     // keyed on the canonicalized plan itself (structural equality), not a
     // hash — a hash collision would silently serve the wrong model
     val key = (emb.sparkSession, emb.queryExecution.analyzed.canonicalized, nCells)
-    ivfCache.getOrElseUpdate(key, ivfTrainUncached(emb, nCells))
+    ivfCache.synchronized {
+      ivfCache.get(key) match {
+        case Some(m) => m
+        case None =>
+          val m = ivfTrainUncached(emb, nCells)
+          ivfCache.filterInPlace { case ((s, _, _), _) => s != emb.sparkSession }
+          ivfCache.put(key, m)
+          m
+      }
+    }
   }
 
   /** The actual training — exposed uncached so the spec can pin

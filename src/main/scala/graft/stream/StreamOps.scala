@@ -30,6 +30,31 @@ object StreamOps {
 
   private val sinkId = new AtomicInteger
 
+  /** Which state API `stream_stateful` actually ran last —
+    * "transformWithState" (primary) or "flatMapGroupsWithState" (fallback).
+    * Observability for the silent-downgrade hazard (ADVICE r5): a bench or
+    * spec can assert the primary path ran instead of quietly timing the
+    * fallback. */
+  @volatile var lastStatefulPath: String = "unset"
+
+  /** True only for the failure class the fallback exists for: a missing /
+    * un-initializable state-store provider (e.g. RocksDB JNI absent on an
+    * exotic platform) or the operator itself unsupported by the running
+    * engine. Genuine regressions in the processor — and fatal errors like
+    * OOM — must RETHROW, not silently downgrade to the mature API (ADVICE
+    * r5: a blanket Throwable catch masked any primary-path failure while
+    * correctness stayed green via the fallback). */
+  private def isProviderUnavailable(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    chain.exists { t =>
+      val cls = t.getClass.getName
+      cls.contains("UnsupportedOperation") || cls.contains("ClassNotFound") ||
+        cls.contains("NoClassDefFound") || cls.contains("UnsatisfiedLink") ||
+        cls.contains("StateStoreProvider") ||
+        String.valueOf(t.getMessage).contains("RocksDB")
+    }
+  }
+
   /** Run a streaming DF to completion (AvailableNow) into a memory sink,
     * return the sink contents as a batch DataFrame. */
   private def runToTable(spark: SparkSession, sdf: DataFrame,
@@ -392,15 +417,19 @@ object StreamOps {
                 java.time.Duration.ofHours(24)),
               org.apache.spark.sql.streaming.TimeMode.EventTime(),
               OutputMode.Update())
-          runWithRocksDb(spark, stats.toDF(), OutputMode.Update())
+          val out = runWithRocksDb(spark, stats.toDF(), OutputMode.Update())
             .orderBy(col("user_id"))
+          lastStatefulPath = "transformWithState"
+          out
         } catch {
-          case e: Throwable =>
-            // environment without a usable RocksDB provider: same machine
-            // on the HDFS-backed store via flatMapGroupsWithState
+          // ONLY a missing/broken provider downgrades (fatal errors and
+          // processor regressions rethrow — see isProviderUnavailable):
+          // same machine on the HDFS-backed store via flatMapGroupsWithState
+          case e: Throwable if isProviderUnavailable(e) =>
             System.err.println(s"[graft] transformWithState unavailable " +
               s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
               "falling back to flatMapGroupsWithState")
+            lastStatefulPath = "flatMapGroupsWithState"
             val stats = evs.groupByKey(_.user_id)
               .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
                 sessionStateFn(30L * 60 * 1000000, ttlMs = 24L * 3600 * 1000))

@@ -232,6 +232,16 @@ class PlanShapeSpec extends SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("window_topk_group pushes rank <= 3 into WindowGroupLimit (partial+final, no full-partition rank)") {
+    // r5 bench timed this key 3.1x its r4 number with unchanged code; the
+    // claim that it plans as a group limit was never pinned (unlike
+    // window_throttle below). Pin it: a regression to a full-partition
+    // Window + Filter is a plan change, not noise.
+    val p = plan("window_topk_group")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number <= k must run as a group limit:\n" + p.take(1500))
+  }
+
   test("window_throttle pushes the quota into WindowGroupLimit (no full-partition sort survives)") {
     val p = plan("window_throttle")
     assert(p.contains("WindowGroupLimit"),

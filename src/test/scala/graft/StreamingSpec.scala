@@ -278,6 +278,11 @@ class StreamingSpec extends SparkFixture {
     import spark.implicits._
     val viaKey = SparkEntry.queries("stream_stateful")(spark, sf001)
       .collect().map(_.toSeq).toSet
+    // the silent-downgrade guard (ADVICE r5): on this machine RocksDB is
+    // available, so anything but the primary path means the narrowed catch
+    // misclassified a real failure as provider-unavailability
+    assert(StreamOps.lastStatefulPath == "transformWithState",
+      s"expected the primary path to run, got ${StreamOps.lastStatefulPath}")
     val evs = Sources.replayEvents(spark, sf001, "events.parquet")
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
