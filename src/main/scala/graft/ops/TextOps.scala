@@ -447,39 +447,18 @@ object TextOps {
     // near-copies at span level even when document-level Jaccard
     // (llm_dedup_ngram) stays low. Planted: doc_id+500000 carries exactly
     // the first 40 words of its original, so every variant gram is shared
-    // (ratio 1.0) and the dedup provably flags it. Scale shape: the
-    // shuffle carries (gram, doc_id) postings and the >1-doc filter is a
-    // hash-agg; at 100 TB the gram string is replaced by its 64-bit hash
-    // (same plan, narrower shuffle) — the string key here keeps the
-    // DuckDB oracle exact.
+    // (ratio 1.0) and the dedup provably flags it. Scale shape (r6): the
+    // Spark postings key is the gram's 64-BIT HASH — the shuffle carries
+    // (int64, doc_id) rows, ~8 bytes instead of a ~50-byte string per
+    // posting, and every downstream agg/semi-join keys on the fixed-width
+    // hash. Per-doc counts are preserved exactly absent an xxhash64
+    // collision among the corpus' distinct grams (P ≈ 10⁻¹¹ at 10⁴ grams —
+    // the llm_dedup_ngram argument), so the string-gram DuckDB oracle
+    // still matches hash-for-hash; TextOpsSpec additionally pins the hash
+    // and string paths equal row-for-row on the fixture.
     Q("llm_dedup_substring",
-      (spark, sfDir) => {
-        val docs = Tables.documents(spark, sfDir)
-          .filter(col("doc_id") < 300)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-        val planted = docs.filter(col("doc_id") < 20 && size(col("w")) >= 40)
-          .select((col("doc_id") + 500000).as("doc_id"),
-            expr("slice(w, 1, 40)").as("w"))
-        val grams = docs.unionByName(planted)
-          .filter(size(col("w")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8))))"))
-            .as("gram"))
-        val shared = grams.groupBy(col("gram"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") > 1)
-          .select(col("gram"))
-        grams
-          .join(shared, Seq("gram"), "left_semi")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-          .join(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
-            Seq("doc_id"), "right")
-          .select(col("doc_id"), col("n_grams"),
-            coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-          .withColumn("shared_ratio", round(col("n_shared") / col("n_grams"), 4))
-          .withColumn("flagged", col("shared_ratio") >= 0.5)
-          .orderBy(col("doc_id"))
-      },
+      (spark, sfDir) =>
+        substringProfile(spark, sfDir, hashGrams = true),
       Some("""
         WITH base AS (
           SELECT doc_id, string_split(text, ' ') AS w

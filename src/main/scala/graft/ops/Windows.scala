@@ -224,6 +224,41 @@ object Windows {
         WHERE rn <= 3
         ORDER BY event_id""".trim)),
 
+    // Windowed percentile (r6): exact interpolating percentiles over a
+    // trailing 21-row frame per return flag — the moving-quantile analytic
+    // (p25/p50 of recent quantities) that completes the window family next
+    // to rank/frame/nav/gapfill/throttle. Spark's `percentile(x, p)` and
+    // DuckDB's `quantile_cont(x, p)` share the continuous-interpolation
+    // definition (pos = p·(n−1), lower + frac·(higher−lower)).
+    // Determinism: frame membership rides a UNIQUE total order
+    // (shipdate, orderkey, linenumber) and quarter-fraction percentiles of
+    // 2dp quantities have ≤4 exact decimals, so round(·, 4) recovers the
+    // same decimal in both engines regardless of last-ulp formula
+    // differences — the agg_median_mode coarsening argument, per frame.
+    // One shuffle on the partition key; the frame is O(21) per row. At
+    // 100 TB the same shape holds (bounded frame, bounded fanout per key);
+    // full-history quantiles would move to agg_approx_quantile's sketch.
+    Q("window_percentile",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-20, Window.currentRow)
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            round(expr("percentile(l_quantity, 0.25)").over(w), 4).as("p25"),
+            round(expr("percentile(l_quantity, 0.5)").over(w), 4).as("p50"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+          round(quantile_cont(l_quantity, 0.25) OVER w, 4) AS p25,
+          round(quantile_cont(l_quantity, 0.5) OVER w, 4) AS p50
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+        ORDER BY l_returnflag, l_orderkey, l_linenumber""".trim)),
+
     // Time-series resample + forward-fill (r4): per-user hourly grid over
     // the stream's full span, each cell carrying the latest observation at
     // or before it — the gap-fill step behind any continuous per-key
