@@ -172,6 +172,51 @@ object TextOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("sim_r"))
   }
 
+  /** Cross-document repeated-substring profile (the `llm_dedup_substring`
+    * dataflow): docs<300 ∪ planted 40-word copies → distinct word-8-grams
+    * per doc → grams shared by >1 doc → per-doc shared ratio + ≥0.5 flag,
+    * ordered by doc_id. With `hashGrams=true` the postings/agg/semi-join
+    * key is `xxhash64(gram)` — the shuffle carries (int64, doc_id) rows,
+    * ~8 bytes instead of a ~50-byte string per posting, which is the
+    * 100 TB shape; counts are preserved exactly absent an xxhash64
+    * collision among the corpus' distinct grams (P ≈ 10⁻¹¹ at 10⁴ grams).
+    * With `hashGrams=false` the key stays the gram string, matching the
+    * DuckDB oracle construction literally; TextOpsSpec pins the two paths
+    * equal row-for-row on the fixture. */
+  private[graft] def substringProfile(spark: SparkSession, sfDir: String,
+                                      hashGrams: Boolean): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val planted = docs.filter(col("doc_id") < 20 && size(col("w")) >= 40)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        expr("slice(w, 1, 40)").as("w"))
+    val gramStr = explode(expr(
+      "array_distinct(transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8))))"))
+    val grams0 = docs.unionByName(planted)
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), gramStr.as("gram"))
+    // fixed-width postings key: everything downstream (shared-gram agg,
+    // semi-join, per-doc counts) shuffles the 64-bit hash, never the string
+    val grams =
+      if (hashGrams) grams0.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      else grams0
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("gram"))
+    grams
+      .join(shared, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_ratio", round(col("n_shared") / col("n_grams"), 4))
+      .withColumn("flagged", col("shared_ratio") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Language-ID by stopword-profile hits (n-gram heuristic family).

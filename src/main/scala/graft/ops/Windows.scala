@@ -240,14 +240,21 @@ object Windows {
     // full-history quantiles would move to agg_approx_quantile's sketch.
     Q("window_percentile",
       (spark, sfDir) => {
+        // (orderkey, linenumber) is NOT unique in the synthetic lineitem
+        // (r8 finding: sf0.01 has (A,14,3) twice), so both the frame order
+        // and the final order add l_quantity as tiebreak — full ties then
+        // have multiset-identical frames, making p25/p50 deterministic,
+        // and the positional oracle compare sees one row order.
         val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
           .rowsBetween(-20, Window.currentRow)
         Tables.lineitem(spark, sfDir)
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             round(expr("percentile(l_quantity, 0.25)").over(w), 4).as("p25"),
             round(expr("percentile(l_quantity, 0.5)").over(w), 4).as("p50"))
-          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("p25"), col("p50"))
       },
       Some("""
         SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -255,9 +262,9 @@ object Windows {
           round(quantile_cont(l_quantity, 0.5) OVER w, 4) AS p50
         FROM lineitem
         WINDOW w AS (PARTITION BY l_returnflag
-          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
           ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
-        ORDER BY l_returnflag, l_orderkey, l_linenumber""".trim)),
+        ORDER BY l_returnflag, l_orderkey, l_linenumber, p25, p50""".trim)),
 
     // Time-series resample + forward-fill (r4): per-user hourly grid over
     // the stream's full span, each cell carrying the latest observation at

@@ -276,4 +276,20 @@ class TextOpsSpec extends SparkFixture {
     val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
     assert(planted.subsetOf(pairs), s"missing ${planted -- pairs}")
   }
+
+  test("substringProfile: xxhash64-keyed and string-keyed paths are equal row-for-row") {
+    // The 100 TB shape keys every posting/agg/semi-join on xxhash64(gram);
+    // this pins that the hash rework cannot change a single count, ratio,
+    // or flag vs the literal string-gram dataflow (the DuckDB oracle twin).
+    val hashed = TextOps.substringProfile(spark, sf001, hashGrams = true).collect()
+    val strung = TextOps.substringProfile(spark, sf001, hashGrams = false).collect()
+    assert(hashed.length == strung.length,
+      s"row counts differ: ${hashed.length} vs ${strung.length}")
+    assert(hashed.nonEmpty, "fixture produced zero profile rows")
+    hashed.zip(strung).foreach { case (h, s) => assert(h == s, s"$h != $s") }
+    // and the planted 40-word copies are flagged (shared_ratio = 1.0)
+    val flagged = hashed.filter(_.getLong(0) >= 500000L)
+    assert(flagged.nonEmpty && flagged.forall(_.getBoolean(4)),
+      s"planted copies not all flagged: ${flagged.mkString(",")}")
+  }
 }
