@@ -489,5 +489,36 @@ object StreamOps {
         runToTable(spark, joined, OutputMode.Complete()).orderBy(col("n_name"))
       },
       None),
+
+    // Batch-catchup then streaming-handoff (reconnect/backfill, r8 — see
+    // [[Backfill]]): the archive holds the history up to a recorded
+    // offset; the live feed then REDELIVERS the whole feed from retention
+    // start (worst-case at-least-once reconnect). The offset filter makes
+    // the legs disjoint; the foreachBatch batch=<id> overwrite landing is
+    // idempotent across retries/restarts. The SQL oracle over the FULL
+    // events table IS the zero-dup / zero-gap check — one duplicated or
+    // dropped event at the seam shifts a count or sum and fails the hash.
+    Q("stream_backfill",
+      (spark, sfDir) => {
+        val full = Tables.events(spark, sfDir)
+        // snapshot covers the first ~60% of the feed by offset
+        // floor→Long: bare `/` yields Double and a getLong ClassCastException
+        val cut = full.agg(floor(max(col("event_id")) * 3 / 5).as("h")).head().getLong(0)
+        val archive = full.filter(col("event_id") <= cut)
+        val hwm = Backfill.recordOffset(archive)
+        val outDir = Files.createTempDirectory("graft_backfill").toString
+        val ckpt = Files.createTempDirectory("graft_backfill_ckpt").toString
+        val live = Sources.replayEvents(spark, sfDir, "events.parquet")
+        val landed = Backfill.landLive(spark, live, hwm, outDir, ckpt)
+        Backfill.unify(archive, landed)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
   )
 }

@@ -482,4 +482,50 @@ class StreamingSpec extends SparkFixture {
     val rows = spark.table(tbl).collect()
     assert(rows.length == 1 && rows.head.getString(3) == "GOLD")
   }
+
+  test("Backfill seam: archive ∪ offset-filtered live tail equals the full twin, zero dups, zero gaps") {
+    // Worst-case reconnect: the live feed redelivers events 40..99 — an
+    // overlap of 20 already-archived events plus the genuinely-new tail —
+    // across TWO micro-batches straddling the handoff offset. The unified
+    // output must be the full 0..99 history exactly.
+    implicit val ctx = spark.sqlContext
+    import java.nio.file.Files
+    def ev(i: Long) = stream.EventRow(i, new Timestamp(1700000000000L + i * 1000L),
+      i % 5, if (i % 2 == 0) "click" else "view", i * 1.5, "{}")
+    val full = (0L until 100L).map(ev)
+    val archive = full.take(60).toDF()
+    val hwm = stream.Backfill.recordOffset(archive)
+    assert(hwm == 59L)
+    val ms = MemoryStream[stream.EventRow]
+    ms.addData(full.slice(40, 70))  // 20 redelivered + 10 new
+    ms.addData(full.slice(70, 100)) // remaining tail
+    val outDir = Files.createTempDirectory("graft_backfill_spec").toString
+    val ckpt = Files.createTempDirectory("graft_backfill_spec_ckpt").toString
+    val landed = stream.Backfill.landLive(spark,
+      new stream.MemoryEventSource(ms).load(spark), hwm, outDir, ckpt)
+    val unified = stream.Backfill.unify(archive, landed)
+    val ids = unified.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 100, s"expected 100 events, got ${ids.length}")
+    assert(ids.toSeq == (0L until 100L), "unified history has a dup or gap")
+    // full-row equality, not just ids: the landed rows round-tripped parquet
+    val fullSet = full.toDF().collect().map(_.toSeq).toSet
+    assert(unified.collect().map(_.toSeq).toSet == fullSet)
+  }
+
+  test("Backfill seam: nothing after the offset lands an empty tail, not an error") {
+    implicit val ctx = spark.sqlContext
+    import java.nio.file.Files
+    def ev(i: Long) = stream.EventRow(i, new Timestamp(1700000000000L + i * 1000L),
+      i % 5, "click", i * 1.5, "{}")
+    val archive = (0L until 10L).map(ev).toDF()
+    val hwm = stream.Backfill.recordOffset(archive)
+    val ms = MemoryStream[stream.EventRow]
+    ms.addData((0L until 10L).map(ev)) // pure redelivery, zero new events
+    val outDir = Files.createTempDirectory("graft_backfill_empty").toString
+    val ckpt = Files.createTempDirectory("graft_backfill_empty_ckpt").toString
+    val landed = stream.Backfill.landLive(spark,
+      new stream.MemoryEventSource(ms).load(spark), hwm, outDir, ckpt)
+    assert(landed.count() == 0)
+    assert(stream.Backfill.unify(archive, landed).count() == 10)
+  }
 }
