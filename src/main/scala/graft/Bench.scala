@@ -82,14 +82,28 @@ object Bench {
       return
     }
 
+    // Local-iteration knobs (driver sets neither, so its protocol is
+    // unchanged): SPARK_GRAFT_BENCH_KEYS=a,b,c restricts to a subset;
+    // SPARK_GRAFT_BENCH_REPS=n times each key n times and reports the
+    // MINIMUM (isolates the query's own cost from ambient GC/IO noise
+    // when chasing a single-key regression).
+    val keyFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_KEYS").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors ::= s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {
