@@ -93,6 +93,15 @@ object ExplainDump {
     "window_throttle" -> ("Rate limiting (r5): rank ≤ k runs as WindowGroupLimit " +
       "(partial+final) — each partition locally caps to k before the exchange, so a hot " +
       "key's overflow is dropped where it is produced, never shuffled."),
+    "window_percentile" -> ("Rolling exact percentiles (r6): p25 and p50 share one frame spec, " +
+      "so they fuse into a SINGLE Window operator over a single hash exchange on the " +
+      "partition key — the O(21) frame walk is partition-local, and full-history quantiles " +
+      "stay in agg_approx_quantile's mergeable sketch instead."),
+    "stream_backfill" -> ("Batch-catchup → streaming handoff (r8): the dumped plan is the " +
+      "unified consumer query — a bare Union of the archive leg and the offset-filtered " +
+      "landed live leg feeding one two-phase aggregate. No Deduplicate, no extra Exchange: " +
+      "the exactly-once seam is the `> hwm` offset filter plus idempotent batch=<id> " +
+      "landing, not corpus-wide dedup state."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -300,4 +300,35 @@ class PlanShapeSpec extends SparkFixture {
       ops.TextOps.componentNodes(spark, sf001))
     assert(hints(edges) == 0, "llm_dedup_components edges must not pin a broadcast side")
   }
+
+  test("window_percentile runs both frames in ONE Window over ONE exchange") {
+    // The p25/p50 rolling percentiles share the same (partition, order,
+    // frame) spec, so Catalyst must fuse them into a single Window operator
+    // fed by a single hash exchange on l_returnflag — two Windows or two
+    // exchanges would double the shuffle for the same answer.
+    val p = plan("window_percentile")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      "both percentile frames must fuse into one Window operator:\n" + p.take(1500))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"expected exactly 1 hash exchange (partition key), got $shuffles:\n" + p.take(1500))
+  }
+
+  test("stream_backfill unify is a bare union — no distinct, no dedup state, no shuffle") {
+    // The exactly-once seam is the `> hwm` offset filter, NOT a dedup: the
+    // unified plan must be Union of the two legs with zero Exchange /
+    // Aggregate / Deduplicate nodes. A distinct sneaking in here would be
+    // a corpus-wide shuffle at 100 TB for rows that are disjoint by
+    // construction.
+    import org.apache.spark.sql.functions.col
+    val full = Tables.events(spark, sf001)
+    val archive = full.filter(col("event_id") <= 100)
+    val tail = full.filter(col("event_id") > 100)
+    val p = stream.Backfill.unify(archive, tail)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Union"), p.take(1000))
+    assert(!p.contains("Exchange") && !p.contains("Aggregate")
+      && !p.contains("Deduplicate") && !p.contains("SortMergeJoin"),
+      "unify must stay a zero-shuffle bag union:\n" + p.take(1500))
+  }
 }
