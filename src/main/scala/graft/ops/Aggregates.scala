@@ -572,6 +572,42 @@ object Aggregates {
         FROM active JOIN cohorts USING (user_id)
         GROUP BY 1, 2
         ORDER BY cohort, offset_days""".trim)),
+
+    // Weighted aggregates (r8): quantity-weighted mean price and discount
+    // per return flag — the weighted-moment family (importance-weighted
+    // corpus statistics, revenue-weighted means) the plain AVG keys cannot
+    // express. Determinism rides the §7.3 decimal policy end-to-end:
+    // qty(2dp) × price(2dp) is an EXACT 4dp decimal product, summed
+    // exactly, narrowed (HALF_UP in both engines), emitted as double, and
+    // only THEN divided — one IEEE division on identical operands.
+    // Magnitude check: sf0.1 revenue-sum ≈ 3e12, unscaled 3e14 at scale 2
+    // < 2^53, so the double cast is exact; the discount numerator keeps
+    // its full 4dp (≤ 3e6, safe). Plan: one two-phase HashAggregate, the
+    // shuffle carries one partial row per (partition, flag) — the same
+    // output-bound shape at 100 TB.
+    Q("agg_weighted",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sumMoney(col("l_quantity")).as("w_total"),
+            (emit(sum(money(col("l_quantity")) * money(col("l_extendedprice"))), 2)
+              / emit(sum(money(col("l_quantity"))), 2)).as("wavg_price"),
+            (emit(sum(money(col("l_quantity")) * money(col("l_discount"))), 4)
+              / emit(sum(money(col("l_quantity"))), 2)).as("wavg_disc"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some(s"""
+        SELECT l_returnflag,
+          ${sqlSumMoney("l_quantity")} AS w_total,
+          ${sqlEmit(s"SUM(${sqlMoney("l_quantity")} * ${sqlMoney("l_extendedprice")})", 2)}
+            / ${sqlEmit(s"SUM(${sqlMoney("l_quantity")})", 2)} AS wavg_price,
+          ${sqlEmit(s"SUM(${sqlMoney("l_quantity")} * ${sqlMoney("l_discount")})", 4)}
+            / ${sqlEmit(s"SUM(${sqlMoney("l_quantity")})", 2)} AS wavg_disc,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

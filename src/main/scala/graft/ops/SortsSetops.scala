@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.6–2.7 — sorts, limits, top-k, set operations.
@@ -45,6 +46,50 @@ object SortsSetops {
         FROM lineitem
         ORDER BY l_quantity DESC, l_returnflag, l_orderkey, l_linenumber
         LIMIT 2000""".trim)),
+
+    // Z-order layout key (r8): Morton-interleave the low 16 bits of
+    // (o_custkey, order epoch-day) and order by the result — the
+    // multi-dimensional clustering layout (Delta/Iceberg OPTIMIZE ZORDER)
+    // that makes parquet min-max skipping effective on BOTH dimensions at
+    // once, where a lexicographic (custkey, day) sort only prunes the
+    // leading one. Pure int64 bit arithmetic (mask-spread via the
+    // standard magic constants, identical in Spark and DuckDB) — exactly
+    // deterministic, no float policy needed. The sort is the normal
+    // range-partitioned exchange; at 100 TB the write path becomes
+    // `repartitionByRange(zkey).sortWithinPartitions(zkey)` so each
+    // output file covers a small rectangle in (custkey, day) space and a
+    // predicate on EITHER column prunes most row groups (SortsSpec pins
+    // the interleave bit-exactness and the rectangle-locality property).
+    Q("sort_zorder",
+      (spark, sfDir) => {
+        def spread(c: Column): Column = {
+          val m1 = c.bitwiseAND(lit(65535L))
+          val m2 = (m1.bitwiseOR(shiftleft(m1, 8))).bitwiseAND(lit(16711935L))
+          val m3 = (m2.bitwiseOR(shiftleft(m2, 4))).bitwiseAND(lit(252645135L))
+          val m4 = (m3.bitwiseOR(shiftleft(m3, 2))).bitwiseAND(lit(858993459L))
+          (m4.bitwiseOR(shiftleft(m4, 1))).bitwiseAND(lit(1431655765L))
+        }
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+          .withColumn("zkey",
+            spread(col("o_custkey")).bitwiseOR(shiftleft(spread(col("day")), 1)))
+          .orderBy(col("zkey"), col("o_orderkey"))
+      },
+      Some("""
+        WITH z0 AS (
+          SELECT o_orderkey, o_custkey,
+            CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+            o_custkey & 65535 AS cx,
+            CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) & 65535 AS cy
+          FROM orders),
+        z1 AS (SELECT * REPLACE ((cx | (cx << 8)) & 16711935 AS cx, (cy | (cy << 8)) & 16711935 AS cy) FROM z0),
+        z2 AS (SELECT * REPLACE ((cx | (cx << 4)) & 252645135 AS cx, (cy | (cy << 4)) & 252645135 AS cy) FROM z1),
+        z3 AS (SELECT * REPLACE ((cx | (cx << 2)) & 858993459 AS cx, (cy | (cy << 2)) & 858993459 AS cy) FROM z2),
+        z4 AS (SELECT * REPLACE ((cx | (cx << 1)) & 1431655765 AS cx, (cy | (cy << 1)) & 1431655765 AS cy) FROM z3)
+        SELECT o_orderkey, o_custkey, day, cx | (cy << 1) AS zkey
+        FROM z4
+        ORDER BY zkey, o_orderkey""".trim)),
 
     // Bag union (duplicates preserved) — ordered by key; duplicate rows are
     // identical so the order is total for comparison purposes.

@@ -694,5 +694,88 @@ object TextOps {
         FROM reach
         GROUP BY id
         ORDER BY doc_id""".trim)),
+
+    // Corpus vocabulary top-k (r8): explode tokens → global counts →
+    // top-100 by (count DESC, token ASC) — the vocabulary-building /
+    // corpus-statistics pass every tokenizer training run starts with.
+    // Scale shape: the explode is partition-local; the count is a
+    // two-phase HashAggregate whose shuffle carries ONE partial row per
+    // (partition, token) — bounded by vocabulary size, not corpus size —
+    // and the top-k plans as TakeOrderedAndProject (per-partition heaps,
+    // k rows to the driver; never a global sort). Deterministic: the
+    // token itself breaks count ties, so the k-boundary is a total order.
+    Q("llm_vocab_topk",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(100),
+      Some("""
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 100""".trim)),
+
+    // Gopher-style quality-rule filter (r8): the named-rule filter chain
+    // (word-count bounds, mean-word-length band, symbol ratio, distinct-
+    // stopword floor) with PER-RULE verdicts plus the conjunctive keep —
+    // the auditable shape real corpus filters need (each rule's kill count
+    // is observable downstream), vs llm_text_quality's single blended
+    // score. Thresholds are the published Gopher ones where the synthetic
+    // corpus exercises them (50-word floor, ≥2 distinct stopwords split
+    // the fixture; the mean-word-length band and symbol cap pass-through
+    // here but bind on real web text). All integer/boolean except one
+    // IEEE division per doc — deterministic. Zero-shuffle scan predicates;
+    // at 100 TB this is a pushed-down projection, and `keep` feeds the
+    // same partition-pruning story as llm_doc_sample.
+    Q("llm_gopher_filter",
+      (spark, sfDir) => {
+        val toks = split(col("text"), " ")
+        val nWords = size(filter(toks, t => t =!= ""))
+        val meanWordLen = length(regexp_replace(col("text"), " ", ""))
+          .cast("double") / nullif(nWords, lit(0))
+        val symbolRatio = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+          .cast("double") / length(col("text"))
+        val stopHits = size(array_intersect(array_distinct(toks),
+          expr(sparkList(stopwords("en")))))
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), nWords.as("n_words"),
+            meanWordLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+            stopHits.as("stop_hits"))
+          .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("symbol_ratio"), col("stop_hits"),
+            (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wordcount"),
+            (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("r_wordlen"),
+            (col("symbol_ratio") < 0.1).as("r_symbols"),
+            (col("stop_hits") >= 2).as("r_stopwords"))
+          .withColumn("keep",
+            col("r_wordcount") && col("r_wordlen") && col("r_symbols") && col("r_stopwords"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_words,
+            CAST(len(replace(text, ' ', '')) AS DOUBLE)
+              / nullif(len(list_filter(string_split(text, ' '), t -> t <> '')), 0) AS mean_word_len,
+            CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+              / len(text) AS symbol_ratio,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+              ${sqlList(stopwords("en"))})) AS INT) AS stop_hits
+          FROM documents)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+          n_words >= 50 AND n_words <= 100000 AS r_wordcount,
+          mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_wordlen,
+          symbol_ratio < 0.1 AS r_symbols,
+          stop_hits >= 2 AS r_stopwords,
+          (n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (symbol_ratio < 0.1) AND (stop_hits >= 2) AS keep
+        FROM m
+        ORDER BY doc_id""".trim)),
   )
 }

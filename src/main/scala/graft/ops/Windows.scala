@@ -266,6 +266,58 @@ object Windows {
           ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
         ORDER BY l_returnflag, l_orderkey, l_linenumber, p25, p50""".trim)),
 
+    // Rolling z-score (r8): each quantity standardized against its own
+    // trailing 21-row frame — the streaming anomaly-detection analytic
+    // (how unusual is this event vs its recent context). Unlike
+    // window_percentile's native-quantile twin, the moments are REBUILT
+    // from §7.3 exact decimal window sums (sum, sum-of-squares — 2dp and
+    // 4dp exact, magnitudes ≤ 21·2500 so the double casts are lossless);
+    // mean/variance/z are then IDENTICAL double expressions on identical
+    // operands in both engines, so the result is bit-deterministic without
+    // any coarsening round. stddev_samp itself is NOT used: its streaming
+    // update order differs per engine. Frame membership rides the same
+    // unique total order as window_percentile (quantity tie-break — full
+    // ties have multiset-identical frames). One shuffle on the partition
+    // key, O(21) frame per row; the same bounded shape at 100 TB.
+    Q("window_zscore",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
+          .rowsBetween(-20, Window.currentRow)
+        val s1 = emit(sum(money(col("l_quantity"))).over(w), 2)
+        val s2 = emit(sum(money(col("l_quantity")) * money(col("l_quantity"))).over(w), 4)
+        val n = count(lit(1)).over(w).cast("double")
+        val variance = (s2 - (s1 * s1 / n)) / (n - lit(1.0))
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"),
+            when(n > 1 && variance > 0,
+              (col("l_quantity") - (s1 / n)) / sqrt(variance)).as("z"))
+          // final order adds z: (orderkey, linenumber, quantity) can tie
+          // across DIFFERENT shipdates (hence different frames/z), and
+          // shipdate is not an output column — the window_percentile
+          // order-by-outputs rule
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("z").asc_nulls_first)
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+            ${sqlEmit(s"SUM(${sqlMoney("l_quantity")}) OVER w", 2)} AS s1,
+            ${sqlEmit(s"SUM(${sqlMoney("l_quantity")} * ${sqlMoney("l_quantity")}) OVER w", 4)} AS s2,
+            CAST(COUNT(*) OVER w AS DOUBLE) AS n
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_returnflag
+            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+            ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+          CASE WHEN n > 1 AND ((s2 - (s1 * s1 / n)) / (n - 1.0)) > 0
+            THEN (l_quantity - (s1 / n)) / sqrt((s2 - (s1 * s1 / n)) / (n - 1.0))
+          END AS z
+        FROM m
+        ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity, z NULLS FIRST""".trim)),
+
     // Time-series resample + forward-fill (r4): per-user hourly grid over
     // the stream's full span, each cell carrying the latest observation at
     // or before it — the gap-fill step behind any continuous per-key

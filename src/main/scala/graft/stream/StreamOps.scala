@@ -520,5 +520,32 @@ object StreamOps {
         FROM events
         GROUP BY event_type
         ORDER BY event_type""".trim)),
+
+    // Streaming CDC apply (r8 — see [[Cdc]]): the events feed consumed as
+    // a keyed changelog, materialized into its latest-state table via a
+    // per-micro-batch (prev ∪ batch) → latest-per-key merge onto an
+    // immutable version chain (deterministic `v=<batchId>` overwrite =
+    // idempotent replay; predecessor from the listing, not driver memory
+    // = restart-safe). The oracle is the batch twin: the newest
+    // (ts, event_id) row per user over the FULL history — any lost,
+    // doubled, or misordered change surfaces as a wrong picked row.
+    Q("stream_cdc_upsert",
+      (spark, sfDir) => {
+        val stateDir = Files.createTempDirectory("graft_cdc_state").toString
+        val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+        val changelog = Sources.replayEvents(spark, sfDir, "events.parquet")
+        Cdc.materialize(spark, changelog, stateDir, ckpt)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        FROM (
+          SELECT user_id, ts, event_id, event_type, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1
+        ORDER BY user_id""".trim)),
   )
 }

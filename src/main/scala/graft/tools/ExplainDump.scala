@@ -102,6 +102,26 @@ object ExplainDump {
       "landed live leg feeding one two-phase aggregate. No Deduplicate, no extra Exchange: " +
       "the exactly-once seam is the `> hwm` offset filter plus idempotent batch=<id> " +
       "landing, not corpus-wide dedup state."),
+    "agg_weighted" -> ("Weighted aggregates (r8): one two-phase HashAggregate — the decimal " +
+      "products ride the partial (map-side) aggregate, the shuffle carries one partial row " +
+      "per (partition, flag), and the divisions happen once per OUTPUT row."),
+    "window_zscore" -> ("Rolling z-score (r8): sum, sum-of-squares, and count share one frame " +
+      "spec, so all three moments fuse into a SINGLE Window operator over a single hash " +
+      "exchange — the variance/z arithmetic is a post-window projection, codegen'd."),
+    "sort_zorder" -> ("Z-order layout (r8): the Morton key is pure projection arithmetic " +
+      "(codegen'd bit ops, zero shuffle); the only exchange is the final rangepartitioning " +
+      "sort — exactly the repartitionByRange(zkey) write path that makes parquet min-max " +
+      "skipping effective on both dimensions at 100 TB."),
+    "llm_vocab_topk" -> ("Vocabulary top-k (r8): partition-local explode, two-phase " +
+      "HashAggregate bounded by vocabulary (not corpus) size, TakeOrderedAndProject for " +
+      "the k-boundary — per-partition heaps, k rows to the driver, no global sort."),
+    "llm_gopher_filter" -> ("Quality-rule filter (r8): a single zero-shuffle projection over " +
+      "the scan — every rule verdict and the conjunctive keep are per-row expressions " +
+      "inside one WholeStageCodegen span."),
+    "stream_cdc_upsert" -> ("Streaming CDC apply (r8): the dumped plan is the materialized " +
+      "latest-state read-back (version-chain snapshot scan + presentation sort). The " +
+      "per-batch merge is one max_by hash aggregate keyed on user_id whose output is " +
+      "bounded by key cardinality, not history length."),
   )
 
   def main(args: Array[String]): Unit = {

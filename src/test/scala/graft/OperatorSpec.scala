@@ -309,4 +309,59 @@ class OperatorSpec extends SparkFixture {
       assert(api == sql, s"$k: SQL and DataFrame entry points diverge")
     }
   }
+
+  test("sort_zorder: the mask-spread key is bit-exact Morton interleave, and clusters both dims") {
+    // Reference interleave: bit i of x lands at position 2i, bit i of y at
+    // position 2i+1 — the naive loop the magic-constant spread must equal.
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val out = SparkEntry.queries("sort_zorder")(spark, sf001).collect()
+    out.foreach { r =>
+      val (cust, day, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(z == morton(cust & 0xFFFFL, day & 0xFFFFL),
+        s"zkey mismatch for (custkey=$cust, day=$day)")
+    }
+    // Locality (the point of the layout): cut the z-ordered output into
+    // 16 equal file-sized chunks; each chunk's (custkey, day) bounding
+    // rectangle must cover a small fraction of the global area, so a
+    // min-max predicate on EITHER dim prunes most chunks. A lexicographic
+    // (custkey, day) sort would leave the day-extent of early chunks at
+    // ~full range.
+    val custs = out.map(_.getLong(1)); val days = out.map(_.getLong(2))
+    val area = (custs.max - custs.min + 1).toDouble * (days.max - days.min + 1)
+    val chunks = out.grouped(math.max(1, out.length / 16)).toSeq
+    val avgFrac = chunks.map { c =>
+      val cc = c.map(_.getLong(1)); val cd = c.map(_.getLong(2))
+      (cc.max - cc.min + 1).toDouble * (cd.max - cd.min + 1) / area
+    }.sum / chunks.length
+    assert(avgFrac < 0.30, f"z-order chunks cover $avgFrac%.2f of the plane on average")
+  }
+
+  test("agg_weighted: weighted means equal a driver-side exact recount") {
+    val li = Tables.lineitem(spark, sf001)
+      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount").collect()
+    val expected = li.groupBy(_.getString(0)).map { case (flag, rows) =>
+      def cents(x: Double): Long = math.round(x * 100)
+      val wq = rows.map(r => cents(r.getDouble(1))).sum
+      val wp = rows.map(r => cents(r.getDouble(1)) * cents(r.getDouble(2))).sum
+      val wd = rows.map(r => cents(r.getDouble(1)) * cents(r.getDouble(3))).sum
+      // mirror the emit policy: numerators rounded HALF_UP to their scale
+      val wpEmit = BigDecimal(wp) / 10000
+      val wavgP = (wpEmit.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        / (BigDecimal(wq) / 100).toDouble)
+      val wavgD = ((BigDecimal(wd) / 10000).toDouble / (BigDecimal(wq) / 100).toDouble)
+      flag -> (wq / 100.0, wavgP, wavgD, rows.length.toLong)
+    }
+    val out = SparkEntry.queries("agg_weighted")(spark, sf001).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (wq, wavgP, wavgD, n) = expected(r.getString(0))
+      assert(r.getDouble(1) == wq, s"${r.getString(0)} w_total")
+      assert(math.abs(r.getDouble(2) - wavgP) < 1e-9, s"${r.getString(0)} wavg_price")
+      assert(math.abs(r.getDouble(3) - wavgD) < 1e-9, s"${r.getString(0)} wavg_disc")
+      assert(r.getLong(4) == n)
+    }
+  }
 }

@@ -331,4 +331,36 @@ class PlanShapeSpec extends SparkFixture {
       && !p.contains("Deduplicate") && !p.contains("SortMergeJoin"),
       "unify must stay a zero-shuffle bag union:\n" + p.take(1500))
   }
+
+  test("window_zscore fuses all three moments into a single Window operator") {
+    // sum, sum-of-squares, and count share one frame spec — if they split
+    // into multiple Window nodes the frame walks (and possibly exchanges)
+    // multiply. Catalyst fuses same-spec window functions; pin it.
+    val p = plan("window_zscore")
+    assert("(?s)Window".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("llm_vocab_topk plans TakeOrderedAndProject over a two-phase aggregate") {
+    val p = plan("llm_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert("(?s)HashAggregate.*HashAggregate".r.findFirstIn(p).isDefined,
+      "vocabulary count must be a partial+final aggregate:\n" + p.take(1200))
+  }
+
+  test("llm_gopher_filter is zero-shuffle up to the presentation sort") {
+    // Every rule verdict is a per-row expression; the ONLY exchange allowed
+    // is the final rangepartitioning for the ORDER BY doc_id output.
+    val p = plan("llm_gopher_filter")
+    val exchanges = "Exchange \\w+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected one range exchange, got $exchanges:\n" + p.take(1200))
+  }
+
+  test("sort_zorder: the Morton key is projection arithmetic; one range exchange total") {
+    val p = plan("sort_zorder")
+    val exchanges = "Exchange \\w+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"z-order layout must be projection + range sort, got $exchanges:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p.take(1200))
+  }
 }

@@ -292,4 +292,36 @@ class TextOpsSpec extends SparkFixture {
     assert(flagged.nonEmpty && flagged.forall(_.getBoolean(4)),
       s"planted copies not all flagged: ${flagged.mkString(",")}")
   }
+
+  test("llm_vocab_topk: equals a driver-side recount, ordered by (count desc, token)") {
+    val texts = Tables.documents(spark, sf001).select("text").collect().map(_.getString(0))
+    val counts = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val out = SparkEntry.queries("llm_vocab_topk")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == expected)
+  }
+
+  test("llm_gopher_filter: per-rule verdicts recount, and the fixture splits on keep") {
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("llm_gopher_filter")(spark, sf001).collect()
+    assert(out.length == docs.size)
+    val en = Set("the", "a", "of", "and", "to", "in", "is")
+    out.foreach { r =>
+      val text = docs(r.getLong(0))
+      val words = text.split(" ").filter(_.nonEmpty)
+      assert(r.getInt(1) == words.length, s"doc ${r.getLong(0)} n_words")
+      assert(r.getInt(4) == words.distinct.count(en), s"doc ${r.getLong(0)} stop_hits")
+      assert(r.getBoolean(5) == (words.length >= 50 && words.length <= 100000))
+      assert(r.getBoolean(9) == (r.getBoolean(5) && r.getBoolean(6)
+        && r.getBoolean(7) && r.getBoolean(8)), s"doc ${r.getLong(0)} keep")
+    }
+    // the thresholds must actually bind on the fixture — an all-pass (or
+    // all-fail) filter key would be vacuous
+    val keeps = out.count(_.getBoolean(9))
+    assert(keeps > 0 && keeps < out.length,
+      s"keep does not split the fixture: $keeps/${out.length}")
+  }
 }
