@@ -318,6 +318,56 @@ object Windows {
         FROM m
         ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity, z NULLS FIRST""".trim)),
 
+    // Per-event EWMA (r8): geometric half-decay over the trailing 21
+    // observations per user — the per-key smoothed running metric next to
+    // window_running's unweighted sum and agg_decay's GROUP-level decay.
+    // Formulated as an explicit 21-term lag chain (one fused Window
+    // operator — same spec for every lag), normalized by the weights of
+    // the lags that EXIST, so the warm-up prefix is a true weighted mean,
+    // not a damped one. Determinism: 0.5^i is exactly representable
+    // (i ≤ 20), inputs are 6dp-coarsened per row BEFORE any arithmetic
+    // (§7.3), and both engines evaluate the IDENTICAL left-folded IEEE
+    // expression — bit-equal without coarsening the output. One shuffle
+    // on user_id, O(21) per row; the same bounded shape at 100 TB (a
+    // full-history EWMA would be a stateful streaming op instead —
+    // stream_stateful's slot).
+    Q("window_ewma",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val weights = (0 to 20).map(i => math.pow(0.5, i))
+        val num = weights.zipWithIndex.map { case (wt, i) =>
+          coalesce(lag(col("v"), i).over(w) * lit(wt), lit(0.0))
+        }.reduce(_ + _)
+        val den = weights.zipWithIndex.map { case (wt, i) =>
+          when(lag(col("v"), i).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+        }.reduce(_ + _)
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+            col("ts"), val6(col("value")).cast("double").as("v"))
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("ts"), col("v"),
+            (num / den).as("ewma"))
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("ewma"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some {
+        val weights = (0 to 20).map(i => s"power(0.5, $i)")
+        val num = weights.zipWithIndex
+          .map { case (wt, i) => s"coalesce(lag(v, $i) OVER w * $wt, 0.0)" }
+          .mkString(" + ")
+        val den = weights.zipWithIndex
+          .map { case (wt, i) => s"CASE WHEN lag(v, $i) OVER w IS NOT NULL THEN $wt ELSE 0.0 END" }
+          .mkString(" + ")
+        s"""
+        WITH base AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, ts,
+            CAST(${sqlVal6("value")} AS DOUBLE) AS v
+          FROM events)
+        SELECT user_id, ts_us, event_id, ($num) / ($den) AS ewma
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, ts_us, event_id""".trim
+      }),
+
     // Time-series resample + forward-fill (r4): per-user hourly grid over
     // the stream's full span, each cell carrying the latest observation at
     // or before it — the gap-fill step behind any continuous per-key

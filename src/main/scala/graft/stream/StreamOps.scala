@@ -2,6 +2,7 @@ package graft.stream
 
 import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import java.net.{InetAddress, ServerSocket}
@@ -547,5 +548,39 @@ object StreamOps {
           FROM events)
         WHERE rn = 1
         ORDER BY user_id""".trim)),
+
+    // Trending top-k (r8): the reference domain's signature live query —
+    // per tumbling hour, the 3 busiest event types by count (tie-broken
+    // by type, so the k-boundary is total). Batch twin of the streaming
+    // pair proven in StreamingSpec: the windowed count runs as a standard
+    // Complete-mode streaming aggregate (same state as stream_tumbling —
+    // bounded by windows × types, not events), and the per-window rank
+    // is applied to the emitted result per micro-batch — top-k is a
+    // PRESENTATION of the aggregate state, never extra streaming state.
+    // At 100 TB/day the count state shuffles on (window, type) and the
+    // rank's per-window fanout is the (small) type cardinality.
+    Q("stream_trending_topk",
+      (spark, sfDir) => {
+        val counts = Tables.events(spark, sfDir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"), col("n"))
+        val rk = Window.partitionBy(col("ws_us"))
+          .orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rnk", rank().over(rk))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("ws_us"), col("rnk"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type, COUNT(*) AS n
+          FROM events
+          GROUP BY 1, 2)
+        SELECT ws_us, event_type, n, rnk FROM (
+          SELECT ws_us, event_type, n,
+            CAST(rank() OVER (PARTITION BY ws_us ORDER BY n DESC, event_type) AS INT) AS rnk
+          FROM c)
+        WHERE rnk <= 3
+        ORDER BY ws_us, rnk""".trim)),
   )
 }

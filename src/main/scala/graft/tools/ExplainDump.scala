@@ -122,6 +122,12 @@ object ExplainDump {
       "latest-state read-back (version-chain snapshot scan + presentation sort). The " +
       "per-batch merge is one max_by hash aggregate keyed on user_id whose output is " +
       "bounded by key cardinality, not history length."),
+    "window_ewma" -> ("Per-event EWMA (r8): all 21 lag terms share one window spec, so the " +
+      "whole chain fuses into a SINGLE Window operator over one exchange on user_id — " +
+      "the numerator/denominator folds are post-window projection arithmetic, codegen'd."),
+    "stream_trending_topk" -> ("Trending top-k (r8): two-phase windowed count (state bounded " +
+      "by windows × types), then the per-window rank — WindowGroupLimit-eligible fanout " +
+      "equal to type cardinality, never the event volume."),
   )
 
   def main(args: Array[String]): Unit = {

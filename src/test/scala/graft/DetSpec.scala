@@ -44,4 +44,25 @@ class DetSpec extends SparkFixture {
       df.select(Det.emit(sum(Det.money(col("v"))), 2)).collect()
     }
   }
+
+  test("float-emitting r8 keys are bit-identical under different shuffle partitioning") {
+    // The cluster-topology-independence claim, tested directly: the keys
+    // whose doubles come from IEEE arithmetic on exact-decimal inputs
+    // (weighted means, rolling z-score, EWMA lag chain) must produce the
+    // SAME bits whether the shuffle fans out over 1 or 4 partitions —
+    // parallel partial aggregation must never reassociate a float sum.
+    val keys = Seq("agg_weighted", "window_zscore", "window_ewma")
+    keys.foreach { k =>
+      def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      val base = run()
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        assert(run() == base, s"$k drifts at 1 shuffle partition")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert(run() == base, s"$k drifts at 7 shuffle partitions")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
 }
