@@ -284,7 +284,8 @@ class OperatorSpec extends SparkFixture {
     // must converge on identical results, not merely identical plans.
     val portable = Seq(
       "agg_distinct", "agg_funnel", "agg_grouping_sets", "agg_hash_q1", "agg_highcard",
-      "agg_multi_distinct", "agg_pivot", "agg_stats", "filter_pred",
+      "agg_multi_distinct", "agg_pivot", "agg_stats", "agg_weighted", "filter_pred",
+      "window_zscore",
       // fn_string is excluded: it PARSES on Spark but '\w' regex literals
       // escape differently between the dialects (DuckDB keeps the
       // backslash, Spark's string parser eats it) — parseable ≠ portable
