@@ -608,6 +608,34 @@ object Aggregates {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag""".trim)),
+
+    // Exact distinct-count via bitmap blocks (r8): the scalable alternative
+    // to COUNT(DISTINCT) when the id space is dense integers. Each
+    // (group, id/32) block OR-accumulates a 32-bit membership mask —
+    // map-side combinable, unlike distinct's expand — then popcounts sum
+    // up. The shuffle carries |groups| × |id-space|/32 mask rows instead
+    // of |groups| × |distinct ids| raw ids: a 32× reduction, and the
+    // partial aggregate absorbs all same-block duplicates before the
+    // exchange. Bit 31 stays inside a positive BIGINT, so no sign games.
+    // The oracle is plain COUNT(DISTINCT) — proving the bitmap IS an exact
+    // distinct, not an approximation.
+    Q("agg_bitmap_distinct",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .select(to_date(col("ts")).as("d"), col("event_type"),
+            expr("user_id div 32").as("blk"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("mask"))
+          .groupBy(col("d"), col("event_type"), col("blk"))
+          .agg(expr("bit_or(mask)").as("block_bits"))
+          .groupBy(col("d"), col("event_type"))
+          .agg(sum(expr("bit_count(block_bits)")).cast("long").as("n_users"))
+          .orderBy(col("d"), col("event_type")),
+      Some("""
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

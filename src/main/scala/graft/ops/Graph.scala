@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.12 — iterative graph computation.
+  *
+  * PageRank over the nation-level trade graph (supplier nation → customer
+  * nation, edge weight = lineitem count), the DataFrame-loop shape GraphX's
+  * Pregel uses underneath: a cached edge relation joined against a rank
+  * relation that is re-materialized once per superstep. All arithmetic is
+  * 64-bit integer (rank mass scaled by 1e9, damping 85/100, floor
+  * division), so every iteration is bit-exact and order-independent —
+  * reproducible across engines, partitionings, and retries, which
+  * float-valued PageRank is not.
+  *
+  * Scale shape: edges shuffle once on src at build time and are cached;
+  * each superstep is one broadcast of the rank table onto the edge
+  * partitions plus one groupBy(dst) partial-aggregated shuffle of
+  * per-partition contribution sums. With V nodes and E edges that is
+  * O(E/p) work per partition per step and only |V|-bound rows through the
+  * exchange; `localCheckpoint` truncates the lineage so step N never
+  * replays steps 1..N-1 (the classic iterative-DataFrame trap). At 100 TB
+  * the rank table outgrows the driver but never the executors — nothing
+  * here collects to the driver.
+  */
+object Graph {
+
+  /** Rank mass scale (1e9), damping 85%, 10 supersteps, |V|=25 nations. */
+  private val Scale = 1000000000L
+  private val Iters = 10
+
+  private[graft] def pagerank(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val su = Tables.supplier(spark, sfDir)
+    val or = Tables.orders(spark, sfDir)
+    val cu = Tables.customer(spark, sfDir)
+    val na = Tables.nation(spark, sfDir)
+
+    // Edge list: supplier nation → customer nation, weighted by lineitem
+    // count. Dimension sides broadcast; the only big shuffle is the
+    // (src, dst) aggregation, output-bound at |V|².
+    val edgesRaw = li
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(or, li("l_orderkey") === or("o_orderkey"))
+      .join(broadcast(cu.select(col("c_custkey"), col("c_nationkey"))),
+        or("o_custkey") === col("c_custkey"))
+      .groupBy(su("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val outdeg = edgesRaw.groupBy(col("src")).agg(sum(col("cnt")).as("out_cnt"))
+    // Zero-weight self-loops keep every node present in each superstep's
+    // aggregation (a node with no in-edges still emits its base rank);
+    // GREATEST guards the dangling-src division (numerator is 0 there).
+    val edges = edgesRaw.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("cnt"),
+        greatest(col("out_cnt"), lit(1L)).as("out_cnt"))
+      .unionByName(na.select(col("n_nationkey").as("src"),
+        col("n_nationkey").as("dst"), lit(0L).as("cnt"), lit(1L).as("out_cnt")))
+      .cache()
+
+    val nNodes = 25L
+    var ranks = na.select(col("n_nationkey").as("node"),
+      lit(Scale / nNodes).as("rnk"))
+    for (_ <- 1 to Iters) {
+      // localCheckpoint truncates lineage: superstep N never replays 1..N-1
+      ranks = superstep(edges, ranks, nNodes).localCheckpoint()
+    }
+    ranks.orderBy(col("node"))
+  }
+
+  /** One PageRank superstep: broadcast the rank relation onto the cached
+    * edges, floor-divide per edge, sum per destination. Exposed so the
+    * plan-shape suite can pin the pre-checkpoint physical plan. */
+  private[graft] def superstep(edges: DataFrame, ranks: DataFrame,
+      nNodes: Long): DataFrame = {
+    val base = Scale * 15L / 100L / nNodes // teleport mass per node
+    edges
+      .join(broadcast(ranks), edges("src") === col("node"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("(rnk * 85 * cnt) div (100 * out_cnt)")).as("contrib"))
+      .select(col("dst").as("node"), (lit(base) + col("contrib")).as("rnk"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("graph_pagerank",
+      (spark, sfDir) => pagerank(spark, sfDir),
+      Some("""
+        WITH RECURSIVE edges_raw AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        outdeg AS (
+          SELECT src, SUM(cnt) AS out_cnt FROM edges_raw GROUP BY 1),
+        edges AS (
+          SELECT e.src, e.dst, e.cnt, GREATEST(d.out_cnt, 1) AS out_cnt
+          FROM edges_raw e JOIN outdeg d ON e.src = d.src
+          UNION ALL
+          SELECT n_nationkey, n_nationkey, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+          FROM nation),
+        pr AS (
+          SELECT 0 AS iter, n_nationkey AS node, CAST(40000000 AS BIGINT) AS rnk
+          FROM nation
+          UNION ALL
+          SELECT pr.iter + 1, e.dst,
+                 6000000 + SUM((pr.rnk * 85 * e.cnt) // (100 * e.out_cnt))
+          FROM pr JOIN edges e ON e.src = pr.node
+          WHERE pr.iter < 10
+          GROUP BY 1, 2)
+        SELECT node, rnk FROM pr WHERE iter = 10 ORDER BY node""".trim)),
+  )
+}

@@ -411,5 +411,42 @@ object Windows {
         SELECT g.user_id, epoch_us(g.h) AS h_us, o.v AS v_fill
         FROM grid g ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.h >= o.h
         ORDER BY g.user_id, h_us""".trim)),
+
+    // Event-sequence pattern match (r8): MATCH_RECOGNIZE-lite. Find every
+    // CONTIGUOUS view→click→purchase triple inside a user's event stream
+    // (ordered by ts, tie-broken by event_id) — contiguity is the
+    // difference from `agg_funnel`, which allows gaps. Expressed as two
+    // `lead()`s over one (user_id) window, so the whole pattern costs a
+    // single hash-partition + sort; no self-joins, no state blow-up. At
+    // 100 TB this is the same shuffle any per-user window pays, and longer
+    // patterns only add lead() columns to the same sorted pass — the frame
+    // never widens beyond the pattern length.
+    Q("window_pattern",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id").as("e1"), col("ts").as("t1"),
+            col("event_type").as("ty1"),
+            lead(col("event_type"), 1).over(w).as("ty2"),
+            lead(col("event_id"), 1).over(w).as("e2"),
+            lead(col("event_type"), 2).over(w).as("ty3"),
+            lead(col("event_id"), 2).over(w).as("e3"),
+            lead(col("ts"), 2).over(w).as("t3"))
+          .filter(col("ty1") === "view" && col("ty2") === "click" &&
+            col("ty3") === "purchase")
+          .select(col("user_id"), col("e1"), col("e2"), col("e3"),
+            (unix_micros(col("t3")) - unix_micros(col("t1"))).as("span_us"))
+          .orderBy(col("user_id"), col("e1"))
+      },
+      Some("""
+        SELECT user_id, e1, e2, e3, epoch_us(t3) - epoch_us(t1) AS span_us
+        FROM (
+          SELECT user_id, event_id AS e1, ts AS t1, event_type AS ty1,
+                 lead(event_type, 1) OVER w AS ty2, lead(event_id, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS ty3, lead(event_id, 2) OVER w AS e3,
+                 lead(ts, 2) OVER w AS t3
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE ty1 = 'view' AND ty2 = 'click' AND ty3 = 'purchase'
+        ORDER BY user_id, e1""".trim)),
   )
 }

@@ -128,6 +128,18 @@ object ExplainDump {
     "stream_trending_topk" -> ("Trending top-k (r8): two-phase windowed count (state bounded " +
       "by windows × types), then the per-window rank — WindowGroupLimit-eligible fanout " +
       "equal to type cardinality, never the event volume."),
+    "window_pattern" -> ("Event-sequence pattern match (r8): both lead() columns share one " +
+      "window spec, so the whole pattern fuses into a SINGLE Window operator over one " +
+      "user_id exchange — longer patterns add lead columns to the same sorted pass, never " +
+      "joins or state."),
+    "agg_bitmap_distinct" -> ("Bitmap exact distinct (r8): two stacked two-phase " +
+      "HashAggregates — the bit_or block masks partial-combine map-side (absorbing " +
+      "same-block duplicates BEFORE the exchange, which COUNT(DISTINCT)'s expand cannot), " +
+      "then popcount-sum over id-space/32 mask rows per group."),
+    "graph_pagerank" -> ("Iterative PageRank (r8): the dumped plan is the final superstep — " +
+      "cached edges joined to a BroadcastExchange of the 25-row rank relation, one " +
+      "output-bound groupBy(dst) HashAggregate; localCheckpoint truncated the prior " +
+      "supersteps' lineage, so the plan depth is ONE step, not ten."),
   )
 
   def main(args: Array[String]): Unit = {

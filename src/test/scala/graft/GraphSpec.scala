@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The r8 graph / pattern / bitmap keys, each pinned against an
+  * independent driver-side exact recount (integer arithmetic throughout,
+  * so equality is bit-exact, not approximate).
+  */
+class GraphSpec extends SparkFixture {
+
+  test("graph_pagerank equals a driver-side integer recompute on the same edges") {
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf001)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+
+    // independent recount: collect the raw edge counts, run the same
+    // integer recurrence in plain Scala maps
+    val li = Tables.lineitem(spark, sf001)
+    val su = Tables.supplier(spark, sf001).select("s_suppkey", "s_nationkey")
+    val or = Tables.orders(spark, sf001).select("o_orderkey", "o_custkey")
+    val cu = Tables.customer(spark, sf001).select("c_custkey", "c_nationkey")
+    val edges = li.join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(or, li("l_orderkey") === or("o_orderkey"))
+      .join(cu, or("o_custkey") === cu("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2)))
+    val nodes = Tables.nation(spark, sf001)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+
+    var rnk = nodes.map(_ -> 40000000L).toMap
+    for (_ <- 1 to 10) {
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (s, _, c) =>
+        rnk(s) * 85L * c / (100L * out.getOrElse(s, 1L).max(1L))
+      }.sum).toMap
+      rnk = nodes.map(n => n -> (6000000L + contrib.getOrElse(n, 0L))).toMap
+    }
+    assert(got == rnk, s"spark=$got expected=$rnk")
+    // mass is bounded above by the full scale (floor division and dangling
+    // nodes only ever DROP mass) and below by the pure teleport floor
+    // (25 × base) — at sf0.001 most nations have no suppliers, so the
+    // dangling leak is large by construction
+    val total = got.values.sum
+    assert(total <= 1000000000L && total >= 25L * 6000000L, s"mass=$total")
+  }
+
+  test("window_pattern finds exactly the contiguous view→click→purchase triples") {
+    val got = SparkEntry.queries("window_pattern")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val evs = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).toSeq
+      sorted.sliding(3).collect {
+        case Seq(a, b, c)
+            if a._4 == "view" && b._4 == "click" && c._4 == "purchase" =>
+          (u, a._2, b._2, c._2)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected, s"got ${got.length}, expected ${expected.length}")
+  }
+
+  test("agg_bitmap_distinct equals exact countDistinct per (day, type)") {
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf001)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val exact = Tables.events(spark, sf001)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exact)
+    assert(got.nonEmpty)
+  }
+}

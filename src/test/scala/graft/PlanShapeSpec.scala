@@ -363,4 +363,44 @@ class PlanShapeSpec extends SparkFixture {
       s"z-order layout must be projection + range sort, got $exchanges:\n" + p.take(1200))
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p.take(1200))
   }
+
+  test("window_pattern fuses both lead()s into one Window over one hash exchange") {
+    // Both leads share (partition by user_id, order by ts, event_id) — the
+    // whole pattern must cost a single shuffle + sort, not one per lead.
+    val p = plan("window_pattern")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      "pattern leads must fuse into one Window operator:\n" + p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("agg_bitmap_distinct partial-combines the block masks before the exchange") {
+    // The whole point of the bitmap shape: bit_or partials combine
+    // map-side, so the plan is two stacked two-phase HashAggregates and
+    // NO Expand (COUNT(DISTINCT)'s expand would shuffle raw ids).
+    val p = plan("agg_bitmap_distinct")
+    assert(!p.contains("Expand"), "bitmap distinct must not plan Expand:\n" + p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected two stacked partial+final HashAggregates:\n" + p.take(1500))
+  }
+
+  test("graph_pagerank: supersteps broadcast ranks; checkpoint truncates lineage") {
+    // A superstep must plan as BroadcastHashJoin (ranks onto edges) + one
+    // two-phase aggregate — never a sort-merge join; and the query's FINAL
+    // plan must read a checkpointed RDD scan, proving localCheckpoint cut
+    // the 10-step lineage (nested lineage would replay O(n²)).
+    import org.apache.spark.sql.functions.{col, lit}
+    val edges = Tables.nation(spark, sf001)
+      .select(col("n_nationkey").as("src"), col("n_nationkey").as("dst"),
+        lit(1L).as("cnt"), lit(1L).as("out_cnt"))
+    val ranks = Tables.nation(spark, sf001)
+      .select(col("n_nationkey").as("node"), lit(40000000L).as("rnk"))
+    val step = ops.Graph.superstep(edges, ranks, 25L)
+      .queryExecution.executedPlan.toString
+    assert(step.contains("BroadcastHashJoin"),
+      "rank relation must broadcast onto the edges:\n" + step.take(1500))
+    assert(!step.contains("SortMergeJoin"), step.take(1500))
+    val fin = plan("graph_pagerank")
+    assert(fin.contains("Scan ExistingRDD"),
+      "prior supersteps must be truncated to a checkpointed scan:\n" + fin.take(1500))
+  }
 }
