@@ -58,7 +58,7 @@ object StreamOps {
 
   /** Run a streaming DF to completion (AvailableNow) into a memory sink,
     * return the sink contents as a batch DataFrame. */
-  private def runToTable(spark: SparkSession, sdf: DataFrame,
+  private[stream] def runToTable(spark: SparkSession, sdf: DataFrame,
       mode: OutputMode): DataFrame = {
     val tbl = s"graft_sink_${sinkId.incrementAndGet()}"
     val q = sdf.writeStream.format("memory").queryName(tbl).outputMode(mode)

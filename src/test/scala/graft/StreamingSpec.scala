@@ -593,4 +593,75 @@ class StreamingSpec extends SparkFixture {
     assert(after == before)
     assert(before == stream.Cdc.latestPerKey(b0.unionByName(b1)).collect().map(_.toSeq).toSet)
   }
+
+  test("stream_pattern matches out-of-order arrivals in event-time order, exactly once") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val tbl = sinkName()
+    val q = stream.Pattern.matchStream(spark,
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: the view and the PURCHASE arrive first — the click is still
+    // in flight. Nothing may match yet.
+    input.addData((1L, ts("2024-01-01 00:00:00"), 7L, "view"),
+      (3L, ts("2024-01-01 00:02:00"), 7L, "purchase"))
+    q.processAllAvailable()
+    // batch 2: the click arrives out of order but within the 10-minute
+    // watermark — the buffer must reorder it BETWEEN view and purchase.
+    input.addData((2L, ts("2024-01-01 00:01:00"), 7L, "click"))
+    q.processAllAvailable()
+    assert(spark.table(tbl).isEmpty,
+      "nothing is mature before the watermark passes the triple")
+    // batch 3: a far-future event matures the triple; repeated advances
+    // must not re-emit it.
+    input.addData((9L, ts("2024-01-01 06:00:00"), 99L, "view"))
+    q.processAllAvailable()
+    input.addData((10L, ts("2024-01-01 12:00:00"), 99L, "error"))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+
+    val rows = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq((7L, 1L, 2L, 3L, 120000000L)), rows.mkString(","))
+  }
+
+  test("stream_pattern drops beyond-watermark stragglers instead of corrupting matches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val tbl = sinkName()
+    val q = stream.Pattern.matchStream(spark,
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode(OutputMode.Append()).start()
+
+    // view→click buffered; watermark pushed far past them by another user
+    input.addData((1L, ts("2024-01-01 00:00:00"), 7L, "view"),
+      (2L, ts("2024-01-01 00:01:00"), 7L, "click"),
+      (8L, ts("2024-01-01 06:00:00"), 99L, "view"))
+    q.processAllAvailable()
+    // a straggler error BETWEEN the matured view and click arrives hours
+    // late — beyond the watermark, it must be DROPPED, not spliced in
+    input.addData((4L, ts("2024-01-01 00:00:30"), 7L, "error"),
+      (3L, ts("2024-01-01 00:02:00"), 7L, "purchase"))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+
+    // the purchase is ALSO late (00:02 < watermark 05:50) and drops, so no
+    // match forms — but crucially the machine neither crashed nor matched
+    // around the spliced straggler. The context rows (view, click) survive.
+    assert(spark.table(tbl).isEmpty,
+      "late arrivals must drop; nothing may match: " +
+        spark.table(tbl).collect().mkString(","))
+  }
+
+  test("stream_pattern on the full replay equals the window_pattern batch twin") {
+    val streamed = SparkEntry.queries("stream_pattern")(spark, sf001)
+      .collect().map(_.toSeq)
+    val batch = SparkEntry.queries("window_pattern")(spark, sf001)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed ${streamed.length} rows vs batch ${batch.length}")
+  }
 }
