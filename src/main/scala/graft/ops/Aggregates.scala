@@ -636,6 +636,43 @@ object Aggregates {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2""".trim)),
+
+    // Bitmap set algebra (r8): day-over-day retained users as
+    // popcount(bits_d AND bits_d+1) over the same 32-bit blocks
+    // agg_bitmap_distinct builds. The join is on (block, day) — the
+    // bitmap side carries |id-space|/32 rows per day instead of
+    // |active users|, and the AND+popcount re-aggregates partial. The
+    // oracle is the naive distinct-users self-join — proving the bitmap
+    // intersection computes EXACT audience overlap. At 100 TB this is the
+    // segment-overlap / cohort-retention shape: day×block bitmaps are the
+    // materialized view, any day-pair overlap is one co-partitioned join
+    // away, never a re-scan of raw events.
+    Q("agg_bitmap_overlap",
+      (spark, sfDir) => {
+        val daily = Tables.events(spark, sfDir)
+          .select(to_date(col("ts")).as("d"),
+            expr("user_id div 32").as("blk"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("mask"))
+          .groupBy(col("d"), col("blk"))
+          .agg(expr("bit_or(mask)").as("bits"))
+        val next = daily.select(col("d").as("d2"), col("blk").as("blk2"),
+          col("bits").as("bits2"))
+        daily.join(next,
+            col("blk") === col("blk2") && col("d2") === date_add(col("d"), 1))
+          .groupBy(col("d"))
+          .agg(sum(expr("bit_count(bits & bits2)")).cast("long").as("retained"))
+          // a day-pair sharing blocks but zero common users would emit a
+          // 0 row the exact-join oracle doesn't have — align on overlap>0
+          .filter(col("retained") > 0)
+          .orderBy(col("d"))
+      },
+      Some("""
+        SELECT a.d AS d, CAST(COUNT(*) AS BIGINT) AS retained
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events) a
+        JOIN (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events) b
+          ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+        GROUP BY 1
+        ORDER BY 1""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

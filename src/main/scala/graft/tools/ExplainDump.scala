@@ -140,6 +140,10 @@ object ExplainDump {
       "cached edges joined to a BroadcastExchange of the 25-row rank relation, one " +
       "output-bound groupBy(dst) HashAggregate; localCheckpoint truncated the prior " +
       "supersteps' lineage, so the plan depth is ONE step, not ten."),
+    "agg_bitmap_overlap" -> ("Bitmap set algebra (r8): the (block, day) bitmaps build once " +
+      "via a partial-combined bit_or aggregate, the day-pair overlap joins on the block " +
+      "key carrying id-space/32 mask rows per day, and AND+popcount re-aggregates " +
+      "partial — segment overlap without re-scanning raw events."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -72,4 +72,19 @@ class GraphSpec extends SparkFixture {
     assert(got == exact)
     assert(got.nonEmpty)
   }
+
+  test("agg_bitmap_overlap equals an exact distinct-user day-pair recount") {
+    val got = SparkEntry.queries("agg_bitmap_overlap")(spark, sf001)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val daily = Tables.events(spark, sf001)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = daily.flatMap { case (d, users) =>
+      val nxt = java.time.LocalDate.parse(d).plusDays(1).toString
+      daily.get(nxt).map(u2 => d -> (users & u2).size.toLong)
+        .filter(_._2 > 0)
+    }
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+  }
 }
