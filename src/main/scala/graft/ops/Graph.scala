@@ -113,5 +113,63 @@ object Graph {
           WHERE pr.iter < 10
           GROUP BY 1, 2)
         SELECT node, rnk FROM pr WHERE iter = 10 ORDER BY node""".trim)),
+
+    // Per-node triangle participation over the undirected trade graph.
+    // Edges are ORIENTED (a < b) before the two-hop join, so each triangle
+    // materializes exactly once as (a < b < c) — the standard distributed
+    // triangle-count trick that also caps join fanout (at real graph
+    // scale the orientation is by degree, not id, bounding the hot node's
+    // adjacency; by id suffices for the contract's semantics). Two
+    // self-joins on the oriented edge list, both shuffle on a single int
+    // key; the final explode + count is output-bound at |V|.
+    Q("graph_triangles",
+      (spark, sfDir) => {
+        val li = Tables.lineitem(spark, sfDir)
+        val su = Tables.supplier(spark, sfDir)
+        val or = Tables.orders(spark, sfDir)
+        val cu = Tables.customer(spark, sfDir)
+        val und = li
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .join(or, li("l_orderkey") === or("o_orderkey"))
+          .join(broadcast(cu.select(col("c_custkey"), col("c_nationkey"))),
+            or("o_custkey") === col("c_custkey"))
+          .select(least(su("s_nationkey"), col("c_nationkey")).as("a"),
+            greatest(su("s_nationkey"), col("c_nationkey")).as("b"))
+          .filter(col("a") < col("b"))
+          .distinct()
+        val e1 = und.select(col("a").as("t_a"), col("b").as("t_b"))
+        val e2 = und.select(col("a").as("u_a"), col("b").as("u_b"))
+        val e3 = und.select(col("a").as("v_a"), col("b").as("v_b"))
+        val tri = e1
+          .join(e2, col("u_a") === col("t_b"))
+          .join(e3, col("v_a") === col("t_a") && col("v_b") === col("u_b"))
+          .select(col("t_a").as("a"), col("t_b").as("b"), col("u_b").as("c"))
+        tri.select(explode(array(col("a").cast("long"), col("b").cast("long"),
+            col("c").cast("long"))).as("node"))
+          .groupBy(col("node"))
+          .agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH dir_edges AS (
+          SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey),
+        und AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM dir_edges WHERE src <> dst),
+        tri AS (
+          SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+        ORDER BY node""".trim)),
   )
 }

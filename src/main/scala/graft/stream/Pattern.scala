@@ -38,15 +38,18 @@ object Pattern {
 
   def patternFn(key: Long, it: Iterator[PatEv],
       state: GroupState[PatBuf]): Iterator[PatMatch] = {
+    // watermark 0 = not yet established (Spark's convention): nothing is
+    // late and nothing matures before the first watermark exists
     val wmMs = state.getCurrentWatermarkMs()
     val prior = if (state.exists) state.get else PatBuf(Nil, armedTtl = false)
     // events already behind the watermark at arrival can no longer be
     // ordered against the emitted prefix — drop (late-event policy)
     val fresh = it.map(e => PatRec(e.ts_us, e.event_id, e.event_type))
-      .filter(_.ts_us / 1000 > wmMs).toList
+      .filter(e => wmMs == 0 || e.ts_us / 1000 > wmMs).toList
     val buf = (prior.evs ++ fresh).sortBy(r => (r.ts_us, r.event_id))
     // matured = fixed by the watermark: nothing can arrive between them
-    val (matured, pending) = buf.partition(_.ts_us / 1000 <= wmMs)
+    val (matured, pending) =
+      if (wmMs == 0) (Nil, buf) else buf.partition(_.ts_us / 1000 <= wmMs)
     val matches = matured.sliding(3).collect {
       case List(a, b, c)
           if a.event_type == "view" && b.event_type == "click" &&

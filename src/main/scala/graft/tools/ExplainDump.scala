@@ -144,6 +144,10 @@ object ExplainDump {
       "via a partial-combined bit_or aggregate, the day-pair overlap joins on the block " +
       "key carrying id-space/32 mask rows per day, and AND+popcount re-aggregates " +
       "partial — segment overlap without re-scanning raw events."),
+    "graph_triangles" -> ("Triangle count (r8): edges oriented a<b so each triangle " +
+      "materializes once as a<b<c — two self-joins on single int keys (broadcast by AQE " +
+      "at this size, shuffle-hash at scale), then an output-bound explode+count; the " +
+      "orientation is what caps the hot node's join fanout."),
   )
 
   def main(args: Array[String]): Unit = {

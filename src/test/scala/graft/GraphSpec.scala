@@ -87,4 +87,29 @@ class GraphSpec extends SparkFixture {
     }
     assert(got == expected, s"got=${got.size} expected=${expected.size}")
   }
+
+  test("graph_triangles equals a driver-side set recount, each triangle once") {
+    val got = SparkEntry.queries("graph_triangles")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val li = Tables.lineitem(spark, sf001)
+    val su = Tables.supplier(spark, sf001).select("s_suppkey", "s_nationkey")
+    val or = Tables.orders(spark, sf001).select("o_orderkey", "o_custkey")
+    val cu = Tables.customer(spark, sf001).select("c_custkey", "c_nationkey")
+    val und = li.join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(or, li("l_orderkey") === or("o_orderkey"))
+      .join(cu, or("o_custkey") === cu("c_custkey"))
+      .select(col("s_nationkey").cast("long"), col("c_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (s, c) if s != c => (s.min(c), s.max(c)) }.toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triangles = for {
+      (a, b) <- und.toSeq
+      c <- adj.getOrElse(b, Set.empty) if und.contains((a, c))
+    } yield (a, b, c)
+    val expected = triangles.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expected,
+      s"got ${got.values.sum / 3} triangles, expected ${triangles.size}")
+  }
 }

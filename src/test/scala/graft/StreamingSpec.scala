@@ -656,6 +656,65 @@ class StreamingSpec extends SparkFixture {
         spark.table(tbl).collect().mkString(","))
   }
 
+  test("stream_pattern equals the batch recount on random multi-batch arrivals (property)") {
+    import org.scalacheck.Gen
+    // Random event tapes, chopped into 30-minute micro-batches with the
+    // last 5 minutes of each batch DEFERRED into the next one — real
+    // cross-batch out-of-order arrival that still respects the 10-minute
+    // watermark (deferred ts > maxSeen - 10min when it lands), so the
+    // machine must reproduce the full batch recount with zero drops.
+    val H = 30L * 60 * 1000000 // batch span, µs
+    // base at a real epoch: the engine's own stateful late filter drops
+    // epoch-0 event times against the initial zero watermark
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000
+    val genTape = for {
+      n <- Gen.chooseNum(8, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 3L)
+        t <- Gen.chooseNum(0L, 3 * H / 1000000)
+        ty <- Gen.oneOf("view", "click", "purchase", "error")
+      } yield (u, base + t * 1000000L, ty))
+    } yield evs.zipWithIndex.map { case ((u, t, ty), i) => (i.toLong, t, u, ty) }
+    checkAll(genTape, n = 5) { tape =>
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(Long, Timestamp, Long, String)]
+      val tbl = sinkName()
+      val q = stream.Pattern.matchStream(spark,
+          input.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode(OutputMode.Append()).start()
+      val batches = tape.groupBy(_._2 / H).toSeq.sortBy(_._1).map(_._2)
+      var deferred = List.empty[(Long, Long, Long, String)]
+      batches.foreach { b =>
+        val hi = b.map(_._2).max
+        val (late, now) = (deferred ++ b).partition(e => hi - e._2 < 5L * 60 * 1000000)
+        deferred = late
+        if (now.nonEmpty) {
+          input.addData(now.map(e => (e._1, new Timestamp(e._2 / 1000), e._3, e._4)))
+          q.processAllAvailable()
+        }
+      }
+      if (deferred.nonEmpty)
+        input.addData(deferred.map(e => (e._1, new Timestamp(e._2 / 1000), e._3, e._4)))
+      // flush sentinel far past everything
+      input.addData((999L, ts("2099-01-01 00:00:00"), 999L, "error"))
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+
+      val got = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 999L).toSet
+      val expected = tape.groupBy(_._3).flatMap { case (u, es) =>
+        es.sortBy(e => (e._2, e._1)).sliding(3).collect {
+          case Seq(a, b, c)
+              if a._4 == "view" && b._4 == "click" && c._4 == "purchase" =>
+            (u, a._1, b._1, c._1)
+        }
+      }.toSet
+      assert(got == expected, s"tape: $tape")
+    }
+  }
+
   test("stream_pattern on the full replay equals the window_pattern batch twin") {
     val streamed = SparkEntry.queries("stream_pattern")(spark, sf001)
       .collect().map(_.toSeq)
