@@ -65,4 +65,27 @@ class DetSpec extends SparkFixture {
       } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     }
   }
+
+  test("graph/bitmap/pattern r8 keys are partition-count-invariant") {
+    // Integer-arithmetic keys (bitmap popcounts, floor-division PageRank,
+    // oriented triangle join, lead-chain pattern) must be bit-identical
+    // under any shuffle fanout: bit_or/sum are associative on longs, the
+    // per-edge floor divisions touch only per-row values, and every output
+    // carries a total ORDER BY. Partition-count drift here would mean a
+    // nondeterministic tie-break leaked in.
+    val keys = Seq("agg_bitmap_distinct", "agg_bitmap_overlap",
+      "graph_pagerank", "graph_triangles", "window_pattern")
+    keys.foreach { k =>
+      def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      val base = run()
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        assert(run() == base, s"$k drifts at 1 shuffle partition")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert(run() == base, s"$k drifts at 7 shuffle partitions")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
 }
