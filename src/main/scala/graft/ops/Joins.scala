@@ -428,5 +428,44 @@ object Joins {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""".trim)),
+
+    // Binned PURE range join (r8): count lineitems shipping within 7 days
+    // of each order's date — NO equi key at all, the case Catalyst can
+    // only plan as a nested-loop cross product (join_interval/asof both
+    // lean on an equi column; this one has none). The bin trick restores
+    // an equi key: week = epoch-micros div 7d, each order probes its own
+    // week and the next (a 7-day window spans at most 2 week bins), the
+    // residual range predicate filters inside the match. Plan becomes a
+    // shuffle equi join on the bin — candidate fanout is bounded by rows
+    // per bin, never |orders| × |lineitem|. At 100 TB bin width tunes the
+    // shuffle-width vs candidate-fanout trade; PlanShapeSpec pins that no
+    // nested-loop/cartesian survives. LEFT join keeps zero-count orders.
+    Q("join_range_binned",
+      (spark, sfDir) => {
+        val week = 7L * 86400L * 1000000L
+        val orders = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (unix_micros(col("o_orderdate")) / week).cast("long").as("wk0"))
+          .select(col("o_orderkey"), col("o_orderdate"),
+            explode(array(col("wk0"), col("wk0") + 1)).as("wk"))
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_shipdate"),
+            (unix_micros(col("l_shipdate")) / week).cast("long").as("wk"))
+        orders.join(li,
+            orders("wk") === li("wk") &&
+            li("l_shipdate") >= orders("o_orderdate") &&
+            li("l_shipdate") < orders("o_orderdate") + expr("INTERVAL 7 DAY"),
+            "left")
+          .groupBy(col("o_orderkey"))
+          .agg(count(col("l_orderkey")).as("n_ship"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o.o_orderkey, CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_ship
+        FROM orders o LEFT JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY 1
+        ORDER BY 1""".trim)),
   )
 }

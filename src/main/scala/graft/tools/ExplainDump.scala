@@ -148,6 +148,10 @@ object ExplainDump {
       "materializes once as a<b<c — two self-joins on single int keys (broadcast by AQE " +
       "at this size, shuffle-hash at scale), then an output-bound explode+count; the " +
       "orientation is what caps the hot node's join fanout."),
+    "join_range_binned" -> ("Binned pure range join (r8): with no equi key the naive plan " +
+      "is BroadcastNestedLoopJoin (n×m compares); the week-bin column restores a hash " +
+      "equi key (order probes 2 bins via explode, range residual inside the match) — the " +
+      "plan must show a hash-keyed join and zero nested loops."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -112,4 +112,20 @@ class GraphSpec extends SparkFixture {
     assert(got == expected,
       s"got ${got.values.sum / 3} triangles, expected ${triangles.size}")
   }
+
+  test("join_range_binned equals a driver-side per-order range recount") {
+    val got = SparkEntry.queries("join_range_binned")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ships = Tables.lineitem(spark, sf001)
+      .select(unix_micros(col("l_shipdate"))).collect().map(_.getLong(0)).sorted
+    val week = 7L * 86400L * 1000000L
+    val orders = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // recount per order: ships in [d, d+7d) over the sorted array
+    val expected = orders.map { case (k, d) =>
+      k -> (ships.count(_ < d + week) - ships.count(_ < d)).toLong
+    }.toMap
+    assert(got == expected)
+  }
 }

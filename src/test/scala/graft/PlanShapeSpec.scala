@@ -364,6 +364,17 @@ class PlanShapeSpec extends SparkFixture {
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p.take(1200))
   }
 
+  test("join_range_binned plans an equi join — no nested loop, no cartesian") {
+    // The key's whole reason to exist: a pure range predicate would plan
+    // BroadcastNestedLoopJoin (O(n×m) compares); the week-bin column must
+    // turn it into a hash-keyed equi join with the range as residual.
+    val p = plan("join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bin key must prevent the nested-loop plan:\n" + p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("window_pattern fuses both lead()s into one Window over one hash exchange") {
     // Both leads share (partition by user_id, order by ts, event_id) — the
     // whole pattern must cost a single shuffle + sort, not one per lead.
