@@ -448,5 +448,44 @@ object Windows {
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         WHERE ty1 = 'view' AND ty2 = 'click' AND ty3 = 'purchase'
         ORDER BY user_id, e1""".trim)),
+
+    // Gaps-and-islands (r8): longest run of CONSECUTIVE same-type events
+    // per (user, type), via the classic row_number-difference trick — two
+    // row_numbers whose difference is constant exactly within an island.
+    // The (user) and (user, type) window specs share a clustering: hash
+    // partitioning on user_id satisfies both, so Catalyst plans ONE
+    // exchange with a re-sort between the two Window ops — islands at
+    // 100 TB cost the same single shuffle as any per-user window. The
+    // island sizes then aggregate with two stacked hash aggregates, both
+    // output-bound by (user, type, island) and (user, type).
+    Q("window_islands",
+      (spark, sfDir) => {
+        val wu = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wt = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_type"),
+            row_number().over(wu).as("rn"),
+            row_number().over(wt).as("rnt"))
+          .groupBy(col("user_id"), col("event_type"),
+            (col("rn") - col("rnt")).as("grp"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(col("cnt")).as("max_streak"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+            row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rnt
+          FROM events)
+        SELECT user_id, event_type, CAST(MAX(cnt) AS BIGINT) AS max_streak
+        FROM (SELECT user_id, event_type, rn - rnt AS grp,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM s GROUP BY 1, 2, 3)
+        GROUP BY 1, 2
+        ORDER BY 1, 2""".trim)),
   )
 }

@@ -152,6 +152,10 @@ object ExplainDump {
       "is BroadcastNestedLoopJoin (n×m compares); the week-bin column restores a hash " +
       "equi key (order probes 2 bins via explode, range residual inside the match) — the " +
       "plan must show a hash-keyed join and zero nested loops."),
+    "window_islands" -> ("Gaps-and-islands (r8): the row_number-difference pipeline — two " +
+      "Window ops and two stacked aggregates all clustered under hashpartitioning(" +
+      "user_id), so the whole streak analysis reuses ONE exchange; island grouping is " +
+      "pure arithmetic, never a self-join."),
   )
 
   def main(args: Array[String]): Unit = {

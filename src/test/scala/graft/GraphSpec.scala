@@ -128,4 +128,22 @@ class GraphSpec extends SparkFixture {
     }.toMap
     assert(got == expected)
   }
+
+  test("window_islands equals a driver-side run-length recount") {
+    val got = SparkEntry.queries("window_islands")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val evs = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val types = es.sortBy(e => (e._2, e._3)).map(_._4).toList
+      // run-length encode, take max run per type
+      val runs = types.foldLeft(List.empty[(String, Long)]) {
+        case ((t, n) :: rest, ty) if t == ty => (t, n + 1) :: rest
+        case (acc, ty) => (ty, 1L) :: acc
+      }
+      runs.groupBy(_._1).map { case (t, rs) => (u, t) -> rs.map(_._2).max }
+    }.toMap
+    assert(got == expected)
+  }
 }

@@ -364,6 +364,16 @@ class PlanShapeSpec extends SparkFixture {
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p.take(1200))
   }
 
+  test("window_islands: both windows and both aggregates share ONE hash exchange") {
+    // hashpartitioning(user_id) satisfies the (user), (user, type),
+    // (user, type, grp) clusterings alike — the whole gaps-and-islands
+    // pipeline (2 Windows + 2 aggregates) must reuse a single exchange.
+    val p = plan("window_islands")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 2, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "windows and aggregates must share one user_id exchange:\n" + p.take(1500))
+  }
+
   test("join_range_binned plans an equi join — no nested loop, no cartesian") {
     // The key's whole reason to exist: a pure range predicate would plan
     // BroadcastNestedLoopJoin (O(n×m) compares); the week-bin column must
