@@ -618,13 +618,17 @@ object Aggregates {
     // partial aggregate absorbs all same-block duplicates before the
     // exchange. Bit 31 stays inside a positive BIGINT, so no sign games.
     // The oracle is plain COUNT(DISTINCT) — proving the bitmap IS an exact
-    // distinct, not an approximation.
+    // distinct, not an approximation. Bit index is pmod (always 0..31) and
+    // the block is true floor division, so NEGATIVE ids map to distinct
+    // (block, bit) slots instead of colliding via sign-truncated %/div
+    // (r8 advice; the fixture is non-negative but the operator no longer
+    // assumes it).
     Q("agg_bitmap_distinct",
       (spark, sfDir) =>
         Tables.events(spark, sfDir)
           .select(to_date(col("ts")).as("d"), col("event_type"),
-            expr("user_id div 32").as("blk"),
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("mask"))
+            expr("(user_id - pmod(user_id, 32)) div 32").as("blk"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))").as("mask"))
           .groupBy(col("d"), col("event_type"), col("blk"))
           .agg(expr("bit_or(mask)").as("block_bits"))
           .groupBy(col("d"), col("event_type"))
@@ -651,8 +655,8 @@ object Aggregates {
       (spark, sfDir) => {
         val daily = Tables.events(spark, sfDir)
           .select(to_date(col("ts")).as("d"),
-            expr("user_id div 32").as("blk"),
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("mask"))
+            expr("(user_id - pmod(user_id, 32)) div 32").as("blk"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))").as("mask"))
           .groupBy(col("d"), col("blk"))
           .agg(expr("bit_or(mask)").as("bits"))
         val next = daily.select(col("d").as("d2"), col("blk").as("blk2"),

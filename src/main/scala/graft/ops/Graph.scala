@@ -67,6 +67,11 @@ object Graph {
       // localCheckpoint truncates lineage: superstep N never replays 1..N-1
       ranks = superstep(edges, ranks, nNodes).localCheckpoint()
     }
+    // the final ranks are already materialized (localCheckpoint is eager),
+    // so the cached edges are dead — release them instead of accumulating
+    // a fresh storage block per invocation for the session lifetime
+    // (r8 advice; DetSpec alone runs this key 3×)
+    edges.unpersist(blocking = false)
     ranks.orderBy(col("node"))
   }
 

@@ -443,14 +443,21 @@ object Joins {
     Q("join_range_binned",
       (spark, sfDir) => {
         val week = 7L * 86400L * 1000000L
+        // TRUE floor division in exact int64 (subtract the non-negative
+        // pmod first, then `div` is exact): double `/` + cast(long)
+        // truncates toward zero, which breaks the at-most-2-bins invariant
+        // for pre-1970 timestamps and double-rounds near 2^53 µs (r8 advice)
+        def wkOf(tsCol: String): org.apache.spark.sql.Column =
+          expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${week}L))" +
+            s" div ${week}L")
         val orders = Tables.orders(spark, sfDir)
           .select(col("o_orderkey"), col("o_orderdate"),
-            (unix_micros(col("o_orderdate")) / week).cast("long").as("wk0"))
+            wkOf("o_orderdate").as("wk0"))
           .select(col("o_orderkey"), col("o_orderdate"),
             explode(array(col("wk0"), col("wk0") + 1)).as("wk"))
         val li = Tables.lineitem(spark, sfDir)
           .select(col("l_orderkey"), col("l_shipdate"),
-            (unix_micros(col("l_shipdate")) / week).cast("long").as("wk"))
+            wkOf("l_shipdate").as("wk"))
         orders.join(li,
             orders("wk") === li("wk") &&
             li("l_shipdate") >= orders("o_orderdate") &&

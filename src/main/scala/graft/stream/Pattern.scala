@@ -43,13 +43,20 @@ object Pattern {
     val wmMs = state.getCurrentWatermarkMs()
     val prior = if (state.exists) state.get else PatBuf(Nil, armedTtl = false)
     // events already behind the watermark at arrival can no longer be
-    // ordered against the emitted prefix — drop (late-event policy)
+    // ordered against the emitted prefix — drop (late-event policy).
+    // Comparisons are STRICT and mirror Spark's guarantee exactly: Spark
+    // only promises no arrivals with ts < watermark, so an event with
+    // ts == wm can still arrive — it must be buffered (not dropped), and
+    // nothing at ts == wm may mature yet (r8 advice: the old <=/> split
+    // discarded on-time events in [wm, wm+1ms) and emitted non-final
+    // matches there).
     val fresh = it.map(e => PatRec(e.ts_us, e.event_id, e.event_type))
-      .filter(e => wmMs == 0 || e.ts_us / 1000 > wmMs).toList
+      .filter(e => wmMs == 0 || e.ts_us / 1000 >= wmMs).toList
     val buf = (prior.evs ++ fresh).sortBy(r => (r.ts_us, r.event_id))
-    // matured = fixed by the watermark: nothing can arrive between them
+    // matured = strictly below the watermark: no event can still arrive
+    // earlier than these, so their relative order is final
     val (matured, pending) =
-      if (wmMs == 0) (Nil, buf) else buf.partition(_.ts_us / 1000 <= wmMs)
+      if (wmMs == 0) (Nil, buf) else buf.partition(_.ts_us / 1000 < wmMs)
     val matches = matured.sliding(3).collect {
       case List(a, b, c)
           if a.event_type == "view" && b.event_type == "click" &&
@@ -109,15 +116,25 @@ object Pattern {
         Seq((-1L, FlushTsNs, -1L, "view", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(flushDir)
-        val part = Files.list(Paths.get(flushDir)).toArray.map(_.toString)
-          .filter(_.endsWith(".parquet")).head
+        val listing = Files.list(Paths.get(flushDir))
+        val part =
+          try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+          finally listing.close()
         // copied AFTER a.parquet → later mtime → its own later micro-batch
         Files.copy(Paths.get(part), dir.resolve("b.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
 
         val matches = matchStream(spark,
           Sources.replayEvents(spark, dir.toString))
-        StreamOps.runToTable(spark, matches, OutputMode.Append())
+        // runToTable blocks until the replay drains into the memory sink,
+        // so the temp fixture copy is dead weight afterwards — delete it
+        // (r8 advice: repeated runs leaked a full events.parquet copy each)
+        val out = StreamOps.runToTable(spark, matches, OutputMode.Append())
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+        out
           .filter(col("user_id") >= 0)
           .orderBy(col("user_id"), col("e1"))
       },

@@ -723,4 +723,42 @@ class StreamingSpec extends SparkFixture {
     assert(streamed.toSeq == batch.toSeq,
       s"streamed ${streamed.length} rows vs batch ${batch.length}")
   }
+
+  test("stream_pattern buffers an arrival at exactly the watermark ms (strict boundary)") {
+    // Spark only guarantees no arrivals with ts < watermark — an on-time
+    // event can still land AT the watermark millisecond. r8 advice: the
+    // old <=/> comparison pair silently dropped it (and matured its
+    // neighbors non-finally). Pin the strict-comparison contract directly
+    // on the state function via TestGroupState.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val wm = ts("2024-01-01 01:00:00").getTime // ms
+    def ev(id: Long, tsMs: Long, ty: String) = stream.Pattern.PatEv(
+      id, new Timestamp(tsMs), tsMs * 1000L, 7L, ty)
+    // call 1, watermark still at its initial 0: view + click buffer
+    val st1 = TestGroupState.create[stream.Pattern.PatBuf](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(java.lang.Long.valueOf(0L)), hasTimedOut = false)
+    val out1 = stream.Pattern.patternFn(7L,
+      Iterator(ev(1, wm - 2, "view"), ev(2, wm - 1, "click")), st1).toList
+    assert(out1.isEmpty && st1.get.evs.map(_.event_id) == List(1L, 2L))
+    // call 2, watermark = wm: the purchase ARRIVES at exactly ts == wm —
+    // on time per Spark's guarantee (only ts < wm is impossible), so it
+    // must buffer as pending, and may not mature yet (a same-ms arrival
+    // could still order before it)
+    val st2 = TestGroupState.create[stream.Pattern.PatBuf](
+      Optional.of(st1.get), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(java.lang.Long.valueOf(wm)), hasTimedOut = false)
+    val out2 = stream.Pattern.patternFn(7L, Iterator(ev(3, wm, "purchase")),
+      st2).toList
+    assert(out2.isEmpty, s"at-watermark event matured too early: $out2")
+    assert(st2.get.evs.map(_.event_id) == List(1L, 2L, 3L),
+      s"ts == wm must buffer, not drop: ${st2.get.evs}")
+    // one ms later the triple is final and emits exactly once
+    val st3 = TestGroupState.create[stream.Pattern.PatBuf](
+      Optional.of(st2.get), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(java.lang.Long.valueOf(wm + 1)), hasTimedOut = false)
+    val out3 = stream.Pattern.patternFn(7L, Iterator.empty, st3).toList
+    assert(out3.map(m => (m.e1, m.e2, m.e3)) == List((1L, 2L, 3L)), out3.toString)
+  }
 }
