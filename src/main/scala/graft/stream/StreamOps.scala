@@ -549,22 +549,29 @@ object StreamOps {
         WHERE rn = 1
         ORDER BY user_id""".trim)),
 
-    // Trending top-k (r8): the reference domain's signature live query —
-    // per tumbling hour, the 3 busiest event types by count (tie-broken
-    // by type, so the k-boundary is total). Batch twin of the streaming
-    // pair proven in StreamingSpec: the windowed count runs as a standard
-    // Complete-mode streaming aggregate (same state as stream_tumbling —
-    // bounded by windows × types, not events), and the per-window rank
-    // is applied to the emitted result per micro-batch — top-k is a
-    // PRESENTATION of the aggregate state, never extra streaming state.
-    // At 100 TB/day the count state shuffles on (window, type) and the
-    // rank's per-window fanout is the (small) type cardinality.
+    // Trending top-k (r8; REAL streaming run since r9): the reference
+    // domain's signature live query — per tumbling hour, the 3 busiest
+    // event types by count (tie-broken by type, so the k-boundary is
+    // total). The verify/bench path now RUNS the StreamingQuery: the
+    // fixture replays as micro-batches into a Complete-mode windowed
+    // count (same state as stream_tumbling — bounded by windows × types,
+    // not events; no sentinel needed, Complete emits full state each
+    // trigger), and the per-window rank is applied to the emitted result
+    // per micro-batch — top-k is a PRESENTATION of the aggregate state,
+    // never extra streaming state. The batch SQL oracle must hash-match
+    // the stream's final emission. At 100 TB/day the count state shuffles
+    // on (window, type) and the rank's per-window fanout is the (small)
+    // type cardinality. StreamingSpec additionally pins the streamed
+    // result against an independently-computed batch twin.
     Q("stream_trending_topk",
       (spark, sfDir) => {
-        val counts = Tables.events(spark, sfDir)
-          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"), col("n"))
+        val counts = runToTable(spark,
+          Sources.replayEvents(spark, sfDir, "events.parquet")
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+              col("n")),
+          OutputMode.Complete())
         val rk = Window.partitionBy(col("ws_us"))
           .orderBy(col("n").desc, col("event_type"))
         counts.withColumn("rnk", rank().over(rk))

@@ -41,22 +41,21 @@ class StreamingSpec extends SparkFixture {
     assert(streamed == batch)
   }
 
-  test("streaming trending top-k: ranked Complete-mode counts equal the batch twin") {
-    // The rank is applied to the MATERIALIZED aggregate (per emitted
-    // batch), never held as streaming state — so the streaming pair is
-    // the stream_tumbling count plus a post-sink window, and it must
-    // reproduce the batch twin row-for-row.
-    val batch = SparkEntry.queries("stream_trending_topk")(spark, sf001)
+  test("streaming trending top-k: the real streaming run equals the batch twin") {
+    // Since r9 the KEY ITSELF runs the StreamingQuery (Complete-mode
+    // windowed count through the memory sink + per-emission rank), so the
+    // batch twin is computed independently here and must match row-for-row
+    // — the rank is applied to the MATERIALIZED aggregate, never held as
+    // streaming state.
+    val streamed = SparkEntry.queries("stream_trending_topk")(spark, sf001)
       .collect().map(_.toSeq).toSeq
-    val counts = runAvailableNow(
-      Sources.replayEvents(spark, sf001, "events.parquet")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"), col("n")),
-      OutputMode.Complete())
+    val counts = Tables.events(spark, sf001)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"), col("n"))
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ws_us")).orderBy(col("n").desc, col("event_type"))
-    val streamed = counts.withColumn("rnk", rank().over(rk))
+    val batch = counts.withColumn("rnk", rank().over(rk))
       .filter(col("rnk") <= 3).orderBy(col("ws_us"), col("rnk"))
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
