@@ -14,8 +14,8 @@ object SparkEntry {
     ops.Scans.queries ++ ops.Functions.queries ++ ops.Joins.queries ++
       ops.Aggregates.queries ++ ops.Windows.queries ++ ops.SortsSetops.queries ++
       ops.Llm.queries ++ ops.TextOps.queries ++ ops.Pipeline.queries ++
-      ops.Udx.queries ++ ops.Graph.queries ++ stream.StreamOps.queries ++
-      stream.Pattern.queries
+      ops.Udx.queries ++ ops.Graph.queries ++ ops.Bpe.queries ++
+      stream.StreamOps.queries ++ stream.Pattern.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.12 — BPE tokenizer training (`llm_bpe_train`, r9).
+  *
+  * The iterative merge loop that turns `llm_vocab_topk`'s vocabulary pass
+  * into an actual tokenizer: N times, count adjacent symbol pairs across
+  * the corpus (weighted by word frequency, overlapping occurrences counted
+  * — the classic `get_stats` semantics), merge the most frequent pair
+  * everywhere (greedy left-to-right, ties broken lexicographically so the
+  * argmax is total), repeat. The output is the learned merge table — the
+  * artifact a BPE tokenizer ships.
+  *
+  * Scale shape (the `graph_pagerank` recipe, Graph.scala): the loop
+  * iterates over the WORD-FREQUENCY table, which is vocabulary-bounded —
+  * at 100 TB the corpus scan happens once to build it, and every merge
+  * step is O(vocab) distributed work: one native pair-explode aggregation
+  * (zip_with over adjacent symbols, codegen'd) + one typed map applying
+  * the merge. Only the 1-row argmax reaches the driver per step (bounded
+  * control-plane collect, the ivfTrain adjudication) and `localCheckpoint`
+  * truncates lineage so step N never replays 1..N-1. Nothing corpus-sized
+  * ever loops or collects.
+  *
+  * Oracle: omitted — an argmax-per-iteration loop is not expressible in a
+  * DuckDB recursive CTE (no aggregates in the recursive term). BpeSpec
+  * instead pins the merge table against a driver-side reference
+  * implementation on the same word frequencies, plus rerun identity and
+  * partition-count invariance.
+  */
+object Bpe {
+
+  case class WordFreq(syms: Seq[String], freq: Long)
+  case class MergeRow(step: Int, left: String, right: String, merged: String,
+      pair_cnt: Long)
+
+  private val Merges = 10
+
+  /** Greedy left-to-right application of one learned merge to one symbol
+    * sequence — "aaa" under (a,a) becomes ["aa","a"], never ["a","aa"]. */
+  private[graft] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** The word-frequency table BPE iterates over: whitespace words split
+    * into single-character symbol arrays, weighted by corpus count. */
+  private[graft] def wordFreqs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(w, ''), s -> s != '')").as("syms"), col("freq"))
+
+  /** N merge steps over a (syms, freq) relation; returns the merge table.
+    * Distributed throughout — per step: one pair-count aggregation (the
+    * exchange carries one row per DISTINCT pair, not per occurrence), one
+    * 1-row argmax collect, one typed map + localCheckpoint. */
+  private[graft] def train(spark: SparkSession, words: DataFrame,
+      nMerges: Int): Seq[MergeRow] = {
+    import spark.implicits._
+    var vocab: Dataset[WordFreq] = words.as[WordFreq].localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[MergeRow]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // adjacent pairs via zip_with over the symbol array and its shift —
+      // native + codegen'd; a 1-symbol word contributes no pairs
+      val top = vocab.toDF()
+        .select(explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), " +
+            "slice(syms, 2, size(syms) - 1), (l, r) -> struct(l, r))")).as("p"),
+          col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // 1 row: the argmax — control-plane, never data-path
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += MergeRow(step, l, r, l + r, cnt)
+        val prev = vocab
+        vocab = prev.map(w => WordFreq(applyMerge(w.syms, l, r), w.freq))
+          .localCheckpoint()
+        prev.unpersist(blocking = false)
+        step += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("llm_bpe_train",
+      (spark, sfDir) => {
+        import spark.implicits._
+        train(spark, wordFreqs(spark, sfDir), Merges)
+          .toDF().orderBy(col("step"))
+      },
+      None),
+  )
+}

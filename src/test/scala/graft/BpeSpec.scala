@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+
+/** `llm_bpe_train` (SURVEY §2.12): the distributed merge loop must equal a
+  * driver-side reference BPE on the same word frequencies, behave greedily
+  * on overlaps, and be rerun/partitioning-invariant (its oracle is omitted
+  * — argmax-per-iteration is not recursive-CTE-expressible).
+  */
+class BpeSpec extends SparkFixture {
+
+  /** Reference BPE: plain-Scala `get_stats` + merge over a word-freq list,
+    * same overlap-counting and (count desc, left, right) tie-break. */
+  private def refBpe(words0: Seq[(Seq[String], Long)],
+      n: Int): Seq[(Int, String, String, String, Long)] = {
+    var vocab = words0
+    (1 to n).flatMap { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), cnt) => (-cnt, a, b) }
+        vocab = vocab.map { case (s, f) => (Bpe.applyMerge(s, l, r), f) }
+        Some((step, l, r, l + r, c))
+      }
+    }
+  }
+
+  test("applyMerge is greedy left-to-right on overlapping occurrences") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "a") == Seq("x"))
+    assert(Bpe.applyMerge(Nil, "a", "a") == Nil)
+    // merged symbols never re-match within the same pass
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "aa") == Seq("a", "a", "a"))
+  }
+
+  test("first merges on the classic corpus match the hand computation") {
+    import spark.implicits._
+    // Sennrich's worked example: es (9) wins first, then est (9), then lo (7)
+    val words = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+    ).map { case (w, f) => (w.split("").toSeq, f) }
+    val df = words.toDF("syms", "freq")
+    val merges = Bpe.train(spark, df, 3)
+    assert(merges.map(m => (m.left, m.right, m.pair_cnt)) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)))
+  }
+
+  test("distributed training equals the driver-side reference on the fixture corpus") {
+    val wf = Bpe.wordFreqs(spark, sf001)
+    val got = Bpe.train(spark, wf, 10)
+      .map(m => (m.step, m.left, m.right, m.merged, m.pair_cnt))
+    val ref = refBpe(
+      wf.collect().map(r =>
+        (r.getSeq[String](0).toSeq, r.getLong(1))).toSeq, 10)
+    assert(got == ref)
+  }
+
+  test("merge table is rerun-identical and partition-count invariant") {
+    val base = Bpe.train(spark, Bpe.wordFreqs(spark, sf001), 6)
+    val rerun = Bpe.train(spark, Bpe.wordFreqs(spark, sf001), 6)
+    val repart = Bpe.train(spark, Bpe.wordFreqs(spark, sf001).repartition(7), 6)
+    assert(rerun == base)
+    assert(repart == base)
+  }
+
+  test("each merge shrinks the corpus symbol count by exactly its pair count") {
+    import spark.implicits._
+    // overlap-counted argmax cnt can exceed the applied merge count
+    // ("aaa" counts (a,a) twice, merges once) — so pin the exact invariant
+    // on an overlap-free corpus, where applied merges == counted pairs
+    val words = Seq(("abcd", 4L), ("abce", 3L), ("bcde", 2L))
+      .map { case (w, f) => (w.split("").toSeq, f) }
+    var vocab = words
+    val df = words.toDF("syms", "freq")
+    Bpe.train(spark, df, 4).foreach { m =>
+      val before = vocab.map { case (s, f) => s.length * f }.sum
+      vocab = vocab.map { case (s, f) => (Bpe.applyMerge(s, m.left, m.right), f) }
+      val after = vocab.map { case (s, f) => s.length * f }.sum
+      assert(before - after == m.pair_cnt,
+        s"step ${m.step} (${m.left},${m.right}): $before -> $after vs ${m.pair_cnt}")
+    }
+  }
+}
