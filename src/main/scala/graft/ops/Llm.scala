@@ -148,7 +148,7 @@ object Llm {
     * Frame geometry derives from the text-content hash so the corpus gets
     * varied dims and frame counts. This is the fixture generator for the
     * multimodal keys: real bytes in, real codec out. */
-  def pngStrip(docId: Long, text: String): Array[Byte] = {
+  def pngStrip(docId: Long, text: String, perturbLastRow: Boolean = false): Array[Byte] = {
     val h = java.util.Arrays.hashCode(text.getBytes("UTF-8"))
     val nFrames = math.floorMod(h, 240) + 1
     val w = math.floorMod(h, 30) + 2            // 2..31
@@ -166,6 +166,17 @@ object Llm {
       seed = seed * 6364136223846793005L + 1442695040888963407L
       data(i) = (seed >>> 40).toByte
       i += 1
+    }
+    // near-duplicate plant for llm_dedup_phash: a mild re-encode-style
+    // edit — ±4 luminance (one xor'd bit) across frame 0's LAST pixel row
+    // only. Pixels at y = frameH-1 feed only dHash row-blocks 4..7 (bits
+    // 32..63) even at the minimum frameH = 2, so signature bands 0-1 stay
+    // bit-identical to the original (guaranteed LSH recall) while the
+    // verify sees a small genuine hamming distance.
+    if (perturbLastRow) {
+      var j = (frameH - 1) * w * 3
+      val end = frameH * w * 3
+      while (j < end) { data(j) = (data(j) ^ 0x04).toByte; j += 1 }
     }
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
     val meta = writer.getDefaultImageMetadata(
@@ -240,6 +251,67 @@ object Llm {
         math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1,
         nFrames, (0 until nFrames by 24).toArray)
     }
+  }
+
+  /** 64-bit perceptual hash of a media payload. */
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Perceptual dHash over the decode seam: block-average frame 0's
+    * luminance onto an 8×9 grid (the classic difference-hash geometry),
+    * bit (r,c) = 1 iff grid(r)(c) > grid(r)(c+1) — 64 horizontal-gradient
+    * comparisons. A re-encode or mild edit shifts block averages slightly
+    * and flips only the comparisons whose margin was small, so true
+    * near-dups land at small hamming distance while unrelated images sit
+    * near 32. Batch-in/batch-out like [[decodeBatch]], partition-local;
+    * only the (doc_id, 64-bit hash) pair outlives the batch. */
+  def phashBatch(batch: Seq[MediaIn]): Seq[MediaHash] = batch.map { in =>
+    val (img, nFrames) = readPng(in.payload)
+    val w = img.getWidth
+    val frameH = img.getHeight / nFrames
+    val bgr: Array[Byte] =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+      else null
+    def lum(x: Int, y: Int): Int =
+      if (bgr != null) {
+        val base = (y * w + x) * 3
+        ((bgr(base) & 0xFF) + (bgr(base + 1) & 0xFF) + (bgr(base + 2) & 0xFF)) / 3
+      } else {
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+      }
+    val g = Array.ofDim[Double](8, 9)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * frameH / 8
+      val y1 = math.max(y0 + 1, (r + 1) * frameH / 8)
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9
+        val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += lum(x, y); x += 1 }
+          y += 1
+        }
+        g(r)(c) = s / ((y1 - y0) * (x1 - x0))
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r)(c) > g(r)(c + 1)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    MediaHash(in.doc_id, bits)
   }
 
   /** Pooled per-document feature vector from the sampled frames. */
@@ -570,6 +642,60 @@ object Llm {
             expr("array_join(transform(feat, v -> CAST(CAST(v AS DECIMAL(18,6)) AS STRING)), ',')")
               .as("feat_csv"))
           .orderBy(col("doc_id"))
+      },
+      None),
+
+    // Perceptual-hash media near-dup (r9): completes the dedup family
+    // across text (exact/ngram/simhash/substring), embeddings, URLs, and
+    // now MEDIA. Payloads decode through the same seam as the other
+    // multimodal keys, [[phashBatch]] computes a real dHash (8×9
+    // block-averaged luminance gradient) over frame 0's pixels, and the
+    // candidate/verify shape is llm_dedup_simhash's: 4×16-bit signature
+    // bands through the shared salted bucket-join, then an exact
+    // bit_count(xor) hamming ≤ 12 verify per deduped candidate pair. The
+    // plants are PERTURBED copies (±4 luminance across frame 0's last
+    // pixel row — a mild re-encode-style edit), not byte-identical ones:
+    // the edit provably leaves bands 0-1 intact (recall guaranteed) while
+    // the hamming verify sees a genuine non-zero distance. Omit oracle
+    // (codec + hash dependent); LlmSpec pins planted recall, perturbation
+    // locality, and unrelated-pair separation driver-side. At 100 TB the
+    // signature computation is embarrassingly parallel over payload
+    // partitions, the exchange carries only (band, bucket, doc_id), and
+    // band width is the candidate-volume vs recall dial.
+    Q("llm_dedup_phash",
+      (spark, sfDir) => {
+        import spark.implicits._
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val withFlag = docs.select(col("doc_id"), col("text"), lit(false).as("pert"))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+              lit(true).as("pert")))
+        val png = udf((id: Long, text: String, pert: Boolean) =>
+          // plants re-encode the SAME image (seed = original id) + the edit
+          pngStrip(id % 100000, text, pert))
+        val sigs = withFlag
+          // pre-encode spread, exactly like llm_multimodal_decode: rows
+          // cross the wire, payloads are born post-exchange
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            png(col("doc_id"), col("text"), col("pert")).as("payload"),
+            lit("image/png").as("mime"))
+          .as[MediaIn]
+          .mapPartitions(_.grouped(64).flatMap(b => phashBatch(b.toSeq)))
+          .toDF()
+          .localCheckpoint() // signatures are reused by bands AND both
+                             // verify joins — recompute would re-decode 3×
+        val banded = sigs.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> (phash >> (b * 16)) & 65535)"))
+            .as(Seq("band", "bucket")))
+        bandedPairs(banded)
+          .join(sigs.select(col("doc_id").as("a_id"), col("phash").as("a_h")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), col("phash").as("b_h")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            expr("bit_count(a_h ^ b_h)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 12)
+          .orderBy(col("a_id"), col("b_id"))
       },
       None),
   )

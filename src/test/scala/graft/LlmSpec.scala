@@ -237,4 +237,58 @@ class LlmSpec extends SparkFixture {
     assert(out.filter(length(col("digest")) =!= 64).count() == 0)
     assert(out.filter(col("fake_width") < 0 || col("fake_width") >= 1920).count() == 0)
   }
+
+  test("llm_dedup_phash finds every planted perturbed media copy (recall = 1)") {
+    val nDocs = Tables.documents(spark, sf001)
+      .filter(col("doc_id") < 20).count()
+    assert(nDocs > 0)
+    val pairs = SparkEntry.queries("llm_dedup_phash")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val plantPairs = pairs.filter { case (a, b, _) => b == a + 100000 }
+    assert(plantPairs.length == nDocs,
+      s"expected $nDocs planted pairs, got ${plantPairs.length}: ${plantPairs.mkString(",")}")
+    // the perturbed plant is NOT byte-identical — a real near-dup, the
+    // verify must see a genuine (but small) distance on at least some
+    assert(plantPairs.forall(_._3 <= 12))
+    // rerun identity (the whole pipeline is deterministic)
+    val rerun = SparkEntry.queries("llm_dedup_phash")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rerun.toSeq == pairs.toSeq)
+  }
+
+  test("phash perturbation is band-local and unrelated images separate") {
+    val all = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // dHash is honestly degenerate on frames smaller than its 8×9 grid
+    // (a 2-px-wide frame has one informative comparison per row, so
+    // unrelated tiny images land close — true of dHash everywhere, not a
+    // defect here); assert separation on frames that fill the grid
+    val docs = all.filter { case (_, text) =>
+      val h = java.util.Arrays.hashCode(text.getBytes("UTF-8"))
+      math.floorMod(h, 30) + 2 >= 9 && math.floorMod(h / 30, 16) + 2 >= 8
+    }.take(10)
+    assert(docs.length >= 5, s"fixture yielded only ${docs.length} grid-filling docs")
+    val sigs = docs.map { case (id, text) =>
+      val orig = ops.Llm.phashBatch(Seq(ops.Llm.MediaIn(
+        id, ops.Llm.pngStrip(id, text), "image/png"))).head.phash
+      val pert = ops.Llm.phashBatch(Seq(ops.Llm.MediaIn(
+        id, ops.Llm.pngStrip(id, text, perturbLastRow = true), "image/png"))).head.phash
+      (id, orig, pert)
+    }
+    sigs.foreach { case (id, orig, pert) =>
+      val ham = java.lang.Long.bitCount(orig ^ pert)
+      assert(ham <= 12, s"doc $id: plant drifted to hamming $ham")
+      // the last-row edit may only touch dHash rows 4..7 → bands 0-1
+      // (bits 0..31) must be bit-identical, which is what guarantees
+      // LSH candidate recall
+      assert((orig & 0xFFFFFFFFL) == (pert & 0xFFFFFFFFL),
+        s"doc $id: perturbation leaked into bands 0-1")
+    }
+    // unrelated images sit far apart — deterministic fixture, so pin it
+    for ((a, oa, _) <- sigs; (b, ob, _) <- sigs if a < b) {
+      val ham = java.lang.Long.bitCount(oa ^ ob)
+      assert(ham > 12, s"unrelated docs $a,$b at hamming $ham")
+    }
+  }
 }
