@@ -82,6 +82,54 @@ object Bench {
       return
     }
 
+    // Scale-proportionality probe (SPARK_GRAFT_BENCH_MODE=scale): the
+    // cheapest available proxy for the 100× question — run baseline12 at
+    // sf0.01 AND sf0.1 in ONE session (identical JVM, codegen cache, and
+    // box conditions), decompose each against the shared sf0.001 fixed
+    // cost, and check that the summed marginal grows no worse than ~1.3×
+    // linear in the data (10× rows → ≤13× marginal). A query whose plan
+    // is accidentally quadratic or driver-bound shows up here even when
+    // the single-SF fixed/marginal split looks healthy. Per-query ratios
+    // at sf0.01 sit at the scheduler noise floor (~10 ms), so the gate
+    // reads on the TOTAL; per-query rows are emitted for the appendix.
+    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scale")) {
+      val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+      val sfMid = sys.env.getOrElse("SPARK_GRAFT_SF_MID", "/root/testdata/sf0.01")
+      val sfBig = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      def jstr0(s: String): String = "\"" + s + "\""
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      def runs(name: String, dir: String): Seq[Double] = (1 to 6).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val rows = baseline12.map { name =>
+        val fixed = median(runs(name, sfSmall).tail)
+        val mid = math.max(0.0, median(runs(name, sfMid).tail) - fixed)
+        val big = math.max(0.0, median(runs(name, sfBig).tail) - fixed)
+        (name, fixed, mid, big)
+      }
+      val midTot = rows.map(_._3).sum
+      val bigTot = rows.map(_._4).sum
+      val dataRatio = 10.0 // sf0.01 → sf0.1
+      val ratio = if (midTot > 0) bigTot / midTot else Double.NaN
+      val linearFactor = ratio / dataRatio
+      val pass = !linearFactor.isNaN && linearFactor <= 1.3
+      val rowJson = rows.map { case (n, f, m, b) =>
+        s"""{"query":${jstr0(n)},"fixed_sec":$f,"marginal_sf001_sec":$m,"marginal_sf01_sec":$b}"""
+      }.mkString("[", ",", "]")
+      val out =
+        s"""{"mode":"scale","marginal_sf001_total":$midTot,"marginal_sf01_total":$bigTot,"ratio":$ratio,"data_ratio":$dataRatio,"linear_factor":$linearFactor,"pass":$pass,"rows":$rowJson}"""
+      Files.writeString(Paths.get("bench_scale.json"), out + "\n")
+      println(out)
+      spark.stop()
+      if (!pass) sys.exit(1)
+      return
+    }
+
     // Local-iteration knobs (driver sets neither, so its protocol is
     // unchanged): SPARK_GRAFT_BENCH_KEYS=a,b,c restricts to a subset;
     // SPARK_GRAFT_BENCH_REPS=n times each key n times and reports the

@@ -760,4 +760,37 @@ class StreamingSpec extends SparkFixture {
     val out3 = stream.Pattern.patternFn(7L, Iterator.empty, st3).toList
     assert(out3.map(m => (m.e1, m.e2, m.e3)) == List((1L, 2L, 3L)), out3.toString)
   }
+
+  test("stateful streaming keys are green and provider-invariant under the RocksDB state store") {
+    // The 100 TB state story: the HDFS-backed default provider holds state
+    // in executor heap, which caps per-key state at memory; RocksDB spills
+    // to local disk and is what a production deployment of these keys
+    // would run. transformWithState already pins RocksDB per-query
+    // (StreamOps.runWithRocksDb); this covers the REST of the stateful
+    // family — the fMGWS pattern buffer, streaming dedup state, CDC
+    // dedup+upsert, session windows, and the Complete-mode windowed agg —
+    // by flipping the SESSION default and re-running each key end-to-end.
+    // The provider is an engine implementation detail, so outputs must be
+    // IDENTICAL to the default provider's, not merely non-empty.
+    val keys = Seq("stream_pattern", "stream_cdc_upsert", "stream_dedup",
+      "stream_session", "stream_trending_topk")
+    def snap(k: String): Set[String] =
+      SparkEntry.queries(k)(spark, sf001).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val baseline = keys.map(k => k -> snap(k)).toMap
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try keys.foreach { k =>
+      val rocks = snap(k)
+      assert(rocks.nonEmpty, s"$k empty under RocksDB")
+      assert(rocks == baseline(k),
+        s"$k diverges under RocksDB: only-rocks=${(rocks -- baseline(k)).take(3)} " +
+          s"only-default=${(baseline(k) -- rocks).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
 }
