@@ -1,10 +1,9 @@
 package graft.stream
 
 import graft.Q
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming event-sequence pattern match (`window_pattern`'s streaming
   * twin): per user, emit every CONTIGUOUS view→click→purchase triple in
@@ -94,50 +93,22 @@ object Pattern {
       .toDF()
   }
 
-  /** Far-future ns timestamp (2100-01-01) — beyond any fixture event, so
-    * one sentinel row drives the global watermark past the whole replay. */
-  private val FlushTsNs = 4102444800L * 1000000000L
-
   val queries: Seq[Q] = Seq(
     // The REAL streaming run (not a batch twin): replay the fixture as
     // micro-batches, then a sentinel far-future row advances the watermark
     // so every buffered triple matures and flushes through the timeout
-    // path. The sentinel user (-1) can never complete a triple and is
+    // path (staging + cleanup shared via Sources.withFlushedReplay since
+    // r9). The sentinel user (-1) can never complete a triple and is
     // dropped by the final filter. Oracle: identical SQL to
     // window_pattern's — the streaming machine must reproduce the batch
     // answer exactly.
     Q("stream_pattern",
-      (spark, sfDir) => {
-        val dir = Files.createTempDirectory("graft_pattern")
-        Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-        import spark.implicits._
-        val flushDir = dir.resolve("flush_tmp").toString
-        Seq((-1L, FlushTsNs, -1L, "view", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(flushDir)
-        val listing = Files.list(Paths.get(flushDir))
-        val part =
-          try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
-          finally listing.close()
-        // copied AFTER a.parquet → later mtime → its own later micro-batch
-        Files.copy(Paths.get(part), dir.resolve("b.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-
-        val matches = matchStream(spark,
-          Sources.replayEvents(spark, dir.toString))
-        // runToTable blocks until the replay drains into the memory sink,
-        // so the temp fixture copy is dead weight afterwards — delete it
-        // (r8 advice: repeated runs leaked a full events.parquet copy each)
-        val out = StreamOps.runToTable(spark, matches, OutputMode.Append())
-        val walk = Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-        out
+      (spark, sfDir) =>
+        Sources.withFlushedReplay(spark, sfDir) { evs =>
+          StreamOps.runToTable(spark, matchStream(spark, evs), OutputMode.Append())
+        }
           .filter(col("user_id") >= 0)
-          .orderBy(col("user_id"), col("e1"))
-      },
+          .orderBy(col("user_id"), col("e1")),
       Some("""
         SELECT user_id, e1, e2, e3, epoch_us(t3) - epoch_us(t1) AS span_us
         FROM (

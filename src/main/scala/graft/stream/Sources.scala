@@ -95,4 +95,48 @@ object Sources {
       .format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch)
       .load()
+
+  /** Far-future ns timestamp (2100-01-01) — beyond any fixture event, so
+    * one sentinel row drives the global watermark past the whole replay. */
+  val FlushTsNs: Long = 4102444800L * 1000000000L
+
+  /** Sentinel-watermark-flush replay (the recipe that makes append-mode
+    * streaming state driver-verifiable against a batch oracle): stage
+    * `events.parquet` plus a later-mtime single-row sentinel file (user -1
+    * at [[FlushTsNs]]) into a temp dir, run `body` over the two-micro-batch
+    * replay — the fixture drains in batch 1, the sentinel's batch advances
+    * the watermark past every fixture event, so windows / sessions /
+    * pattern buffers FINALIZE and flush while the sentinel's own state
+    * stays withheld (its window end sits beyond the watermark) — then
+    * delete the staging dir. `body` must DRAIN the stream (e.g. via
+    * [[StreamOps.runToTable]]) before returning; the result it returns is
+    * a materialized memory-sink table, safe to use after cleanup. */
+  def withFlushedReplay(spark: SparkSession, sfDir: String)
+      (body: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+    try {
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("a.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      import spark.implicits._
+      val flushDir = dir.resolve("flush_tmp").toString
+      Seq((-1L, FlushTsNs, -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(flushDir)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(flushDir))
+      val part =
+        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally listing.close()
+      // copied AFTER a.parquet → later mtime → its own later micro-batch
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        dir.resolve("b.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      body(replayEvents(spark, dir.toString))
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }

@@ -191,9 +191,13 @@ object StreamOps {
 
   val queries: Seq[Q] = Seq(
 
-    // ---- batch twins (oracle-checked SQL; streaming equality in tests) ----
+    // ---- windowed aggregations ----
 
-    // 1-hour tumbling count+sum per event_type.
+    // 1-hour tumbling count+sum per event_type. Kept as the BATCH twin
+    // (streaming equality pinned in StreamingSpec): it is a baseline12
+    // protocol key, so its bench time must stay comparable to BASELINE.md's
+    // DuckDB measurement — the real streaming legs of this family are
+    // stream_sliding / stream_session / stream_trending_topk below.
     Q("stream_tumbling",
       (spark, sfDir) =>
         Tables.events(spark, sfDir)
@@ -210,13 +214,28 @@ object StreamOps {
         ORDER BY ws_us, event_type""".trim)),
 
     // 1-hour window sliding every 15 min (each event lands in 4 windows).
+    // Since r9 a REAL append-mode streaming run (sentinel-watermark-flush,
+    // the stream_pattern recipe): the fixture replays as micro-batches, a
+    // far-future sentinel advances the watermark so every window FINALIZES
+    // and flushes; the sentinel's own windows stay withheld (their end is
+    // beyond the watermark), and the defensive ws_us bound would drop them
+    // if an engine ever emitted them. Append + watermark is the 100 TB
+    // shape — state is evicted as windows close, never retained like
+    // Complete mode's. The batch SQL oracle must hash-match the flushed
+    // stream output exactly.
     Q("stream_sliding",
       (spark, sfDir) =>
-        Tables.events(spark, sfDir)
-          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
-          .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
-            col("n"), col("sum_val"))
+        Sources.withFlushedReplay(spark, sfDir) { evs =>
+          runToTable(spark,
+            evs.withWatermark("ts", "0 seconds")
+              .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+                col("event_type"))
+              .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+              .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+                col("n"), col("sum_val")),
+            OutputMode.Append())
+        }
+          .filter(col("ws_us") < Sources.FlushTsNs / 1000 - 3600L * 1000000)
           .orderBy(col("ws_us"), col("event_type")),
       Some(s"""
         SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS ws_us, event_type,
@@ -226,14 +245,25 @@ object StreamOps {
         ORDER BY ws_us, event_type""".trim)),
 
     // Per-user sessions with 30-min inactivity gap — native session_window;
-    // oracle is an independent gap-and-island formulation.
+    // oracle is an independent gap-and-island formulation. Since r9 a REAL
+    // append-mode streaming run (sentinel-watermark-flush): sessions only
+    // emit in append mode once the watermark passes session end + gap, so
+    // the far-future sentinel finalizes every fixture session while its
+    // own single-event session (user -1) stays withheld; the user_id >= 0
+    // filter is the defensive twin of that argument.
     Q("stream_session",
       (spark, sfDir) =>
-        Tables.events(spark, sfDir)
-          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
-            unix_micros(col("w.end")).as("se_us"), col("n"))
+        Sources.withFlushedReplay(spark, sfDir) { evs =>
+          runToTable(spark,
+            evs.withWatermark("ts", "0 seconds")
+              .groupBy(col("user_id"),
+                session_window(col("ts"), "30 minutes").as("w"))
+              .agg(count(lit(1)).as("n"))
+              .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
+                unix_micros(col("w.end")).as("se_us"), col("n")),
+            OutputMode.Append())
+        }
+          .filter(col("user_id") >= 0)
           .orderBy(col("user_id"), col("ss_us")),
       Some("""
         WITH t AS (

@@ -61,32 +61,30 @@ class StreamingSpec extends SparkFixture {
     assert(streamed == batch)
   }
 
-  test("streaming session_window equals the batch twin exactly") {
-    val batch = SparkEntry.queries("stream_session")(spark, sf001)
+  test("streaming session_window (the key's real append-mode run) equals the batch twin exactly") {
+    // Since r9 the KEY ITSELF is the sentinel-flushed append-mode
+    // StreamingQuery, so the batch twin is computed independently here.
+    val streamed = SparkEntry.queries("stream_session")(spark, sf001)
       .collect().map(_.toSeq).toSet
-    val streamed = runAvailableNow(
-      Sources.replayEvents(spark, sf001, "events.parquet")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
-          unix_micros(col("w.end")).as("se_us"), col("n")),
-      OutputMode.Complete()
-    ).collect().map(_.toSeq).toSet
-    assert(streamed == batch)
+    val batch = Tables.events(spark, sf001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
+        unix_micros(col("w.end")).as("se_us"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
   }
 
-  test("streaming sliding-window aggregation equals the batch twin exactly") {
-    val batch = SparkEntry.queries("stream_sliding")(spark, sf001)
+  test("streaming sliding-window aggregation (the key's real append-mode run) equals the batch twin exactly") {
+    val streamed = SparkEntry.queries("stream_sliding")(spark, sf001)
       .collect().map(_.toSeq).toSet
-    val streamed = runAvailableNow(
-      Sources.replayEvents(spark, sf001, "events.parquet")
-        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
-        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
-          col("n"), col("sum_val")),
-      OutputMode.Complete()
-    ).collect().map(_.toSeq).toSet
-    assert(streamed == batch)
+    val batch = Tables.events(spark, sf001)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_val"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
   }
 
   test("watermark drops events later than 10 minutes past the max seen time") {
