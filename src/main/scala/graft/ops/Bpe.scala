@@ -99,12 +99,74 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Sequential greedy application of the full merge table to one word —
+    * the EXACT transformation training applied to the vocabulary, so
+    * encoding an in-corpus word reproduces its final training-vocab
+    * symbols (BpeSpec pins this equivalence). */
+  private[graft] def encodeWord(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.split("").filter(_.nonEmpty).toSeq
+    merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+    syms
+  }
+
+  /** Merge-table memo (the ivfTrain precedent, Pipeline.scala:484): the
+    * training loop is 10 driver-coordinated argmax jobs, and both BPE keys
+    * (and a spec rerun) want the same table for the same corpus. The table
+    * itself is 10 tiny rows — the memo saves the jobs, not memory. Keyed
+    * by canonicalized input plan; insert evicts the session's older
+    * entries; lookup+train under a lock (getOrElseUpdate is not atomic). */
+  private val trainCache = scala.collection.mutable.Map.empty[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    Seq[MergeRow]]
+
+  private[graft] def trainMemo(spark: SparkSession, words: DataFrame,
+      nMerges: Int): Seq[MergeRow] = {
+    val key = (spark, words.queryExecution.analyzed.canonicalized, nMerges)
+    trainCache.synchronized {
+      trainCache.get(key) match {
+        case Some(m) => m
+        case None =>
+          val m = train(spark, words, nMerges)
+          trainCache.filterInPlace { case ((s, _, _), _) => s != spark }
+          trainCache.put(key, m)
+          m
+      }
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     Q("llm_bpe_train",
       (spark, sfDir) => {
         import spark.implicits._
-        train(spark, wordFreqs(spark, sfDir), Merges)
+        trainMemo(spark, wordFreqs(spark, sfDir), Merges)
           .toDF().orderBy(col("step"))
+      },
+      None),
+
+    // Tokenize the corpus with the learned merge table — the APPLY half of
+    // the tokenizer story (train → encode), the per-document operation a
+    // training-data pipeline runs at full corpus scale. The 10-row merge
+    // table is a broadcast local; encoding is embarrassingly parallel
+    // per-row work (no shuffle at all — the plan is scan → project), and
+    // n_tokens/n_chars makes the learned compression visible per document.
+    // Oracle: omitted (iterative merge application is not SQL-expressible);
+    // BpeSpec recounts every document driver-side with the same merge
+    // table, and pins the no-merge degenerate case (n_tokens == n_chars)
+    // plus monotonicity in the merge-table prefix.
+    Q("llm_bpe_encode",
+      (spark, sfDir) => {
+        val merges = trainMemo(spark, wordFreqs(spark, sfDir), Merges)
+          .map(m => (m.left, m.right))
+        val bc = spark.sparkContext.broadcast(merges)
+        val nTok = udf((text: String) =>
+          text.split(" ").iterator.filter(_.nonEmpty)
+            .map(w => encodeWord(w, bc.value).length.toLong).sum)
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            nTok(col("text")).as("n_tokens"),
+            length(regexp_replace(col("text"), lit(" "), lit(""))).as("n_chars"))
+          .orderBy(col("doc_id"))
       },
       None),
   )

@@ -68,6 +68,45 @@ class BpeSpec extends SparkFixture {
     assert(repart == base)
   }
 
+  test("llm_bpe_encode token counts match a driver-side recount with the same merge table") {
+    val merges = Bpe.train(spark, Bpe.wordFreqs(spark, sf001), 10)
+      .map(m => (m.left, m.right))
+    val got = SparkEntry.queries("llm_bpe_encode")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exp = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map { r =>
+        val words = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getLong(0),
+          words.map(w => Bpe.encodeWord(w, merges).length.toLong).sum,
+          words.map(_.length).sum)
+      }.sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+    // the learned merges actually compress at least one document
+    assert(got.exists(g => g._2 < g._3))
+    // rerun identity (training is memoized AND deterministic)
+    val rerun = SparkEntry.queries("llm_bpe_encode")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rerun.toSeq == got.toSeq)
+  }
+
+  test("encodeWord degenerates to chars on an empty table and is monotone in the merge prefix") {
+    val merges = Bpe.train(spark, Bpe.wordFreqs(spark, sf001), 10)
+      .map(m => (m.left, m.right))
+    val words = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().limit(50)
+      .collect().map(_.getString(0))
+    words.foreach { w =>
+      assert(Bpe.encodeWord(w, Nil).length == w.length)
+      val lens = (0 to merges.length)
+        .map(k => Bpe.encodeWord(w, merges.take(k)).length)
+      assert(lens.zip(lens.tail).forall { case (a, b) => b <= a },
+        s"'$w': token count grew along the merge prefix: $lens")
+      // every emitted token is a contiguous substring rebuild of the word
+      assert(Bpe.encodeWord(w, merges).mkString == w)
+    }
+  }
+
   test("each merge shrinks the corpus symbol count by exactly its pair count") {
     import spark.implicits._
     // overlap-counted argmax cnt can exceed the applied merge count
