@@ -100,43 +100,63 @@ object Sources {
     * one sentinel row drives the global watermark past the whole replay. */
   val FlushTsNs: Long = 4102444800L * 1000000000L
 
+  /** One staged flush-replay dir per fixture dir, built on first use and
+    * reused by every subsequent run in the JVM (three keys replay through
+    * this per verify/bench pass — re-copying the fixture each invocation
+    * charged harness plumbing to every query's bench time, the r8 verdict's
+    * cosmetic flag). The single-row `flush_tmp` write is deleted after its
+    * part file is promoted to `b.parquet`; the staged dir itself is
+    * removed by a JVM shutdown hook. */
+  private val stagedFlushDirs =
+    scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
+  private def stagedFlushDir(spark: SparkSession, sfDir: String): java.nio.file.Path =
+    stagedFlushDirs.synchronized {
+      stagedFlushDirs.getOrElseUpdate(sfDir, {
+        val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+          dir.resolve("a.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        import spark.implicits._
+        val flushDir = dir.resolve("flush_tmp")
+        Seq((-1L, FlushTsNs, -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(flushDir.toString)
+        val listing = java.nio.file.Files.list(flushDir)
+        val part =
+          try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+          finally listing.close()
+        // copied AFTER a.parquet → later mtime → its own later micro-batch
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+          dir.resolve("b.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        deleteRecursively(flushDir)
+        sys.addShutdownHook {
+          try deleteRecursively(dir) catch { case _: Exception => () }
+        }
+        dir
+      })
+    }
+
   /** Sentinel-watermark-flush replay (the recipe that makes append-mode
     * streaming state driver-verifiable against a batch oracle): stage
     * `events.parquet` plus a later-mtime single-row sentinel file (user -1
-    * at [[FlushTsNs]]) into a temp dir, run `body` over the two-micro-batch
-    * replay — the fixture drains in batch 1, the sentinel's batch advances
-    * the watermark past every fixture event, so windows / sessions /
-    * pattern buffers FINALIZE and flush while the sentinel's own state
-    * stays withheld (its window end sits beyond the watermark) — then
-    * delete the staging dir. `body` must DRAIN the stream (e.g. via
-    * [[StreamOps.runToTable]]) before returning; the result it returns is
-    * a materialized memory-sink table, safe to use after cleanup. */
+    * at [[FlushTsNs]]) into a reusable temp dir, then run `body` over the
+    * two-micro-batch replay — the fixture drains in batch 1, the
+    * sentinel's batch advances the watermark past every fixture event, so
+    * windows / sessions / pattern buffers FINALIZE and flush while the
+    * sentinel's own state stays withheld (its window end sits beyond the
+    * watermark). `body` must DRAIN the stream (e.g. via
+    * [[StreamOps.runToTable]]); each run gets its own fresh temporary
+    * checkpoint, so replaying the same staged dir is offset-safe. */
   def withFlushedReplay(spark: SparkSession, sfDir: String)
-      (body: DataFrame => DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
-    try {
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        dir.resolve("a.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      import spark.implicits._
-      val flushDir = dir.resolve("flush_tmp").toString
-      Seq((-1L, FlushTsNs, -1L, "view", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(flushDir)
-      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(flushDir))
-      val part =
-        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
-        finally listing.close()
-      // copied AFTER a.parquet → later mtime → its own later micro-batch
-      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
-        dir.resolve("b.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      body(replayEvents(spark, dir.toString))
-    } finally {
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-  }
+      (body: DataFrame => DataFrame): DataFrame =
+    body(replayEvents(spark, stagedFlushDir(spark, sfDir).toString))
 }
