@@ -156,6 +156,13 @@ object ExplainDump {
       "Window ops and two stacked aggregates all clustered under hashpartitioning(" +
       "user_id), so the whole streak analysis reuses ONE exchange; island grouping is " +
       "pure arithmetic, never a self-join."),
+    "llm_bpe_encode" -> ("BPE corpus tokenization (r9): training is a memoized control-plane " +
+      "loop at plan build; the encode pass itself is scan → project over the broadcast " +
+      "merge table — no join, no aggregate, only the presentation sort's range exchange."),
+    "llm_dedup_phash" -> ("Perceptual-hash media near-dup (r9): partition-local batched decode " +
+      "+ dHash, signatures localCheckpoint once (never re-decoded per join leg), banded " +
+      "equi-join candidates shuffle (band, bucket, doc_id) only, exact bit_count(xor) " +
+      "hamming verify — no all-pairs product anywhere."),
   )
 
   def main(args: Array[String]): Unit = {

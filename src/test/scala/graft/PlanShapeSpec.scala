@@ -424,4 +424,23 @@ class PlanShapeSpec extends SparkFixture {
     assert(fin.contains("Scan ExistingRDD"),
       "prior supersteps must be truncated to a checkpointed scan:\n" + fin.take(1500))
   }
+
+  test("llm_bpe_encode is per-row projection work: no join, no aggregate, one range exchange") {
+    // Training happens once at plan-build (memoized control-plane); the
+    // encode pass itself must plan as scan → project over the broadcast
+    // merge table, with only the presentation sort's range exchange.
+    val p = plan("llm_bpe_encode")
+    val exchanges = "Exchange \\w+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected one range exchange, got $exchanges:\n" + p.take(1200))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(1200))
+  }
+
+  test("llm_dedup_phash candidates come from banded equi joins — no all-pairs product") {
+    val p = plan("llm_dedup_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // signatures are computed once and checkpointed, never re-decoded per join leg
+    assert(p.contains("Scan ExistingRDD"),
+      "signature reuse must read the localCheckpoint:\n" + p.take(1500))
+  }
 }
