@@ -485,6 +485,77 @@ class StreamingSpec extends SparkFixture {
     assert(spark.read.parquet(outDir).count() == 2 * n, "sink must hold A ∪ B exactly once")
   }
 
+  test("windowed aggregation state survives a checkpointed restart (RocksDB): emissions union to the batch twin") {
+    // The state-RECOVERY half of the exactly-once story (the foreachBatch
+    // test above covers offset tracking only): run 1 drains the fixture —
+    // the watermark reaches max(ts), so every window ending before it
+    // finalizes and emits, while the tail window stays in the state store.
+    // Run 2 restarts on the SAME checkpoint with only a far-future
+    // sentinel file: the restored state must flush the tail windows, the
+    // union of both runs' emissions must equal the batch twin EXACTLY, and
+    // nothing may emit twice. Runs under RocksDB — recovery through a
+    // disk-backed store is the production restart path.
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_stateckpt_src")
+    val ckpt = Files.createTempDirectory("graft_stateckpt_ckpt").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    def run(): Unit = {
+      val q = Sources.replayEvents(spark, srcDir.toString)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+          col("n"), col("sum_val"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.toSeq)
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Files.copy(Paths.get(s"$sf001/events.parquet"), srcDir.resolve("a.parquet"))
+      run()
+      val afterRun1 = emitted.size
+      // the sentinel file appears; restart must pick it up from the offsets
+      val flushTmp = srcDir.resolve("flush_tmp")
+      Seq((-1L, Sources.FlushTsNs, -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
+      val listing = Files.list(flushTmp)
+      val part =
+        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally listing.close()
+      Files.copy(Paths.get(part), srcDir.resolve("b.parquet"))
+      run()
+      val twin = Tables.events(spark, sf001)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+          col("n"), col("sum_val"))
+        .collect().map(_.toSeq).toSet
+      assert(afterRun1 > 0, "run 1 must emit the already-final windows incrementally")
+      assert(afterRun1 < twin.size,
+        "run 1 must leave tail-window state for the restart to recover")
+      assert(emitted.size == twin.size,
+        s"duplicate or lost emissions across the restart: ${emitted.size} != ${twin.size}")
+      assert(emitted.toSet == twin,
+        s"only-streamed=${(emitted.toSet -- twin).take(3)} only-twin=${(twin -- emitted.toSet).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream-static join enriches streamed events against the static dim") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
