@@ -197,6 +197,40 @@ object Scans {
         GROUP BY event_type
         ORDER BY event_type""".trim)),
 
+    // Small-file compaction (r9): the maintenance operator every
+    // partitioned 100 TB table needs — micro-batch writers fragment each
+    // date partition into many small files and scan cost degrades to
+    // open()-per-file. Stage a deliberately fragmented date-partitioned
+    // copy (16 round-robin writers per date), then compact: ONE hash
+    // repartition on the partition column routes every date's rows to a
+    // single task, so each partition dir collapses to one file (at real
+    // scale the same plan with spark.sql.files.maxRecordsPerFile is the
+    // target-size dial, and only partitions whose file count exceeds the
+    // threshold re-write). Oracle: the per-date aggregate over the
+    // ORIGINAL events — compaction must be row-lossless; OperatorSpec
+    // pins the actual 16 → 1 file-count drop on disk.
+    Q("sink_compact",
+      (spark, sfDir) => {
+        val frag = "/tmp/graft_sink_frag_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val comp = "/tmp/graft_sink_comp_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        Tables.events(spark, sfDir)
+          .withColumn("d", to_date(col("ts")))
+          .repartition(16)
+          .write.mode("overwrite").partitionBy("d").parquet(frag)
+        spark.read.parquet(frag)
+          .repartition(col("d"))
+          .write.mode("overwrite").partitionBy("d").parquet(comp)
+        spark.read.parquet(comp)
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("d"))
+      },
+      Some(s"""
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n, ${Det.sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY 1
+        ORDER BY d""".trim)),
+
     // Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
     Q("filter_pred",
       (spark, sfDir) =>

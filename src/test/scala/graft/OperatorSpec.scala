@@ -365,4 +365,26 @@ class OperatorSpec extends SparkFixture {
       assert(r.getLong(4) == n)
     }
   }
+
+  test("sink_compact collapses each fragmented date partition to one file, losslessly") {
+    val total = SparkEntry.queries("sink_compact")(spark, sf001)
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf001).count(),
+      "compaction must be row-lossless")
+    val suffix = sf001.replaceAll("[^a-zA-Z0-9]", "_")
+    def filesPerDate(root: String): Map[String, Int] = {
+      val dirs = new java.io.File(root).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("d="))
+      assert(dirs.nonEmpty, s"no partition dirs under $root")
+      dirs.map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val frag = filesPerDate(s"/tmp/graft_sink_frag_$suffix")
+    val comp = filesPerDate(s"/tmp/graft_sink_comp_$suffix")
+    assert(frag.keySet == comp.keySet, "compaction must keep every partition")
+    assert(frag.values.forall(_ > 1),
+      s"staging must be genuinely fragmented: $frag")
+    assert(comp.values.forall(_ == 1),
+      s"every compacted partition must be one file: $comp")
+  }
 }
