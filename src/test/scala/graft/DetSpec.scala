@@ -88,4 +88,30 @@ class DetSpec extends SparkFixture {
       } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     }
   }
+
+  test("r9 keys are invariant under AQE-off and different shuffle partitioning") {
+    // The new keys' cluster-topology-independence sweep: the compaction
+    // rewrite, the broadcast-merge-table encode, and the banded phash
+    // dedup must produce identical rows whether AQE re-plans at runtime
+    // or not, and under any shuffle fanout — drift would mean a
+    // nondeterministic tie-break or partition-sensitive arithmetic leaked
+    // into an output.
+    val keys = Seq("sink_compact", "llm_bpe_encode", "llm_dedup_phash")
+    keys.foreach { k =>
+      def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      val beforeN = spark.conf.get("spark.sql.shuffle.partitions")
+      val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val base = run()
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert(run() == base, s"$k drifts with AQE disabled")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert(run() == base, s"$k drifts at 7 shuffle partitions, AQE off")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeN)
+        spark.conf.set("spark.sql.adaptive.enabled", beforeAqe)
+      }
+    }
+  }
 }
