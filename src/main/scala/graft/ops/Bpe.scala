@@ -68,6 +68,8 @@ object Bpe {
       nMerges: Int): Seq[MergeRow] = {
     import spark.implicits._
     var vocab: Dataset[WordFreq] = words.as[WordFreq].localCheckpoint()
+    // the checkpoint whose blocks are still pinned (see cadence note below)
+    var lastCkpt = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[MergeRow]
     var step = 1
     var exhausted = false
@@ -88,14 +90,24 @@ object Bpe {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += MergeRow(step, l, r, l + r, cnt)
-        val prev = vocab
-        vocab = prev.map(w => WordFreq(applyMerge(w.syms, l, r), w.freq))
-          .localCheckpoint()
-        prev.unpersist(blocking = false)
+        vocab = vocab.map(w => WordFreq(applyMerge(w.syms, l, r), w.freq))
+        // localCheckpoint is EAGER, and one per step doubled the loop's job
+        // count (the pagerank cadence lesson, Graph.scala): checkpoint
+        // every OTHER merge so each materialization folds two maps, keep
+        // replay depth ≤ 2, and never checkpoint after the FINAL merge —
+        // no later pair-count reads it, only the merge table leaves the
+        // loop. Output is unaffected: the maps are deterministic per-row
+        // rewrites, and the next argmax computes the same counts whether
+        // its input is materialized or a 1-deep lazy map.
+        if (step % 2 == 0 && step < nMerges) {
+          vocab = vocab.localCheckpoint()
+          lastCkpt.unpersist(blocking = false)
+          lastCkpt = vocab
+        }
         step += 1
       }
     }
-    vocab.unpersist(blocking = false)
+    lastCkpt.unpersist(blocking = false)
     merges.toSeq
   }
 
