@@ -231,6 +231,42 @@ object Scans {
         GROUP BY 1
         ORDER BY d""".trim)),
 
+    // Schema evolution on read (r9): a 100 TB lakehouse table is written
+    // by YEARS of pipeline versions — old files lack columns newer ones
+    // carry. Stage the corpus as two generations (v1 without `source`,
+    // v2 with it plus a derived `quality` column), then read the mixed
+    // directory with mergeSchema: the unified schema is the union, old
+    // files surface NULLs for columns they predate, and nothing re-writes.
+    // Oracle: the same union with literal NULLs over the original table —
+    // proving the merged read is exactly the logical union, no row or
+    // value drift. At scale mergeSchema's footer-union planning cost is
+    // why tables pin schemas in a catalog; the read semantics here are
+    // what that catalog must reproduce.
+    Q("source_evolving",
+      (spark, sfDir) => {
+        val dir = "/tmp/graft_src_evolve_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val docs = Tables.documents(spark, sfDir)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dir/gen=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"),
+            (col("n_chars") >= 500).as("quality"))
+          .write.mode("overwrite").parquet(s"$dir/gen=2")
+        spark.read.option("mergeSchema", "true").parquet(dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"),
+            col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source,
+               CAST(NULL AS BOOLEAN) AS quality
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, source, n_chars >= 500 AS quality
+        FROM documents WHERE doc_id % 2 = 1
+        ORDER BY doc_id""".trim)),
+
     // Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
     Q("filter_pred",
       (spark, sfDir) =>
