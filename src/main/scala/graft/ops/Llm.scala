@@ -470,6 +470,92 @@ object Llm {
       },
       None),
 
+    // Incremental dedup (r9): dedup a NEW batch against an EXISTING corpus
+    // index — the daily operation at 100 TB, where the full corpus is
+    // never re-deduped; today's crawl is checked against yesterday's
+    // index. The corpus splits into index (doc_id % 5 != 0) and batch
+    // (doc_id % 5 == 0, plus planted exact copies at +300000 and
+    // last-word-dropped near copies at +400000 of index docs). Exact leg:
+    // sha256 hash join, batch side BROADCAST (it is the small side by
+    // construction — the whole point of incremental). Near leg: the
+    // asymmetric form of llm_dedup_near's banding — the batch's
+    // (band, bucket) keys broadcast against the index's banded
+    // signatures, so candidates are only batch×index (never index
+    // self-pairs, the quadratic bulk a full re-dedup would pay), then the
+    // exact-Jaccard ≥ 0.5 verify on the surviving ~10² pairs. Exact
+    // matches take precedence over near. At scale the index's signatures
+    // and hashes are a MATERIALIZED table maintained across days
+    // (recomputed here only because the fixture has no persistent
+    // state); the per-day cost is O(batch) + one broadcast, independent
+    // of corpus size. Permutation-dependent near candidates ⇒ no SQL
+    // oracle (the llm_dedup_near adjudication); LlmSpec pins exact/near
+    // planted recall, match precedence, zero false positives, and rerun
+    // identity.
+    Q("llm_dedup_incremental",
+      (spark, sfDir) => {
+        val nHashes = 16; val bandRows = 2
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val index = docs.filter(col("doc_id") % 5 =!= 0)
+        val seed = index.filter(col("doc_id") < 25)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+          .unionByName(seed.select((col("doc_id") + 300000).as("doc_id"), col("text")))
+          .unionByName(seed.select((col("doc_id") + 400000).as("doc_id"),
+            regexp_replace(col("text"), " \\w+$", "").as("text")))
+
+        // exact leg: the index side streams, the batch hashes broadcast
+        val exact = index
+          .select(sha2(col("text"), 256).as("h"), col("doc_id").as("old_id"))
+          .join(broadcast(batch.select(col("doc_id").as("new_id"),
+            sha2(col("text"), 256).as("h"))), "h")
+          .groupBy(col("new_id"))
+          .agg(min(col("old_id")).as("old_id"))
+          .select(col("new_id"), lit("exact").as("match_kind"), col("old_id"),
+            lit(1.0).as("score"))
+
+        // near leg: asymmetric banded LSH — index bands stream, batch
+        // bands broadcast; candidates are batch×index only
+        def toks(df: DataFrame, idAs: String) = df
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id").as(idAs), col("toks"))
+        def banded(df: DataFrame, idAs: String) = {
+          val t = toks(df, idAs)
+          val sigCol =
+            if (spark.catalog.functionExists("minhash_sig")) expr("minhash_sig(toks)")
+            else udf(minhashSig(nHashes)).apply(col("toks"))
+          t.withColumn("sig", sigCol).select(col(idAs),
+            posexplode(expr(
+              s"transform(sequence(0, ${nHashes / bandRows - 1}, 1), " +
+                s"b -> xxhash64(b, slice(sig, b * $bandRows + 1, $bandRows)))"))
+              .as(Seq("band", "bucket")))
+        }
+        val cand = banded(index, "old_id")
+          .join(broadcast(banded(batch, "new_id")), Seq("band", "bucket"))
+          .select(col("new_id"), col("old_id")).distinct()
+        val shingleExpr = (c: String) =>
+          s"array_distinct(transform(sequence(1, size($c) - 2), i -> concat_ws(' ', slice($c, i, 3))))"
+        val near = cand
+          .join(toks(batch, "n_id").withColumnRenamed("toks", "n_toks"),
+            col("new_id") === col("n_id"))
+          .join(toks(index, "o_id").withColumnRenamed("toks", "o_toks"),
+            col("old_id") === col("o_id"))
+          .withColumn("a_sh", expr(shingleExpr("n_toks")))
+          .withColumn("b_sh", expr(shingleExpr("o_toks")))
+          .select(col("new_id"), col("old_id"),
+            round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+              / size(array_union(col("a_sh"), col("b_sh"))), 4).as("score"))
+          .filter(col("score") >= 0.5)
+          .groupBy(col("new_id"))
+          .agg(min_by(struct(col("old_id"), col("score")), col("old_id")).as("m"))
+          .select(col("new_id"), lit("near").as("match_kind"),
+            col("m.old_id").as("old_id"), col("m.score").as("score"))
+
+        exact.unionByName(
+          near.join(exact.select(col("new_id")), Seq("new_id"), "left_anti"))
+          .orderBy(col("new_id"))
+      },
+      None),
+
     // Brute-force cosine top-10 (vectors are L2-normalized ⇒ cosine ≡ dot).
     // Ranked on the ROUNDED similarity with vec_id tiebreak so ordering is
     // identical across engines even at float boundaries.

@@ -238,6 +238,50 @@ class LlmSpec extends SparkFixture {
     assert(out.filter(col("fake_width") < 0 || col("fake_width") >= 1920).count() == 0)
   }
 
+  test("llm_dedup_incremental flags every planted copy and every match verifies driver-side") {
+    val out = SparkEntry.queries("llm_dedup_incremental")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val seedIds = Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 25)
+      .collect().map(_.getLong(0)).sorted
+    assert(seedIds.nonEmpty)
+    val byNew = out.map(o => o._1 -> o).toMap
+    // recall: every plant is flagged with an index-side match. The fixture
+    // corpus has genuine near-dup structure (e.g. docs 8/12 at jaccard
+    // 0.9867), so a plant may legitimately resolve to a different index
+    // doc than its seed — min_by(old_id) semantics, verified below.
+    seedIds.foreach { id =>
+      val ex = byNew.get(id + 300000)
+      assert(ex.exists(o => o._2 == "exact" && o._4 == 1.0), s"exact plant of $id: $ex")
+      val nr = byNew.get(id + 400000)
+      assert(nr.exists(o => o._4 >= 0.5), s"near plant of $id: $nr")
+    }
+    // precision: EVERY reported match re-verifies driver-side from the
+    // raw texts — exact means byte-equal, near means true shingle
+    // jaccard == reported score (so no candidate leaks through unverified)
+    val texts = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def textOf(id: Long): String =
+      if (id >= 400000) texts(id - 400000).replaceAll(" \\w+$", "")
+      else if (id >= 300000) texts(id - 300000)
+      else texts(id)
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    out.foreach { case (newId, kind, oldId, score) =>
+      assert(oldId % 5 != 0, s"match target $oldId is not an index doc")
+      if (kind == "exact") assert(textOf(newId) == textOf(oldId), s"$newId exact-matched $oldId")
+      else {
+        val (a, b) = (shingles(textOf(newId)), shingles(textOf(oldId)))
+        val j = a.intersect(b).size.toDouble / a.union(b).size
+        assert(math.abs(j - score) < 1e-3 && j >= 0.5,
+          s"$newId near-matched $oldId at $score but true jaccard is $j")
+      }
+    }
+    val rerun = SparkEntry.queries("llm_dedup_incremental")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rerun.toSeq == out.toSeq)
+  }
+
   test("llm_dedup_phash finds every planted perturbed media copy (recall = 1)") {
     val nDocs = Tables.documents(spark, sf001)
       .filter(col("doc_id") < 20).count()
