@@ -163,6 +163,16 @@ object ExplainDump {
       "+ dHash, signatures localCheckpoint once (never re-decoded per join leg), banded " +
       "equi-join candidates shuffle (band, bucket, doc_id) only, exact bit_count(xor) " +
       "hamming verify — no all-pairs product anywhere."),
+    "llm_dedup_incremental" -> ("Incremental dedup (r9): today's batch against the standing " +
+      "index — batch hashes and LSH bands BROADCAST against the streaming index, so " +
+      "candidates are batch×index only (never index self-pairs); per-day cost O(batch), " +
+      "independent of corpus size."),
+    "sink_compact" -> ("Small-file compaction (r9): one hash repartition on the partition " +
+      "column routes every date's rows to a single task — each fragmented partition dir " +
+      "collapses to one file; row-lossless by the per-date aggregate oracle."),
+    "source_evolving" -> ("Schema evolution on read (r9): two writer generations read through " +
+      "ONE mergeSchema FileScan whose ReadSchema is the union — pre-evolution files " +
+      "surface NULLs, nothing re-writes, no per-generation scan union."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -443,4 +443,25 @@ class PlanShapeSpec extends SparkFixture {
     assert(p.contains("Scan ExistingRDD"),
       "signature reuse must read the localCheckpoint:\n" + p.take(1500))
   }
+
+  test("llm_dedup_incremental broadcasts the batch side and never self-pairs the index") {
+    // The incremental contract: per-day cost O(batch) + one broadcast —
+    // the index side must stream through hash joins with the (small)
+    // batch broadcast, and nothing may plan a cartesian.
+    val p = plan("llm_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "batch hashes/bands must broadcast against the streaming index:\n" + p.take(1500))
+  }
+
+  test("source_evolving merges schemas in ONE scan — no per-generation union of scans") {
+    // mergeSchema reads the mixed directory through a single FileScan
+    // whose ReadSchema is the unified union; a Union of two scans would
+    // mean the evolution was resolved by hand, not by the reader.
+    val p = plan("source_evolving")
+    assert(!p.contains("Union"), "expected one merged scan, got a Union:\n" + p.take(1200))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("source") && readSchema.contains("quality"),
+      s"unified schema must include evolved columns: $readSchema")
+  }
 }
