@@ -285,9 +285,11 @@ object StreamOps {
         GROUP BY user_id, sid
         ORDER BY user_id, ss_us""".trim)),
 
-    // ---- real streaming runs (rows-only check; semantics in tests) ----
+    // ---- real streaming runs ----
 
-    // Replay the events parquet as an unbounded stream, aggregate per type.
+    // Replay the events parquet as an unbounded stream, aggregate per
+    // type. The Complete-mode final emission must equal the batch
+    // aggregate exactly (oracle added r9; previously rows-only).
     Q("source_stream_replay",
       (spark, sfDir) => {
         val agg = Sources.replayEvents(spark, sfDir, "events.parquet")
@@ -295,7 +297,11 @@ object StreamOps {
           .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
         runToTable(spark, agg, OutputMode.Complete()).orderBy(col("event_type"))
       },
-      None),
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
 
     // Line-JSON over a real TCP socket served in-process.
     Q("source_socket",
@@ -421,7 +427,15 @@ object StreamOps {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("event_type"))
       },
-      None),
+      // The doubled replay feeds every event TWICE; per-type counts over
+      // the deduped stream must equal per-type DISTINCT event_ids of the
+      // single original — one leaked duplicate or lost event shifts a
+      // count and fails the hash (oracle added r9; previously rows-only).
+      Some("""
+        SELECT event_type, COUNT(DISTINCT event_id) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
 
     // Arbitrary per-user state with event-time TTL eviction (24 h after a
     // user's last event, watermark-driven). PRIMARY path (r5): the Spark
@@ -468,7 +482,27 @@ object StreamOps {
               .orderBy(col("user_id"))
         }
       },
-      None),
+      // The single-data-batch replay emits exactly one final stats row per
+      // user, so the state machine's output is SQL-expressible: session
+      // starts where the gap >= 30 min (the fold's `>= gapUs`, matching
+      // stream_session's convention), span = last − first (oracle added
+      // r9; previously rows-only — the multi-batch/eviction semantics the
+      // oracle can't see stay pinned in StreamingSpec).
+      Some("""
+        WITH t AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+               MAX(ts_us) - MIN(ts_us) AS span_us
+        FROM t
+        GROUP BY user_id
+        ORDER BY user_id""".trim)),
 
     // Stream-stream join, batch twin (r3): click→purchase attribution —
     // every purchase within 1 h after a click by the same user. The twin
@@ -519,7 +553,16 @@ object StreamOps {
           .agg(count(lit(1)).as("n_events"), sumVal6(col("value")).as("sum_val"))
         runToTable(spark, joined, OutputMode.Complete()).orderBy(col("n_name"))
       },
-      None),
+      // Per-micro-batch static-side re-plan must not change the answer:
+      // the Complete-mode final emission equals the batch 3-way join
+      // aggregate (oracle added r9; previously rows-only).
+      Some(s"""
+        SELECT n_name, COUNT(*) AS n_events, ${sqlSumVal6("value")} AS sum_val
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""".trim)),
 
     // Batch-catchup then streaming-handoff (reconnect/backfill, r8 — see
     // [[Backfill]]): the archive holds the history up to a recorded
