@@ -389,9 +389,24 @@ object StreamOps {
           .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
           .orderBy(col("user_mod"))
       },
-      None),
+      // The landed parquet must hold every purchase exactly once — the
+      // read-back aggregate hash-matches the batch filter+agg (oracle
+      // added r9; previously rows-only).
+      Some(s"""
+        SELECT user_id % 10 AS user_mod, COUNT(*) AS n,
+               ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY user_mod""".trim)),
 
     // Event-time watermark + append mode: only finalized windows emit.
+    // The emitted set is a DETERMINISTIC function of the replay — one data
+    // batch advances the watermark to max(ts) − 10 min, and exactly the
+    // windows whose end sits at or below that watermark finalize; the tail
+    // windows stay withheld in state. The oracle computes the same cutoff
+    // from the raw table (oracle added r9; previously rows-only — the
+    // late-DROP semantics, which need a second batch, stay in §5 tests).
     Q("stream_watermark_late",
       (spark, sfDir) => {
         val agg = Sources.replayEvents(spark, sfDir, "events.parquet")
@@ -402,7 +417,14 @@ object StreamOps {
         runToTable(spark, agg, OutputMode.Append())
           .orderBy(col("ws_us"), col("event_type"))
       },
-      None),
+      Some("""
+        WITH m AS (SELECT epoch_us(MAX(ts)) - 600000000 AS wm FROM events)
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+               COUNT(*) AS n
+        FROM events, m
+        GROUP BY 1, 2, m.wm
+        HAVING ws_us + 3600000000 <= m.wm
+        ORDER BY ws_us, event_type""".trim)),
 
     // Exactly-once per event_id across micro-batches: the replay dir holds
     // two copies of the events file (2 batches); state dedups the second.
