@@ -184,5 +184,80 @@ object Graph {
               UNION ALL SELECT c FROM tri)
         GROUP BY node
         ORDER BY node""".trim)),
+
+    // Cheapest ≤3-hop route (r9): single-source shortest path over the
+    // weighted trade graph — edge cost = 1000000 div lineitem-count, so a
+    // heavily-traded lane is cheap and a thin one expensive, and for 6 of
+    // the 24 destinations a 2-hop route genuinely beats the direct edge
+    // (the fixture trade graph is complete, which is why plain BFS would
+    // be trivial here). Three Bellman-Ford relaxation rounds with
+    // SIMULTANEOUS update: after round k, cost(v) is exactly the cheapest
+    // walk from the source using ≤ k edges — the bounded-legs routing
+    // semantic. All arithmetic is int64 floor-division (pagerank's
+    // determinism policy), so every round is bit-exact.
+    //
+    // Scale shape: the same iterative-DataFrame Pregel loop as pagerank —
+    // cached |V|²-bounded edges, per-round broadcast of the |V|-row cost
+    // table, one output-bound groupBy(dst) shuffle per round,
+    // localCheckpoint lineage truncation. The oracle is a DuckDB
+    // recursive walk CTE (UNION-deduped on (node, cost, hops), so it
+    // never enumerates the exponential path set).
+    Q("graph_shortest_path",
+      (spark, sfDir) => {
+        val Inf = 1000000000000L
+        val li = Tables.lineitem(spark, sfDir)
+        val su = Tables.supplier(spark, sfDir)
+        val or = Tables.orders(spark, sfDir)
+        val cu = Tables.customer(spark, sfDir)
+        val na = Tables.nation(spark, sfDir)
+        val edges = li
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .join(or, li("l_orderkey") === or("o_orderkey"))
+          .join(broadcast(cu.select(col("c_custkey"), col("c_nationkey"))),
+            or("o_custkey") === col("c_custkey"))
+          .filter(su("s_nationkey") =!= col("c_nationkey"))
+          .groupBy(su("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .agg(expr("1000000 div count(*)").as("w"))
+          .cache()
+        // source = MIN(src) over the realized edges, not a hardcoded node —
+        // at tiny scales most nations have no suppliers, so a fixed source
+        // could have zero out-edges and the walk would degenerate (one
+        // scalar to the driver; the oracle anchors on the same MIN)
+        val src0 = edges.agg(min(col("src"))).head.getInt(0)
+        var cost = na.select(col("n_nationkey").cast("long").as("node"),
+          when(col("n_nationkey") === src0, 0L).otherwise(lit(Inf)).as("cost"))
+        for (i <- 1 to 3) {
+          val relaxed = edges
+            .join(broadcast(cost.filter(col("cost") < Inf)),
+              edges("src") === col("node"))
+            .groupBy(col("dst"))
+            .agg(min(col("cost") + col("w")).as("best"))
+          cost = cost.join(relaxed, cost("node") === relaxed("dst"), "left")
+            .select(cost("node"),
+              least(col("cost"), coalesce(col("best"), lit(Inf))).as("cost"))
+          if (i % 2 == 0 || i == 3) cost = cost.localCheckpoint()
+        }
+        edges.unpersist(blocking = false)
+        cost.filter(col("cost") < Inf).orderBy(col("node"))
+      },
+      Some("""
+        WITH RECURSIVE edges AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                 1000000 // COUNT(*) AS w
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE s.s_nationkey <> c.c_nationkey
+          GROUP BY 1, 2),
+        walk AS (
+          SELECT CAST(MIN(src) AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops
+          FROM edges
+          UNION
+          SELECT e.dst, w.cost + e.w, w.hops + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.hops < 3)
+        SELECT node, MIN(cost) AS cost
+        FROM walk GROUP BY node ORDER BY node""".trim)),
   )
 }

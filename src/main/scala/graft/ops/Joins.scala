@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,6 +56,22 @@ object Joins {
       .withColumn("last_order_date", last(col("ord_date"), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("event_id"), col("k"), col("last_order_date"))
+  }
+
+  /** The join_bloom_prefilter plan WITHOUT the eager checkpoint — the shape
+    * ExplainDump / PlanShapeSpec audit (the key itself checkpoints to
+    * execute while its conf overrides are live, which erases the plan).
+    * Callers must set the injection confs around planning/explaining. */
+  private[graft] def bloomPrefilterJoin(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.Det._
+    val li = Tables.lineitem(spark, sfDir)
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -474,5 +491,78 @@ object Joins {
          AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
         GROUP BY 1
         ORDER BY 1""".trim)),
+
+    // Dynamic partition pruning (r9): the runtime sibling of
+    // sink_partitioned's STATIC pruning — the fact side is a
+    // date-partitioned layout, the dim side's filter is on a
+    // NON-partition attribute (day-of-month ≤ 7), so no literal
+    // partition predicate exists at plan time. Catalyst injects a
+    // DynamicPruningExpression into the fact scan that evaluates the
+    // dim side first (reusing its broadcast) and prunes fact partition
+    // directories at RUNTIME — at 100 TB this is the difference between
+    // scanning ~23% of the table and all of it whenever the selective
+    // predicate lives on a dimension, which is every star-schema query.
+    // PlanShapeSpec pins the injected pruning subquery; the oracle runs
+    // the same aggregate over the unpartitioned original.
+    Q("join_dpp",
+      (spark, sfDir) => {
+        val dir = "/tmp/graft_dpp_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        Layout.writeDatePartitionedEvents(spark, sfDir, dir)
+        val fact = spark.read.parquet(dir)
+        val dim = Tables.events(spark, sfDir)
+          .select(to_date(col("ts")).as("event_date")).distinct()
+          .filter(dayofmonth(col("event_date")) <= 7)
+        fact.join(dim, "event_date")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${Det.sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE EXTRACT(day FROM ts) <= 7
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
+    // Runtime bloom-filter join (r9): when neither side broadcasts (the
+    // 100 TB fact-to-fact case), a shuffle join still moves EVERY fact
+    // row — including the ~75% that can never match the filtered build
+    // side. Spark's InjectRuntimeFilter closes the gap: a compact bloom
+    // filter is aggregated from the filtered creation side and pushed
+    // into the fact scan as `might_contain(xxhash64(key))`, dropping
+    // non-matching rows BEFORE the exchange. Broadcast is disabled and
+    // the injection thresholds opened inside the query (saved/restored —
+    // the 10 GB application-side default exists because the filter only
+    // pays for itself on big scans); the semi-join-shaped plan is pinned
+    // by PlanShapeSpec. Bloom filters have no false negatives and the
+    // exact join runs after the prefilter, so the result is EXACTLY the
+    // plain join — which is the oracle.
+    Q("join_bloom_prefilter",
+      (spark, sfDir) => {
+        val saved = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+          .map(k => k -> spark.conf.getOption(k))
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+          // localCheckpoint is EAGER: the join executes here, while the
+          // injection confs are live (Spark plans lazily — without this
+          // the `finally` below would restore the confs before any action
+          // ran and the bloom filter would never be injected)
+          bloomPrefilterJoin(spark, sfDir).localCheckpoint()
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      },
+      Some(s"""
+        SELECT l_returnflag, COUNT(*) AS n,
+          ${Det.sqlSumMoney("l_extendedprice")} AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""".trim)),
   )
 }

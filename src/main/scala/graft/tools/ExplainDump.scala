@@ -173,6 +173,18 @@ object ExplainDump {
     "source_evolving" -> ("Schema evolution on read (r9): two writer generations read through " +
       "ONE mergeSchema FileScan whose ReadSchema is the union — pre-evolution files " +
       "surface NULLs, nothing re-writes, no per-generation scan union."),
+    "join_dpp" -> ("Dynamic partition pruning (r9): the dim filter lives on a non-partition " +
+      "attribute, so the fact scan must carry a dynamicpruningexpression partition " +
+      "filter evaluated at runtime from the dim side's broadcast — the star-schema " +
+      "scan reducer."),
+    "join_bloom_prefilter" -> ("Runtime bloom-filter join (r9): neither side broadcasts; " +
+      "InjectRuntimeFilter pushes might_contain(xxhash64(l_orderkey)) from the filtered " +
+      "orders side into the lineitem scan so never-match rows drop BEFORE the exchange " +
+      "(plan shown pre-checkpoint, injection confs live)."),
+    "graph_shortest_path" -> ("Bounded shortest path (r9): pagerank's iterative-DataFrame " +
+      "shape — cached edges joined to a broadcast |V|-row cost table per relaxation " +
+      "round, one output-bound groupBy(dst) shuffle per round, localCheckpoint " +
+      "truncating lineage; nothing but the MIN(src) scalar collects to the driver."),
   )
 
   def main(args: Array[String]): Unit = {
@@ -197,11 +209,20 @@ object ExplainDump {
       // join_bucketed's whole point is the exchange-free plan when NEITHER
       // side broadcasts (the 100 TB case) — physical planning happens at
       // explainString time, so the conf must be off around it.
-      val noBroadcast = key == "join_bucketed"
+      // join_bloom_prefilter eagerly checkpoints inside the query (to
+      // execute under its conf overrides), which erases the plan — audit
+      // the pre-checkpoint builder under the same confs instead.
+      val noBroadcast = key == "join_bucketed" || key == "join_bloom_prefilter"
       if (noBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = SparkEntry.queries(key)(spark, sfDir)
+      if (key == "join_bloom_prefilter") spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val df =
+        if (key == "join_bloom_prefilter") graft.ops.Joins.bloomPrefilterJoin(spark, sfDir)
+        else SparkEntry.queries(key)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       if (noBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      if (key == "join_bloom_prefilter") spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
       sb.append(s"\n## $key\n\n$note\n\n```\n$plan```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)

@@ -221,6 +221,37 @@ class PlanShapeSpec extends SparkFixture {
       "expected a dynamicpruningexpression partition filter on the fact scan:\n" + p.take(3000))
   }
 
+  test("join_dpp's fact scan carries a dynamic partition-pruning filter") {
+    // the contract key itself (not just the mechanics test above): the dim
+    // filter is on a non-partition attribute, so only RUNTIME pruning can
+    // skip fact directories — a regression to a full scan is a plan change
+    val p = SparkEntry.queries("join_dpp")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "expected dynamicpruningexpression on the join_dpp fact scan:\n" + p.take(3000))
+  }
+
+  test("join_bloom_prefilter's fact side is bloom-filtered before the exchange") {
+    import org.apache.spark.sql.functions._
+    // the key localCheckpoints its result (to execute while its conf
+    // overrides are live), which erases the plan — pin the pre-checkpoint
+    // shape by rebuilding the same join under the same confs
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = graft.ops.Joins.bloomPrefilterJoin(spark, sf001)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected the runtime bloom prefilter on lineitem:\n" + p.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("r4 per-row keys stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq("llm_pii_scrub", "fn_json_transform", "fn_url_parse").foreach { key =>
