@@ -267,6 +267,66 @@ object Scans {
         FROM documents WHERE doc_id % 2 = 1
         ORDER BY doc_id""".trim)),
 
+    // Snapshot diff / change-feed generation (r9): given two keyed
+    // snapshots of a table, emit the CDC feed that turns one into the
+    // other — the inverse of sink_upsert (which APPLIES a feed) and the
+    // producer side of stream_cdc_upsert. Snapshot 2 is derived from the
+    // fixture by deterministic rules (drop id%97=0, bump value where
+    // id%101=0, clone id%103=0 under id+100000000), so both engines build
+    // identical inputs; the operator itself is ONE full outer join on the
+    // key + row classification: D = left-only, I = right-only, U = both
+    // present with differing payload (compared on 6dp-decimal value, the
+    // Det policy — raw-double equality would be IEEE-representation
+    // luck). At 100 TB both snapshots are bucketed on the key, so the
+    // diff join is exchange-free (join_bucketed's layout), and the feed
+    // size is O(changes), never O(table).
+    Q("sink_snapshot_diff",
+      (spark, sfDir) => {
+        val snap1 = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val snap2 = snap1.filter(col("event_id") % 97 =!= 0)
+          .select(col("event_id"), col("event_type"),
+            when(col("event_id") % 101 === 0, col("value") + 1).otherwise(col("value"))
+              .as("value"))
+          .unionByName(snap1.filter(col("event_id") % 103 === 0)
+            .select((col("event_id") + 100000000L).as("event_id"),
+              col("event_type"), col("value")))
+        val l = snap1.select(col("event_id").as("k"),
+          val6(col("value")).as("old_v"))
+        val r = snap2.select(col("event_id").as("k2"),
+          val6(col("value")).as("new_v"))
+        l.join(r, col("k") === col("k2"), "full_outer")
+          .select(coalesce(col("k"), col("k2")).as("event_id"),
+            when(col("k2").isNull, "D")
+              .when(col("k").isNull, "I")
+              .otherwise("U").as("op"),
+            emit(col("old_v"), 6).as("old_value"),
+            emit(col("new_v"), 6).as("new_value"))
+          .filter(col("op") =!= "U" || col("old_value") =!= col("new_value"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH snap1 AS (
+          SELECT event_id, event_type, value FROM events),
+        snap2 AS (
+          SELECT event_id, event_type,
+                 CASE WHEN event_id % 101 = 0 THEN value + 1 ELSE value END AS value
+          FROM snap1 WHERE event_id % 97 <> 0
+          UNION ALL
+          SELECT event_id + 100000000, event_type, value
+          FROM snap1 WHERE event_id % 103 = 0)
+        SELECT COALESCE(l.event_id, r.event_id) AS event_id,
+               CASE WHEN r.event_id IS NULL THEN 'D'
+                    WHEN l.event_id IS NULL THEN 'I'
+                    ELSE 'U' END AS op,
+               ${Det.sqlEmit(Det.sqlVal6("l.value"), 6)} AS old_value,
+               ${Det.sqlEmit(Det.sqlVal6("r.value"), 6)} AS new_value
+        FROM snap1 l FULL OUTER JOIN snap2 r ON l.event_id = r.event_id
+        WHERE NOT (l.event_id IS NOT NULL AND r.event_id IS NOT NULL
+                   AND ${Det.sqlEmit(Det.sqlVal6("l.value"), 6)}
+                     = ${Det.sqlEmit(Det.sqlVal6("r.value"), 6)})
+        ORDER BY event_id""".trim)),
+
     // Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
     Q("filter_pred",
       (spark, sfDir) =>

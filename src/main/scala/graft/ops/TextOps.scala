@@ -777,5 +777,168 @@ object TextOps {
             AND (symbol_ratio < 0.1) AND (stop_hits >= 2) AS keep
         FROM m
         ORDER BY doc_id""".trim)),
+
+    // BM25 retrieval scoring (r9): the keyword-search half of the
+    // retrieval story (llm_sim_knn/llm_tfidf are the other halves) — score
+    // every document against a fixed 3-term query and return the top 10.
+    // ALL arithmetic is scaled int64 (the pagerank determinism policy):
+    // the usual ln() IDF is replaced by its integer-exact rational odds
+    // surrogate idf' = ⌊10^6·(2N−2df+1)/(2df+1)⌋ (monotone-decreasing in
+    // df, so per-term ordering is preserved; ln is avoided because Spark's
+    // JDK libm and DuckDB's C libm are not bit-identical), and the
+    // k1=1.2 / b=0.75 saturation term is cleared of fractions by
+    // multiplying through by 10·Σdl:
+    //   tf' = ⌊10^6·22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N)⌋.
+    // Scale shape: one explode + two hash aggregates (doc lengths, term
+    // tfs), the query-term filter prunes the explode BEFORE the tf
+    // aggregate, df and the corpus globals are 1-to-31-row broadcasts,
+    // and the final top-k is TakeOrderedAndProject — no global sort.
+    Q("llm_bm25",
+      (spark, sfDir) => bm25Scores(spark, sfDir)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10),
+      Some(s"""$bm25OracleCte
+        SELECT doc_id, score FROM bm25_scores
+        ORDER BY score DESC, doc_id
+        LIMIT 10""".trim)),
+
+    // Reciprocal-rank fusion (r9): merge two heterogeneous top-100
+    // rankings — BM25 keyword relevance and a document-length prior —
+    // into one list via RRF = Σ ⌊10^9/(60+rank)⌋ (the standard k=60,
+    // integer-exact so cross-engine order is bit-stable). The full outer
+    // join keeps docs present in only one list; ranks stay visible so the
+    // fusion is auditable. Scale shape: each list is TakeOrdered-bounded
+    // to 100 rows BEFORE its row_number window (single 100-row partition,
+    // a driver-sized relation), so the fusion cost is O(k), independent
+    // of corpus size — the shape hybrid search needs at 100 TB.
+    Q("llm_rank_fusion",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        def ranked(base: DataFrame, ord: Seq[Column], rankCol: String) =
+          base.orderBy(ord: _*).limit(100)
+            .withColumn(rankCol, row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        val a = ranked(bm25Scores(spark, sfDir),
+          Seq(col("score").desc, col("doc_id")), "rank_a")
+          .select(col("doc_id"), col("rank_a"))
+        val b = ranked(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id")), "rank_b")
+          .select(col("doc_id").as("doc_id_b"), col("rank_b"))
+        a.join(b, col("doc_id") === col("doc_id_b"), "full_outer")
+          .select(coalesce(col("doc_id"), col("doc_id_b")).as("doc_id"),
+            (coalesce(expr("1000000000L div (60 + rank_a)"), lit(0L)) +
+              coalesce(expr("1000000000L div (60 + rank_b)"), lit(0L))).as("rrf"),
+            col("rank_a"), col("rank_b"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""$bm25OracleCte,
+        rank_a AS (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a
+          FROM (SELECT doc_id, score FROM bm25_scores ORDER BY score DESC, doc_id LIMIT 100)),
+        rank_b AS (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_b
+          FROM (SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100))
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          COALESCE(1000000000 // (60 + rank_a), 0) +
+          COALESCE(1000000000 // (60 + rank_b), 0) AS rrf,
+          rank_a, rank_b
+        FROM rank_a a FULL OUTER JOIN rank_b b ON a.doc_id = b.doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10""".trim)),
+
+    // Inverted index with fixed-size posting blocks (r9): term → document
+    // posting lists, the structure BM25/keyword retrieval reads at serve
+    // time. Real indexes store postings in bounded blocks, so the key
+    // emits df (the full posting count) plus BLOCK 0 — the first 32
+    // doc_ids in sorted order as a CSV string. Scale shape: df comes from
+    // a count aggregate (never a collect), the block is a per-term
+    // row_number window filtered to ≤ 32 BEFORE any list materializes —
+    // per-group state is bounded at the block size no matter how hot the
+    // term (the stopword-skew guard), and the exchange is one hash
+    // partition on term.
+    Q("llm_inverted_index",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("occ"))
+        val df = pairs.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+        val block0 = pairs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+          .filter(col("rn") <= 32)
+          .groupBy(col("term"))
+          .agg(expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+            .as("block0"))
+        df.join(block0, "term").orderBy(col("term"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT term, doc_id FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+          WHERE term <> ''
+          GROUP BY term, doc_id),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY term),
+        block0 AS (
+          SELECT term, string_agg(doc_id, ',' ORDER BY doc_id) AS block0
+          FROM (SELECT term, doc_id,
+                  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+                FROM pairs)
+          WHERE rn <= 32
+          GROUP BY term)
+        SELECT df.term, df, block0
+        FROM df JOIN block0 ON df.term = block0.term
+        ORDER BY df.term""".trim)),
   )
+
+  /** Integer-exact BM25 scores for the fixed query {hash, join, vector}
+    * over `documents` — shared by llm_bm25 (top-k) and llm_rank_fusion
+    * (list A). See the llm_bm25 entry for the arithmetic derivation. */
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val globals = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tf = toks.filter(col("token").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(globals))
+      .withColumn("s", expr(
+        """((1000000L * (2*n - 2*df + 1)) div (2*df + 1))
+           * ((1000000L * 22 * tf * sumdl) div (10*tf*sumdl + 3*sumdl + 9*dl*n))
+           div 1000000L"""))
+      .groupBy(col("doc_id")).agg(sum(col("s")).cast("long").as("score"))
+  }
+
+  private val Bm25Terms: Seq[String] = Seq("hash", "join", "vector")
+
+  /** DuckDB CTE computing the same integer-exact BM25 scores (twin of
+    * [[bm25Scores]]; WITH-prefix shared by the llm_bm25 / llm_rank_fusion
+    * oracles). */
+  private def bm25OracleCte: String = """
+        WITH toks AS (
+          SELECT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+          WHERE token <> ''),
+        lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        globals AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM lens),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+               WHERE token IN ('hash', 'join', 'vector') GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        bm25_scores AS (
+          SELECT t.doc_id,
+            CAST(SUM(
+              ((1000000 * (2*g.n - 2*d.df + 1)) // (2*d.df + 1))
+              * ((1000000 * 22 * t.tf * g.sumdl) // (10*t.tf*g.sumdl + 3*g.sumdl + 9*l.dl*g.n))
+              // 1000000) AS BIGINT) AS score
+          FROM tf t
+          JOIN df d ON t.token = d.token
+          JOIN lens l ON t.doc_id = l.doc_id
+          CROSS JOIN globals g
+          GROUP BY t.doc_id)""".trim
 }

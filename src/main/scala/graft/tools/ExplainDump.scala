@@ -185,6 +185,18 @@ object ExplainDump {
       "shape — cached edges joined to a broadcast |V|-row cost table per relaxation " +
       "round, one output-bound groupBy(dst) shuffle per round, localCheckpoint " +
       "truncating lineage; nothing but the MIN(src) scalar collects to the driver."),
+    "llm_bm25" -> ("Integer-exact BM25 top-10 (r9): one explode + two hash aggregates, " +
+      "query-term filter before the tf aggregate, tiny df/globals broadcasts, and the " +
+      "top-k as TakeOrderedAndProject — never a global sort."),
+    "llm_inverted_index" -> ("Posting-block inverted index (r9): df from a count aggregate, " +
+      "block 0 from a per-term row_number window filtered to 32 BEFORE any list " +
+      "materializes — bounded per-group state on arbitrarily hot terms."),
+    "sink_snapshot_diff" -> ("Snapshot CDC diff (r9): ONE full outer join on the key + " +
+      "D/I/U classification; feed size O(changes); bucket both snapshots on the key " +
+      "and this join is exchange-free."),
+    "stats_profile" -> ("Exact column profiler (r9): a single events scan feeding one " +
+      "aggregate; the three exact count-distincts share one Expand pass; stack() " +
+      "unpivots to one row per column with zero extra shuffles."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -387,4 +387,54 @@ class OperatorSpec extends SparkFixture {
     assert(comp.values.forall(_ == 1),
       s"every compacted partition must be one file: $comp")
   }
+
+  test("sink_snapshot_diff emits exactly the derivation rules' D/I/U sets") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("sink_snapshot_diff")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+
+    val ids = Tables.events(spark, sf001).select(col("event_id"))
+      .collect().map(_.getLong(0))
+    val deletes = ids.filter(_ % 97 == 0).map(_ -> "D")
+    val inserts = ids.filter(_ % 103 == 0).map(id => (id + 100000000L) -> "I")
+    // updated = value bumped AND still present (a %97 delete wins over a
+    // %101 bump — the row is gone, so it reports as D, not U)
+    val updates = ids.filter(id => id % 101 == 0 && id % 97 != 0).map(_ -> "U")
+    val expected = (deletes ++ inserts ++ updates).toMap
+    assert(got == expected,
+      s"diff mismatch: extra=${got.toSet -- expected.toSet} missing=${expected.toSet -- got.toSet}")
+    // every op class must be represented, or the fixture stops exercising
+    // the classification
+    assert(Seq("D", "I", "U").forall(op => got.values.exists(_ == op)),
+      s"ops present: ${got.values.toSet}")
+  }
+
+  test("stats_profile equals a driver-side exact recount per column") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("stats_profile")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    val evs = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .collect()
+    val n = evs.length.toLong
+    val eid = evs.map(_.getLong(0)); val uid = evs.map(_.getLong(1))
+    val vals = evs.map(_.getDouble(2)); val types = evs.map(_.getString(3))
+
+    assert(got.keySet == Set("event_id", "event_type", "user_id", "value"))
+    val rId = got("event_id")
+    assert(rId.getLong(1) == 0 && rId.getLong(2) == eid.distinct.length.toLong)
+    assert(rId.getDouble(3) == eid.min.toDouble && rId.getDouble(4) == eid.max.toDouble)
+    val rU = got("user_id")
+    assert(rU.getLong(2) == uid.distinct.length.toLong)
+    assert(rU.getDouble(3) == uid.min.toDouble && rU.getDouble(4) == uid.max.toDouble)
+    val rV = got("value")
+    assert(rV.getLong(2) == vals.distinct.length.toLong)
+    assert(rV.getDouble(3) == vals.min && rV.getDouble(4) == vals.max)
+    val rT = got("event_type")
+    assert(rT.getLong(2) == types.distinct.length.toLong)
+    assert(rT.isNullAt(3) && rT.isNullAt(4))
+    assert(rT.getString(5) == types.min && rT.getString(6) == types.max)
+    assert(n > 0)
+  }
 }

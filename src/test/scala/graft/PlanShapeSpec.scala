@@ -252,6 +252,20 @@ class PlanShapeSpec extends SparkFixture {
     }
   }
 
+  test("llm_bm25 plans the top-k as TakeOrderedAndProject — no global sort") {
+    val p = plan("llm_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "BM25 top-10 must be a partial+final top-k, not a full sort:\n" + p.take(1500))
+  }
+
+  test("stats_profile is ONE scan of events with an Expand multi-distinct") {
+    val p = plan("stats_profile")
+    assert(p.contains("Expand"),
+      "the three exact count-distincts must share one Expand pass:\n" + p.take(1500))
+    val scans = "Scan parquet|FileScan".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single events scan, saw $scans:\n" + p.take(2000))
+  }
+
   test("r4 per-row keys stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq("llm_pii_scrub", "fn_json_transform", "fn_url_parse").foreach { key =>

@@ -324,4 +324,74 @@ class TextOpsSpec extends SparkFixture {
     assert(keeps > 0 && keeps < out.length,
       s"keep does not split the fixture: $keeps/${out.length}")
   }
+
+  test("llm_bm25 equals a driver-side integer recount, and length normalization binds") {
+    val got = SparkEntry.queries("llm_bm25")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+
+    val terms = Set("hash", "join", "vector")
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val lens = docs.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val n = docs.length.toLong
+    val sumdl = lens.values.sum
+    val tfs = docs.flatMap { case (id, ws) =>
+      ws.filter(terms).groupBy(identity).map { case (t, os) => (id, t, os.length.toLong) }
+    }
+    val df = tfs.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length.toLong).toMap
+    val scores = tfs.groupBy(_._1).view.mapValues(_.map { case (id, t, f) =>
+      val idf = (1000000L * (2 * n - 2 * df(t) + 1)) / (2 * df(t) + 1)
+      val tfc = (1000000L * 22 * f * sumdl) / (10 * f * sumdl + 3 * sumdl + 9 * lens(id) * n)
+      idf * tfc / 1000000L
+    }.sum).toMap
+    val expected = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.toSeq == expected, s"spark=${got.toSeq} expected=$expected")
+
+    // length normalization must bind: among scored docs there exist two
+    // with equal total query-term tf where the SHORTER doc scores higher
+    val totTf = tfs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val binds = scores.keys.toSeq.combinations(2).exists { case Seq(a, b) =>
+      totTf(a) == totTf(b) && lens(a) != lens(b) &&
+        (scores(a) > scores(b)) == (lens(a) < lens(b)) && scores(a) != scores(b)
+    }
+    assert(binds, "no doc pair shows the dl normalization — scoring degenerated to tf")
+  }
+
+  test("llm_rank_fusion equals a driver-side RRF recount over the two bounded lists") {
+    val got = SparkEntry.queries("llm_rank_fusion")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val bm25 = TextOps.bm25Scores(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val rankA = bm25.sortBy { case (id, s) => (-s, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val rankB = Tables.documents(spark, sf001).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, c) => (-c, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = (rankA.keySet ++ rankB.keySet).toSeq.map { id =>
+      id -> (rankA.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+        rankB.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L))
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.toSeq == expected, s"spark=${got.toSeq} expected=$expected")
+  }
+
+  test("llm_inverted_index: df is the true posting count, block0 the first ≤32 sorted postings") {
+    val got = SparkEntry.queries("llm_inverted_index")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+
+    val postings = Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().flatMap { r =>
+        r.getString(1).split(" ").filter(_.nonEmpty).distinct.map(_ -> r.getLong(0))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    assert(got.map(_._1).toSeq == postings.keys.toSeq.sorted, "term set mismatch")
+    got.foreach { case (term, df, block0) =>
+      val full = postings(term)
+      assert(df == full.length.toLong, s"$term df")
+      assert(block0 == full.take(32).mkString(","), s"$term block0")
+    }
+    // the block cap must bind on at least one hot term, or the key never
+    // exercises its bounded-state guard
+    assert(got.exists { case (t, df, _) => df > 32 }, "no term exceeds the block size")
+  }
 }
