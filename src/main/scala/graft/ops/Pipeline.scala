@@ -449,6 +449,64 @@ object Pipeline {
         FROM t
         GROUP BY 1, 2
         ORDER BY lang, split""".trim)),
+
+    // End-to-end curation pipeline (r9): the flagship COMPOSITE — the
+    // chain a real corpus-prep job runs, as ONE declarative plan so
+    // Catalyst fuses the stages instead of materializing between them:
+    //   quality filter (the two binding Gopher rules: ≥50 words,
+    //   ≥2 distinct stopwords) → exact dedup on sha256(text), min doc_id
+    //   survives → deterministic 50% LCG sample → LCG shard assign →
+    //   per-shard manifest (docs, words, langs). Every stage reuses a
+    //   proven standalone key's recipe (llm_gopher_filter,
+    //   llm_dedup_exact, llm_doc_sample, llm_shard_assign), so the
+    //   composite's oracle is the same CTE chain. Scale shape: the filter
+    //   and both hashes are scan-side projections (sample prunes BEFORE
+    //   the dedup shuffle); dedup groups on the 32-byte digest, never
+    //   full text; the only exchanges are the dedup hash-agg and the
+    //   16-row shard rollup.
+    Q("llm_curation_pipeline",
+      (spark, sfDir) => {
+        val en = TextOps.stopwords("en")
+        val kept = Tables.documents(spark, sfDir)
+          .withColumn("n_words", size(expr("filter(split(text, ' '), t -> t <> '')")))
+          .withColumn("stop_hits", size(array_intersect(
+            array_distinct(split(col("text"), " ")),
+            array(en.map(lit): _*))))
+          .filter(col("n_words") >= 50 && col("stop_hits") >= 2)
+          .withColumn("b",
+            expr("((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048"))
+          .filter(col("b") < 1024)
+        kept.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), min(col("n_words")).as("n_words"),
+            min(col("lang")).as("lang"))
+          .withColumn("shard",
+            expr("((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048 % 8"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words").cast("long")).as("sum_words"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+        WITH kept AS (
+          SELECT doc_id, text, lang,
+            CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_words
+          FROM documents
+          WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= 50
+            AND len(list_intersect(list_distinct(string_split(text, ' ')),
+                  [${TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")}])) >= 2
+            AND ((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048 < 1024),
+        deduped AS (
+          SELECT min(doc_id) AS doc_id, min(n_words) AS n_words, min(lang) AS lang
+          FROM kept
+          GROUP BY sha256(text))
+        SELECT ((doc_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048 % 8 AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS sum_words,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM deduped
+        GROUP BY 1
+        ORDER BY shard""".trim)),
   )
 
   /** Train a deterministic IVF coarse quantizer and run top-k cosine search

@@ -487,5 +487,85 @@ object Windows {
               FROM s GROUP BY 1, 2, 3)
         GROUP BY 1, 2
         ORDER BY 1, 2""".trim)),
+
+    // Linear interpolation of missing sensor values (r9): the time-series
+    // repair twin of window_gapfill (which fills missing ROWS; this fills
+    // missing VALUES at known timestamps). Readings at event_id % 7 == 0
+    // are masked missing, then reconstructed between the nearest non-null
+    // neighbors per user:  v = prev + (next−prev)·(t−t₀)/(t₁−t₀).
+    // ALL arithmetic is exact int64: values live in 6dp micro-units
+    // (decimal-scaled, the Det policy), timestamps in epoch seconds, and
+    // the division uses the pmod-subtraction floor trick (numerator minus
+    // its non-negative pmod is an exact multiple, so floor == truncate
+    // and Spark `div` and DuckDB `//` cannot disagree on negative deltas
+    // — falling series make next−prev negative). Boundary gaps (no prev
+    // or no next neighbor) stay NULL by spec. Scale shape: one hash
+    // exchange on user_id feeds both ignore-nulls window passes (backward
+    // last + forward first share the partition/order); the masked flag
+    // and both neighbor columns are projection arithmetic.
+    Q("window_interpolate",
+      (spark, sfDir) => {
+        val ts = expr("unix_micros(ts) div 1000000").as("ts_s")
+        val v6 = expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+        val masked = (col("event_id") % 7 === 0).as("masked")
+        val wB = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wF = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s"), col("event_id"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), ts, v6.as("v6"), masked)
+          .withColumn("vk", when(!col("masked"), col("v6")))
+          .withColumn("tk", when(!col("masked"), col("ts_s")))
+          .withColumn("pv", last(col("vk"), ignoreNulls = true).over(wB))
+          .withColumn("pt", last(col("tk"), ignoreNulls = true).over(wB))
+          .withColumn("nv", first(col("vk"), ignoreNulls = true).over(wF))
+          .withColumn("nt", first(col("tk"), ignoreNulls = true).over(wF))
+          .withColumn("value_u6", when(!col("masked"), col("v6"))
+            .otherwise(expr(
+              """pv + (CASE WHEN nt = pt THEN 0 ELSE
+                   ((nv - pv) * (ts_s - pt)
+                    - pmod((nv - pv) * (ts_s - pt), nt - pt)) div (nt - pt)
+                 END)""")))
+          .select(col("user_id"), col("event_id"), col("ts_s"), col("masked"),
+            col("value_u6"))
+          .orderBy(col("user_id"), col("ts_s"), col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6,
+                 event_id % 7 = 0 AS masked
+          FROM events),
+        k AS (
+          SELECT *,
+            CASE WHEN NOT masked THEN v6 END AS vk,
+            CASE WHEN NOT masked THEN ts_s END AS tk
+          FROM e),
+        nb AS (
+          SELECT user_id, event_id, ts_s, masked, v6,
+            last_value(vk IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+            last_value(tk IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+            first_value(vk IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(tk IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+          FROM k)
+        SELECT user_id, event_id, ts_s, masked,
+          CASE WHEN NOT masked THEN v6
+               ELSE pv + (CASE WHEN nt = pt THEN 0 ELSE
+                 ((nv - pv) * (ts_s - pt)
+                  - ((((nv - pv) * (ts_s - pt)) % (nt - pt) + (nt - pt)) % (nt - pt)))
+                 // (nt - pt) END)
+          END AS value_u6
+        FROM nb
+        ORDER BY user_id, ts_s, event_id""".trim)),
   )
 }

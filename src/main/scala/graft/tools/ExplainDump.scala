@@ -197,6 +197,13 @@ object ExplainDump {
     "stats_profile" -> ("Exact column profiler (r9): a single events scan feeding one " +
       "aggregate; the three exact count-distincts share one Expand pass; stack() " +
       "unpivots to one row per column with zero extra shuffles."),
+    "window_interpolate" -> ("Integer-exact linear interpolation (r9): backward last + " +
+      "forward first ignore-nulls passes share ONE user_id exchange; the pmod-floor " +
+      "division keeps Spark div and DuckDB // bit-agreed on falling series."),
+    "llm_curation_pipeline" -> ("Fused curation composite (r9): filter → sha256 dedup → " +
+      "LCG sample → shard manifest in one declarative plan over ONE documents scan — " +
+      "sample prunes before the dedup shuffle; exchanges are the digest hash-agg and " +
+      "an 8-row rollup."),
   )
 
   def main(args: Array[String]): Unit = {

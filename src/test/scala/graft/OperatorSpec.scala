@@ -388,6 +388,59 @@ class OperatorSpec extends SparkFixture {
       s"every compacted partition must be one file: $comp")
   }
 
+  test("window_interpolate equals a driver-side integer recount, and genuinely interpolates") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("window_interpolate")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+
+    val evs = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLongExact))
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).toIndexedSeq
+      sorted.zipWithIndex.map { case ((_, id, ts, v6), i) =>
+        val out: Option[Long] =
+          if (id % 7 != 0) Some(v6)
+          else {
+            val prev = sorted.take(i).reverse.find(_._2 % 7 != 0)
+            val next = sorted.drop(i + 1).find(_._2 % 7 != 0)
+            (prev, next) match {
+              case (Some((_, _, pt, pv)), Some((_, _, nt, nv))) =>
+                if (nt == pt) Some(pv)
+                else {
+                  val num = (nv - pv) * (ts - pt)
+                  val den = nt - pt
+                  Some(pv + (num - (((num % den) + den) % den)) / den)
+                }
+              case _ => None
+            }
+          }
+        (u, id) -> out
+      }
+    }
+    assert(got == expected,
+      s"mismatch sample: ${(got.toSet -- expected.toSet).take(3)} vs ${(expected.toSet -- got.toSet).take(3)}")
+    // interpolation must bind: some masked row's reconstruction differs
+    // from its prev neighbor's value (a carry-forward impostor would equal
+    // prev everywhere), and some boundary row must stay NULL
+    val interpolated = got.collect { case ((u, id), Some(v)) if id % 7 == 0 => (u, id, v) }
+    assert(interpolated.nonEmpty, "no masked row was reconstructed")
+    val strict = evs.groupBy(_._1).exists { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).toIndexedSeq
+      sorted.zipWithIndex.exists { case ((u, id, _, _), i) =>
+        id % 7 == 0 && {
+          val prev = sorted.take(i).reverse.find(_._2 % 7 != 0)
+          prev.exists(p => got((u, id)).exists(v => v != p._4))
+        }
+      }
+    }
+    assert(strict, "every reconstruction equals prev — carry-forward, not interpolation")
+    assert(got.values.exists(_.isEmpty), "no boundary gap stayed NULL")
+  }
+
   test("sink_snapshot_diff emits exactly the derivation rules' D/I/U sets") {
     import org.apache.spark.sql.functions.col
     val got = SparkEntry.queries("sink_snapshot_diff")(spark, sf001)

@@ -304,4 +304,32 @@ class PipelineSpec extends SparkFixture {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall@10 $mean < 0.5 (per-probe: ${recalls.toSeq.sorted.mkString(",")})")
   }
+
+  test("llm_curation_pipeline equals a driver-side recount of the full chain") {
+    val got = SparkEntry.queries("llm_curation_pipeline")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val en = graft.ops.TextOps.stopwords("en").toSet
+    def lcg(id: Long): Long =
+      ((id % 2048 + 2048) % 2048 * 1103515245L + 12345L) % 2048
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val kept = docs.flatMap { case (id, text, lang) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val ok = ws.length >= 50 && ws.distinct.count(en) >= 2 && lcg(id) < 1024
+      if (ok) Some((id, text, lang, ws.length.toLong)) else None
+    }
+    val deduped = kept.groupBy(_._2).values.map { vs =>
+      (vs.map(_._1).min, vs.map(_._4).min, vs.map(_._3).min)
+    }.toSeq
+    val expected = deduped.groupBy { case (id, _, _) => lcg(id) % 8 }
+      .map { case (shard, vs) =>
+        (shard, vs.length.toLong, vs.map(_._2).sum, vs.map(_._3).distinct.length.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected, s"spark=${got.toSeq} expected=$expected")
+    // each stage must bind on the fixture, or the composite is vacuous
+    assert(kept.length < docs.length, "quality+sample filters dropped nothing")
+    assert(deduped.length <= kept.length && expected.map(_._2).sum == deduped.length.toLong)
+  }
 }

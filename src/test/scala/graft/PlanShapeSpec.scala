@@ -266,6 +266,19 @@ class PlanShapeSpec extends SparkFixture {
     assert(scans == 1, s"expected a single events scan, saw $scans:\n" + p.take(2000))
   }
 
+  test("window_interpolate: backward and forward ignore-nulls passes share ONE hash exchange") {
+    val p = plan("window_interpolate")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"both neighbor windows must reuse one user_id exchange, saw $hashEx:\n" + p.take(2000))
+  }
+
+  test("llm_curation_pipeline fuses all stages over ONE documents scan") {
+    val p = plan("llm_curation_pipeline")
+    val scans = "Scan parquet|FileScan".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single fused scan, saw $scans:\n" + p.take(2000))
+  }
+
   test("r4 per-row keys stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq("llm_pii_scrub", "fn_json_transform", "fn_url_parse").foreach { key =>
