@@ -27,12 +27,20 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Write the fixture events date-partitioned (one directory per
-    * event_date). Idempotent overwrite. */
+    * event_date). Idempotent overwrite, memoized per (source, target) for
+    * the JVM lifetime — the layout is a pure function of the immutable
+    * fixture, and join_dpp/verify/bench invoke it repeatedly (the
+    * once-per-JVM staging precedent of the stream replay fixture). */
+  private val stagedDpp = scala.collection.mutable.Set.empty[(String, String)]
   def writeDatePartitionedEvents(spark: SparkSession, sfDir: String,
-      outDir: String): Unit =
-    Tables.events(spark, sfDir)
-      .withColumn("event_date", to_date(col("ts")))
-      .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+      outDir: String): Unit = stagedDpp.synchronized {
+    if (!stagedDpp.contains((sfDir, outDir))) {
+      Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+      stagedDpp += ((sfDir, outDir))
+    }
+  }
 
   /** Read a date-partitioned events layout (partition column restored as a
     * regular column by partition discovery). */

@@ -114,4 +114,33 @@ class DetSpec extends SparkFixture {
       }
     }
   }
+
+  test("late-r9 keys are invariant under AQE-off and different shuffle partitioning") {
+    // Same cluster-topology-independence sweep for the second r9 batch:
+    // runtime-filter joins (DPP, bloom), the iterative shortest path, the
+    // integer BM25/fusion/index family, the CDC diff, the profiler, the
+    // interpolation windows, and the fused curation composite. Drift
+    // under re-planning or fanout would mean a nondeterministic tie-break
+    // or partition-sensitive arithmetic leaked into an output.
+    val keys = Seq("join_dpp", "join_bloom_prefilter", "graph_shortest_path",
+      "llm_bm25", "llm_rank_fusion", "llm_inverted_index",
+      "sink_snapshot_diff", "stats_profile", "window_interpolate",
+      "llm_curation_pipeline")
+    keys.foreach { k =>
+      def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      val beforeN = spark.conf.get("spark.sql.shuffle.partitions")
+      val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val base = run()
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert(run() == base, s"$k drifts with AQE disabled")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert(run() == base, s"$k drifts at 7 shuffle partitions, AQE off")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeN)
+        spark.conf.set("spark.sql.adaptive.enabled", beforeAqe)
+      }
+    }
+  }
 }
