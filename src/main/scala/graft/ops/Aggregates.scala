@@ -677,6 +677,57 @@ object Aggregates {
           ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
         GROUP BY 1
         ORDER BY 1""".trim)),
+
+    // Spearman rank correlation (r9): does a metric trend with time? —
+    // per event_type, the rank correlation between arrival order and
+    // value order, ρ = 1 − 6Σd²/(n(n²−1)), entirely integer-exact at 6dp
+    // (ρ_e6 ∈ [−10⁶, 10⁶]). Ranks are row_number over a DETERMINISTIC
+    // total order (ties broken by event_id — documented variant: the
+    // textbook tie-averaged ranks need fractional arithmetic; the
+    // tie-broken form is exact, and identical in both engines by
+    // construction). The only non-int64-safe product, 6·10⁶·Σd², runs in
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — Σd² alone can reach
+    // n³/3 ≈ 10¹⁵ at fixture scale and the 10⁶ scaling would overflow a
+    // BIGINT; `div` on decimals is still integral division, and every
+    // operand is non-negative so floor == truncate cross-engine. Scale
+    // shape: one hash exchange on event_type feeds BOTH rank windows
+    // (two in-partition sorts, no second shuffle); the Σd²/n aggregate
+    // is partial-combinable.
+    Q("agg_rank_corr",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byVal = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val byTime = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(spark, sfDir)
+          .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+          .withColumn("rv", row_number().over(byVal).cast("long"))
+          .withColumn("rt", row_number().over(byTime).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("rv") - col("rt")) * (col("rv") - col("rt"))).as("sd2"))
+          .filter(col("n") > 1) // n(n²−1)=0: ρ undefined for singletons
+          .select(col("event_type"), col("n"),
+            (lit(1000000L) - expr(
+              """CAST((CAST(6000000 AS DECIMAL(38,0)) * CAST(sd2 AS DECIMAL(38,0)))
+                   div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)) AS BIGINT)"""))
+              .as("rho_e6"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type,
+            CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rv,
+            CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS rt
+          FROM events)
+        SELECT event_type, COUNT(*) AS n,
+          1000000 - CAST((6000000 * CAST(SUM((rv - rt) * (rv - rt)) AS HUGEINT))
+            // (CAST(COUNT(*) AS HUGEINT) * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1)) AS BIGINT) AS rho_e6
+        FROM r
+        GROUP BY event_type
+        HAVING COUNT(*) > 1
+        ORDER BY event_type""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

@@ -55,7 +55,7 @@ object Joins {
     l.unionByName(r)
       .withColumn("last_order_date", last(col("ord_date"), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
-      .select(col("event_id"), col("k"), col("last_order_date"))
+      .select(col("event_id"), col("k"), col("t"), col("last_order_date"))
   }
 
   /** The join_bloom_prefilter plan WITHOUT the eager checkpoint — the shape
@@ -291,6 +291,40 @@ object Joins {
         FROM events e ASOF LEFT JOIN orders o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY event_id""".trim)),
+
+    // As-of with tolerance (r9): the attribution variant — each purchase
+    // matched to the user's latest PRIOR view, but only if that view is
+    // within 24 hours; staler context is expired (NULL). This is how real
+    // as-of consumers bound how old a quote/reading/session may be, and
+    // the purchase→view pair keeps both sides in the same time range
+    // (orders' 1992–98 dates vs 2024 events would expire everything).
+    // Since the plain as-of match IS the nearest at-or-before row, the
+    // tolerance is a post-window projection on the SAME one-shuffle
+    // union-tag plan — no second window, no probe. On the fixture ~1/3
+    // of matches survive and ~2/3 expire, so both branches bind (pinned
+    // by OperatorSpec). Oracle: DuckDB ASOF LEFT JOIN + interval guard.
+    Q("join_asof_tolerance",
+      (spark, sfDir) => {
+        val views = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("k"), col("ts").as("t"))
+        val purchases = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+        asofLatestAtOrBefore(views, purchases)
+          .select(col("event_id"), col("k").as("user_id"),
+            when(expr("unix_micros(t) - unix_micros(last_order_date)")
+              <= lit(86400L * 1000000L), col("last_order_date"))
+              .as("view_ts_24h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id,
+          CASE WHEN p.ts - v.ts <= INTERVAL 24 HOUR THEN v.ts END AS view_ts_24h
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id""".trim)),
 
     // Lateral join (r4): per-customer top-1 order via a correlated LATERAL
     // subquery — Catalyst DECORRELATES this into the same ranked-window

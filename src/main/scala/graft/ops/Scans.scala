@@ -327,6 +327,35 @@ object Scans {
                      = ${Det.sqlEmit(Det.sqlVal6("r.value"), 6)})
         ORDER BY event_id""".trim)),
 
+    // Raw-file ingest (r9): Spark's binaryFile source — the entry point a
+    // multimodal corpus actually arrives through (image/audio payloads as
+    // whole files; the llm_multimodal_* keys take over after this seam).
+    // Stages the first 20 documents as doc_<id>.bin files (UTF-8 bytes,
+    // once per JVM), reads them back whole-file, and proves the
+    // (name, byte-length, content) triple round-trips: fname from the
+    // path, length from the source's file metadata, and the first 16
+    // chars of the UTF-8-decoded payload against the original text. At
+    // scale binaryFile lists + reads files in parallel across executors
+    // (one row per file — files must fit an executor's memory, the
+    // documented contract; bigger payloads go through chunked formats).
+    Q("source_binary",
+      (spark, sfDir) => {
+        val dir = Scans.stageBinaryDocs(spark, sfDir)
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+          .select(
+            regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            col("length").cast("long").as("n_bytes"),
+            substring(col("content").cast("string"), 1, 16).as("head16"))
+          .orderBy(col("fname"))
+      },
+      Some("""
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               substr(text, 1, 16) AS head16
+        FROM documents
+        WHERE doc_id < 20
+        ORDER BY fname""".trim)),
+
     // Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
     Q("filter_pred",
       (spark, sfDir) =>
@@ -347,4 +376,24 @@ object Scans {
           AND NOT (p_size = 15)
         ORDER BY p_partkey""".trim)),
   )
+
+  /** Stage the first 20 documents as raw doc_<id>.bin files (UTF-8 text
+    * bytes) for the binaryFile source key. Pure function of the immutable
+    * fixture — memoized per JVM (the DPP-layout precedent). Returns the
+    * staged directory. */
+  private val stagedBin = scala.collection.mutable.Map.empty[String, String]
+  private[graft] def stageBinaryDocs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = stagedBin.synchronized {
+    stagedBin.getOrElseUpdate(sfDir, {
+      val dir = "/tmp/graft_binsrc_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          java.nio.file.Files.write(p.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      dir
+    })
+  }
 }

@@ -204,6 +204,12 @@ object ExplainDump {
       "LCG sample → shard manifest in one declarative plan over ONE documents scan — " +
       "sample prunes before the dedup shuffle; exchanges are the digest hash-agg and " +
       "an 8-row rollup."),
+    "join_asof_tolerance" -> ("Bounded-staleness as-of (r9): the same one-shuffle " +
+      "union-tag window plan as join_asof; the 24 h tolerance is a post-window " +
+      "projection — no second window, no probe."),
+    "agg_rank_corr" -> ("Spearman rank correlation (r9): one event_type exchange feeds " +
+      "both rank windows (two in-partition sorts); the Σd² aggregate partial-combines; " +
+      "the only wide product runs in DECIMAL(38,0)."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -145,7 +145,8 @@ class OperatorSpec extends SparkFixture {
         Row(2L, ts(50000000L), 200L))), // key with no orders -> NULL
       schemaR)
     val got = Joins.asofLatestAtOrBefore(lefts, rights)
-      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString)).toMap
+      .select("event_id", "last_order_date") // the helper also carries t (r9 tolerance variant)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
     assert(got(100L).isEmpty)
     assert(got(101L).contains(ts(10000000L).toString))
     assert(got(102L).contains(ts(10000000L).toString))
@@ -386,6 +387,83 @@ class OperatorSpec extends SparkFixture {
       s"staging must be genuinely fragmented: $frag")
     assert(comp.values.forall(_ == 1),
       s"every compacted partition must be one file: $comp")
+  }
+
+  test("join_asof_tolerance equals a driver-side recount, and the tolerance genuinely binds") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // compare in MICROS — fixture timestamps all carry sub-second parts,
+    // so a seconds truncation would mask off-by-subsecond bugs
+    val got = SparkEntry.queries("join_asof_tolerance")(spark, sf001)
+      .select(col("event_id"), expr("unix_micros(view_ts_24h)").as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    val views = Tables.events(spark, sf001)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val purchases = Tables.events(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val tol = 86400L * 1000000L
+    var boundPlain = 0
+    val expected = purchases.map { case (eid, u, ts) =>
+      val best = views.getOrElse(u, Seq.empty[Long]).filter(_ <= ts).lastOption
+      if (best.exists(b => ts - b > tol)) boundPlain += 1
+      eid -> best.filter(b => ts - b <= tol)
+    }.toMap
+    assert(got == expected)
+    // the tolerance must actually expire matches the plain as-of kept,
+    // and keep some — otherwise the key collapses to join_asof or to NULLs
+    assert(boundPlain > 0, "no match was older than the tolerance")
+    assert(got.values.exists(_.isDefined), "every match expired")
+  }
+
+  test("agg_rank_corr equals a driver-side exact Spearman recount") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("agg_rank_corr")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val evs = Tables.events(spark, sf001)
+      .select(col("event_type"), col("event_id"), col("ts").cast("long"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = evs.groupBy(_._1).toSeq.map { case (ty, es) =>
+      val rv = es.sortBy(e => (e._4, e._2)).zipWithIndex.map { case (e, i) => e._2 -> (i + 1L) }.toMap
+      val rt = es.sortBy(e => (e._3, e._2)).zipWithIndex.map { case (e, i) => e._2 -> (i + 1L) }.toMap
+      val n = es.length.toLong
+      val sd2 = es.map(e => { val d = rv(e._2) - rt(e._2); d * d }).sum
+      val rho = 1000000L -
+        ((BigInt(6000000) * BigInt(sd2)) / (BigInt(n) * (BigInt(n) * BigInt(n) - 1))).toLong
+      (ty, n, rho)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected, s"spark=${got.toSeq} expected=$expected")
+    // correlation must be informative: in [-1e6, 1e6], and not identical
+    // across every type (a constant would suggest a degenerate ranking)
+    assert(got.forall(r => r._3 >= -1000000L && r._3 <= 1000000L))
+    assert(got.map(_._3).distinct.length > 1, s"all types share rho ${got.head._3}")
+  }
+
+  test("source_binary round-trips every staged payload byte-for-byte") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("source_binary")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+
+    val docs = Tables.documents(spark, sf001).filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => s"doc_${r.getLong(0)}.bin" -> r.getString(1)).toMap
+    assert(got.map(_._1).toSet == docs.keySet)
+    got.foreach { case (fname, n, head16) =>
+      val text = docs(fname)
+      assert(n == text.getBytes("UTF-8").length.toLong, s"$fname length")
+      assert(head16 == text.take(16), s"$fname head")
+      // byte-for-byte: re-read the staged file itself
+      val staged = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(graft.ops.Scans.stageBinaryDocs(spark, sf001), fname)), "UTF-8")
+      assert(staged == text, s"$fname staged payload drifted")
+    }
   }
 
   test("window_interpolate equals a driver-side integer recount, and genuinely interpolates") {
