@@ -728,6 +728,49 @@ object Aggregates {
         GROUP BY event_type
         HAVING COUNT(*) > 1
         ORDER BY event_type""".trim)),
+
+    // Shannon entropy of the event-type mix per user cohort (r9): the
+    // diversity metric a curation pipeline tracks per source/shard (a
+    // collapsing mix ⇒ near-zero entropy ⇒ quality alarm). Two bounded
+    // aggregations: (cohort, type) counts, then the cohort total via a
+    // window over the COUNT table (fanout = type cardinality, ≤5). The
+    // share p = cnt/total is one IEEE division of exact longs; each
+    // −p·ln(p) term is coarsened to DECIMAL(18,6) per row (llm_lm_score's
+    // ulp-proofing recipe for libm ln) and the final sum is exact decimal
+    // — order-independent under any partitioning, the hash-stable shape.
+    Q("agg_entropy",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = Tables.events(spark, sfDir)
+          .select(expr("user_id div 10").as("cohort"), col("event_type"))
+          .groupBy("cohort", "event_type").agg(count(lit(1)).as("cnt"))
+        val wc = Window.partitionBy("cohort")
+        val p = col("cnt").cast("double") / col("total").cast("double")
+        cnt
+          .select(col("cohort"), col("cnt"), sum("cnt").over(wc).as("total"))
+          .select(col("cohort"), col("total"),
+            Det.val6(-p * log(p)).as("term"))
+          .groupBy("cohort")
+          .agg(count(lit(1)).as("n_types"), max("total").as("n_events"),
+            Det.emit(sum(col("term")), 6).as("entropy"))
+          .orderBy("cohort")
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id // 10 AS cohort, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT cohort, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY cohort) AS BIGINT) AS total
+          FROM c)
+        SELECT cohort, COUNT(*) AS n_types, MAX(total) AS n_events,
+               CAST(CAST(SUM(CAST(
+                 -(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                   * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS entropy
+        FROM t
+        GROUP BY cohort
+        ORDER BY cohort""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

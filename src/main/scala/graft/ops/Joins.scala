@@ -598,5 +598,39 @@ object Joins {
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY l_returnflag
         ORDER BY l_returnflag""".trim)),
+
+    // Null-safe equi join (r9): `<=>` (IS NOT DISTINCT FROM) treats NULL
+    // as a joinable value — the semantics every CDC/merge keyed on a
+    // nullable business key needs (plain `=` silently drops the NULL
+    // group). The key property at scale: Spark keeps EqualNullSafe as a
+    // hash-join KEY (nulls hash like any value), so this plans as a
+    // normal equi join — broadcast here, shuffled hash/SMJ when both
+    // sides are big — never a nested-loop theta join (PlanShapeSpec pins
+    // no-BNLJ/no-cartesian). Both sides pre-aggregate to key cardinality
+    // before the join: the 100 TB shape when the join only needs group
+    // counts, and it makes the NULL-group match a single row pair rather
+    // than a |nulls|×|nulls| fanout.
+    Q("join_null_safe",
+      (spark, sfDir) => {
+        val c = Tables.customer(spark, sfDir)
+          .select(expr("NULLIF(c_nationkey % 5, 0)").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("c_cnt"))
+        val s = Tables.supplier(spark, sfDir)
+          .select(expr("NULLIF(s_nationkey % 5, 0)").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("s_cnt"))
+        c.join(broadcast(s), c("k") <=> s("k"))
+          .select(c("k").as("k"), col("c_cnt"), col("s_cnt"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""
+        WITH c AS (
+          SELECT NULLIF(c_nationkey % 5, 0) AS k, COUNT(*) AS c_cnt
+          FROM customer GROUP BY 1),
+        s AS (
+          SELECT NULLIF(s_nationkey % 5, 0) AS k, COUNT(*) AS s_cnt
+          FROM supplier GROUP BY 1)
+        SELECT c.k AS k, c.c_cnt, s.s_cnt
+        FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+        ORDER BY k ASC NULLS FIRST""".trim)),
   )
 }

@@ -88,6 +88,160 @@ object Stats {
         UNION ALL
         SELECT 'value', n - cnt_value, ndv_value, min_value, max_value, NULL, NULL FROM w
         ORDER BY col_name""".trim)),
+
+    // Two-sample Kolmogorov–Smirnov statistic (r9): distribution drift
+    // between URGENT and LOW order prices — the monitoring primitive a
+    // training-data pipeline runs per ingest batch ("did today's data
+    // shift?"). Binned-ECDF formulation: values quantize to $1000 bins,
+    // one bounded agg produces per-bin counts for both samples, a window
+    // over the BIN table (≤500 rows, post-aggregation) builds both
+    // cumulative distributions, and the statistic is the max ECDF gap.
+    // All-integer arithmetic until the final single division: the gap is
+    // computed as |c1·t2 − c2·t1| over exact longs, so the result is
+    // hash-stable under any partitioning; ks = num/(n1·n2) is one IEEE
+    // division of exact integers, identical in both engines. At 100 TB
+    // only the first agg touches the data (shuffle bounded by bin count);
+    // the window runs on the bin table, not the fact table.
+    graft.Q("stats_ks_test",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val s = Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(expr("CAST(FLOOR(o_totalprice / 1000) AS BIGINT)").as("bin"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"),
+            when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L).as("g2"))
+        val b = s.groupBy("bin").agg(sum("g1").as("n1"), sum("g2").as("n2"))
+        // unpartitioned window is safe here: it runs over the ≤500-row bin
+        // table, never the fact table (same shape as the oracle's OVER)
+        val w = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = b.select(sum("n1").over(w).as("c1"), sum("n2").over(w).as("c2"))
+        val tot = b.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+        cum.crossJoin(broadcast(tot)) // scalar-join idiom: 1-row broadcast
+          .agg(max(abs(col("c1") * col("t2") - col("c2") * col("t1"))).as("ks_num"),
+            max("t1").as("n1"), max("t2").as("n2"))
+          .select(col("ks_num"), col("n1"), col("n2"),
+            (col("ks_num").cast("double") /
+              (col("n1") * col("n2")).cast("double")).as("ks"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bin,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+                 CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        b AS (SELECT bin, SUM(g1) AS n1, SUM(g2) AS n2 FROM s GROUP BY bin),
+        c AS (SELECT SUM(n1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+                     SUM(n2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+              FROM b),
+        t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2 FROM b)
+        SELECT CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS BIGINT) AS ks_num,
+               MAX(t1) AS n1, MAX(t2) AS n2,
+               CAST(CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS BIGINT) AS DOUBLE)
+                 / CAST(MAX(t1) * MAX(t2) AS DOUBLE) AS ks
+        FROM c, t""".trim)),
+
+    // Chi-square independence table (r9): order status × priority — the
+    // categorical-drift twin of stats_ks_test ("is the label mix changing
+    // with priority?"). One bounded agg produces the contingency cells
+    // (15 rows); row/column marginals come from windows over the CELL
+    // table; the grand total rides the 1-row broadcast scalar-join idiom.
+    // Expected counts and per-cell contributions are emitted per cell
+    // (not summed) so every value is a fixed IEEE expression tree over
+    // exact integers — no order-dependent float fold anywhere — then
+    // coarsened through DECIMAL(18,6) (Det.emit policy) to be ulp-proof.
+    graft.Q("stats_chi_square",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cell = Tables.orders(spark, sfDir)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("obs"))
+        val n1 = cell.agg(sum("obs").as("n"))
+        val wr = Window.partitionBy("o_orderstatus")
+        val wc = Window.partitionBy("o_orderpriority")
+        val expC = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+        cell
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("obs"),
+            sum("obs").over(wr).as("rt"), sum("obs").over(wc).as("ct"))
+          .crossJoin(broadcast(n1))
+          .withColumn("expected", expC)
+          .select(col("o_orderstatus"), col("o_orderpriority"), col("obs"),
+            col("rt"), col("ct"),
+            graft.Det.emit(col("expected"), 6).as("expected"),
+            graft.Det.emit(
+              (col("obs").cast("double") - col("expected")) *
+                (col("obs").cast("double") - col("expected")) / col("expected"),
+              6).as("contrib"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""
+        WITH cell AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS obs
+          FROM orders GROUP BY 1, 2),
+        m AS (
+          SELECT o_orderstatus, o_orderpriority, obs,
+                 CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS rt,
+                 CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS ct,
+                 (SELECT CAST(SUM(obs) AS BIGINT) FROM cell) AS n
+          FROM cell),
+        e AS (
+          SELECT o_orderstatus, o_orderpriority, obs, rt, ct,
+                 CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected
+          FROM m)
+        SELECT o_orderstatus, o_orderpriority, obs, rt, ct,
+               CAST(CAST(expected AS DECIMAL(18,6)) AS DOUBLE) AS expected,
+               CAST(CAST((CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+                    / expected AS DECIMAL(18,6)) AS DOUBLE) AS contrib
+        FROM e
+        ORDER BY o_orderstatus, o_orderpriority""".trim)),
+
+    // Population Stability Index (r9): the third leg of the drift trio
+    // (KS for continuous, chi-square for categorical, PSI for the binned
+    // score monitoring every ML-ops pipeline standardizes on — "has the
+    // serving distribution moved from the training baseline?"). Baseline
+    // = finished (F) orders, actual = open (O) orders, 20 capped $25k
+    // price bins. psi = Σ (p−q)·ln(p/q) over jointly-populated bins (the
+    // ε-free convention; the cap keeps every bin populated at fixture
+    // scale so the guard never fires there). Shares stats_ks_test's
+    // shape: one bounded agg on the fact table, totals ride the 1-row
+    // broadcast, each term is a fixed IEEE tree over exact longs
+    // coarsened to DECIMAL(18,6), the sum is exact decimal.
+    graft.Q("stats_psi",
+      (spark, sfDir) => {
+        val b = Tables.orders(spark, sfDir)
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .select(
+            expr("LEAST(19, CAST(FLOOR(o_totalprice / 25000) AS BIGINT))").as("bin"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("g1"),
+            when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("g2"))
+          .groupBy("bin").agg(sum("g1").as("n1"), sum("g2").as("n2"))
+        val tot = b.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+        val p = col("n1").cast("double") / col("t1").cast("double")
+        val q = col("n2").cast("double") / col("t2").cast("double")
+        b.crossJoin(broadcast(tot)) // scalar-join idiom: 1-row broadcast
+          .filter(col("n1") > 0 && col("n2") > 0)
+          .select(graft.Det.val6((p - q) * log(p / q)).as("term"))
+          .agg(count(lit(1)).as("n_bins"),
+            graft.Det.emit(sum(col("term")), 6).as("psi"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT LEAST(19, CAST(FLOOR(o_totalprice / 25000) AS BIGINT)) AS bin,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g1,
+                 CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS g2
+          FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        b AS (SELECT bin, CAST(SUM(g1) AS BIGINT) AS n1,
+                     CAST(SUM(g2) AS BIGINT) AS n2 FROM s GROUP BY bin),
+        t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2 FROM b)
+        SELECT COUNT(*) AS n_bins,
+               CAST(CAST(SUM(CAST(
+                 (CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                  - CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+                 * ln((CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                      / (CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)))
+                 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS psi
+        FROM b, t
+        WHERE n1 > 0 AND n2 > 0""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

@@ -567,5 +567,43 @@ object Windows {
           END AS value_u6
         FROM nb
         ORDER BY user_id, ts_s, event_id""".trim)),
+
+    // Max drawdown per user series (r9): running peak minus current value,
+    // the classic monitoring/series-quality metric ("how far below its
+    // historical high has this metric fallen?"). Values are micro-scaled
+    // to exact BIGINTs (window_interpolate's v6 recipe) so the running
+    // MAX, the subtraction, and the final per-user MAX are all integer —
+    // hash-stable with no float policy needed at all. Plan shape: the
+    // window's hashpartitioning(user_id) exchange is reused by the
+    // groupBy(user_id) that follows — one shuffle feeds both.
+    Q("window_drawdown",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("v6"))
+          .withColumn("peak", max(col("v6")).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            max(col("peak") - col("v6")).as("max_dd_u6"),
+            max(col("v6")).as("peak_u6"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, event_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+          FROM events),
+        p AS (
+          SELECT user_id, v6,
+                 MAX(v6) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          FROM v)
+        SELECT user_id, COUNT(*) AS n, MAX(peak - v6) AS max_dd_u6,
+               MAX(v6) AS peak_u6
+        FROM p GROUP BY user_id
+        ORDER BY user_id""".trim)),
   )
 }

@@ -125,7 +125,9 @@ class DetSpec extends SparkFixture {
     val keys = Seq("join_dpp", "join_bloom_prefilter", "graph_shortest_path",
       "llm_bm25", "llm_rank_fusion", "llm_inverted_index",
       "sink_snapshot_diff", "stats_profile", "window_interpolate",
-      "llm_curation_pipeline")
+      "llm_curation_pipeline", "join_asof_tolerance", "agg_rank_corr",
+      "source_binary", "stats_ks_test", "stats_chi_square", "agg_entropy",
+      "join_null_safe", "stats_psi", "window_drawdown")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq

@@ -443,6 +443,16 @@ class PlanShapeSpec extends SparkFixture {
       || p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("join_null_safe keeps <=> as a hash-join key — no nested loop") {
+    // EqualNullSafe must ride the join KEYS (nulls hash like values), not
+    // degrade to a theta condition under a nested-loop join.
+    val p = plan("join_null_safe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "<=> must stay an equi-join key:\n" + p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("window_pattern fuses both lead()s into one Window over one hash exchange") {
     // Both leads share (partition by user_id, order by ts, event_id) — the
     // whole pattern must cost a single shuffle + sort, not one per lead.
