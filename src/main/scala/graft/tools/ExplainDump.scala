@@ -210,6 +210,16 @@ object ExplainDump {
     "agg_rank_corr" -> ("Spearman rank correlation (r9): one event_type exchange feeds " +
       "both rank windows (two in-partition sorts); the Σd² aggregate partial-combines; " +
       "the only wide product runs in DECIMAL(38,0)."),
+    "stats_ks_test" -> ("Two-sample KS drift statistic (r9): one bounded agg on the fact " +
+      "scan (shuffle ≤ bin count); the cumulative-ECDF window and the 1-row totals " +
+      "broadcast run over the ~500-row BIN table — the single-partition window never " +
+      "sees the data, only its histogram."),
+    "join_null_safe" -> ("Null-safe equi join (r9): EqualNullSafe rides the join KEYS, so " +
+      "the plan is a plain hash join (broadcast here, SMJ at scale) — a theta-style " +
+      "nested loop would be the failure mode; PlanShapeSpec pins its absence."),
+    "window_drawdown" -> ("Max drawdown (r9): the running-peak window and the per-user " +
+      "aggregate both cluster under hashpartitioning(user_id) — one exchange feeds " +
+      "both; micro-scaled BIGINT values keep every op integer, no float policy at all."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -568,4 +568,93 @@ class OperatorSpec extends SparkFixture {
     assert(rT.getString(5) == types.min && rT.getString(6) == types.max)
     assert(n > 0)
   }
+
+  test("stats_ks_test equals a driver-side exact binned-ECDF recount") {
+    val r = SparkEntry.queries("stats_ks_test")(spark, sf001).collect().head
+    val (ksNum, n1, n2, ks) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+
+    val os = Tables.orders(spark, sf001)
+      .select(col("o_totalprice"), col("o_orderpriority")).collect()
+      .filter(x => Set("1-URGENT", "5-LOW")(x.getString(1)))
+    val bins = os.map(x => (math.floor(x.getDouble(0) / 1000).toLong, x.getString(1)))
+    val byBin = bins.groupBy(_._1).toSeq.sortBy(_._1)
+    var (c1, c2, best) = (BigInt(0), BigInt(0), BigInt(0))
+    val t1 = BigInt(bins.count(_._2 == "1-URGENT"))
+    val t2 = BigInt(bins.count(_._2 == "5-LOW"))
+    byBin.foreach { case (_, rows) =>
+      c1 += rows.count(_._2 == "1-URGENT"); c2 += rows.count(_._2 == "5-LOW")
+      best = best.max((c1 * t2 - c2 * t1).abs)
+    }
+    assert(BigInt(ksNum) == best && BigInt(n1) == t1 && BigInt(n2) == t2)
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(ks == ksNum.toDouble / (n1 * n2).toDouble)
+  }
+
+  test("stats_chi_square marginals are self-consistent and contributions non-negative") {
+    val rows = SparkEntry.queries("stats_chi_square")(spark, sf001).collect()
+    val n = rows.map(_.getLong(2)).sum
+    // every cell's row/col marginal equals the sum of observed cells
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      assert(cells.map(_.getLong(2)).sum == cells.head.getLong(3)) // rt
+    }
+    rows.groupBy(_.getString(1)).foreach { case (_, cells) =>
+      assert(cells.map(_.getLong(2)).sum == cells.head.getLong(4)) // ct
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(6) >= 0.0) // (o-e)^2/e
+      // expected = rt*ct/n to within the 6dp coarsening
+      assert(math.abs(r.getDouble(5) -
+        r.getLong(3).toDouble * r.getLong(4).toDouble / n.toDouble) < 1e-5)
+    }
+    assert(n == Tables.orders(spark, sf001).count())
+  }
+
+  test("agg_entropy is bounded by ln(n_types) and counts recount exactly") {
+    val rows = SparkEntry.queries("agg_entropy")(spark, sf001).collect()
+    val evs = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(x => (x.getLong(0) / 10, x.getString(1)))
+    rows.foreach { r =>
+      val (cohort, nTypes, nEvents, h) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val mine = evs.filter(_._1 == cohort)
+      assert(mine.map(_._2).distinct.length.toLong == nTypes)
+      assert(mine.length.toLong == nEvents)
+      // 0 <= H <= ln(k), with slack for the 6dp per-term coarsening
+      assert(h >= -1e-4 && h <= math.log(nTypes.toDouble) + 1e-4)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("stats_psi is non-negative and covers the populated bins") {
+    val r = SparkEntry.queries("stats_psi")(spark, sf001).collect().head
+    val (nBins, psi) = (r.getLong(0), r.getDouble(1))
+    // each (p-q)ln(p/q) term is >= 0 before coarsening; 6dp rounding can
+    // shave at most 5e-7 per bin
+    assert(psi >= -1e-5 * nBins)
+    assert(nBins >= 1 && nBins <= 20)
+  }
+
+  test("window_drawdown equals a driver-side integer recount") {
+    val got = SparkEntry.queries("window_drawdown")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val evs = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def v6(d: Double): Long =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    evs.groupBy(_._1).foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).map(r => v6(r._4))
+      var (peak, dd) = (Long.MinValue, Long.MinValue)
+      ordered.foreach { v => peak = peak.max(v); dd = dd.max(peak - v) }
+      val (n, maxDd, peakU6) = got(uid)
+      assert(n == rows.length.toLong && maxDd == dd && peakU6 == ordered.max,
+        s"user $uid mismatch")
+    }
+    assert(got.keySet == evs.map(_._1).toSet)
+  }
 }

@@ -432,6 +432,16 @@ class PlanShapeSpec extends SparkFixture {
       "windows and aggregates must share one user_id exchange:\n" + p.take(1500))
   }
 
+  test("window_drawdown: running-peak window and per-user aggregate share one exchange") {
+    // hashpartitioning(user_id) satisfies both the window clustering and
+    // the groupBy — the drawdown costs ONE data shuffle (the second
+    // exchange in the full plan is the presentation sort's range
+    // partitioning, not a data reshuffle).
+    val p = plan("window_drawdown")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "window and aggregate must share one user_id exchange:\n" + p.take(1500))
+  }
+
   test("join_range_binned plans an equi join — no nested loop, no cartesian") {
     // The key's whole reason to exist: a pure range predicate would plan
     // BroadcastNestedLoopJoin (O(n×m) compares); the week-bin column must
