@@ -657,4 +657,24 @@ class OperatorSpec extends SparkFixture {
     }
     assert(got.keySet == evs.map(_._1).toSet)
   }
+
+  test("source_jdbc scans 4 stride partitions and round-trips the staged subset") {
+    val url = graft.ops.Scans.stageJdbcOrders(spark, sf001)
+    val scan = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "orders_jdbc")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "o_orderkey")
+      .option("lowerBound", "0").option("upperBound", "6000000")
+      .option("numPartitions", "4")
+      .load()
+    // the partitioned read is genuinely parallel: one scan task per stride
+    assert(scan.rdd.getNumPartitions == 4)
+    val expected = Tables.orders(spark, sf001)
+      .filter(expr("o_orderkey % 20 = 0"))
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = scan.select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected && got.nonEmpty)
+  }
 }
