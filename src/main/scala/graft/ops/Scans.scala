@@ -410,6 +410,90 @@ object Scans {
         WHERE o_orderkey % 20 = 0
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""".trim)),
+
+    // SCD Type-2 incremental merge (r9): the warehouse dimension-history
+    // pattern — each user's event_type stream becomes versioned rows
+    // (user_id, seg, valid_from_us, valid_to_us, is_current), and the key
+    // PROVES the incremental nightly merge: history (events before Jan 16)
+    // is built into an SCD2 table and WRITTEN to parquet (the sink), then
+    // the new batch (events on/after Jan 16) merges in — close the open
+    // version of any user whose first batch CHANGE arrives (valid_to :=
+    // that change's ts), append the batch's change versions, leave
+    // untouched users' open rows open. Change-suppression is SCD2's
+    // defining rule: an event equal to the user's current segment creates
+    // NO version; the first batch event therefore compares against the
+    // staged dimension's current seg (equal by construction to the last
+    // history EVENT's seg — any later unchanged event carries the same
+    // value). The oracle is the FULL recompute over all events, so the
+    // check is exactly "incremental merge ≡ rebuild from scratch" — the
+    // invariant that makes nightly dimension loads trustworthy. Scale
+    // shape: every step shuffles on user_id (window + join + window reuse
+    // one hashpartitioning); the dimension read is |versions|, the batch
+    // windows are |batch|; nothing rescans closed history.
+    Q("sink_scd2",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cutUs = 1705363200000000L // 2024-01-16 00:00:00 UTC, micros
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type").as("seg"))
+        val wEv = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        def changes(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("prev", lag(col("seg"), 1).over(wEv))
+          .filter(col("prev").isNull || col("prev") =!= col("seg"))
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("seg"))
+        // stage the existing dimension table from pre-cutoff history
+        val dir = "/tmp/graft_scd2_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        changes(ev.filter(col("ts_us") < cutUs))
+          .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wEv))
+          .select(col("user_id"), col("seg"),
+            col("ts_us").as("valid_from_us"), col("valid_to_us"))
+          .write.mode("overwrite").parquet(dir)
+        val dim = spark.read.parquet(dir)
+        // batch changes: in-batch lag, with the per-user FIRST batch event
+        // compared against the staged dimension's current segment
+        val current = dim.filter(col("valid_to_us").isNull)
+        val bCh = ev.filter(col("ts_us") >= cutUs)
+          .withColumn("prev", lag(col("seg"), 1).over(wEv))
+          .join(current.select(col("user_id"), col("seg").as("cur_seg")),
+            Seq("user_id"), "left")
+          .filter(
+            (col("prev").isNull &&
+              (col("cur_seg").isNull || col("cur_seg") =!= col("seg"))) ||
+            (col("prev").isNotNull && col("prev") =!= col("seg")))
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("seg"))
+        val firstCh = bCh.groupBy(col("user_id"))
+          .agg(min(col("ts_us")).as("close_us"))
+        // merge: closed history rows pass through; open rows close at the
+        // user's first batch change (or stay open); batch versions append
+        val merged = dim.filter(col("valid_to_us").isNotNull)
+          .unionByName(current
+            .join(firstCh, Seq("user_id"), "left")
+            .select(col("user_id"), col("seg"), col("valid_from_us"),
+              col("close_us").as("valid_to_us")))
+          .unionByName(bCh
+            .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wEv))
+            .select(col("user_id"), col("seg"),
+              col("ts_us").as("valid_from_us"), col("valid_to_us")))
+        merged
+          .select(col("user_id"), col("seg"), col("valid_from_us"),
+            col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+          .orderBy(col("user_id"), col("valid_from_us"), col("seg"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type AS seg,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        ch AS (
+          SELECT user_id, event_id, ts_us, seg FROM e
+          WHERE prev IS NULL OR prev <> seg)
+        SELECT user_id, seg, ts_us AS valid_from_us,
+               lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+               lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current
+        FROM ch
+        ORDER BY user_id, valid_from_us, seg""".trim)),
   )
 
   /** Stage the first 20 documents as raw doc_<id>.bin files (UTF-8 text

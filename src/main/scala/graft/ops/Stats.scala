@@ -242,6 +242,72 @@ object Stats {
                  AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS psi
         FROM b, t
         WHERE n1 > 0 AND n2 > 0""".trim)),
+
+    // Pearson correlation matrix (r9): pairwise r over the lineitem
+    // pricing columns (quantity, discount, tax) — the feature-redundancy
+    // screen a training pipeline runs before model fitting ("are these
+    // columns measuring the same thing?"). Built-in corr() is an
+    // order-dependent float fold, so it can never hash-match an oracle;
+    // instead each pair's five moments (Σx Σy Σxy Σx² Σy²) are EXACT
+    // decimal sums (2dp inputs ⇒ 4dp products, lossless in DECIMAL(18,4)
+    // up to ~10¹¹ — centuries of headroom over sf1), and r is one fixed
+    // IEEE tree over those exact moments, coarsened through DECIMAL(18,6)
+    // (Det.emit policy) to be ulp-proof. stack() unpivots the 3 pairs in
+    // ONE scan (row fanout 3×, absorbed by map-side partial agg); the
+    // shuffle carries 3 moment rows total. At 100 TB this is the shape
+    // that wins: one pass, |pairs| aggregate rows, no per-pair re-scan.
+    graft.Q("stats_corr_matrix",
+      (spark, sfDir) => {
+        import graft.Det._
+        val pairs = Tables.lineitem(spark, sfDir)
+          .select(money(col("l_quantity")).as("qm"),
+            money(col("l_discount")).as("dm"), money(col("l_tax")).as("tm"))
+          .selectExpr("""stack(3,
+              'disc_tax', dm, tm,
+              'qty_disc', qm, dm,
+              'qty_tax',  qm, tm) AS (pair, x, y)""")
+        val m = pairs.groupBy("pair").agg(
+          count(lit(1)).as("n"),
+          emit(sum(col("x")), 2).as("sx"), emit(sum(col("y")), 2).as("sy"),
+          emit(sum(col("x") * col("y")), 4).as("sxy"),
+          emit(sum(col("x") * col("x")), 4).as("sxx"),
+          emit(sum(col("y") * col("y")), 4).as("syy"))
+        val nd = col("n").cast("double")
+        val vx = nd * col("sxx") - col("sx") * col("sx")
+        val vy = nd * col("syy") - col("sy") * col("sy")
+        m.select(col("pair"), col("n"),
+            when(vx > 0 && vy > 0,
+              emit((nd * col("sxy") - col("sx") * col("sy")) / sqrt(vx * vy), 6))
+              .as("r"))
+          .orderBy("pair")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT ${graft.Det.sqlMoney("l_quantity")} AS qm,
+                 ${graft.Det.sqlMoney("l_discount")} AS dm,
+                 ${graft.Det.sqlMoney("l_tax")} AS tm
+          FROM lineitem),
+        p AS (
+          SELECT 'disc_tax' AS pair, dm AS x, tm AS y FROM b
+          UNION ALL SELECT 'qty_disc', qm, dm FROM b
+          UNION ALL SELECT 'qty_tax', qm, tm FROM b),
+        a AS (
+          SELECT pair, COUNT(*) AS n,
+                 ${graft.Det.sqlEmit("SUM(x)", 2)} AS sx,
+                 ${graft.Det.sqlEmit("SUM(y)", 2)} AS sy,
+                 ${graft.Det.sqlEmit("SUM(x * y)", 4)} AS sxy,
+                 ${graft.Det.sqlEmit("SUM(x * x)", 4)} AS sxx,
+                 ${graft.Det.sqlEmit("SUM(y * y)", 4)} AS syy
+          FROM p GROUP BY pair)
+        SELECT pair, n,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+            THEN ${graft.Det.sqlEmit(
+              """(CAST(n AS DOUBLE) * sxy - sx * sy) / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))""",
+              6)}
+          END AS r
+        FROM a
+        ORDER BY pair""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

@@ -127,7 +127,8 @@ class DetSpec extends SparkFixture {
       "sink_snapshot_diff", "stats_profile", "window_interpolate",
       "llm_curation_pipeline", "join_asof_tolerance", "agg_rank_corr",
       "source_binary", "stats_ks_test", "stats_chi_square", "agg_entropy",
-      "join_null_safe", "stats_psi", "window_drawdown", "source_jdbc")
+      "join_null_safe", "stats_psi", "window_drawdown", "source_jdbc",
+      "stats_corr_matrix", "sink_scd2")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq

@@ -677,4 +677,59 @@ class OperatorSpec extends SparkFixture {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == expected && got.nonEmpty)
   }
+
+  test("stats_corr_matrix equals a driver-side exact-moment recount") {
+    val rows = SparkEntry.queries("stats_corr_matrix")(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("disc_tax", "qty_disc", "qty_tax"))
+    val base = Tables.lineitem(spark, sf001)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax")).collect()
+      .map(r => (BigDecimal(r.getDouble(0)).setScale(2),
+        BigDecimal(r.getDouble(1)).setScale(2),
+        BigDecimal(r.getDouble(2)).setScale(2)))
+    def ref(xy: Array[(BigDecimal, BigDecimal)]): Double = {
+      val n = xy.length.toDouble
+      val sx = xy.map(_._1).sum.toDouble; val sy = xy.map(_._2).sum.toDouble
+      val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+      val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+      val syy = xy.map(p => p._2 * p._2).sum.toDouble
+      (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val exp = Map(
+      "disc_tax" -> ref(base.map(t => (t._2, t._3))),
+      "qty_disc" -> ref(base.map(t => (t._1, t._2))),
+      "qty_tax" -> ref(base.map(t => (t._1, t._3))))
+    rows.foreach { r =>
+      val got = r.getDouble(2)
+      assert(math.abs(got) <= 1.0)
+      assert(math.abs(got - exp(r.getString(0))) < 1e-6,
+        s"${r.getString(0)}: $got vs ${exp(r.getString(0))}")
+      assert(r.getLong(1) == base.length)
+    }
+  }
+
+  test("sink_scd2 incremental merge tiles each user's timeline and matches the change log") {
+    val out = SparkEntry.queries("sink_scd2")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    // driver-side full recompute from the raw change log
+    val evs = Tables.events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      val ch = ordered.foldLeft(Vector.empty[(Long, String)]) { (acc, e) =>
+        if (acc.isEmpty || acc.last._2 != e._4) acc :+ (e._2 -> e._4) else acc
+      }
+      ch.zipWithIndex.map { case ((from, seg), i) =>
+        val to = if (i + 1 < ch.length) Some(ch(i + 1)._1) else None
+        (u, seg, from, to, to.isEmpty)
+      }
+    }.toSet
+    assert(out.toSet == expected && out.nonEmpty)
+    // exactly one open (current) version per user
+    val opens = out.filter(_._5).groupBy(_._1).map(_._2.length).toSet
+    assert(opens == Set(1))
+  }
 }
