@@ -220,6 +220,19 @@ object ExplainDump {
     "window_drawdown" -> ("Max drawdown (r9): the running-peak window and the per-user " +
       "aggregate both cluster under hashpartitioning(user_id) — one exchange feeds " +
       "both; micro-scaled BIGINT values keep every op integer, no float policy at all."),
+    "source_jdbc" -> ("Partitioned JDBC ingest (r9): the scan is a JDBCRelation with " +
+      "numPartitions=4 — four stride predicates on o_orderkey open four parallel " +
+      "database cursors, and the projection pushes down so only the aggregate's two " +
+      "columns cross the wire; the rollup itself is a normal two-phase HashAggregate."),
+    "stats_corr_matrix" -> ("Pearson correlation matrix (r9): stack() unpivots the 3 " +
+      "column pairs inside the projection of ONE lineitem scan; the five exact-decimal " +
+      "moments partial-combine map-side, so the shuffle carries 3 moment rows — " +
+      "per-pair re-scans (the naive corr() loop) never appear."),
+    "sink_scd2" -> ("SCD2 incremental merge (r9): history windows, the dimension " +
+      "read-back, the batch lag/lead windows, and the first-change aggregate all key " +
+      "on user_id — equi joins and windows only (no nested loop, pinned); closed " +
+      "history rows pass through untouched, so the nightly merge cost tracks the " +
+      "BATCH size, not the dimension's accumulated history."),
   )
 
   def main(args: Array[String]): Unit = {

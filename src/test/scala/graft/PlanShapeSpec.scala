@@ -542,4 +542,30 @@ class PlanShapeSpec extends SparkFixture {
     assert(readSchema.contains("source") && readSchema.contains("quality"),
       s"unified schema must include evolved columns: $readSchema")
   }
+
+  test("source_jdbc plans a 4-partition JDBC scan with pruned columns") {
+    val p = plan("source_jdbc")
+    assert(p.contains("JDBCRelation") && p.contains("numPartitions=4"),
+      "expected a partitioned JDBCRelation scan:\n" + p.take(1200))
+    // only the aggregate's two columns survive to the database query;
+    // o_custkey must be pruned out of the pushed projection
+    val scanLine = p.linesIterator.find(_.contains("JDBCRelation")).getOrElse("")
+    assert(!scanLine.contains("o_custkey"), scanLine)
+  }
+
+  test("stats_corr_matrix runs all 3 pairs off ONE lineitem scan") {
+    val p = plan("stats_corr_matrix")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "stack() unpivot must not re-scan per pair:\n" + p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan must read only the 3 correlated columns: $readSchema")
+  }
+
+  test("sink_scd2 merge is all equi work — no nested loop, no cartesian") {
+    val p = plan("sink_scd2")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
 }
