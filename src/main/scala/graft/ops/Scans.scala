@@ -525,8 +525,10 @@ object Scans {
   private[graft] def stageJdbcOrders(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = stagedJdbc.synchronized {
     stagedJdbc.getOrElseUpdate(sfDir, {
-      val dir = "/tmp/graft_derby_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-      val url = s"jdbc:derby:$dir"
+      // in-memory Derby: no disk layout to boot or clean up, and the
+      // staging lifetime matches the memoization lifetime (one JVM)
+      val db = "graft_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val url = s"jdbc:derby:memory:$db"
       val rows = Tables.orders(spark, sfDir)
         .filter(expr("o_orderkey % 20 = 0"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
