@@ -326,6 +326,47 @@ object Joins {
           ON p.user_id = v.user_id AND p.ts >= v.ts
         ORDER BY p.event_id""".trim)),
 
+    // Forward as-of (r9): each view attributed to the user's EARLIEST
+    // purchase at-or-after it — the "what happened next" direction
+    // (conversion attribution: next fill after a quote, next purchase
+    // after a campaign touch). Same one-shuffle union-tag window as the
+    // backward as-of, with the frame reversed: probes sort BEFORE matches
+    // at equal t so the at-or-after boundary is inclusive, and
+    // first(ignoreNulls) over (currentRow, unboundedFollowing) picks the
+    // next purchase time. Oracle: a correlated MIN subquery
+    // (decorrelation-friendly in both engines) rather than ASOF, which
+    // DuckDB defines backward-only.
+    Q("join_asof_forward",
+      (spark, sfDir) => {
+        val purchases = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("k"), col("ts").as("t"),
+            col("ts").as("p_ts"), lit(null).cast("long").as("event_id"),
+            lit(1).as("tag"))
+        val views = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("k"), col("ts").as("t"),
+            lit(null).cast("timestamp").as("p_ts"), col("event_id"),
+            lit(0).as("tag"))
+        val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        purchases.unionByName(views)
+          .withColumn("next_purchase_ts",
+            first(col("p_ts"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 0)
+          .select(col("event_id"), col("k").as("user_id"),
+            col("next_purchase_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT v.event_id, v.user_id,
+          (SELECT MIN(p.ts) FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+             AND p.ts >= v.ts) AS next_purchase_ts
+        FROM events v
+        WHERE v.event_type = 'view'
+        ORDER BY v.event_id""".trim)),
+
     // Lateral join (r4): per-customer top-1 order via a correlated LATERAL
     // subquery — Catalyst DECORRELATES this into the same ranked-window
     // plan `window_topk_group` declares directly, which is exactly the

@@ -411,6 +411,51 @@ object Scans {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""".trim)),
 
+    // Malformed-record quarantine (r9): the ingest reality every pipeline
+    // hits — a CSV feed where some rows are broken. Spark's PERMISSIVE
+    // mode parses what it can, routes the raw line of each failed row
+    // into a corrupt-record column, and the query splits the feed into
+    // per-type good-row aggregates plus one quarantine count — no row is
+    // silently dropped, which is the property that matters (a FAILFAST
+    // load aborts the night's ingest; silent DROPMALFORMED corrupts
+    // counts). The fixture stages events with event_id < 2000 as CSV,
+    // corrupting value on every 50th id; the oracle recomputes both
+    // branches from the parquet fixture by the same deterministic rule.
+    // At scale the corrupt branch is written to a quarantine sink and
+    // replayed after the producer fix — same plan, different sink.
+    Q("source_csv_dirty",
+      (spark, sfDir) => {
+        val dir = Scans.stageDirtyCsv(spark, sfDir)
+        val schema = "event_id LONG, user_id LONG, event_type STRING, " +
+          "value DOUBLE, _corrupt STRING"
+        val raw = spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(dir)
+        // one aggregate covers both branches (Spark disallows plans whose
+        // referenced CSV columns are ONLY the corrupt column, so the
+        // quarantine label is derived alongside the real columns): good
+        // rows group under their event_type, quarantined rows under
+        // '_corrupt' with a NULL sum — no second scan, no cache
+        raw.select(
+            when(col("_corrupt").isNull, col("event_type"))
+              .otherwise(lit("_corrupt")).as("event_type"),
+            when(col("_corrupt").isNull, col("value")).as("value"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n,
+          ${Det.sqlSumVal6("value")} AS sum_val
+        FROM events WHERE event_id < 2000 AND event_id % 50 <> 0
+        GROUP BY event_type
+        UNION ALL
+        SELECT '_corrupt', COUNT(*), NULL
+        FROM events WHERE event_id < 2000 AND event_id % 50 = 0
+        ORDER BY event_type""".trim)),
+
     // SCD Type-2 incremental merge (r9): the warehouse dimension-history
     // pattern — each user's event_type stream becomes versioned rows
     // (user_id, seg, valid_from_us, valid_to_us, is_current), and the key
@@ -513,6 +558,38 @@ object Scans {
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
       dir
+    })
+  }
+
+  /** Stage events with event_id < 2000 as a CSV feed, corrupting the
+    * value field of every 50th id (the row survives structurally but the
+    * DOUBLE parse fails ⇒ PERMISSIVE mode quarantines it). Memoized per
+    * JVM; deterministic, so the oracle recomputes both branches from the
+    * parquet fixture. */
+  private val stagedDirtyCsv = scala.collection.mutable.Map.empty[String, String]
+  private[graft] def stageDirtyCsv(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = stagedDirtyCsv.synchronized {
+    stagedDirtyCsv.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_dirty")
+      val rows = Tables.events(spark, sfDir)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .collect() // staging only: ≤2000 rows, never the data path
+      val lines = rows.map { r =>
+        val v =
+          if (r.getLong(0) % 50 == 0) "CORRUPT" else r.getDouble(3).toString
+        s"${r.getLong(0)},${r.getLong(1)},${r.getString(2)},$v"
+      }
+      java.nio.file.Files.write(dir.resolve("feed.csv"),
+        java.util.Arrays.asList(lines: _*))
+      sys.addShutdownHook {
+        try {
+          java.nio.file.Files.deleteIfExists(dir.resolve("feed.csv"))
+          java.nio.file.Files.deleteIfExists(dir)
+        } catch { case _: Exception => () }
+      }
+      dir.toString
     })
   }
 

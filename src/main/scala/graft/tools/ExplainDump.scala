@@ -233,6 +233,14 @@ object ExplainDump {
       "on user_id — equi joins and windows only (no nested loop, pinned); closed " +
       "history rows pass through untouched, so the nightly merge cost tracks the " +
       "BATCH size, not the dimension's accumulated history."),
+    "join_asof_forward" -> ("Forward as-of (r9): join_asof's union-tag plan with the " +
+      "frame reversed — one exchange on the key, one window pass picking " +
+      "first(ignoreNulls) over (currentRow, unboundedFollowing); the attribution " +
+      "direction flips with zero new shuffles."),
+    "source_csv_dirty" -> ("Malformed-record quarantine (r9): one PERMISSIVE CSV scan; " +
+      "the corrupt-record column is derived alongside the data columns so good rows " +
+      "and the quarantine bucket come out of a single fused two-phase aggregate — " +
+      "no second scan, no cache, no dropped rows."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -128,7 +128,8 @@ class DetSpec extends SparkFixture {
       "llm_curation_pipeline", "join_asof_tolerance", "agg_rank_corr",
       "source_binary", "stats_ks_test", "stats_chi_square", "agg_entropy",
       "join_null_safe", "stats_psi", "window_drawdown", "source_jdbc",
-      "stats_corr_matrix", "sink_scd2")
+      "stats_corr_matrix", "sink_scd2", "join_asof_forward",
+      "source_csv_dirty")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq

@@ -732,4 +732,40 @@ class OperatorSpec extends SparkFixture {
     val opens = out.filter(_._5).groupBy(_._1).map(_._2.length).toSet
     assert(opens == Set(1))
   }
+
+  test("join_asof_forward matches each view to the user's earliest purchase at-or-after") {
+    val got = SparkEntry.queries("join_asof_forward")(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getTimestamp(2).getTime * 1000 +
+          r.getTimestamp(2).getNanos / 1000 % 1000))).toMap
+    val evs = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchasesByUser = evs.filter(_._4 == "purchase").groupBy(_._2)
+    val views = evs.filter(_._4 == "view")
+    assert(got.keySet == views.map(_._1).toSet)
+    views.foreach { case (id, u, us, _) =>
+      val expected = purchasesByUser.getOrElse(u, Array.empty)
+        .map(_._3).filter(_ >= us).sorted.headOption
+      assert(got(id) == expected, s"view $id")
+    }
+    // both branches bind: some views convert, some never do
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+
+  test("source_csv_dirty quarantines exactly the corrupted rows, losing none") {
+    val rows = SparkEntry.queries("source_csv_dirty")(spark, sf001).collect()
+    val byType = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Tables.events(spark, sf001).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (bad, good) = base.partition(_._1 % 50 == 0)
+    assert(byType("_corrupt") == bad.length)
+    good.groupBy(_._2).foreach { case (t, g) => assert(byType(t) == g.length) }
+    // conservation: every staged line lands in exactly one branch
+    assert(rows.map(_.getLong(1)).sum == base.length)
+    // the quarantine branch carries no aggregate value
+    assert(rows.find(_.getString(0) == "_corrupt").exists(_.isNullAt(2)))
+  }
 }
