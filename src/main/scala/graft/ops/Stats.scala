@@ -308,6 +308,48 @@ object Stats {
           END AS r
         FROM a
         ORDER BY pair""".trim)),
+
+    // Decile lift table (r9): per event_type, rank rows into value
+    // deciles (ntile(10) over a TOTAL order — value with event_id
+    // tiebreak, so the k-boundary is deterministic and both engines
+    // agree) and emit each decile's population and exact value mass —
+    // the calibration/lift table every scoring model ships with ("is the
+    // top decile actually carrying the value?"). The window partitions
+    // by event_type, so the exchange is the same hashpartitioning any
+    // per-segment analysis pays; output is |types|×10 rows. At 100 TB a
+    // GLOBAL decile assignment would instead reuse stats_ks_test's
+    // binned-ECDF pattern (bin counts → cumulative → boundary lookup) —
+    // the per-segment form here is the one that stays a partitioned
+    // window.
+    graft.Q("stats_decile_lift",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(spark, sfDir)
+          .select(col("event_type"), col("event_id"),
+            graft.Det.val6(col("value")).as("v6"),
+            ntile(10).over(w).as("decile"))
+          .groupBy(col("event_type"), col("decile"))
+          .agg(count(lit(1)).as("n"),
+            graft.Det.emit(sum(col("v6")), 6).as("sum_val"),
+            min(col("v6")).cast("double").as("min_val"),
+            max(col("v6")).cast("double").as("max_val"))
+          .orderBy(col("event_type"), col("decile"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v6,
+                 CAST(ntile(10) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS INT) AS decile
+          FROM events)
+        SELECT event_type, decile, COUNT(*) AS n,
+               CAST(CAST(SUM(v6) AS DECIMAL(18,6)) AS DOUBLE) AS sum_val,
+               CAST(MIN(v6) AS DOUBLE) AS min_val,
+               CAST(MAX(v6) AS DOUBLE) AS max_val
+        FROM d
+        GROUP BY event_type, decile
+        ORDER BY event_type, decile""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

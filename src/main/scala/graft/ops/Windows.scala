@@ -605,5 +605,64 @@ object Windows {
                MAX(v6) AS peak_u6
         FROM p GROUP BY user_id
         ORDER BY user_id""".trim)),
+
+    // Rolling correlation (r9): 21-row windowed Pearson r between
+    // quantity and discount per returnflag series — the co-movement
+    // monitor ("did these two metrics start tracking each other?") that
+    // pairs with window_zscore's level monitor. All six moments (n, Σx,
+    // Σy, Σxy, Σx², Σy²) share ONE frame spec, so they fuse into a
+    // SINGLE Window operator over a single hash exchange (the zscore
+    // recipe, doubled); sums are exact decimals (2dp inputs, 4dp
+    // products), r is a fixed IEEE tree over them, DECIMAL(18,6)-
+    // coarsened. (l_orderkey, l_linenumber) is the table's primary key,
+    // so both the frame order and the output order are total.
+    Q("window_rolling_corr",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          // (shipdate, orderkey, linenumber) ties in this fixture: the
+          // measure columns join the frame order so the 21-row boundary
+          // cuts identically in both engines (window_zscore's rule)
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_discount"))
+          .rowsBetween(-20, Window.currentRow)
+        val n = count(lit(1)).over(w).cast("double")
+        val sx = emit(sum(money(col("l_quantity"))).over(w), 2)
+        val sy = emit(sum(money(col("l_discount"))).over(w), 2)
+        val sxy = emit(sum(money(col("l_quantity")) * money(col("l_discount"))).over(w), 4)
+        val sxx = emit(sum(money(col("l_quantity")) * money(col("l_quantity"))).over(w), 4)
+        val syy = emit(sum(money(col("l_discount")) * money(col("l_discount"))).over(w), 4)
+        val vx = n * sxx - sx * sx
+        val vy = n * syy - sy * sy
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            when(n > 1 && vx > 0 && vy > 0,
+              emit((n * sxy - sx * sy) / sqrt(vx * vy), 6)).as("r"))
+          // (l_orderkey, l_linenumber) is NOT unique in this fixture
+          // (window_zscore's discovery): rows can tie across different
+          // shipdates, whose frames differ — so r joins the sort
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("r").asc_nulls_first)
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+            CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+            ${sqlEmit(s"SUM(${sqlMoney("l_quantity")}) OVER w", 2)} AS sx,
+            ${sqlEmit(s"SUM(${sqlMoney("l_discount")}) OVER w", 2)} AS sy,
+            ${sqlEmit(s"SUM(${sqlMoney("l_quantity")} * ${sqlMoney("l_discount")}) OVER w", 4)} AS sxy,
+            ${sqlEmit(s"SUM(${sqlMoney("l_quantity")} * ${sqlMoney("l_quantity")}) OVER w", 4)} AS sxx,
+            ${sqlEmit(s"SUM(${sqlMoney("l_discount")} * ${sqlMoney("l_discount")}) OVER w", 4)} AS syy
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_returnflag
+            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_discount
+            ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+          CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ${sqlEmit(
+              "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))",
+              6)}
+          END AS r
+        FROM m
+        ORDER BY l_returnflag, l_orderkey, l_linenumber, r NULLS FIRST""".trim)),
   )
 }

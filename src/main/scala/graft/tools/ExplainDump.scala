@@ -241,6 +241,14 @@ object ExplainDump {
       "the corrupt-record column is derived alongside the data columns so good rows " +
       "and the quarantine bucket come out of a single fused two-phase aggregate — " +
       "no second scan, no cache, no dropped rows."),
+    "window_rolling_corr" -> ("Rolling correlation (r9): all six moments share one " +
+      "frame spec and fuse into a SINGLE Window operator over one hash exchange — " +
+      "window_zscore's fusion story doubled; the r arithmetic is post-window " +
+      "projection, codegen'd."),
+    "stats_decile_lift" -> ("Decile lift table (r9): one partitioned ntile window " +
+      "(the same exchange any per-segment analysis pays) feeding a two-phase " +
+      "aggregate bounded by segments × 10 output rows; global deciles at scale go " +
+      "through the binned-ECDF pattern, never an unpartitioned window."),
   )
 
   def main(args: Array[String]): Unit = {

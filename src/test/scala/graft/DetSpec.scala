@@ -129,7 +129,7 @@ class DetSpec extends SparkFixture {
       "source_binary", "stats_ks_test", "stats_chi_square", "agg_entropy",
       "join_null_safe", "stats_psi", "window_drawdown", "source_jdbc",
       "stats_corr_matrix", "sink_scd2", "join_asof_forward",
-      "source_csv_dirty")
+      "source_csv_dirty", "window_rolling_corr", "stats_decile_lift")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq

@@ -768,4 +768,57 @@ class OperatorSpec extends SparkFixture {
     // the quarantine branch carries no aggregate value
     assert(rows.find(_.getString(0) == "_corrupt").exists(_.isNullAt(2)))
   }
+
+  test("window_rolling_corr matches a driver-side sliding-moment recount for one series") {
+    val flag = "R"
+    val got = SparkEntry.queries("window_rolling_corr")(spark, sf001)
+      .filter(col("l_returnflag") === flag).collect()
+      .map(r => if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
+    val series = Tables.lineitem(spark, sf001)
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getInt(2),
+        BigDecimal(r.getDouble(3)).setScale(2), BigDecimal(r.getDouble(4)).setScale(2)))
+      .sortBy(t => (t._1, t._2, t._3, t._4, t._5))
+    val exp = series.indices.map { i =>
+      val fr = series.slice(math.max(0, i - 20), i + 1)
+      val n = fr.length.toDouble
+      val sx = fr.map(_._4).sum.toDouble; val sy = fr.map(_._5).sum.toDouble
+      val sxy = fr.map(t => t._4 * t._5).sum.toDouble
+      val sxx = fr.map(t => t._4 * t._4).sum.toDouble
+      val syy = fr.map(t => t._5 * t._5).sum.toDouble
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      if (n > 1 && vx > 0 && vy > 0) (n * sxy - sx * sy) / math.sqrt(vx * vy)
+      else Double.NaN
+    }
+    // tied output keys make row-for-row pairing ambiguous; compare the
+    // sorted r multisets (NaN = null r sorts last)
+    def key(d: Double) = if (d.isNaN) Double.MaxValue else d
+    val g = got.sortBy(key); val e = exp.sortBy(key)
+    assert(g.length == e.length && g.length > 1000)
+    g.zip(e).foreach { case (a, b) =>
+      assert((a.isNaN && b.isNaN) || math.abs(a - b) < 1e-5, s"$a vs $b")
+    }
+  }
+
+  test("stats_decile_lift deciles partition each segment with ordered boundaries") {
+    val rows = SparkEntry.queries("stats_decile_lift")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val byType = rows.groupBy(_._1)
+    val totals = Tables.events(spark, sf001).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, ds) =>
+      assert(ds.map(_._2).sorted.toSeq == (1 to 10), s"$t deciles")
+      assert(ds.map(_._3).sum == totals(t), s"$t population")
+      // ntile sizes differ by at most 1
+      assert(ds.map(_._3).max - ds.map(_._3).min <= 1, s"$t sizes")
+      // value boundaries are monotone across deciles
+      val sorted = ds.sortBy(_._2)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._6 <= b._5 + 1e-9, s"$t boundary ${a._2}->${b._2}")
+      }
+    }
+  }
 }

@@ -568,4 +568,11 @@ class PlanShapeSpec extends SparkFixture {
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
+
+  test("window_rolling_corr fuses all six moments into a single Window operator") {
+    // n, Σx, Σy, Σxy, Σx², Σy² share one frame spec — same fusion pin as
+    // window_zscore, doubled: six moments, one frame walk, one exchange.
+    val p = plan("window_rolling_corr")
+    assert("(?s)Window".r.findAllIn(p).size == 1, p.take(1500))
+  }
 }
