@@ -771,6 +771,47 @@ object Aggregates {
         FROM t
         GROUP BY cohort
         ORDER BY cohort""".trim)),
+
+    // Exact interpolated percentiles (r9): per-returnflag quartiles + IQR
+    // over l_quantity. Spark's `percentile` is the EXACT linear-
+    // interpolation aggregate (sort-based, one pass per group) — the
+    // audit-path twin of the omit-listed agg_approx_quantile sketch.
+    // Inputs go through the 2dp decimal cast to exact doubles first, so
+    // both engines interpolate identical values at identical positions
+    // (p·(n−1) with binary-exact p = .25/.5/.75); interpolated quarters
+    // of 2dp values carry ≤4 decimals, so the 4dp round is never at a
+    // rounding boundary. At 100 TB the exact form stays viable per-group
+    // (sort within group), but the default monitoring path is the
+    // approx_percentile sketch; this key pins the exact semantics.
+    Q("agg_percentile_exact",
+      (spark, sfDir) => {
+        val q3 = expr("percentile(q, array(0.25D, 0.5D, 0.75D))")
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), emit(money(col("l_quantity")), 2).as("q"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), q3.as("p"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("p").getItem(0), 4).as("p25"),
+            round(col("p").getItem(1), 4).as("p50"),
+            round(col("p").getItem(2), 4).as("p75"),
+            round(col("p").getItem(2) - col("p").getItem(0), 4).as("iqr"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT l_returnflag, ${sqlEmit(sqlMoney("l_quantity"), 2)} AS q
+          FROM lineitem),
+        a AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 quantile_cont(q, 0.25) AS p25x,
+                 quantile_cont(q, 0.5) AS p50x,
+                 quantile_cont(q, 0.75) AS p75x
+          FROM b GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round(p25x, 4) AS p25, round(p50x, 4) AS p50,
+               round(p75x, 4) AS p75, round(p75x - p25x, 4) AS iqr
+        FROM a
+        ORDER BY l_returnflag""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

@@ -376,5 +376,60 @@ object Functions {
           event_id % NULLIF(user_id % 3, 0) AS mod_cycle
         FROM events
         ORDER BY event_id""".trim)),
+
+    // Binary codecs (r9): base64 / hex encode + a decode round-trip over
+    // document text — the wire-format layer every export/import path
+    // crosses (fn_hash covers digests; this covers reversible encodings).
+    // Spark's base64 is unchunked RFC 4648 (the legacy MIME 76-col
+    // chunking is opt-in via spark.sql.legacy.chunkBase64String.enabled),
+    // matching DuckDB's to_base64; both engines emit uppercase hex.
+    // Pure per-row projection: zero shuffle, whole-stage codegen.
+    Q("fn_codec",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            base64(col("text").cast("binary")).as("b64"),
+            hex(substring(col("text"), 1, 24).cast("binary")).as("head_hex"),
+            decode(unbase64(base64(col("text").cast("binary"))), "UTF-8")
+              .as("roundtrip"),
+            length(col("text").cast("binary")).as("n_bytes"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          to_base64(encode(text)) AS b64,
+          hex(encode(substring(text, 1, 24))) AS head_hex,
+          text AS roundtrip,
+          CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        FROM documents
+        WHERE doc_id < 200
+        ORDER BY doc_id""".trim)),
+
+    // All-match regex extraction (r9): fn_string pins single-match
+    // regexp_extract; this pins the ALL-matches family — match counts and
+    // the first five long-word matches per document, the shape tokenizers
+    // and PII scanners use. The character-class pattern means Java regex
+    // (Spark) and RE2 (DuckDB) agree by construction — the contract
+    // deliberately stays inside the common dialect. Zero shuffle.
+    Q("fn_regex",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(text, '[A-Za-z]{8,}', 0)"))
+              .as("n_long_words"),
+            concat_ws(",",
+              slice(expr("regexp_extract_all(text, '[A-Za-z]{8,}', 0)"), 1, 5))
+              .as("first5"),
+            size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_numbers"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]{8,}')) AS INT) AS n_long_words,
+          array_to_string(regexp_extract_all(text, '[A-Za-z]{8,}')[1:5], ',') AS first5,
+          CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
+        FROM documents
+        WHERE doc_id < 300
+        ORDER BY doc_id""".trim)),
   )
 }

@@ -37,6 +37,21 @@ object Joins {
          WHERE NOT EXISTS (SELECT 1 FROM risky r
                            WHERE r.k = o.o_custkey)) AS cnt_not_exists""".trim
 
+  /** Shared ANSI text for `subquery_scalar` (dialect-shared, like
+    * [[InNotInSql]]): one uncorrelated scalar aggregate injected into the
+    * outer filter. The scalar and the output sum both follow Det's exact
+    * decimal→double emit, so the two engines compare identical doubles. */
+  private val ScalarSubquerySql = """
+    SELECT o_orderpriority, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(12,2)) > (
+      SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             / COUNT(*)
+      FROM orders)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority""".trim
+
   /** As-of composition (SURVEY §7.5): for each row of `rights` (key `k`,
     * time `t`, id `event_id`), the latest `ord_date` from `lefts` (key `k`,
     * time `t`, payload `ord_date`) with left.t <= right.t — DuckDB
@@ -439,6 +454,22 @@ object Joins {
         spark.sql(InNotInSql)
       },
       Some(InNotInSql)),
+
+    // Uncorrelated scalar subquery (r9): orders above the GLOBAL average
+    // price, summarized per priority. Catalyst executes the subquery ONCE
+    // as its own tiny job and injects the scalar into the filter — the
+    // plan is two scans of orders, not a per-row re-evaluation, and the
+    // main scan's filter is a plain comparison against a literal-like
+    // scalar (so at 100 TB the cost is one extra aggregate over the
+    // price column, then a fully-pushed-down filtered scan). Both the
+    // scalar and the output sums use the exact decimal→double emit, so
+    // the shared SQL is engine-identical.
+    Q("subquery_scalar",
+      (spark, sfDir) => {
+        graft.Tables.registerAll(spark, sfDir)
+        spark.sql(ScalarSubquerySql)
+      },
+      Some(ScalarSubquerySql)),
 
     // Six-table analytic join (r4, TPC-H Q5 shape): local-supplier revenue
     // per nation for one region and a date range. The scale design: both

@@ -350,6 +350,138 @@ object Stats {
         FROM d
         GROUP BY event_type, decile
         ORDER BY event_type, decile""".trim)),
+
+    // Welch two-sample t-test (r9): for each event_type, test its value
+    // distribution against the complement (all other types) — the A/B
+    // readout every experimentation pipeline computes. Determinism policy
+    // is stats_corr_matrix's: values round to exact 2dp decimals, one
+    // grouped aggregate produces exact per-group moments (n, Σx, Σx²),
+    // the GLOBAL moments are the decimal sum of the group moments (one
+    // extra tiny agg, no second scan of the fact table), and complement
+    // moments are exact decimal subtraction global−group. Only then does
+    // arithmetic go to double, with the same IEEE expression tree as the
+    // oracle, so t and df match bit-for-bit before the stabilizing
+    // round. One scan + one 5-row broadcast join — at 100 TB the scan
+    // dominates and the moment algebra is free.
+    graft.Q("stats_ttest",
+      (spark, sfDir) => {
+        import graft.Det._
+        val g = Tables.events(spark, sfDir)
+          .select(col("event_type"), money(col("value")).as("x"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sxd"),
+            sum(col("x") * col("x")).as("sxxd"))
+        val tot = g.agg(sum(col("n")).as("tn"), sum(col("sxd")).as("tsx"),
+          sum(col("sxxd")).as("tsxx"))
+        val j = g.crossJoin(broadcast(tot)).select(
+          col("event_type"), col("n"),
+          (col("tn") - col("n")).as("n2"),
+          emit(col("sxd"), 2).as("sx1"), emit(col("sxxd"), 4).as("sxx1"),
+          emit(col("tsx") - col("sxd"), 2).as("sx2"),
+          emit(col("tsxx") - col("sxxd"), 4).as("sxx2"))
+        val (n1d, n2d) = (col("n").cast("double"), col("n2").cast("double"))
+        val m1 = col("sx1") / n1d
+        val m2 = col("sx2") / n2d
+        val v1 = (col("sxx1") - col("sx1") * col("sx1") / n1d) / (n1d - lit(1.0))
+        val v2 = (col("sxx2") - col("sx2") * col("sx2") / n2d) / (n2d - lit(1.0))
+        val se2 = v1 / n1d + v2 / n2d
+        val df = se2 * se2 /
+          ((v1 / n1d) * (v1 / n1d) / (n1d - lit(1.0)) +
+            (v2 / n2d) * (v2 / n2d) / (n2d - lit(1.0)))
+        j.select(col("event_type"), col("n"), col("n2"),
+            round(m1, 6).as("mean_grp"), round(m2, 6).as("mean_rest"),
+            round((m1 - m2) / sqrt(se2), 6).as("t_stat"),
+            round(df, 4).as("df"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(${graft.Det.sqlMoney("value")}) AS sxd,
+                 SUM(${graft.Det.sqlMoney("value")} * ${graft.Det.sqlMoney("value")}) AS sxxd
+          FROM events GROUP BY event_type),
+        t AS (
+          SELECT SUM(n) AS tn, SUM(sxd) AS tsx, SUM(sxxd) AS tsxx FROM g),
+        j AS (
+          SELECT event_type, n, CAST(t.tn - n AS BIGINT) AS n2,
+                 ${graft.Det.sqlEmit("sxd", 2)} AS sx1,
+                 ${graft.Det.sqlEmit("sxxd", 4)} AS sxx1,
+                 ${graft.Det.sqlEmit("t.tsx - sxd", 2)} AS sx2,
+                 ${graft.Det.sqlEmit("t.tsxx - sxxd", 4)} AS sxx2
+          FROM g CROSS JOIN t),
+        d AS (
+          SELECT event_type, n, n2,
+                 sx1 / CAST(n AS DOUBLE) AS m1,
+                 sx2 / CAST(n2 AS DOUBLE) AS m2,
+                 (sxx1 - sx1 * sx1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v1,
+                 (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+          FROM j)
+        SELECT event_type, n, n2,
+               round(m1, 6) AS mean_grp, round(m2, 6) AS mean_rest,
+               round((m1 - m2) / sqrt(v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 6) AS t_stat,
+               round((v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) * (v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) /
+                     ((v1 / CAST(n AS DOUBLE)) * (v1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) +
+                      (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)), 4) AS df
+        FROM d
+        ORDER BY event_type""".trim)),
+
+    // Per-group OLS (r9): regress l_discount on l_quantity within each
+    // returnflag — slope, intercept, and R² from the same exact-decimal
+    // moment pattern as stats_corr_matrix (2dp inputs → exact Σx Σy Σxy
+    // Σx² Σy² in one grouped aggregate; double arithmetic only on the
+    // emitted moments, mirrored verbatim in the oracle). Spark has
+    // regr_slope/regr_intercept built in, but their double partial
+    // aggregation is merge-order-dependent — the moment form is the one
+    // that stays deterministic across AQE re-plans and at any partition
+    // count, which is the property the whole oracle gate rests on.
+    graft.Q("stats_linreg",
+      (spark, sfDir) => {
+        import graft.Det._
+        val m = Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), money(col("l_quantity")).as("x"),
+            money(col("l_discount")).as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            emit(sum(col("x")), 2).as("sx"), emit(sum(col("y")), 2).as("sy"),
+            emit(sum(col("x") * col("y")), 4).as("sxy"),
+            emit(sum(col("x") * col("x")), 4).as("sxx"),
+            emit(sum(col("y") * col("y")), 4).as("syy"))
+        val nd = col("n").cast("double")
+        val cov = nd * col("sxy") - col("sx") * col("sy")
+        val vx = nd * col("sxx") - col("sx") * col("sx")
+        val vy = nd * col("syy") - col("sy") * col("sy")
+        val slope = cov / vx
+        m.select(col("l_returnflag"), col("n"),
+            when(vx > 0, round(slope, 6)).as("slope"),
+            when(vx > 0,
+              round((col("sy") - slope * col("sx")) / nd, 6)).as("intercept"),
+            when(vx > 0 && vy > 0, round(cov * cov / (vx * vy), 6)).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT l_returnflag, ${graft.Det.sqlMoney("l_quantity")} AS x,
+                 ${graft.Det.sqlMoney("l_discount")} AS y
+          FROM lineitem),
+        a AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 ${graft.Det.sqlEmit("SUM(x)", 2)} AS sx,
+                 ${graft.Det.sqlEmit("SUM(y)", 2)} AS sy,
+                 ${graft.Det.sqlEmit("SUM(x * y)", 4)} AS sxy,
+                 ${graft.Det.sqlEmit("SUM(x * x)", 4)} AS sxx,
+                 ${graft.Det.sqlEmit("SUM(y * y)", 4)} AS syy
+          FROM b GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+            THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+            THEN round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE), 6) END AS intercept,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+            THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                       ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS r2
+        FROM a
+        ORDER BY l_returnflag""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

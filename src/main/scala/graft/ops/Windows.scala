@@ -664,5 +664,45 @@ object Windows {
           END AS r
         FROM m
         ORDER BY l_returnflag, l_orderkey, l_linenumber, r NULLS FIRST""".trim)),
+
+    // Rolling exact median (r9): 11-row trailing median of quantity per
+    // returnflag series — the robust-location twin of window_ewma's mean
+    // smoother (outlier-immune, the form SLO/latency monitors use).
+    // Spark's exact `percentile` aggregate accepts a window frame, so
+    // this is ONE Window operator walking the same (shipdate, orderkey,
+    // linenumber, quantity) deterministic frame order as
+    // window_rolling_corr (the fixture ties on the first three). Inputs
+    // pass the 2dp decimal cast first; an 11-row median of 2dp values is
+    // either a sample value or a midpoint (≤3 decimals), so the 4dp
+    // round has no boundary case. One hash exchange on returnflag, one
+    // frame walk. At 100 TB the exact sliding median holds per-partition;
+    // an approx_percentile sketch replaces it only for cross-partition
+    // global medians.
+    Q("window_rolling_median",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("q"))
+          .rowsBetween(-10, Window.currentRow)
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), emit(money(col("l_quantity")), 2).as("q"))
+          .withColumn("med11", round(expr("percentile(q, 0.5D)").over(w), 4))
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("med11"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("med11"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate,
+                 ${sqlEmit(sqlMoney("l_quantity"), 2)} AS q
+          FROM lineitem)
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               round(median(q) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, q
+                 ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 4) AS med11
+        FROM b
+        ORDER BY l_returnflag, l_orderkey, l_linenumber, med11""".trim)),
   )
 }

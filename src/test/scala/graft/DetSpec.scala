@@ -147,4 +147,30 @@ class DetSpec extends SparkFixture {
       }
     }
   }
+
+  test("r9-continued keys are invariant under AQE-off and different shuffle partitioning") {
+    // Third r9 batch: the exact-moment statistics family (Welch t,
+    // per-group OLS, exact percentiles) and the scalar-subquery plan.
+    // These keys' whole determinism story is "moments are exact decimals,
+    // double arithmetic happens once on the driver-visible values" — so
+    // topology invariance IS the property under test.
+    val keys = Seq("stats_ttest", "stats_linreg", "agg_percentile_exact",
+      "subquery_scalar")
+    keys.foreach { k =>
+      def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      val beforeN = spark.conf.get("spark.sql.shuffle.partitions")
+      val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val base = run()
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert(run() == base, s"$k drifts with AQE disabled")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert(run() == base, s"$k drifts at 7 shuffle partitions, AQE off")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeN)
+        spark.conf.set("spark.sql.adaptive.enabled", beforeAqe)
+      }
+    }
+  }
 }

@@ -821,4 +821,96 @@ class OperatorSpec extends SparkFixture {
       }
     }
   }
+
+  test("stats_ttest matches a driver-side exact-moment Welch recount") {
+    val rows = SparkEntry.queries("stats_ttest")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val base = Tables.events(spark, sf001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    rows.keys.foreach { t =>
+      val a = base.filter(_._1 == t).map(_._2)
+      val b = base.filter(_._1 != t).map(_._2)
+      def mv(xs: Array[BigDecimal]): (Double, Double, Double) = {
+        val n = xs.length.toDouble
+        val sx = xs.sum.toDouble; val sxx = xs.map(x => x * x).sum.toDouble
+        (n, sx / n, (sxx - sx * sx / n) / (n - 1.0))
+      }
+      val (n1, m1, v1) = mv(a); val (n2, m2, v2) = mv(b)
+      val se2 = v1 / n1 + v2 / n2
+      val tExp = (m1 - m2) / math.sqrt(se2)
+      val r = rows(t)
+      assert(r.getLong(1) == a.length && r.getLong(2) == b.length, s"$t ns")
+      assert(math.abs(r.getDouble(5) - tExp) < 1e-5, s"$t t-stat")
+      assert(math.abs(r.getDouble(3) - m1) < 1e-5, s"$t mean")
+      // Welch df lies strictly between min(n)-1 and n1+n2-2
+      val df = r.getDouble(6)
+      assert(df > math.min(n1, n2) - 1 - 1e-6 && df < n1 + n2 - 2 + 1e-6, s"$t df")
+    }
+  }
+
+  test("stats_linreg matches a driver-side exact-moment OLS recount") {
+    val rows = SparkEntry.queries("stats_linreg")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val base = Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    rows.foreach { r =>
+      val g = base.filter(_._1 == r.getString(0))
+      val n = g.length.toDouble
+      val sx = g.map(_._2).sum.toDouble; val sy = g.map(_._3).sum.toDouble
+      val sxy = g.map(p => p._2 * p._3).sum.toDouble
+      val sxx = g.map(p => p._2 * p._2).sum.toDouble
+      val syy = g.map(p => p._3 * p._3).sum.toDouble
+      val cov = n * sxy - sx * sy; val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      assert(r.getLong(1) == g.length)
+      assert(math.abs(r.getDouble(2) - cov / vx) < 1e-5, "slope")
+      assert(math.abs(r.getDouble(3) - (sy - cov / vx * sx) / n) < 1e-5, "intercept")
+      assert(math.abs(r.getDouble(4) - cov * cov / (vx * vy)) < 1e-5, "r2")
+      assert(r.getDouble(4) >= -1e-9 && r.getDouble(4) <= 1 + 1e-9, "r2 range")
+    }
+  }
+
+  test("agg_percentile_exact quartiles match a driver-side sorted interpolation") {
+    val rows = SparkEntry.queries("agg_percentile_exact")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val base = Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    rows.foreach { r =>
+      val xs = base.filter(_._1 == r.getString(0)).map(_._2).sorted
+      def q(p: Double): Double = {
+        val pos = p * (xs.length - 1)
+        val lo = pos.toInt; val frac = pos - lo
+        if (lo + 1 < xs.length) xs(lo) + (xs(lo + 1) - xs(lo)) * frac else xs(lo)
+      }
+      assert(r.getLong(1) == xs.length)
+      assert(math.abs(r.getDouble(2) - q(0.25)) < 1e-6, "p25")
+      assert(math.abs(r.getDouble(3) - q(0.5)) < 1e-6, "p50")
+      assert(math.abs(r.getDouble(4) - q(0.75)) < 1e-6, "p75")
+      assert(math.abs(r.getDouble(5) - (r.getDouble(4) - r.getDouble(2))) < 1e-9, "iqr")
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4))
+    }
+  }
+
+  test("subquery_scalar keeps exactly the orders above the global mean price") {
+    val rows = SparkEntry.queries("subquery_scalar")(spark, sf001).collect()
+    val base = Tables.orders(spark, sf001)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val mean = base.map(_._2).sum.toDouble / base.length
+    val exp = base.filter(_._2.toDouble > mean).groupBy(_._1)
+    assert(rows.map(_.getLong(1)).sum == exp.values.map(_.length.toLong).sum)
+    rows.foreach { r =>
+      val g = exp(r.getString(0))
+      assert(r.getLong(1) == g.length, s"${r.getString(0)} count")
+      assert(math.abs(r.getDouble(2) - g.map(_._2).sum.toDouble) < 1e-6, "sum")
+    }
+  }
 }
