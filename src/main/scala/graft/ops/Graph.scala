@@ -259,5 +259,69 @@ object Graph {
           WHERE w.hops < 3)
         SELECT node, MIN(cost) AS cost
         FROM walk GROUP BY node ORDER BY node""".trim)),
+
+    // Degree profile (r9): per-node in/out degree (distinct counterparts)
+    // and weighted in/out strength over the same nation trade graph the
+    // iterative keys walk — the first diagnostic every graph pipeline
+    // computes (hub detection, dangling nodes, degree skew that decides
+    // the partitioning strategy for pagerank itself). The edge build is
+    // pagerank's: dimensions broadcast, ONE (src,dst) aggregation, and
+    // the per-node profile is two tiny aggregations of the 625-row edge
+    // relation full-outer-merged over the 25-nation spine — at 100 TB
+    // the edge agg dominates and the profile stays |V|-bound.
+    Q("graph_degree",
+      (spark, sfDir) => {
+        val li = Tables.lineitem(spark, sfDir)
+        val su = Tables.supplier(spark, sfDir)
+        val or = Tables.orders(spark, sfDir)
+        val cu = Tables.customer(spark, sfDir)
+        val na = Tables.nation(spark, sfDir)
+        val edges = li
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .join(or, li("l_orderkey") === or("o_orderkey"))
+          .join(broadcast(cu.select(col("c_custkey"), col("c_nationkey"))),
+            or("o_custkey") === col("c_custkey"))
+          .groupBy(su("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+        val outp = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("out_deg"), sum(col("cnt")).as("out_wt"))
+        val inp = edges.groupBy(col("dst").as("node"))
+          .agg(count(lit(1)).as("in_deg"), sum(col("cnt")).as("in_wt"))
+        na.select(col("n_nationkey").as("node"))
+          .join(outp, Seq("node"), "left")
+          .join(inp, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+            coalesce(col("out_wt"), lit(0L)).as("out_wt"),
+            coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+            coalesce(col("in_wt"), lit(0L)).as("in_wt"))
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                 COUNT(*) AS cnt
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        outp AS (
+          SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
+                 CAST(SUM(cnt) AS BIGINT) AS out_wt
+          FROM e GROUP BY src),
+        inp AS (
+          SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg,
+                 CAST(SUM(cnt) AS BIGINT) AS in_wt
+          FROM e GROUP BY dst)
+        SELECT n.n_nationkey AS node,
+               COALESCE(o.out_deg, 0) AS out_deg,
+               COALESCE(o.out_wt, 0) AS out_wt,
+               COALESCE(i.in_deg, 0) AS in_deg,
+               COALESCE(i.in_wt, 0) AS in_wt
+        FROM nation n
+        LEFT JOIN outp o ON o.node = n.n_nationkey
+        LEFT JOIN inp i ON i.node = n.n_nationkey
+        ORDER BY node""".trim)),
   )
 }

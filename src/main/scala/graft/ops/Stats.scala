@@ -482,6 +482,74 @@ object Stats {
                        ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS r2
         FROM a
         ORDER BY l_returnflag""".trim)),
+
+    // Mann–Whitney U (r9): the nonparametric twin of stats_ttest — click
+    // vs purchase values, rank-sum with textbook AVERAGE ranks for ties
+    // and the tie-corrected normal approximation. The whole computation
+    // is INTEGER-exact until the final z: group by distinct value (2dp
+    // decimal), a cumulative window over the ~|distinct| grouped rows
+    // gives each value's doubled average rank 2·cum+t+1 (doubling keeps
+    // the ½ fractions integral), so 2·R₁, 2·U₁, and Σ(t³−t) are exact
+    // int64 in any partitioning; z is one fixed IEEE tree over them.
+    // The global window runs over the ~30k GROUPED rows, not the sample
+    // — at 100 TB this becomes stats_ks_test's binned-ECDF shape (bin →
+    // cumulative → rank), same algebra, bounded cardinality.
+    graft.Q("stats_mann_whitney",
+      (spark, sfDir) => {
+        import graft.Det._
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(spark, sfDir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(money(col("value")).as("x"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
+        val byVal = ev.groupBy("x")
+          .agg(count(lit(1)).as("t"), sum(col("is_a")).as("t1"))
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val agg = byVal
+          .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+          .agg(sum(col("t1")).as("n1"), sum(col("t") - col("t1")).as("n2"),
+            sum(col("t1") * (lit(2L) * col("cum") + col("t") + lit(1L)))
+              .as("r1x2"),
+            sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        val (n1d, n2d) = (col("n1").cast("double"), col("n2").cast("double"))
+        val nd = n1d + n2d
+        val u1 = (col("r1x2") - col("n1") * (col("n1") + lit(1L)))
+          .cast("double") / lit(2.0)
+        val mu = n1d * n2d / lit(2.0)
+        val v = n1d * n2d / lit(12.0) *
+          ((nd + lit(1.0)) - col("tie3").cast("double") / (nd * (nd - lit(1.0))))
+        agg.select(col("n1"), col("n2"), u1.as("u1"),
+          round((u1 - mu) / sqrt(v), 6).as("z"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT CAST(value AS DECIMAL(12,2)) AS x,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        v AS (
+          SELECT x, COUNT(*) AS t, SUM(is_a) AS t1
+          FROM ev GROUP BY x),
+        c AS (
+          SELECT t, t1, COALESCE(SUM(t) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM v),
+        a AS (
+          SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+                 CAST(SUM(t - t1) AS BIGINT) AS n2,
+                 CAST(SUM(t1 * (2 * cum + t + 1)) AS BIGINT) AS r1x2,
+                 CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+          FROM c)
+        SELECT n1, n2,
+          CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+          round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+                  ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                   - CAST(tie3 AS DOUBLE) /
+                     ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+                      (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 6) AS z
+        FROM a""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored
