@@ -69,11 +69,13 @@ object Schemas {
     StructField("l_shipdate", TimestampType),
   ))
 
-  /** `ts` is physically INT64 TIMESTAMP(NANOS) in parquet. Spark has no
-    * native ns timestamp: with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by [[Tables.events]]) the column reads as raw ns LongType, which
-    * [[Tables.events]] converts to a µs TimestampType — exact here (every
-    * fixture value is µs-aligned) and identical to DuckDB's ns→µs cast.
+  /** Raw schema for fixture generations that stored `ts` as INT64
+    * TIMESTAMP(NANOS): Spark has no native ns timestamp, so with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` the column reads as raw
+    * ns LongType, which [[Tables.events]] converts to a µs TimestampType
+    * — exact (every fixture value is µs-aligned) and identical to
+    * DuckDB's ns→µs cast. Current fixtures store µs natively and read
+    * with [[events]] directly; [[Tables.eventsTsIsNanos]] picks per path.
     */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -111,7 +113,7 @@ object Schemas {
   val all: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> eventsRaw,
+    "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings,
   )
 }

@@ -21,15 +21,27 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = read(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
-  /** `ts` is parquet INT64 TIMESTAMP(NANOS): read raw ns (legacy config),
-    * convert to µs TimestampType — exact for the fixtures (µs-aligned) and
-    * identical to DuckDB's ns→µs cast of the same column. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Fixture generations have stored `ts` either as INT64 TIMESTAMP(NANOS)
+    * (early rounds) or as plain TIMESTAMP(MICROS) (current). Detected once
+    * per path from the parquet footer and cached; both land on the same
+    * µs TimestampType the rest of the engine sees. Detection must run with
+    * the legacy nanos flag set or the ns footer would throw on inference. */
+  private val tsIsNanos = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    tsIsNanos.computeIfAbsent(path, p =>
+      spark.read.parquet(p).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
   }
+
+  /** Events with `ts` as µs TimestampType regardless of the physical
+    * encoding (ns INT64 → exact div-1000 conversion; µs → native read). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    if (eventsTsIsNanos(spark, s"$sfDir/events.parquet")) {
+      spark.read.schema(Schemas.eventsRaw).parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else read(spark, sfDir, "events")
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 

@@ -380,16 +380,20 @@ object Functions {
     // Binary codecs (r9): base64 / hex encode + a decode round-trip over
     // document text — the wire-format layer every export/import path
     // crosses (fn_hash covers digests; this covers reversible encodings).
-    // Spark's base64 is unchunked RFC 4648 (the legacy MIME 76-col
-    // chunking is opt-in via spark.sql.legacy.chunkBase64String.enabled),
-    // matching DuckDB's to_base64; both engines emit uppercase hex.
-    // Pure per-row projection: zero shuffle, whole-stage codegen.
+    // This Spark build emits MIME-chunked base64 (76-col lines joined by
+    // CRLF, the spark.sql.legacy.chunkBase64String behavior) while DuckDB's
+    // to_base64 is unchunked RFC 4648 — r9's one hash-mismatch. The contract
+    // output is the canonical unchunked form, so strip CR/LF explicitly
+    // rather than depend on a session flag the driver's harness may not set.
+    // Both engines emit uppercase hex. Pure per-row projection: zero
+    // shuffle, whole-stage codegen.
     Q("fn_codec",
       (spark, sfDir) =>
         Tables.documents(spark, sfDir)
           .filter(col("doc_id") < 200)
           .select(col("doc_id"),
-            base64(col("text").cast("binary")).as("b64"),
+            translate(base64(col("text").cast("binary")), "\r\n", "")
+              .as("b64"),
             hex(substring(col("text"), 1, 24).cast("binary")).as("head_hex"),
             decode(unbase64(base64(col("text").cast("binary"))), "UTF-8")
               .as("roundtrip"),
@@ -418,8 +422,11 @@ object Functions {
           .select(col("doc_id"),
             size(expr("regexp_extract_all(text, '[A-Za-z]{8,}', 0)"))
               .as("n_long_words"),
-            concat_ws(",",
-              slice(expr("regexp_extract_all(text, '[A-Za-z]{8,}', 0)"), 1, 5))
+            // no-match → NULL (not ''): DuckDB's array_to_string over an
+            // empty slice is NULL, and matches are ≥8 chars so '' can
+            // only mean "no matches" — nullif makes the engines agree.
+            expr("""nullif(concat_ws(',',
+                slice(regexp_extract_all(text, '[A-Za-z]{8,}', 0), 1, 5)), '')""")
               .as("first5"),
             size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_numbers"))
           .orderBy(col("doc_id")),

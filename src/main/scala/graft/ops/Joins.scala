@@ -382,6 +382,74 @@ object Joins {
         WHERE v.event_type = 'view'
         ORDER BY v.event_id""".trim)),
 
+    // Nearest-asof (r10): each view pairs with its temporally CLOSEST
+    // purchase in either direction (pandas merge_asof direction='nearest'),
+    // tie → the earlier one. Completes the asof family (backward /
+    // forward / tolerance / nearest) on the same single-interleave plan:
+    // one union, one shuffle on user_id, two frames over one in-partition
+    // sort — prev via last(ignoreNulls) over the preceding frame (same-ts
+    // purchases sort before views, making prev inclusive: a 0-gap match
+    // always wins), next via first(ignoreNulls) over the following frame
+    // (strictly later by the same sort). Never a per-row probe; the
+    // oracle's correlated MIN/MAX subqueries are the semantic spec only.
+    Q("join_asof_nearest",
+      (spark, sfDir) => {
+        val purchases = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("k"), col("ts").as("t"),
+            col("ts").as("p_ts"), lit(null).cast("long").as("event_id"),
+            lit(0).as("srt"))
+        val views = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("k"), col("ts").as("t"),
+            lit(null).cast("timestamp").as("p_ts"), col("event_id"),
+            lit(1).as("srt"))
+        val ord = Window.partitionBy(col("k")).orderBy(col("t"), col("srt"))
+        val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val both = purchases.unionByName(views)
+          .withColumn("prev_ts", last(col("p_ts"), ignoreNulls = true).over(wPrev))
+          .withColumn("next_ts", first(col("p_ts"), ignoreNulls = true).over(wNext))
+          .filter(col("srt") === 1)
+        val takePrev = col("prev_ts").isNotNull && (col("next_ts").isNull ||
+          (unix_micros(col("t")) - unix_micros(col("prev_ts")) <=
+            unix_micros(col("next_ts")) - unix_micros(col("t"))))
+        val nearest = when(takePrev, col("prev_ts")).otherwise(col("next_ts"))
+        both.select(col("event_id"), col("k").as("user_id"),
+            nearest.as("nearest_purchase_ts"),
+            when(takePrev, lit("prev"))
+              .when(col("next_ts").isNotNull, lit("next")).as("dir"),
+            (unix_micros(nearest) - unix_micros(col("t"))).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        p AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        b AS (
+          SELECT v.event_id, v.user_id, v.ts,
+            (SELECT MAX(p.ts) FROM p
+             WHERE p.user_id = v.user_id AND p.ts <= v.ts) AS prev_ts,
+            (SELECT MIN(p.ts) FROM p
+             WHERE p.user_id = v.user_id AND p.ts > v.ts) AS next_ts
+          FROM v),
+        c AS (
+          SELECT event_id, user_id, ts,
+            prev_ts IS NOT NULL AND (next_ts IS NULL OR
+              epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts))
+              AS take_prev,
+            prev_ts, next_ts
+          FROM b)
+        SELECT event_id, user_id,
+          CASE WHEN take_prev THEN prev_ts ELSE next_ts END AS nearest_purchase_ts,
+          CASE WHEN take_prev THEN 'prev'
+               WHEN next_ts IS NOT NULL THEN 'next' END AS dir,
+          epoch_us(CASE WHEN take_prev THEN prev_ts ELSE next_ts END)
+            - epoch_us(ts) AS gap_us
+        FROM c
+        ORDER BY event_id""".trim)),
+
     // Lateral join (r4): per-customer top-1 order via a correlated LATERAL
     // subquery — Catalyst DECORRELATES this into the same ranked-window
     // plan `window_topk_group` declares directly, which is exactly the

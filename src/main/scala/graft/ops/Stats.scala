@@ -550,6 +550,161 @@ object Stats {
                      ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
                       (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 6) AS z
         FROM a""".trim)),
+
+    // One-way ANOVA (r10): does mean spend differ across the k=5 event
+    // types? The k-group generalization of stats_ttest, same single-scan
+    // moment algebra: per-group (n, Σx, Σx²) in exact decimal, then
+    // SSB = Σ_g sx_g²/n_g − (Σx)²/N and SSW = Σx² − Σ_g sx_g²/n_g.
+    // The one cross-group sum of inexact terms (sx_g²/n_g, a division)
+    // is quantized to DECIMAL(18,6) per group BEFORE summing, so the
+    // cross-group aggregation is exact and order-independent — the same
+    // argument Det.sumVal6 makes for row-level doubles, applied at the
+    // group level. One scan + a 5-row final agg: at 100 TB the scan is
+    // the whole cost and F-statistics over any grouping are free.
+    graft.Q("stats_anova",
+      (spark, sfDir) => {
+        import graft.Det._
+        val g = Tables.events(spark, sfDir)
+          .select(col("event_type"), money(col("value")).as("x"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sxd"),
+            sum(col("x") * col("x")).as("sxxd"))
+          .select(col("n"), col("sxd"), col("sxxd"),
+            (emit(col("sxd"), 2) * emit(col("sxd"), 2) /
+              col("n").cast("double")).cast(Val6).as("b6"))
+        val a = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+          sum(col("sxd")).as("tsx"), sum(col("sxxd")).as("tsxx"),
+          sum(col("b6")).as("sb"))
+        val (nd, kd) = (col("n_total").cast("double"), col("k").cast("double"))
+        val ssb = emit(col("sb"), 6) - emit(col("tsx"), 2) * emit(col("tsx"), 2) / nd
+        val ssw = emit(col("tsxx"), 4) - emit(col("sb"), 6)
+        a.select(col("k"), col("n_total"),
+          round(ssb, 4).as("ss_between"), round(ssw, 4).as("ss_within"),
+          round((ssb / (kd - lit(1.0))) / (ssw / (nd - kd)), 6).as("f_stat"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(${graft.Det.sqlMoney("value")}) AS sxd,
+                 SUM(${graft.Det.sqlMoney("value")} * ${graft.Det.sqlMoney("value")}) AS sxxd,
+                 CAST(${graft.Det.sqlEmit("SUM(CAST(value AS DECIMAL(12,2)))", 2)}
+                      * ${graft.Det.sqlEmit("SUM(CAST(value AS DECIMAL(12,2)))", 2)}
+                      / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS b6
+          FROM events GROUP BY event_type),
+        a AS (
+          SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+                 SUM(sxd) AS tsx, SUM(sxxd) AS tsxx, SUM(b6) AS sb
+          FROM g)
+        SELECT k, n_total,
+          round(${graft.Det.sqlEmit("sb", 6)}
+                - ${graft.Det.sqlEmit("tsx", 2)} * ${graft.Det.sqlEmit("tsx", 2)}
+                  / CAST(n_total AS DOUBLE), 4) AS ss_between,
+          round(${graft.Det.sqlEmit("tsxx", 4)} - ${graft.Det.sqlEmit("sb", 6)}, 4) AS ss_within,
+          round(((${graft.Det.sqlEmit("sb", 6)}
+                  - ${graft.Det.sqlEmit("tsx", 2)} * ${graft.Det.sqlEmit("tsx", 2)}
+                    / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                / ((${graft.Det.sqlEmit("tsxx", 4)} - ${graft.Det.sqlEmit("sb", 6)})
+                   / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+        FROM a""".trim)),
+
+    // Gini coefficient (r10): order-value inequality per order priority —
+    // the concentration metric revenue/treasury dashboards and
+    // training-data token-budget audits both use. Exact rank formula
+    // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ: row_number per
+    // group gives i, and Σ i·x stays in exact decimal (bigint × 2dp), so
+    // the only doubles are the two final divisions. Tied x values make
+    // rank assignment among ties arbitrary but Σ i·x invariant (equal x
+    // absorb any rank permutation), so the key is hash-deterministic.
+    // Scale: one shuffle on the group key + an in-partition sort —
+    // exactly a window aggregate's cost; no driver materialization.
+    graft.Q("stats_gini",
+      (spark, sfDir) => {
+        import graft.Det._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p")).orderBy(col("x"))
+        val b = Tables.orders(spark, sfDir)
+          .select(col("o_orderpriority").as("p"),
+            money(col("o_totalprice")).as("x"))
+          .withColumn("rn", row_number().over(w))
+        val g = b.groupBy(col("p"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("rn") * col("x")).as("srx"))
+        val nd = col("n").cast("double")
+        g.select(col("p"), col("n"), emit(col("sx"), 2).as("total"),
+            round(lit(2.0) * emit(col("srx"), 2) / (nd * emit(col("sx"), 2))
+              - (nd + lit(1.0)) / nd, 6).as("gini"))
+          .orderBy(col("p"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT o_orderpriority AS p, ${graft.Det.sqlMoney("o_totalprice")} AS x,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY ${graft.Det.sqlMoney("o_totalprice")}) AS rn
+          FROM orders),
+        g AS (
+          SELECT p, COUNT(*) AS n, SUM(x) AS sx, SUM(rn * x) AS srx
+          FROM b GROUP BY p)
+        SELECT p, n, ${graft.Det.sqlEmit("sx", 2)} AS total,
+          round(2.0 * ${graft.Det.sqlEmit("srx", 2)}
+                  / (CAST(n AS DOUBLE) * ${graft.Det.sqlEmit("sx", 2)})
+                - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+        FROM g
+        ORDER BY p""".trim)),
+
+    // Robust outlier detection via MAD (r10): per event type, flag values
+    // beyond 3σ-equivalent of the Median Absolute Deviation (3·1.4826 =
+    // 4.4478·MAD) — the outlier rule that, unlike z-scores, a few extreme
+    // rows can't drag. Inherently two-pass (MAD is a median OF deviations
+    // from a median): pass 1 computes per-group medians, pass 2 joins the
+    // 5-row median table back (broadcast — no second shuffle of the fact
+    // side) and aggregates deviations. Inputs quantize to 2dp doubles so
+    // x − med and the interpolated medians are bit-identical across
+    // engines; the count compares unrounded doubles both engines derive
+    // from the same exact inputs. Exact per-group median sorts within the
+    // group at 100 TB — the audit-path cost; the daily path swaps in
+    // approx_percentile (agg_approx_quantile's sketch) unchanged.
+    graft.Q("stats_outlier_mad",
+      (spark, sfDir) => {
+        import graft.Det._
+        val b = Tables.events(spark, sfDir)
+          .select(col("event_type"), emit(money(col("value")), 2).as("x"))
+        val med = b.groupBy("event_type").agg(median(col("x")).as("med"))
+        val withDev = b.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("x") - col("med")))
+        val madT = withDev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+            median(col("dev")).as("mad"))
+        withDev.join(broadcast(madT.select(col("event_type"),
+            col("mad").as("mad_j"))), "event_type")
+          .groupBy("event_type")
+          .agg(sum(when(col("dev") > lit(4.4478) * col("mad_j"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+          .join(madT, "event_type")
+          .select(col("event_type"), col("n"), round(col("med"), 4).as("med"),
+            round(col("mad"), 4).as("mad"), col("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH b AS (
+          SELECT event_type,
+                 CAST(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS DOUBLE) AS x
+          FROM events),
+        m AS (
+          SELECT event_type, median(x) AS med FROM b GROUP BY event_type),
+        d AS (
+          SELECT b.event_type, abs(b.x - m.med) AS dev, m.med
+          FROM b JOIN m USING (event_type)),
+        a AS (
+          SELECT event_type, COUNT(*) AS n, MIN(med) AS med,
+                 median(dev) AS mad
+          FROM d GROUP BY event_type)
+        SELECT d.event_type, a.n, round(a.med, 4) AS med,
+               round(a.mad, 4) AS mad,
+               CAST(SUM(CASE WHEN d.dev > 4.4478 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers
+        FROM d JOIN a USING (event_type)
+        GROUP BY d.event_type, a.n, a.med, a.mad
+        ORDER BY d.event_type""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

@@ -891,6 +891,63 @@ object TextOps {
         SELECT df.term, df, block0
         FROM df JOIN block0 ON df.term = block0.term
         ORDER BY df.term""".trim)),
+
+    // Bigram language-model training (r10): the statistical step past
+    // llm_vocab_topk's unigram counting — conditional next-token
+    // probabilities P(w2|w1) with add-½ smoothing over the corpus vocab,
+    // the model behind perplexity filters (llm_lm_score consumes exactly
+    // these tables) and classic n-gram decoders. Bigrams come from one
+    // adjacent-pair explode (transform over the token array — no
+    // self-join); counts are two hash aggregates; the unigram table joins
+    // the bigram table on w1 and the 1-row vocab size broadcasts. All
+    // counts are exact bigints; the single probability division is the
+    // only double, computed identically in both engines. Top-100 by
+    // count plans as TakeOrderedAndProject (no global sort). At 100 TB:
+    // explode → two map-side-combined aggs → one join keyed on w1 — the
+    // same shape as the TF-IDF/BM25 keys, nothing collects.
+    Q("llm_ngram_lm",
+      (spark, sfDir) => {
+        val toks = Tables.documents(spark, sfDir)
+          .select(filter(split(col("text"), " "),
+            t => t =!= "").as("toks"))
+        val bigrams = toks
+          .select(explode(expr(
+            """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+               (t, i) -> struct(t AS w1, toks[i + 1] AS w2))""")).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        val unigrams = toks
+          .select(explode(col("toks")).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val vocab = unigrams.agg(count(lit(1)).as("v"))
+        bigrams.join(unigrams, "w1").crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"), col("cnt"), col("c1"),
+            round((col("cnt").cast("double") + lit(0.5)) /
+              (col("c1").cast("double") + lit(0.5) * col("v").cast("double")), 6)
+              .as("p_smooth"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2"))
+          .limit(100)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+          FROM documents),
+        bg AS (
+          SELECT w1, w2, COUNT(*) AS cnt FROM (
+            SELECT unnest(l[1:len(l) - 1]) AS w1, unnest(l[2:len(l)]) AS w2
+            FROM toks)
+          GROUP BY 1, 2),
+        ug AS (
+          SELECT unnest(l) AS w1 FROM toks),
+        u AS (
+          SELECT w1, COUNT(*) AS c1 FROM ug GROUP BY w1),
+        v AS (SELECT COUNT(*) AS v FROM u)
+        SELECT w1, w2, cnt, c1,
+          round((CAST(cnt AS DOUBLE) + 0.5)
+                / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)), 6) AS p_smooth
+        FROM bg JOIN u USING (w1) CROSS JOIN v
+        ORDER BY cnt DESC, w1, w2
+        LIMIT 100""".trim)),
   )
 
   /** Integer-exact BM25 scores for the fixed query {hash, join, vector}

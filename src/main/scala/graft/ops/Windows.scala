@@ -704,5 +704,63 @@ object Windows {
                  ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 4) AS med11
         FROM b
         ORDER BY l_returnflag, l_orderkey, l_linenumber, med11""".trim)),
+
+    // OHLC resample (r10): collapse each user's event stream into 1-hour
+    // bars — open/high/low/close/volume, the canonical time-series
+    // downsample every monitoring and market pipeline runs. Open/close
+    // are first_value/last_value over a FULL frame ordered by
+    // (ts, event_id) — a total order, so bars are deterministic under
+    // ties; high/low/volume are plain min/max/sum in exact decimal. One
+    // shuffle on (user, hour): the window and the groupBy share the same
+    // partitioning, so Catalyst plans a single exchange, and hour buckets
+    // bound partition size at any scale (no per-user history blowup).
+    Q("window_ohlc",
+      (spark, sfDir) => {
+        val w = Window
+          .partitionBy(col("user_id"), col("hr"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("unix_micros(ts) div 3600000000").as("hr"),
+            money(col("value")).as("x"))
+          .select(col("user_id"), col("hr"), col("x"),
+            first(col("x")).over(w).as("open_x"),
+            last(col("x")).over(w).as("close_x"))
+          .groupBy(col("user_id"), col("hr"))
+          .agg(count(lit(1)).as("n_events"),
+            emit(min(col("open_x")), 2).as("open"),
+            emit(max(col("x")), 2).as("high"),
+            emit(min(col("x")), 2).as("low"),
+            emit(min(col("close_x")), 2).as("close"),
+            emit(sum(col("x")), 2).as("volume"))
+          .select(col("user_id"), (col("hr") * lit(3600000000L)).as("hr_start_us"),
+            col("n_events"), col("open"), col("high"), col("low"),
+            col("close"), col("volume"))
+          .orderBy(col("user_id"), col("hr_start_us"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts) // 3600000000 AS hr,
+                 ${sqlMoney("value")} AS x
+          FROM events),
+        f AS (
+          SELECT user_id, hr, x,
+                 first_value(x) OVER w AS open_x,
+                 last_value(x) OVER w AS close_x
+          FROM b
+          WINDOW w AS (PARTITION BY user_id, hr ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        SELECT user_id, hr * 3600000000 AS hr_start_us,
+               COUNT(*) AS n_events,
+               ${sqlEmit("MIN(open_x)", 2)} AS open,
+               ${sqlEmit("MAX(x)", 2)} AS high,
+               ${sqlEmit("MIN(x)", 2)} AS low,
+               ${sqlEmit("MIN(close_x)", 2)} AS close,
+               ${sqlEmit("SUM(x)", 2)} AS volume
+        FROM f
+        GROUP BY user_id, hr
+        ORDER BY user_id, hr_start_us""".trim)),
   )
 }

@@ -59,17 +59,28 @@ object Sources {
 
   /** File-replay of events parquet as an unbounded stream. `dir` must be a
     * directory (file-source requirement); `glob` restricts which files
-    * replay. `ts` follows the same ns→µs conversion as the batch reader
-    * ([[graft.Tables.events]]). */
+    * replay. `ts` handling mirrors the batch reader ([[graft.Tables
+    * .events]]): the physical encoding (ns INT64 vs native µs) is sniffed
+    * from the footer of one staged file, since the streaming source
+    * mandates a declared schema up front. */
   def replayEvents(spark: SparkSession, dir: String,
       glob: String = "*.parquet", maxFilesPerTrigger: Int = 1): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(Schemas.eventsRaw)
+    val sample = {
+      val re = ("^" + java.util.regex.Pattern.quote(glob)
+        .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$").r
+      val d = new java.io.File(dir)
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => re.findFirstIn(f.getName).isDefined && !f.getName.startsWith("_"))
+      if (fs.isEmpty) s"$dir" else fs.minBy(_.getName).getPath
+    }
+    val isNs = graft.Tables.eventsTsIsNanos(spark, sample)
+    val base = spark.readStream
+      .schema(if (isNs) Schemas.eventsRaw else Schemas.events)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (isNs) base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else base
   }
 
   /** Line-JSON events over a TCP socket — the literal "socket source". */
@@ -126,9 +137,15 @@ object Sources {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         import spark.implicits._
         val flushDir = dir.resolve("flush_tmp")
-        Seq((-1L, FlushTsNs, -1L, "view", 0.0, "{}"))
+        // sentinel `ts` must match the FIXTURE's physical encoding — the
+        // stream source reads the whole dir under one declared schema
+        val sentinel = Seq((-1L, FlushTsNs, -1L, "view", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(flushDir.toString)
+        val typed =
+          if (graft.Tables.eventsTsIsNanos(spark, s"$sfDir/events.parquet")) sentinel
+          else sentinel.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")))
+        typed.coalesce(1).write.mode("overwrite").parquet(flushDir.toString)
         val listing = java.nio.file.Files.list(flushDir)
         val part =
           try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head

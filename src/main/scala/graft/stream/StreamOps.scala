@@ -559,6 +559,63 @@ object StreamOps {
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         ORDER BY c.user_id, click_id, purchase_id""".trim)),
 
+    // Watermarked stream-stream LEFT OUTER join (r10), run as a REAL
+    // micro-batch stream (the stream_pattern precedent, not a batch
+    // twin): clicks left-join purchases within [c_ts, c_ts+1h] on
+    // user_id, both legs watermarked 10 min off one replayed source.
+    // The outer semantic is the hard part — an unmatched click may only
+    // emit its NULL row once the watermark proves no purchase can still
+    // arrive inside its hour, i.e. wm > c_ts + 1h + delay; the engine
+    // holds it in join state until then and the sentinel's far-future
+    // batch (plus the no-data finalization batch) flushes every survivor.
+    // State is bounded by (delay + 1h) × arrival rate per key — the
+    // standard interval-join state bound; at 100 TB the join shuffles
+    // both legs on user_id once and state eviction is watermark-driven,
+    // never a full-history scan. Oracle: the plain batch LEFT JOIN —
+    // matched rows AND null-extended rows must both match exactly
+    // (purchase_id sorts NULLS FIRST in both engines by construction).
+    Q("stream_outer_join",
+      (spark, sfDir) =>
+        Sources.withFlushedReplay(spark, sfDir) { evs =>
+          // The sentinel must pass BOTH branch filters: Catalyst pushes a
+          // deterministic filter below EventTimeWatermark, so a filter
+          // that drops the sentinel ('view', user -1) would pin each
+          // branch's watermark at its own event-type maximum and the
+          // final unmatched clicks would never evict (observed: exactly
+          // the last-hour null rows went missing). user_id < 0 admits
+          // the sentinel into both branches; it can't join (no user -1
+          // on the other side in its window) and the final user_id >= 0
+          // filter drops its own null row.
+          val clicks = evs.withWatermark("ts", "10 minutes")
+            .filter(col("event_type") === "click" || col("user_id") < 0)
+            .select(col("user_id").as("c_user"),
+              col("event_id").as("click_id"), col("ts").as("c_ts"))
+          val purchases = evs.withWatermark("ts", "10 minutes")
+            .filter(col("event_type") === "purchase" || col("user_id") < 0)
+            .select(col("user_id").as("p_user"),
+              col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+          val j = clicks.join(purchases,
+            col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+            .select(col("c_user").as("user_id"), col("click_id"),
+              col("purchase_id"),
+              (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+          runToTable(spark, j, OutputMode.Append())
+        }
+          .filter(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("click_id"),
+            col("purchase_id").asc_nulls_first),
+      Some("""
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY c.user_id, click_id, purchase_id NULLS FIRST""".trim)),
+
     // Streaming events ⋈ static customer dim, revenue by nation. The static
     // sides carry NO broadcast hint: nation is trivially broadcast by stats,
     // but customer is corpus-sized at scale — pinning it would OOM the

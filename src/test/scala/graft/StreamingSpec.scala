@@ -528,9 +528,15 @@ class StreamingSpec extends SparkFixture {
       val afterRun1 = emitted.size
       // the sentinel file appears; restart must pick it up from the offsets
       val flushTmp = srcDir.resolve("flush_tmp")
-      Seq((-1L, Sources.FlushTsNs, -1L, "view", 0.0, "{}"))
+      // sentinel ts encoding must match the fixture's (µs vs legacy ns) —
+      // the restarted source reads the dir under one declared schema
+      val raw = Seq((-1L, Sources.FlushTsNs, -1L, "view", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
+      val sentinel =
+        if (Tables.eventsTsIsNanos(spark, s"$sf001/events.parquet")) raw
+        else raw.withColumn("ts",
+          timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      sentinel.coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
       val listing = Files.list(flushTmp)
       val part =
         try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
