@@ -173,4 +173,31 @@ class DetSpec extends SparkFixture {
       }
     }
   }
+
+  test("r10 keys are invariant under AQE-off and different shuffle partitioning") {
+    // r10 batch: the k-group ANOVA (group-level decimal quantization is
+    // the order-independence mechanism under test), the rank-formula Gini
+    // (tie-invariance of Σi·x), the two-pass MAD (interpolated medians of
+    // 2dp doubles), the OHLC bars (full-frame first/last on a total
+    // order), the nearest-asof tie-break, and the bigram LM's exact
+    // counts + single division.
+    val keys = Seq("stats_anova", "stats_gini", "stats_outlier_mad",
+      "window_ohlc", "join_asof_nearest", "llm_ngram_lm")
+    keys.foreach { k =>
+      def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      val beforeN = spark.conf.get("spark.sql.shuffle.partitions")
+      val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val base = run()
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert(run() == base, s"$k drifts with AQE disabled")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert(run() == base, s"$k drifts at 7 shuffle partitions, AQE off")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeN)
+        spark.conf.set("spark.sql.adaptive.enabled", beforeAqe)
+      }
+    }
+  }
 }

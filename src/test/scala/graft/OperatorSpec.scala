@@ -913,4 +913,134 @@ class OperatorSpec extends SparkFixture {
       assert(math.abs(r.getDouble(2) - g.map(_._2).sum.toDouble) < 1e-6, "sum")
     }
   }
+
+  test("stats_anova matches a driver-side sum-of-squares recount") {
+    val row = SparkEntry.queries("stats_anova")(spark, sf001).head()
+    val base = Tables.events(spark, sf001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val groups = base.groupBy(_._1).values.map(_.map(_._2))
+    val n = base.length.toDouble; val k = groups.size.toDouble
+    val grand = base.map(_._2).sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(x => math.pow(x - m, 2)).sum }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(row.getLong(0) == k.toLong && row.getLong(1) == n.toLong)
+    assert(math.abs(row.getDouble(2) - ssb) < 1e-2 * math.max(1.0, ssb), "ss_between")
+    assert(math.abs(row.getDouble(3) - ssw) < 1e-4 * ssw, "ss_within")
+    assert(math.abs(row.getDouble(4) - f) < 1e-3 * math.max(1.0, f), "f_stat")
+  }
+
+  test("stats_gini matches a driver-side sorted rank-formula recount and stays in [0,1)") {
+    val rows = SparkEntry.queries("stats_gini")(spark, sf001).collect()
+    val base = Tables.orders(spark, sf001)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = base(r.getString(0)).map(_._2).sorted
+      val n = xs.length.toDouble
+      val srx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = 2.0 * srx / (n * xs.sum) - (n + 1.0) / n
+      assert(r.getLong(1) == xs.length, "n")
+      assert(math.abs(r.getDouble(3) - gini) < 1e-5, s"${r.getString(0)} gini")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, "bounds")
+    }
+  }
+
+  test("stats_outlier_mad flags exactly the rows beyond 4.4478 * MAD of the median") {
+    val rows = SparkEntry.queries("stats_outlier_mad")(spark, sf001).collect()
+    val base = Tables.events(spark, sf001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .groupBy(_._1)
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    rows.foreach { r =>
+      val xs = base(r.getString(0)).map(_._2)
+      val med = median(xs)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = median(devs)
+      val nOut = devs.count(_ > 4.4478 * mad)
+      assert(r.getLong(1) == xs.length, "n")
+      assert(math.abs(r.getDouble(2) - med) < 1e-4, "median")
+      assert(math.abs(r.getDouble(3) - mad) < 1e-4, "mad")
+      assert(r.getLong(4) == nOut, s"${r.getString(0)} outlier count")
+    }
+  }
+
+  test("join_asof_nearest picks the closer purchase, tie-broken to the earlier one") {
+    val rows = SparkEntry.queries("join_asof_nearest")(spark, sf001).collect()
+    val evs = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+    val purchases = evs.filter(_.getString(2) == "purchase")
+      .groupBy(_.getLong(1)).map { case (u, rs) => u -> rs.map(_.getLong(3)).sorted }
+    val views = evs.filter(_.getString(2) == "view")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(rows.length == views.length, "one output row per view")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    views.foreach { case (id, u, t) =>
+      val ps = purchases.getOrElse(u, Array.empty[Long])
+      val prev = ps.filter(_ <= t).lastOption
+      val next = ps.find(_ > t)
+      val expected = (prev, next) match {
+        case (Some(p), Some(nx)) => Some(if (t - p <= nx - t) p else nx)
+        case (p, nx) => p.orElse(nx)
+      }
+      val got = Option(byId(id).getAs[java.sql.Timestamp]("nearest_purchase_ts"))
+        .map(ts => ts.getTime / 1000 * 1000000 + ts.getNanos / 1000)
+      assert(got == expected, s"view $id user $u")
+    }
+  }
+
+  test("window_ohlc bars recount from the raw per-user event sequence") {
+    val rows = SparkEntry.queries("window_ohlc")(spark, sf001).collect()
+    val base = Tables.events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 3600000000L, (r.getLong(1), r.getLong(2)),
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .groupBy(t => (t._1, t._2))
+    assert(rows.length == base.size, "one bar per (user, hour)")
+    rows.foreach { r =>
+      val g = base((r.getLong(0), r.getLong(1) / 3600000000L)).sortBy(_._3)
+      assert(r.getLong(2) == g.length, "n_events")
+      assert(r.getDouble(3) == g.head._4, "open")
+      assert(r.getDouble(4) == g.map(_._4).max, "high")
+      assert(r.getDouble(5) == g.map(_._4).min, "low")
+      assert(r.getDouble(6) == g.last._4, "close")
+      assert(math.abs(r.getDouble(7) - g.map(_._4).sum) < 1e-6, "volume")
+    }
+  }
+
+  test("llm_ngram_lm counts and smoothed probabilities recount from raw bigrams") {
+    val rows = SparkEntry.queries("llm_ngram_lm")(spark, sf001).collect()
+    assert(rows.length == 100)
+    val docs = Tables.documents(spark, sf001).select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val bigrams = docs.flatMap(t => t.dropRight(1).zip(t.drop(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val unigrams = docs.flatten.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val v = unigrams.size.toDouble
+    // top-100 ordering is (cnt desc, w1, w2) — recount each reported row
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(bigrams(key) == r.getLong(2), s"$key cnt")
+      assert(unigrams(key._1) == r.getLong(3), s"$key c1")
+      val p = (r.getLong(2) + 0.5) / (r.getLong(3) + 0.5 * v)
+      assert(math.abs(r.getDouble(4) - p) < 1e-5, s"$key p_smooth")
+    }
+    // and the reported minimum count must dominate every unreported bigram
+    val minReported = rows.map(_.getLong(2)).min
+    val reported = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    bigrams.foreach { case (k, c) =>
+      if (!reported(k)) assert(c <= minReported, s"$k beats reported top-100")
+    }
+  }
 }

@@ -575,4 +575,49 @@ class PlanShapeSpec extends SparkFixture {
     val p = plan("window_rolling_corr")
     assert("(?s)Window".r.findAllIn(p).size == 1, p.take(1500))
   }
+
+  test("window_ohlc: window and groupBy share ONE (user, hour) exchange") {
+    // The bar aggregate must reuse the window's partitioning — a second
+    // hash exchange between Window and HashAggregate would double the
+    // shuffle cost of every downsample at scale.
+    val p = plan("window_ohlc")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert("Window ".r.findAllIn(p).size == 1, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final")
+  }
+
+  test("join_asof_nearest fuses both direction frames into one Window over one exchange") {
+    // prev (preceding frame) and next (following frame) share the
+    // (k; t, srt) sort order — Spark must plan ONE Window node and ONE
+    // hash exchange over the union, and both event-type filters must
+    // reach the parquet scans.
+    val p = plan("join_asof_nearest")
+    assert("Window ".r.findAllIn(p).size == 1, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("EqualTo(event_type,view)") &&
+      p.contains("EqualTo(event_type,purchase)"), "pushed filters")
+  }
+
+  test("llm_ngram_lm: top-100 plans as TakeOrderedAndProject with broadcast joins") {
+    val p = plan("llm_ngram_lm")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "w1 join must broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("stats_outlier_mad broadcasts the median tables — the fact side shuffles once") {
+    // Two BroadcastHashJoins (median, MAD) against the events scan; the
+    // only hash exchanges are the per-group aggregates, never a re-shuffle
+    // of the fact rows for the joins.
+    val p = plan("stats_outlier_mad")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("stats_gini: row_number window and the group aggregate share one exchange") {
+    val p = plan("stats_gini")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final")
+  }
 }
