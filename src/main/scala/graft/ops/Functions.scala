@@ -438,5 +438,35 @@ object Functions {
         FROM documents
         WHERE doc_id < 300
         ORDER BY doc_id""".trim)),
+
+    // printf-style formatting (r10): zero-padded ids, hex, and fixed
+    // 2dp money rendering — the report/export formatting layer. The
+    // %.2f contract is deliberately fed 2dp money values: their binary
+    // doubles are never an exact .xx5 halfway point, so Java's HALF_UP
+    // (Spark) and C's round-half-even (DuckDB printf) agree on every
+    // fixture value; arbitrary doubles would diverge on exact halves and
+    // are out of contract. Pure projection, zero shuffle, codegen.
+    Q("fn_format",
+      (spark, sfDir) =>
+        Tables.orders(spark, sfDir)
+          .filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"),
+            format_string("ORD-%09d", col("o_orderkey")).as("padded_id"),
+            format_string("%x", col("o_orderkey")).as("hex_id"),
+            format_string("%.2f", col("o_totalprice").cast(graft.Det.Money)
+              .cast("double")).as("price_2dp"),
+            format_string("%s/%s", col("o_orderstatus"),
+              col("o_orderpriority")).as("tag"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+          printf('ORD-%09d', o_orderkey) AS padded_id,
+          printf('%x', o_orderkey) AS hex_id,
+          printf('%.2f', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE))
+            AS price_2dp,
+          printf('%s/%s', o_orderstatus, o_orderpriority) AS tag
+        FROM orders
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey""".trim)),
   )
 }

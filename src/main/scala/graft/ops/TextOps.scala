@@ -948,6 +948,41 @@ object TextOps {
         FROM bg JOIN u USING (w1) CROSS JOIN v
         ORDER BY cnt DESC, w1, w2
         LIMIT 100""".trim)),
+
+    // Stratified exact-k sampling (r10): exactly min(k=20, |stratum|)
+    // documents per (lang, source) stratum, chosen by a SHARED
+    // deterministic pseudo-random order — Knuth's multiplicative hash of
+    // doc_id mod 2³², computed identically in both engines (no engine
+    // hash function leaks into the contract). Unlike llm_doc_sample's
+    // Bernoulli LCG (a RATE), this guarantees per-stratum COUNTS — the
+    // eval-set / ablation-subset builder where every stratum must be
+    // represented. One shuffle on the stratum key + row_number over the
+    // hash order; strata are bounded-cardinality so no skew. Rank, not
+    // the hash, is the output — reruns and engine upgrades reproduce the
+    // exact subset.
+    Q("llm_stratified_sample",
+      (spark, sfDir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source")).orderBy(col("h"), col("doc_id"))
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            expr("pmod(doc_id * 2654435761L, 4294967296L)").as("h"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            col("rk"))
+          .orderBy(col("lang"), col("source"), col("rk"))
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars, rk
+        FROM (
+          SELECT doc_id, lang, source, n_chars,
+            CAST(row_number() OVER (PARTITION BY lang, source
+              ORDER BY ((doc_id * 2654435761) % 4294967296 + 4294967296) % 4294967296,
+                       doc_id) AS INT) AS rk
+          FROM documents)
+        WHERE rk <= 20
+        ORDER BY lang, source, rk""".trim)),
   )
 
   /** Integer-exact BM25 scores for the fixed query {hash, join, vector}

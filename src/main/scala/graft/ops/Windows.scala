@@ -762,5 +762,62 @@ object Windows {
         FROM f
         GROUP BY user_id, hr
         ORDER BY user_id, hr_start_us""".trim)),
+
+    // CUSUM drift detection (r10): per user, the running sum of
+    // deviations from the GLOBAL mean, flagged when |cusum| exceeds
+    // 3σ·√25 — the sequential change-detector that complements stats_psi
+    // (distribution drift) with sample-path drift. Determinism: the
+    // global mean quantizes to DECIMAL(18,6) once (exact in both
+    // engines), per-row deviations and their running sum stay in exact
+    // decimal — so the window aggregation is order-independent and
+    // immune to DuckDB's segment-tree float reassociation; only the
+    // final emit and the σ threshold are doubles, computed from exact
+    // moments via one shared IEEE tree. One 1-row broadcast + one
+    // window shuffle on user_id.
+    Q("window_cusum",
+      (spark, sfDir) => {
+        val g = Tables.events(spark, sfDir)
+          .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sx"),
+            sum(money(col("value")) * money(col("value"))).as("sxx"))
+          .select(col("n"),
+            (emit(col("sx"), 2) / col("n").cast("double")).cast(Val6).as("mu6"),
+            ((emit(col("sxx"), 4) - emit(col("sx"), 2) * emit(col("sx"), 2) /
+              col("n").cast("double")) / col("n").cast("double")).as("var_pop"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(spark, sfDir)
+          .crossJoin(broadcast(g))
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            sum(money(col("value")).cast(Val6) - col("mu6")).over(w).as("cusum_d"),
+            sqrt(col("var_pop")).as("sigma"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            emit(col("cusum_d"), 6).as("cusum"),
+            (abs(emit(col("cusum_d"), 6)) > lit(15.0) * col("sigma")).as("drifted"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT COUNT(*) AS n,
+                 SUM(${sqlMoney("value")}) AS sx,
+                 SUM(${sqlMoney("value")} * ${sqlMoney("value")}) AS sxx
+          FROM events),
+        p AS (
+          SELECT CAST(${sqlEmit("sx", 2)} / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS mu6,
+                 (${sqlEmit("sxx", 4)} - ${sqlEmit("sx", 2)} * ${sqlEmit("sx", 2)}
+                    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_pop
+          FROM g),
+        c AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+            SUM(CAST(${sqlMoney("value")} AS DECIMAL(18,6)) - p.mu6) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_d,
+            sqrt(p.var_pop) AS sigma
+          FROM events CROSS JOIN p)
+        SELECT user_id, event_id, ts_us,
+          ${sqlEmit("cusum_d", 6)} AS cusum,
+          (abs(${sqlEmit("cusum_d", 6)}) > 15.0 * sigma) AS drifted
+        FROM c
+        ORDER BY user_id, ts_us, event_id""".trim)),
   )
 }

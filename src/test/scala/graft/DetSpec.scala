@@ -182,7 +182,8 @@ class DetSpec extends SparkFixture {
     // order), the nearest-asof tie-break, and the bigram LM's exact
     // counts + single division.
     val keys = Seq("stats_anova", "stats_gini", "stats_outlier_mad",
-      "window_ohlc", "join_asof_nearest", "llm_ngram_lm")
+      "window_ohlc", "join_asof_nearest", "llm_ngram_lm",
+      "llm_stratified_sample", "fn_format", "window_cusum")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq

@@ -1043,4 +1043,65 @@ class OperatorSpec extends SparkFixture {
       if (!reported(k)) assert(c <= minReported, s"$k beats reported top-100")
     }
   }
+
+  test("llm_stratified_sample keeps exactly min(20, n) docs per stratum, by the shared hash order") {
+    val rows = SparkEntry.queries("llm_stratified_sample")(spark, sf001).collect()
+    val strata = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getLong(0)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val got = rows.map(r => ((r.getString(1), r.getString(2)), r.getLong(0)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(got.keySet == strata.keySet, "every stratum represented")
+    strata.foreach { case (s, ids) =>
+      assert(got(s).size == math.min(20, ids.length), s"$s count")
+      // expected subset: first min(20, n) ids under (knuth-hash, id) order
+      val expect = ids.sortBy(id => (math.floorMod(id * 2654435761L, 4294967296L), id))
+        .take(20).toSet
+      assert(got(s) == expect, s"$s subset")
+    }
+  }
+
+  test("fn_format renders exactly like JVM format for every emitted row") {
+    val rows = SparkEntry.queries("fn_format")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val base = Tables.orders(spark, sf001)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val b = base(r.getLong(0))
+      assert(r.getString(1) == f"ORD-${b.getLong(0)}%09d", "padded_id")
+      assert(r.getString(2) == java.lang.Long.toHexString(b.getLong(0)), "hex_id")
+      val money = BigDecimal(b.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getString(3) == String.format("%.2f", Double.box(money.toDouble)), "price_2dp")
+      assert(r.getString(4) == s"${b.getString(2)}/${b.getString(3)}", "tag")
+    }
+  }
+
+  test("window_cusum recounts for one user and flags exactly the beyond-15-sigma prefix sums") {
+    val rows = SparkEntry.queries("window_cusum")(spark, sf001).collect()
+    val base = Tables.events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val n = base.length
+    val mu6 = (base.map(_._4).sum / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sx = base.map(_._4).sum.toDouble
+    val sxx = base.map(x => x._4 * x._4).sum.toDouble
+    val sigma = math.sqrt((sxx - sx * sx / n) / n)
+    val u = base.head._1
+    val seq = base.filter(_._1 == u).sortBy(t => (t._2, t._3))
+    var acc = BigDecimal(0)
+    val expect = seq.map { t => acc += t._4.setScale(6) - mu6; (t._3, acc.toDouble) }.toMap
+    val got = rows.filter(_.getLong(0) == u)
+    assert(got.length == seq.length)
+    got.foreach { r =>
+      val e = expect(r.getLong(1))
+      assert(math.abs(r.getDouble(3) - e) < 1e-6, s"cusum of event ${r.getLong(1)}")
+      assert(r.getBoolean(4) == (math.abs(e) > 15.0 * sigma), "drift flag")
+    }
+  }
 }
