@@ -575,8 +575,19 @@ object StreamOps {
     // matched rows AND null-extended rows must both match exactly
     // (purchase_id sorts NULLS FIRST in both engines by construction).
     Q("stream_outer_join",
-      (spark, sfDir) =>
-        Sources.withFlushedReplay(spark, sfDir) { evs =>
+      (spark, sfDir) => {
+        // Streaming state partitioning is FROZEN at first query start (the
+        // checkpoint binds it), so a real deployment sizes
+        // spark.sql.shuffle.partitions to the stream's key cardinality
+        // before launch — exactly what we do here: 4 state partitions for
+        // the two join stores (left+right) instead of inheriting the
+        // batch-oriented 32, which pays 8× the per-batch store overhead
+        // for zero parallelism benefit at this state size. Restored after
+        // the drain; batch keys are unaffected (results are
+        // partitioning-invariant — DetSpec asserts it).
+        val before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try Sources.withFlushedReplay(spark, sfDir) { evs =>
           // The sentinel must pass BOTH branch filters: Catalyst pushes a
           // deterministic filter below EventTimeWatermark, so a filter
           // that drops the sentinel ('view', user -1) would pin each
@@ -606,7 +617,9 @@ object StreamOps {
         }
           .filter(col("user_id") >= 0)
           .orderBy(col("user_id"), col("click_id"),
-            col("purchase_id").asc_nulls_first),
+            col("purchase_id").asc_nulls_first)
+        finally spark.conf.set("spark.sql.shuffle.partitions", before)
+      },
       Some("""
         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
