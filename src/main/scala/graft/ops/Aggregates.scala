@@ -812,6 +812,62 @@ object Aggregates {
                round(p75x, 4) AS p75, round(p75x - p25x, 4) AS iqr
         FROM a
         ORDER BY l_returnflag""".trim)),
+
+    // Largest-remainder apportionment (r10): split a global budget of
+    // B=100,000 sample slots across the (event_type, day) cells
+    // proportional to their row counts — the quota allocator behind
+    // sampling budgets, shard assignments, and seat apportionment.
+    // Hamilton's method in PURE INTEGER arithmetic: base = (B·n) div N,
+    // remainder = (B·n) mod N, the B − Σbase leftover slots go to the
+    // largest remainders (ties → cell key order). No doubles anywhere —
+    // the key is exact on any topology by construction. Scale: one
+    // grouped count (the only data-bound shuffle), a 1-row total
+    // broadcast, and a window over |cells| rows — allocation cost is
+    // output-bound, never data-bound.
+    Q("agg_apportion",
+      (spark, sfDir) => {
+        val cells = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_cells"))
+        val b = lit(100000L)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("event_type"), col("d"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("d"), col("n"), col("total"),
+            expr("(100000 * n) div total").as("base"),
+            expr("(100000 * n) % total").as("rem"))
+          .withColumn("leftover",
+            b - sum(col("base")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()))
+          .withColumn("rk", row_number().over(w))
+          .select(col("event_type"), col("d"), col("n"), col("base"),
+            (col("rk") <= col("leftover")).cast("int").as("extra"),
+            (col("base") + (col("rk") <= col("leftover")).cast("long"))
+              .as("alloc"))
+          .orderBy(col("event_type"), col("d"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT SUM(n) AS total FROM cells),
+        q AS (
+          SELECT event_type, d, n,
+                 CAST((100000 * n) // total AS BIGINT) AS base,
+                 (100000 * n) % total AS rem
+          FROM cells CROSS JOIN t),
+        r AS (
+          SELECT event_type, d, n, base, rem,
+                 SUM(base) OVER () AS base_sum,
+                 row_number() OVER (ORDER BY rem DESC, event_type, d) AS rk
+          FROM q)
+        SELECT event_type, d, n, base,
+               CAST(rk <= 100000 - base_sum AS INT) AS extra,
+               CAST(base + CAST(rk <= 100000 - base_sum AS INT) AS BIGINT) AS alloc
+        FROM r
+        ORDER BY event_type, d""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

@@ -249,6 +249,24 @@ object ExplainDump {
       "(the same exchange any per-segment analysis pays) feeding a two-phase " +
       "aggregate bounded by segments × 10 output rows; global deciles at scale go " +
       "through the binned-ECDF pattern, never an unpartitioned window."),
+    "window_ohlc" -> ("OHLC resample (r10): the full-frame first/last window and the " +
+      "bar aggregate share ONE (user, hour) exchange — Catalyst reuses the window's " +
+      "partitioning for the groupBy; hour buckets bound partition size at any scale."),
+    "join_asof_nearest" -> ("Nearest-asof (r10): both direction frames (prev via " +
+      "preceding last, next via following first) fuse into a SINGLE Window over one " +
+      "hash exchange of the tagged union; event-type filters pushed to both scans."),
+    "llm_ngram_lm" -> ("Bigram LM (r10): adjacent-pair explode (no self-join), two " +
+      "map-side-combined count aggregates, unigram side broadcast back on w1, 1-row " +
+      "vocab scalar broadcast; top-100 plans as TakeOrderedAndProject."),
+    "stats_outlier_mad" -> ("MAD outliers (r10): both nested-median passes join back " +
+      "as BROADCASTS — the fact side is scanned, never re-shuffled for a join; the " +
+      "only exchanges are the per-group aggregates."),
+    "window_cusum" -> ("CUSUM drift (r10): 1-row global-moment broadcast, then one " +
+      "window shuffle on user_id; the running sum stays in exact decimal so the " +
+      "plan is topology-independent bit-for-bit."),
+    "llm_stratified_sample" -> ("Stratified exact-k (r10): one shuffle on the " +
+      "stratum key, row_number over the shared Knuth-hash order, rank filter — " +
+      "no sort of the full table, no driver participation."),
   )
 
   def main(args: Array[String]): Unit = {

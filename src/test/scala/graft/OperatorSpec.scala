@@ -1104,4 +1104,29 @@ class OperatorSpec extends SparkFixture {
       assert(r.getBoolean(4) == (math.abs(e) > 15.0 * sigma), "drift flag")
     }
   }
+
+  test("agg_apportion allocates exactly the budget, ±1 slot of the exact quota per cell") {
+    val rows = SparkEntry.queries("agg_apportion")(spark, sf001).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(5)).sum == 100000L, "allocations must sum to the budget")
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      val base = 100000L * n / total
+      assert(r.getLong(3) == base, "integer base quota")
+      val alloc = r.getLong(5)
+      assert(alloc == base || alloc == base + 1, "Hamilton: base or base+1")
+      assert(r.getInt(4) == (alloc - base), "extra flag consistent")
+      // quota property: |alloc - exact share| < 1
+      val exact = 100000.0 * n / total
+      assert(math.abs(alloc - exact) < 1.0, "within one slot of the exact share")
+    }
+    // largest-remainder: every cell that got an extra slot has remainder
+    // >= every cell that did not (ties broken by key order)
+    val byExtra = rows.groupBy(_.getInt(4))
+    if (byExtra.contains(1) && byExtra.contains(0)) {
+      val minRemGot = byExtra(1).map(r => 100000L * r.getLong(2) % total).min
+      val maxRemNot = byExtra(0).map(r => 100000L * r.getLong(2) % total).max
+      assert(minRemGot >= maxRemNot, "extras must go to the largest remainders")
+    }
+  }
 }
