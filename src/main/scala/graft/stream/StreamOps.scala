@@ -56,6 +56,36 @@ object StreamOps {
     }
   }
 
+  /** The watermarked left-outer click⟕purchase join over any event stream
+    * — shared by the `stream_outer_join` key and the restart spec.
+    *
+    * The sentinel must pass BOTH branch filters: Catalyst pushes a
+    * deterministic filter below EventTimeWatermark, so a filter that
+    * drops the sentinel ('view', user -1) would pin each branch's
+    * watermark at its own event-type maximum and the final unmatched
+    * clicks would never evict (observed: exactly the last-hour null rows
+    * went missing). user_id < 0 admits the sentinel into both branches;
+    * it can't join (no user -1 on the other side in its window) and the
+    * caller's final user_id >= 0 filter drops its own null row. */
+  private[graft] def outerJoinStream(evs: DataFrame): DataFrame = {
+    val clicks = evs.withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "click" || col("user_id") < 0)
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = evs.withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "purchase" || col("user_id") < 0)
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   /** Run a streaming DF to completion (AvailableNow) into a memory sink,
     * return the sink contents as a batch DataFrame. */
   private[stream] def runToTable(spark: SparkSession, sdf: DataFrame,
@@ -588,32 +618,7 @@ object StreamOps {
         val before = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try Sources.withFlushedReplay(spark, sfDir) { evs =>
-          // The sentinel must pass BOTH branch filters: Catalyst pushes a
-          // deterministic filter below EventTimeWatermark, so a filter
-          // that drops the sentinel ('view', user -1) would pin each
-          // branch's watermark at its own event-type maximum and the
-          // final unmatched clicks would never evict (observed: exactly
-          // the last-hour null rows went missing). user_id < 0 admits
-          // the sentinel into both branches; it can't join (no user -1
-          // on the other side in its window) and the final user_id >= 0
-          // filter drops its own null row.
-          val clicks = evs.withWatermark("ts", "10 minutes")
-            .filter(col("event_type") === "click" || col("user_id") < 0)
-            .select(col("user_id").as("c_user"),
-              col("event_id").as("click_id"), col("ts").as("c_ts"))
-          val purchases = evs.withWatermark("ts", "10 minutes")
-            .filter(col("event_type") === "purchase" || col("user_id") < 0)
-            .select(col("user_id").as("p_user"),
-              col("event_id").as("purchase_id"), col("ts").as("p_ts"))
-          val j = clicks.join(purchases,
-            col("c_user") === col("p_user") &&
-              col("p_ts") >= col("c_ts") &&
-              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
-            "left_outer")
-            .select(col("c_user").as("user_id"), col("click_id"),
-              col("purchase_id"),
-              (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
-          runToTable(spark, j, OutputMode.Append())
+          runToTable(spark, outerJoinStream(evs), OutputMode.Append())
         }
           .filter(col("user_id") >= 0)
           .orderBy(col("user_id"), col("click_id"),

@@ -868,4 +868,79 @@ class StreamingSpec extends SparkFixture {
       case None => spark.conf.unset(providerKey)
     }
   }
+
+  test("left-outer JOIN state survives a checkpointed restart: union of runs equals the batch twin") {
+    // The join-store twin of the windowed-agg restart test above: run 1
+    // drains the fixture — matched rows emit, and left rows whose hour
+    // closed before the final watermark emit their null rows; the still
+    // in-flight tail stays in the LEFT/RIGHT join stores. Run 2 restarts
+    // on the SAME checkpoint with only the far-future sentinel file: the
+    // restored join state must flush every remaining unmatched click,
+    // nothing may emit twice, and the union across both runs must equal
+    // the batch LEFT JOIN exactly.
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_ojckpt_src")
+    val ckpt = Files.createTempDirectory("graft_ojckpt_ckpt").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    def run(): Unit = {
+      val q = StreamOps.outerJoinStream(
+          Sources.replayEvents(spark, srcDir.toString))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.toSeq)
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Files.copy(Paths.get(s"$sf001/events.parquet"), srcDir.resolve("a.parquet"))
+    run()
+    val afterRun1 = emitted.size
+    val flushTmp = srcDir.resolve("flush_tmp")
+    val raw = Seq((-1L, Sources.FlushTsNs, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinel =
+      if (Tables.eventsTsIsNanos(spark, s"$sf001/events.parquet")) raw
+      else raw.withColumn("ts",
+        timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
+    val listing = Files.list(flushTmp)
+    val part =
+      try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally listing.close()
+    Files.copy(Paths.get(part), srcDir.resolve("b.parquet"))
+    run()
+    val got = emitted.filter(_.head.asInstanceOf[Long] >= 0).toSet
+    val e = Tables.events(spark, sf001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val twin = clicks.join(purchases, Seq("user_id"), "inner")
+      .filter(col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .unionByName(
+        clicks.join(purchases.withColumnRenamed("user_id", "p_user"),
+            col("user_id") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+            "left_anti")
+          .select(col("user_id"), col("click_id"),
+            lit(null).cast("long").as("purchase_id"),
+            lit(null).cast("long").as("lag_us")))
+      .collect().map(_.toSeq).toSet
+    assert(afterRun1 > 0, "run 1 must emit matched rows incrementally")
+    assert(afterRun1 < twin.size,
+      "run 1 must leave unmatched-click state for the restart to recover")
+    assert(got.size == emitted.count(_.head.asInstanceOf[Long] >= 0),
+      "no duplicate emissions across the restart")
+    assert(got == twin,
+      s"only-streamed=${(got -- twin).take(3)} only-twin=${(twin -- got).take(3)}")
+  }
 }
