@@ -103,6 +103,36 @@ object Scans {
           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".trim)),
 
+    // Line-text source (r10): the last common ingest format — raw text
+    // files where each line is a record and parsing is the reader's
+    // problem (log shipping, WET/WARC-ish corpus drops). Documents export
+    // as "doc_id<TAB>lang<TAB>text" lines, then spark.read.text ingests
+    // value-per-line and a projection parses the three fields back. The
+    // oracle is the ROUND-TRIP contract: parse(write(documents)) must
+    // reproduce the table exactly — any quoting/escaping/splitting slip
+    // breaks the hash. (Fixture text contains no tabs or newlines; a
+    // production exporter would escape them — that belongs to the writer,
+    // not this reader.) Scale: text scan is splittable per line like any
+    // file source; the parse is zero-shuffle codegen'd projection.
+    Q("source_text",
+      (spark, sfDir) => {
+        val dir = "/tmp/graft_fmt_text_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        Tables.documents(spark, sfDir)
+          .select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
+            .as("value"))
+          .write.mode("overwrite").text(dir)
+        spark.read.text(dir)
+          .select(
+            split(col("value"), "\t", 3).getItem(0).cast("long").as("doc_id"),
+            split(col("value"), "\t", 3).getItem(1).as("lang"),
+            split(col("value"), "\t", 3).getItem(2).as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, text
+        FROM documents
+        ORDER BY doc_id""".trim)),
+
     // ORC source (r5): the remaining interchange round-trip (JSON/CSV
     // above) — columnar like parquet, so unlike the text formats this
     // path keeps types natively and supports predicate pushdown on read.

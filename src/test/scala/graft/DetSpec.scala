@@ -183,7 +183,8 @@ class DetSpec extends SparkFixture {
     // counts + single division.
     val keys = Seq("stats_anova", "stats_gini", "stats_outlier_mad",
       "window_ohlc", "join_asof_nearest", "llm_ngram_lm",
-      "llm_stratified_sample", "fn_format", "window_cusum", "agg_apportion")
+      "llm_stratified_sample", "fn_format", "window_cusum", "agg_apportion",
+      "source_text")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq
