@@ -829,12 +829,17 @@ object Aggregates {
         val cells = Tables.events(spark, sfDir)
           .groupBy(col("event_type"), to_date(col("ts")).as("d"))
           .agg(count(lit(1)).as("n"))
-        val tot = cells.agg(sum(col("n")).as("total"),
-          count(lit(1)).as("n_cells"))
         val b = lit(100000L)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("rem").desc, col("event_type"), col("d"))
-        cells.crossJoin(broadcast(tot))
+        // total via an unpartitioned window over the |cells| rows — NOT a
+        // separate aggregate + cross join, which would re-scan events
+        // (the |cells|-row window is output-bound; a second fact scan is
+        // not)
+        cells
+          .withColumn("total",
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()))
           .select(col("event_type"), col("d"), col("n"), col("total"),
             expr("(100000 * n) div total").as("base"),
             expr("(100000 * n) % total").as("rem"))

@@ -267,6 +267,12 @@ object ExplainDump {
     "llm_stratified_sample" -> ("Stratified exact-k (r10): one shuffle on the " +
       "stratum key, row_number over the shared Knuth-hash order, rank filter — " +
       "no sort of the full table, no driver participation."),
+    "agg_apportion" -> ("Largest-remainder apportionment (r10): the grouped count " +
+      "is the only data-bound exchange; the integer quota window runs over " +
+      "|cells| rows — allocation cost is output-bound at any scale."),
+    "source_text" -> ("Line-text round-trip (r10): splittable per-line text scan, " +
+      "zero-shuffle codegen'd parse projection; the presentation sort is the " +
+      "only exchange."),
   )
 
   def main(args: Array[String]): Unit = {

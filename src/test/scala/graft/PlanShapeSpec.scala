@@ -620,4 +620,23 @@ class PlanShapeSpec extends SparkFixture {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final")
   }
+
+  test("agg_apportion: the grouped count is the only data-bound exchange") {
+    // The allocation window runs over |cells| rows — everything after the
+    // two-phase count is output-bound, never a re-shuffle of event rows.
+    val p = plan("agg_apportion")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final count")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one events scan expected, got $scans")
+  }
+
+  test("window_cusum: one window exchange on user_id plus a broadcast of the 1-row moments") {
+    val p = plan("window_cusum")
+    assert("Window ".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "global moments must broadcast")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }
