@@ -983,6 +983,62 @@ object TextOps {
           FROM documents)
         WHERE rk <= 20
         ORDER BY lang, source, rk""".trim)),
+
+    // Vocabulary coverage / OOV rate (r10): how much of each document a
+    // top-100 word vocabulary covers — the tokenizer-evaluation metric
+    // that decides vocab size (llm_vocab_topk builds the vocabulary;
+    // this measures it). Per doc: token count, OOV count, OOV rate; the
+    // corpus rolls up per lang. The vocabulary (100 rows) broadcasts
+    // into a left-anti-style membership test (a LEFT JOIN + null check,
+    // so the join stays broadcast and no token row is lost); counts are
+    // exact bigints, the one rate division is the only double. At
+    // 100 TB: explode → broadcast membership probe → two-phase agg —
+    // zero data-bound joins beyond the token explode itself.
+    Q("llm_oov_rate",
+      (spark, sfDir) => {
+        val toks = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token")).limit(100)
+          .select(col("token").as("v_token"))
+        val perDoc = toks.join(broadcast(vocab),
+            col("token") === col("v_token"), "left")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("v_token").isNull, 1L).otherwise(0L)).as("n_oov"))
+        perDoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens"),
+            sum(col("n_oov")).as("oov"),
+            round(sum(col("n_oov")).cast("double") /
+              sum(col("n_tokens")).cast("double"), 6).as("oov_rate"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, lang, token FROM toks WHERE token <> ''),
+        vocab AS (
+          SELECT token FROM (
+            SELECT token, COUNT(*) AS cnt FROM tf GROUP BY token
+            ORDER BY cnt DESC, token LIMIT 100)),
+        per_doc AS (
+          SELECT tf.doc_id, tf.lang, COUNT(*) AS n_tokens,
+                 CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov
+          FROM tf LEFT JOIN vocab v ON tf.token = v.token
+          GROUP BY tf.doc_id, tf.lang)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+               CAST(SUM(n_oov) AS BIGINT) AS oov,
+               round(CAST(SUM(n_oov) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6)
+                 AS oov_rate
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang""".trim)),
   )
 
   /** Integer-exact BM25 scores for the fixed query {hash, join, vector}
