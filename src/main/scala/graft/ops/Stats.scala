@@ -705,6 +705,65 @@ object Stats {
         FROM d JOIN a USING (event_type)
         GROUP BY d.event_type, a.n, a.med, a.mad
         ORDER BY d.event_type""".trim)),
+
+    // Benford's-law conformance (r10): leading-digit distribution of
+    // order totals vs log10(1+1/d) — the classic fabricated-data /
+    // fat-finger detector for financial columns. The leading digit comes
+    // from the DECIMAL's STRING form (both engines render DECIMAL(12,2)
+    // canonically), never from log10 arithmetic — no libm in the digit
+    // path. Expected shares are nine hardcoded literals; the χ² statistic
+    // is Σ(obs−exp)²/exp over exact counts with one shared IEEE tree.
+    // One scan + a 9-row aggregate: free at any scale.
+    graft.Q("stats_benford",
+      (spark, sfDir) => {
+        import graft.Det._
+        val exp = Seq(0.301029995663981, 0.176091259055681, 0.124938736608300,
+          0.096910013008056, 0.079181246047625, 0.066946789630613,
+          0.057991946977687, 0.051152522447381, 0.045757490560675)
+        val expCol = expr(
+          "CASE d " + exp.zipWithIndex.init
+            .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}D" }.mkString(" ") +
+            s" ELSE ${exp.last}D END")
+        val digits = Tables.orders(spark, sfDir)
+          .select(substring(money(col("o_totalprice")).cast("string"), 1, 1)
+            .cast("int").as("d"))
+          .filter(col("d").between(1, 9))
+          .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        val tot = digits.withColumn("total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        tot.select(col("d"), col("n"),
+            round(col("n").cast("double") / col("total").cast("double"), 6)
+              .as("share"),
+            round(expCol, 6).as("benford"),
+            round(
+              (col("n").cast("double") - expCol * col("total").cast("double"))
+                * (col("n").cast("double") - expCol * col("total").cast("double"))
+                / (expCol * col("total").cast("double")), 4).as("chi2_term"))
+          .orderBy(col("d"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+                 AS INT) AS d
+          FROM orders),
+        c AS (
+          SELECT d, COUNT(*) AS n FROM b WHERE d BETWEEN 1 AND 9 GROUP BY d),
+        t AS (
+          SELECT d, n, SUM(n) OVER () AS total,
+            CASE d WHEN 1 THEN 0.301029995663981 WHEN 2 THEN 0.176091259055681
+                   WHEN 3 THEN 0.124938736608300 WHEN 4 THEN 0.096910013008056
+                   WHEN 5 THEN 0.079181246047625 WHEN 6 THEN 0.066946789630613
+                   WHEN 7 THEN 0.057991946977687 WHEN 8 THEN 0.051152522447381
+                   ELSE 0.045757490560675 END AS exp_p
+          FROM c)
+        SELECT d, n,
+          round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+          round(exp_p, 6) AS benford,
+          round((CAST(n AS DOUBLE) - exp_p * CAST(total AS DOUBLE))
+                * (CAST(n AS DOUBLE) - exp_p * CAST(total AS DOUBLE))
+                / (exp_p * CAST(total AS DOUBLE)), 4) AS chi2_term
+        FROM t
+        ORDER BY d""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored
