@@ -507,6 +507,59 @@ object Pipeline {
         FROM deduped
         GROUP BY 1
         ORDER BY shard""".trim)),
+
+    // Cross-source contamination matrix (r10): for every source pair,
+    // how many distinct 5-gram shingles they share — the corpus-level
+    // report that tells a curation run WHICH splits leak into which
+    // (llm_decontaminate then scrubs the flagged pair). Distinct
+    // (source, gram) pairs first, so the gram self-join fan-out is
+    // bounded by #sources per gram (≤ C(|sources|,2) pairs per gram),
+    // NEVER document-pair quadratic; per-source gram totals ride the
+    // same aggregate for an overlap coefficient against the smaller
+    // side. At 100 TB this is the dedup_ngram shape without candidate
+    // verification — one explode, one distinct, one bounded self-join.
+    Q("llm_contamination_matrix",
+      (spark, sfDir) => {
+        val grams = Tables.documents(spark, sfDir)
+          .select(col("source"), split(col("text"), " ").as("words"))
+          .select(col("source"), explode(expr(
+            s"CASE WHEN size(words) >= $GramN THEN transform(sequence(1, size(words) - ${GramN - 1})," +
+              s" i -> array_join(slice(words, i, $GramN), ' '))" +
+              " ELSE slice(words, 1, 0) END")).as("gram"))
+          .distinct()
+        val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+        val right = grams.select(col("source").as("s2"), col("gram"))
+        val shared = grams.join(right,
+            grams("gram") === right("gram") && grams("source") < col("s2"))
+          .groupBy(grams("source").as("s1"), col("s2"))
+          .agg(count(lit(1)).as("shared_grams"))
+        shared
+          .join(broadcast(totals.select(col("source").as("s1"),
+            col("n_grams").as("g1"))), "s1")
+          .join(broadcast(totals.select(col("source").as("s2"),
+            col("n_grams").as("g2"))), "s2")
+          .select(col("s1"), col("s2"), col("shared_grams"), col("g1"), col("g2"),
+            round(col("shared_grams").cast("double") /
+              least(col("g1"), col("g2")).cast("double"), 6).as("overlap_coef"))
+          .orderBy(col("s1"), col("s2"))
+      },
+      Some(s"""
+        WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+        g AS (SELECT DISTINCT source, unnest(
+          CASE WHEN len(words) >= $GramN THEN list_transform(generate_series(1, len(words) - ${GramN - 1}),
+            i -> array_to_string(words[i:i+${GramN - 1}], ' ')) ELSE words[1:0] END) AS gram FROM w),
+        t AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+        s AS (
+          SELECT a.source AS s1, b.source AS s2, COUNT(*) AS shared_grams
+          FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT s1, s2, shared_grams, t1.n_grams AS g1, t2.n_grams AS g2,
+          round(CAST(shared_grams AS DOUBLE)
+                / CAST(least(t1.n_grams, t2.n_grams) AS DOUBLE), 6) AS overlap_coef
+        FROM s
+        JOIN t t1 ON s.s1 = t1.source
+        JOIN t t2 ON s.s2 = t2.source
+        ORDER BY s1, s2""".trim)),
   )
 
   /** Train a deterministic IVF coarse quantizer and run top-k cosine search

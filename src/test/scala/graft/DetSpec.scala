@@ -184,7 +184,8 @@ class DetSpec extends SparkFixture {
     val keys = Seq("stats_anova", "stats_gini", "stats_outlier_mad",
       "window_ohlc", "join_asof_nearest", "llm_ngram_lm",
       "llm_stratified_sample", "fn_format", "window_cusum", "agg_apportion",
-      "source_text", "llm_oov_rate", "stats_benford")
+      "source_text", "llm_oov_rate", "stats_benford",
+      "llm_contamination_matrix")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq
