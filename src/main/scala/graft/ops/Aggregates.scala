@@ -873,6 +873,64 @@ object Aggregates {
                CAST(base + CAST(rk <= 100000 - base_sum AS INT) AS BIGINT) AS alloc
         FROM r
         ORDER BY event_type, d""".trim)),
+
+    // Activation time (r10): per user, the time from FIRST view to SECOND
+    // purchase — the "time to activation" product metric (the first
+    // purchase can be an accident; the second marks a habit). Purchases
+    // take a row_number over (ts, event_id) per user, then one grouped
+    // aggregate picks the rn=1/rn=2 timestamps conditionally — the
+    // window and the groupBy share the (user) partitioning, so the
+    // purchase leg costs ONE exchange (the ohlc fusion); the view leg is
+    // an independent min aggregate, merged by a full outer join on the
+    // same key. Users missing a view or a second purchase keep NULLs —
+    // churn analysis needs the denominators. Ties at equal ts break by
+    // event_id identically in both engines.
+    Q("agg_activation_time",
+      (spark, sfDir) => {
+        val e = Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            min(when(col("rn") === 1, col("us"))).as("first_purchase_us"),
+            min(when(col("rn") === 2, col("us"))).as("second_purchase_us"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("first_view_us"))
+        views.join(purchases, Seq("user_id"), "full_outer")
+          .select(col("user_id"), col("first_view_us"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+            col("first_purchase_us"), col("second_purchase_us"),
+            (col("second_purchase_us") - col("first_view_us"))
+              .as("activation_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        p AS (
+          SELECT user_id, COUNT(*) AS n_purchases,
+                 MIN(CASE WHEN rn = 1 THEN us END) AS first_purchase_us,
+                 MIN(CASE WHEN rn = 2 THEN us END) AS second_purchase_us
+          FROM (
+            SELECT user_id, us,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) AS rn
+            FROM e WHERE event_type = 'purchase')
+          GROUP BY user_id),
+        v AS (
+          SELECT user_id, MIN(us) AS first_view_us
+          FROM e WHERE event_type = 'view' GROUP BY user_id)
+        SELECT COALESCE(v.user_id, p.user_id) AS user_id, first_view_us,
+               CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+               first_purchase_us, second_purchase_us,
+               second_purchase_us - first_view_us AS activation_us
+        FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+        ORDER BY user_id""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */
