@@ -468,5 +468,41 @@ object Functions {
         FROM orders
         WHERE o_orderkey < 2000
         ORDER BY o_orderkey""".trim)),
+
+    // Datetime parse/format round-trip (r10): the ingestion half of the
+    // datetime surface (fn_date covers extraction/arithmetic). Format a
+    // µs-precision timestamp to text in two layouts and parse each back;
+    // the contract is the ROUND-TRIP — reparsed epoch must equal the
+    // original to the microsecond (full layout) / to the day (date-only
+    // layout). Each engine uses its native pattern dialect (Java
+    // SimpleDateTime-style vs strftime) — the pinned agreement is on
+    // RESULTS, not pattern syntax, which is exactly what a user porting
+    // parse logic needs guaranteed. Pure projection, zero shuffle.
+    Q("fn_date_parse",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .filter(col("event_id") < 2000)
+          .select(col("event_id"),
+            unix_micros(col("ts")).as("epoch_us"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("iso_full"),
+            unix_micros(to_timestamp(
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("reparsed_us"),
+            date_format(col("ts"), "dd/MM/yyyy").as("eu_date"),
+            to_date(date_format(col("ts"), "dd/MM/yyyy"), "dd/MM/yyyy")
+              .as("reparsed_date"))
+          .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+          epoch_us(ts) AS epoch_us,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS iso_full,
+          epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+                            '%Y-%m-%d %H:%M:%S.%f')) AS reparsed_us,
+          strftime(ts, '%d/%m/%Y') AS eu_date,
+          CAST(strptime(strftime(ts, '%d/%m/%Y'), '%d/%m/%Y') AS DATE)
+            AS reparsed_date
+        FROM events
+        WHERE event_id < 2000
+        ORDER BY event_id""".trim)),
   )
 }
