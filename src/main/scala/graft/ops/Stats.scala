@@ -764,6 +764,55 @@ object Stats {
                 / (exp_p * CAST(total AS DOUBLE)), 4) AS chi2_term
         FROM t
         ORDER BY d""".trim)),
+
+    // Wilson 95% interval on the daily purchase share (r10): purchases
+    // as a fraction of ALL events that day (a true nested proportion —
+    // x ≤ n by construction) with the score interval: the uncertainty
+    // band a conversion dashboard should draw instead of a bare ratio
+    // (Wilson stays sane at small n and p near 0/1, unlike the Wald
+    // ±z√(p(1−p)/n)). Counts are exact bigints from one grouped
+    // aggregate; z = 1.96 is a literal; the interval arithmetic is one
+    // IEEE tree written identically in both engines, stabilized at 6dp.
+    // One scan + one (day) aggregate — free at scale.
+    graft.Q("stats_wilson_ci",
+      (spark, sfDir) => {
+        val g = Tables.events(spark, sfDir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("event_type") === "purchase", lit(1))).as("n_purch"))
+        val n = col("n_events").cast("double")
+        val p = col("n_purch").cast("double") / n
+        val z2 = lit(3.8416) // 1.96²
+        val denom = lit(1.0) + z2 / n
+        val center = (p + z2 / (lit(2.0) * n)) / denom
+        val half = (lit(1.96) * sqrt(p * (lit(1.0) - p) / n +
+          z2 / (lit(4.0) * n * n))) / denom
+        g.select(col("d"), col("n_events"), col("n_purch"),
+            round(p, 6).as("rate"),
+            round(center - half, 6).as("wilson_lo"),
+            round(center + half, 6).as("wilson_hi"))
+          .orderBy(col("d"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+                 COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purch
+          FROM events GROUP BY 1),
+        c AS (
+          SELECT d, n_events, n_purch,
+                 CAST(n_events AS DOUBLE) AS n,
+                 CAST(n_purch AS DOUBLE) / CAST(n_events AS DOUBLE) AS p
+          FROM g)
+        SELECT d, n_events, n_purch,
+          round(p, 6) AS rate,
+          round((p + 3.8416 / (2.0 * n)) / (1.0 + 3.8416 / n)
+                - (1.96 * sqrt(p * (1.0 - p) / n + 3.8416 / (4.0 * n * n)))
+                  / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+          round((p + 3.8416 / (2.0 * n)) / (1.0 + 3.8416 / n)
+                + (1.96 * sqrt(p * (1.0 - p) / n + 3.8416 / (4.0 * n * n)))
+                  / (1.0 + 3.8416 / n), 6) AS wilson_hi
+        FROM c
+        ORDER BY d""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored
