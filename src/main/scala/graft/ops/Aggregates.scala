@@ -931,6 +931,54 @@ object Aggregates {
                second_purchase_us - first_view_us AS activation_us
         FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
         ORDER BY user_id""".trim)),
+
+    // Weekly cohort triangle (r10): users grouped by first-seen week,
+    // tracked by distinct-active count per week since — THE
+    // product-analytics retention artifact (agg_retention pins the
+    // day-over-day scalar; this pins the full cohort × offset matrix).
+    // Weeks are integer epoch-µs floor-divisions (no calendar-week
+    // dialect drift between engines); cohorts come from a min-aggregate
+    // broadcast back onto activity, and the matrix is one exact
+    // count-distinct per cell plus each cohort's size for the rate. At
+    // 100 TB: one shuffle for first-seen, one for the (cohort, offset)
+    // distinct — both keyed, both bounded by users and cells.
+    Q("agg_cohort_triangle",
+      (spark, sfDir) => {
+        val wk = expr("unix_micros(ts) div 604800000000").as("wk")
+        val acts = Tables.events(spark, sfDir)
+          .select(col("user_id"), wk)
+        val cohorts = acts.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        val sizes = cohorts.groupBy(col("cohort_wk"))
+          .agg(countDistinct(col("user_id")).as("cohort_n"))
+        acts.join(cohorts, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+          .agg(countDistinct(col("user_id")).as("active_n"))
+          .join(broadcast(sizes), "cohort_wk")
+          .select(col("cohort_wk"), col("wk_offset"), col("active_n"),
+            col("cohort_n"),
+            round(col("active_n").cast("double") /
+              col("cohort_n").cast("double"), 6).as("retention"))
+          .orderBy(col("cohort_wk"), col("wk_offset"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        c AS (
+          SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY user_id),
+        s AS (
+          SELECT cohort_wk, COUNT(DISTINCT user_id) AS cohort_n
+          FROM c GROUP BY cohort_wk),
+        m AS (
+          SELECT c.cohort_wk, a.wk - c.cohort_wk AS wk_offset,
+                 COUNT(DISTINCT a.user_id) AS active_n
+          FROM a JOIN c USING (user_id)
+          GROUP BY 1, 2)
+        SELECT cohort_wk, wk_offset, active_n, cohort_n,
+               round(CAST(active_n AS DOUBLE) / CAST(cohort_n AS DOUBLE), 6)
+                 AS retention
+        FROM m JOIN s USING (cohort_wk)
+        ORDER BY cohort_wk, wk_offset""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */
