@@ -979,6 +979,46 @@ object Aggregates {
                  AS retention
         FROM m JOIN s USING (cohort_wk)
         ORDER BY cohort_wk, wk_offset""".trim)),
+
+    // Hash-aggregate argmin/argmax (r10): the per-group top-1 WITHOUT a
+    // window — max_by/arg_max fold to a single two-phase hash aggregate
+    // (no per-group sort, no row_number shuffle-then-filter), the plan
+    // you want when top-1 is the only rank needed at 100 TB. Both
+    // engines' arg functions are tie-UNDETERMINED, so the order key is
+    // an ENCODED composite bigint — cents × 10¹⁰ ± custkey — making the
+    // winner unique by construction (max → richest then lowest key;
+    // min → poorest then lowest key). All-integer encoding: exact,
+    // topology-independent, identical in both engines.
+    Q("agg_argmin",
+      (spark, sfDir) => {
+        val cents = money(col("c_acctbal")).cast("decimal(18,2)")
+          .*(lit(100)).cast("long")
+        val ordMax = cents * lit(10000000000L) - col("c_custkey")
+        val ordMin = cents * lit(10000000000L) + col("c_custkey")
+        Tables.customer(spark, sfDir)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            max_by(col("c_name"), ordMax).as("richest"),
+            emit(max(money(col("c_acctbal"))), 2).as("max_bal"),
+            min_by(col("c_name"), ordMin).as("poorest"),
+            emit(min(money(col("c_acctbal"))), 2).as("min_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT c_mktsegment, c_name, c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+                 CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,2))
+                      * 100 AS BIGINT) AS cents
+          FROM customer)
+        SELECT c_mktsegment, COUNT(*) AS n,
+               arg_max(c_name, cents * 10000000000 - c_custkey) AS richest,
+               CAST(CAST(MAX(bal) AS DECIMAL(18,2)) AS DOUBLE) AS max_bal,
+               arg_min(c_name, cents * 10000000000 + c_custkey) AS poorest,
+               CAST(CAST(MIN(bal) AS DECIMAL(18,2)) AS DOUBLE) AS min_bal
+        FROM b
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */
