@@ -819,5 +819,45 @@ object Windows {
           (abs(${sqlEmit("cusum_d", 6)}) > 15.0 * sigma) AS drifted
         FROM c
         ORDER BY user_id, ts_us, event_id""".trim)),
+
+    // Week-over-week growth (r10): revenue per epoch-week with the lag
+    // ratio — the KPI-report staple, pinned for its PLAN SHAPE: the lag
+    // window runs over the AGGREGATED series (a dozen rows), not the
+    // fact table, so the unpartitioned window is output-bound and safe
+    // at any scale (the same argument as stats_ks_test's bin window).
+    // Weeks are integer epoch-µs floor-divisions (no calendar dialect);
+    // revenue is the exact decimal sum; the growth ratio is the only
+    // double, NULL for the first week (no prior) and whenever the prior
+    // week's revenue is zero — never a division blowup.
+    Q("window_wow_growth",
+      (spark, sfDir) => {
+        val w = Window.orderBy(col("wk"))
+        Tables.orders(spark, sfDir)
+          .groupBy(expr("unix_micros(o_orderdate) div 604800000000").as("wk"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(money(col("o_totalprice"))).as("revd"))
+          .select(col("wk"), col("n_orders"), emit(col("revd"), 2).as("revenue"),
+            lag(emit(col("revd"), 2), 1).over(w).as("prev_revenue"))
+          .select(col("wk"), col("n_orders"), col("revenue"), col("prev_revenue"),
+            round(when(col("prev_revenue") > lit(0.0),
+              (col("revenue") - col("prev_revenue")) / col("prev_revenue") * lit(100.0)),
+              4).as("wow_pct"))
+          .orderBy(col("wk"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT epoch_us(o_orderdate) // 604800000000 AS wk,
+                 COUNT(*) AS n_orders,
+                 SUM(${sqlMoney("o_totalprice")}) AS revd
+          FROM orders GROUP BY 1),
+        l AS (
+          SELECT wk, n_orders, ${sqlEmit("revd", 2)} AS revenue,
+                 lag(${sqlEmit("revd", 2)}, 1) OVER (ORDER BY wk) AS prev_revenue
+          FROM g)
+        SELECT wk, n_orders, revenue, prev_revenue,
+          round(CASE WHEN prev_revenue > 0.0
+            THEN (revenue - prev_revenue) / prev_revenue * 100.0 END, 4) AS wow_pct
+        FROM l
+        ORDER BY wk""".trim)),
   )
 }

@@ -186,7 +186,8 @@ class DetSpec extends SparkFixture {
       "llm_stratified_sample", "fn_format", "window_cusum", "agg_apportion",
       "source_text", "llm_oov_rate", "stats_benford",
       "llm_contamination_matrix", "agg_activation_time", "fn_date_parse",
-      "stats_wilson_ci", "agg_cohort_triangle", "agg_argmin")
+      "stats_wilson_ci", "agg_cohort_triangle", "agg_argmin",
+      "window_wow_growth")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq
