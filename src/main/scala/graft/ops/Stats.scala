@@ -813,6 +813,72 @@ object Stats {
                   / (1.0 + 3.8416 / n), 6) AS wilson_hi
         FROM c
         ORDER BY d""".trim)),
+
+    // Paired t-test (r10): each user is their own control — per-user mean
+    // purchase value minus mean view value, then a one-sample t on the
+    // differences over users having both. The within-subject design the
+    // Welch test (stats_ttest) can't express: between-user variance
+    // cancels, so the same effect needs far fewer subjects. Per-user
+    // means are exact-decimal sums with ONE division each, quantized to
+    // DECIMAL(18,6) so the cross-user moment sums stay exact and
+    // order-independent (the stats_anova group-level argument); t and
+    // the final moments go through one shared IEEE tree.
+    graft.Q("stats_ttest_paired",
+      (spark, sfDir) => {
+        import graft.Det._
+        val perUser = Tables.events(spark, sfDir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "purchase", money(col("value"))))
+              .as("ps"),
+            count(when(col("event_type") === "purchase", lit(1))).as("pn"),
+            sum(when(col("event_type") === "view", money(col("value"))))
+              .as("vs"),
+            count(when(col("event_type") === "view", lit(1))).as("vn"))
+          .filter(col("pn") > 0 && col("vn") > 0)
+          .select(((emit(col("ps"), 2) / col("pn").cast("double")) -
+            (emit(col("vs"), 2) / col("vn").cast("double")))
+            .cast(Val6).as("d6"))
+        val a = perUser.agg(count(lit(1)).as("n_users"),
+          sum(col("d6")).as("sd"), sum(col("d6") * col("d6")).as("sdd"))
+        val nd = col("n_users").cast("double")
+        val mean = emit(col("sd"), 6) / nd
+        val varS = (emit(col("sdd"), 6) - emit(col("sd"), 6) * emit(col("sd"), 6) / nd) /
+          (nd - lit(1.0))
+        a.select(col("n_users"), round(mean, 6).as("mean_diff"),
+          round(mean / sqrt(varS / nd), 6).as("t_stat"))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT user_id,
+                 SUM(CASE WHEN event_type = 'purchase'
+                     THEN ${graft.Det.sqlMoney("value")} END) AS ps,
+                 COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS pn,
+                 SUM(CASE WHEN event_type = 'view'
+                     THEN ${graft.Det.sqlMoney("value")} END) AS vs,
+                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS vn
+          FROM events
+          WHERE event_type IN ('view', 'purchase')
+          GROUP BY user_id),
+        d AS (
+          SELECT CAST(${graft.Det.sqlEmit("ps", 2)} / CAST(pn AS DOUBLE)
+                      - ${graft.Det.sqlEmit("vs", 2)} / CAST(vn AS DOUBLE)
+                      AS DECIMAL(18,6)) AS d6
+          FROM u WHERE pn > 0 AND vn > 0),
+        a AS (
+          SELECT COUNT(*) AS n_users, SUM(d6) AS sd, SUM(d6 * d6) AS sdd
+          FROM d)
+        SELECT n_users,
+          round(${graft.Det.sqlEmit("sd", 6)} / CAST(n_users AS DOUBLE), 6)
+            AS mean_diff,
+          round((${graft.Det.sqlEmit("sd", 6)} / CAST(n_users AS DOUBLE))
+                / sqrt(((${graft.Det.sqlEmit("sdd", 6)}
+                         - ${graft.Det.sqlEmit("sd", 6)} * ${graft.Det.sqlEmit("sd", 6)}
+                           / CAST(n_users AS DOUBLE))
+                        / (CAST(n_users AS DOUBLE) - 1.0))
+                       / CAST(n_users AS DOUBLE)), 6) AS t_stat
+        FROM a""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

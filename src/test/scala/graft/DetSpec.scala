@@ -187,7 +187,7 @@ class DetSpec extends SparkFixture {
       "source_text", "llm_oov_rate", "stats_benford",
       "llm_contamination_matrix", "agg_activation_time", "fn_date_parse",
       "stats_wilson_ci", "agg_cohort_triangle", "agg_argmin",
-      "window_wow_growth")
+      "window_wow_growth", "stats_ttest_paired")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq
