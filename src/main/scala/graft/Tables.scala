@@ -22,16 +22,30 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
   /** Fixture generations have stored `ts` either as INT64 TIMESTAMP(NANOS)
-    * (early rounds) or as plain TIMESTAMP(MICROS) (current). Detected once
-    * per path from the parquet footer and cached; both land on the same
-    * µs TimestampType the rest of the engine sees. Detection must run with
-    * the legacy nanos flag set or the ns footer would throw on inference. */
-  private val tsIsNanos = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    * (early rounds) or as plain TIMESTAMP(MICROS) (current). Detected from
+    * the parquet footer and cached by (path, mtime, length) — the driver
+    * regenerates fixtures in place between rounds, so a path-only cache
+    * would silently misread a re-encoded file in a long-lived session.
+    * Detection must run with the legacy nanos flag set or the ns footer
+    * would throw on inference. When the verdict is µs the flag is restored
+    * to its prior state (session parquet behavior untouched); when ns it
+    * stays set, because the subsequent read-as-LongType scan needs it. */
+  private val tsIsNanos =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]()
   private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsIsNanos.computeIfAbsent(path, p =>
-      spark.read.parquet(p).schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
+    val f = new java.io.File(path)
+    val key = (path, f.lastModified(), f.length())
+    tsIsNanos.computeIfAbsent(key, _ => {
+      val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val isNs = spark.read.parquet(path).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      if (!isNs) prior match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      isNs
+    })
   }
 
   /** Events with `ts` as µs TimestampType regardless of the physical

@@ -985,16 +985,20 @@ object Aggregates {
     // (no per-group sort, no row_number shuffle-then-filter), the plan
     // you want when top-1 is the only rank needed at 100 TB. Both
     // engines' arg functions are tie-UNDETERMINED, so the order key is
-    // an ENCODED composite bigint — cents × 10¹⁰ ± custkey — making the
+    // an ENCODED composite bigint — cents × 10¹² ± custkey — making the
     // winner unique by construction (max → richest then lowest key;
     // min → poorest then lowest key). All-integer encoding: exact,
-    // topology-independent, identical in both engines.
+    // topology-independent, identical in both engines. Range proof:
+    // |cents| ≤ 10⁶ (acctbal ∈ ±9999.99), so |cents·10¹²| ≤ 10¹⁸ < 2⁶³,
+    // and the encoding stays collision-free while custkey < 10¹², i.e.
+    // TPC-H SF < ~6.6M (≈ 6.6 EB) — three decades past the 100 TB
+    // target. (r10's 10¹⁰ multiplier bled at SF ≳ 66k ≈ 66 TB.)
     Q("agg_argmin",
       (spark, sfDir) => {
         val cents = money(col("c_acctbal")).cast("decimal(18,2)")
           .*(lit(100)).cast("long")
-        val ordMax = cents * lit(10000000000L) - col("c_custkey")
-        val ordMin = cents * lit(10000000000L) + col("c_custkey")
+        val ordMax = cents * lit(1000000000000L) - col("c_custkey")
+        val ordMin = cents * lit(1000000000000L) + col("c_custkey")
         Tables.customer(spark, sfDir)
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"),
@@ -1012,9 +1016,9 @@ object Aggregates {
                       * 100 AS BIGINT) AS cents
           FROM customer)
         SELECT c_mktsegment, COUNT(*) AS n,
-               arg_max(c_name, cents * 10000000000 - c_custkey) AS richest,
+               arg_max(c_name, cents * 1000000000000 - c_custkey) AS richest,
                CAST(CAST(MAX(bal) AS DECIMAL(18,2)) AS DOUBLE) AS max_bal,
-               arg_min(c_name, cents * 10000000000 + c_custkey) AS poorest,
+               arg_min(c_name, cents * 1000000000000 + c_custkey) AS poorest,
                CAST(CAST(MIN(bal) AS DECIMAL(18,2)) AS DOUBLE) AS min_bal
         FROM b
         GROUP BY c_mktsegment

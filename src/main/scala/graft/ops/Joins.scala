@@ -604,7 +604,7 @@ object Joins {
         val db = "graft_bk_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
         if (!spark.catalog.databaseExists(db)) {
           Layout.writeBucketed(spark, sfDir, db,
-            s"/tmp/graft_bucket_wh_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}",
+            graft.Tmp.dir("bucket_wh", sfDir),
             Seq("orders" -> "o_custkey", "customer" -> "c_custkey"), nBuckets = 8)
         }
         spark.table(s"$db.orders")
@@ -680,7 +680,7 @@ object Joins {
     // the same aggregate over the unpartitioned original.
     Q("join_dpp",
       (spark, sfDir) => {
-        val dir = "/tmp/graft_dpp_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = graft.Tmp.dir("dpp", sfDir)
         Layout.writeDatePartitionedEvents(spark, sfDir, dir)
         val fact = spark.read.parquet(dir)
         val dim = Tables.events(spark, sfDir)

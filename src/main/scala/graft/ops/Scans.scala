@@ -67,7 +67,7 @@ object Scans {
     // doubles through a text format are a round-trip hazard by design.
     Q("source_json",
       (spark, sfDir) => {
-        val dir = "/tmp/graft_fmt_json_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = graft.Tmp.dir("fmt_json", sfDir)
         Tables.orders(spark, sfDir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
           .write.mode("overwrite").json(dir)
@@ -87,7 +87,7 @@ object Scans {
     // explicit schema — the other ubiquitous interchange format.
     Q("source_csv",
       (spark, sfDir) => {
-        val dir = "/tmp/graft_fmt_csv_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = graft.Tmp.dir("fmt_csv", sfDir)
         Tables.orders(spark, sfDir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
           .write.mode("overwrite").option("header", "true").csv(dir)
@@ -112,13 +112,20 @@ object Scans {
     // reproduce the table exactly — any quoting/escaping/splitting slip
     // breaks the hash. (Fixture text contains no tabs or newlines; a
     // production exporter would escape them — that belongs to the writer,
-    // not this reader.) Scale: text scan is splittable per line like any
-    // file source; the parse is zero-shuffle codegen'd projection.
+    // not this reader.) concat_ws silently DROPS null fields, which would
+    // shift columns rather than fail loudly — so a null in any field
+    // raises at write time instead (ADVICE r10). Scale: text scan is
+    // splittable per line like any file source; the parse is zero-shuffle
+    // codegen'd projection.
     Q("source_text",
       (spark, sfDir) => {
-        val dir = "/tmp/graft_fmt_text_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = graft.Tmp.dir("fmt_text", sfDir)
         Tables.documents(spark, sfDir)
-          .select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
+          .select(when(
+            col("doc_id").isNull.or(col("lang").isNull).or(col("text").isNull),
+            raise_error(lit("source_text: NULL field would corrupt the " +
+              "tab-delimited line encoding — escape or drop it upstream")))
+            .otherwise(concat_ws("\t", col("doc_id"), col("lang"), col("text")))
             .as("value"))
           .write.mode("overwrite").text(dir)
         spark.read.text(dir)
@@ -138,7 +145,7 @@ object Scans {
     // path keeps types natively and supports predicate pushdown on read.
     Q("source_orc",
       (spark, sfDir) => {
-        val dir = "/tmp/graft_fmt_orc_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = graft.Tmp.dir("fmt_orc", sfDir)
         Tables.orders(spark, sfDir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
           .write.mode("overwrite").orc(dir)
@@ -169,7 +176,7 @@ object Scans {
     // log: rewrite only what the anti-join keeps, append the delta.
     Q("sink_upsert",
       (spark, sfDir) => {
-        val dir = "/tmp/graft_sink_upsert_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = graft.Tmp.dir("sink_upsert", sfDir)
         val snap = Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("lang"), col("n_chars"))
         val delta = Tables.documents(spark, sfDir)
@@ -210,7 +217,7 @@ object Scans {
     // derives correctly.
     Q("sink_partitioned",
       (spark, sfDir) => {
-        val dir = "/tmp/graft_sink_part_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = graft.Tmp.dir("sink_part", sfDir)
         Tables.events(spark, sfDir)
           .withColumn("d", to_date(col("ts")))
           .write.mode("overwrite").partitionBy("d").parquet(dir)
@@ -241,8 +248,8 @@ object Scans {
     // pins the actual 16 → 1 file-count drop on disk.
     Q("sink_compact",
       (spark, sfDir) => {
-        val frag = "/tmp/graft_sink_frag_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-        val comp = "/tmp/graft_sink_comp_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val frag = graft.Tmp.dir("sink_frag", sfDir)
+        val comp = graft.Tmp.dir("sink_comp", sfDir)
         Tables.events(spark, sfDir)
           .withColumn("d", to_date(col("ts")))
           .repartition(16)
@@ -274,7 +281,7 @@ object Scans {
     // what that catalog must reproduce.
     Q("source_evolving",
       (spark, sfDir) => {
-        val dir = "/tmp/graft_src_evolve_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = graft.Tmp.dir("src_evolve", sfDir)
         val docs = Tables.documents(spark, sfDir)
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -519,7 +526,7 @@ object Scans {
           .filter(col("prev").isNull || col("prev") =!= col("seg"))
           .select(col("user_id"), col("event_id"), col("ts_us"), col("seg"))
         // stage the existing dimension table from pre-cutoff history
-        val dir = "/tmp/graft_scd2_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = graft.Tmp.dir("scd2", sfDir)
         changes(ev.filter(col("ts_us") < cutUs))
           .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wEv))
           .select(col("user_id"), col("seg"),
@@ -579,7 +586,7 @@ object Scans {
   private[graft] def stageBinaryDocs(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = stagedBin.synchronized {
     stagedBin.getOrElseUpdate(sfDir, {
-      val dir = "/tmp/graft_binsrc_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = graft.Tmp.dir("binsrc", sfDir)
       val p = java.nio.file.Paths.get(dir)
       java.nio.file.Files.createDirectories(p)
       Tables.documents(spark, sfDir).filter(col("doc_id") < 20)

@@ -71,9 +71,12 @@ object Sources {
       val d = new java.io.File(dir)
       val fs = Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => re.findFirstIn(f.getName).isDefined && !f.getName.startsWith("_"))
-      if (fs.isEmpty) s"$dir" else fs.minBy(_.getName).getPath
+      if (fs.isEmpty) None else Some(fs.minBy(_.getName).getPath)
     }
-    val isNs = graft.Tables.eventsTsIsNanos(spark, sample)
+    // An empty dir at start is legal for a file stream (files arrive later);
+    // with nothing to sniff, assume the CURRENT fixture encoding (native µs,
+    // Schemas.events) rather than attempting a read that would throw.
+    val isNs = sample.exists(graft.Tables.eventsTsIsNanos(spark, _))
     val base = spark.readStream
       .schema(if (isNs) Schemas.eventsRaw else Schemas.events)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -372,7 +372,6 @@ class OperatorSpec extends SparkFixture {
       .agg(sum(col("n"))).collect().head.getLong(0)
     assert(total == Tables.events(spark, sf001).count(),
       "compaction must be row-lossless")
-    val suffix = sf001.replaceAll("[^a-zA-Z0-9]", "_")
     def filesPerDate(root: String): Map[String, Int] = {
       val dirs = new java.io.File(root).listFiles()
         .filter(d => d.isDirectory && d.getName.startsWith("d="))
@@ -380,8 +379,8 @@ class OperatorSpec extends SparkFixture {
       dirs.map(d => d.getName ->
         d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
     }
-    val frag = filesPerDate(s"/tmp/graft_sink_frag_$suffix")
-    val comp = filesPerDate(s"/tmp/graft_sink_comp_$suffix")
+    val frag = filesPerDate(graft.Tmp.dir("sink_frag", sf001))
+    val comp = filesPerDate(graft.Tmp.dir("sink_comp", sf001))
     assert(frag.keySet == comp.keySet, "compaction must keep every partition")
     assert(frag.values.forall(_ > 1),
       s"staging must be genuinely fragmented: $frag")
