@@ -86,6 +86,34 @@ object StreamOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
 
+  /** The FULL-outer twin of [[outerJoinStream]] (r11): both sides
+    * null-extend on watermark expiry — an unmatched click emits its NULL
+    * purchase once wm proves no purchase can still land in its hour, and
+    * an unmatched purchase emits its NULL click once wm proves no click
+    * can still precede it (wm > p_ts, from the same range condition read
+    * in the other direction). Same sentinel admission as the left-outer:
+    * user -1 passes both branch filters so neither branch's watermark
+    * pins at its own event-type maximum; its self-match row carries
+    * user -1 and the caller's user_id >= 0 filter drops it. */
+  private[graft] def fullOuterJoinStream(evs: DataFrame): DataFrame = {
+    val clicks = evs.withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "click" || col("user_id") < 0)
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = evs.withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "purchase" || col("user_id") < 0)
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   /** Run a streaming DF to completion (AvailableNow) into a memory sink,
     * return the sink contents as a batch DataFrame. */
   private[stream] def runToTable(spark: SparkSession, sdf: DataFrame,
@@ -759,5 +787,142 @@ object StreamOps {
           FROM c)
         WHERE rnk <= 3
         ORDER BY ws_us, rnk""".trim)),
+
+    // Watermarked stream-stream FULL outer join (r11) — the last member
+    // of the streaming-join family (inner r3, left-outer r10): clicks
+    // FULL JOIN purchases within [c_ts, c_ts+1h] on user_id, run as a
+    // REAL micro-batch stream. Both sides hold state until the watermark
+    // proves their window closed, then null-extend: unmatched clicks emit
+    // (click_id, NULL) once wm > c_ts + 1h + delay, unmatched purchases
+    // emit (NULL, purchase_id) once wm > p_ts + delay (no earlier click
+    // can still arrive). State per side stays the interval-join bound —
+    // (delay + 1h) × per-key arrival rate — and the sentinel batch plus
+    // the no-data finalization batch flush every survivor. Oracle: the
+    // batch FULL JOIN; matched, left-null and right-null rows must all
+    // match exactly.
+    Q("stream_join_full_outer",
+      (spark, sfDir) => {
+        // 4 state partitions for the two join stores, as stream_outer_join
+        // (state partitioning is frozen at first start; sized to the
+        // stream, restored after the drain)
+        val before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try Sources.withFlushedReplay(spark, sfDir) { evs =>
+          runToTable(spark, fullOuterJoinStream(evs), OutputMode.Append())
+        }
+          .filter(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+            col("purchase_id").asc_nulls_first)
+        finally spark.conf.set("spark.sql.shuffle.partitions", before)
+      },
+      Some("""
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+          c.event_id AS click_id, p.event_id AS purchase_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST""".trim)),
+
+    // Update output mode (r11) — the dashboard-feed shape, closing the
+    // output-mode matrix (Append and Complete proven across the other
+    // streaming keys): per-type running aggregate over a 4-micro-batch
+    // replay, emitting ONLY the groups whose value changed each batch.
+    // The memory sink can't distinguish emissions, so each batch lands
+    // via foreachBatch tagged with its batch_id and the key reads back
+    // the LAST emission per group — which must equal the batch aggregate
+    // over the full fixture (any lost or duplicated update leaves a stale
+    // running total and fails the hash). StreamingSpec pins the stronger
+    // property the oracle can't see: per group the emitted totals are
+    // strictly increasing and only changed groups appear. At 100 TB
+    // Update mode is the low-egress feed — per trigger the sink carries
+    // the changed groups, not the full state (Complete) or closed windows
+    // only (Append).
+    Q("stream_update_mode",
+      (spark, sfDir) => {
+        // stage the fixture as 4 round-robin splits → 4 micro-batches
+        // (maxFilesPerTrigger=1); aggregation is order-independent so the
+        // file replay order is irrelevant
+        val stage = Files.createTempDirectory("graft_update_stage")
+        Tables.events(spark, sfDir).repartition(4)
+          .write.mode("overwrite").parquet(stage.toString)
+        val outDir = Files.createTempDirectory("graft_update_out").toString
+        val ckpt = Files.createTempDirectory("graft_update_ckpt").toString
+        val agg = Sources.replayEvents(spark, stage.toString)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+        val q = agg.writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("batch_id").desc)
+        spark.read.parquet(outDir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("n"), col("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
+    // Concurrent serving fan-out (r11) — the reference's core runtime
+    // shape: one ingest feed, N long-lived subscribers, each a filtered
+    // per-client view of the same stream. Three StreamingQueries with
+    // distinct subscriber predicates start in ONE SparkSession and run
+    // SIMULTANEOUSLY (all started before any is awaited — three active
+    // micro-batch threads sharing the session, scheduler, and source
+    // files), each draining into its own sink; the key returns the union
+    // tagged by subscriber. Oracle: the same three batch filters unioned
+    // — each subscriber's stream must deliver exactly its predicate's
+    // rows, none of a neighbor's, under concurrency. At 100 TB this is
+    // the broker fan-out shape: the source is read per subscriber (the
+    // Kafka consumer-group model) and each query's filter pushes into its
+    // own scan; per-subscriber state is disjoint so queries scale
+    // independently. StreamingSpec additionally pins that all three
+    // queries are genuinely active at once and a FAIR-scheduler batch
+    // concurrency test covers the shared-session query path.
+    Q("stream_fanout",
+      (spark, sfDir) => {
+        val subs: Seq[(Int, org.apache.spark.sql.Column)] = Seq(
+          (1, col("user_id") % 7 === 0),
+          (2, col("user_id") % 7 === 1 && col("event_type") === "click"),
+          (3, col("user_id") % 7 === 2 && col("value") > 50))
+        val started = subs.map { case (id, pred) =>
+          val tbl = s"graft_fanout_${id}_${sinkId.incrementAndGet()}"
+          val q = Sources.replayEvents(spark, sfDir, "events.parquet")
+            .filter(pred)
+            .select(lit(id).as("sub_id"), col("event_id"), col("user_id"),
+              col("event_type"), col("value"))
+            .writeStream.format("memory").queryName(tbl)
+            .outputMode(OutputMode.Append())
+            .trigger(Trigger.AvailableNow()).start()
+          (q, tbl)
+        }
+        started.foreach(_._1.awaitTermination())
+        started.map { case (_, tbl) => spark.table(tbl) }
+          .reduce(_.unionByName(_))
+          .orderBy(col("sub_id"), col("event_id"))
+      },
+      Some("""
+        SELECT sub_id, event_id, user_id, event_type, value FROM (
+          SELECT 1 AS sub_id, event_id, user_id, event_type, value
+          FROM events WHERE user_id % 7 = 0
+          UNION ALL
+          SELECT 2 AS sub_id, event_id, user_id, event_type, value
+          FROM events WHERE user_id % 7 = 1 AND event_type = 'click'
+          UNION ALL
+          SELECT 3 AS sub_id, event_id, user_id, event_type, value
+          FROM events WHERE user_id % 7 = 2 AND value > 50)
+        ORDER BY sub_id, event_id""".trim)),
   )
 }

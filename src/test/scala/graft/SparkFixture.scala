@@ -11,6 +11,10 @@ object SparkFixture {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR pools: the multi-client serving shape (ConcurrencySpec) —
+      // batch results are scheduler-invariant, so every other suite runs
+      // unchanged under it
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Streaming semantics (SURVEY §5.3): batch-twin equivalence via
   * prefix-consistency, watermark late-drop, cross-batch dedup, and state
@@ -942,5 +943,188 @@ class StreamingSpec extends SparkFixture {
       "no duplicate emissions across the restart")
     assert(got == twin,
       s"only-streamed=${(got -- twin).take(3)} only-twin=${(twin -- got).take(3)}")
+  }
+
+  test("full-outer stream-stream join null-extends BOTH sides on watermark expiry") {
+    val got = SparkEntry.queries("stream_join_full_outer")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val e = Tables.events(spark, sf001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val twin = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .collect().map(_.toSeq).toSet
+    assert(got == twin,
+      s"only-streamed=${(got -- twin).take(3)} only-twin=${(twin -- got).take(3)}")
+    // the expiry pins: both null-extension directions must actually occur —
+    // unmatched clicks (NULL purchase) AND unmatched purchases (NULL click)
+    // exist only because the watermark proved their windows closed
+    val leftNull = got.count(r => r(1) != null && r(2) == null)
+    val rightNull = got.count(r => r(1) == null && r(2) != null)
+    assert(leftNull > 0, "no click-side null extensions emitted")
+    assert(rightNull > 0, "no purchase-side null extensions emitted")
+  }
+
+  test("Update mode: per-group emitted totals are strictly increasing and converge on the batch aggregate") {
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft_upd_spec")
+    Tables.events(spark, sf001).repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val agg = Sources.replayEvents(spark, stage.toString)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val rows = df.collect().map(r => (id, r.getString(0), r.getLong(1)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_upd_spec_ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emissions = buf.synchronized(buf.toVector)
+    assert(emissions.map(_._1).distinct.size >= 2,
+      "the 4-split replay must produce multiple micro-batches")
+    // Update mode emits a group only when its aggregate CHANGED, so per
+    // group the totals in batch order are strictly increasing (a stale
+    // re-emission would repeat a value; a lost update would skip the
+    // final total)
+    emissions.groupBy(_._2).foreach { case (tpe, rows) =>
+      val ns = rows.sortBy(_._1).map(_._3)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a < b },
+        s"$tpe emissions not strictly increasing: $ns")
+    }
+    val finals = emissions.groupBy(_._2)
+      .map { case (t, rows) => t -> rows.maxBy(_._1)._3 }
+    val twin = Tables.events(spark, sf001).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finals == twin, s"final Update emissions $finals != batch $twin")
+  }
+
+  test("fanout: three subscriber queries are active simultaneously and each sink is exactly its filter") {
+    val preds = Seq(
+      (1, col("user_id") % 7 === 0),
+      (2, col("user_id") % 7 === 1 && col("event_type") === "click"),
+      (3, col("user_id") % 7 === 2 && col("value") > 50))
+    val started = preds.map { case (id, pred) =>
+      val tbl = sinkName()
+      val q = Sources.replayEvents(spark, sf001, "events.parquet")
+        .filter(pred)
+        .select(col("event_id"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      (id, pred, q, tbl)
+    }
+    // snapshot BEFORE awaiting: all three subscriber queries must coexist
+    // as live StreamingQueries in the one session (the serving shape)
+    val active = spark.streams.active.map(_.id).toSet
+    started.foreach(_._3.awaitTermination())
+    assert(started.map(_._3.id).toSet.subsetOf(active),
+      s"expected 3 simultaneously-active subscriber queries, active=$active")
+    // isolation: each subscriber got exactly its predicate's rows — none
+    // of a neighbor's — under concurrent execution
+    started.foreach { case (id, pred, _, tbl) =>
+      val got = spark.table(tbl).collect().map(_.getLong(0)).toSet
+      val want = Tables.events(spark, sf001).filter(pred)
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      assert(got == want, s"subscriber $id stream != its batch filter")
+    }
+  }
+
+  test("observability: watermark advances monotonically and dedup state is measurably evicted (StreamingQueryListener)") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val progresses = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progresses.add(e.progress)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      var expected = 0L
+      Sources.withFlushedReplay(spark, sf001) { evs =>
+        val tbl = sinkName()
+        val q = evs.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        expected = q.recentProgress.count(_.stateOperators.nonEmpty).toLong
+        spark.table(tbl)
+      }
+      // listener delivery is async — poll until every state-bearing batch
+      // arrived (bounded)
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (progresses.asScala.count(_.stateOperators.nonEmpty) < expected &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val progs = progresses.asScala.toSeq.sortBy(_.batchId)
+      val wms = progs
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(java.time.Instant.parse)
+      assert(wms.size >= 2, s"listener saw too few watermark readings: $progs")
+      assert(wms.zip(wms.tail).forall { case (a, b) => !b.isBefore(a) },
+        s"watermark regressed: $wms")
+      // state eviction is MEASURED, not argued: peak state = every
+      // in-flight event_id; after the sentinel advances the watermark the
+      // final no-data batch must have evicted all fixture state (only the
+      // sentinel's own id may remain)
+      val totals = progs.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      val distinctIds = Tables.events(spark, sf001)
+        .select(col("event_id")).distinct().count()
+      assert(totals.max >= distinctIds,
+        s"peak dedup state ${totals.max} < distinct ids $distinctIds")
+      assert(totals.last <= 2,
+        s"final dedup state not evicted: $totals")
+      assert(progs.flatMap(_.stateOperators).map(_.numRowsRemoved).sum >= distinctIds,
+        "eviction must be reported via numRowsRemoved")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("observability: outer-join state is bounded by watermark eviction, not stream history") {
+    var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+    Sources.withFlushedReplay(spark, sf001) { evs =>
+      val tbl = sinkName()
+      val q = StreamOps.outerJoinStream(evs)
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      progs = q.recentProgress.toSeq.sortBy(_.batchId)
+      spark.table(tbl)
+    }
+    val totals = progs.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+    val e = Tables.events(spark, sf001)
+    val inserted = e.filter(col("event_type") === "click").count() +
+      e.filter(col("event_type") === "purchase").count()
+    assert(totals.max >= inserted,
+      s"peak join state ${totals.max} must hold both buffered sides ($inserted)")
+    // after the sentinel batch + no-data finalization, every fixture row
+    // has left the join state (only the two sentinel rows may remain) —
+    // the 100 TB bounded-state claim, measured
+    assert(totals.last <= 8, s"join state not evicted: $totals")
+    val wms = progs.flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(java.time.Instant.parse)
+    assert(wms.zip(wms.tail).forall { case (a, b) => !b.isBefore(a) },
+      s"watermark regressed: $wms")
   }
 }
