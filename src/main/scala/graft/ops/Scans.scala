@@ -174,11 +174,19 @@ object Scans {
     // the dedup verify joins). This is exactly the copy-on-write MERGE
     // strategy of the table formats (Delta/Iceberg), minus their commit
     // log: rewrite only what the anti-join keeps, append the delta.
+    // Since r11 the rewrite lands through the [[Acid]] manifest-pointer
+    // seam: v=0 is the standing snapshot, the MERGE result commits as
+    // v=1, and a reader concurrent with the rewrite sees exactly one of
+    // the two (OperatorSpec pins this under a live writer thread). The
+    // read-back goes pointer → manifest → files, so the oracle also
+    // proves the committed-snapshot read path.
     Q("sink_upsert",
       (spark, sfDir) => {
-        val dir = graft.Tmp.dir("sink_upsert", sfDir)
+        val table = graft.Tmp.dir("sink_upsert", sfDir)
+        Acid.reset(table)
         val snap = Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("lang"), col("n_chars"))
+        Acid.commit(spark, table, snap)
         val delta = Tables.documents(spark, sfDir)
           .filter(col("doc_id") % 17 === 0)
           .select(col("doc_id"), lit("xx").as("lang"),
@@ -187,10 +195,11 @@ object Scans {
             .filter(col("doc_id") < 30)
             .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
               col("n_chars")))
-        snap.join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        val merged = Acid.read(spark, table)
+          .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .unionByName(delta)
-          .write.mode("overwrite").parquet(dir)
-        spark.read.parquet(dir).orderBy(col("doc_id"))
+        Acid.commit(spark, table, merged)
+        Acid.read(spark, table).orderBy(col("doc_id"))
       },
       Some("""
         WITH delta AS (
@@ -246,18 +255,23 @@ object Scans {
     // threshold re-write). Oracle: the per-date aggregate over the
     // ORIGINAL events — compaction must be row-lossless; OperatorSpec
     // pins the actual 16 → 1 file-count drop on disk.
+    // Since r11 compaction commits through the [[Acid]] seam: v=0 is the
+    // fragmented table, the compacted rewrite is v=1, and the pointer
+    // flip is what makes compaction safe under live readers — a reader
+    // mid-compaction reads v=0's manifest and never sees a half-written
+    // mix of small and compacted files (the actual hazard of in-place
+    // compaction at 100 TB). OperatorSpec pins the 16 → 1 per-partition
+    // file collapse on the two committed versions.
     Q("sink_compact",
       (spark, sfDir) => {
-        val frag = graft.Tmp.dir("sink_frag", sfDir)
-        val comp = graft.Tmp.dir("sink_comp", sfDir)
-        Tables.events(spark, sfDir)
+        val table = graft.Tmp.dir("sink_compact", sfDir)
+        Acid.reset(table)
+        val withD = Tables.events(spark, sfDir)
           .withColumn("d", to_date(col("ts")))
-          .repartition(16)
-          .write.mode("overwrite").partitionBy("d").parquet(frag)
-        spark.read.parquet(frag)
-          .repartition(col("d"))
-          .write.mode("overwrite").partitionBy("d").parquet(comp)
-        spark.read.parquet(comp)
+        Acid.commit(spark, table, withD.repartition(16), Seq("d"))
+        val compacted = Acid.read(spark, table).repartition(col("d"))
+        Acid.commit(spark, table, compacted, Seq("d"))
+        Acid.read(spark, table)
           .groupBy(col("d"))
           .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
           .orderBy(col("d"))

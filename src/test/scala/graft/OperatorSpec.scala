@@ -379,8 +379,10 @@ class OperatorSpec extends SparkFixture {
       dirs.map(d => d.getName ->
         d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
     }
-    val frag = filesPerDate(graft.Tmp.dir("sink_frag", sf001))
-    val comp = filesPerDate(graft.Tmp.dir("sink_comp", sf001))
+    // v=0 is the fragmented commit, v=1 the compacted rewrite (Acid seam)
+    val table = graft.Tmp.dir("sink_compact", sf001)
+    val frag = filesPerDate(s"$table/v=0")
+    val comp = filesPerDate(s"$table/v=1")
     assert(frag.keySet == comp.keySet, "compaction must keep every partition")
     assert(frag.values.forall(_ > 1),
       s"staging must be genuinely fragmented: $frag")
@@ -1127,5 +1129,41 @@ class OperatorSpec extends SparkFixture {
       val maxRemNot = byExtra(0).map(r => 100000L * r.getLong(2) % total).max
       assert(minRemGot >= maxRemNot, "extras must go to the largest remainders")
     }
+  }
+
+  test("Acid: a reader concurrent with a rewriting committer sees exactly one committed version") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_iso").toString
+    // each version is a FULL rewrite: 500 rows, every row tagged with the
+    // version — so a read that mixes two versions, or sees a half-written
+    // one, is detectable from the data alone
+    def versionDf(ver: Int) =
+      spark.range(0, 500).select(col("id"), lit(ver).as("ver"))
+    Acid.commit(spark, table, versionDf(0))
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val rows = Acid.read(spark, table)
+            .groupBy(col("ver")).agg(count(lit(1)).as("n")).collect()
+          if (rows.length != 1)
+            violations.add(s"mixed versions in one read: ${rows.mkString(",")}")
+          else if (rows(0).getLong(1) != 500L)
+            violations.add(s"torn version: ${rows(0)}")
+        } catch {
+          case e: Exception => violations.add(s"read failed: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try (1 to 4).foreach(i => Acid.commit(spark, table, versionDf(i)))
+    finally { stop = true; reader.join(60000) }
+    assert(violations.isEmpty,
+      s"reader isolation violated: ${violations.toArray.take(3).mkString("; ")}")
+    assert(Acid.currentVersion(table).contains(4L))
+    val finalVers = Acid.read(spark, table)
+      .select(col("ver")).distinct().collect().map(_.getInt(0)).toSeq
+    assert(finalVers == Seq(4), s"final read must be version 4: $finalVers")
   }
 }
