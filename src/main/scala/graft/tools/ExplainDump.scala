@@ -273,6 +273,11 @@ object ExplainDump {
     "source_text" -> ("Line-text round-trip (r10): splittable per-line text scan, " +
       "zero-shuffle codegen'd parse projection; the presentation sort is the " +
       "only exchange."),
+    "sink_upsert" -> ("ACID MERGE (r11): the copy-on-write anti-join + union " +
+      "commits as v=1 through the Acid manifest-pointer seam; the dumped " +
+      "read-back scan reads the manifest's EXPLICIT file list (pointer → " +
+      "manifest → files, no directory listing — the object-store-safe read), " +
+      "and AQE broadcasts the delta side of the merge."),
   )
 
   def main(args: Array[String]): Unit = {

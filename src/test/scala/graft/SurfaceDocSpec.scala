@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** README ↔ registry drift guard (r10 verdict item 2): the README's front
+  * page claimed counts two rounds stale because nothing enforced them.
+  * This spec makes the surface table a PROJECTION of `SparkEntry.queries`
+  * — set equality on the keys column, plus every literal count the README
+  * states — so the docs can never again disagree with the artifacts.
+  */
+class SurfaceDocSpec extends AnyFunSuite {
+
+  private val readme: String = {
+    val p = Seq("README.md", "/root/repo/README.md")
+      .map(Paths.get(_)).find(Files.exists(_))
+      .getOrElse(sys.error("README.md not found"))
+    new String(Files.readAllBytes(p), "UTF-8")
+  }
+
+  test("README surface header count equals SparkEntry.queries.size") {
+    val m = """## Surface \((\d+) query keys""".r.findFirstMatchIn(readme)
+      .getOrElse(fail("README lacks the '## Surface (N query keys' header"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"README claims ${m.group(1)} keys, registry has ${SparkEntry.queries.size}")
+  }
+
+  test("README oracle-coverage sentence states the exact oracle and key counts") {
+    val m = """(\d+) of the (\d+) keys declare equivalent ANSI SQL""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README lacks the oracle-coverage sentence"))
+    assert(m.group(1).toInt == SparkEntry.oracleSql.size,
+      s"README claims ${m.group(1)} oracles, registry has ${SparkEntry.oracleSql.size}")
+    assert(m.group(2).toInt == SparkEntry.queries.size)
+  }
+
+  test("README surface table keys column is exactly the registry key set") {
+    val start = readme.indexOf("## Surface")
+    val end = readme.indexOf("## Verification")
+    assert(start >= 0 && end > start, "README section markers missing")
+    val section = readme.substring(start, end)
+    // table rows: "| area | keys | notes |" → cell index 2 is the keys
+    // column; keys are whitespace-separated inside one backtick span
+    val listed = section.linesIterator
+      .filter(l => l.startsWith("|") && !l.startsWith("|---") && !l.startsWith("| area"))
+      .flatMap { line =>
+        val cells = line.split("\\|")
+        if (cells.length > 2)
+          """`([^`]+)`""".r.findAllMatchIn(cells(2))
+            .flatMap(_.group(1).split("\\s+")).toSeq
+        else Seq.empty
+      }
+      .toSet
+    val registry = SparkEntry.queries.keySet
+    val missing = registry -- listed
+    val stale = listed -- registry
+    assert(missing.isEmpty, s"keys missing from README surface table: $missing")
+    assert(stale.isEmpty, s"stale keys in README surface table: $stale")
+  }
+}
