@@ -46,20 +46,42 @@ object Acid {
     else None
   }
 
+  private def manifestLines(table: String, v: Long): Seq[String] = {
+    val lines = Files.readAllLines(Paths.get(table, s"manifest-$v.txt"))
+    val it = lines.iterator()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) { val l = it.next().trim; if (l.nonEmpty) b += l }
+    b.result()
+  }
+
   /** Read the committed snapshot: pointer → manifest → exactly those
     * files. `basePath` keeps hive-style partition columns (`d=...`)
     * derivable from the explicit file list. */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val v = currentVersion(table).getOrElse(
-      sys.error(s"Acid.read: no committed version at $table"))
-    val lines = Files.readAllLines(Paths.get(table, s"manifest-$v.txt"))
-    val files = {
-      val it = lines.iterator()
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) { val l = it.next().trim; if (l.nonEmpty) b += l }
-      b.result()
-    }
-    spark.read
+  def read(spark: SparkSession, table: String): DataFrame =
+    readVersion(spark, table, currentVersion(table).getOrElse(
+      sys.error(s"Acid.read: no committed version at $table")))
+
+  /** Time travel: read version `v` AS OF its commit. Every version's data
+    * and manifest are immutable after the pointer flip (the [[commit]]
+    * contract), so a historical read is byte-identical to what a reader
+    * at that version saw — no matter how many commits landed since. At
+    * 100 TB this is the audit/reproduce-a-training-run primitive Delta's
+    * `VERSION AS OF` provides; retention GC (dropping versions older than
+    * a horizon) is the only extra piece, deliberately out of scope.
+    *
+    * Manifest lines are `v=<n>/`-relative for snapshot commits
+    * ([[commit]]) and table-root-relative (`# base:.` header) for
+    * append-transaction tables ([[appendTxn]]), whose manifests reference
+    * files across many `txn=<id>/` dirs. */
+  def readVersion(spark: SparkSession, table: String, v: Long): DataFrame = {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.readVersion: no committed version at $table"))
+    require(v >= 0 && v <= cur, s"version $v not committed (current is $cur)")
+    val lines = manifestLines(table, v)
+    val rootRel = lines.contains("# base:.")
+    val files = lines.filterNot(_.startsWith("#"))
+    if (rootRel) spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    else spark.read
       .option("basePath", s"$table/v=$v")
       .parquet(files.map(f => s"$table/v=$v/$f"): _*)
   }
@@ -87,6 +109,61 @@ object Acid {
       files.mkString("", "\n", "\n").getBytes("UTF-8"))
     // the commit point: readers see the old version until this rename
     // lands, the new one after — never anything in between
+    val tmp = Paths.get(table, s"_current.tmp.$v")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, pointer(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Transaction ids already committed to an append table — the replay
+    * ledger. Carried as `# txn:<id>` header lines in each manifest, so the
+    * ledger rides the same immutable-manifest + atomic-pointer machinery
+    * as the data (no second source of truth to keep consistent). */
+  def committedTxns(table: String): Set[Long] = currentVersion(table) match {
+    case None => Set.empty
+    case Some(v) => manifestLines(table, v)
+      .filter(_.startsWith("# txn:"))
+      .map(_.stripPrefix("# txn:").trim.toLong).toSet
+  }
+
+  /** Idempotent append transaction — the exactly-once streaming-sink
+    * primitive. Appends `df`'s rows as a new version whose manifest is
+    * (previous files) + (this txn's files), tagged `# txn:<txnId>`. A
+    * replayed transaction (micro-batch re-run after task retry or
+    * checkpoint restart) finds its id in the committed ledger and
+    * NO-OPS — at-least-once delivery from the engine becomes exactly-once
+    * on the table. Data lands in `txn=<txnId>/` with overwrite BEFORE the
+    * manifest references it, so a half-written replay never corrupts a
+    * committed version (same ordering argument as [[commit]]).
+    *
+    * Single-writer per table, like [[commit]] — multi-writer needs
+    * optimistic pointer CAS (Delta's protocol), out of scope. An empty
+    * batch still commits a (data-less) version so its txn id enters the
+    * ledger: replay of an empty batch must also be a no-op. */
+  def appendTxn(spark: SparkSession, table: String, df: DataFrame,
+      txnId: Long): Long = {
+    Files.createDirectories(Paths.get(table))
+    val cur = currentVersion(table)
+    val prev = cur.map(manifestLines(table, _)).getOrElse(Seq.empty)
+    require(cur.isEmpty || prev.contains("# base:."),
+      s"appendTxn on snapshot-mode table $table")
+    if (prev.contains(s"# txn:$txnId")) return cur.get // replay → no-op
+    val root = Paths.get(table)
+    val dataDir = root.resolve(s"txn=$txnId")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val walk = Files.walk(dataDir)
+    val newFiles =
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => root.relativize(p).toString)
+        .sorted().toArray.map(_.toString)
+      finally walk.close()
+    val v = cur.map(_ + 1).getOrElse(0L)
+    val manifest = ("# base:." +:
+      (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+      prev.filterNot(_.startsWith("#")) ++ newFiles
+    Files.write(Paths.get(table, s"manifest-$v.txt"),
+      manifest.mkString("", "\n", "\n").getBytes("UTF-8"))
     val tmp = Paths.get(table, s"_current.tmp.$v")
     Files.write(tmp, v.toString.getBytes("UTF-8"))
     Files.move(tmp, pointer(table),

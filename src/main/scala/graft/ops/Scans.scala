@@ -216,6 +216,56 @@ object Scans {
           SELECT doc_id, lang, n_chars FROM delta
         ) ORDER BY doc_id""".trim)),
 
+    // Time travel (r11): read a table AS OF an earlier version through the
+    // Acid seam — the audit / reproduce-a-training-run primitive (Delta
+    // `VERSION AS OF`). v0 is a base snapshot; v1 applies deletes (id%13),
+    // updates (id%10 → lang 'xx') and inserts (id<20 cloned under id+5000);
+    // the key then reads BOTH versions and emits them tagged. Because every
+    // version's data dir and manifest are immutable after the pointer flip
+    // (Acid.commit contract), the v0 read after v1 landed is byte-identical
+    // to what a v0-era reader saw — which is exactly what the oracle pins:
+    // it reconstructs both logical states independently from the fixture.
+    // At 100 TB the historical read costs only the old manifest lookup; no
+    // data is copied to keep history (MVCC by immutability), and retention
+    // GC is the one deliberately-out-of-scope extra.
+    Q("sink_time_travel",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_timetravel", sfDir)
+        Acid.reset(table)
+        val base = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Acid.commit(spark, table, base)
+        val next = base
+          .filter(col("doc_id") % 13 =!= 0)
+          .withColumn("lang",
+            when(col("doc_id") % 10 === 0, lit("xx")).otherwise(col("lang")))
+          .unionByName(base.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 5000).as("doc_id"), col("lang"),
+              (col("n_chars") + 7).as("n_chars")))
+        Acid.commit(spark, table, next)
+        Acid.readVersion(spark, table, 0).withColumn("version", lit(0L))
+          .unionByName(
+            Acid.readVersion(spark, table, 1).withColumn("version", lit(1L)))
+          .orderBy(col("version"), col("doc_id"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 200
+        ), v1 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+                 n_chars
+          FROM base WHERE doc_id % 13 <> 0
+          UNION ALL
+          SELECT doc_id + 5000 AS doc_id, lang, n_chars + 7 AS n_chars
+          FROM base WHERE doc_id < 20
+        )
+        SELECT doc_id, lang, n_chars, CAST(0 AS BIGINT) AS version FROM base
+        UNION ALL
+        SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS version FROM v1
+        ORDER BY version, doc_id""".trim)),
+
     // Partitioned sink + pruned read-back (r5): THE 100 TB table layout —
     // write events hive-partitioned by event date, read back through a
     // literal date predicate that prunes to one partition directory

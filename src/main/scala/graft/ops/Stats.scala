@@ -879,6 +879,86 @@ object Stats {
                         / (CAST(n_users AS DOUBLE) - 1.0))
                        / CAST(n_users AS DOUBLE)), 6) AS t_stat
         FROM a""".trim)),
+
+    // Data-quality constraint suite (r11): the Deequ/Great-Expectations
+    // shape — a declarative check set evaluated in ONE pass, emitting a
+    // per-check report (metric, violation count, pass). Checks over
+    // orders: key completeness, key uniqueness, a DELIBERATELY-failing
+    // uniqueness expectation on o_custkey (customers order repeatedly —
+    // the report must surface red rows, not only confirm green ones),
+    // referential integrity into customer, a positivity range check, and
+    // an accepted-values domain check. Plan shape: one hash-less single
+    // aggregate over orders computes five checks map-side (the multi-
+    // distinct pair plans as one Expand), and the FK check is a broadcast
+    // anti-join count — at 100 TB the suite costs one scan of the fact
+    // table plus a broadcast of the dimension keys, which is why DQ runs
+    // piggyback ingest rather than being feared as extra jobs. Metrics are
+    // integer parts-per-million (floor division) — the Det policy: no
+    // float ratio whose last-ulp rounding could differ across engines.
+    graft.Q("stats_dq_checks",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir)
+        val c = Tables.customer(spark, sfDir)
+        val base = o.agg(
+          count(lit(1)).as("n"),
+          count(col("o_orderkey")).as("nn_key"),
+          countDistinct(col("o_orderkey")).as("nd_key"),
+          countDistinct(col("o_custkey")).as("nd_cust"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("bad_status"))
+        val orphans = o
+          .join(broadcast(c.select(col("c_custkey").as("o_custkey"))),
+            Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        base.crossJoin(orphans)
+          .selectExpr("""stack(6,
+            'completeness_o_orderkey', (nn_key * 1000000) div n, n - nn_key,
+            'unique_o_orderkey',       (nd_key * 1000000) div n, n - nd_key,
+            'unique_o_custkey',        (nd_cust * 1000000) div n, n - nd_cust,
+            'fk_o_custkey_in_customer',
+              ((n - orphans) * 1000000) div n, orphans,
+            'range_o_totalprice_positive',
+              ((n - bad_price) * 1000000) div n, bad_price,
+            'values_o_orderstatus',
+              ((n - bad_status) * 1000000) div n, bad_status
+            ) as (check_name, metric_ppm, violations)""")
+          .withColumn("pass", col("violations") === 0L)
+          .orderBy(col("check_name"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT COUNT(*) AS n, COUNT(o_orderkey) AS nn_key,
+                 COUNT(DISTINCT o_orderkey) AS nd_key,
+                 COUNT(DISTINCT o_custkey) AS nd_cust,
+                 CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS bad_price,
+                 CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+          FROM orders
+        ), orph AS (
+          SELECT COUNT(*) AS orphans FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)
+        ), r AS (
+          SELECT 'completeness_o_orderkey' AS check_name,
+                 (nn_key * 1000000) // n AS metric_ppm,
+                 n - nn_key AS violations FROM b
+          UNION ALL SELECT 'unique_o_orderkey',
+                 (nd_key * 1000000) // n, n - nd_key FROM b
+          UNION ALL SELECT 'unique_o_custkey',
+                 (nd_cust * 1000000) // n, n - nd_cust FROM b
+          UNION ALL SELECT 'fk_o_custkey_in_customer',
+                 ((n - orphans) * 1000000) // n, orphans FROM b, orph
+          UNION ALL SELECT 'range_o_totalprice_positive',
+                 ((n - bad_price) * 1000000) // n, bad_price FROM b
+          UNION ALL SELECT 'values_o_orderstatus',
+                 ((n - bad_status) * 1000000) // n, bad_status FROM b
+        )
+        SELECT check_name, CAST(metric_ppm AS BIGINT) AS metric_ppm,
+               CAST(violations AS BIGINT) AS violations,
+               violations = 0 AS pass
+        FROM r ORDER BY check_name""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

@@ -458,6 +458,54 @@ object StreamOps {
         GROUP BY 1
         ORDER BY user_mod""".trim)),
 
+    // Streaming → ACID table (r11): the lakehouse landing path. Each
+    // micro-batch commits through Acid.appendTxn keyed by its batchId —
+    // the txn ledger rides the manifest, so a replayed batch (task retry,
+    // restart re-running the last uncommitted batch) finds its id
+    // committed and NO-OPS: at-least-once delivery becomes exactly-once
+    // ON THE TABLE, not just in a sink directory convention. Unlike
+    // sink_stream's batch=<id> overwrite dirs, readers here get one
+    // atomic snapshot (pointer → manifest → files) — a reader concurrent
+    // with batch N sees exactly batches 0..N-1 or 0..N, never a torn mix.
+    // The fixture is staged as 4 files so the replay genuinely commits a
+    // multi-version chain (v0..v3), and the key reads the final snapshot
+    // back THROUGH the manifest and aggregates it — the oracle proves no
+    // batch was lost or double-applied. StreamingSpec pins the replay
+    // no-op and the checkpoint-restart path. At 100 TB this is
+    // foreachBatch + Delta/Iceberg txn-id dedup, byte-for-byte the same
+    // contract.
+    Q("stream_acid_sink",
+      (spark, sfDir) => {
+        val stage = graft.Tmp.dir("stream_acid_src", sfDir)
+        Tables.events(spark, sfDir)
+          .repartition(4, col("event_id"))
+          .write.mode("overwrite").parquet(stage)
+        val table = graft.Tmp.dir("stream_acid_tbl", sfDir)
+        graft.ops.Acid.reset(table)
+        val ckpt = Files.createTempDirectory("graft_acid_ckpt").toString
+        val q = Sources.replayEvents(spark, stage)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.ops.Acid.appendTxn(spark, table, batch, batchId); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.ops.Acid.read(spark, table)
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("d"), col("event_type"))
+      },
+      Some(s"""
+        SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+               ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1, 2
+        ORDER BY d, event_type""".trim)),
+
     // Event-time watermark + append mode: only finalized windows emit.
     // The emitted set is a DETERMINISTIC function of the replay — one data
     // batch advances the watermark to max(ts) − 10 min, and exactly the

@@ -1166,4 +1166,44 @@ class OperatorSpec extends SparkFixture {
       .select(col("ver")).distinct().collect().map(_.getInt(0)).toSeq
     assert(finalVers == Seq(4), s"final read must be version 4: $finalVers")
   }
+
+  test("Acid: time travel reads a historical version unchanged by later commits") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_tt").toString
+    Acid.commit(spark, table, spark.range(0, 100).select(col("id"), lit("a").as("tag")))
+    val v0 = Acid.read(spark, table).collect().sortBy(_.getLong(0)).toSeq
+    // two later full rewrites, including a row-set change
+    Acid.commit(spark, table, spark.range(0, 50).select(col("id"), lit("b").as("tag")))
+    Acid.commit(spark, table, spark.range(200, 230).select(col("id"), lit("c").as("tag")))
+    assert(Acid.currentVersion(table).contains(2L))
+    // v0 AS OF read is byte-identical to what a v0-era reader saw
+    val v0Again = Acid.readVersion(spark, table, 0).collect().sortBy(_.getLong(0)).toSeq
+    assert(v0Again == v0, "historical version drifted after later commits")
+    assert(Acid.readVersion(spark, table, 1).count() == 50)
+    // asking for an uncommitted version fails loudly, never returns garbage
+    intercept[IllegalArgumentException](Acid.readVersion(spark, table, 3))
+  }
+
+  test("Acid: appendTxn replays are no-ops and the snapshot is the exact union of txns") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_app").toString
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"))
+    val va = Acid.appendTxn(spark, table, batch(0, 100), txnId = 0L)
+    val vb = Acid.appendTxn(spark, table, batch(100, 150), txnId = 1L)
+    assert(va == 0L && vb == 1L)
+    assert(Acid.read(spark, table).count() == 150)
+    // replayed transaction (at-least-once redelivery): committed ledger
+    // short-circuits — version pointer and row count both unchanged
+    val vReplay = Acid.appendTxn(spark, table, batch(0, 100), txnId = 0L)
+    assert(vReplay == 1L, s"replay must not advance the version: $vReplay")
+    assert(Acid.currentVersion(table).contains(1L))
+    assert(Acid.read(spark, table).count() == 150,
+      "replayed txn must not duplicate rows")
+    assert(Acid.committedTxns(table) == Set(0L, 1L))
+    // a fresh txn after the replay still lands normally
+    Acid.appendTxn(spark, table, batch(150, 160), txnId = 2L)
+    assert(Acid.read(spark, table).count() == 160)
+    // history: version 1's snapshot is still exactly txns {0,1}
+    assert(Acid.readVersion(spark, table, 1).count() == 150)
+  }
 }

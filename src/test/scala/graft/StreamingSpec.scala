@@ -1127,4 +1127,54 @@ class StreamingSpec extends SparkFixture {
     assert(wms.zip(wms.tail).forall { case (a, b) => !b.isBefore(a) },
       s"watermark regressed: $wms")
   }
+
+  test("stream_acid_sink: restart from checkpoint resumes exactly-once into the ACID table") {
+    import graft.ops.Acid
+    import java.nio.file.{Files => NF, Paths, StandardCopyOption}
+    // fixture split into 4 chunk files — the stream's micro-batch units
+    val chunkDir = NF.createTempDirectory("graft_restart_chunks")
+    Tables.events(spark, sf001).repartition(4, col("event_id"))
+      .write.mode("overwrite").parquet(chunkDir.toString)
+    val chunks = NF.list(chunkDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.getFileName.toString)
+    assert(chunks.size == 4)
+    val stage = NF.createTempDirectory("graft_restart_stage")
+    val table = NF.createTempDirectory("graft_restart_tbl").toString
+    Acid.reset(table); NF.createDirectories(Paths.get(table))
+    val ckpt = NF.createTempDirectory("graft_restart_ckpt").toString
+    def runOnce(): Unit = {
+      val q = Sources.replayEvents(spark, stage.toString)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Acid.appendTxn(spark, table, b, id); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: only half the files exist → the query commits txns for those
+    // batches and terminates (AvailableNow)
+    chunks.take(2).foreach(c =>
+      NF.copy(c, stage.resolve(c.getFileName), StandardCopyOption.REPLACE_EXISTING))
+    runOnce()
+    val afterFirst = Acid.read(spark, table).count()
+    val txnsFirst = Acid.committedTxns(table)
+    assert(afterFirst > 0 && txnsFirst.nonEmpty)
+    // run 2: the rest of the files arrive; a NEW query on the SAME
+    // checkpoint must process ONLY the unseen files (source-offset replay)
+    // and the Acid txn ledger must not re-apply the first run's batches
+    chunks.drop(2).foreach(c =>
+      NF.copy(c, stage.resolve(c.getFileName), StandardCopyOption.REPLACE_EXISTING))
+    runOnce()
+    val total = Tables.events(spark, sf001).count()
+    val finalDf = Acid.read(spark, table)
+    assert(finalDf.count() == total,
+      s"restart lost or duplicated rows: ${finalDf.count()} vs $total")
+    assert(finalDf.select(col("event_id")).distinct().count() == total,
+      "duplicate event_ids after restart")
+    assert(Acid.committedTxns(table).size > txnsFirst.size,
+      "second run committed no new transactions")
+    assert(txnsFirst.subsetOf(Acid.committedTxns(table)))
+  }
 }
