@@ -15,7 +15,7 @@ object SparkEntry {
       ops.Aggregates.queries ++ ops.Windows.queries ++ ops.SortsSetops.queries ++
       ops.Llm.queries ++ ops.TextOps.queries ++ ops.Pipeline.queries ++
       ops.Udx.queries ++ ops.Graph.queries ++ ops.Bpe.queries ++
-      ops.Stats.queries ++
+      ops.Stats.queries ++ ops.Lakehouse.queries ++
       stream.StreamOps.queries ++ stream.Pattern.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 
 /** Minimal ACID commit protocol for directory tables (r10 verdict item 5)
   * — the seam Delta/Iceberg add on top of parquet at 100 TB, reduced to
@@ -38,6 +39,30 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 object Acid {
 
   private def pointer(table: String): Path = Paths.get(table, "_current")
+
+  /** Single-writer mutual exclusion per table, via atomic O_EXCL lock-file
+    * creation — the POSIX stand-in for the optimistic pointer-CAS a real
+    * table format runs against its log store (Delta: put-if-absent on
+    * `<v>.json`; Iceberg: atomic swap on the catalog pointer). Two writers
+    * that race an append serialize here, so version numbers never collide
+    * and a manifest is never built against a stale predecessor. A crashed
+    * holder leaves a stale lock; real implementations lease/CAS instead —
+    * the bounded spin turns that into a loud error rather than a hang. */
+  private def withWriterLock[T](table: String)(body: => T): T = {
+    Files.createDirectories(Paths.get(table))
+    val lock = Paths.get(table, "_lock")
+    var spins = 0
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch { case _: FileAlreadyExistsException =>
+        spins += 1
+        require(spins < 12000, s"Acid: writer-lock timeout on $table")
+        Thread.sleep(5)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
 
   /** The committed version, or None for an empty/uninitialized table. */
   def currentVersion(table: String): Option[Long] = {
@@ -77,21 +102,45 @@ object Acid {
     val cur = currentVersion(table).getOrElse(
       sys.error(s"Acid.readVersion: no committed version at $table"))
     require(v >= 0 && v <= cur, s"version $v not committed (current is $cur)")
+    require(v >= horizon(table),
+      s"version $v vacuumed (retention horizon is ${horizon(table)})")
     val lines = manifestLines(table, v)
     val rootRel = lines.contains("# base:.")
     val files = lines.filterNot(_.startsWith("#"))
-    if (rootRel) spark.read.parquet(files.map(f => s"$table/$f"): _*)
-    else spark.read
-      .option("basePath", s"$table/v=$v")
-      .parquet(files.map(f => s"$table/v=$v/$f"): _*)
+    val base =
+      if (rootRel) spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      else spark.read
+        .option("basePath", s"$table/v=$v")
+        .parquet(files.map(f => s"$table/v=$v/$f"): _*)
+    // merge-on-read: subtract standing equality-delete vectors. The delete
+    // set is tiny relative to the data, so AQE broadcasts it and the data
+    // side never shuffles — the read-path cost deleteTxn's O(keys) commit
+    // defers to here.
+    val delFiles = lines.filter(_.startsWith("# delete:"))
+      .map(_.stripPrefix("# delete:").trim)
+    lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim) match {
+      case Some(k) if delFiles.nonEmpty =>
+        val dels = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+          .select(col(k)).distinct()
+        base.join(dels, Seq(k), "left_anti")
+      case _ => base
+    }
   }
 
   /** Commit `df` as the next version of `table`: write data, write the
     * manifest, then atomically flip the pointer. Returns the committed
-    * version. `partitionCols` hive-partitions the data dir. */
+    * version. `partitionCols` hive-partitions the data dir.
+    *
+    * `stats` optionally records a per-file zone map in the manifest:
+    * `(name, expr)` computes min/max of the long-valued `expr` for each
+    * written file (`# minmax:<file>|<name>|<min>|<max>` header lines), the
+    * same footer statistics Delta/Iceberg carry per data file. Here they
+    * cost one narrow re-read of the just-written version (fixture scale);
+    * at 100 TB writers harvest them from the parquet footers they just
+    * produced — zero extra reads. [[readSkipping]] is the consumer. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-      partitionCols: Seq[String] = Nil): Long = {
-    Files.createDirectories(Paths.get(table))
+      partitionCols: Seq[String] = Nil,
+      stats: Option[(String, Column)] = None): Long = withWriterLock(table) {
     val v = currentVersion(table).map(_ + 1).getOrElse(0L)
     val dataDir = Paths.get(table, s"v=$v")
     val writer = df.write.mode("overwrite")
@@ -105,8 +154,21 @@ object Acid {
         .sorted().toArray.map(_.toString)
       finally walk.close()
     require(files.nonEmpty, s"Acid.commit: empty version $v at $table")
+    val statLines = stats.toSeq.flatMap { case (name, expr) =>
+      val abs = dataDir.toAbsolutePath
+      spark.read.parquet(dataDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(expr).as("lo"), max(expr).as("hi"))
+        .collect() // O(files) rows — manifest-construction control plane
+        .map { r =>
+          // input_file_name yields a file: URI — relativize through Path so
+          // the stat key matches the manifest's data-file lines exactly
+          val rel = abs.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
+          s"# minmax:$rel|$name|${r.getLong(1)}|${r.getLong(2)}"
+        }.sorted
+    }
     Files.write(Paths.get(table, s"manifest-$v.txt"),
-      files.mkString("", "\n", "\n").getBytes("UTF-8"))
+      (statLines ++ files).mkString("", "\n", "\n").getBytes("UTF-8"))
     // the commit point: readers see the old version until this rename
     // lands, the new one after — never anything in between
     val tmp = Paths.get(table, s"_current.tmp.$v")
@@ -142,33 +204,204 @@ object Acid {
     * batch still commits a (data-less) version so its txn id enters the
     * ledger: replay of an empty batch must also be a no-op. */
   def appendTxn(spark: SparkSession, table: String, df: DataFrame,
-      txnId: Long): Long = {
-    Files.createDirectories(Paths.get(table))
+      txnId: Long): Long = withWriterLock(table) {
     val cur = currentVersion(table)
     val prev = cur.map(manifestLines(table, _)).getOrElse(Seq.empty)
     require(cur.isEmpty || prev.contains("# base:."),
       s"appendTxn on snapshot-mode table $table")
-    if (prev.contains(s"# txn:$txnId")) return cur.get // replay → no-op
-    val root = Paths.get(table)
-    val dataDir = root.resolve(s"txn=$txnId")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val walk = Files.walk(dataDir)
-    val newFiles =
-      try walk.filter(p => p.toString.endsWith(".parquet"))
-        .map[String](p => root.relativize(p).toString)
-        .sorted().toArray.map(_.toString)
-      finally walk.close()
-    val v = cur.map(_ + 1).getOrElse(0L)
-    val manifest = ("# base:." +:
-      (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
-      prev.filterNot(_.startsWith("#")) ++ newFiles
+    if (prev.contains(s"# txn:$txnId")) cur.get // replay → no-op
+    else {
+      val root = Paths.get(table)
+      val dataDir = root.resolve(s"txn=$txnId")
+      df.write.mode("overwrite").parquet(dataDir.toString)
+      val walk = Files.walk(dataDir)
+      val newFiles =
+        try walk.filter(p => p.toString.endsWith(".parquet"))
+          .map[String](p => root.relativize(p).toString)
+          .sorted().toArray.map(_.toString)
+        finally walk.close()
+      val v = cur.map(_ + 1).getOrElse(0L)
+      // standing delete vectors ride along: an append does not resurrect
+      // previously deleted keys
+      val manifest = ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")) ++
+        prev.filterNot(_.startsWith("#")) ++ newFiles
+      commitManifest(table, v, manifest)
+    }
+  }
+
+  private def commitManifest(table: String, v: Long, lines: Seq[String]): Long = {
     Files.write(Paths.get(table, s"manifest-$v.txt"),
-      manifest.mkString("", "\n", "\n").getBytes("UTF-8"))
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     val tmp = Paths.get(table, s"_current.tmp.$v")
     Files.write(tmp, v.toString.getBytes("UTF-8"))
     Files.move(tmp, pointer(table),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v
+  }
+
+  /** Equality-delete transaction (merge-on-read) — Iceberg's equality
+    * delete files / Delta's deletion-vector shape: instead of rewriting
+    * every data file that contains a doomed row (copy-on-write, O(table)),
+    * commit a tiny file of deleted KEYS and let readers subtract it. The
+    * commit costs O(deleted keys); the read path applies one broadcast
+    * anti-join (the delete set is orders of magnitude smaller than the
+    * table, so AQE broadcasts it — the snapshot side never shuffles).
+    * [[compactDeletes]] is the deferred copy-on-write that folds the
+    * vectors back in during maintenance windows. Idempotent per txnId via
+    * the same ledger as [[appendTxn]]. */
+  def deleteTxn(spark: SparkSession, table: String, keys: DataFrame,
+      keyCol: String, txnId: Long): Long = withWriterLock(table) {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.deleteTxn: no committed version at $table"))
+    val prev = manifestLines(table, cur)
+    require(prev.contains("# base:."), s"deleteTxn on snapshot-mode table $table")
+    val prevKey = prev.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
+    require(prevKey.forall(_ == keyCol),
+      s"deleteTxn: table uses delete key ${prevKey.get}, got $keyCol")
+    if (prev.contains(s"# txn:$txnId")) cur // replay → no-op
+    else {
+      val root = Paths.get(table)
+      val delDir = root.resolve(s"del=$txnId")
+      keys.select(col(keyCol)).distinct().coalesce(1)
+        .write.mode("overwrite").parquet(delDir.toString)
+      val walk = Files.walk(delDir)
+      val delFiles =
+        try walk.filter(p => p.toString.endsWith(".parquet"))
+          .map[String](p => root.relativize(p).toString)
+          .sorted().toArray.map(_.toString)
+        finally walk.close()
+      val v = cur + 1
+      val manifest = ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        Seq(s"# delkey:$keyCol") ++
+        (prev.filter(_.startsWith("# delete:")) ++ delFiles.map(f => s"# delete:$f")) ++
+        prev.filterNot(_.startsWith("#"))
+      commitManifest(table, v, manifest)
+    }
+  }
+
+  /** Fold standing delete vectors into the data (deferred copy-on-write):
+    * reads the merged current state, rewrites it as `txn=<txnId>/`, and
+    * commits a manifest with NO delete lines — the maintenance operator
+    * that keeps the read-path anti-join small. The txn ledger is carried
+    * forward so streaming exactly-once resumption survives compaction. */
+  def compactDeletes(spark: SparkSession, table: String, txnId: Long): Long = {
+    val merged = read(spark, table).cache()
+    merged.count() // materialize BEFORE the lock: the rewrite must not read
+                   // files the new manifest is about to stop referencing
+    try withWriterLock(table) {
+      val cur = currentVersion(table).getOrElse(
+        sys.error(s"Acid.compactDeletes: no committed version at $table"))
+      val prev = manifestLines(table, cur)
+      require(prev.contains("# base:."),
+        s"compactDeletes on snapshot-mode table $table")
+      val root = Paths.get(table)
+      val dataDir = root.resolve(s"txn=$txnId")
+      merged.write.mode("overwrite").parquet(dataDir.toString)
+      val walk = Files.walk(dataDir)
+      val newFiles =
+        try walk.filter(p => p.toString.endsWith(".parquet"))
+          .map[String](p => root.relativize(p).toString)
+          .sorted().toArray.map(_.toString)
+        finally walk.close()
+      val manifest = ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++ newFiles
+      commitManifest(table, cur + 1, manifest)
+    } finally merged.unpersist(blocking = false)
+  }
+
+  /** Zone-map file lists for [[readSkipping]]: (kept, all) data files of
+    * version `v`, keeping a file unless its recorded `[min,max]` for
+    * `statsName` provably misses `[lo,hi]`. Files with no recorded stats
+    * are kept — skipping is an optimization, never a correctness gate. */
+  def skipFiles(table: String, v: Long, statsName: String, lo: Long,
+      hi: Long): (Seq[String], Seq[String]) = {
+    val lines = manifestLines(table, v)
+    val ranges = lines.filter(_.startsWith("# minmax:")).flatMap { l =>
+      l.stripPrefix("# minmax:").split('|') match {
+        case Array(f, n, mn, mx) if n == statsName => Some(f -> (mn.toLong, mx.toLong))
+        case _ => None
+      }
+    }.toMap
+    val all = lines.filterNot(_.startsWith("#"))
+    val kept = all.filter(f => ranges.get(f).forall { case (mn, mx) => mn <= hi && mx >= lo })
+    (kept, all)
+  }
+
+  /** Data-skipping read: resolve the committed manifest, drop every file
+    * whose zone map proves it cannot contain a row with `statsName` in
+    * `[lo, hi]`, and scan only the survivors. This is the manifest-level
+    * pruning Delta/Iceberg do BEFORE Spark ever lists a file — at 100 TB
+    * it is the difference between "open 4 of 40,000 files" and "open all
+    * of them to let parquet row-group stats say no". The caller keeps the
+    * residual predicate on the returned frame: skipping only removes
+    * provably-dead files, it never substitutes for the filter. */
+  def readSkipping(spark: SparkSession, table: String, statsName: String,
+      lo: Long, hi: Long): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      sys.error(s"Acid.readSkipping: no committed version at $table"))
+    val (kept, all) = skipFiles(table, v, statsName, lo, hi)
+    require(all.nonEmpty, s"Acid.readSkipping: empty manifest at $table v$v")
+    if (kept.isEmpty) spark.read
+      .option("basePath", s"$table/v=$v")
+      .parquet(s"$table/v=$v/${all.head}").limit(0) // schema-stable empty
+    else spark.read
+      .option("basePath", s"$table/v=$v")
+      .parquet(kept.map(f => s"$table/v=$v/$f"): _*)
+  }
+
+  private def horizonPath(table: String): Path = Paths.get(table, "_horizon")
+
+  /** Oldest version still readable (0 if never vacuumed). */
+  def horizon(table: String): Long = {
+    val p = horizonPath(table)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+    else 0L
+  }
+
+  /** Retention GC — Delta `VACUUM` / Iceberg `expireSnapshots`: keep the
+    * last `keep` versions, physically delete every data file referenced
+    * ONLY by expired versions, drop their manifests, and advance the
+    * horizon marker (so an expired time travel fails loudly, never
+    * half-reads). Order matters for crash safety: horizon first (stop new
+    * readers), then manifests, then data — a crash mid-vacuum leaves
+    * unreferenced garbage, never a readable-but-missing-files version.
+    * Live-reader grace periods (Delta's retention-duration check) are the
+    * production extra, out of scope. Returns the deleted file paths. */
+  def vacuum(table: String, keep: Int): Seq[String] = withWriterLock(table) {
+    require(keep >= 1, "vacuum: keep must be >= 1")
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.vacuum: no committed version at $table"))
+    val newHorizon = math.max(horizon(table), cur - keep + 1)
+    if (newHorizon == 0) Seq.empty
+    else {
+      // table-relative live set across every retained manifest
+      val live: Set[String] = (newHorizon to cur).flatMap { v =>
+        val lines = manifestLines(table, v)
+        val rootRel = lines.contains("# base:.")
+        lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
+          lines.filterNot(_.startsWith("#"))
+            .map(f => if (rootRel) f else s"v=$v/$f")
+      }.toSet
+      val tmp = Paths.get(table, "_horizon.tmp")
+      Files.write(tmp, newHorizon.toString.getBytes("UTF-8"))
+      Files.move(tmp, horizonPath(table),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      (0L until newHorizon).foreach { v =>
+        Files.deleteIfExists(Paths.get(table, s"manifest-$v.txt"))
+      }
+      val root = Paths.get(table)
+      val walk = Files.walk(root)
+      val dead =
+        try walk.filter(p => p.toString.endsWith(".parquet"))
+          .map[String](p => root.relativize(p).toString)
+          .toArray.map(_.toString).toSeq.filterNot(live)
+        finally walk.close()
+      dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+      dead.sorted
+    }
   }
 
   /** Drop the table directory (staging determinism for re-runnable keys:

@@ -1023,6 +1023,40 @@ object Aggregates {
         FROM b
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""".trim)),
+
+    // Co-purchase pair mining (r11): market-basket co-occurrence — which
+    // part pairs appear together in the same order with support ≥ 2 (the
+    // Apriori/FP-growth first stage, and the "frequently bought together"
+    // feature). Shape: distinct (order, part), self-join on the order key
+    // with pa < pb to emit each unordered pair once, hash-aggregate on the
+    // pair, threshold. The fan-out is bounded by the BASKET, not the
+    // table: a TPC-H order holds ≤ 7 distinct parts (≤ 13 in this fixture)
+    // → ≤ C(13,2) = 78 pairs per order, so the join output is O(rows ×
+    // basket), linear at 100 TB. The one genuine skew hazard is a
+    // mega-basket (one order with 10^5 items → 10^10 pairs); production
+    // caps basket size or salts the basket key first — same guard as the
+    // LSH mega-bucket policy. Support filter is applied post-aggregate
+    // (HAVING), output bounded by the threshold.
+    Q("agg_copurchase_pairs",
+      (spark, sfDir) => {
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy(col("support").desc, col("pa"), col("pb"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+        ORDER BY support DESC, pa, pb""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType}
 
@@ -183,6 +183,49 @@ object Functions {
         FROM events
         WHERE json_extract_string(props, '$.k') IS NOT NULL
         ORDER BY event_id""".trim)),
+
+    // VARIANT semi-structured path (r11): Spark 4's answer to
+    // schema-on-read JSON — `parse_json` binary-encodes the document once
+    // (shredded, field-indexed) and `variant_get` extracts typed paths
+    // WITHOUT re-parsing text per access, the way get_json_object does.
+    // At 100 TB that is the difference between N regex-ish text scans per
+    // row (one per extracted field) and one parse + O(log fields) binary
+    // lookups; variant columns also land in parquet with shredded stats.
+    // The payload here is a nested envelope synthesized from orders (the
+    // fixture's own props is flat), extracted back out through typed
+    // paths, incl. a missing path that must yield NULL, not an error. The
+    // oracle recomputes from the source columns directly, so the whole
+    // to_json → parse_json → variant_get pipeline must be value-lossless
+    // — including doubles, which survive because JSON shortest-round-trip
+    // text parses to an exact decimal in the variant encoder.
+    Q("fn_variant",
+      (spark, sfDir) =>
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"),
+            parse_json(to_json(struct(
+              col("o_orderstatus").as("st"),
+              col("o_totalprice").as("tp"),
+              struct(col("o_orderpriority").as("pr"),
+                (col("o_custkey") % 97).cast(IntegerType).as("sp")).as("meta")))).as("v"))
+          .select(
+            variant_get(col("v"), "$.st", "string").as("st"),
+            variant_get(col("v"), "$.meta.pr", "string").as("pr"),
+            variant_get(col("v"), "$.meta.sp", "int").as("sp"),
+            variant_get(col("v"), "$.tp", "double").as("tp"),
+            variant_get(col("v"), "$.absent.path", "string").as("missing"))
+          .groupBy(col("st"), col("pr"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("sp").cast(LongType)).as("sum_sp"),
+            Det.emit(sum(Det.money(col("tp"))), 2).as("sum_tp"),
+            count(col("missing")).as("n_missing"))
+          .orderBy(col("st"), col("pr")),
+      Some(s"""
+        SELECT o_orderstatus AS st, o_orderpriority AS pr, COUNT(*) AS n,
+          CAST(SUM(o_custkey % 97) AS BIGINT) AS sum_sp,
+          ${Det.sqlEmit(s"SUM(${Det.sqlMoney("o_totalprice")})", 2)} AS sum_tp,
+          CAST(0 AS BIGINT) AS n_missing
+        FROM orders
+        GROUP BY 1, 2 ORDER BY 1, 2""".trim)),
 
     // Edit distance (r4): levenshtein between each document head and its
     // doc_id-predecessor's — the fuzzy-match primitive behind typo-tolerant

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.12 — lakehouse table-management operators on the [[Acid]]
+  * manifest-pointer seam (r11 continuation of the commit-protocol work):
+  * manifest-level data skipping, merge-on-read equality deletes, and
+  * retention vacuum. Together with `sink_upsert` / `sink_compact` /
+  * `sink_time_travel` / `stream_acid_sink` these are the operations that
+  * turn a pile of parquet into a governable 100 TB table: prune before you
+  * list, delete without rewriting, and bound how much history you pay to
+  * keep.
+  */
+object Lakehouse {
+  import Det._
+
+  private def utcMicros(iso: String): Long =
+    java.time.Instant.parse(iso).toEpochMilli * 1000L
+
+  val queries: Seq[Q] = Seq(
+
+    // Manifest zone maps (r11): commit events range-clustered on ts with
+    // per-file min/max recorded in the manifest, then answer a 3-day
+    // window query by pruning the FILE LIST before Spark ever opens a
+    // footer — Delta/Iceberg data skipping. Range clustering is what makes
+    // the zone maps sharp (each file owns a disjoint ts slice); the
+    // residual predicate stays on the scan, so skipping can only drop
+    // provably-dead files, never change the answer. At 100 TB this is the
+    // difference between listing/opening 40,000 files and opening the 4
+    // whose ranges overlap the query window — manifest pruning costs
+    // O(files) driver-side arithmetic, no I/O. OperatorSpec pins that the
+    // prune actually drops most files AND that pruned == unpruned.
+    Q("scan_zonemap",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_zonemap", sfDir)
+        Acid.reset(table)
+        Acid.commit(spark, table,
+          Tables.events(spark, sfDir).repartitionByRange(8, col("ts")),
+          stats = Some("ts_us" -> unix_micros(col("ts"))))
+        val lo = "2024-01-10T00:00:00Z"
+        val hi = "2024-01-13T00:00:00Z"
+        Acid.readSkipping(spark, table, "ts_us", utcMicros(lo), utcMicros(hi) - 1)
+          .filter(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+            col("ts") < to_timestamp(lit("2024-01-13 00:00:00")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
+    // Merge-on-read equality deletes (r11): deleting rows from a 100 TB
+    // table by rewriting every touched file is O(table); committing the
+    // deleted KEYS as a vector and letting readers subtract them is
+    // O(deletes) — Iceberg equality-delete files / Delta deletion vectors.
+    // Two delete txns land against an appended base WITHOUT touching one
+    // data file (OperatorSpec pins the manifest's data-file list is
+    // byte-identical across them); a later append must not resurrect
+    // deleted keys; the read path applies one broadcast anti-join. The
+    // oracle reconstructs the same final state set-theoretically, so the
+    // whole commit → vector → merge-on-read pipeline is hash-checked.
+    // compactDeletes (the deferred copy-on-write) is pinned equal in spec.
+    Q("sink_merge_on_read",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_mor", sfDir)
+        Acid.reset(table)
+        val base = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        Acid.appendTxn(spark, table, base, txnId = 0L)
+        Acid.deleteTxn(spark, table,
+          Tables.orders(spark, sfDir)
+            .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey")),
+          "o_orderkey", txnId = 1L)
+        Acid.deleteTxn(spark, table,
+          Tables.orders(spark, sfDir)
+            .filter(col("o_orderkey") % 11 === 3)
+            .select(col("o_orderkey")),
+          "o_orderkey", txnId = 2L)
+        // late arrivals under shifted keys: appended AFTER the deletes,
+        // must survive them (vectors subtract keys, not predicates)
+        Acid.appendTxn(spark, table,
+          base.filter(col("o_orderkey") < 50)
+            .select((col("o_orderkey") + 2000000L).as("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")),
+          txnId = 3L)
+        Acid.read(spark, table).orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH del AS (
+          SELECT o_orderkey FROM orders
+          WHERE (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+             OR o_orderkey % 11 = 3
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+          UNION ALL
+          SELECT o_orderkey + 2000000 AS o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey < 50
+        ) ORDER BY o_orderkey""".trim)),
+
+    // Retention vacuum (r11): time travel is free only until someone pays
+    // the storage bill — Delta VACUUM / Iceberg expireSnapshots bound it.
+    // Three full-rewrite versions, then vacuum(keep = 2): v0's files are
+    // referenced by no retained manifest and are physically deleted, the
+    // horizon marker advances first (crash mid-vacuum leaves unreferenced
+    // garbage, never a readable version with missing files), and an
+    // expired time travel fails loudly. The key returns the current state
+    // AFTER the vacuum — proving GC touched only dead files — and the
+    // oracle reconstructs that state from the fixture. OperatorSpec pins
+    // the disk-level deletions, the loud v0 failure, and that retained
+    // versions still read.
+    Q("sink_vacuum",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_vacuum", sfDir)
+        Acid.reset(table)
+        val base = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Acid.commit(spark, table, base)
+        Acid.commit(spark, table,
+          Acid.read(spark, table)
+            .filter(col("doc_id") % 3 =!= 0)
+            .withColumn("n_chars", col("n_chars") + 1))
+        Acid.commit(spark, table,
+          Acid.read(spark, table).withColumn("lang", upper(col("lang"))))
+        Acid.vacuum(table, keep = 2)
+        Acid.read(spark, table).orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, UPPER(lang) AS lang, n_chars + 1 AS n_chars
+        FROM documents
+        WHERE doc_id % 3 <> 0
+        ORDER BY doc_id""".trim)),
+  )
+}

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
 object Scans {
   import Det._
 
+  /** Spark 4 compiles the avro source into spark-sql, but this vendored
+    * jar set lacks the separate spark-avro service registration, so the
+    * short name "avro" doesn't resolve — address the FileFormat class
+    * directly (same classes, same behavior). */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
   val queries: Seq[Q] = Seq(
 
     // Full scan + narrow projection; count-stable, totally ordered.
@@ -158,6 +164,70 @@ object Scans {
         SELECT o_orderpriority, count(*) AS n,
           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".trim)),
+
+    // Avro round-trip (r11): the row-oriented wire format of the streaming
+    // world (Kafka payloads, schema-registry contracts) — Spark 4 bundles
+    // the avro source in spark-sql proper. Timestamps ride avro's
+    // timestamp-micros logical type, so the l_shipdate month grouping after
+    // read-back proves the temporal round-trip is lossless, not just the
+    // longs. Row-oriented avro has no column pruning or predicate pushdown
+    // — at 100 TB it is the INGEST format you convert FROM into parquet
+    // (one sequential pass), never the format you query; this key is that
+    // conversion's read half.
+    Q("source_avro",
+      (spark, sfDir) => {
+        val dir = graft.Tmp.dir("fmt_avro", sfDir)
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"),
+            col("l_returnflag"))
+          .write.mode("overwrite").format(AvroFormat).save(dir)
+        spark.read.format(AvroFormat).load(dir)
+          .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"),
+            col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            emit(sum(money(col("l_quantity"))), 2).as("sum_qty"),
+            sum(col("l_orderkey")).as("sum_key"))
+          .orderBy(col("ship_month"), col("l_returnflag"))
+      },
+      Some(s"""
+        SELECT date_trunc('month', l_shipdate) AS ship_month, l_returnflag,
+          COUNT(*) AS n,
+          ${sqlEmit(s"SUM(${sqlMoney("l_quantity")})", 2)} AS sum_qty,
+          CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+        FROM lineitem
+        GROUP BY 1, 2 ORDER BY 1, 2""".trim)),
+
+    // XML round-trip (r11): the config/feed-interchange format (Spark 4
+    // absorbed spark-xml as a built-in source). XML is stringly typed, so
+    // the read-back declares an explicit schema — never inference — which
+    // is the production contract for feed ingestion (inference re-reads
+    // the data and can drift across files). Doubles survive because Spark
+    // writes shortest-round-trip decimal text; the money aggregate is
+    // still routed through the exact-decimal policy after parse. Like
+    // avro: an ingest format to convert from, one sequential pass, no
+    // pushdown — conversion read-half at 100 TB.
+    Q("source_xml",
+      (spark, sfDir) => {
+        val dir = graft.Tmp.dir("fmt_xml", sfDir)
+        Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .write.mode("overwrite").option("rowTag", "customer").format("xml")
+          .save(dir)
+        spark.read
+          .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+          .option("rowTag", "customer").format("xml").load(dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            emit(sum(money(col("c_acctbal"))), 2).as("sum_bal"),
+            sum(col("c_custkey")).as("sum_key"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+          ${sqlEmit(s"SUM(${sqlMoney("c_acctbal")})", 2)} AS sum_bal,
+          CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        FROM customer
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""".trim)),
 
     // MERGE-shaped keyed upsert (r5): refresh a corpus snapshot with a
     // delta batch — updated rows replace by key, new rows append — then

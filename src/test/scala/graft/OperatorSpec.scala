@@ -1206,4 +1206,136 @@ class OperatorSpec extends SparkFixture {
     // history: version 1's snapshot is still exactly txns {0,1}
     assert(Acid.readVersion(spark, table, 1).count() == 150)
   }
+
+  test("Acid: manifest zone maps prune dead files and never change the answer") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_zm").toString
+    // 8 range-clustered files over id 0..7999 → each file owns ~a 1000-id
+    // slice, so a [2000, 2999] window should keep 1-2 files of 8
+    Acid.commit(spark, table,
+      spark.range(0, 8000).select(col("id"), (col("id") % 13).as("x"))
+        .repartitionByRange(8, col("id")),
+      stats = Some("id" -> col("id")))
+    val (kept, all) = Acid.skipFiles(table, 0L, "id", 2000L, 2999L)
+    assert(all.size == 8, s"expected 8 data files, got ${all.size}")
+    assert(kept.size <= 2, s"zone maps failed to prune: kept ${kept.size} of 8")
+    val pruned = Acid.readSkipping(spark, table, "id", 2000L, 2999L)
+      .filter(col("id").between(2000, 2999)).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("s")).collect()(0)
+    val full = Acid.read(spark, table)
+      .filter(col("id").between(2000, 2999)).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("s")).collect()(0)
+    assert(pruned == full, "pruned read diverged from full read")
+    assert(pruned.getLong(0) == 1000L)
+    // an unknown stat name means no zone map applies → keep everything
+    // (skipping is an optimization, never a correctness gate)
+    val (keptNoStats, _) = Acid.skipFiles(table, 0L, "nope", 0L, 1L)
+    assert(keptNoStats.size == 8, "files without stats must be kept")
+    // a window past the data keeps zero files; the read is empty but
+    // schema-stable
+    assert(Acid.readSkipping(spark, table, "id", 90000L, 99000L).count() == 0)
+  }
+
+  test("Acid: equality-delete txns are O(keys) — no data file rewritten — and compaction folds them in") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_del").toString
+    def manifestDataFiles(): Seq[String] = {
+      val v = Acid.currentVersion(table).get
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(table, s"manifest-$v.txt"))
+        .toArray.map(_.toString).toSeq
+        .filterNot(_.startsWith("#")).sorted
+    }
+    Acid.appendTxn(spark, table, spark.range(0, 1000).select(col("id")), txnId = 0L)
+    val filesBefore = manifestDataFiles()
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 1000).filter(col("id") % 10 === 0).select(col("id")),
+      "id", txnId = 1L)
+    assert(manifestDataFiles() == filesBefore,
+      "delete txn must not rewrite or drop data files (merge-on-read)")
+    assert(Acid.read(spark, table).count() == 900)
+    // replay of the delete txn is a no-op (same ledger as appends)
+    val vReplay = Acid.deleteTxn(spark, table,
+      spark.range(0, 1000).filter(col("id") % 10 === 0).select(col("id")),
+      "id", txnId = 1L)
+    assert(vReplay == 1L && Acid.currentVersion(table).contains(1L))
+    // appended rows with NEW keys survive standing vectors; history still
+    // reads pre-delete
+    Acid.appendTxn(spark, table,
+      spark.range(5000, 5010).select(col("id")), txnId = 2L)
+    assert(Acid.read(spark, table).count() == 910)
+    assert(Acid.readVersion(spark, table, 0L).count() == 1000)
+    // deferred copy-on-write: compaction rewrites data minus vectors,
+    // clears delete lines, keeps rows and ledger identical
+    val before = Acid.read(spark, table).collect().map(_.getLong(0)).sorted.toSeq
+    Acid.compactDeletes(spark, table, txnId = 3L)
+    val after = Acid.read(spark, table).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "compaction changed the table contents")
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      table, s"manifest-${Acid.currentVersion(table).get}.txt"))
+      .toArray.map(_.toString).toSeq
+    assert(!lines.exists(_.startsWith("# delete:")), "compaction must clear vectors")
+    assert(Acid.committedTxns(table) == Set(0L, 1L, 2L, 3L),
+      "compaction must preserve the txn ledger (exactly-once resumption)")
+  }
+
+  test("Acid: vacuum deletes only expired-exclusive files and expired time travel fails loudly") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_vac").toString
+    def parquetCount(): Long = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(table))
+      try w.filter(p => p.toString.endsWith(".parquet")).count()
+      finally w.close()
+    }
+    Acid.commit(spark, table, spark.range(0, 300).select(col("id"), lit(0).as("v")))
+    Acid.commit(spark, table, spark.range(0, 200).select(col("id"), lit(1).as("v")))
+    Acid.commit(spark, table, spark.range(0, 100).select(col("id"), lit(2).as("v")))
+    val filesAll = parquetCount()
+    val deleted = Acid.vacuum(table, keep = 2)
+    assert(deleted.nonEmpty, "vacuum must delete v0's files")
+    assert(deleted.forall(_.startsWith("v=0/")), s"vacuum touched live files: $deleted")
+    assert(parquetCount() == filesAll - deleted.size)
+    assert(Acid.horizon(table) == 1L)
+    // expired time travel: loud failure, not a half-read
+    intercept[IllegalArgumentException](Acid.readVersion(spark, table, 0L))
+    // retained versions unaffected
+    assert(Acid.readVersion(spark, table, 1L).count() == 200)
+    assert(Acid.read(spark, table).count() == 100)
+    // idempotent: nothing left to collect at the same horizon
+    assert(Acid.vacuum(table, keep = 2).isEmpty)
+    // a later commit + vacuum advances the horizon again
+    Acid.commit(spark, table, spark.range(0, 50).select(col("id"), lit(3).as("v")))
+    val deleted2 = Acid.vacuum(table, keep = 2)
+    assert(deleted2.forall(_.startsWith("v=1/")), s"wrong GC set: $deleted2")
+    assert(Acid.horizon(table) == 2L)
+  }
+
+  test("Acid: racing append writers serialize — every txn lands exactly once") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_race").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      (0 until 8).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            latch.await()
+            try Acid.appendTxn(spark, table,
+              spark.range(i * 100L, i * 100L + 100L).select(col("id")), txnId = i.toLong)
+            catch { case t: Throwable => errs.add(t) }
+          }
+        })
+      }
+      latch.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally if (!pool.isTerminated) pool.shutdownNow()
+    assert(errs.isEmpty, s"writer failed under contention: ${errs.peek()}")
+    // 8 writers → versions 0..7 in SOME order, ledger complete, union exact
+    assert(Acid.currentVersion(table).contains(7L))
+    assert(Acid.committedTxns(table) == (0L until 8L).toSet)
+    assert(Acid.read(spark, table).count() == 800)
+    assert(Acid.read(spark, table).select(col("id")).distinct().count() == 800)
+  }
 }
