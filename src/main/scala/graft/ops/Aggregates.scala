@@ -1057,6 +1057,54 @@ object Aggregates {
         GROUP BY 1, 2
         HAVING COUNT(*) >= 2
         ORDER BY support DESC, pa, pb""".trim)),
+
+    // Behavioral transition matrix (r11): first-order Markov counts over
+    // each user's event sequence — P(next event type | current) — the
+    // event-stream analytics that powers next-action prediction, funnel
+    // drop-off heat maps, and bot detection (improbable transition
+    // chains). lead() over (user, time) pairs every event with its
+    // successor, one hash-agg counts the (from, to) cells, and a second
+    // tiny window over the 5×5 matrix converts counts to floor-ppm
+    // probabilities (integer div — no float division in hash-compared
+    // values). The per-user window shuffles once on user_id (each user's
+    // history is a partition — the same per-key locality every sessionize
+    // key uses); the matrix itself is O(|event types|²) rows, so the
+    // normalization window is output-bound. Ties inside a user's history
+    // break on event_id (unique), making lead() reproducible under any
+    // partitioning.
+    Q("agg_transition_matrix",
+      (spark, sfDir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wFrom = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("from_type"))
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_total", sum(col("n")).over(wFrom))
+          .withColumn("prob_ppm", expr("(n * 1000000) div row_total").cast("long"))
+          .select(col("from_type"), col("to_type"), col("n"), col("prob_ppm"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events
+        ), cells AS (
+          SELECT from_type, to_type, COUNT(*) AS n
+          FROM seq WHERE to_type IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
+                    AS BIGINT) AS prob_ppm
+        FROM cells
+        ORDER BY from_type, to_type""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

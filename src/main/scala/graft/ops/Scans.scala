@@ -363,6 +363,44 @@ object Scans {
         GROUP BY event_type
         ORDER BY event_type""".trim)),
 
+    // Dynamic partition overwrite (r11): the restatement operation on a
+    // date-partitioned 100 TB table — late/corrected data arrives for ONE
+    // day and only that day's partition directory may be replaced.
+    // Spark's static overwrite mode would truncate the whole table first
+    // (the classic data-loss footgun); `partitionOverwriteMode=dynamic`
+    // scopes the overwrite to exactly the partitions present in the
+    // incoming frame. Here 2024-01-12 is restated with doubled values;
+    // the read-back per-day aggregate proves the other 29 days' bytes are
+    // untouched (OperatorSpec additionally pins their files are the SAME
+    // on-disk files afterward, not rewritten copies — the O(restated
+    // partition) vs O(table) cost difference). INSERT OVERWRITE
+    // PARTITION semantics, the pre-lakehouse restatement idiom every
+    // warehouse still runs daily.
+    Q("sink_dynamic_overwrite",
+      (spark, sfDir) => {
+        val dir = graft.Tmp.dir("sink_dynover", sfDir)
+        val ev = Tables.events(spark, sfDir)
+          .withColumn("d", to_date(col("ts")))
+        ev.write.mode("overwrite").partitionBy("d").parquet(dir)
+        ev.filter(col("d") === lit("2024-01-12").cast("date"))
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").partitionBy("d")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(dir)
+        spark.read.parquet(dir)
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("d"))
+      },
+      Some(s"""
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+          ${Det.sqlEmit(
+            s"SUM(${Det.sqlVal6("CASE WHEN CAST(ts AS DATE) = DATE '2024-01-12' THEN value * 2 ELSE value END")})",
+            6)} AS sum_val
+        FROM events
+        GROUP BY 1
+        ORDER BY d""".trim)),
+
     // Small-file compaction (r9): the maintenance operator every
     // partitioned 100 TB table needs — micro-batch writers fragment each
     // date partition into many small files and scan cost degrades to
@@ -610,6 +648,56 @@ object Scans {
         // rows group under their event_type, quarantined rows under
         // '_corrupt' with a NULL sum — no second scan, no cache
         raw.select(
+            when(col("_corrupt").isNull, col("event_type"))
+              .otherwise(lit("_corrupt")).as("event_type"),
+            when(col("_corrupt").isNull, col("value")).as("value"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n,
+          ${Det.sqlSumVal6("value")} AS sum_val
+        FROM events WHERE event_id < 2000 AND event_id % 50 <> 0
+        GROUP BY event_type
+        UNION ALL
+        SELECT '_corrupt', COUNT(*), NULL
+        FROM events WHERE event_id < 2000 AND event_id % 50 = 0
+        ORDER BY event_type""".trim)),
+
+    // Malformed-JSON quarantine (r11): the JSON-lines twin of
+    // source_csv_dirty — every 50th record is truncated mid-object, and
+    // the PERMISSIVE reader must park it in the corrupt-record column
+    // (nulling the typed fields) instead of failing the job or silently
+    // dropping it. Unlike the CSV key's driver-side staging, the dirty
+    // feed here is staged DISTRIBUTED: a computed string column (to_json
+    // for good rows, a truncated literal for bad) written via the text
+    // sink — the shape of an actual landing zone. Doubles survive the
+    // JSON round-trip via shortest-round-trip formatting. Same
+    // one-aggregate quarantine accounting: good rows under their type,
+    // bad rows under '_corrupt' with NULL sum, one scan. At 100 TB
+    // PERMISSIVE + quarantine is the only viable posture — FAILFAST
+    // means one bad producer kills the pipeline, DROPMALFORMED lies
+    // about completeness.
+    Q("source_json_dirty",
+      (spark, sfDir) => {
+        val dir = graft.Tmp.dir("fmt_json_dirty", sfDir)
+        Tables.events(spark, sfDir)
+          .filter(col("event_id") < 2000)
+          .select(
+            when(col("event_id") % 50 === 0,
+              concat(lit("{\"event_id\": "), col("event_id"), lit(", TRUNC")))
+              .otherwise(to_json(struct(col("event_id"), col("user_id"),
+                col("event_type"), col("value")))).as("value"))
+          .write.mode("overwrite").text(dir)
+        val schema = "event_id LONG, user_id LONG, event_type STRING, " +
+          "value DOUBLE, _corrupt STRING"
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(dir)
+          .select(
             when(col("_corrupt").isNull, col("event_type"))
               .otherwise(lit("_corrupt")).as("event_type"),
             when(col("_corrupt").isNull, col("value")).as("value"))

@@ -959,6 +959,70 @@ object Stats {
                CAST(violations AS BIGINT) AS violations,
                violations = 0 AS pass
         FROM r ORDER BY check_name""".trim)),
+
+    // Mann-Kendall trend test (r11): the standard non-parametric "is this
+    // series drifting?" monitor for metric time series — S = Σ_{i<j}
+    // sign(x_j − x_i) over each event type's daily value totals, plus the
+    // tie-corrected variance numerator 18·Var(S) = n(n−1)(2n+5) −
+    // Σ_ties t(t−1)(2t+5). Everything is INTEGER: daily totals are exact
+    // 6dp decimals carried as scaled micros (sign comparisons can never
+    // disagree across engines), S and var18 are integer sums — the z/p
+    // step (a sqrt and a normal CDF) is deliberately left to the consumer
+    // because libm is not bit-portable (same policy as every stats key).
+    // Shape: the daily rollup is the only table-sized aggregate (one
+    // shuffle, 30 rows × |types| out); the O(n²) pair join runs on that
+    // OUTPUT (C(30,2) = 435 pairs per type) — the same output-bound
+    // self-join argument as stats_ks_test. At 100 TB n stays the number
+    // of DAYS, so the quadratic term never touches row counts.
+    graft.Q("stats_trend_mk",
+      (spark, sfDir) => {
+        import graft.Det
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg((sum(Det.val6(col("value"))) * 1000000).cast("long").as("x"))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.d") < col("b.d"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s_stat"))
+        val base = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"))
+        val ties = daily.groupBy(col("event_type"), col("x"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("event_type"))
+          .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+        base.join(pairs, Seq("event_type"))
+          .join(ties, Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            (expr("n_days * (n_days - 1) * (2 * n_days + 5)") -
+              col("tie_term")).cast("long").as("var18"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), s AS (
+          SELECT a.event_type, CAST(SUM(sign(b.x - a.x)) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d
+          GROUP BY 1
+        ), base AS (
+          SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1
+        ), ties AS (
+          SELECT event_type,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT event_type, x, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+          GROUP BY 1
+        )
+        SELECT base.event_type, n_days, s_stat,
+               CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                    AS BIGINT) AS var18
+        FROM base
+        JOIN s ON base.event_type = s.event_type
+        JOIN ties ON base.event_type = ties.event_type
+        ORDER BY base.event_type""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

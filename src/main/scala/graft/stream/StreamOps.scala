@@ -506,6 +506,76 @@ object StreamOps {
         GROUP BY 1, 2
         ORDER BY d, event_type""".trim)),
 
+    // Dual-sink micro-batch landing (r11): the "operational store +
+    // metrics store" shape — every micro-batch computes ONCE and lands in
+    // TWO Acid tables: the raw purchase detail and a per-user_mod rollup,
+    // both committed under the same txnId. Each table's manifest ledger
+    // makes its write exactly-once under replay independently; the pair is
+    // NOT one cross-table atomic commit (that needs a shared log — a
+    // two-table reader between the two appends can see detail at batch N,
+    // rollup at N−1, healed by the next commit), which is precisely
+    // Delta/Iceberg's contract for multi-table streaming too. The key
+    // re-aggregates the detail table and re-sums the rollup table into the
+    // SAME shape, tags each, and the oracle demands both equal the batch
+    // answer — no batch lost, duplicated, or landed in only one table.
+    // The rollup re-sum is exact: per-batch partials are 6dp decimals
+    // whose doubles round-trip losslessly (Det policy), so re-summing
+    // through val6 is order-independent. StreamingSpec pins the
+    // replayed-batch no-op on both tables.
+    Q("stream_multi_sink",
+      (spark, sfDir) => {
+        val stage = graft.Tmp.dir("stream_msink_src", sfDir)
+        Tables.events(spark, sfDir)
+          .repartition(4, col("event_id"))
+          .write.mode("overwrite").parquet(stage)
+        val tDetail = graft.Tmp.dir("stream_msink_detail", sfDir)
+        val tRollup = graft.Tmp.dir("stream_msink_rollup", sfDir)
+        graft.ops.Acid.reset(tDetail)
+        graft.ops.Acid.reset(tRollup)
+        val ckpt = Files.createTempDirectory("graft_msink_ckpt").toString
+        val q = Sources.replayEvents(spark, stage)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val b = batch.cache() // one source compute, two destinations
+            try {
+              graft.ops.Acid.appendTxn(spark, tDetail, b, batchId)
+              graft.ops.Acid.appendTxn(spark, tRollup,
+                b.groupBy((col("user_id") % 10).as("user_mod"))
+                  .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val")),
+                batchId)
+              ()
+            } finally { b.unpersist(blocking = false); () }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val fromDetail = graft.ops.Acid.read(spark, tDetail)
+          .groupBy((col("user_id") % 10).as("user_mod"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+        val fromRollup = graft.ops.Acid.read(spark, tRollup)
+          .groupBy(col("user_mod"))
+          .agg(sum(col("n")).as("n"), emit(sum(val6(col("sum_val"))), 6).as("sum_val"))
+        fromDetail.withColumn("sink", lit("detail"))
+          .unionByName(fromRollup.withColumn("sink", lit("rollup")))
+          .select(col("sink"), col("user_mod"), col("n"), col("sum_val"))
+          .orderBy(col("sink"), col("user_mod"))
+      },
+      Some(s"""
+        WITH agg AS (
+          SELECT user_id % 10 AS user_mod, COUNT(*) AS n,
+                 ${sqlSumVal6("value")} AS sum_val
+          FROM events
+          WHERE event_type = 'purchase'
+          GROUP BY 1
+        )
+        SELECT sink, user_mod, n, sum_val FROM (
+          SELECT 'detail' AS sink, * FROM agg
+          UNION ALL
+          SELECT 'rollup' AS sink, * FROM agg
+        ) ORDER BY sink, user_mod""".trim)),
+
     // Event-time watermark + append mode: only finalized windows emit.
     // The emitted set is a DETERMINISTIC function of the replay — one data
     // batch advances the watermark to max(ts) − 10 min, and exactly the

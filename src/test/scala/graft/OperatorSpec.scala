@@ -1310,6 +1310,74 @@ class OperatorSpec extends SparkFixture {
     assert(Acid.horizon(table) == 2L)
   }
 
+  test("sink_dynamic_overwrite: untouched partitions keep their exact on-disk files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynover").toString
+    val base = spark.range(0, 400)
+      .select(col("id"), (col("id") % 4).as("p"), (col("id") * 10).as("x"))
+    base.write.mode("overwrite").partitionBy("p").parquet(dir)
+    def filesIn(p: Long): Set[String] = {
+      val d = java.nio.file.Paths.get(dir, s"p=$p")
+      val w = java.nio.file.Files.walk(d)
+      try w.filter(_.toString.endsWith(".parquet"))
+        .map[String](_.getFileName.toString).toArray.map(_.toString).toSet
+      finally w.close()
+    }
+    val before = (0L to 3L).map(filesIn)
+    // restate only p=2 (writer job UUIDs make any rewritten file detectable
+    // by name alone)
+    base.filter(col("p") === 2).withColumn("x", col("x") + 1)
+      .write.mode("overwrite").partitionBy("p")
+      .option("partitionOverwriteMode", "dynamic").parquet(dir)
+    val after = (0L to 3L).map(filesIn)
+    Seq(0, 1, 3).foreach { p =>
+      assert(after(p) == before(p), s"partition p=$p was rewritten")
+    }
+    assert(after(2) != before(2), "restated partition must be new files")
+    // and the data reflects exactly the one restated partition
+    val got = spark.read.parquet(dir)
+      .agg(sum(col("x")).as("s")).collect()(0).getLong(0)
+    val want = 400L * 399L / 2L * 10L + 100L // +1 per row of p=2 (100 rows)
+    assert(got == want, s"restatement wrong: $got vs $want")
+  }
+
+  test("agg_transition_matrix: rows normalize to ~1e6 ppm with floor rounding and counts are conserved") {
+    val rows = graft.SparkEntry.queries("agg_transition_matrix")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (from, cells) =>
+      val ppmSum = cells.map(_.getLong(3)).sum
+      // floor division loses < 1 ppm per cell
+      assert(ppmSum <= 1000000L && ppmSum > 1000000L - cells.length,
+        s"row $from ppm sum $ppmSum out of range")
+      assert(cells.forall(_.getLong(2) > 0), "zero cells must not be emitted")
+    }
+    // conservation: total transitions = total events - distinct users
+    // (every user contributes |history| - 1 successor pairs)
+    val ev = graft.Tables.events(spark, sf001)
+    val want = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == want, "transition count not conserved")
+  }
+
+  test("stream_multi_sink: every micro-batch lands in BOTH tables under one txn ledger") {
+    // replicate the key's dual-sink at sf0.001, then audit the ledgers:
+    // identical txn-id sets on both tables (no batch landed in only one)
+    // and replaying a committed txn no-ops on both
+    import graft.ops.Acid
+    graft.SparkEntry.queries("stream_multi_sink")(spark, sf001).collect()
+    val tDetail = graft.Tmp.dir("stream_msink_detail", sf001)
+    val tRollup = graft.Tmp.dir("stream_msink_rollup", sf001)
+    val led = Acid.committedTxns(tDetail)
+    assert(led.nonEmpty && led == Acid.committedTxns(tRollup),
+      "txn ledgers diverge between the two sinks")
+    val (vd, vr) = (Acid.currentVersion(tDetail).get, Acid.currentVersion(tRollup).get)
+    val replayId = led.max
+    Acid.appendTxn(spark, tDetail,
+      spark.range(0, 5).select(col("id").as("event_id"), col("id").as("user_id"),
+        (col("id") * 0.5).as("value")), replayId)
+    assert(Acid.currentVersion(tDetail).contains(vd), "replay advanced detail table")
+    assert(Acid.currentVersion(tRollup).contains(vr))
+  }
+
   test("Acid: racing append writers serialize — every txn lands exactly once") {
     import graft.ops.Acid
     val table = java.nio.file.Files.createTempDirectory("graft_acid_race").toString
