@@ -278,6 +278,26 @@ object ExplainDump {
       "read-back scan reads the manifest's EXPLICIT file list (pointer → " +
       "manifest → files, no directory listing — the object-store-safe read), " +
       "and AQE broadcasts the delta side of the merge."),
+    "scan_zonemap" -> ("Manifest data skipping (r11): the scan's file list is the " +
+      "zone-map SURVIVORS only — pruning happened in O(files) driver arithmetic " +
+      "before Spark listed anything; the residual ts predicate stays on the scan " +
+      "(skipping drops provably-dead files, never substitutes for the filter)."),
+    "sink_merge_on_read" -> ("Equality-delete read path (r11): the dumped plan is the " +
+      "merged read-back — data files scanned once, the tiny delete-key union " +
+      "BROADCAST into a left-anti hash join; the snapshot side never shuffles, " +
+      "which is why O(keys) delete commits stay cheap to read."),
+    "agg_copurchase_pairs" -> ("Basket pair mining (r11): distinct (order, part) " +
+      "dedup, then a self hash join on the order key — fan-out bounded by basket " +
+      "size, never a cartesian; the pair aggregate partial-combines and the " +
+      "support threshold prunes before the presentation sort."),
+    "agg_transition_matrix" -> ("Markov transitions (r11): ONE hash exchange on " +
+      "user_id feeds the lead() window; the (from, to) aggregate partial-combines " +
+      "to a types² matrix and the ppm normalization window runs over that " +
+      "output-bound relation — the second window never sees event-volume data."),
+    "stats_trend_mk" -> ("Mann-Kendall (r11): the daily rollup is the only " +
+      "table-sized aggregate; the quadratic sign join, tie groups, and variance " +
+      "arithmetic all run on the 30-row-per-type daily OUTPUT — n is days, never " +
+      "rows, and every statistic is integer."),
   )
 
   def main(args: Array[String]): Unit = {

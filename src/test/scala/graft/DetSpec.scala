@@ -205,4 +205,36 @@ class DetSpec extends SparkFixture {
       }
     }
   }
+
+  test("r11 keys are invariant under AQE-off and different shuffle partitioning") {
+    // r11 batch: the lakehouse trio (zone-map pruned read, merge-on-read
+    // anti-join, post-vacuum read — all land via Acid commits whose
+    // CONTENT must not depend on how the writer was partitioned), dynamic
+    // partition restatement, the integer transition matrix and
+    // Mann-Kendall statistics, basket pair mining (bounded self-join +
+    // exact counts), both dirty/format round-trips, and the variant
+    // extraction pipeline. Drift under AQE-off or a different fanout
+    // would mean partition-sensitive arithmetic or a nondeterministic
+    // tie-break leaked into an output.
+    val keys = Seq("scan_zonemap", "sink_merge_on_read", "sink_vacuum",
+      "sink_dynamic_overwrite", "agg_transition_matrix", "stats_trend_mk",
+      "agg_copurchase_pairs", "source_json_dirty", "source_avro",
+      "source_xml", "fn_variant")
+    keys.foreach { k =>
+      def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      val beforeN = spark.conf.get("spark.sql.shuffle.partitions")
+      val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val base = run()
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert(run() == base, s"$k drifts with AQE disabled")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert(run() == base, s"$k drifts at 7 shuffle partitions, AQE off")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", beforeN)
+        spark.conf.set("spark.sql.adaptive.enabled", beforeAqe)
+      }
+    }
+  }
 }
