@@ -227,6 +227,51 @@ object Functions {
         FROM orders
         GROUP BY 1, 2 ORDER BY 1, 2""".trim)),
 
+    // Collation semantics (r11): Spark 4's collated string type — equality,
+    // grouping, and DISTINCT under UTF8_LCASE compare case-insensitively
+    // WITHOUT rewriting values through lower() (at 100 TB that matters
+    // because collation is a comparison property the optimizer understands
+    // — pushdown and codegen still apply — while lower()-wrapping every
+    // predicate rewrites data and defeats column statistics). The fixture
+    // is case-perturbed three ways per segment key; the key counts
+    // distincts and matches under binary vs LCASE collation side by side,
+    // and the oracle reproduces the LCASE lane with explicit lower() —
+    // the two semantics must agree exactly on this alphabet.
+    Q("fn_collate",
+      (spark, sfDir) => {
+        val seg = col("c_mktsegment")
+        val variant = when(col("c_custkey") % 3 === 0, lower(seg))
+          .when(col("c_custkey") % 3 === 1, upper(seg))
+          .otherwise(seg)
+        Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), seg, variant.as("seg_var"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            countDistinct(col("seg_var")).as("n_cs"),
+            countDistinct(collate(col("seg_var"), "UTF8_LCASE")).as("n_ci"),
+            count(when(col("seg_var") === col("c_mktsegment"), 1)).as("n_match_cs"),
+            count(when(collate(col("seg_var"), "UTF8_LCASE") ===
+              collate(col("c_mktsegment"), "UTF8_LCASE"), 1)).as("n_match_ci"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT c_mktsegment,
+                 CASE CAST(c_custkey % 3 AS INT)
+                   WHEN 0 THEN lower(c_mktsegment)
+                   WHEN 1 THEN upper(c_mktsegment)
+                   ELSE c_mktsegment END AS seg_var
+          FROM customer
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(DISTINCT seg_var) AS BIGINT) AS n_cs,
+               CAST(COUNT(DISTINCT lower(seg_var)) AS BIGINT) AS n_ci,
+               CAST(COUNT(CASE WHEN seg_var = c_mktsegment THEN 1 END) AS BIGINT) AS n_match_cs,
+               CAST(COUNT(CASE WHEN lower(seg_var) = lower(c_mktsegment) THEN 1 END) AS BIGINT) AS n_match_ci
+        FROM v
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""".trim)),
+
     // Edit distance (r4): levenshtein between each document head and its
     // doc_id-predecessor's — the fuzzy-match primitive behind typo-tolerant
     // dedup and entity resolution; both engines ship the identical DP

@@ -229,6 +229,40 @@ object Scans {
         FROM customer
         GROUP BY c_mktsegment ORDER BY c_mktsegment""".trim)),
 
+    // Nested-struct pushdown + pruning (r11): telemetry payloads at 100 TB
+    // are nested (meta.origin.shard, not flat columns), and the scan must
+    // treat nested leaves like top-level ones — the shard predicate pushes
+    // into the parquet reader as a nested-field filter, and schema pruning
+    // reads ONLY the two touched leaves (meta.kind, meta.origin.shard) of
+    // the struct, skipping the uid leaf entirely (PlanShapeSpec pins both
+    // on the ReadSchema/PushedFilters text). Without nested pruning a
+    // 2-leaf query decodes the whole struct column — the silent 10× scan
+    // tax this key exists to prevent.
+    Q("scan_nested_pushdown",
+      (spark, sfDir) => {
+        val dir = graft.Tmp.dir("fmt_nested", sfDir)
+        Tables.events(spark, sfDir)
+          .select(col("event_id"), col("value"),
+            struct(
+              col("event_type").as("kind"),
+              struct((col("user_id") % 50).as("shard"),
+                concat(lit("U"), col("user_id")).as("uid")).as("origin"))
+              .as("meta"))
+          .write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+          .filter(col("meta.origin.shard") === 7)
+          .groupBy(col("meta.kind").as("kind"))
+          .agg(count(lit(1)).as("n"), Det.sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("kind"))
+      },
+      Some(s"""
+        SELECT event_type AS kind, COUNT(*) AS n,
+          ${Det.sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE user_id % 50 = 7
+        GROUP BY 1
+        ORDER BY kind""".trim)),
+
     // MERGE-shaped keyed upsert (r5): refresh a corpus snapshot with a
     // delta batch — updated rows replace by key, new rows append — then
     // materialize the merged snapshot (write + read back, so the key

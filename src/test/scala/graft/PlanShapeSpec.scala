@@ -22,6 +22,21 @@ class PlanShapeSpec extends SparkFixture {
     assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"))
   }
 
+  test("scan_nested_pushdown: nested-leaf predicate pushes to the scan and the untouched leaf is pruned") {
+    val p = plan("scan_nested_pushdown")
+    val scanLine = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    // the shard predicate reaches parquet as a nested-field pushed filter
+    assert(scanLine.contains("meta.origin.shard"),
+      s"nested predicate not pushed: $scanLine\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // nested schema pruning: the struct's touched leaves are read...
+    assert(readSchema.contains("shard") && readSchema.contains("kind"), readSchema)
+    // ...and the uid leaf never leaves the file
+    assert(!readSchema.contains("uid"),
+      s"untouched nested leaf read from parquet: $readSchema")
+  }
+
   test("join_broadcast plans BroadcastHashJoin for both dims") {
     val p = plan("join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)
