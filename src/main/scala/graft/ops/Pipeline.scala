@@ -560,6 +560,49 @@ object Pipeline {
         JOIN t t1 ON s.s1 = t1.source
         JOIN t t2 ON s.s2 = t2.source
         ORDER BY s1, s2""".trim)),
+
+    // Preference-pair construction (r11): the RLHF/DPO data-prep step —
+    // within each candidate group (here doc_id div 100 stands in for
+    // "responses to one prompt"), pair the highest-quality candidate
+    // (chosen) with the lowest (rejected), keep only groups with a real
+    // quality gap. One single-pass hash aggregate via max_by/min_by on
+    // encoded composite order keys (agg_argmin's tie-break policy:
+    // score·10⁶ ∓ doc_id makes the selection total-ordered and
+    // partitioning-invariant — doc_id < 10⁶ in every fixture SF, and at
+    // larger id spaces the multiplier widens like agg_argmin r11). Output
+    // is group-bounded; no self-join, no window over the corpus. At
+    // 100 TB this is one shuffle on the group key — the same shape as any
+    // per-prompt dedup — and the gap filter prunes before emission.
+    Q("llm_preference_pairs",
+      (spark, sfDir) => {
+        val ordMax = col("score") * 1000000L - col("doc_id")
+        val ordMin = col("score") * 1000000L + col("doc_id")
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), expr("doc_id div 100").as("grp"),
+            col("n_chars").as("score"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_docs"),
+            max_by(col("doc_id"), ordMax).as("chosen"),
+            max(col("score")).as("chosen_score"),
+            min_by(col("doc_id"), ordMin).as("rejected"),
+            min(col("score")).as("rejected_score"))
+          .filter(col("n_docs") >= 2 &&
+            col("chosen_score") - col("rejected_score") >= 200)
+          .orderBy(col("grp"))
+      },
+      Some("""
+        SELECT grp, n_docs, chosen, chosen_score, rejected, rejected_score
+        FROM (
+          SELECT doc_id // 100 AS grp, COUNT(*) AS n_docs,
+                 arg_max(doc_id, n_chars * 1000000 - doc_id) AS chosen,
+                 MAX(n_chars) AS chosen_score,
+                 arg_min(doc_id, n_chars * 1000000 + doc_id) AS rejected,
+                 MIN(n_chars) AS rejected_score
+          FROM documents
+          GROUP BY 1
+        )
+        WHERE n_docs >= 2 AND chosen_score - rejected_score >= 200
+        ORDER BY grp""".trim)),
   )
 
   /** Train a deterministic IVF coarse quantizer and run top-k cosine search

@@ -302,6 +302,52 @@ object StreamOps {
         GROUP BY 1, 2
         ORDER BY ws_us, event_type""".trim)),
 
+    // Chained stateful aggregations (r11): TWO windowed aggregates in ONE
+    // append-mode streaming query — per-15-min counts re-aggregated into
+    // per-hour totals/max — the multi-stateful-operator pipeline Spark
+    // only allows since 3.4/4.x (before that, the second groupBy threw
+    // UnsupportedOperationCheck and you paid an intermediate sink + second
+    // job). The hour level aggregates the QUARTER-level output (window-of-
+    // window), so its state is bounded by open windows × types, never
+    // event volume, and its results finalize when the watermark passes the
+    // HOUR end — one query, one checkpoint, end-to-end event-time
+    // correctness across both levels. The sentinel flush finalizes both
+    // levels over the fixture; the oracle is the batch twin (quarter
+    // rollup → hour rollup). At 100 TB this replaces the classic
+    // two-topology "minutely job feeding an hourly job" with one query
+    // whose second stage touches only first-stage output.
+    Q("stream_chained_agg",
+      (spark, sfDir) =>
+        Sources.withFlushedReplay(spark, sfDir) { evs =>
+          runToTable(spark,
+            evs.withWatermark("ts", "0 seconds")
+              .groupBy(window(col("ts"), "15 minutes").as("w1"),
+                col("event_type"))
+              .agg(count(lit(1)).as("n_q"))
+              .groupBy(window(col("w1"), "1 hour").as("w2"), col("event_type"))
+              .agg(sum(col("n_q")).as("n_tot"), max(col("n_q")).as("max_q"),
+                count(lit(1)).as("n_quarters"))
+              .select(unix_micros(col("w2.start")).as("hs_us"),
+                col("event_type"), col("n_tot").cast("long").as("n_tot"),
+                col("max_q").cast("long").as("max_q"), col("n_quarters")),
+            OutputMode.Append())
+        }
+          .filter(col("hs_us") < Sources.FlushTsNs / 1000 - 7200L * 1000000)
+          .orderBy(col("hs_us"), col("event_type")),
+      Some("""
+        WITH q AS (
+          SELECT (epoch_us(ts) // 900000000) * 900000000 AS qs_us,
+                 event_type, COUNT(*) AS n_q
+          FROM events GROUP BY 1, 2
+        )
+        SELECT (qs_us // 3600000000) * 3600000000 AS hs_us, event_type,
+               CAST(SUM(n_q) AS BIGINT) AS n_tot,
+               CAST(MAX(n_q) AS BIGINT) AS max_q,
+               COUNT(*) AS n_quarters
+        FROM q
+        GROUP BY 1, 2
+        ORDER BY hs_us, event_type""".trim)),
+
     // Per-user sessions with 30-min inactivity gap — native session_window;
     // oracle is an independent gap-and-island formulation. Since r9 a REAL
     // append-mode streaming run (sentinel-watermark-flush): sessions only

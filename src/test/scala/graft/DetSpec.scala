@@ -219,7 +219,8 @@ class DetSpec extends SparkFixture {
     val keys = Seq("scan_zonemap", "sink_merge_on_read", "sink_vacuum",
       "sink_dynamic_overwrite", "agg_transition_matrix", "stats_trend_mk",
       "agg_copurchase_pairs", "source_json_dirty", "source_avro",
-      "source_xml", "fn_variant", "scan_nested_pushdown", "fn_collate")
+      "source_xml", "fn_variant", "scan_nested_pushdown", "fn_collate",
+      "llm_preference_pairs")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq
