@@ -187,4 +187,39 @@ class GraphSpec extends SparkFixture {
     assert(expected != oneHop,
       "3-round relaxation equals 1-hop — fixture degenerated to a single join")
   }
+
+  test("graph_components: labels are a valid fixed point and equal a driver-side union-find") {
+    val rows = SparkEntry.queries("graph_components")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    // rebuild the same edge relation and union-find it independently
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey"), col("b.l_partkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    assert(rows == expected, "component labels diverge from union-find")
+    // label semantics: every component's label is its minimum member
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp,
+        s"component $comp is not labeled by its min member")
+    }
+    // fixed point: both edge endpoints always share a component
+    edges.foreach { case (a, b) =>
+      assert(rows(a) == rows(b), s"edge ($a,$b) straddles components")
+    }
+  }
 }
