@@ -1099,6 +1099,52 @@ class StreamingSpec extends SparkFixture {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stream_chained_agg: ONE query carries TWO stateful operators and emits each hour exactly once") {
+    var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+    val out = Sources.withFlushedReplay(spark, sf001) { evs =>
+      val tbl = sinkName()
+      val q = evs.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "15 minutes").as("w1"), col("event_type"))
+        .agg(count(lit(1)).as("n_q"))
+        .groupBy(window(col("w1"), "1 hour").as("w2"), col("event_type"))
+        .agg(sum(col("n_q")).as("n_tot"))
+        .select(unix_micros(col("w2.start")).as("hs_us"), col("event_type"),
+          col("n_tot").cast("long").as("n_tot"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      progs = q.recentProgress.toSeq.sortBy(_.batchId)
+      spark.table(tbl)
+    }
+    // the load-bearing claim: a SINGLE StreamingQuery ran BOTH windowed
+    // aggregations — progress must report two state operators, each with
+    // real state (pre-3.4 Spark rejected this plan outright)
+    val withState = progs.filter(_.stateOperators.nonEmpty)
+    assert(withState.nonEmpty, "no stateful progress recorded")
+    assert(withState.map(_.stateOperators.length).max == 2,
+      s"expected 2 chained state operators: ${withState.map(_.stateOperators.length).toList}")
+    // BOTH levels did real stateful work: the quarter level holds state
+    // across batches (snapshot numRowsTotal > 0), while the hour level
+    // finalizes-and-evicts WITHIN the sentinel batch (its snapshot reads
+    // 0) — its work is visible as numRowsUpdated instead
+    assert(withState.exists(_.stateOperators.exists(_.numRowsTotal > 0)),
+      s"quarter level never held state: ${withState.map(_.stateOperators.map(_.numRowsTotal).toList).toList}")
+    assert(withState.exists(p => p.stateOperators.length == 2 &&
+        p.stateOperators.forall(_.numRowsUpdated > 0)),
+      s"never saw both operators update state: ${withState.map(_.stateOperators.map(_.numRowsUpdated).toList).toList}")
+    // append-mode exactness: every finalized (hour, type) emitted once
+    val rows = out.filter(col("hs_us") < Sources.FlushTsNs / 1000 - 7200L * 1000000)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).distinct.length == rows.length,
+      "duplicate hour emissions in append mode")
+    // and the hour totals re-aggregate to the batch answer
+    val want = Tables.events(spark, sf001).count()
+    assert(rows.map(_.getLong(2)).sum == want,
+      s"chained totals ${rows.map(_.getLong(2)).sum} != events $want")
+  }
+
   test("observability: outer-join state is bounded by watermark eviction, not stream history") {
     var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
     Sources.withFlushedReplay(spark, sf001) { evs =>
