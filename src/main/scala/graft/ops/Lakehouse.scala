@@ -138,5 +138,48 @@ object Lakehouse {
         FROM documents
         WHERE doc_id % 3 <> 0
         ORDER BY doc_id""".trim)),
+
+    // Incremental materialized-view maintenance (r11): the aggregate MV —
+    // per (day, type) counts and exact micro-scaled value sums — is
+    // maintained ADDITIVELY: the base builds v0, then the delta batch is
+    // aggregated ALONE (O(delta), the whole point) and merged into the
+    // standing MV by a full-outer key join with coalesced addition,
+    // committing v1 through the Acid seam. Base events are never
+    // re-scanned on refresh — at 100 TB that is the difference between an
+    // hourly refresh costing O(new events) and O(history). Works because
+    // count/sum are ABELIAN-GROUP partials (the same property that makes
+    // them map-side combinable); non-additive metrics (exact distinct,
+    // percentiles) need mergeable sketches instead — agg_sketch_merge's
+    // territory. Sums ride as exact scaled-micros BIGINTs, so the merge
+    // arithmetic is integer and the oracle (one full recompute) must
+    // match bit-for-bit — proving the incremental path loses nothing.
+    Q("sink_incremental_mv",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_incmv", sfDir)
+        Acid.reset(table)
+        def rollup(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(val6(col("value"))) * 1000000).cast("long").as("sum_micros"))
+        val ev = Tables.events(spark, sfDir)
+        Acid.commit(spark, table, rollup(ev.filter(col("event_id") % 5 =!= 0)))
+        // refresh: aggregate ONLY the delta, merge into the standing MV
+        val delta = rollup(ev.filter(col("event_id") % 5 === 0))
+        val mv = Acid.read(spark, table).as("m")
+          .join(delta.as("x"), Seq("d", "event_type"), "full_outer")
+          .select(col("d"), col("event_type"),
+            (coalesce(col("m.n"), lit(0L)) + coalesce(col("x.n"), lit(0L))).as("n"),
+            (coalesce(col("m.sum_micros"), lit(0L)) +
+              coalesce(col("x.sum_micros"), lit(0L))).as("sum_micros"))
+        Acid.commit(spark, table, mv)
+        Acid.read(spark, table).orderBy(col("d"), col("event_type"))
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                 AS sum_micros
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY d, event_type""".trim)),
   )
 }

@@ -220,7 +220,7 @@ class DetSpec extends SparkFixture {
       "sink_dynamic_overwrite", "agg_transition_matrix", "stats_trend_mk",
       "agg_copurchase_pairs", "source_json_dirty", "source_avro",
       "source_xml", "fn_variant", "scan_nested_pushdown", "fn_collate",
-      "llm_preference_pairs")
+      "llm_preference_pairs", "sink_incremental_mv")
     keys.foreach { k =>
       def run(): Seq[Seq[Any]] = SparkEntry.queries(k)(spark, sf001)
         .collect().map(_.toSeq).toSeq
