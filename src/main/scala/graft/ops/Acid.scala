@@ -86,6 +86,24 @@ object Acid {
     readVersion(spark, table, currentVersion(table).getOrElse(
       sys.error(s"Acid.read: no committed version at $table")))
 
+  /** Schema-evolution read: like [[read]] but unions the per-file schemas
+    * (`mergeSchema`) so files written before a column existed surface it
+    * as NULL — additive evolution without rewriting a byte of old data
+    * (the Delta `mergeSchema` / Iceberg add-column contract; renames/type
+    * changes need column-id mapping, out of scope). At 100 TB the merged
+    * schema comes from the table's metadata, not a footer sweep — the
+    * manifest seam is where that metadata would live; mergeSchema over
+    * the manifest's explicit file list models the same read semantics. */
+  def readEvolved(spark: SparkSession, table: String): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      sys.error(s"Acid.readEvolved: no committed version at $table"))
+    val lines = manifestLines(table, v)
+    require(lines.contains("# base:."), s"readEvolved on snapshot-mode table $table")
+    val files = lines.filterNot(_.startsWith("#"))
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$table/$f"): _*)
+  }
+
   /** Time travel: read version `v` AS OF its commit. Every version's data
     * and manifest are immutable after the pointer flip (the [[commit]]
     * contract), so a historical read is byte-identical to what a reader
@@ -138,9 +156,29 @@ object Acid {
     * cost one narrow re-read of the just-written version (fixture scale);
     * at 100 TB writers harvest them from the parquet footers they just
     * produced — zero extra reads. [[readSkipping]] is the consumer. */
+  // ---- file-level bloom filters (point-lookup skipping) ----
+  // m = 4096 bits (64 int64 words), k = 2 positions per key. The position
+  // arithmetic pre-mods the key to ≤ 10^6 so every product stays far below
+  // int64 under ANSI, and is duplicated EXACTLY in [[bloomPositions]]
+  // (driver side) and [[commit]]'s column expressions (executor side) —
+  // the bit a writer sets is provably the bit a reader probes. The mixer
+  // is two Lehmer steps mod the Mersenne prime 2³¹−1: reducing by a PRIME
+  // before the power-of-two bit-mod matters — an affine map straight into
+  // mod 4096 stays affine, so bucket-clustered keys (k ≡ c mod 8) would
+  // concentrate into a gcd-coset and saturate it (measured: absent-key
+  // false positives on every file before this).
+  private[ops] val BloomBits = 4096
+  private[ops] def bloomPositions(key: Long): (Int, Int) = {
+    val y = Math.floorMod(key, 1000003L)
+    val h1 = (y * 48271L) % 2147483647L
+    val h2 = (h1 * 48271L) % 2147483647L
+    ((h1 % BloomBits).toInt, (h2 % BloomBits).toInt)
+  }
+
   def commit(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String] = Nil,
-      stats: Option[(String, Column)] = None): Long = withWriterLock(table) {
+      stats: Option[(String, Column)] = None,
+      bloom: Option[(String, Column)] = None): Long = withWriterLock(table) {
     val v = currentVersion(table).map(_ + 1).getOrElse(0L)
     val dataDir = Paths.get(table, s"v=$v")
     val writer = df.write.mode("overwrite")
@@ -167,8 +205,39 @@ object Acid {
           s"# minmax:$rel|$name|${r.getLong(1)}|${r.getLong(2)}"
         }.sorted
     }
+    // per-file 4096-bit bloom over a long-valued expr: one pass computing
+    // all 64 words as bit_or aggregates (fully distributed — no per-file
+    // driver collect of keys). Parquet can carry column blooms in the
+    // footer (parquet.bloom.filter.enabled); recording them at the
+    // MANIFEST level is what lets a point lookup prune the file list
+    // before any footer I/O — Iceberg's puffin-file shape. At 100 TB
+    // writers harvest these from the footers they just produced.
+    val bloomLines = bloom.toSeq.flatMap { case (name, expr0) =>
+      val abs = dataDir.toAbsolutePath
+      val words = BloomBits / 64
+      def setBit(p: String, k: Int): String =
+        s"IF($p div 64 = $k, shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT)), CAST(0 AS BIGINT))"
+      val aggs = (0 until words).map { k =>
+        org.apache.spark.sql.functions.bit_or(
+          org.apache.spark.sql.functions.expr(
+            s"${setBit("__p1", k)} | ${setBit("__p2", k)}")).as(s"w$k")
+      }
+      spark.read.parquet(dataDir.toString)
+        .withColumn("__y", org.apache.spark.sql.functions.pmod(expr0, org.apache.spark.sql.functions.lit(1000003L)))
+        .withColumn("__h1", org.apache.spark.sql.functions.expr("(__y * 48271) % 2147483647"))
+        .withColumn("__p1", org.apache.spark.sql.functions.expr(s"__h1 % $BloomBits"))
+        .withColumn("__p2", org.apache.spark.sql.functions.expr(s"(__h1 * 48271) % 2147483647 % $BloomBits"))
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // O(files) rows — manifest-construction control plane
+        .map { r =>
+          val rel = abs.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
+          val ws = (0 until words).map(k => r.getLong(k + 1)).mkString(",")
+          s"# bloom:$rel|$name|$ws"
+        }.sorted
+    }
     Files.write(Paths.get(table, s"manifest-$v.txt"),
-      (statLines ++ files).mkString("", "\n", "\n").getBytes("UTF-8"))
+      (statLines ++ bloomLines ++ files).mkString("", "\n", "\n").getBytes("UTF-8"))
     // the commit point: readers see the old version until this rename
     // lands, the new one after — never anything in between
     val tmp = Paths.get(table, s"_current.tmp.$v")
@@ -344,6 +413,49 @@ object Acid {
       sys.error(s"Acid.readSkipping: no committed version at $table"))
     val (kept, all) = skipFiles(table, v, statsName, lo, hi)
     require(all.nonEmpty, s"Acid.readSkipping: empty manifest at $table v$v")
+    if (kept.isEmpty) spark.read
+      .option("basePath", s"$table/v=$v")
+      .parquet(s"$table/v=$v/${all.head}").limit(0) // schema-stable empty
+    else spark.read
+      .option("basePath", s"$table/v=$v")
+      .parquet(kept.map(f => s"$table/v=$v/$f"): _*)
+  }
+
+  /** Bloom file lists for [[readBloomSkipping]]: (kept, all) data files of
+    * version `v`, keeping a file unless its recorded bloom for `statsName`
+    * PROVES `key` absent (either probed bit unset). Files with no recorded
+    * bloom are kept — skipping is an optimization, never a correctness
+    * gate (same contract as [[skipFiles]]). */
+  def skipFilesBloom(table: String, v: Long, statsName: String,
+      key: Long): (Seq[String], Seq[String]) = {
+    val lines = manifestLines(table, v)
+    val blooms = lines.filter(_.startsWith("# bloom:")).flatMap { l =>
+      l.stripPrefix("# bloom:").split('|') match {
+        case Array(f, n, ws) if n == statsName =>
+          Some(f -> ws.split(',').map(_.toLong))
+        case _ => None
+      }
+    }.toMap
+    val (p1, p2) = bloomPositions(key)
+    def hasBit(w: Array[Long], p: Int): Boolean = (w(p / 64) >>> (p % 64) & 1L) == 1L
+    val all = lines.filterNot(_.startsWith("#"))
+    val kept = all.filter(f =>
+      blooms.get(f).forall(w => hasBit(w, p1) && hasBit(w, p2)))
+    (kept, all)
+  }
+
+  /** Point-lookup data-skipping read: drop every file whose bloom proves
+    * it cannot contain `key`, scan only the survivors. The range twin is
+    * [[readSkipping]]; blooms cover the case zone maps cannot — a
+    * high-cardinality key scattered across a table clustered on something
+    * else entirely (here: who-did-what lookups on an event log
+    * hash-clustered by user bucket). Caller keeps the residual predicate. */
+  def readBloomSkipping(spark: SparkSession, table: String, statsName: String,
+      key: Long): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      sys.error(s"Acid.readBloomSkipping: no committed version at $table"))
+    val (kept, all) = skipFilesBloom(table, v, statsName, key)
+    require(all.nonEmpty, s"Acid.readBloomSkipping: empty manifest at $table v$v")
     if (kept.isEmpty) spark.read
       .option("basePath", s"$table/v=$v")
       .parquet(s"$table/v=$v/${all.head}").limit(0) // schema-stable empty

@@ -1058,6 +1058,120 @@ object Aggregates {
         HAVING COUNT(*) >= 2
         ORDER BY support DESC, pa, pb""".trim)),
 
+    // Association rules (r11): the Apriori second stage on top of
+    // agg_copurchase_pairs — each frequent unordered pair becomes TWO
+    // directed rules a→b and b→a, scored by confidence (pair support /
+    // antecedent support) and lift (observed co-rate / independence
+    // expectation), both as floor-ppm integers: conf_ppm = sup_pair·10⁶
+    // div sup_ante; lift_ppm = sup_pair·N·10⁶ div (sup_ante·sup_cons),
+    // run in DECIMAL(38,0) because sup·N·10⁶ exceeds int64 at warehouse
+    // scale (every operand non-negative, so floor == truncate cross-
+    // engine — the rank_corr recipe). Shape: basket-bounded pair join
+    // (the copurchase argument), one broadcast-joined per-item support
+    // table (output-bound at |parts|), and a 1-row basket-count scalar
+    // broadcast — no new table-sized operation beyond the mining pass.
+    Q("agg_assoc_rules",
+      (spark, sfDir) => {
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairSup = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("sup_pair"))
+          .filter(col("sup_pair") >= 2)
+        val rules = pairSup
+          .select(col("pa").as("ante"), col("pb").as("cons"), col("sup_pair"))
+          .unionByName(pairSup
+            .select(col("pb").as("ante"), col("pa").as("cons"), col("sup_pair")))
+        val itemSup = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
+        val baskets = li.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+        rules
+          .join(broadcast(itemSup.select(col("l_partkey").as("ante"),
+            col("sup").as("sup_ante"))), Seq("ante"))
+          .join(broadcast(itemSup.select(col("l_partkey").as("cons"),
+            col("sup").as("sup_cons"))), Seq("cons"))
+          .crossJoin(broadcast(baskets))
+          .select(col("ante"), col("cons"), col("sup_pair"), col("sup_ante"),
+            expr("CAST(sup_pair * 1000000 div sup_ante AS BIGINT)").as("conf_ppm"),
+            expr("""CAST(CAST(sup_pair AS DECIMAL(38,0)) * n_baskets * 1000000
+                      div (CAST(sup_ante AS DECIMAL(38,0)) * sup_cons)
+                    AS BIGINT)""").as("lift_ppm"))
+          .orderBy(col("conf_ppm").desc, col("ante"), col("cons"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pair_sup AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS sup_pair
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        rules AS (
+          SELECT pa AS ante, pb AS cons, sup_pair FROM pair_sup
+          UNION ALL SELECT pb, pa, sup_pair FROM pair_sup),
+        item_sup AS (
+          SELECT l_partkey, COUNT(*) AS sup FROM li GROUP BY 1),
+        baskets AS (
+          SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li)
+        SELECT r.ante, r.cons, r.sup_pair, ia.sup AS sup_ante,
+               CAST(r.sup_pair * 1000000 // ia.sup AS BIGINT) AS conf_ppm,
+               CAST(CAST(r.sup_pair AS HUGEINT) * b.n_baskets * 1000000
+                    // (CAST(ia.sup AS HUGEINT) * ic.sup) AS BIGINT) AS lift_ppm
+        FROM rules r
+        JOIN item_sup ia ON r.ante = ia.l_partkey
+        JOIN item_sup ic ON r.cons = ic.l_partkey
+        CROSS JOIN baskets b
+        ORDER BY conf_ppm DESC, ante, cons""".trim)),
+
+    // Day-of-week seasonality index (r11): per (event type, weekday), the
+    // ratio of that weekday's average daily total to the type's overall
+    // average daily total, as a floor-ppm integer — the multiplicative
+    // seasonal profile behind staffing curves, anomaly baselines ("is
+    // this Sunday low or is the metric broken?") and seasonal adjustment.
+    // Pure-integer ratio of two rational averages via cross-
+    // multiplication: idx_ppm = (sum_dow · n_days_total · 10⁶) div
+    // (sum_total · n_days_dow), in DECIMAL(38,0) because micros·days·10⁶
+    // tops int64; all operands non-negative so floor == truncate cross-
+    // engine. Weekday is Monday=0 in both engines (Spark weekday() ≡
+    // DuckDB isodow−1 — dayofweek/dow disagree on the week start, a
+    // classic cross-engine trap). One table-sized aggregate builds the
+    // daily rollup; the 7×|types| index math is output-bound.
+    Q("agg_seasonal_index",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wt = Window.partitionBy(col("event_type"))
+        Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg((sum(graft.Det.val6(col("value"))) * 1000000).cast("long").as("x"))
+          .withColumn("dow", weekday(col("d")))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sum_dow"))
+          .withColumn("n_total", sum(col("n_days")).over(wt))
+          .withColumn("sum_total", sum(col("sum_dow")).over(wt))
+          .select(col("event_type"), col("dow"), col("n_days"),
+            expr("""CAST(CAST(sum_dow AS DECIMAL(38,0)) * n_total * 1000000
+                      div (CAST(sum_total AS DECIMAL(38,0)) * n_days)
+                    AS BIGINT)""").as("idx_ppm"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), dow AS (
+          SELECT event_type, isodow(d) - 1 AS dow,
+                 COUNT(*) AS n_days, SUM(x) AS sum_dow
+          FROM daily GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(dow AS INTEGER) AS dow, n_days,
+               CAST(CAST(sum_dow AS HUGEINT) *
+                      SUM(n_days) OVER (PARTITION BY event_type) * 1000000
+                    // (CAST(SUM(sum_dow) OVER (PARTITION BY event_type)
+                          AS HUGEINT) * n_days) AS BIGINT) AS idx_ppm
+        FROM dow
+        ORDER BY event_type, dow""".trim)),
+
     // Behavioral transition matrix (r11): first-order Markov counts over
     // each user's event sequence — P(next event type | current) — the
     // event-stream analytics that powers next-action prediction, funnel

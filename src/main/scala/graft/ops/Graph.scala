@@ -328,6 +328,64 @@ object Graph {
         SELECT node, MIN(lbl) AS comp FROM walk
         GROUP BY node ORDER BY node""".trim)),
 
+    // Link prediction by common neighbors (r11): over the co-purchase
+    // graph (the components/copurchase edge relation), score every
+    // NON-adjacent part pair by how many neighbors they share — the
+    // classic common-neighbors recommender ("parts bought with both of
+    // these") and the simplest link-prediction baseline. Shape: one
+    // wedge self-join of the symmetric edge list on the CENTER node with
+    // d1 < d2 so each wedge counts once, hash-agg per endpoint pair,
+    // then an anti-join drops pairs that are already edges and the ≥2
+    // threshold bounds the output. Cost is Σ_v C(deg(v),2) — at 100 TB
+    // the standing hub guard applies (cap or sample a hot node's
+    // adjacency before wedging; capping a hub only drops scores that
+    // node inflates for everyone equally), same policy as the LSH
+    // mega-bucket and copurchase mega-basket caps. The anti-join's
+    // build side is the edge list itself — broadcastable exactly when
+    // the wedge join was feasible at all.
+    Q("graph_common_neighbors",
+      (spark, sfDir) => {
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .select(col("pa"), col("pb"))
+        val und = pairs.select(col("pa").as("s"), col("pb").as("d"))
+          .unionByName(pairs.select(col("pb").as("s"), col("pa").as("d")))
+        val wedges = und.as("e1").join(und.as("e2"),
+            col("e1.s") === col("e2.s") && col("e1.d") < col("e2.d"))
+          .groupBy(col("e1.d").as("a"), col("e2.d").as("b"))
+          .agg(count(lit(1)).as("cn"))
+        wedges
+          .join(pairs, wedges("a") === pairs("pa") && wedges("b") === pairs("pb"),
+            "left_anti")
+          .filter(col("cn") >= 2)
+          .orderBy(col("cn").desc, col("a"), col("b"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        und AS (
+          SELECT pa AS s, pb AS d FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+        wedges AS (
+          SELECT e1.d AS a, e2.d AS b, COUNT(*) AS cn
+          FROM und e1 JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d
+          GROUP BY 1, 2)
+        SELECT w.a, w.b, w.cn
+        FROM wedges w
+        WHERE w.cn >= 2
+          AND NOT EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.pa = w.a AND p.pb = w.b)
+        ORDER BY w.cn DESC, w.a, w.b""".trim)),
+
     // Degree profile (r9): per-node in/out degree (distinct counterparts)
     // and weighted in/out strength over the same nation trade graph the
     // iterative keys walk — the first diagnostic every graph pipeline

@@ -181,5 +181,75 @@ object Lakehouse {
         FROM events
         GROUP BY 1, 2
         ORDER BY d, event_type""".trim)),
+
+    // Manifest bloom filters (r11): the POINT-LOOKUP twin of scan_zonemap.
+    // Zone maps are sharp only for the clustering key; a "show me user
+    // 7's events" lookup on a log clustered any other way overlaps every
+    // file's ts range. So the commit records a per-file 4096-bit bloom
+    // over user_id (hash-bucket clustering makes each file hold ~1/8 of
+    // users), and the read prunes the FILE LIST to the (few) files whose
+    // bloom admits the key — O(files) driver arithmetic before any
+    // footer I/O, Iceberg's puffin-file shape. A bloom "no" is proof, a
+    // "yes" only probable: the residual predicate stays on the scan, so
+    // a false positive costs one wasted file read, never a wrong row.
+    // OperatorSpec pins real pruning, pruned == unpruned, and that an
+    // absent key prunes everything to a schema-stable empty frame.
+    Q("scan_bloom_skip",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_bloomskip", sfDir)
+        Acid.reset(table)
+        Acid.commit(spark, table,
+          Tables.events(spark, sfDir)
+            .repartition(8, pmod(col("user_id"), lit(8))),
+          bloom = Some("user_id" -> col("user_id")))
+        Acid.readBloomSkipping(spark, table, "user_id", key = 7L)
+          .filter(col("user_id") === 7L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE user_id = 7
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
+    // Additive schema evolution (r11): the new column arrives BEFORE the
+    // old data leaves — txn 0 lands the base without `c_mktsegment`, txn
+    // 1 appends rows that carry it, and the evolved read surfaces the
+    // union schema with NULLs for pre-evolution files. Not one byte of
+    // old data is rewritten (OperatorSpec pins the txn-0 files unchanged
+    // on disk by name and mtime) — at 100 TB an ALTER TABLE ADD COLUMN
+    // that rewrote history would be an outage, so additive evolution
+    // must be metadata-only; readers pay one NULL-fill projection on old
+    // files. The oracle rebuilds the same union set-theoretically with
+    // an explicit NULL cast, proving value-level equivalence end-to-end.
+    Q("sink_schema_evolution",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_schemaevo", sfDir)
+        Acid.reset(table)
+        val cust = Tables.customer(spark, sfDir)
+        Acid.appendTxn(spark, table,
+          cust.filter(col("c_custkey") % 2 === 0)
+            .select(col("c_custkey"), col("c_name"), money(col("c_acctbal")).as("bal")),
+          txnId = 0L)
+        Acid.appendTxn(spark, table,
+          cust.filter(col("c_custkey") % 2 === 1)
+            .select(col("c_custkey"), col("c_name"), money(col("c_acctbal")).as("bal"),
+              col("c_mktsegment")),
+          txnId = 1L)
+        Acid.readEvolved(spark, table)
+          .select(col("c_custkey"), col("c_name"),
+            emit(col("bal"), 2).as("bal"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+               CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment
+                    ELSE CAST(NULL AS VARCHAR) END AS c_mktsegment
+        FROM customer
+        ORDER BY c_custkey""".trim)),
   )
 }

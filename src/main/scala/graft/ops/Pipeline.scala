@@ -603,6 +603,86 @@ object Pipeline {
         )
         WHERE n_docs >= 2 AND chosen_score - rejected_score >= 200
         ORDER BY grp""".trim)),
+
+    // Span-corruption masking plan (r11): T5/UL2-style denoising prep —
+    // for each document, deterministically select ~15% of token positions
+    // via a position-keyed LCG (doc_id is the seed, so the mask is
+    // reproducible across reruns, retries, and partitionings — the
+    // llm_doc_sample property) and report tokens/masked/span counts. A
+    // span START is a masked position whose predecessor is unmasked, so
+    // n_spans is computable from the SAME per-position predicate at i−1
+    // — pure per-row array arithmetic over sequence(1, n_tokens) with
+    // higher-order filters: ZERO explode, zero shuffle, zero window. The
+    // LCG pre-mods the seed (doc_id % 9973) so every product stays far
+    // below int64 under ANSI; the oracle reproduces the identical
+    // arithmetic over generate_series. At 100 TB this is a map-only
+    // stage — exactly what you want for the heaviest-volume shaping pass.
+    Q("llm_span_mask",
+      (spark, sfDir) => {
+        def masked(i: String) =
+          s"((doc_id % 9973) * 131 + ($i) * 17) % 101 < 15"
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr(s"size(filter(sequence(1, n_tokens), i -> ${masked("i")}))")
+              .as("n_masked"),
+            expr(s"""size(filter(sequence(1, n_tokens),
+                i -> ${masked("i")} AND (i = 1 OR NOT ${masked("i - 1")})))""")
+              .as("n_spans"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_filter(generate_series(1, len(string_split(text, ' '))),
+                 i -> ((doc_id % 9973) * 131 + i * 17) % 101 < 15)) AS INT)
+                 AS n_masked,
+               CAST(len(list_filter(generate_series(1, len(string_split(text, ' '))),
+                 i -> ((doc_id % 9973) * 131 + i * 17) % 101 < 15
+                      AND (i = 1 OR NOT (((doc_id % 9973) * 131 + (i - 1) * 17) % 101 < 15))))
+                 AS INT) AS n_spans
+        FROM documents
+        ORDER BY doc_id""".trim)),
+
+    // SemDeDup (r11): semantic dedup by cluster-then-compare (Abbas et
+    // al. 2023) — k-means-cluster the embeddings (the deterministic IVF
+    // quantizer), then compute exact pairwise cosine ONLY within each
+    // cluster and drop the higher id of any pair ≥ τ. The clustering is
+    // what makes semantic dedup tractable: pair work falls from O(N²) to
+    // Σ|cell|² — with cells sized ~√N at 100 TB that is ~N·√N spread
+    // across independent cells, each cell's pair join a separate shuffle
+    // partition (and the standing mega-bucket cap applies to a skewed
+    // cell, same policy as LSH buckets). Perturbed plants (the
+    // llm_dedup_embed corpus) give the spec measurable recall; the
+    // documented recall loss is a near-dup pair straddling a cell
+    // boundary — SemDeDup's accepted trade, pinned in spec via the
+    // same-cell qualifier. Not SQL-expressible (centroid training);
+    // PipelineSpec pins rerun-determinism, plant recall, and that every
+    // flagged dup really has a ≥ τ same-cell partner (precision = 1 by
+    // construction, re-verified independently).
+    Q("llm_semdedup",
+      (spark, sfDir) => {
+        val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+        val planted = emb.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            expr("transform(embedding, (x, i) -> IF(i = size(embedding) - 1, -x, x))")
+              .as("embedding"))
+        val model = ivfTrain(emb.unionByName(planted), nCells = 16)
+        val a = model.assigned
+        val dup = a.select(col("cell"), col("vec_id").as("a_id"), col("u").as("a_u"))
+          .join(a.select(col("cell"), col("vec_id").as("b_id"), col("u").as("b_u")),
+            Seq("cell"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("cos", expr(
+            "aggregate(zip_with(a_u, b_u, (p, q) -> p * q), 0.0d, (acc, v) -> acc + v)"))
+          .filter(round(col("cos"), 6) >= 0.92)
+          .select(col("b_id").as("vec_id")).distinct()
+        a.select(col("vec_id"), col("cell"))
+          .join(dup.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("is_dup"), lit(0)).as("is_dup"))
+          .orderBy(col("vec_id"))
+      },
+      None),
   )
 
   /** Train a deterministic IVF coarse quantizer and run top-k cosine search

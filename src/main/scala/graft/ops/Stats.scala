@@ -1023,6 +1023,201 @@ object Stats {
         JOIN s ON base.event_type = s.event_type
         JOIN ties ON base.event_type = ties.event_type
         ORDER BY base.event_type""".trim)),
+
+    // Kendall rank concordance (r11): tau's raw counts between two daily
+    // series per event type — total value (exact scaled micros) vs event
+    // count — the nonparametric "do busier days carry more value" monitor
+    // that, unlike Pearson, is outlier-immune and needs no moments. All
+    // O(n²) pair work runs on the DAILY rollup's output (C(30,2) = 435
+    // pairs/type, output-bound — the stats_ks_test argument); the only
+    // table-sized operation is the one hash-aggregate building the
+    // rollup. Concordant/discordant/tie counts are pure integers; tau,
+    // z, and p are left to the consumer (division with a possibly
+    // NEGATIVE numerator floor/truncates differently across engines, and
+    // libm sqrt is not bit-portable — the standing stats policy).
+    graft.Q("stats_kendall_tau",
+      (spark, sfDir) => {
+        import graft.Det
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg((sum(Det.val6(col("value"))) * 1000000).cast("long").as("x"),
+            count(lit(1)).as("y"))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.d") < col("b.d"))
+          .select(col("a.event_type").as("event_type"),
+            (signum(col("b.x") - col("a.x")) *
+              signum(col("b.y") - col("a.y"))).cast("long").as("cc"))
+        pairs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("cc") > 0, 1L).otherwise(0L)).as("n_c"),
+            sum(when(col("cc") < 0, 1L).otherwise(0L)).as("n_d"),
+            sum(when(col("cc") === 0, 1L).otherwise(0L)).as("n_tie"),
+            sum(col("cc")).as("s_stat"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x,
+                 COUNT(*) AS y
+          FROM events GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a.event_type,
+                 CAST(sign(b.x - a.x) * sign(b.y - a.y) AS BIGINT) AS cc
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d
+        )
+        SELECT event_type, COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN cc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN cc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+               CAST(SUM(CASE WHEN cc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie,
+               CAST(SUM(cc) AS BIGINT) AS s_stat
+        FROM pairs
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
+    // Wald–Wolfowitz runs test (r11): randomness-of-sequence check on each
+    // type's daily totals — a metric oscillating around its median every
+    // day (many runs) and one that drifted then recovered (few long runs)
+    // have identical marginal distributions; run counts are what
+    // distinguishes them, which is why drift monitors pair a runs test
+    // with the Mann-Kendall trend stat. Median is the LOWER median (the
+    // value at ordered position (n+1) div 2) — an actual series element,
+    // picked by row_number, so no cross-engine interpolation ambiguity;
+    // "above" is strictly > median (ties side with below, deterministic
+    // both sides). Everything after the daily rollup is windows over ≤31
+    // rows/type (output-bound); counts are pure integers, the z-score is
+    // the consumer's (stats policy).
+    graft.Q("stats_runs_test",
+      (spark, sfDir) => {
+        import graft.Det
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg((sum(Det.val6(col("value"))) * 1000000).cast("long").as("x"))
+        val byX = Window.partitionBy(col("event_type")).orderBy(col("x"), col("d"))
+        val med = daily
+          .withColumn("rx", row_number().over(byX))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .filter(col("rx") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col("x").as("med"))
+        val byD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        daily.join(med, Seq("event_type"))
+          .withColumn("above", (col("x") > col("med")).cast("int"))
+          .withColumn("flip",
+            when(lag(col("above"), 1).over(byD).isNull, 1)
+              .when(lag(col("above"), 1).over(byD) =!= col("above"), 1)
+              .otherwise(0))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("above")).cast("long").as("n_above"),
+            (count(lit(1)) - sum(col("above"))).cast("long").as("n_below"),
+            sum(col("flip")).cast("long").as("n_runs"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT event_type, d, x,
+                 row_number() OVER (PARTITION BY event_type ORDER BY x, d) AS rx,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM daily
+        ), med AS (
+          SELECT event_type, x AS med FROM ranked WHERE rx = (n + 1) // 2
+        ), seq AS (
+          SELECT daily.event_type,
+                 CASE WHEN x > med THEN 1 ELSE 0 END AS above,
+                 CASE WHEN lag(CASE WHEN x > med THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY daily.event_type ORDER BY d)
+                      IS DISTINCT FROM CASE WHEN x > med THEN 1 ELSE 0 END
+                      THEN 1 ELSE 0 END AS flip
+          FROM daily JOIN med ON daily.event_type = med.event_type
+        )
+        SELECT event_type, COUNT(*) AS n_days,
+               CAST(SUM(above) AS BIGINT) AS n_above,
+               CAST(COUNT(*) - SUM(above) AS BIGINT) AS n_below,
+               CAST(SUM(flip) AS BIGINT) AS n_runs
+        FROM seq
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
+    // Pettitt change-point test (r11): for each event type, the split
+    // point k in its daily series maximizing |U_k|, U_k = Σ_{i≤k<j}
+    // sign(x_j − x_i) — the rank-based change-point detector drift
+    // monitors run when a level shift's WHERE matters as much as its
+    // existence. Rank-based means tiny exact integers (|U_k| ≤
+    // k(n−k) ≤ 240) — no squared-sum magnitudes to overflow and no
+    // float argmax ambiguity; k* tie-breaks to the earliest day. The
+    // pair/grid expansion is Σ(j−i) ≈ n³/6 ≈ 4.5k rows per type —
+    // output-bound on DAYS, never table rows (the stats_ks_test
+    // argument); the one table-sized op is the daily rollup aggregate.
+    graft.Q("stats_changepoint",
+      (spark, sfDir) => {
+        import graft.Det
+        import org.apache.spark.sql.expressions.Window
+        val byD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg((sum(Det.val6(col("value"))) * 1000000).cast("long").as("x"))
+          .withColumn("rn", row_number().over(byD))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.rn") < col("b.rn"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.rn").as("i"), col("b.rn").as("j"),
+            signum(col("b.x") - col("a.x")).cast("long").as("s"))
+        val grid = daily.select(col("event_type"), col("rn").as("k"), col("d"))
+        val uk = pairs.join(grid.drop("d"),
+            pairs("event_type") === grid("event_type") &&
+              col("i") <= col("k") && col("k") < col("j"))
+          .groupBy(pairs("event_type").as("event_type"), col("k"))
+          .agg(sum(col("s")).as("u"))
+        val best = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("u")).desc, col("k"))
+        uk.withColumn("pick", row_number().over(best))
+          .filter(col("pick") === 1)
+          .join(grid, Seq("event_type", "k"))
+          .join(daily.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_days")), Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("k").cast("long").as("k_split"),
+            col("d").as("split_day"), abs(col("u")).as("u_abs"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY CAST(ts AS DATE)) AS rn
+          FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), pairs AS (
+          SELECT a.event_type, a.rn AS i, b.rn AS j,
+                 CAST(sign(b.x - a.x) AS BIGINT) AS s
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.rn < b.rn
+        ), uk AS (
+          SELECT p.event_type, g.rn AS k, SUM(p.s) AS u
+          FROM pairs p JOIN daily g
+            ON p.event_type = g.event_type AND p.i <= g.rn AND g.rn < p.j
+          GROUP BY 1, 2
+        ), best AS (
+          SELECT event_type, k, u,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(u) DESC, k) AS pick
+          FROM uk
+        )
+        SELECT b.event_type,
+               (SELECT COUNT(*) FROM daily n WHERE n.event_type = b.event_type)
+                 AS n_days,
+               b.k AS k_split, g.d AS split_day,
+               CAST(abs(b.u) AS BIGINT) AS u_abs
+        FROM best b JOIN daily g ON b.event_type = g.event_type AND b.k = g.rn
+        WHERE b.pick = 1
+        ORDER BY b.event_type""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

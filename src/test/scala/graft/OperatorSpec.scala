@@ -1310,6 +1310,84 @@ class OperatorSpec extends SparkFixture {
     assert(Acid.horizon(table) == 2L)
   }
 
+  test("Acid: manifest blooms prune point lookups, keep unprovable files, never change the answer") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_bloom").toString
+    // hash-bucket clustering on k: each of 8 files holds ~1/8 of the 997
+    // distinct keys, so a point lookup is provably absent from most files
+    Acid.commit(spark, table,
+      spark.range(0, 4000)
+        .select(col("id"), (col("id") % 997).as("k"))
+        .repartition(8, pmod(col("k"), lit(8))),
+      bloom = Some("k" -> col("k")))
+    val (kept, all) = Acid.skipFilesBloom(table, 0L, "k", 421L)
+    // repartition hashes the BUCKET value, so buckets can collide into
+    // fewer than 8 partitions (empty partitions write no file) — the pin
+    // is relative: the lookup must prune at least half the real files
+    assert(all.size >= 4, s"expected >=4 data files, got ${all.size}")
+    assert(kept.size <= all.size / 2,
+      s"blooms failed to prune: kept ${kept.size} of ${all.size}")
+    assert(kept.nonEmpty, "the file really holding key 421 must survive")
+    val pruned = Acid.readBloomSkipping(spark, table, "k", 421L)
+      .filter(col("k") === 421L).agg(
+        count(lit(1)).as("n"), sum(col("id")).as("s")).collect()(0)
+    val full = Acid.read(spark, table)
+      .filter(col("k") === 421L).agg(
+        count(lit(1)).as("n"), sum(col("id")).as("s")).collect()(0)
+    assert(pruned == full, "bloom-pruned read diverged from full read")
+    assert(pruned.getLong(0) > 0L)
+    // keys outside the domain: a bloom "no" is PROOF, a "yes" only a
+    // false positive the residual predicate absorbs — correctness first:
+    for (absent <- 5000L to 5004L)
+      assert(Acid.readBloomSkipping(spark, table, "k", absent)
+        .filter(col("k") === absent).count() == 0)
+    // and the all-files-pruned branch: some absent key is provably
+    // excluded by every file's bloom (fp ~1% per file, so one of a few
+    // candidates always is) — that read is empty but schema-stable
+    val provablyAbsent = (5000L to 5050L).find(k =>
+      Acid.skipFilesBloom(table, 0L, "k", k)._1.isEmpty)
+    assert(provablyAbsent.nonEmpty, "no absent key pruned every file")
+    val empty = Acid.readBloomSkipping(spark, table, "k", provablyAbsent.get)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "k"), "empty read must keep the schema")
+    // an unknown stat name means no bloom applies → keep everything
+    // (skipping is an optimization, never a correctness gate)
+    val (keptNoStats, _) = Acid.skipFilesBloom(table, 0L, "nope", 421L)
+    assert(keptNoStats.size == all.size, "files without blooms must be kept")
+  }
+
+  test("Acid: additive schema evolution is metadata-only — old files byte-untouched, NULL-filled on read") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_evo").toString
+    Acid.appendTxn(spark, table,
+      spark.range(0, 100).select(col("id")), txnId = 0L)
+    def txn0Files(): Map[String, (Long, Long)] = {
+      val d = java.nio.file.Paths.get(table, "txn=0")
+      val w = java.nio.file.Files.walk(d)
+      try w.filter(_.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.getFileName.toString ->
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+            java.nio.file.Files.size(p))).toMap
+      finally w.close()
+    }
+    val before = txn0Files()
+    assert(before.nonEmpty)
+    // the evolved txn carries a NEW column; nothing about txn 0 may change
+    Acid.appendTxn(spark, table,
+      spark.range(100, 150)
+        .select(col("id"), concat(lit("t"), col("id") % 3).as("tag")),
+      txnId = 1L)
+    assert(txn0Files() == before,
+      "schema evolution must not rewrite pre-evolution files")
+    val evolved = Acid.readEvolved(spark, table)
+    assert(evolved.columns.toSet == Set("id", "tag"))
+    assert(evolved.count() == 150)
+    // pre-evolution rows surface the new column as NULL; evolved rows keep it
+    assert(evolved.filter(col("tag").isNull && col("id") < 100).count() == 100)
+    assert(evolved.filter(col("id") >= 100 && col("tag").isNull).count() == 0)
+  }
+
   test("sink_dynamic_overwrite: untouched partitions keep their exact on-disk files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dynover").toString
     val base = spark.range(0, 400)

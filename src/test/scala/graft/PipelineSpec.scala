@@ -332,4 +332,48 @@ class PipelineSpec extends SparkFixture {
     assert(kept.length < docs.length, "quality+sample filters dropped nothing")
     assert(deduped.length <= kept.length && expected.map(_._2).sum == deduped.length.toLong)
   }
+
+  test("llm_semdedup: deterministic; within-cell recall exact; every flag re-verified; plants give signal") {
+    val run1 = SparkEntry.queries("llm_semdedup")(spark, sf001).collect()
+    val run2 = SparkEntry.queries("llm_semdedup")(spark, sf001).collect()
+    assert(run1.toSeq == run2.toSeq, "semdedup must be rerun-deterministic")
+
+    val byId = run1.map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+
+    // independent driver-side recomputation of the unit vectors + cosines
+    // (same arithmetic as the key: float→double cast, sequential fold)
+    val emb = Tables.embeddings(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val plants = emb.filter(_._1 < 20).map { case (id, v) =>
+      (id + 100000L) -> v.zipWithIndex.map { case (x, i) =>
+        if (i == v.length - 1) -x else x }
+    }
+    val unit = (emb ++ plants).map { case (k, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      k -> v.map(_ / n)
+    }
+    def cos6(a: Long, b: Long): BigDecimal = {
+      val d = unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val ids = unit.keys.toSeq.sorted
+    assert(byId.keySet == ids.toSet, "output must cover corpus + plants exactly once")
+
+    // precision: every flagged id has a smaller-id SAME-CELL partner ≥ τ
+    val tau = BigDecimal("0.92")
+    for (b <- ids if byId(b)._2 == 1)
+      assert(ids.exists(a => a < b && byId(a)._1 == byId(b)._1 && cos6(a, b) >= tau),
+        s"flagged $b has no qualifying same-cell partner")
+    // within-cell recall is EXACT: a same-cell pair ≥ τ always flags the
+    // larger id (the recall SemDeDup gives up is only across cells)
+    for (a <- ids; b <- ids if a < b && byId(a)._1 == byId(b)._1)
+      if (cos6(a, b) >= tau)
+        assert(byId(b)._2 == 1, s"same-cell near-dup ($a,$b) not flagged")
+    // the plants make the test non-vacuous: most land in their original's
+    // cell (a tiny perturbation rarely flips the argmax) and get flagged
+    val plantIds = ids.filter(_ >= 100000L)
+    assert(plantIds.size == 20)
+    assert(plantIds.count(p => byId(p)._2 == 1) >= plantIds.size / 2,
+      "fewer than half the planted near-dups were flagged")
+  }
 }
