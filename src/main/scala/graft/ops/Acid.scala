@@ -178,7 +178,8 @@ object Acid {
   def commit(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String] = Nil,
       stats: Option[(String, Column)] = None,
-      bloom: Option[(String, Column)] = None): Long = withWriterLock(table) {
+      bloom: Option[(String, Column)] = None,
+      rowCounts: Boolean = false): Long = withWriterLock(table) {
     val v = currentVersion(table).map(_ + 1).getOrElse(0L)
     val dataDir = Paths.get(table, s"v=$v")
     val writer = df.write.mode("overwrite")
@@ -236,8 +237,25 @@ object Acid {
           s"# bloom:$rel|$name|$ws"
         }.sorted
     }
+    // per-file row counts (`# rows:<file>|<n>`): the statistic that lets
+    // COUNT(*)-shaped queries be answered from the manifest alone —
+    // O(files) arithmetic, zero data I/O. At 100 TB writers take these
+    // from the parquet footers they just wrote (free); the re-read here
+    // is fixture-scale convenience, same as the zone-map path above.
+    val rowLines = if (!rowCounts) Seq.empty else {
+      val abs = dataDir.toAbsolutePath
+      spark.read.parquet(dataDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect() // O(files) rows — manifest-construction control plane
+        .map { r =>
+          val rel = abs.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
+          s"# rows:$rel|${r.getLong(1)}"
+        }.sorted.toSeq
+    }
     Files.write(Paths.get(table, s"manifest-$v.txt"),
-      (statLines ++ bloomLines ++ files).mkString("", "\n", "\n").getBytes("UTF-8"))
+      (statLines ++ bloomLines ++ rowLines ++ files).mkString("", "\n", "\n").getBytes("UTF-8"))
     // the commit point: readers see the old version until this rename
     // lands, the new one after — never anything in between
     val tmp = Paths.get(table, s"_current.tmp.$v")
@@ -298,6 +316,68 @@ object Acid {
         prev.filterNot(_.startsWith("#")) ++ newFiles
       commitManifest(table, v, manifest)
     }
+  }
+
+  /** Optimistic multi-writer append — Delta's commit protocol shape,
+    * replacing [[appendTxn]]'s writer lock with version-claim CAS:
+    *
+    *  1. Data lands in `txn=<id>/` FIRST, outside any critical section —
+    *     concurrent writers never serialize on their (possibly huge) data
+    *     writes, only on the O(lines) manifest step.
+    *  2. The writer then claims its target version with an atomic O_EXCL
+    *     create of `claim-<v>` (the POSIX twin of Delta's put-if-absent
+    *     on `<v>.json`). Exactly one claimant wins version v.
+    *  3. A loser RE-READS the advanced table state and REBASES: its
+    *     manifest is rebuilt against the winner's — appends touch
+    *     disjoint files, so the rebase is always conflict-free (the
+    *     general protocol would check semantic conflicts here and abort
+    *     non-commuting txns; append-vs-append never conflicts).
+    *
+    * Readers are untouched: they resolve pointer → manifest, and the
+    * pointer flips only after the manifest content is durable. A winner
+    * crashing between claim and flip leaves a stale claim that blocks
+    * later writers into a loud bounded-spin error (the [[withWriterLock]]
+    * caveat; production leases or garbage-collects claims). Txn ids must
+    * be writer-unique — two writers racing the SAME id race their data
+    * dir, exactly Delta's (appId, version) idempotence contract. */
+  def appendTxnCAS(spark: SparkSession, table: String, df: DataFrame,
+      txnId: Long): Long = {
+    Files.createDirectories(Paths.get(table))
+    if (committedTxns(table).contains(txnId))
+      return currentVersion(table).get // replay → no-op, skip the write
+    val root = Paths.get(table)
+    val dataDir = root.resolve(s"txn=$txnId")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val walk = Files.walk(dataDir)
+    val newFiles =
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => root.relativize(p).toString)
+        .sorted().toArray.map(_.toString)
+      finally walk.close()
+    var spins = 0
+    while (true) {
+      val cur = currentVersion(table)
+      val prev = cur.map(manifestLines(table, _)).getOrElse(Seq.empty)
+      require(cur.isEmpty || prev.contains("# base:."),
+        s"appendTxnCAS on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) return cur.get // raced replay
+      val v = cur.map(_ + 1).getOrElse(0L)
+      try {
+        Files.createFile(root.resolve(s"claim-$v")) // the CAS
+        val manifest = ("# base:." +:
+          (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+          prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")) ++
+          prev.filterNot(_.startsWith("#")) ++ newFiles
+        return commitManifest(table, v, manifest)
+      } catch { case _: FileAlreadyExistsException =>
+        // lost the claim: spin until the winner's pointer flip is visible
+        // (or its crash surfaces as a loud timeout), then rebase
+        spins += 1
+        require(spins < 12000, s"appendTxnCAS: claim timeout on $table v$v")
+        Thread.sleep(5)
+      }
+    }
+    -1L // unreachable
   }
 
   private def commitManifest(table: String, v: Long, lines: Seq[String]): Long = {
@@ -420,6 +500,17 @@ object Acid {
       .option("basePath", s"$table/v=$v")
       .parquet(kept.map(f => s"$table/v=$v/$f"): _*)
   }
+
+  /** Per-file row counts of version `v`, from the manifest's `# rows:`
+    * lines (written by [[commit]] with `rowCounts = true`). File paths are
+    * `v=<n>/`-relative, so hive partition values are parseable from them. */
+  def rowStats(table: String, v: Long): Seq[(String, Long)] =
+    manifestLines(table, v).filter(_.startsWith("# rows:")).flatMap { l =>
+      l.stripPrefix("# rows:").split('|') match {
+        case Array(f, n) => Some(f -> n.toLong)
+        case _ => None
+      }
+    }
 
   /** Bloom file lists for [[readBloomSkipping]]: (kept, all) data files of
     * version `v`, keeping a file unless its recorded bloom for `statsName`

@@ -251,5 +251,79 @@ object Lakehouse {
                     ELSE CAST(NULL AS VARCHAR) END AS c_mktsegment
         FROM customer
         ORDER BY c_custkey""".trim)),
+
+    // Optimistic multi-writer commit (r11): four UNCOORDINATED writer
+    // threads append disjoint order slices through `Acid.appendTxnCAS` —
+    // no table lock anywhere on that path. Each writer lands its data
+    // outside any critical section, claims its target version with an
+    // atomic O_EXCL create (Delta's put-if-absent on <v>.json), and on
+    // losing a claim re-reads the advanced state and REBASES its
+    // manifest against the winner's — append-vs-append never conflicts,
+    // so all four land whatever the interleaving. At 100 TB this is the
+    // difference between one serialized ingest lock across a fleet of
+    // writers and contention only on the O(lines) manifest step. The
+    // oracle demands the union be exactly the source table regardless of
+    // commit order; OperatorSpec pins the 8-thread race (complete
+    // ledger, version chain, row conservation).
+    Q("sink_concurrent_append",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_concappend", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = (0 until 4).map { i =>
+          val slice = or.filter(pmod(col("o_orderkey"), lit(4)) === i)
+          new Thread(() => {
+            try Acid.appendTxnCAS(spark, table, slice, txnId = i.toLong)
+            catch { case t: Throwable => errs.add(t) }
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        if (!errs.isEmpty) throw errs.peek()
+        Acid.read(spark, table)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders
+        ORDER BY o_orderkey""".trim)),
+
+    // Metadata-only aggregation (r11): COUNT(*) per partition answered
+    // from the MANIFEST — the committed `# rows:` statistics plus the
+    // hive partition value parsed from each file's path — zero data I/O
+    // at query time. This is Delta/Iceberg's stats-answered-query
+    // optimization: on a 100 TB table the difference between a fleet-
+    // wide scan and O(files) driver arithmetic on metadata the writers
+    // recorded for free (parquet footers carry the row count). The
+    // driver-side fold here IS the operator — it touches file NAMES and
+    // counts, never rows; the oracle recomputes the same counts the
+    // expensive way, proving the metadata never drifted from the data.
+    Q("scan_metadata_count",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_metacount", sfDir)
+        Acid.reset(table)
+        Acid.commit(spark, table, Tables.events(spark, sfDir),
+          partitionCols = Seq("event_type"), rowCounts = true)
+        val v = Acid.currentVersion(table).get
+        val counts = Acid.rowStats(table, v)
+          .map { case (f, n) =>
+            val dir = f.substring(0, f.indexOf('/'))
+            (dir.substring(dir.indexOf('=') + 1), n)
+          }
+          .groupBy(_._1).map { case (t, fs) => (t, fs.map(_._2).sum) }
+          .toSeq.sortBy(_._1)
+        import spark.implicits._
+        counts.toDF("event_type", "n")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
   )
 }

@@ -1356,6 +1356,36 @@ class OperatorSpec extends SparkFixture {
     assert(keptNoStats.size == all.size, "files without blooms must be kept")
   }
 
+  test("Acid: lock-free CAS appends — 8 racing writers all land, ledger complete, rows conserved") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_cas").toString
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        try Acid.appendTxnCAS(spark, table,
+          spark.range(i * 100L, i * 100L + 100L).select(col("id")), txnId = i.toLong)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"CAS writer failed: ${Option(errs.peek())}")
+    // every txn committed exactly once, whatever the claim interleaving
+    assert(Acid.committedTxns(table) == (0L until 8L).toSet)
+    assert(Acid.currentVersion(table).contains(7L),
+      "8 claims must produce exactly versions 0..7")
+    assert(Acid.read(spark, table).count() == 800L)
+    assert(Acid.read(spark, table).agg(sum(col("id"))).collect()(0).getLong(0)
+      == (0L until 800L).sum)
+    // the version chain is a superset chain: each version adds one txn
+    (0L to 7L).foreach { v =>
+      assert(Acid.readVersion(spark, table, v).count() == (v + 1) * 100L)
+    }
+    // replay after the race is still a no-op
+    assert(Acid.appendTxnCAS(spark, table,
+      spark.range(0L, 100L).select(col("id")), txnId = 0L) == 7L)
+    assert(Acid.read(spark, table).count() == 800L)
+  }
+
   test("Acid: additive schema evolution is metadata-only — old files byte-untouched, NULL-filled on read") {
     import graft.ops.Acid
     val table = java.nio.file.Files.createTempDirectory("graft_acid_evo").toString
