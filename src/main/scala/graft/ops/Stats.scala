@@ -1218,6 +1218,86 @@ object Stats {
         FROM best b JOIN daily g ON b.event_type = g.event_type AND b.k = g.rn
         WHERE b.pick = 1
         ORDER BY b.event_type""".trim)),
+
+    // Percentile bootstrap CI (r11): a 95% confidence interval for each
+    // type's total daily value WITHOUT parametric assumptions or libm —
+    // B = 199 resamples of the n daily totals, drawn by a deterministic
+    // LCG on (resample, draw) so the "randomness" is reproducible across
+    // engines, reruns, and partitionings (the llm_doc_sample property);
+    // CI bounds are the 5th and 195th ORDER STATISTICS of the resample
+    // sums ((B+1)·0.025 — the standard percentile method), picked by an
+    // integer rank window with (sum, b) tie-break. Everything is exact
+    // micros integers: resample SUMS order identically to means (n fixed
+    // within a type), so no division enters any compared value. The only
+    // table-sized op is the daily rollup; the B×n draw grid (~6k
+    // rows/type) and the join back to daily are output-bound on DAYS —
+    // bootstrap cost is independent of corpus size, which is exactly why
+    // the method scales to 100 TB metrics.
+    graft.Q("stats_bootstrap_ci",
+      (spark, sfDir) => {
+        import graft.Det
+        import org.apache.spark.sql.expressions.Window
+        val byD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg((sum(Det.val6(col("value"))) * 1000000).cast("long").as("x"))
+          .withColumn("rn", row_number().over(byD))
+        val types = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("obs_sum"))
+        val draws = types
+          .select(col("event_type"), col("n"), explode(sequence(lit(0), lit(198))).as("b"))
+          .select(col("event_type"), col("n"), col("b"),
+            explode(sequence(lit(1), col("n").cast("int"))).as("i"))
+          .withColumn("idx",
+            expr("CAST(((CAST(b AS BIGINT) * 31 + i) * 1103515245 + 12345) % 2048 % n + 1 AS INT)"))
+        val sums = draws
+          .join(daily.select(col("event_type"), col("rn"), col("x")),
+            draws("event_type") === daily("event_type") && col("idx") === col("rn"))
+          .groupBy(draws("event_type").as("event_type"), col("b"))
+          .agg(sum(col("x")).as("s"))
+        val byS = Window.partitionBy(col("event_type")).orderBy(col("s"), col("b"))
+        sums.withColumn("rk", row_number().over(byS))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("rk") === 5, col("s"))).as("boot_lo"),
+            max(when(col("rk") === 195, col("s"))).as("boot_hi"))
+          .join(types.select(col("event_type"), col("n").as("n_days"), col("obs_sum")),
+            Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("obs_sum"),
+            col("boot_lo"), col("boot_hi"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY CAST(ts AS DATE)) AS rn
+          FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), types AS (
+          SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS obs_sum FROM daily GROUP BY 1
+        ), draws AS (
+          SELECT t.event_type, t.n, b.b, i.i,
+                 CAST(((b.b * 31 + i.i) * 1103515245 + 12345) % 2048 % t.n + 1
+                      AS INT) AS idx
+          FROM types t
+          CROSS JOIN (SELECT unnest(generate_series(0, 198)) AS b) b
+          JOIN (SELECT unnest(generate_series(1, 40)) AS i) i ON i.i <= t.n
+        ), sums AS (
+          SELECT d2.event_type, d2.b, CAST(SUM(daily.x) AS BIGINT) AS s
+          FROM draws d2 JOIN daily
+            ON daily.event_type = d2.event_type AND daily.rn = d2.idx
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT event_type, s,
+                 row_number() OVER (PARTITION BY event_type ORDER BY s, b) AS rk
+          FROM sums
+        )
+        SELECT r.event_type, t.n AS n_days, t.obs_sum,
+               MAX(CASE WHEN rk = 5 THEN s END) AS boot_lo,
+               MAX(CASE WHEN rk = 195 THEN s END) AS boot_hi
+        FROM ranked r JOIN types t ON r.event_type = t.event_type
+        GROUP BY r.event_type, t.n, t.obs_sum
+        ORDER BY r.event_type""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

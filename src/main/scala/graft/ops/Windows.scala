@@ -859,5 +859,57 @@ object Windows {
             THEN (revenue - prev_revenue) / prev_revenue * 100.0 END, 4) AS wow_pct
         FROM l
         ORDER BY wk""".trim)),
+
+    // Pareto contribution curve (r11): per event type, days ranked by
+    // their value total with each day's share and CUMULATIVE share of
+    // the type's total as floor-ppm integers — the "top N days carry X%
+    // of the volume" concentration analysis (and the general
+    // RATIO_TO_REPORT + running-share analytic pair). Rank ties break on
+    // the date, so the curve is total-ordered and reproducible. The one
+    // table-sized operation is the daily rollup; both windows and the
+    // ppm arithmetic run over the 30-row-per-type OUTPUT. The cumulative
+    // numerator (micros × 10⁶) tops int64 at warehouse scale, so the
+    // division runs in DECIMAL(38,0) — non-negative operands, floor ==
+    // truncate cross-engine (the standing ppm recipe).
+    Q("window_pareto",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byX = Window.partitionBy(col("event_type"))
+          .orderBy(col("x").desc, col("d"))
+        val wt = Window.partitionBy(col("event_type"))
+        Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg((sum(graft.Det.val6(col("value"))) * 1000000).cast("long").as("x"))
+          .withColumn("rnk", row_number().over(byX).cast("long"))
+          .withColumn("cum", sum(col("x")).over(byX))
+          .withColumn("total", sum(col("x")).over(wt))
+          .select(col("event_type"), col("rnk"), col("d"), col("x"),
+            expr("""CAST(CAST(x AS DECIMAL(38,0)) * 1000000
+                      div CAST(total AS DECIMAL(38,0)) AS BIGINT)""").as("share_ppm"),
+            expr("""CAST(CAST(cum AS DECIMAL(38,0)) * 1000000
+                      div CAST(total AS DECIMAL(38,0)) AS BIGINT)""").as("cum_ppm"))
+          .orderBy(col("event_type"), col("rnk"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT event_type, d, x,
+                 CAST(row_number() OVER w AS BIGINT) AS rnk,
+                 SUM(x) OVER w AS cum,
+                 SUM(x) OVER (PARTITION BY event_type) AS total
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY x DESC, d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, rnk, d, x,
+               CAST(CAST(x AS HUGEINT) * 1000000 // CAST(total AS HUGEINT)
+                    AS BIGINT) AS share_ppm,
+               CAST(CAST(cum AS HUGEINT) * 1000000 // CAST(total AS HUGEINT)
+                    AS BIGINT) AS cum_ppm
+        FROM ranked
+        ORDER BY event_type, rnk""".trim)),
   )
 }

@@ -298,6 +298,30 @@ object ExplainDump {
       "table-sized aggregate; the quadratic sign join, tie groups, and variance " +
       "arithmetic all run on the 30-row-per-type daily OUTPUT — n is days, never " +
       "rows, and every statistic is integer."),
+    "stats_changepoint" -> ("Pettitt change-point (r11): one table-sized rollup, " +
+      "then the pair and k-grid joins expand ~n³/6 rows per type on DAYS — " +
+      "output-bound like ks_test; the argmax is an integer row_number window " +
+      "over the |k| relation, no float comparison anywhere."),
+    "agg_assoc_rules" -> ("Association rules (r11): the basket-bounded pair join " +
+      "from copurchase feeds one pair aggregate; item supports and the 1-row " +
+      "basket count join back as BROADCASTs, so rule scoring never reshuffles " +
+      "the pair relation; conf/lift are integer div in DECIMAL(38,0)."),
+    "graph_common_neighbors" -> ("Link prediction (r11): wedge self-join on the " +
+      "center node over the symmetric edge list (d1 < d2 counts each wedge " +
+      "once), pair aggregate partial-combines, and the existing-edge anti-join " +
+      "broadcasts the edge list — feasible exactly when the wedge join was."),
+    "llm_span_mask" -> ("Span corruption (r11): map-only — the mask predicate and " +
+      "span-start derivation run as higher-order filters over sequence(1,n) " +
+      "inside one projection; no explode, no shuffle, no window. The heaviest-" +
+      "volume shaping pass costs one scan."),
+    "scan_bloom_skip" -> ("Manifest bloom skipping (r11): the dumped scan reads " +
+      "only the files whose 4096-bit manifest bloom admits the probed key — " +
+      "pruning was O(files) driver arithmetic before any footer I/O; the " +
+      "residual user_id predicate stays pushed on the surviving scan."),
+    "sink_concurrent_append" -> ("Optimistic multi-writer (r11): the dumped plan " +
+      "is the read-back of four uncoordinated CAS-committed appends — pointer → " +
+      "manifest → explicit file list across txn dirs; writer concurrency left " +
+      "no trace in the plan, which is the point (commit-time coordination only)."),
   )
 
   def main(args: Array[String]): Unit = {
