@@ -1172,6 +1172,59 @@ object Aggregates {
         FROM dow
         ORDER BY event_type, dow""".trim)),
 
+    // Heavy hitters with an exactness guarantee (r11): find every key
+    // with frequency > n/32 WITHOUT a full-universe groupBy — the
+    // two-phase sketch-then-verify shape for hot-key detection on
+    // domains too large to aggregate exactly. Phase 1 runs SpaceSaving
+    // (capacity m = 64) per partition via mapPartitions — the one
+    // legitimate mapPartitions use outside the codec seam: a
+    // bounded-memory stream summary has per-partition STATE no Catalyst
+    // expression can carry. Merging per-partition summaries by keeping
+    // every candidate retains any key with global count > Σ_p n_p/m =
+    // n/m, and m=64 > 32 makes the union a PROVABLE superset of the
+    // true heavy hitters — so phase 2's exact recount over the (tiny,
+    // broadcast) candidate set + threshold filter returns EXACTLY the
+    // true answer, deterministic under any partitioning even though the
+    // intermediate candidates are not. The skewed key domain is derived
+    // (floor(sqrt(user_id)) — counts grow linearly with the key), since
+    // the fixture's raw ids are uniform. At 100 TB phase 1 touches each
+    // row once with O(m) state; phase 2 aggregates only candidate rows.
+    Q("agg_heavy_hitters",
+      (spark, sfDir) => {
+        import spark.implicits._
+        val keyed = Tables.events(spark, sfDir)
+          .select(expr("CAST(floor(sqrt(user_id)) AS BIGINT)").as("k"))
+        val candidates = keyed.as[Long].mapPartitions { it =>
+          val m = 64
+          val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+          it.foreach { k =>
+            if (counts.contains(k)) counts(k) += 1L
+            else if (counts.size < m) counts(k) = 1L
+            else { // evict the min-estimate entry (production: a heap)
+              val (mk, mv) = counts.minBy(_._2)
+              counts.remove(mk); counts(k) = mv + 1L
+            }
+          }
+          counts.keysIterator
+        }.toDF("k").distinct()
+        val n = keyed.agg(count(lit(1)).as("n"))
+        keyed.join(broadcast(candidates), Seq("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(n))
+          .filter(col("cnt") > expr("n div 32"))
+          .select(col("k"), col("cnt"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT CAST(floor(sqrt(user_id)) AS BIGINT) AS k FROM events
+        )
+        SELECT k, COUNT(*) AS cnt
+        FROM keyed
+        GROUP BY k
+        HAVING COUNT(*) > (SELECT COUNT(*) FROM keyed) // 32
+        ORDER BY k""".trim)),
+
     // Behavioral transition matrix (r11): first-order Markov counts over
     // each user's event sequence — P(next event type | current) — the
     // event-stream analytics that powers next-action prediction, funnel

@@ -683,6 +683,78 @@ object Pipeline {
           .orderBy(col("vec_id"))
       },
       None),
+
+    // Dataset datasheet (r11): the per-source governance card every
+    // training corpus ships with — volume (docs, chars), language mix
+    // (distinct langs, English floor-ppm), length distribution (lower-
+    // median chars, the runs-test order-statistic recipe: an actual
+    // element, no interpolation), and exact-duplicate exposure (docs
+    // sharing a sha256 with another doc of the SAME source, floor-ppm).
+    // Three bounded aggregates over one table (profile, median pick,
+    // dup rollup) merged on the |sources| spine — every compared value
+    // integer. At 100 TB the swaps are mechanical: median → the
+    // approx_percentile sketch, exact distinct → HLL (both standing
+    // keys); the exact forms stay the audit path, and the digest
+    // grouping already aggregates 32-byte hashes, never text.
+    Q("llm_dataset_card",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("source"), col("lang"), col("n_chars"), col("doc_id"),
+            sha2(col("text"), 256).as("h"))
+        val base = docs.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        val byLen = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val med = docs
+          .withColumn("rn", row_number().over(byLen))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("source"), col("n_chars").as("p50_chars"))
+        val dups = docs.groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"))
+        base.join(med, Seq("source")).join(dups, Seq("source"))
+          .select(col("source"), col("n_docs"), col("total_chars"),
+            col("n_langs"), expr("n_en * 1000000 div n_docs").as("en_ppm"),
+            col("p50_chars"),
+            expr("dup_docs * 1000000 div n_docs").as("dup_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, lang, n_chars, doc_id, sha256(text) AS h FROM documents
+        ), base AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+          FROM d GROUP BY 1
+        ), ranked AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM d
+        ), med AS (
+          SELECT source, n_chars AS p50_chars FROM ranked WHERE rn = (n + 1) // 2
+        ), dups AS (
+          SELECT source,
+                 CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+          FROM (SELECT source, h, COUNT(*) AS c FROM d GROUP BY 1, 2)
+          GROUP BY 1
+        )
+        SELECT b.source, b.n_docs, b.total_chars, b.n_langs,
+               CAST(b.n_en * 1000000 // b.n_docs AS BIGINT) AS en_ppm,
+               m.p50_chars,
+               CAST(du.dup_docs * 1000000 // b.n_docs AS BIGINT) AS dup_ppm
+        FROM base b
+        JOIN med m ON b.source = m.source
+        JOIN dups du ON b.source = du.source
+        ORDER BY b.source""".trim)),
   )
 
   /** Train a deterministic IVF coarse quantizer and run top-k cosine search

@@ -1386,6 +1386,21 @@ class OperatorSpec extends SparkFixture {
     assert(Acid.read(spark, table).count() == 800L)
   }
 
+  test("agg_heavy_hitters: equals an exact driver recount and binds on the fixture") {
+    // the m > k superset guarantee says the two-phase answer IS the
+    // exact GROUP BY HAVING truth; re-derive that truth independently
+    val out = SparkEntry.queries("agg_heavy_hitters")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val keyed = Tables.events(spark, sf001)
+      .selectExpr("CAST(floor(sqrt(user_id)) AS BIGINT) AS k")
+      .collect().map(_.getLong(0))
+    val thresh = keyed.length / 32
+    val exact = keyed.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 > thresh).toSeq.map { case (k, c) => (k, c) }.sortBy(_._1)
+    assert(out == exact, s"two-phase=$out exact=$exact")
+    assert(out.nonEmpty, "threshold binds nothing at sf0.001 — vacuous key")
+  }
+
   test("Acid: additive schema evolution is metadata-only — old files byte-untouched, NULL-filled on read") {
     import graft.ops.Acid
     val table = java.nio.file.Files.createTempDirectory("graft_acid_evo").toString
