@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object SortsSetops {
 
+  /** Appends `hd` = Hilbert position of (`hx`, `hy`) on a 256×256 grid —
+    * the standard xy2d walk as 8 unrolled rotation rounds of pure integer
+    * CASE/bit arithmetic (whole-stage-codegen'd; no UDF). Consumes the
+    * `hx`/`hy` columns as scratch (callers snapshot them first). Shared by
+    * the `sort_hilbert` key and the OperatorSpec bijectivity/adjacency
+    * pins so the tested walk IS the shipped walk.
+    */
+  private[graft] def hilbertWalk(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    var df = in.withColumn("hd", lit(0L))
+    for (s <- Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)) {
+      df = df
+        .withColumn("rx", when(col("hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("ry", when(col("hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("hd", col("hd") +
+          lit(s * s) * (col("rx") * 3).bitwiseXOR(col("ry")))
+        .withColumn("nx", when(col("ry") === 1, col("hx"))
+          .otherwise(when(col("rx") === 1, lit(s - 1) - col("hy"))
+            .otherwise(col("hy"))))
+        .withColumn("ny", when(col("ry") === 1, col("hy"))
+          .otherwise(when(col("rx") === 1, lit(s - 1) - col("hx"))
+            .otherwise(col("hx"))))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+    }
+    df.drop("rx", "ry", "nx", "ny")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Global top-100 without a global sort.
@@ -90,6 +116,57 @@ object SortsSetops {
         SELECT o_orderkey, o_custkey, day, cx | (cy << 1) AS zkey
         FROM z4
         ORDER BY zkey, o_orderkey""".trim)),
+
+    // Hilbert-curve layout (r11): the locality-preserving twin of
+    // sort_zorder — Iceberg's hilbert sort order. On a 256×256 grid of
+    // (customer bucket, day bucket), consecutive Hilbert positions are
+    // ALWAYS grid neighbors (Z-order jumps at every power-of-two seam),
+    // so range-partitioning by hkey gives each file a tighter bounding
+    // box in BOTH dimensions → sharper min/max zone maps for 2-D
+    // predicates at 100 TB. The xy2d walk is 8 unrolled rounds of pure
+    // integer CASE/bit arithmetic, generated from ONE Scala loop on the
+    // Spark side and the textually-mirrored CTE chain in the oracle —
+    // every round's (x, y, d) update reads only the PREVIOUS round's
+    // values, so both engines compute the identical permutation.
+    Q("sort_hilbert",
+      (spark, sfDir) => {
+        val base = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+          .withColumn("hx", pmod(col("o_custkey"), lit(256L)))
+          .withColumn("hy", pmod(col("day"), lit(256L)))
+          .withColumn("x0", col("hx")).withColumn("y0", col("hy"))
+        hilbertWalk(base)
+          .select(col("o_orderkey"), col("x0").as("hx"), col("y0").as("hy"),
+            col("hd").as("hkey"))
+          .orderBy(col("hkey"), col("o_orderkey"))
+      },
+      Some {
+        val rounds = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex.map {
+          case (s, i) =>
+            s"""h${i + 1} AS (SELECT * REPLACE (
+               |  hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+               |                      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS hd,
+               |  CASE WHEN (hy & $s) > 0 THEN hx
+               |       WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END AS hx,
+               |  CASE WHEN (hy & $s) > 0 THEN hy
+               |       WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END AS hy
+               |) FROM h$i)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH h0 AS (
+          SELECT o_orderkey,
+            o_custkey % 256 AS hx,
+            CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 256 AS hy,
+            o_custkey % 256 AS x0,
+            CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 256 AS y0,
+            CAST(0 AS BIGINT) AS hd
+          FROM orders),
+        $rounds
+        SELECT o_orderkey, x0 AS hx, y0 AS hy, hd AS hkey
+        FROM h8
+        ORDER BY hkey, o_orderkey""".trim
+      }),
 
     // Bag union (duplicates preserved) — ordered by key; duplicate rows are
     // identical so the order is total for comparison purposes.

@@ -341,6 +341,31 @@ class OperatorSpec extends SparkFixture {
     assert(avgFrac < 0.30, f"z-order chunks cover $avgFrac%.2f of the plane on average")
   }
 
+  test("sort_hilbert: the walk is a bijection on the 256×256 grid and every step is a grid neighbor") {
+    // Exhaustive over all 65 536 cells — the two properties the layout's
+    // 100 TB claim rests on: (1) bijectivity (no two cells share a file
+    // position), (2) unit Manhattan steps (consecutive positions are
+    // ALWAYS neighbors, so every contiguous file range has a connected —
+    // hence tight — bounding box; Z-order violates this at every
+    // power-of-two seam).
+    import org.apache.spark.sql.functions._
+    val grid = spark.range(256L * 256L)
+      .select((col("id") / 256).cast("long").as("hx"),
+        pmod(col("id"), lit(256L)).as("hy"))
+      .withColumn("x0", col("hx")).withColumn("y0", col("hy"))
+    val walked = graft.ops.SortsSetops.hilbertWalk(grid)
+      .select("x0", "y0", "hd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(walked.length == 65536)
+    assert(walked.map(_._3).toSeq == (0L until 65536L),
+      "hd is not a bijection onto 0..65535")
+    walked.sliding(2).foreach { case Array((x1, y1, d1), (x2, y2, _)) =>
+      val step = math.abs(x2 - x1) + math.abs(y2 - y1)
+      assert(step == 1, s"non-neighbor step after d=$d1: ($x1,$y1)→($x2,$y2)")
+    }
+  }
+
   test("agg_weighted: weighted means equal a driver-side exact recount") {
     val li = Tables.lineitem(spark, sf001)
       .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount").collect()
