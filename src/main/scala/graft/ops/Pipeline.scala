@@ -149,6 +149,46 @@ object Pipeline {
           < CASE lang WHEN 'en' THEN 205 ELSE 614 END
         ORDER BY doc_id""".trim)),
 
+    // Importance resampling (r11): materialize a domain-reweighted corpus
+    // by REPLICATING each document ⌊w⌋ or ⌈w⌉ times — the "epochs per
+    // domain" knob (DoReMi/Pile-style mixtures) that llm_domain_mix's
+    // downsampling filter cannot express when a domain needs weight > 1.
+    // Per-source weight in exact tenths (w10 ∈ {4,11,18,25,32} from the
+    // source index), copies = w10 div 10 plus a deterministic Bernoulli
+    // on the fractional tenth via an LCG keyed on doc_id — rerun- and
+    // partition-stable, so E[copies] = w exactly and the SAME docs get
+    // the extra copy on every run (the property downstream dedup and
+    // train/test splits depend on). Pure map-side: weight lookup, copy
+    // count, and sequence-explode are all codegen'd per-row work with
+    // ZERO shuffle — at 100 TB the output write is the entire cost, and
+    // replication multiplies bytes only where the mixture asks for it.
+    Q("llm_importance_resample",
+      (spark, sfDir) =>
+        Tables.documents(spark, sfDir)
+          .withColumn("w10",
+            expr("CAST(substring(source, 4) AS BIGINT) % 5 * 7 + 4"))
+          .withColumn("n_copies",
+            expr("w10 DIV 10 + CASE WHEN ((doc_id % 1000003) * 1103515245" +
+              " + 12345) % 10 < w10 % 10 THEN 1 ELSE 0 END"))
+          .filter(col("n_copies") >= 1)
+          .select(col("doc_id"), col("source"), col("n_copies"),
+            explode(expr("sequence(1L, n_copies)")).as("copy_idx"))
+          .orderBy(col("doc_id"), col("copy_idx")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+            CAST(substring(source, 4) AS BIGINT) % 5 * 7 + 4 AS w10
+          FROM documents),
+        n AS (
+          SELECT doc_id, source,
+            w10 // 10 + CASE WHEN ((doc_id % 1000003) * 1103515245
+              + 12345) % 10 < w10 % 10 THEN 1 ELSE 0 END AS n_copies
+          FROM t)
+        SELECT doc_id, source, n_copies,
+               unnest(generate_series(1, n_copies)) AS copy_idx
+        FROM n WHERE n_copies >= 1
+        ORDER BY doc_id, copy_idx""".trim)),
+
     // Symmetric int8 embedding quantization: per-vector scale = 127/max|x|,
     // q_i = floor(x_i·scale + 0.5) ∈ [-127, 127], plus the max
     // reconstruction error — the storage/bandwidth step before ANN serving

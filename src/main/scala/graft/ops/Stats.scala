@@ -552,6 +552,69 @@ object Stats {
         FROM a""".trim)),
 
     // One-way ANOVA (r10): does mean spend differ across the k=5 event
+    // ROC AUC (r11): per order priority, how well does o_totalprice rank
+    // finished ('F') orders above the rest — THE standard ranking-quality
+    // readout for any scoring model. Tie-corrected rank formulation
+    // (AUC = (R1 − n1(n1+1)/2)/(n1·n0) with average ranks on ties),
+    // sharing stats_mann_whitney's machinery: group by (priority, exact
+    // 2dp score) so tie blocks are well-defined cross-engine, one
+    // cumulative window per priority over the VALUE-DISTINCT table (output
+    // -bounded, not row-bounded — at 100 TB the window sees |distinct
+    // scores| rows, the fact scan + tiny shuffle dominate), and all rank
+    // sums stay in doubled-integer arithmetic (2·R1) so exactly ONE IEEE
+    // division produces the statistic.
+    graft.Q("stats_auc",
+      (spark, sfDir) => {
+        import graft.Det._
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.orders(spark, sfDir)
+          .select(col("o_orderpriority").as("prio"),
+            money(col("o_totalprice")).as("x"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+        val byVal = base.groupBy("prio", "x")
+          .agg(count(lit(1)).as("t"), sum(col("pos")).as("t1"))
+        val w = Window.partitionBy("prio").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byVal
+          .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+          .groupBy("prio")
+          .agg(sum(col("t1")).as("n_pos"), sum(col("t") - col("t1")).as("n_neg"),
+            sum(col("t1") * (lit(2L) * col("cum") + col("t") + lit(1L)))
+              .as("r1x2"))
+          .select(col("prio").as("o_orderpriority"), col("n_pos"), col("n_neg"),
+            round((col("r1x2") - col("n_pos") * (col("n_pos") + lit(1L)))
+              .cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+              6).as("auc"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+          FROM orders),
+        v AS (
+          SELECT prio, x, COUNT(*) AS t, SUM(pos) AS t1
+          FROM base GROUP BY prio, x),
+        c AS (
+          SELECT prio, t, t1, COALESCE(SUM(t) OVER (PARTITION BY prio
+            ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS cum
+          FROM v),
+        a AS (
+          SELECT prio,
+                 CAST(SUM(t1) AS BIGINT) AS n_pos,
+                 CAST(SUM(t - t1) AS BIGINT) AS n_neg,
+                 CAST(SUM(t1 * (2 * cum + t + 1)) AS BIGINT) AS r1x2
+          FROM c GROUP BY prio)
+        SELECT prio AS o_orderpriority, n_pos, n_neg,
+          round(CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE)
+                / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                6) AS auc
+        FROM a
+        ORDER BY o_orderpriority""".trim)),
+
     // types? The k-group generalization of stats_ttest, same single-scan
     // moment algebra: per-group (n, Σx, Σx²) in exact decimal, then
     // SSB = Σ_g sx_g²/n_g − (Σx)²/N and SSW = Σx² − Σ_g sx_g²/n_g.

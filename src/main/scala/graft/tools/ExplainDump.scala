@@ -112,6 +112,14 @@ object ExplainDump {
       "(codegen'd bit ops, zero shuffle); the only exchange is the final rangepartitioning " +
       "sort — exactly the repartitionByRange(zkey) write path that makes parquet min-max " +
       "skipping effective on both dimensions at 100 TB."),
+    "sort_hilbert" -> ("Hilbert layout (r11): the xy2d walk is 8 unrolled rounds of pure " +
+      "projection arithmetic (codegen'd CASE/bit ops, zero shuffle); like sort_zorder the " +
+      "only exchange is the final rangepartitioning sort — the repartitionByRange(hkey) " +
+      "write path, with connected per-file bounding boxes instead of Z-order's seam jumps."),
+    "llm_importance_resample" -> ("Importance resampling (r11): weight lookup, copy count, " +
+      "and sequence-explode are all map-side codegen'd per-row work — the plan must show " +
+      "ZERO exchanges before the output sort; replication multiplies output bytes only, " +
+      "never shuffle traffic."),
     "llm_vocab_topk" -> ("Vocabulary top-k (r8): partition-local explode, two-phase " +
       "HashAggregate bounded by vocabulary (not corpus) size, TakeOrderedAndProject for " +
       "the k-boundary — per-partition heaps, k rows to the driver, no global sort."),
