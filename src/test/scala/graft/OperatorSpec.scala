@@ -366,6 +366,34 @@ class OperatorSpec extends SparkFixture {
     }
   }
 
+  test("stats_auc equals a driver-side brute-force pair count") {
+    // The oracle proves cross-engine agreement; this proves the formula
+    // IS ROC AUC: over every (positive, negative) pair within a priority,
+    // AUC = (#score_pos > score_neg + ½·#ties) / (n1·n0), on the same
+    // 2dp-rounded score the query groups by. O(n²) is fine at sf0.001.
+    val rows = Tables.orders(spark, sf001)
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice").collect()
+    val expected = rows.groupBy(_.getString(0)).map { case (prio, rs) =>
+      def score(r: org.apache.spark.sql.Row): BigDecimal =
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val (pos, neg) = rs.partition(_.getString(1) == "F")
+      val wins = (for { p <- pos; n <- neg } yield {
+        val (sp, sn) = (score(p), score(n))
+        if (sp > sn) 2L else if (sp == sn) 1L else 0L
+      }).sum
+      prio -> (pos.length.toLong, neg.length.toLong,
+        wins.toDouble / (2.0 * pos.length * neg.length))
+    }
+    val out = SparkEntry.queries("stats_auc")(spark, sf001).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (n1, n0, auc) = expected(r.getString(0))
+      assert(r.getLong(1) == n1 && r.getLong(2) == n0)
+      assert(math.abs(r.getDouble(3) - auc) < 1e-6,
+        s"${r.getString(0)}: auc ${r.getDouble(3)} vs brute-force $auc")
+    }
+  }
+
   test("agg_weighted: weighted means equal a driver-side exact recount") {
     val li = Tables.lineitem(spark, sf001)
       .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount").collect()

@@ -31,6 +31,29 @@ class PipelineSpec extends SparkFixture {
     }
   }
 
+  test("llm_importance_resample replication is exact, complete, and deterministic") {
+    // Driver-side recompute of the copy policy per doc: w10 from the
+    // source index, copies = ⌊w10/10⌋ + Bernoulli(frac tenth) on the
+    // doc_id-keyed LCG. The query output must contain EXACTLY rows
+    // (doc, 1..n_copies) for every doc with n_copies ≥ 1 — no doc gains
+    // or loses a copy, which is what makes the resample rerun-stable for
+    // downstream dedup/splits.
+    val docs = Tables.documents(spark, sf001).select("doc_id", "source").collect()
+    val expected = docs.flatMap { r =>
+      val (id, src) = (r.getLong(0), r.getString(1))
+      val w10 = src.drop(3).toLong % 5 * 7 + 4
+      val bern = if (((id % 1000003L) * 1103515245L + 12345L) % 10 < w10 % 10) 1L else 0L
+      val n = w10 / 10 + bern
+      (1L to n).map(i => (id, src, n, i))
+    }.toSet
+    val out = SparkEntry.queries("llm_importance_resample")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expected,
+      s"resample mismatch: ${(out -- expected).take(3)} extra, ${(expected -- out).take(3)} missing")
+    // weights really differ by source class: at least two distinct copy counts
+    assert(expected.map(_._3).size >= 3)
+  }
+
   test("llm_quality_repetition ratios match a direct recount and drive the flag") {
     val out = SparkEntry.queries("llm_quality_repetition")(spark, sf001).collect()
     val texts = Tables.documents(spark, sf001)
