@@ -615,6 +615,68 @@ object Stats {
         FROM a
         ORDER BY o_orderpriority""".trim)),
 
+    // Calibration / reliability curve (r11): bin a [0,1] confidence score
+    // into deciles and compare mean predicted confidence against observed
+    // positive rate per bin — the companion readout to stats_auc (AUC
+    // measures ranking; calibration measures whether the score MEANS a
+    // probability). Score = min-max-normalized price from a 1-row
+    // broadcast min/max agg (NOT a global percent_rank window — the
+    // unpartitioned-window trap at 100 TB); exact-decimal subtraction
+    // feeds one IEEE division per row, the per-row confidence is
+    // quantized to DECIMAL(18,6) BEFORE the cross-row sum (Det.val6
+    // argument: order-independent exact aggregation), and each output
+    // cell does at most one final division. Two scans of orders (one for
+    // min/max, one for rows) or one with a cheap reuse — at 100 TB the
+    // row scan dominates and the 1-row extreme agg is free.
+    graft.Q("stats_calibration",
+      (spark, sfDir) => {
+        import graft.Det._
+        val o = Tables.orders(spark, sfDir)
+        val mm = o.agg(min(money(col("o_totalprice"))).as("mn"),
+          max(money(col("o_totalprice"))).as("mx"))
+        o.select(money(col("o_totalprice")).as("x"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+          .crossJoin(broadcast(mm))
+          .withColumn("p", (col("x") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double"))
+          .withColumn("conf6", val6(col("p")))
+          .withColumn("bin", least(floor(col("p") * lit(10.0)), lit(9L)))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+            sum(col("conf6")).as("sc"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+              .as("pos_rate"),
+            round(col("sc").cast("double") / col("n").cast("double"), 6)
+              .as("avg_conf"))
+          .orderBy(col("bin"))
+      },
+      Some("""
+        WITH mm AS (
+          SELECT MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS mn,
+                 MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS mx
+          FROM orders),
+        base AS (
+          SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+          FROM orders),
+        scored AS (
+          SELECT pos,
+            CAST(x - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS p
+          FROM base, mm),
+        q AS (
+          SELECT pos, CAST(p AS DECIMAL(18,6)) AS conf6,
+            CAST(LEAST(floor(p * 10.0), 9) AS BIGINT) AS bin
+          FROM scored)
+        SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+          round(CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS pos_rate,
+          round(CAST(SUM(conf6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS avg_conf
+        FROM q
+        GROUP BY bin
+        ORDER BY bin""".trim)),
+
     // types? The k-group generalization of stats_ttest, same single-scan
     // moment algebra: per-group (n, Σx, Σx²) in exact decimal, then
     // SSB = Σ_g sx_g²/n_g − (Σx)²/N and SSW = Σx² − Σ_g sx_g²/n_g.
