@@ -112,7 +112,11 @@ object Bench {
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val scaleKeys = baseline12 ++ Seq("llm_dedup_ngram", "stream_sliding")
+      // + the two component-closure keys (r12): the star alternation's
+      // round count is the term that would go super-linear if convergence
+      // regressed to diameter-bound
+      val scaleKeys = baseline12 ++ Seq("llm_dedup_ngram", "stream_sliding",
+        "graph_components", "llm_dedup_components")
       val rows = scaleKeys.map { name =>
         val fixed = median(runs(name, sfSmall).tail)
         val mid = math.max(0.0, median(runs(name, sfMid).tail) - fixed)

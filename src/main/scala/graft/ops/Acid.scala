@@ -100,8 +100,29 @@ object Acid {
     val lines = manifestLines(table, v)
     require(lines.contains("# base:."), s"readEvolved on snapshot-mode table $table")
     val files = lines.filterNot(_.startsWith("#"))
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$table/$f"): _*)
+    // merge-on-read applies to evolved reads too (ADVICE r11: skipping the
+    // subtraction here silently resurrected deleted rows)
+    subtractDeletes(spark, table, lines,
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$table/$f"): _*))
+  }
+
+  /** Merge-on-read: subtract the manifest's standing equality-delete
+    * vectors from `base`. The delete set is tiny relative to the data, so
+    * AQE broadcasts it and the data side never shuffles — the read-path
+    * cost deleteTxn's O(keys) commit defers to here. Shared by every read
+    * path that resolves a manifest ([[readVersion]], [[readEvolved]]). */
+  private def subtractDeletes(spark: SparkSession, table: String,
+      lines: Seq[String], base: DataFrame): DataFrame = {
+    val delFiles = lines.filter(_.startsWith("# delete:"))
+      .map(_.stripPrefix("# delete:").trim)
+    lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim) match {
+      case Some(k) if delFiles.nonEmpty =>
+        val dels = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+          .select(col(k)).distinct()
+        base.join(dels, Seq(k), "left_anti")
+      case _ => base
+    }
   }
 
   /** Time travel: read version `v` AS OF its commit. Every version's data
@@ -130,19 +151,7 @@ object Acid {
       else spark.read
         .option("basePath", s"$table/v=$v")
         .parquet(files.map(f => s"$table/v=$v/$f"): _*)
-    // merge-on-read: subtract standing equality-delete vectors. The delete
-    // set is tiny relative to the data, so AQE broadcasts it and the data
-    // side never shuffles — the read-path cost deleteTxn's O(keys) commit
-    // defers to here.
-    val delFiles = lines.filter(_.startsWith("# delete:"))
-      .map(_.stripPrefix("# delete:").trim)
-    lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim) match {
-      case Some(k) if delFiles.nonEmpty =>
-        val dels = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
-          .select(col(k)).distinct()
-        base.join(dels, Seq(k), "left_anti")
-      case _ => base
-    }
+    subtractDeletes(spark, table, lines, base)
   }
 
   /** Commit `df` as the next version of `table`: write data, write the
@@ -175,12 +184,55 @@ object Acid {
     ((h1 % BloomBits).toInt, (h2 % BloomBits).toInt)
   }
 
+  /** Atomic O_EXCL create of `claim-<v>` — the single version-coordination
+    * point shared by EVERY writer, lock-path and CAS alike: exactly one
+    * claimant ever builds `manifest-<v>` (ADVICE r11: with claims only on
+    * the CAS path, a lock-path writer racing a CAS writer could both build
+    * the same version and the later pointer flip silently discarded the
+    * other's committed transaction). Returns true iff this caller owns v. */
+  private def claimVersion(table: String, v: Long): Boolean =
+    try { Files.createFile(Paths.get(table, s"claim-$v")); true }
+    catch { case _: FileAlreadyExistsException => false }
+
+  /** The shared optimistic-commit loop: read the current table state, let
+    * `precheck(cur, prev)` short-circuit (Some(result) = return without
+    * claiming — replay no-ops and stale-snapshot aborts), claim the next
+    * version, and commit `build(v, prev)`'s manifest. A lost claim means a
+    * concurrent writer owns v: spin until its pointer flip is visible (or
+    * its crash surfaces as a loud timeout), then rebase against the
+    * advanced state. Lock-path writers call this while holding `_lock`
+    * (serializing against each other); CAS writers call it bare — the
+    * claim is what serializes the two populations against each other. */
+  private def commitNextVersion(table: String)(
+      precheck: (Option[Long], Seq[String]) => Option[Long])(
+      build: (Long, Seq[String]) => Seq[String]): Long = {
+    var spins = 0
+    var out = -1L
+    var done = false
+    while (!done) {
+      val cur = currentVersion(table)
+      val prev = cur.map(manifestLines(table, _)).getOrElse(Seq.empty)
+      precheck(cur, prev) match {
+        case Some(short) => out = short; done = true
+        case None =>
+          val v = cur.map(_ + 1).getOrElse(0L)
+          if (claimVersion(table, v)) { out = commitManifest(table, v, build(v, prev)); done = true }
+          else {
+            spins += 1
+            require(spins < 12000, s"Acid: version-claim timeout on $table v$v")
+            Thread.sleep(5)
+          }
+      }
+    }
+    out
+  }
+
   def commit(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String] = Nil,
       stats: Option[(String, Column)] = None,
       bloom: Option[(String, Column)] = None,
       rowCounts: Boolean = false): Long = withWriterLock(table) {
-    val v = currentVersion(table).map(_ + 1).getOrElse(0L)
+    commitNextVersion(table)((_, _) => None) { (v, _) =>
     val dataDir = Paths.get(table, s"v=$v")
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
@@ -254,15 +306,8 @@ object Acid {
           s"# rows:$rel|${r.getLong(1)}"
         }.sorted.toSeq
     }
-    Files.write(Paths.get(table, s"manifest-$v.txt"),
-      (statLines ++ bloomLines ++ rowLines ++ files).mkString("", "\n", "\n").getBytes("UTF-8"))
-    // the commit point: readers see the old version until this rename
-    // lands, the new one after — never anything in between
-    val tmp = Paths.get(table, s"_current.tmp.$v")
-    Files.write(tmp, v.toString.getBytes("UTF-8"))
-    Files.move(tmp, pointer(table),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    v
+    statLines ++ bloomLines ++ rowLines ++ files.toSeq
+    }
   }
 
   /** Transaction ids already committed to an append table — the replay
@@ -292,31 +337,40 @@ object Acid {
     * ledger: replay of an empty batch must also be a no-op. */
   def appendTxn(spark: SparkSession, table: String, df: DataFrame,
       txnId: Long): Long = withWriterLock(table) {
-    val cur = currentVersion(table)
-    val prev = cur.map(manifestLines(table, _)).getOrElse(Seq.empty)
-    require(cur.isEmpty || prev.contains("# base:."),
-      s"appendTxn on snapshot-mode table $table")
-    if (prev.contains(s"# txn:$txnId")) cur.get // replay → no-op
-    else {
-      val root = Paths.get(table)
-      val dataDir = root.resolve(s"txn=$txnId")
-      df.write.mode("overwrite").parquet(dataDir.toString)
-      val walk = Files.walk(dataDir)
-      val newFiles =
-        try walk.filter(p => p.toString.endsWith(".parquet"))
-          .map[String](p => root.relativize(p).toString)
-          .sorted().toArray.map(_.toString)
-        finally walk.close()
-      val v = cur.map(_ + 1).getOrElse(0L)
+    lazy val newFiles = writeTxnData(spark, table, df, txnId) // written at most once
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isEmpty || prev.contains("# base:."),
+        s"appendTxn on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None // replay → no-op
+    } { (_, prev) =>
       // standing delete vectors ride along: an append does not resurrect
       // previously deleted keys
-      val manifest = ("# base:." +:
-        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
-        prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")) ++
-        prev.filterNot(_.startsWith("#")) ++ newFiles
-      commitManifest(table, v, manifest)
+      appendManifest(prev, txnId, newFiles)
     }
   }
+
+  /** Land `df` under `txn=<id>/` (overwrite — a replayed write overwrites
+    * its own output) and return the table-relative file list. */
+  private def writeTxnData(spark: SparkSession, table: String, df: DataFrame,
+      txnId: Long): Seq[String] = {
+    val root = Paths.get(table)
+    val dataDir = root.resolve(s"txn=$txnId")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val walk = Files.walk(dataDir)
+    try walk.filter(p => p.toString.endsWith(".parquet"))
+      .map[String](p => root.relativize(p).toString)
+      .sorted().toArray.map(_.toString).toSeq
+    finally walk.close()
+  }
+
+  /** The append-commit manifest: predecessor's ledger + this txn, standing
+    * delete vectors carried forward, predecessor's files + the new ones. */
+  private def appendManifest(prev: Seq[String], txnId: Long,
+      newFiles: Seq[String]): Seq[String] =
+    ("# base:." +:
+      (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+      prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")) ++
+      prev.filterNot(_.startsWith("#")) ++ newFiles
 
   /** Optimistic multi-writer append — Delta's commit protocol shape,
     * replacing [[appendTxn]]'s writer lock with version-claim CAS:
@@ -345,39 +399,14 @@ object Acid {
     Files.createDirectories(Paths.get(table))
     if (committedTxns(table).contains(txnId))
       return currentVersion(table).get // replay → no-op, skip the write
-    val root = Paths.get(table)
-    val dataDir = root.resolve(s"txn=$txnId")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val walk = Files.walk(dataDir)
-    val newFiles =
-      try walk.filter(p => p.toString.endsWith(".parquet"))
-        .map[String](p => root.relativize(p).toString)
-        .sorted().toArray.map(_.toString)
-      finally walk.close()
-    var spins = 0
-    while (true) {
-      val cur = currentVersion(table)
-      val prev = cur.map(manifestLines(table, _)).getOrElse(Seq.empty)
+    // data lands FIRST, outside any critical section — writers contend
+    // only on the O(lines) manifest step, never on their data writes
+    val newFiles = writeTxnData(spark, table, df, txnId)
+    commitNextVersion(table) { (cur, prev) =>
       require(cur.isEmpty || prev.contains("# base:."),
         s"appendTxnCAS on snapshot-mode table $table")
-      if (prev.contains(s"# txn:$txnId")) return cur.get // raced replay
-      val v = cur.map(_ + 1).getOrElse(0L)
-      try {
-        Files.createFile(root.resolve(s"claim-$v")) // the CAS
-        val manifest = ("# base:." +:
-          (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
-          prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")) ++
-          prev.filterNot(_.startsWith("#")) ++ newFiles
-        return commitManifest(table, v, manifest)
-      } catch { case _: FileAlreadyExistsException =>
-        // lost the claim: spin until the winner's pointer flip is visible
-        // (or its crash surfaces as a loud timeout), then rebase
-        spins += 1
-        require(spins < 12000, s"appendTxnCAS: claim timeout on $table v$v")
-        Thread.sleep(5)
-      }
-    }
-    -1L // unreachable
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None // raced replay
+    } { (_, prev) => appendManifest(prev, txnId, newFiles) }
   }
 
   private def commitManifest(table: String, v: Long, lines: Seq[String]): Long = {
@@ -402,32 +431,30 @@ object Acid {
     * the same ledger as [[appendTxn]]. */
   def deleteTxn(spark: SparkSession, table: String, keys: DataFrame,
       keyCol: String, txnId: Long): Long = withWriterLock(table) {
-    val cur = currentVersion(table).getOrElse(
-      sys.error(s"Acid.deleteTxn: no committed version at $table"))
-    val prev = manifestLines(table, cur)
-    require(prev.contains("# base:."), s"deleteTxn on snapshot-mode table $table")
-    val prevKey = prev.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
-    require(prevKey.forall(_ == keyCol),
-      s"deleteTxn: table uses delete key ${prevKey.get}, got $keyCol")
-    if (prev.contains(s"# txn:$txnId")) cur // replay → no-op
-    else {
+    lazy val delFiles = { // written at most once
       val root = Paths.get(table)
       val delDir = root.resolve(s"del=$txnId")
       keys.select(col(keyCol)).distinct().coalesce(1)
         .write.mode("overwrite").parquet(delDir.toString)
       val walk = Files.walk(delDir)
-      val delFiles =
-        try walk.filter(p => p.toString.endsWith(".parquet"))
-          .map[String](p => root.relativize(p).toString)
-          .sorted().toArray.map(_.toString)
-        finally walk.close()
-      val v = cur + 1
-      val manifest = ("# base:." +:
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => root.relativize(p).toString)
+        .sorted().toArray.map(_.toString).toSeq
+      finally walk.close()
+    }
+    commitNextVersion(table) { (cur, prev) =>
+      val c = cur.getOrElse(sys.error(s"Acid.deleteTxn: no committed version at $table"))
+      require(prev.contains("# base:."), s"deleteTxn on snapshot-mode table $table")
+      val prevKey = prev.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
+      require(prevKey.forall(_ == keyCol),
+        s"deleteTxn: table uses delete key ${prevKey.get}, got $keyCol")
+      if (prev.contains(s"# txn:$txnId")) Some(c) else None // replay → no-op
+    } { (_, prev) =>
+      ("# base:." +:
         (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
         Seq(s"# delkey:$keyCol") ++
         (prev.filter(_.startsWith("# delete:")) ++ delFiles.map(f => s"# delete:$f")) ++
         prev.filterNot(_.startsWith("#"))
-      commitManifest(table, v, manifest)
     }
   }
 
@@ -437,28 +464,35 @@ object Acid {
     * that keeps the read-path anti-join small. The txn ledger is carried
     * forward so streaming exactly-once resumption survives compaction. */
   def compactDeletes(spark: SparkSession, table: String, txnId: Long): Long = {
-    val merged = read(spark, table).cache()
-    merged.count() // materialize BEFORE the lock: the rewrite must not read
-                   // files the new manifest is about to stop referencing
-    try withWriterLock(table) {
-      val cur = currentVersion(table).getOrElse(
+    val StaleSnapshot = -2L
+    var attempts = 0
+    var out = StaleSnapshot
+    while (out == StaleSnapshot) {
+      attempts += 1
+      require(attempts <= 50, s"compactDeletes: concurrent-commit retry limit on $table")
+      val snapV = currentVersion(table).getOrElse(
         sys.error(s"Acid.compactDeletes: no committed version at $table"))
-      val prev = manifestLines(table, cur)
-      require(prev.contains("# base:."),
-        s"compactDeletes on snapshot-mode table $table")
-      val root = Paths.get(table)
-      val dataDir = root.resolve(s"txn=$txnId")
-      merged.write.mode("overwrite").parquet(dataDir.toString)
-      val walk = Files.walk(dataDir)
-      val newFiles =
-        try walk.filter(p => p.toString.endsWith(".parquet"))
-          .map[String](p => root.relativize(p).toString)
-          .sorted().toArray.map(_.toString)
-        finally walk.close()
-      val manifest = ("# base:." +:
-        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++ newFiles
-      commitManifest(table, cur + 1, manifest)
-    } finally merged.unpersist(blocking = false)
+      val merged = readVersion(spark, table, snapV).cache()
+      merged.count() // materialize BEFORE the lock: the rewrite must not read
+                     // files the new manifest is about to stop referencing
+      try out = withWriterLock(table) {
+        commitNextVersion(table) { (cur, prev) =>
+          require(prev.contains("# base:."),
+            s"compactDeletes on snapshot-mode table $table")
+          if (prev.contains(s"# txn:$txnId")) Some(cur.get) // replay → no-op
+          // a commit landed between materializing the merge and taking the
+          // lock: committing the stale snapshot would silently drop that
+          // writer's rows — re-materialize against the advanced state
+          else if (cur.get != snapV) Some(StaleSnapshot)
+          else None
+        } { (_, prev) =>
+          val newFiles = writeTxnData(spark, table, merged, txnId)
+          ("# base:." +:
+            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++ newFiles
+        }
+      } finally merged.unpersist(blocking = false)
+    }
+    out
   }
 
   /** Zone-map file lists for [[readSkipping]]: (kept, all) data files of
@@ -573,7 +607,7 @@ object Acid {
     * unreferenced garbage, never a readable-but-missing-files version.
     * Live-reader grace periods (Delta's retention-duration check) are the
     * production extra, out of scope. Returns the deleted file paths. */
-  def vacuum(table: String, keep: Int): Seq[String] = withWriterLock(table) {
+  def vacuum(table: String, keep: Int, graceMs: Long = 0L): Seq[String] = withWriterLock(table) {
     require(keep >= 1, "vacuum: keep must be >= 1")
     val cur = currentVersion(table).getOrElse(
       sys.error(s"Acid.vacuum: no committed version at $table"))
@@ -594,6 +628,7 @@ object Acid {
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       (0L until newHorizon).foreach { v =>
         Files.deleteIfExists(Paths.get(table, s"manifest-$v.txt"))
+        Files.deleteIfExists(Paths.get(table, s"claim-$v")) // expired claim GC
       }
       val root = Paths.get(table)
       val walk = Files.walk(root)
@@ -602,8 +637,17 @@ object Acid {
           .map[String](p => root.relativize(p).toString)
           .toArray.map(_.toString).toSeq.filterNot(live)
         finally walk.close()
-      dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
-      dead.sorted
+      // grace window (Delta's retention-duration check): an unreferenced
+      // file younger than `graceMs` may be a concurrent CAS writer's
+      // in-flight data, landed before its manifest commit — spare it. The
+      // default 0 keeps single-writer vacuums deterministic.
+      val cutoff = System.currentTimeMillis() - graceMs
+      val deletable = dead.filter { f =>
+        graceMs == 0L ||
+          Files.getLastModifiedTime(root.resolve(f)).toMillis < cutoff
+      }
+      deletable.foreach(f => Files.deleteIfExists(root.resolve(f)))
+      deletable.sorted
     }
   }
 

@@ -260,21 +260,18 @@ object Graph {
         SELECT node, MIN(cost) AS cost
         FROM walk GROUP BY node ORDER BY node""".trim)),
 
-    // Connected components (r11): min-label propagation over the
-    // co-purchase graph (parts sharing an order ≥2 times — the same edge
-    // relation agg_copurchase_pairs mines), iterated to a FIXED POINT with
-    // a driver-side convergence check — the general-graph twin of
-    // llm_dedup_components' dedup closure, here with a DuckDB recursive-
-    // CTE oracle over a graph whose shape flips with scale (sf0.01: a
-    // 1,860-node hairball among 9 components; sf0.1: 2,350 sparse
-    // components) so both the deep and the wide regime are exercised.
-    // Each round is one edges⋈labels shuffle plus a min-aggregate whose
-    // output is |V|-bound; localCheckpoint truncates lineage per round
-    // (the pagerank policy) and the loop stops when a round changes no
-    // label — O(diameter) rounds: a hairball converges in a handful, a
-    // path graph in its length, and at 100 TB the large-star/small-star
-    // optimization halves round count without changing this plan shape.
-    // The convergence count is the only driver-side scalar.
+    // Connected components (r11; large-star/small-star since r12): over
+    // the co-purchase graph (parts sharing an order ≥2 times — the same
+    // edge relation agg_copurchase_pairs mines) — the general-graph twin
+    // of llm_dedup_components' dedup closure, here with a DuckDB
+    // recursive-CTE oracle over a graph whose shape flips with scale
+    // (sf0.01: a 1,860-node hairball among 9 components; sf0.1: 2,350
+    // sparse components) so both the deep and the wide regime are
+    // exercised. The closure runs [[Components]] — the star alternation
+    // converges in O(log n) rounds instead of propagation's O(diameter)
+    // (a path graph converges in ~log₂ length alternations; GraphSpec
+    // pins this on a planted 64-node path), each round one groupBy-min +
+    // one join, nothing data-sized at the driver.
     Q("graph_components",
       (spark, sfDir) => {
         val li = Tables.lineitem(spark, sfDir)
@@ -284,29 +281,12 @@ object Graph {
               col("a.l_partkey") < col("b.l_partkey"))
           .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
           .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-          .select(col("pa"), col("pb"))
-        val edges = pairs.select(col("pa").as("s"), col("pb").as("d"))
-          .unionByName(pairs.select(col("pb").as("s"), col("pa").as("d")))
-          .cache()
-        var labels = edges.select(col("s").as("node")).distinct()
-          .withColumn("comp", col("node")).localCheckpoint()
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 40) {
-          rounds += 1
-          val prop = edges.join(labels, edges("s") === labels("node"))
-            .select(col("d").as("node"), col("comp"))
-            .unionByName(labels.select(col("node"), col("comp")))
-            .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-            .localCheckpoint()
-          changed = prop.join(
-              labels.select(col("node"), col("comp").as("old_comp")), "node")
-            .filter(col("comp") < col("old_comp")).count()
-          labels = prop
-        }
-        require(changed == 0, s"components did not converge in $rounds rounds")
-        edges.unpersist(blocking = false)
-        labels.orderBy(col("node"))
+          .select(col("pa"), col("pb")).localCheckpoint()
+        val nodes = pairs.select(col("pa").as("node"))
+          .unionByName(pairs.select(col("pb").as("node"))).distinct()
+        Components.run(nodes,
+            pairs.select(col("pa").as("src"), col("pb").as("dst")))
+          .orderBy(col("node"))
       },
       Some("""
         WITH RECURSIVE li AS (

@@ -1406,7 +1406,8 @@ object Stats {
                       AS INT) AS idx
           FROM types t
           CROSS JOIN (SELECT unnest(generate_series(0, 198)) AS b) b
-          JOIN (SELECT unnest(generate_series(1, 40)) AS i) i ON i.i <= t.n
+          JOIN (SELECT unnest(generate_series(1, (SELECT MAX(n) FROM types))) AS i) i
+            ON i.i <= t.n
         ), sums AS (
           SELECT d2.event_type, d2.b, CAST(SUM(daily.x) AS BIGINT) AS s
           FROM draws d2 JOIN daily

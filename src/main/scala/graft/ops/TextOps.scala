@@ -618,47 +618,21 @@ object TextOps {
     // threshold), so picking one canonical doc per duplicate GROUP needs
     // the transitive closure, not a pairwise filter. Edges come from the
     // exact prefix filter at t = 3/5 (no probabilistic miss — this key is
-    // oracle-gated against a DuckDB recursive-CTE closure); components via
-    // distributed min-label propagation, one shuffle round per graph
-    // diameter step, labels checkpointed per round so lineage stays flat.
-    // At 100 TB the same loop runs with the large-star/small-star
-    // alternation to bound rounds and skew; near-dup component diameters
-    // are small in practice, so O(diameter) rounds is the honest cost.
+    // oracle-gated against a DuckDB recursive-CTE closure); the closure
+    // runs [[graft.ops.Components]]'s large-star/small-star alternation
+    // (r12) — O(log n) rounds instead of O(diameter), one groupBy-min +
+    // one join per round. The edge list is checkpointed ONCE so the
+    // candidate-generation + verify pipeline never re-runs per round.
     Q("llm_dedup_components",
       (spark, sfDir) => {
         val nodes = componentNodes(spark, sfDir)
         val edges = componentEdges(spark, nodes)
-        // materialize the edge list ONCE: labels is re-derived from sym in
-        // every propagation round (and twice per round — checkpoint + the
-        // fixpoint aggregate), so an un-checkpointed sym would re-run the
-        // whole candidate-generation + verify pipeline each time
-        val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-          .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
           .localCheckpoint()
-        var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
-          .localCheckpoint()
-        // labels move monotonically DOWN (elementwise min each round), so
-        // the fixpoint test is one aggregate: Σcomponent unchanged ⟺ no
-        // label changed — no per-round diff join needed
-        var sum = labels.agg(org.apache.spark.sql.functions.sum(col("component")))
-          .head.getLong(0)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 15) {
-          val viaNbr = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
-            .groupBy(col("dst").as("doc_id")).agg(min(col("component")).as("nbr_min"))
-          labels = labels.join(viaNbr, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("component"), coalesce(col("nbr_min"), col("component")))
-                .as("component"))
-            .localCheckpoint()
-          val nextSum = labels.agg(org.apache.spark.sql.functions.sum(col("component")))
-            .head.getLong(0)
-          converged = nextSum == sum
-          sum = nextSum
-          iter += 1
-        }
-        labels.orderBy(col("doc_id"))
+        graft.ops.Components.run(
+            nodes.select(col("doc_id").as("node")), edges)
+          .select(col("node").as("doc_id"), col("comp").as("component"))
+          .orderBy(col("doc_id"))
       },
       Some("""
         WITH RECURSIVE

@@ -29,12 +29,14 @@ import org.apache.spark.sql.streaming.Trigger
   *  4. [[unify]] is a plain unionByName of the two disjoint legs.
   *
   * At 100 TB: the archive scan is a normal pruned parquet read; the
-  * recorded offset maps to the broker's seek (Kafka `startingOffsets`),
-  * so a seekable live leg never re-reads history at all — the `> hwm`
-  * filter is the defensive twin that keeps the seam exact even when the
-  * source cannot seek and replays from retention start. Monotone
-  * per-partition offsets are the broker contract; `event_id` plays that
-  * role for the file feed.
+  * recorded offset maps to the broker's seek (Kafka `startingOffsets`) —
+  * since r12 this is EXECUTED, not argued: `stream_backfill`'s live leg
+  * runs on the seekable [[GraftLog]] source with `startingOffset` set to
+  * the archive's row count, so a seekable live leg never re-reads history
+  * at all. The `> hwm` filter is the defensive twin that keeps the seam
+  * exact even when the source cannot seek and replays from retention
+  * start. Monotone per-partition offsets are the broker contract;
+  * `event_id` plays that role for the file feed.
   */
 object Backfill {
 

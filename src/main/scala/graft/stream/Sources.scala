@@ -165,6 +165,28 @@ object Sources {
       })
     }
 
+  /** One staged graft-log per fixture dir (events staged as ordered TSV
+    * segments, [[GraftLog.stage]]), built on first use and reused by every
+    * subsequent run in the JVM — same staging policy as
+    * [[stagedFlushDir]]. 16 segments ≈ the multi-partition planning shape
+    * without per-file overhead at fixture scale. */
+  private val stagedLogDirs =
+    scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+
+  def stagedLogDir(spark: SparkSession, sfDir: String): java.nio.file.Path =
+    stagedLogDirs.synchronized {
+      stagedLogDirs.getOrElseUpdate(sfDir, {
+        val dir = java.nio.file.Files.createTempDirectory("graft_log")
+        val n = graft.Tables.events(spark, sfDir).count()
+        GraftLog.stage(spark, graft.Tables.events(spark, sfDir), dir.toString,
+          segmentRows = math.max(1L, (n + 15) / 16).toInt)
+        sys.addShutdownHook {
+          try deleteRecursively(dir) catch { case _: Exception => () }
+        }
+        dir
+      })
+    }
+
   /** Sentinel-watermark-flush replay (the recipe that makes append-mode
     * streaming state driver-verifiable against a batch oracle): stage
     * `events.parquet` plus a later-mtime single-row sentinel file (user -1

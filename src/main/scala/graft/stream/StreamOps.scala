@@ -407,6 +407,28 @@ object StreamOps {
         GROUP BY event_type
         ORDER BY event_type""".trim)),
 
+    // The seekable-offset commit-log source (see [[GraftLog]]): events
+    // staged as ordered TSV segments, streamed back through the
+    // DataSourceV2 MicroBatchStream with admission control forcing
+    // multiple micro-batches. The Complete-mode final emission must equal
+    // the batch aggregate exactly — one lost, duplicated, or misparsed
+    // record across the batch boundaries shifts a count or sum and fails
+    // the hash. Seek/redelivery/restart semantics are pinned in
+    // StreamingSpec.
+    Q("source_graft_log",
+      (spark, sfDir) => {
+        val log = Sources.stagedLogDir(spark, sfDir).toString
+        val agg = GraftLog.readStream(spark, log, maxRecordsPerTrigger = Some(4096))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+        runToTable(spark, agg, OutputMode.Complete()).orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
     // Line-JSON over a real TCP socket served in-process.
     Q("source_socket",
       (spark, sfDir) => {
@@ -853,14 +875,20 @@ object StreamOps {
         GROUP BY n_name
         ORDER BY n_name""".trim)),
 
-    // Batch-catchup then streaming-handoff (reconnect/backfill, r8 — see
-    // [[Backfill]]): the archive holds the history up to a recorded
-    // offset; the live feed then REDELIVERS the whole feed from retention
-    // start (worst-case at-least-once reconnect). The offset filter makes
-    // the legs disjoint; the foreachBatch batch=<id> overwrite landing is
-    // idempotent across retries/restarts. The SQL oracle over the FULL
-    // events table IS the zero-dup / zero-gap check — one duplicated or
-    // dropped event at the seam shifts a count or sum and fails the hash.
+    // Batch-catchup then streaming-handoff (reconnect/backfill, r8; live
+    // leg on the seekable graft-log since r12 — see [[Backfill]] and
+    // [[GraftLog]]): the archive holds the history up to a recorded
+    // offset; the live leg SEEKS the commit log to the archive's row
+    // count (the staged log is event_id-ordered and event_ids are unique,
+    // so ordinal k = the (k+1)-th smallest event_id — "the recorded
+    // offset maps to the broker seek" is now executed code, not a
+    // comment). The `> hwm` event filter stays as the defensive twin for
+    // sources that CANNOT seek and redeliver from retention start; with
+    // the seek it is a no-op by construction. foreachBatch batch=<id>
+    // overwrite landing is idempotent across retries/restarts. The SQL
+    // oracle over the FULL events table IS the zero-dup / zero-gap check
+    // — one duplicated or dropped event at the seam shifts a count or sum
+    // and fails the hash.
     Q("stream_backfill",
       (spark, sfDir) => {
         val full = Tables.events(spark, sfDir)
@@ -869,9 +897,11 @@ object StreamOps {
         val cut = full.agg(floor(max(col("event_id")) * 3 / 5).as("h")).head().getLong(0)
         val archive = full.filter(col("event_id") <= cut)
         val hwm = Backfill.recordOffset(archive)
+        val seekOrdinal = archive.count() // rank of hwm in the ordered log
         val outDir = Files.createTempDirectory("graft_backfill").toString
         val ckpt = Files.createTempDirectory("graft_backfill_ckpt").toString
-        val live = Sources.replayEvents(spark, sfDir, "events.parquet")
+        val live = GraftLog.readStream(spark,
+          Sources.stagedLogDir(spark, sfDir).toString, startingOffset = seekOrdinal)
         val landed = Backfill.landLive(spark, live, hwm, outDir, ckpt)
         Backfill.unify(archive, landed)
           .groupBy(col("event_type"))

@@ -1,0 +1,146 @@
+package graft
+
+import graft.stream.{GraftLog, GraftLogInputPartition, GraftLogReaderFactory}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Pins for the graft-log DataSourceV2 MicroBatchStream (r11 verdict item
+  * 1): real offset objects, seek-from-offset, restart-resume from the
+  * checkpointed offset, and redelivery-idempotence of the in-flight batch
+  * — the seekable-broker semantics the Kafka seam rests on.
+  */
+class GraftLogSpec extends SparkFixture {
+
+  private def line(id: Long): String =
+    s"$id\t${1700000000000000L + id * 1000000L}\t${id % 7}\ttype${id % 3}\t${id * 1.5}\t{}"
+
+  private def freshLog(ids: Seq[Seq[Long]]): String = {
+    val dir = Files.createTempDirectory("graftlog_spec").toString
+    ids.zipWithIndex.foreach { case (seg, i) =>
+      GraftLog.appendSegment(dir, i, seg.map(line))
+    }
+    dir
+  }
+
+  private val sinkN = new AtomicInteger
+
+  private def drainToTable(sdf: DataFrame, ckpt: String): DataFrame = {
+    val tbl = s"graftlog_spec_${sinkN.incrementAndGet()}"
+    val q = sdf.writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(tbl)
+  }
+
+  test("planInputPartitions maps an ordinal range onto exact segment slices") {
+    val dir = freshLog(Seq(Seq(0L, 1, 2, 3), Seq(4L, 5, 6, 7), Seq(8L, 9, 10)))
+    // [5, 9) spans the tail of segment 1 and the head of segment 2
+    val parts = GraftLog.plan(dir, 5, 9).map(_.asInstanceOf[GraftLogInputPartition])
+    assert(parts.length == 2)
+    assert(parts(0).skip == 1 && parts(0).take == 3) // ordinals 5,6,7
+    assert(parts(1).skip == 0 && parts(1).take == 1) // ordinal 8
+    val got = parts.flatMap { p =>
+      val r = GraftLogReaderFactory.createReader(p)
+      val b = Seq.newBuilder[Long]
+      while (r.next()) b += r.get().getLong(0)
+      r.close()
+      b.result()
+    }
+    assert(got.toSeq == Seq(5L, 6, 7, 8))
+    // empty and full ranges
+    assert(GraftLog.plan(dir, 4, 4).isEmpty)
+    assert(GraftLog.plan(dir, 0, 11).map(_.asInstanceOf[GraftLogInputPartition])
+      .map(_.take).sum == 11)
+  }
+
+  test("batch read and streamed read both recover the staged events exactly") {
+    val dir = Files.createTempDirectory("graftlog_stage").toString
+    GraftLog.stage(spark, Tables.events(spark, sf001), dir, segmentRows = 256)
+    // order-independent checksum: double sums vary with reduction order,
+    // so the value checksum goes through an exact decimal
+    def sig(df: DataFrame) = df.agg(count(lit(1)), sum(col("event_id")),
+      sum(col("value").cast("decimal(28,10)"))).head()
+    val expect = sig(Tables.events(spark, sf001))
+    assert(sig(GraftLog.read(spark, dir)) == expect,
+      "batch read diverged from source events")
+    val ckpt = Files.createTempDirectory("graftlog_ckpt").toString
+    val streamed = drainToTable(
+      GraftLog.readStream(spark, dir, maxRecordsPerTrigger = Some(300)), ckpt)
+    assert(sig(streamed) == expect, "streamed read diverged from source events")
+  }
+
+  test("startingOffset seeks: the stream begins at the k-th record, no history re-read") {
+    val dir = Files.createTempDirectory("graftlog_seek").toString
+    GraftLog.stage(spark, Tables.events(spark, sf001), dir, segmentRows = 256)
+    val k = 700L
+    val ckpt = Files.createTempDirectory("graftlog_ckpt").toString
+    val got = drainToTable(GraftLog.readStream(spark, dir, startingOffset = k), ckpt)
+    // staged log is event_id-ordered, so the seek target is the k-th
+    // smallest event_id — everything at rank > k must arrive, nothing else
+    val expected = Tables.events(spark, sf001).orderBy(col("event_id"))
+      .select(col("event_id")).collect().map(_.getLong(0)).drop(k.toInt).toSet
+    val gotIds = got.select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(gotIds == expected, s"seek delivered ${gotIds.size} of ${expected.size} expected")
+  }
+
+  test("restart resumes from the checkpointed offset: only new segments replay") {
+    val dir = freshLog(Seq(Seq(0L, 1, 2), Seq(3L, 4, 5)))
+    val ckpt = Files.createTempDirectory("graftlog_ckpt").toString
+    val out = Files.createTempDirectory("graftlog_out").toString
+    def runOnce(): Unit = {
+      val q = GraftLog.readStream(spark, dir)
+        .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val landed1 = spark.read.schema(GraftLog.schema).parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(landed1 == Set(0L, 1, 2, 3, 4, 5))
+    // new data arrives; a NEW query on the SAME checkpoint starts at the
+    // committed offset — landed batches must cover old ∪ new exactly once
+    GraftLog.appendSegment(dir, 2, Seq(6L, 7).map(line))
+    runOnce()
+    val landed2 = spark.read.schema(GraftLog.schema).parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(landed2 == Seq(0L, 1, 2, 3, 4, 5, 6, 7),
+      s"restart re-read history or lost the tail: $landed2")
+  }
+
+  test("the in-flight batch is redelivered after a crash, and lands exactly once") {
+    val dir = freshLog(Seq(Seq(0L, 1, 2), Seq(3L, 4, 5), Seq(6L, 7, 8)))
+    val ckpt = Files.createTempDirectory("graftlog_ckpt").toString
+    val out = Files.createTempDirectory("graftlog_out").toString
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Long, AtomicInteger]()
+    @volatile var failOnce = true
+    def runOnce(): Option[Throwable] = {
+      val q = GraftLog.readStream(spark, dir, maxRecordsPerTrigger = Some(3))
+        .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          attempts.computeIfAbsent(batchId, _ => new AtomicInteger).incrementAndGet()
+          if (batchId == 1 && failOnce) { failOnce = false; sys.error("injected crash") }
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(); None }
+      catch { case e: Throwable => Some(e) }
+    }
+    assert(runOnce().isDefined, "injected crash did not surface")
+    // restart: batch 1's offset range was persisted before execution, so
+    // the SAME range is re-planned (redelivery) and the overwrite landing
+    // makes the replay idempotent
+    assert(runOnce().isEmpty, "clean rerun failed")
+    assert(attempts.get(1L).get() >= 2, "batch 1 was not redelivered")
+    val landed = spark.read.schema(GraftLog.schema).parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(landed == (0L to 8L).toSeq,
+      s"redelivery duplicated or dropped records: $landed")
+  }
+}

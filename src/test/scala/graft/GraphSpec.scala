@@ -222,4 +222,24 @@ class GraphSpec extends SparkFixture {
       assert(rows(a) == rows(b), s"edge ($a,$b) straddles components")
     }
   }
+
+  test("Components: a planted 64-node path converges in O(log n) rounds, not O(diameter)") {
+    // path 0–1–…–63: min-label propagation needs 63 rounds (one hop per
+    // round); the large-star/small-star alternation must close it in
+    // ~log₂ 64 alternations — the r12 replacement's reason to exist
+    val spark0 = spark
+    import spark0.implicits._
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L to 63L).toDF("node")
+    val (labels, rounds) = graft.ops.Components.runWithRounds(nodes, edges)
+    assert(rounds <= 10, s"star alternation took $rounds rounds on a 64-path")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap, "path did not collapse to component 0")
+    // isolated nodes label themselves; two components stay separate
+    val e2 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val n2 = (Seq(1L, 2L, 3L, 10L, 11L, 99L)).toDF("node")
+    val got2 = graft.ops.Components.run(n2, e2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
 }
