@@ -19,6 +19,10 @@ object Verify {
       // ANSI mode: decimal/cast overflow fails loudly instead of silently
       // returning NULL — matches DuckDB's behavior (ADVICE r1).
       .config("spark.sql.ansi.enabled", "true")
+      // production-shaped streaming state: disk-backed RocksDB provider for
+      // every StreamingQuery (r12; see StreamOps.ensureRocksDb)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

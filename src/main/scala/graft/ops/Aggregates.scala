@@ -95,17 +95,18 @@ object Aggregates {
         ORDER BY l_orderkey""".trim)),
 
     // COUNT(DISTINCT) per group (Expand + 2-phase agg).
-    Q("agg_distinct",
-      (spark, sfDir) =>
-        Tables.lineitem(spark, sfDir)
-          .groupBy(col("l_returnflag"))
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"), count(lit(1)).as("n"))
-          .orderBy(col("l_returnflag")),
-      Some("""
+    {
+      // SQL-routed key (r12): Spark executes the SAME dialect-shared text
+      // the DuckDB oracle runs — the pure-SQL entry path, end to end.
+      val text = """
         SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
-        ORDER BY l_returnflag""".trim)),
+        ORDER BY l_returnflag""".trim
+      Q("agg_distinct",
+        (spark, sfDir) => SqlEntry.sql(spark, sfDir, text),
+        Some(text))
+    },
 
     // Two distinct aggregates in one query (planner Expand coverage).
     Q("agg_multi_distinct",

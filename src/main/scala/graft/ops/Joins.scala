@@ -92,24 +92,21 @@ object Joins {
   val queries: Seq[Q] = Seq(
 
     // 3-way star join: revenue per nation.
-    Q("join_inner_equi",
-      (spark, sfDir) => {
-        val o = Tables.orders(spark, sfDir)
-        val c = Tables.customer(spark, sfDir)
-        val n = Tables.nation(spark, sfDir)
-        o.join(c, o("o_custkey") === c("c_custkey"))
-          .join(n, c("c_nationkey") === n("n_nationkey"))
-          .groupBy(col("n_name"))
-          .agg(sumMoney(col("o_totalprice")).as("revenue"),
-            count(lit(1)).as("n_orders"))
-          .orderBy(col("n_name"))
-      },
-      Some(s"""
+    {
+      // SQL-routed key (r12): one dialect-shared text drives both engines
+      // (pure-SQL entry path, ops/SqlEntry.scala) — the Det money policy
+      // (exact DECIMAL sum → DECIMAL(18,2) → DOUBLE) is itself plain ANSI
+      // text, so it routes unchanged.
+      val text = s"""
         SELECT n_name, ${sqlSumMoney("o_totalprice")} AS revenue, COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
-        ORDER BY n_name""".trim)),
+        ORDER BY n_name""".trim
+      Q("join_inner_equi",
+        (spark, sfDir) => SqlEntry.sql(spark, sfDir, text),
+        Some(text))
+    },
 
     // Same logical join, dims explicitly broadcast (plan-shape-tested).
     Q("join_broadcast",

@@ -600,24 +600,23 @@ object Scans {
         ORDER BY fname""".trim)),
 
     // Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
-    Q("filter_pred",
-      (spark, sfDir) =>
-        Tables.part(spark, sfDir)
-          .filter(
-            (col("p_size").between(10, 20) || col("p_brand").isin("Brand#1", "Brand#2"))
-              && col("p_type").like("%O%")
-              && col("p_name").isNotNull
-              && !(col("p_size") === 15))
-          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
-          .orderBy(col("p_partkey")),
-      Some("""
+    {
+      // SQL-routed key (r12): Spark executes the SAME dialect-shared text
+      // the DuckDB oracle runs (pure-SQL entry path, ops/SqlEntry.scala);
+      // SurfaceDocSpec pins that the text's plan matches the DataFrame
+      // twin's — filters still reach the scan as PushedFilters.
+      val text = """
         SELECT p_partkey, p_name, p_brand, p_size
         FROM part
         WHERE (p_size BETWEEN 10 AND 20 OR p_brand IN ('Brand#1', 'Brand#2'))
           AND p_type LIKE '%O%'
           AND p_name IS NOT NULL
           AND NOT (p_size = 15)
-        ORDER BY p_partkey""".trim)),
+        ORDER BY p_partkey""".trim
+      Q("filter_pred",
+        (spark, sfDir) => SqlEntry.sql(spark, sfDir, text),
+        Some(text))
+    },
 
     // Partitioned JDBC ingest (r9): the database-to-lake seam — Spark's
     // jdbc source with partitionColumn/numPartitions splits the key range

@@ -59,19 +59,18 @@ object SortsSetops {
 
     // Full multi-column sort (range-partition exchange); LIMIT bounds the
     // oracle output, large enough to exercise the sort across partitions.
-    Q("sort_global",
-      (spark, sfDir) =>
-        Tables.lineitem(spark, sfDir)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            col("l_returnflag"))
-          .orderBy(col("l_quantity").desc, col("l_returnflag"),
-            col("l_orderkey"), col("l_linenumber"))
-          .limit(2000),
-      Some("""
+    {
+      // SQL-routed key (r12): one dialect-shared text drives both engines
+      // (pure-SQL entry path, ops/SqlEntry.scala).
+      val text = """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem
         ORDER BY l_quantity DESC, l_returnflag, l_orderkey, l_linenumber
-        LIMIT 2000""".trim)),
+        LIMIT 2000""".trim
+      Q("sort_global",
+        (spark, sfDir) => SqlEntry.sql(spark, sfDir, text),
+        Some(text))
+    },
 
     // Z-order layout key (r8): Morton-interleave the low 16 bits of
     // (o_custkey, order epoch-day) and order by the result — the
@@ -170,17 +169,18 @@ object SortsSetops {
 
     // Bag union (duplicates preserved) — ordered by key; duplicate rows are
     // identical so the order is total for comparison purposes.
-    Q("setop_union_all",
-      (spark, sfDir) => {
-        val o = Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
-        val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("custkey"))
-        o.unionAll(c).orderBy(col("custkey"))
-      },
-      Some("""
+    {
+      // SQL-routed key (r12): one dialect-shared text drives both engines
+      // (pure-SQL entry path, ops/SqlEntry.scala).
+      val text = """
         SELECT o_custkey AS custkey FROM orders
         UNION ALL
         SELECT c_custkey AS custkey FROM customer
-        ORDER BY custkey""".trim)),
+        ORDER BY custkey""".trim
+      Q("setop_union_all",
+        (spark, sfDir) => SqlEntry.sql(spark, sfDir, text),
+        Some(text))
+    },
 
     // Set intersection (distinct): custkeys that placed orders.
     Q("setop_intersect",

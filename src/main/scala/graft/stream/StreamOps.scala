@@ -114,20 +114,35 @@ object StreamOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
 
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Default EVERY harness-run StreamingQuery onto the RocksDB state-store
+    * provider (r11 verdict item 4; previously only `transformWithState`
+    * pinned it) — the provider a production deployment runs, where state
+    * is disk-backed + incrementally checkpointed instead of a JVM-heap
+    * HashMap: at 100 TB/day state size is bounded by the watermark but
+    * still far beyond executor heap. Set once, lazily, and only if the
+    * session has no explicit provider choice (an explicit setting wins —
+    * that is also what keeps the set/restore in [[runWithRocksDb]]
+    * race-free against this). */
+  private[stream] def ensureRocksDb(spark: SparkSession): Unit =
+    if (spark.conf.getOption(ProviderKey).isEmpty)
+      spark.conf.set(ProviderKey, RocksDbProvider)
+
   /** Run a streaming DF to completion (AvailableNow) into a memory sink,
-    * return the sink contents as a batch DataFrame. */
+    * return the sink contents as a batch DataFrame. Runs on the RocksDB
+    * state store (see [[ensureRocksDb]]). */
   private[stream] def runToTable(spark: SparkSession, sdf: DataFrame,
       mode: OutputMode): DataFrame = {
+    ensureRocksDb(spark)
     val tbl = s"graft_sink_${sinkId.incrementAndGet()}"
     val q = sdf.writeStream.format("memory").queryName(tbl).outputMode(mode)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(tbl)
   }
-
-  private val RocksDbProvider =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
 
   /** [[runToTable]] with the RocksDB state-store provider pinned for the
     * query (read at stream START, so a runtime conf set/restore scopes it):
@@ -473,6 +488,47 @@ object StreamOps {
           .orderBy(col("event_type"))
       },
       None),
+
+    // Serving egress (r12 — see [[Serve]]): the reference's serve side.
+    // Three subscribers, each with its own filter, each fed by its own
+    // StreamingQuery pushing line-JSON over TCP from EXECUTOR-side
+    // ForeachWriter connections. The key's output is aggregated from what
+    // the subscribers RECEIVED (deduped on event_id — at-least-once push,
+    // exactly-once consumption), hash-matched against the batch oracle —
+    // one dropped, duplicated, or corrupted pushed line shifts a count or
+    // sum and fails the hash. The received-lines parse is client-side
+    // receipt verification, not an engine data path.
+    Q("sink_serve",
+      (spark, sfDir) => {
+        val types = Seq("click", "purchase", "view")
+        val clients = types.map(_ => new Serve.SubscriberClient())
+        val queries = types.zip(clients).map { case (t, c) =>
+          Serve.push(
+            Sources.replayEvents(spark, sfDir, "events.parquet")
+              .filter(col("event_type") === t),
+            "127.0.0.1", c.port)
+        }
+        queries.foreach(_.awaitTermination())
+        clients.foreach(_.close())
+        import spark.implicits._
+        val received = spark.createDataset(clients.flatMap(_.lines))
+          .select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"))
+            .as("e"))
+          .select(col("e.event_id").as("event_id"), col("e.event_type").as("event_type"),
+            col("e.value").as("value"))
+          .dropDuplicates("event_id")
+        received.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE event_type IN ('click', 'purchase', 'view')
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
 
     // Deterministic synthetic generator: exactly one 256-row micro-batch.
     Q("source_rate",

@@ -40,4 +40,148 @@ class ConcurrencySpec extends SparkFixture {
       assert(concurrent(k) == serial(k), s"$k diverged under concurrent serving")
     }
   }
+
+  test("Acid commit storm: 8 mixed CAS/lock/delete/compact writers, no txn lost, readers isolated") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val spark0 = spark
+    import spark0.implicits._
+    val table = java.nio.file.Files.createTempDirectory("acid_storm").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).select(col("id").as("k"))
+    // seed: keys 0..99 via txn 1
+    Acid.appendTxn(spark, table, rows(0, 100), txnId = 1L)
+    val delA = (0L until 20L)  // deleted mid-storm
+    val delB = (20L until 30L) // deleted mid-storm, possibly post-compaction
+    // appenders use key ranges disjoint from every delete set, so the final
+    // row population is order-independent no matter how deletes interleave
+    // with compaction (compaction folds delete vectors into data)
+    val appendRanges = (0 until 6).map(i => (1000L * (i + 1), 50L))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readsOk = new java.util.concurrent.atomic.AtomicInteger(0)
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          while (!readerStop.get()) {
+            // snapshot isolation: a resolved version re-reads identically
+            // even while writers commit and compact around it
+            val v = Acid.currentVersion(table).get
+            val c1 = Acid.readVersion(spark, table, v).count()
+            val c2 = Acid.readVersion(spark, table, v).count()
+            assert(c1 == c2, s"snapshot v$v unstable: $c1 vs $c2")
+            readsOk.incrementAndGet()
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    val writers =
+      // 3 CAS appenders × 2 txns each
+      (0 until 3).map { i =>
+        new Thread(() => {
+          try (0 until 2).foreach { j =>
+            val (lo, n) = appendRanges(i * 2 + j)
+            Acid.appendTxnCAS(spark, table, rows(lo, n), txnId = 100L + i * 10 + j)
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      } ++
+      // 2 lock-path appenders: a replay of the committed seed txn first
+      // (idempotent no-op under contention — txn ids are writer-unique, so
+      // only an already-committed id may be replayed), then a fresh txn
+      (0 until 2).map { i =>
+        new Thread(() => {
+          try {
+            Acid.appendTxn(spark, table, rows(0, 100), txnId = 1L) // replay → no-op
+            Acid.appendTxn(spark, table, rows(5000L + 100L * i, 25L), txnId = 200L + i)
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      } ++
+      // deleter + compactor + (no-op-retention) vacuum
+      Seq(
+        new Thread(() => {
+          try {
+            Acid.deleteTxn(spark, table, delA.toDF("k"), "k", txnId = 300L)
+            Acid.deleteTxn(spark, table, delB.toDF("k"), "k", txnId = 301L)
+          } catch { case t: Throwable => failures.add(t) }
+        }),
+        new Thread(() => {
+          try {
+            Acid.compactDeletes(spark, table, txnId = 400L)
+            Acid.compactDeletes(spark, table, txnId = 401L)
+          } catch { case t: Throwable => failures.add(t) }
+        }),
+        new Thread(() => {
+          // keep > total commits → retention never triggers mid-storm; this
+          // exercises vacuum's lock + live-set walk + grace window racing
+          // CAS writers whose data lands before their manifest commit
+          try Acid.vacuum(table, keep = 50, graceMs = 600000L)
+          catch { case t: Throwable => failures.add(t) }
+        }))
+    readers.foreach(_.start())
+    writers.foreach(_.start())
+    writers.foreach(_.join(120000))
+    readerStop.set(true)
+    readers.foreach(_.join(30000))
+    assert(failures.isEmpty, s"storm failures: ${failures.asScala.map(_.toString).toSeq}")
+    assert(readsOk.get() > 0, "isolation readers never completed a read")
+    // ledger: every txn id committed exactly once, replays included
+    val txns = Acid.committedTxns(table)
+    val expectedTxns = Set(1L, 100L, 101L, 110L, 111L, 120L, 121L,
+      200L, 201L, 300L, 301L, 400L, 401L)
+    assert(txns == expectedTxns, s"txn ledger diverged: $txns")
+    // final rows: seed minus both delete sets, plus every appended range —
+    // regardless of interleaving (append keys never overlap delete keys)
+    val expectKeys = (30L until 100L) ++
+      appendRanges.flatMap { case (lo, n) => lo until lo + n } ++
+      (0 until 2).flatMap(i => 5000L + 100L * i until 5000L + 100L * i + 25L)
+    val got = Acid.read(spark, table).select(col("k")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == expectKeys.sorted,
+      s"final table diverged: ${got.length} rows vs ${expectKeys.size}")
+    // post-storm retention pass: horizon advances, current stays readable
+    Acid.vacuum(table, keep = 2)
+    assert(Acid.read(spark, table).count() == expectKeys.size.toLong)
+  }
+
+  test("sink_serve: a stalled subscriber does not block the other subscribers") {
+    import graft.stream.{Serve, Sources}
+    import org.apache.spark.sql.functions.col
+    // subscriber A reads 60 ms/line (~13 s for its 210 clicks — a stalled
+    // consumer); B and C are fast.
+    // Each subscriber has its own StreamingQuery, so B/C must achieve FULL
+    // receipt while A is still mid-drain — per-subscriber isolation is by
+    // construction (independent queries + TCP back-pressure confined to
+    // A's own writer tasks), and this pins it.
+    val slow = new Serve.SubscriberClient(perLineDelayMs = 60L)
+    val fastB = new Serve.SubscriberClient()
+    val fastC = new Serve.SubscriberClient()
+    def feed(t: String, port: Int) = Serve.push(
+      Sources.replayEvents(spark, sf001, "events.parquet")
+        .filter(col("event_type") === t), "127.0.0.1", port)
+    val expected = Seq("click", "purchase", "view").map { t =>
+      t -> Tables.events(spark, sf001).filter(col("event_type") === t).count()
+    }.toMap
+    val qa = feed("click", slow.port)
+    val qb = feed("purchase", fastB.port)
+    val qc = feed("view", fastC.port)
+    try {
+      qb.awaitTermination(); qc.awaitTermination()
+      // B and C fully received while A is still reading
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while ((fastB.count < expected("purchase") || fastC.count < expected("view")) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(fastB.count.toLong == expected("purchase"), "fast subscriber B incomplete")
+      assert(fastC.count.toLong == expected("view"), "fast subscriber C incomplete")
+      assert(slow.count.toLong < expected("click"),
+        "slow subscriber finished too fast for the isolation claim to bite")
+      // and the stalled subscriber still completes eventually, losing nothing
+      qa.awaitTermination()
+      val deadline2 = System.nanoTime() + 120L * 1000000000L
+      while (slow.count.toLong < expected("click") && System.nanoTime() < deadline2)
+        Thread.sleep(100)
+      assert(slow.count.toLong == expected("click"), "slow subscriber lost lines")
+    } finally {
+      Seq(qa, qb, qc).foreach(q => if (q.isActive) q.stop())
+      slow.close(); fastB.close(); fastC.close()
+    }
+  }
 }

@@ -238,4 +238,34 @@ class DetSpec extends SparkFixture {
       }
     }
   }
+
+  test("events ts-sniff cache invalidates on in-session fixture regeneration (mtime/length key)") {
+    // the r11 watch item: a path-only cache would silently misread a
+    // fixture regenerated in place with the OTHER ts encoding mid-session
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("tssniff").toString
+    val path = s"$dir/events.parquet"
+    val tsUs = 1704067200000000L // 2024-01-01T00:00:00Z in epoch-µs
+    def mkRow(id: Long) = (id, new Timestamp(tsUs / 1000), id % 3,
+      "click", 1.5, "{}")
+    // generation 1: native µs TimestampType (the current fixture encoding)
+    Seq(mkRow(0), mkRow(1)).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    assert(!Tables.eventsTsIsNanos(spark, path), "µs fixture sniffed as ns")
+    val got1 = Tables.events(spark, dir).select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSet
+    assert(got1 == Set(tsUs), s"µs read wrong: $got1")
+    // generation 2, SAME path: ns INT64 encoding (long ts column — exactly
+    // what the legacy nanosAsLong read surfaces); more rows so both mtime
+    // and content change
+    Thread.sleep(50) // ensure a distinct mtime even on coarse filesystems
+    Seq(3L, 4L, 5L).map(id => (id, tsUs * 1000L, id % 3, "view", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    assert(Tables.eventsTsIsNanos(spark, path),
+      "regenerated ns fixture still served from the stale µs cache entry")
+    val got2 = Tables.events(spark, dir).select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(tsUs), s"ns read wrong after regeneration: $got2")
+  }
 }

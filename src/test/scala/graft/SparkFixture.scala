@@ -17,6 +17,10 @@ object SparkFixture {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.ansi.enabled", "true")
+      // production-shaped streaming state: disk-backed RocksDB provider for
+      // every StreamingQuery (r12; see StreamOps.ensureRocksDb)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -1099,6 +1099,85 @@ class StreamingSpec extends SparkFixture {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("RocksDB provider: session and sliding state rows are bounded and evicted (r12 listener pin)") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    // the harness session pins the production provider (SparkFixture /
+    // Verify / Bench builders + StreamOps.ensureRocksDb)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"), "harness must run the RocksDB state store")
+    val progresses = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progresses.add(e.progress)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    def stateTotals(expectBatches: Long): Seq[Long] = {
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (progresses.asScala.count(_.stateOperators.nonEmpty) < expectBatches &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      progresses.asScala.toSeq.sortBy(_.batchId)
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+    }
+    spark.streams.addListener(listener)
+    try {
+      // --- session windows ---
+      var stateBatches = 0L
+      Sources.withFlushedReplay(spark, sf001) { evs =>
+        val tbl = sinkName()
+        val q = evs.withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        stateBatches = q.recentProgress.count(_.stateOperators.nonEmpty).toLong
+        // the run genuinely hit RocksDB: the operator's custom metrics are
+        // the provider's own counters
+        val metrics = q.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet.asScala)
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"no RocksDB custom metrics — provider not engaged: ${metrics.distinct.toSeq}")
+        spark.table(tbl)
+      }
+      val sessTotals = stateTotals(stateBatches)
+      // upper bound: state rows never exceed the total (user, session)
+      // population; after the sentinel flush only its own open session may
+      // remain — eviction is measured, not argued
+      val batchSessions = Tables.events(spark, sf001)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .count().count()
+      assert(sessTotals.nonEmpty && sessTotals.max <= batchSessions + 1,
+        s"session state ${sessTotals.max} exceeds population $batchSessions")
+      assert(sessTotals.last <= 2, s"session state not evicted: $sessTotals")
+      // --- sliding windows ---
+      progresses.clear()
+      Sources.withFlushedReplay(spark, sf001) { evs =>
+        val tbl = sinkName()
+        val q = evs.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        stateBatches = q.recentProgress.count(_.stateOperators.nonEmpty).toLong
+        spark.table(tbl)
+      }
+      val slideTotals = stateTotals(stateBatches)
+      val batchPairs = Tables.events(spark, sf001)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .count().count()
+      assert(slideTotals.nonEmpty && slideTotals.max <= batchPairs + 4,
+        s"sliding state ${slideTotals.max} exceeds (window,type) population $batchPairs")
+      // sentinel occupies ≤ 4 overlapping windows × 1 type after the flush
+      assert(slideTotals.last <= 4, s"sliding state not evicted: $slideTotals")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("stream_chained_agg: ONE query carries TWO stateful operators and emits each hour exactly once") {
     var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
     val out = Sources.withFlushedReplay(spark, sf001) { evs =>

@@ -34,6 +34,44 @@ class SurfaceDocSpec extends AnyFunSuite {
     assert(m.group(2).toInt == SparkEntry.queries.size)
   }
 
+  test("SQL-routed keys: the shared text's optimized plan matches the DataFrame twin's shape") {
+    // r12 pure-SQL entry path: the routed keys submit the oracle's own SQL
+    // text through the temp-view catalog. Catalyst must land both entry
+    // points in the same optimized plan shape — otherwise SQL users get a
+    // different (possibly worse) plan than DataFrame users.
+    val spark = SparkFixture.session
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+    // filter_pred twin
+    val fpSql = SparkEntry.queries("filter_pred")(spark, sf)
+    val fpDf = Tables.part(spark, sf)
+      .filter((col("p_size").between(10, 20) || col("p_brand").isin("Brand#1", "Brand#2"))
+        && col("p_type").like("%O%") && col("p_name").isNotNull
+        && !(col("p_size") === 15))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey"))
+    assert(shape(fpSql) == shape(fpDf),
+      s"filter_pred SQL plan ${shape(fpSql)} != DataFrame twin ${shape(fpDf)}")
+    // the routed text still pushes its predicates into the parquet scan
+    val scanMeta = fpSql.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scanMeta.exists(s => s.contains("PushedFilters: [") && !s.contains("PushedFilters: []")),
+      s"filter_pred via SQL lost predicate pushdown: $scanMeta")
+    // join_inner_equi twin
+    val jSql = SparkEntry.queries("join_inner_equi")(spark, sf)
+    val o = Tables.orders(spark, sf); val c = Tables.customer(spark, sf)
+    val n = Tables.nation(spark, sf)
+    val jDf = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(graft.Det.sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+    assert(shape(jSql) == shape(jDf),
+      s"join_inner_equi SQL plan ${shape(jSql)} != DataFrame twin ${shape(jDf)}")
+  }
+
   test("README surface table keys column is exactly the registry key set") {
     val start = readme.indexOf("## Surface")
     val end = readme.indexOf("## Verification")
