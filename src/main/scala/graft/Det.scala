@@ -11,12 +11,12 @@ import org.apache.spark.sql.types.DecimalType
   * only the FINAL value is cast back to double. Fixture money columns are
   * verified to be exactly 2dp, so the decimal casts below are lossless.
   *
-  * The final cast is routed through DECIMAL(18,s): with the unscaled value
-  * below 2^53 both Spark (BigDecimal.doubleValue) and DuckDB (int64 →
-  * double, then one division by 10^s) produce the correctly-rounded double.
-  * Casting a WIDE decimal (int128) to double in DuckDB double-rounds and
-  * diverges from Spark in the last ulp — observed on sum_charge before this
-  * policy was added.
+  * The final cast is routed through DECIMAL(18,s); the DuckDB oracle side
+  * additionally routes through VARCHAR (see [[sqlEmit]]) so both engines
+  * produce the correctly-rounded double over the FULL DECIMAL(18,s)
+  * domain — DuckDB's native decimal→double double-rounds once the
+  * unscaled value passes 2^53 (caught by the r12 sf1 scale probe), and
+  * wide (int128) decimals double-round even earlier.
   *
   * At 100 TB this policy is also the *correct* one: decimal partial
   * aggregation is exact regardless of partitioning, retries, or AQE
@@ -54,8 +54,16 @@ object Det {
   // ---- SQL text twins (DuckDB side) ----
   def sqlMoney(x: String): String = s"CAST($x AS DECIMAL(12,2))"
   def sqlFactor(x: String): String = s"CAST($x AS DECIMAL(8,4))"
+  /** DuckDB's decimal→double casts int64→double then divides by 10^scale —
+    * two roundings, which diverges from Spark's single-rounded
+    * BigDecimal.doubleValue once |unscaled| > 2^53 (observed on sum_charge
+    * at the r12 sf1 scale probe: …722894 exact → Spark …893, DuckDB …897).
+    * Routing through STRING (a type alias both engines parse) makes DuckDB parse the decimal digits with
+    * strtod — correctly rounded, bit-identical to Spark — so the emit
+    * policy now holds over the full DECIMAL(18,s) domain, not just the
+    * int64-exact prefix. */
   def sqlEmit(x: String, scale: Int): String =
-    s"CAST(CAST($x AS DECIMAL(18,$scale)) AS DOUBLE)"
+    s"CAST(CAST(CAST($x AS DECIMAL(18,$scale)) AS STRING) AS DOUBLE)"
   def sqlSumMoney(x: String): String = sqlEmit(s"SUM(CAST($x AS DECIMAL(12,2)))", 2)
   def sqlVal6(x: String): String = s"CAST($x AS DECIMAL(18,6))"
   def sqlSumVal6(x: String): String = sqlEmit(s"SUM(${sqlVal6(x)})", 6)

@@ -23,6 +23,11 @@ object Verify {
       // every StreamingQuery (r12; see StreamOps.ensureRocksDb)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: per-batch incremental changelog upload
+      // instead of full RocksDB snapshots (the production setting; at
+      // fixture scale it removes most per-micro-batch provider overhead)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

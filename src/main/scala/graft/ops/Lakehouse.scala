@@ -325,5 +325,36 @@ object Lakehouse {
         FROM events
         GROUP BY event_type
         ORDER BY event_type""".trim)),
+
+    // Open-format interop (r12 — see [[DeltaExport]]): commit events as a
+    // Delta Lake table (public JSON transaction log over plain parquet),
+    // append a second version, overwrite-restate a third, then read the
+    // result back THROUGH THE LOG ALONE (adds minus removes — the exact
+    // reconstruction any external Delta reader performs; no directory
+    // listing). The oracle recomputes the restated content from the raw
+    // table: one wrong add/remove tombstone and the file set — and the
+    // hash — diverges. This is the "a real user points Trino/DuckDB at
+    // the output" seam the bespoke Acid manifest cannot serve.
+    Q("sink_delta_export",
+      (spark, sfDir) => {
+        val dir = graft.Tmp.dir("delta_export", sfDir)
+        Acid.reset(dir) // fresh dir each run (same staging policy)
+        val ev = Tables.events(spark, sfDir)
+        // v0: clicks; v1: append purchases; v2: overwrite with views only
+        DeltaExport.commit(spark, dir, ev.filter(col("event_type") === "click"))
+        DeltaExport.commit(spark, dir, ev.filter(col("event_type") === "purchase"))
+        DeltaExport.commit(spark, dir, ev.filter(col("event_type") === "view"),
+          overwrite = true)
+        DeltaExport.readDeltaLog(spark, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE event_type = 'view'
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
   )
 }

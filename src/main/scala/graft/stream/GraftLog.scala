@@ -18,11 +18,13 @@ import java.nio.file.{Files, Path, Paths}
   * `MicroBatchStream`), the proof of the Kafka seam that file-replay and
   * socket sources cannot give (r11 verdict item 1).
   *
-  * The log is a directory of append-only numbered segment files
-  * (`segment-00000.log`, …), each holding UTF-8 TSV event lines
-  * (`event_id  ts_us  user_id  event_type  value  props`) — the same
-  * single-partition commit-log shape a broker partition has. The OFFSET is
-  * the global record ordinal: monotone, dense, and durable, so
+  * The log is a directory of `p=<n>` partition subdirectories (or a flat
+  * single-partition directory), each an append-only sequence of numbered
+  * segment files (`segment-00000.log`, …) holding UTF-8 TSV event lines
+  * (`event_id  ts_us  user_id  event_type  value  props`) — the
+  * partitioned commit-log shape a broker topic has. The OFFSET is a
+  * PER-PARTITION record-ordinal VECTOR (`{"p=0":12,"p=1":7}`), monotone,
+  * dense, and durable per partition — Kafka's offset map exactly — so
   *
   *  - `initialOffset` honors a `startingOffset` option — the literal
   *    broker seek (`startingOffsets` in the Kafka source): a consumer that
@@ -39,12 +41,12 @@ import java.nio.file.{Files, Path, Paths}
   *    restart-resume/redelivery semantics testable (GraftLogSpec pins
   *    seek, redelivery-idempotence, and restart-resume).
   *
-  * At 100 TB the directory becomes one directory per broker partition and
-  * the ordinal becomes a per-partition offset vector — the planning logic
-  * is per-partition already (each segment slice plans independently);
-  * nothing here collects data to the driver (segment COUNTS are
-  * O(segments) control-plane metadata, cached by (name, length) since
-  * segments are append-only).
+  * Partitions plan independently (each segment slice is its own
+  * [[InputPartition]]) and the admission budget is spent across the
+  * vector deterministically, so scaling to more broker partitions scales
+  * read parallelism with zero planning changes. Nothing here collects
+  * data to the driver (segment COUNTS are O(segments) control-plane
+  * metadata, cached by (name, length) since segments are append-only).
   */
 object GraftLog {
 
@@ -91,6 +93,35 @@ object GraftLog {
 
   private[stream] def totalRecords(dir: String): Long =
     segments(dir).map(_.count).sum
+
+  /** Broker partitions: `p=<n>` subdirectories in numeric order, or the
+    * single pseudo-partition "" for a flat log. The offset is a VECTOR over
+    * these — exactly Kafka's per-partition offset map, with the flat log as
+    * the 1-partition special case. */
+  private[graft] def partitions(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq("")
+    val listing = Files.list(d)
+    val ps =
+      try listing.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filter(_.matches("p=\\d+"))
+      finally listing.close()
+    if (ps.isEmpty) Seq("") else ps.toSeq.sortBy(_.stripPrefix("p=").toInt)
+  }
+
+  private[graft] def partDir(dir: String, p: String): String =
+    if (p.isEmpty) dir else s"$dir/$p"
+
+  private[graft] def totalsVector(dir: String): Map[String, Long] =
+    partitions(dir).map(p => p -> totalRecords(partDir(dir, p))).toMap
+
+  /** Plan every partition's ordinal range [start(p), end(p)) — partitions
+    * plan independently (the per-broker-partition planning shape). */
+  private[graft] def planVector(dir: String, start: Map[String, Long],
+      end: Map[String, Long]): Array[InputPartition] =
+    end.keys.toSeq.sorted.flatMap { p =>
+      plan(partDir(dir, p), start.getOrElse(p, 0L), end(p))
+    }.toArray
 
   /** Slice the ordinal range [start, end) onto the overlapping segments. */
   private[graft] def plan(dir: String, start: Long, end: Long): Array[InputPartition] =
@@ -154,6 +185,9 @@ object GraftLog {
     r.load()
   }
 
+  /** Total records across every partition of the log. */
+  def logTotal(dir: String): Long = totalsVector(dir).values.sum
+
   /** Open the log as a batch DataFrame (the BATCH_READ capability). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.format(classOf[GraftLogDataSource].getName).option("path", dir).load()
@@ -189,14 +223,34 @@ final class GraftLogScan(dir: String, startingOffset: Long,
     new GraftLogMicroBatchStream(dir, startingOffset, maxRecordsPerTrigger)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      GraftLog.plan(dir, 0L, GraftLog.totalRecords(dir))
+      GraftLog.planVector(dir, Map.empty, GraftLog.totalsVector(dir))
     override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
   }
 }
 
-/** Record-ordinal offset — dense, monotone, JSON-round-trippable. */
-final case class GraftLogOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** Per-partition record-ordinal offset vector — dense, monotone per
+  * partition, JSON-round-trippable ({"p=0":12,"p=1":7}; a flat log uses
+  * the single pseudo-partition ""). Kafka's offset map, exactly. */
+final case class GraftLogOffset(parts: Map[String, Long]) extends Offset {
+  override def json(): String =
+    parts.toSeq.sortBy(_._1)
+      .map { case (p, n) => "\"" + p + "\":" + n }
+      .mkString("{", ",", "}")
+}
+
+object GraftLogOffset {
+  def parse(json: String): GraftLogOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val body = t.stripPrefix("{").stripSuffix("}").trim
+      val m = if (body.isEmpty) Map.empty[String, Long]
+        else body.split(',').map { kv =>
+          val Array(k, v) = kv.split(':')
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+        }.toMap
+      GraftLogOffset(m)
+    } else GraftLogOffset(Map("" -> t.toLong)) // legacy scalar form
+  }
 }
 
 final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
@@ -206,18 +260,26 @@ final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
   // AvailableNow contract: freeze the log's end at trigger start, so the
   // run drains everything present then and terminates even if a writer
   // keeps appending (rate limits still split the drain into micro-batches)
-  @volatile private var frozenEnd: Option[Long] = None
+  @volatile private var frozenEnd: Option[Map[String, Long]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    frozenEnd = Some(GraftLog.totalRecords(dir))
+    frozenEnd = Some(GraftLog.totalsVector(dir))
 
-  private def logEnd(): Long = frozenEnd.getOrElse(GraftLog.totalRecords(dir))
+  private def logEnd(): Map[String, Long] =
+    frozenEnd.getOrElse(GraftLog.totalsVector(dir))
 
   override def initialOffset(): Offset = {
-    val total = GraftLog.totalRecords(dir)
+    val totals = GraftLog.totalsVector(dir)
+    // scalar seek addresses the single-partition log (the backfill handoff
+    // contract); a partitioned log starts at the zero vector — per-
+    // partition seeks arrive via a checkpointed offset
+    require(startingOffset == 0L || totals.keySet == Set(""),
+      s"graft-log: scalar startingOffset requires a single-partition log")
+    val total = totals.getOrElse("", 0L)
     require(startingOffset >= 0 && startingOffset <= total,
       s"graft-log: startingOffset $startingOffset outside log [0, $total]")
-    GraftLogOffset(startingOffset)
+    GraftLogOffset(totals.map { case (p, _) =>
+      p -> (if (p.isEmpty) startingOffset else 0L) })
   }
 
   // the engine calls the admission-control overload; the plain one is the
@@ -225,11 +287,23 @@ final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
   override def latestOffset(): Offset = GraftLogOffset(logEnd())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[GraftLogOffset].n
-    val total = logEnd()
+    val s = start.asInstanceOf[GraftLogOffset].parts
+    val totals = logEnd()
     limit match {
-      case mr: ReadMaxRows => GraftLogOffset(math.min(total, s + mr.maxRows()))
-      case _ => GraftLogOffset(total)
+      case mr: ReadMaxRows =>
+        // deterministic fill-in-partition-order admission: spend the row
+        // budget on partitions in sorted order (a production source
+        // round-robins; the CONTRACT — bounded batch, vector endpoint
+        // persisted before execution — is identical)
+        var budget = mr.maxRows()
+        val next = totals.toSeq.sortBy(_._1).map { case (p, total) =>
+          val cur = s.getOrElse(p, 0L)
+          val take = math.min(total - cur, budget)
+          budget -= take
+          p -> (cur + take)
+        }.toMap
+        GraftLogOffset(next)
+      case _ => GraftLogOffset(totals)
     }
   }
 
@@ -238,11 +312,11 @@ final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
 
   override def reportLatestOffset(): Offset = GraftLogOffset(logEnd())
 
-  override def deserializeOffset(json: String): Offset = GraftLogOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = GraftLogOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    GraftLog.plan(dir, start.asInstanceOf[GraftLogOffset].n,
-      end.asInstanceOf[GraftLogOffset].n)
+    GraftLog.planVector(dir, start.asInstanceOf[GraftLogOffset].parts,
+      end.asInstanceOf[GraftLogOffset].parts)
 
   override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
 

@@ -187,6 +187,28 @@ object Sources {
       })
     }
 
+  /** Partitioned staging twin of [[stagedLogDir]]: events routed to 4
+    * `p=<k>` broker partitions by `user_id % 4` (the keyed-partitioning
+    * contract a producer uses), event_id-ordered within each. */
+  private val stagedPartLogDirs =
+    scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+
+  def stagedPartitionedLogDir(spark: SparkSession, sfDir: String): java.nio.file.Path =
+    stagedPartLogDirs.synchronized {
+      stagedPartLogDirs.getOrElseUpdate(sfDir, {
+        val dir = java.nio.file.Files.createTempDirectory("graft_plog")
+        val ev = graft.Tables.events(spark, sfDir)
+        (0 until 4).foreach { k =>
+          GraftLog.stage(spark, ev.filter(pmod(col("user_id"), lit(4)) === k),
+            dir.resolve(s"p=$k").toString, segmentRows = 4096)
+        }
+        sys.addShutdownHook {
+          try deleteRecursively(dir) catch { case _: Exception => () }
+        }
+        dir
+      })
+    }
+
   /** Sentinel-watermark-flush replay (the recipe that makes append-mode
     * streaming state driver-verifiable against a batch oracle): stage
     * `events.parquet` plus a later-mtime single-row sentinel file (user -1

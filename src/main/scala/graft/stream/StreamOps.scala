@@ -433,7 +433,33 @@ object StreamOps {
     Q("source_graft_log",
       (spark, sfDir) => {
         val log = Sources.stagedLogDir(spark, sfDir).toString
-        val agg = GraftLog.readStream(spark, log, maxRecordsPerTrigger = Some(4096))
+        // bound the trigger to ~4 micro-batches at any SF: multi-batch
+        // execution is the contract under test; 25 batches of engine
+        // overhead at sf0.1 is harness cost, not data-path cost
+        val perTrigger = math.max(4096L, GraftLog.logTotal(log) / 4 + 1)
+        val agg = GraftLog.readStream(spark, log, maxRecordsPerTrigger = Some(perTrigger))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+        runToTable(spark, agg, OutputMode.Complete()).orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
+    // The PARTITIONED commit log (r12): four `p=<k>` broker partitions
+    // keyed by user_id % 4, consumed under a vector offset with the
+    // admission budget split across partitions — the multi-partition
+    // Kafka-topic shape, driver-verified: the Complete-mode final
+    // emission over the multi-batch multi-partition drain must equal the
+    // batch aggregate exactly (a record lost at any partition boundary
+    // fails the hash).
+    Q("source_graft_log_partitioned",
+      (spark, sfDir) => {
+        val log = Sources.stagedPartitionedLogDir(spark, sfDir).toString
+        val perTrigger = math.max(4096L, GraftLog.logTotal(log) / 4 + 1)
+        val agg = GraftLog.readStream(spark, log, maxRecordsPerTrigger = Some(perTrigger))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
         runToTable(spark, agg, OutputMode.Complete()).orderBy(col("event_type"))

@@ -114,6 +114,53 @@ class GraftLogSpec extends SparkFixture {
       s"restart re-read history or lost the tail: $landed2")
   }
 
+  test("partitioned log: vector offsets plan per partition, admit in order, and resume per partition") {
+    import graft.stream.GraftLogOffset
+    val dir = Files.createTempDirectory("graftlog_parts").toString
+    GraftLog.appendSegment(s"$dir/p=0", 0, Seq(0L, 1, 2, 3).map(line))
+    GraftLog.appendSegment(s"$dir/p=1", 0, Seq(100L, 101, 102).map(line))
+    // offset JSON round-trip: the vector form a checkpoint persists
+    val off = GraftLogOffset(Map("p=0" -> 2L, "p=1" -> 1L))
+    assert(off.json() == """{"p=0":2,"p=1":1}""")
+    assert(GraftLogOffset.parse(off.json()) == off)
+    assert(GraftLogOffset.parse("7") == GraftLogOffset(Map("" -> 7L))) // legacy scalar
+    // batch read = union of both partitions
+    val all = GraftLog.read(spark, dir).select(col("event_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(0L, 1, 2, 3, 100, 101, 102))
+    // streamed with a 3-row budget: the vector endpoint is persisted per
+    // batch, and the drain covers both partitions exactly once
+    // (foreachBatch landing — the checkpoint-recoverable sink)
+    val ckpt = Files.createTempDirectory("graftlog_ckpt").toString
+    val out = Files.createTempDirectory("graftlog_out").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[Long])]()
+    def runOnce(maxRows: Option[Long]): Unit = {
+      val q = GraftLog.readStream(spark, dir, maxRecordsPerTrigger = maxRows)
+        .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          seen.add(batchId ->
+            batch.select(col("event_id")).collect().map(_.getLong(0)).toSet)
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce(Some(3))
+    val landed1 = spark.read.schema(GraftLog.schema).parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(landed1 == all, s"partitioned drain diverged: $landed1")
+    // the 3-row budget split the 7 records into ≥3 vector-bounded batches
+    assert(seen.size >= 3, s"admission control did not split the drain: ${seen.size}")
+    // append to ONE partition; same checkpoint resumes only that partition
+    seen.clear()
+    GraftLog.appendSegment(s"$dir/p=1", 1, Seq(103L, 104).map(line))
+    runOnce(None)
+    val resumed = scala.jdk.CollectionConverters.CollectionHasAsScala(seen)
+      .asScala.flatMap(_._2).toSet
+    assert(resumed == Set(103L, 104L),
+      s"resume re-read history or missed the new segment: $resumed")
+  }
+
   test("the in-flight batch is redelivered after a crash, and lands exactly once") {
     val dir = freshLog(Seq(Seq(0L, 1, 2), Seq(3L, 4, 5), Seq(6L, 7, 8)))
     val ckpt = Files.createTempDirectory("graftlog_ckpt").toString

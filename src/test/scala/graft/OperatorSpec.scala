@@ -1582,4 +1582,44 @@ class OperatorSpec extends SparkFixture {
     assert(Acid.read(spark, table).count() == 800)
     assert(Acid.read(spark, table).select(col("id")).distinct().count() == 800)
   }
+
+  test("DeltaExport: emitted log is structurally a Delta transaction log and replays exactly") {
+    import graft.ops.DeltaExport
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("delta_pin").toString + "/t"
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    assert(DeltaExport.commit(spark, dir, df(0, 100)) == 0L)
+    assert(DeltaExport.commit(spark, dir, df(100, 150)) == 1L)
+    assert(DeltaExport.commit(spark, dir, df(500, 520), overwrite = true) == 2L)
+    // log layout: zero-padded version files, one JSON action per line
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    val entries = java.nio.file.Files.list(log)
+    val names = try entries.toArray.map(_.asInstanceOf[java.nio.file.Path]
+      .getFileName.toString).sorted finally entries.close()
+    assert(names.toSeq == Seq("00000000000000000000.json",
+      "00000000000000000001.json", "00000000000000000002.json"))
+    val v0 = new String(java.nio.file.Files.readAllBytes(
+      log.resolve("00000000000000000000.json")), "UTF-8").split('\n')
+    assert(v0(0).contains("\"protocol\"") && v0(0).contains("\"minReaderVersion\":1"))
+    assert(v0(1).contains("\"metaData\"") && v0(1).contains("\"schemaString\""))
+    assert(v0.drop(2).forall(_.contains("\"add\"")))
+    // the schemaString must parse back to the written schema (what an
+    // external reader does before touching any data file)
+    val schemaJson = """"schemaString":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(v0(1)).get.group(1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    assert(org.apache.spark.sql.types.DataType.fromJson(schemaJson) == df(0, 1).schema)
+    // overwrite emitted tombstones for every pre-existing file
+    val v2 = new String(java.nio.file.Files.readAllBytes(
+      log.resolve("00000000000000000002.json")), "UTF-8").split('\n')
+    assert(v2.count(_.contains("\"remove\"")) >= 2, "overwrite lost tombstones")
+    // log-only replay = exactly the restated content
+    val got = DeltaExport.readDeltaLog(spark, dir).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (500L until 520L).toSeq)
+    // time travel: v1's live set is the pre-overwrite union
+    assert(DeltaExport.liveFiles(dir, 1L).toSet !=
+      DeltaExport.liveFiles(dir, 2L).toSet)
+  }
 }
