@@ -592,5 +592,102 @@ object Functions {
         FROM events
         WHERE event_id < 2000
         ORDER BY event_id""".trim)),
+
+    // IP / CIDR functions (r12): the log-analytics INET family expressed
+    // in portable arithmetic — derive a deterministic IPv4 per user
+    // (Knuth-hash of user_id), FORMAT it dotted-quad, PARSE the string
+    // back to a uint32 (the function under test: split + shift — what
+    // inet_aton does), and classify: RFC-1918 10.0.0.0/8 membership and
+    // the /24 network. Output: per first-octet bucket, event count,
+    // distinct /24 networks, and private-range event count. All integer —
+    // parse(format(ip)) == ip is implicitly hash-gated (a drifted octet
+    // shifts every bucket). At 100 TB this is one projection + one
+    // hash-agg; the string round-trip stays inside whole-stage codegen.
+    Q("fn_ip",
+      (spark, sfDir) => {
+        val ip = Tables.events(spark, sfDir)
+          .withColumn("ip_num", pmod(col("user_id") * 2654435761L, lit(4294967296L)))
+          .withColumn("ip_str", concat_ws(".",
+            expr("ip_num div 16777216"),
+            expr("ip_num div 65536 % 256"),
+            expr("ip_num div 256 % 256"),
+            expr("ip_num % 256")))
+          // the parse under test: dotted-quad string → uint32
+          .withColumn("parsed",
+            expr("CAST(split(ip_str, '\\\\.')[0] AS BIGINT) * 16777216 + " +
+              "CAST(split(ip_str, '\\\\.')[1] AS BIGINT) * 65536 + " +
+              "CAST(split(ip_str, '\\\\.')[2] AS BIGINT) * 256 + " +
+              "CAST(split(ip_str, '\\\\.')[3] AS BIGINT)"))
+          .withColumn("net24", expr("parsed div 256 * 256"))
+          .withColumn("is_private", expr("parsed div 16777216 = 10"))
+        ip.groupBy(expr("parsed div 16777216").as("octet1"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("net24")).as("n_net24"),
+            sum(when(col("is_private"), 1L).otherwise(0L)).as("n_private"))
+          .orderBy(col("octet1"))
+      },
+      Some("""
+        WITH ip AS (
+          SELECT (user_id * 2654435761) % 4294967296 AS ip_num FROM events
+        ), fmt AS (
+          SELECT ip_num,
+                 (ip_num // 16777216)::VARCHAR || '.' ||
+                 (ip_num // 65536 % 256)::VARCHAR || '.' ||
+                 (ip_num // 256 % 256)::VARCHAR || '.' ||
+                 (ip_num % 256)::VARCHAR AS ip_str
+          FROM ip
+        ), parsed AS (
+          SELECT CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216 +
+                 CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536 +
+                 CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
+                 CAST(string_split(ip_str, '.')[4] AS BIGINT) AS p
+          FROM fmt
+        )
+        SELECT p // 16777216 AS octet1, COUNT(*) AS n,
+               COUNT(DISTINCT p // 256 * 256) AS n_net24,
+               CAST(SUM(CASE WHEN p // 16777216 = 10 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_private
+        FROM parsed
+        GROUP BY 1
+        ORDER BY octet1""".trim)),
+
+    // Geo grid bucketing (r12): the geohash-shaped aggregation in pure
+    // integer arithmetic (trig-free — libm sin/cos differ across engines
+    // in the last ulp, so haversine is NOT hash-portable; grid cells
+    // are, and are what a 100 TB heatmap actually aggregates by).
+    // Deterministic per-user micro-degree lat/lon (Knuth hash), 5°×5°
+    // cells, packed cell id; per-cell event count + distinct users.
+    Q("fn_geo_grid",
+      (spark, sfDir) => {
+        val cell = 5000000L // 5° in micro-degrees
+        val g = Tables.events(spark, sfDir)
+          .withColumn("lat_udeg",
+            pmod(col("user_id") * 2654435761L, lit(180000000L)) - 90000000L)
+          .withColumn("lon_udeg",
+            pmod(col("user_id") * 40503L + 7L, lit(360000000L)) - 180000000L)
+          .withColumn("cx", expr(s"CAST(floor(lat_udeg / $cell) AS BIGINT)"))
+          .withColumn("cy", expr(s"CAST(floor(lon_udeg / $cell) AS BIGINT)"))
+          .withColumn("cell_id", col("cx") * 1000L + col("cy"))
+        g.groupBy(col("cell_id"), col("cx"), col("cy"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cell_id"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id,
+                 (user_id * 2654435761) % 180000000 - 90000000 AS lat_udeg,
+                 (user_id * 40503 + 7) % 360000000 - 180000000 AS lon_udeg
+          FROM events
+        ), c AS (
+          SELECT user_id,
+                 CAST(floor(lat_udeg / 5000000.0) AS BIGINT) AS cx,
+                 CAST(floor(lon_udeg / 5000000.0) AS BIGINT) AS cy
+          FROM g
+        )
+        SELECT cx * 1000 + cy AS cell_id, cx, cy, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM c
+        GROUP BY 1, 2, 3
+        ORDER BY cell_id""".trim)),
   )
 }

@@ -19,9 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlEntry {
 
+  // last directory registered into the session catalog: re-registration is
+  // metadata-only but not free (10 view analyses), so skip it while the
+  // target fixture dir is unchanged. Re-registering on a dir SWITCH is the
+  // correctness half — bench runs alternate SFs within one session.
+  @volatile private var lastDir: String = ""
+
   /** Register fixture views (idempotent, metadata-only) and run `text`. */
   def sql(spark: SparkSession, sfDir: String, text: String): DataFrame = {
-    Tables.registerAll(spark, sfDir)
+    if (lastDir != sfDir) synchronized {
+      if (lastDir != sfDir) { Tables.registerAll(spark, sfDir); lastDir = sfDir }
+    }
     spark.sql(text)
   }
 }

@@ -911,5 +911,76 @@ object Windows {
                     AS BIGINT) AS cum_ppm
         FROM ranked
         ORDER BY event_type, rnk""".trim)),
+
+    // Multi-touch attribution (r12): the event-stream analytics classic —
+    // credit each purchase's value to the user's qualifying clicks
+    // (click ≤ purchase, within a 7-day lookback) under three standard
+    // models at once: FIRST-touch (earliest click's day takes all),
+    // LAST-touch (latest click's day), LINEAR (split across clicks).
+    // All-integer micros arithmetic keeps it exact and engine-portable:
+    // the linear split is value_us div n with the remainder assigned to
+    // the FIRST click (deterministic; Σ shares == value exactly, so the
+    // three models' grand totals are provably equal — a drifted join or
+    // window loses cents and fails the hash). Shape: one purchases⋈clicks
+    // range join per user (shuffle on user_id; at 100 TB bound the
+    // lookback window so the per-user fanout is days-bounded), two
+    // window-min/max passes, one hash-agg per model keyed by click day.
+    Q("window_attribution",
+      (spark, sfDir) => {
+        val ev = Tables.events(spark, sfDir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"),
+            (Det.val6(col("value")) * 1000000).cast("long").as("value_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"),
+            unix_micros(col("ts")).as("c_us"), to_date(col("ts")).as("c_day"))
+        val touched = purchases.join(clicks, Seq("user_id"))
+          .filter(col("c_us") <= col("p_us") &&
+            col("c_us") > col("p_us") - lit(7L * 86400L * 1000000L))
+        val w = Window.partitionBy(col("p_id"))
+        val ranked = touched
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("c_us"), col("c_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+        val credited = ranked.select(col("c_day"),
+          when(col("rn") === 1, col("value_us")).otherwise(lit(0L)).as("first_us"),
+          when(col("rn") === col("n"), col("value_us")).otherwise(lit(0L)).as("last_us"),
+          expr("value_us div n") // integer division, not double
+            .plus(when(col("rn") === 1, pmod(col("value_us"), col("n")))
+              .otherwise(lit(0L))).as("linear_us"))
+        credited.groupBy(col("c_day").as("d"))
+          .agg(sum(col("first_us")).as("first_us"),
+            sum(col("last_us")).as("last_us"),
+            sum(col("linear_us")).as("linear_us"))
+          .orderBy(col("d"))
+      },
+      Some("""
+        WITH purchases AS (
+          SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_us
+          FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us,
+                 CAST(ts AS DATE) AS c_day
+          FROM events WHERE event_type = 'click'
+        ), touched AS (
+          SELECT p.p_id, p.value_us, c.c_id, c.c_us, c.c_day
+          FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+           AND c.c_us <= p.p_us AND c.c_us > p.p_us - CAST(604800000000 AS BIGINT)
+        ), ranked AS (
+          SELECT c_day, value_us,
+                 row_number() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY p_id) AS n
+          FROM touched
+        )
+        SELECT c_day AS d,
+               CAST(SUM(CASE WHEN rn = 1 THEN value_us ELSE 0 END) AS BIGINT) AS first_us,
+               CAST(SUM(CASE WHEN rn = n THEN value_us ELSE 0 END) AS BIGINT) AS last_us,
+               CAST(SUM(value_us // n +
+                        CASE WHEN rn = 1 THEN value_us % n ELSE 0 END) AS BIGINT) AS linear_us
+        FROM ranked
+        GROUP BY c_day
+        ORDER BY d""".trim)),
   )
 }

@@ -167,6 +167,36 @@ object GraftLog {
     } finally if (out != null) out.close()
   }
 
+  /** Land a (micro-)batch of events as log segments — the PRODUCER side
+    * of the seam: executors render the TSV wire format and write it
+    * distributed (`.text`), then the parts are promoted to
+    * `segment-<batchId>_<part>.log` names that sort after every earlier
+    * batch. Overwrite + deterministic naming ⇒ a replayed micro-batch
+    * (restart/retry) re-lands its own segments instead of appending
+    * duplicates — the same idempotence contract as the parquet landings. */
+  def landBatch(events: DataFrame, dir: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws, unix_micros}
+    val stage = Paths.get(dir, f"_land_$batchId%05d")
+    events.select(concat_ws("\t",
+        col("event_id"), unix_micros(col("ts")), col("user_id"),
+        col("event_type"), col("value"), col("props")).as("line"))
+      .write.mode("overwrite").text(stage.toString)
+    val listing = Files.list(stage)
+    val parts =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".txt")).sortBy(_.getFileName.toString)
+      finally listing.close()
+    Files.createDirectories(Paths.get(dir))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, Paths.get(dir, f"$SegmentPrefix$batchId%05d_$i%04d.log"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val walk = Files.walk(stage)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   /** Append one extra segment of already-wire-format lines (test feeder). */
   def appendSegment(dir: String, index: Int, lines: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(dir))

@@ -556,6 +556,40 @@ object StreamOps {
         GROUP BY event_type
         ORDER BY event_type""".trim)),
 
+    // The PRODUCER side of the commit log (r12): a StreamingQuery LANDS
+    // its micro-batches as graft-log segments (executors render the TSV
+    // wire format distributed; deterministic segment names + overwrite =
+    // idempotent replay), then the landed log is re-read through the
+    // BATCH_READ capability and aggregated — engine as both producer and
+    // consumer of the same wire format, hash-matched against the batch
+    // filter+agg: one lost/duplicated/misrendered record fails the hash.
+    Q("sink_graft_log",
+      (spark, sfDir) => {
+        val out = graft.Tmp.dir("sink_graftlog", sfDir)
+        graft.ops.Acid.reset(out) // fresh log per run (staging policy)
+        val q = Sources.replayEvents(spark, sfDir, "events.parquet")
+          .filter(col("event_type") === "purchase")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            GraftLog.landBatch(batch, out, batchId)
+          }
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_sinklog_ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        GraftLog.read(spark, out)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("d"))
+      },
+      Some(s"""
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+               ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY d""".trim)),
+
     // Deterministic synthetic generator: exactly one 256-row micro-batch.
     Q("source_rate",
       (spark, sfDir) => {

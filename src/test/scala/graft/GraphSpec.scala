@@ -223,6 +223,56 @@ class GraphSpec extends SparkFixture {
     }
   }
 
+  test("graph_kcore: coreness equals a driver-side peeling recount and satisfies the core invariant") {
+    val rows = SparkEntry.queries("graph_kcore")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    // rebuild the same edge relation, peel on the driver
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey"), col("b.l_partkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val expected = scala.collection.mutable.Map.empty[Long, Int]
+    var k = 2
+    while (adj.nonEmpty && k < 64) {
+      var changed = true
+      while (changed) {
+        val weak = adj.collect { case (n, nb) if nb.size < k => n }.toSeq
+        changed = weak.nonEmpty
+        weak.foreach { n =>
+          expected(n) = k - 1
+          adj.remove(n).foreach(_.foreach(m => adj.get(m).foreach(_ -= n)))
+        }
+      }
+      k += 1
+    }
+    assert(rows == expected.toMap, "coreness diverges from driver peeling")
+    // invariant: within the k-core induced subgraph, every member has >= k
+    // neighbors that are also members (spot-check the max level)
+    val kMax = rows.values.max
+    val core = rows.filter(_._2 == kMax).keySet
+    val adj2 = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    edges.foreach { case (a, b) =>
+      if (core(a) && core(b)) {
+        adj2(a) = adj2.getOrElse(a, Set.empty) + b
+        adj2(b) = adj2.getOrElse(b, Set.empty) + a
+      }
+    }
+    core.foreach { n =>
+      assert(adj2.getOrElse(n, Set.empty).size >= kMax,
+        s"node $n in the $kMax-core has degree ${adj2.getOrElse(n, Set.empty).size}")
+    }
+  }
+
   test("Components: a planted 64-node path converges in O(log n) rounds, not O(diameter)") {
     // path 0–1–…–63: min-label propagation needs 63 rounds (one hop per
     // round); the large-star/small-star alternation must close it in
