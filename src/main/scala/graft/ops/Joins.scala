@@ -769,5 +769,69 @@ object Joins {
         SELECT c.k AS k, c.c_cnt, s.s_cnt
         FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
         ORDER BY k ASC NULLS FIRST""".trim)),
+
+    // Grid-bucketed spatial neighbor join (r12): radius search over the
+    // user point cloud (`fn_geo_grid`'s deterministic µdeg lat/lon)
+    // WITHOUT the O(n²) cross product — the classic distributed spatial
+    // join: cell size = radius, each LEFT point explodes to its 3×3
+    // neighborhood cells (complete by construction: dist ≤ r ⇒ cells
+    // differ by ≤1 per axis), equi-join on the RIGHT point's single home
+    // cell, then the exact integer squared-distance residual. Candidate
+    // volume is 9·n density-bounded rows vs n² — the shape that survives
+    // a planetary point set; a hot cell (urban skew) is one key, split by
+    // AQE skew-join. Zero-neighbor points are kept by the final left
+    // join. The oracle takes DuckDB's IEJoin band path — same pairs,
+    // different engine-appropriate algorithm on each side.
+    Q("join_spatial_grid",
+      (spark, sfDir) => {
+        val cell = 5000000L // cell == radius: 5 degrees in micro-degrees
+        val pts = Tables.events(spark, sfDir)
+          .select(col("user_id")).distinct()
+          .withColumn("lat",
+            pmod(col("user_id") * 2654435761L, lit(180000000L)) - 90000000L)
+          .withColumn("lon",
+            pmod(col("user_id") * 40503L + 7L, lit(360000000L)) - 180000000L)
+          .withColumn("cx", expr(s"CAST(floor(lat / $cell) AS BIGINT)"))
+          .withColumn("cy", expr(s"CAST(floor(lon / $cell) AS BIGINT)"))
+        val probes = pts.select(col("user_id").as("a_id"),
+            col("lat").as("a_lat"), col("lon").as("a_lon"),
+            explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+              "transform(sequence(-1, 1), dy -> " +
+              "struct(cx + dx AS qx, cy + dy AS qy))))")).as("q"))
+          .select(col("a_id"), col("a_lat"), col("a_lon"),
+            col("q.qx").as("qx"), col("q.qy").as("qy"))
+        val homes = pts.select(col("user_id").as("b_id"),
+          col("lat").as("b_lat"), col("lon").as("b_lon"),
+          col("cx").as("bx"), col("cy").as("by"))
+        val nbr = probes.join(homes,
+            col("qx") === col("bx") && col("qy") === col("by") &&
+              col("a_id") =!= col("b_id"))
+          .filter((col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat")) +
+            (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon"))
+            <= lit(cell * cell))
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_nbr"))
+        pts.join(nbr, pts("user_id") === nbr("a_id"), "left")
+          .select(col("user_id"), coalesce(col("n_nbr"), lit(0L)).as("n_nbr"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id,
+                 (user_id * 2654435761) % 180000000 - 90000000 AS lat,
+                 (user_id * 40503 + 7) % 360000000 - 180000000 AS lon
+          FROM (SELECT DISTINCT user_id FROM events)
+        ), nbr AS (
+          SELECT a.user_id AS id, COUNT(*) AS n_nbr
+          FROM p a JOIN p b
+            ON b.lat BETWEEN a.lat - 5000000 AND a.lat + 5000000
+           AND b.lon BETWEEN a.lon - 5000000 AND a.lon + 5000000
+           AND a.user_id <> b.user_id
+          WHERE (a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon) <= 25000000000000
+          GROUP BY 1
+        )
+        SELECT p.user_id, COALESCE(n.n_nbr, CAST(0 AS BIGINT)) AS n_nbr
+        FROM p LEFT JOIN nbr n ON n.id = p.user_id
+        ORDER BY p.user_id""".trim)),
   )
 }

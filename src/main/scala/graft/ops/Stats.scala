@@ -1424,6 +1424,56 @@ object Stats {
         FROM ranked r JOIN types t ON r.event_type = t.event_type
         GROUP BY r.event_type, t.n, t.obs_sum
         ORDER BY r.event_type""".trim)),
+
+    // Chatterjee's xi correlation (r12): the modern rank statistic that
+    // detects ANY functional dependence y = f(x) — monotone or not —
+    // where Kendall/Spearman see only monotone trends (Chatterjee, JASA
+    // 2021). Raw integer pieces per event type over the daily series
+    // (x = date order, y = exact-micros value total): n_days and
+    // s_abs = Σ|r_{i+1} − r_i| of the y-ranks walked in x order; a flat
+    // series walks ranks smoothly (small s_abs, xi→1), an independent one
+    // jumps (s_abs→n²/3, xi→0). xi = 1 − 3·s_abs/(n²−1) is the consumer's
+    // division (possibly-negative numerator — the standing stats policy,
+    // as stats_kendall_tau). Ranks are row_number over (y, d): total
+    // order, deterministic under ties in both engines. Cost after the one
+    // table-sized rollup: two ≤31-row windows per type — output-bound.
+    graft.Q("stats_xi_corr",
+      (spark, sfDir) => {
+        import graft.Det
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg((sum(Det.val6(col("value"))) * 1000000).cast("long").as("y"))
+        val byType = Window.partitionBy(col("event_type"))
+        val ranked = daily.withColumn("r",
+          row_number().over(byType.orderBy(col("y"), col("d"))))
+        ranked
+          .withColumn("dr",
+            abs(col("r") - lag(col("r"), 1).over(byType.orderBy(col("d")))))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("dr")).as("s_abs"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT event_type, d,
+                 row_number() OVER (PARTITION BY event_type ORDER BY y, d) AS r
+          FROM daily
+        ), stepped AS (
+          SELECT event_type,
+                 abs(r - lag(r) OVER (PARTITION BY event_type ORDER BY d)) AS dr
+          FROM ranked
+        )
+        SELECT event_type, COUNT(*) AS n_days,
+               CAST(SUM(dr) AS BIGINT) AS s_abs
+        FROM stepped
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

@@ -1013,6 +1013,50 @@ object TextOps {
         FROM per_doc
         GROUP BY lang
         ORDER BY lang""".trim)),
+
+    // Tokenizer fertility (r12): subword tokens emitted per whitespace
+    // word, by language — THE metric a multilingual tokenizer is judged
+    // on (a vocab trained on English spends 2-4× the tokens per word on
+    // underrepresented scripts, which silently taxes their context
+    // budget and training compute). Per lang: docs, BPE-ish tokens
+    // (llm_token_count's regex), whitespace words, fertility as floor-ppm
+    // tokens/word, and chars-per-token ppm (the compression rate the
+    // chars/4 heuristic assumes). All-integer; one documents scan + one
+    // |langs|-row hash-agg — at 100 TB this is a map-side-combined pass.
+    Q("llm_tokenizer_fertility",
+      (spark, sfDir) => {
+        val perDoc = Tables.documents(spark, sfDir)
+          .select(col("lang"),
+            size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+              .cast("long").as("toks"),
+            size(split(col("text"), " ")).cast("long").as("words"),
+            col("n_chars").cast("long").as("chars"))
+        perDoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("tokens"),
+            sum(col("words")).as("words"),
+            sum(col("chars")).as("chars"))
+          .withColumn("fertility_ppm", expr("tokens * 1000000 div words"))
+          .withColumn("chars_per_token_ppm", expr("chars * 1000000 div tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH per_doc AS (
+          SELECT lang,
+                 CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS toks,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                 CAST(n_chars AS BIGINT) AS chars
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS tokens,
+               CAST(SUM(words) AS BIGINT) AS words,
+               CAST(SUM(chars) AS BIGINT) AS chars,
+               CAST(SUM(toks) * 1000000 // SUM(words) AS BIGINT) AS fertility_ppm,
+               CAST(SUM(chars) * 1000000 // SUM(toks) AS BIGINT) AS chars_per_token_ppm
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang""".trim)),
   )
 
   /** Integer-exact BM25 scores for the fixed query {hash, join, vector}
