@@ -1273,6 +1273,42 @@ object Aggregates {
                     AS BIGINT) AS prob_ppm
         FROM cells
         ORDER BY from_type, to_type""".trim)),
+
+    // Log-bucketed magnitude histogram (r12): the HDR-histogram shape —
+    // per event type, value micros bucketed by floor(log2(v)), with
+    // count/min/max/sum per bucket. Exponential buckets are how latency
+    // and money spectra are monitored at scale: ~40 buckets cover 12
+    // orders of magnitude with fixed state, and the per-bucket partials
+    // are abelian (map-side combine + trivially mergeable across days —
+    // the agg_sketch_merge property, but EXACT). floor(log2) is computed
+    // as length(bin(v)) − 1 — minimal-binary-string length, bit-identical
+    // in both engines, no libm log call (the standing no-doubles policy).
+    // Zero/negative values carry no magnitude — filtered identically on
+    // both sides.
+    Q("agg_log_histogram",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .select(col("event_type"),
+            (Det.val6(col("value")) * 1000000).cast("long").as("v_us"))
+          .filter(col("v_us") > 0)
+          .withColumn("bucket", (length(expr("bin(v_us)")) - 1).cast("long"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("v_us")).as("min_us"),
+            max(col("v_us")).as("max_us"), sum(col("v_us")).as("sum_us"))
+          .orderBy(col("event_type"), col("bucket")),
+      Some("""
+        WITH v AS (
+          SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_us
+          FROM events
+        )
+        SELECT event_type, CAST(length(bin(v_us)) - 1 AS BIGINT) AS bucket,
+               COUNT(*) AS n, MIN(v_us) AS min_us, MAX(v_us) AS max_us,
+               CAST(SUM(v_us) AS BIGINT) AS sum_us
+        FROM v
+        WHERE v_us > 0
+        GROUP BY 1, 2
+        ORDER BY event_type, bucket""".trim)),
   )
 
   /** Shared text for `agg_grouping_sets`: valid in both Spark SQL and DuckDB. */

@@ -795,6 +795,49 @@ object Pipeline {
         JOIN med m ON b.source = m.source
         JOIN dups du ON b.source = du.source
         ORDER BY b.source""".trim)),
+
+    // Context-length histogram (r12): documents bucketed by
+    // floor(log2(token_count)) — the power-of-2 length spectrum every
+    // packing/truncation decision starts from (llm_pack_sequences' block
+    // size, truncation loss, padding waste are all read off this table).
+    // Per bucket: doc count, token total, and the cumulative token share
+    // walked from short to long — "what fraction of tokens lives in docs
+    // shorter than 2^k". Tokens use llm_token_count's BPE-ish regex;
+    // floor(log2) = length(bin(n)) − 1 (the agg_log_histogram primitive,
+    // exact in both engines). One documents scan + ≤20-bucket hash-agg;
+    // the cumulative window runs over those ≤20 OUTPUT rows, never docs.
+    Q("llm_seq_length_hist",
+      (spark, sfDir) => {
+        val hist = Tables.documents(spark, sfDir)
+          .select(size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+            .cast("long").as("toks"))
+          .filter(col("toks") > 0)
+          .withColumn("bucket", (length(expr("bin(toks)")) - 1).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+        hist
+          .withColumn("cum_tokens", sum(col("tokens")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH per_doc AS (
+          SELECT CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS toks
+          FROM documents
+        ), hist AS (
+          SELECT CAST(length(bin(toks)) - 1 AS BIGINT) AS bucket,
+                 COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens
+          FROM per_doc
+          WHERE toks > 0
+          GROUP BY 1
+        )
+        SELECT bucket, n_docs, tokens,
+               CAST(SUM(tokens) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+        FROM hist
+        ORDER BY bucket""".trim)),
   )
 
   /** Train a deterministic IVF coarse quantizer and run top-k cosine search

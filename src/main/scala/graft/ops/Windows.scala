@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Det, Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
   import Det._
+
+  /** EXACT global row_number with no single-partition WindowExec — the
+    * scale-correct replacement for `row_number() OVER (ORDER BY …)` on
+    * unbounded input (`window_rfm_segments`). Range-exchange on the order
+    * key, localCheckpoint to PIN the sampled boundaries (every consumer
+    * must see one partitioning), per-partition counts → broadcast
+    * prefix-sum offsets (≤|partitions| rows — the only window here runs
+    * over that bounded set), then partition-LOCAL row_number + offset.
+    * Ranks are invariant to the sampled boundary choice whenever `ord` is
+    * a total order (break ties with a PK column). */
+  private[graft] def distributedRank(df: DataFrame, name: String,
+      ord: org.apache.spark.sql.Column*): DataFrame = {
+    val parted = df.repartitionByRange(32, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(
+        sum(col("_cnt")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val local = Window.partitionBy(col("_pid")).orderBy(ord: _*)
+    parted.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(name, col("_off") + row_number().over(local))
+      .drop("_pid", "_off")
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -982,5 +1009,70 @@ object Windows {
         FROM ranked
         GROUP BY c_day
         ORDER BY d""".trim)),
+
+    // RFM segmentation (r12): every user scored 1-5 on Recency/Frequency/
+    // Monetary quintiles, rolled up to segment sizes — the CRM classic.
+    // The interesting part is HOW the quintile rank is computed: a naive
+    // row_number() over an unpartitioned window is a single-partition
+    // WindowExec — the exact scale smell this repo's standing policy bans
+    // on unbounded inputs (|users| grows with the data). Instead,
+    // `distributedRank` computes an EXACT global row_number with no
+    // single-partition operator: range-exchange on the order key,
+    // localCheckpoint to pin the partitioning (both consumers must see
+    // the same boundaries), per-partition counts → broadcast prefix-sum
+    // offsets (≤|partitions| rows), then partition-LOCAL row_number +
+    // offset. Rank values are invariant to the sampled range boundaries
+    // because the composite order key is total (ties broken by user_id).
+    // Three ranked dimensions → three range exchanges over the per-user
+    // ROLLUP (not the event table); scores are integer quintile math;
+    // output is ≤125 segment rows. The oracle uses plain unpartitioned
+    // windows — same ranks, engine-appropriate plan on each side.
+    Q("window_rfm_segments",
+      (spark, sfDir) => {
+        val ev = Tables.events(spark, sfDir)
+        val per = ev.groupBy(col("user_id"))
+          .agg(max(to_date(col("ts"))).as("last_d"),
+            count(lit(1)).as("freq"),
+            (sum(Det.val6(col("value"))) * 1000000).cast("long").as("mon_us"))
+        val gmax = ev.agg(max(to_date(col("ts"))).as("gmax"))
+        val base = per.crossJoin(broadcast(gmax))
+          .withColumn("rec_days", datediff(col("gmax"), col("last_d")).cast("long"))
+          .drop("gmax", "last_d")
+        val r1 = distributedRank(base, "r_rn", col("rec_days"), col("user_id"))
+        val r2 = distributedRank(r1, "f_rn", col("freq").desc, col("user_id"))
+        val r3 = distributedRank(r2, "m_rn", col("mon_us").desc, col("user_id"))
+        r3.crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+          .withColumn("r_score", lit(5) - expr("(5 * (r_rn - 1)) div n"))
+          .withColumn("f_score", lit(5) - expr("(5 * (f_rn - 1)) div n"))
+          .withColumn("m_score", lit(5) - expr("(5 * (m_rn - 1)) div n"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("n_users"), sum(col("mon_us")).as("mon_us_total"))
+          .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d, COUNT(*) AS freq,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mon_us
+          FROM events GROUP BY 1
+        ), base AS (
+          SELECT user_id, freq, mon_us,
+                 (SELECT MAX(CAST(ts AS DATE)) FROM events) - last_d AS rec_days
+          FROM per
+        ), ranked AS (
+          SELECT user_id, mon_us,
+                 row_number() OVER (ORDER BY rec_days, user_id) AS r_rn,
+                 row_number() OVER (ORDER BY freq DESC, user_id) AS f_rn,
+                 row_number() OVER (ORDER BY mon_us DESC, user_id) AS m_rn,
+                 COUNT(*) OVER () AS n
+          FROM base
+        )
+        SELECT 5 - (5 * (r_rn - 1)) // n AS r_score,
+               5 - (5 * (f_rn - 1)) // n AS f_score,
+               5 - (5 * (m_rn - 1)) // n AS m_score,
+               COUNT(*) AS n_users,
+               CAST(SUM(mon_us) AS BIGINT) AS mon_us_total
+        FROM ranked
+        GROUP BY 1, 2, 3
+        ORDER BY r_score, f_score, m_score""".trim)),
   )
 }

@@ -187,6 +187,12 @@ object GraftLog {
         .filter(_.getFileName.toString.endsWith(".txt")).sortBy(_.getFileName.toString)
       finally listing.close()
     Files.createDirectories(Paths.get(dir))
+    // drop any stale parts from a prior landing of the SAME batch first:
+    // a retry that shuffles into fewer parts must not leave orphans
+    val stale = new java.io.File(dir).listFiles()
+    if (stale != null) stale
+      .filter(_.getName.startsWith(f"$SegmentPrefix$batchId%05d_"))
+      .foreach(f => Files.deleteIfExists(f.toPath))
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, Paths.get(dir, f"$SegmentPrefix$batchId%05d_$i%04d.log"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -190,4 +190,21 @@ class GraftLogSpec extends SparkFixture {
     assert(landed == (0L to 8L).toSeq,
       s"redelivery duplicated or dropped records: $landed")
   }
+
+  test("landBatch is idempotent: re-landing the same micro-batch replaces, never appends") {
+    val dir = Files.createTempDirectory("graftlog_land").toString
+    val ev = Tables.events(spark, sf001).limit(100)
+    GraftLog.landBatch(ev, dir, 0L)
+    GraftLog.landBatch(ev.limit(40), dir, 1L)
+    def sig(df: DataFrame) = df.agg(count(lit(1)), sum(col("event_id"))).head()
+    val once = sig(GraftLog.read(spark, dir))
+    // a restarted/retried batch 1 re-lands its own segments in place
+    GraftLog.landBatch(ev.limit(40), dir, 1L)
+    assert(sig(GraftLog.read(spark, dir)) == once,
+      "replayed batch changed the landed log")
+    // batches are disjoint files: replaying batch 1 never touches batch 0
+    val segs = new java.io.File(dir).list().filter(_.startsWith("segment-")).sorted
+    assert(segs.exists(_.startsWith("segment-00000")) &&
+      segs.exists(_.startsWith("segment-00001")), segs.mkString(","))
+  }
 }

@@ -1622,4 +1622,54 @@ class OperatorSpec extends SparkFixture {
     assert(DeltaExport.liveFiles(dir, 1L).toSet !=
       DeltaExport.liveFiles(dir, 2L).toSet)
   }
+
+  test("window_attribution: the three models conserve value — grand totals equal and match attributed purchases") {
+    val out = SparkEntry.queries("window_attribution")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val first = out.map(_.getLong(1)).sum
+    val last = out.map(_.getLong(2)).sum
+    val linear = out.map(_.getLong(3)).sum
+    assert(first == last && last == linear,
+      s"attribution models leak value: first=$first last=$last linear=$linear")
+    // independent recount: the conserved total is exactly the value of
+    // purchases that HAVE >=1 qualifying click (7-day lookback)
+    val ev = Tables.events(spark, sf001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_micros(col("ts")).as("pus"),
+        (graft.Det.val6(col("value")) * 1000000).cast("long").as("vus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+    val attributed = p.join(c, Seq("user_id"))
+      .filter(col("cus") <= col("pus") &&
+        col("cus") > col("pus") - lit(7L * 86400L * 1000000L))
+      .select(col("pid"), col("vus")).distinct()
+      .agg(sum(col("vus"))).collect()(0).getLong(0)
+    assert(first == attributed,
+      s"attributed total $first != purchase-side recount $attributed")
+  }
+
+  test("distributedRank equals the single-partition row_number exactly (and is boundary-invariant)") {
+    // the rfm quintile rollup could mask a rank permutation that cancels
+    // within buckets — pin the raw ranks themselves against the naive
+    // unpartitioned window on the same total order
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(spark, sf001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("freq"))
+    val dist = graft.ops.Windows.distributedRank(base, "rn",
+        col("freq").desc, col("user_id"))
+      .select(col("user_id"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = base.withColumn("rn",
+        row_number().over(Window.orderBy(col("freq").desc, col("user_id"))))
+      .select(col("user_id"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(dist == naive, "distributed rank diverges from the reference window rank")
+    // boundary invariance: a different partition count must not move ranks
+    val dist4 = graft.ops.Windows.distributedRank(base.repartition(4), "rn",
+        col("freq").desc, col("user_id"))
+      .select(col("user_id"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist4 == naive, "rank depends on the physical partitioning")
+  }
 }

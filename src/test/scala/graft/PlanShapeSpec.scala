@@ -86,6 +86,11 @@ class PlanShapeSpec extends SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join_spatial_grid joins on grid cells — no all-pairs product in the plan") {
+    val p = plan("join_spatial_grid")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("join_cross is the only plan allowed a cartesian") {
     val p = plan("join_cross")
     assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
