@@ -330,6 +330,25 @@ object ExplainDump {
       "is the read-back of four uncoordinated CAS-committed appends — pointer → " +
       "manifest → explicit file list across txn dirs; writer concurrency left " +
       "no trace in the plan, which is the point (commit-time coordination only)."),
+    "join_spatial_grid" -> ("Grid-bucketed spatial neighbor join (r12): candidates " +
+      "come from the 3x3-cell explode equi-joined on the home cell — the plan must " +
+      "show hash/sort-merge joins only (no CartesianProduct, no BNLJ; spec-pinned); " +
+      "the exact squared-distance residual is a codegen'd post-join filter."),
+    "window_attribution" -> ("Multi-touch attribution (r12): one user_id equi-join " +
+      "with the 7-day range residual (never a cartesian), one per-purchase window, " +
+      "one hash-agg per click day; the three models ride the same joined rowset as " +
+      "conditional projections — no per-model re-join."),
+    "window_rfm_segments" -> ("RFM with distributed exact rank (r12): the plan must " +
+      "show RANGE exchanges + partition-local windows for the three rank passes — " +
+      "no single-partition WindowExec over the user rollup; offsets are a " +
+      "broadcast-joined <=32-row aggregate."),
+    "agg_log_histogram" -> ("Log2 magnitude histogram (r12): floor(log2) as " +
+      "length(bin(v))-1 is per-row codegen'd projection; the only exchange is the " +
+      "two-phase hash-agg on (type, bucket) — ~40 groups/type, map-side combined, " +
+      "partials mergeable across days EXACTLY."),
+    "fn_geo_grid" -> ("Geo grid heatmap (r12): trig-free integer cell arithmetic " +
+      "inside one WholeStageCodegen span; one hash-agg on the packed cell id — the " +
+      "shape a planetary heatmap aggregation keeps at 100 TB."),
   )
 
   def main(args: Array[String]): Unit = {
