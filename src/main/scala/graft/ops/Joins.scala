@@ -833,5 +833,56 @@ object Joins {
         SELECT p.user_id, COALESCE(n.n_nbr, CAST(0 AS BIGINT)) AS n_nbr
         FROM p LEFT JOIN nbr n ON n.id = p.user_id
         ORDER BY p.user_id""".trim)),
+
+    // Blocked fuzzy join (r12): the entity-resolution primitive — find
+    // near-identical part names WITHOUT the n² all-pairs comparison.
+    // Two-stage: (1) BLOCK on a cheap deterministic key (first name
+    // word) plus the classic length prefilter (levenshtein(a,b) ≥
+    // |len(a)−len(b)|, so a length gap over the threshold can never
+    // match — pairs are pruned before any edit-distance work); (2)
+    // VERIFY candidates with exact levenshtein (cross-engine agreement
+    // already pinned by fn_edit_distance). Output is the per-block
+    // candidate/match/distance profile. At 100 TB: blocking bounds the
+    // quadratic to within-block pairs (the LSH-bucket argument in string
+    // space); a hot block is one join key — AQE skew-split, or tighten
+    // the block key (first word + length bucket) to cap it.
+    Q("join_fuzzy_blocked",
+      (spark, sfDir) => {
+        val p = Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_name"),
+            split(col("p_name"), " ").getItem(0).as("blk"),
+            length(col("p_name")).as("len"))
+        p.as("a").join(p.as("b"),
+            col("a.blk") === col("b.blk") &&
+              col("a.p_partkey") < col("b.p_partkey") &&
+              abs(col("a.len") - col("b.len")) <= 15)
+          .select(col("a.blk").as("blk"),
+            levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+          .groupBy(col("blk"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("dist") <= 15, 1L).otherwise(0L)).as("n_match"),
+            min(col("dist")).as("min_dist"),
+            max(col("dist")).as("max_dist"))
+          .orderBy(col("blk"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+                 length(p_name) AS len
+          FROM part
+        ), pairs AS (
+          SELECT a.blk, levenshtein(a.p_name, b.p_name) AS dist
+          FROM p a JOIN p b
+            ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+           AND abs(a.len - b.len) <= 15
+        )
+        SELECT blk, COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN dist <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_match,
+               CAST(MIN(dist) AS INT) AS min_dist,
+               CAST(MAX(dist) AS INT) AS max_dist
+        FROM pairs
+        GROUP BY blk
+        ORDER BY blk""".trim)),
   )
 }

@@ -1474,6 +1474,52 @@ object Stats {
         FROM stepped
         GROUP BY event_type
         ORDER BY event_type""".trim)),
+
+    // Herfindahl–Hirschman concentration index (r12): per day, how
+    // concentrated the value flow is across event types — HHI = Σ of
+    // squared floor-ppm shares (1e12 = monopoly, 1e12/k = k equal
+    // types). THE market/revenue-concentration monitor: a melting HHI
+    // means diversification, a spiking one means one flow dominates.
+    // Shares go through DECIMAL(38,0)/HUGEINT before the ×1e6 (micros
+    // totals top int64 at warehouse scale — the window_pareto policy);
+    // squares of ppm values stay well inside int64. One rollup + one
+    // per-day window over ≤|types| rows + one hash-agg.
+    graft.Q("stats_hhi",
+      (spark, sfDir) => {
+        import graft.Det
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg((sum(Det.val6(col("value"))) * 1000000).cast("long").as("v"))
+        daily
+          .withColumn("tot", sum(col("v")).over(Window.partitionBy(col("d"))))
+          .withColumn("share_ppm",
+            expr("""CAST(CAST(v AS DECIMAL(38,0)) * 1000000
+                      div CAST(tot AS DECIMAL(38,0)) AS BIGINT)"""))
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n_types"),
+            sum(expr("share_ppm * share_ppm")).as("hhi_pp2"),
+            max(col("share_ppm")).as("top_share_ppm"))
+          .orderBy(col("d"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, event_type,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v
+          FROM events GROUP BY 1, 2
+        ), shares AS (
+          SELECT d,
+                 CAST(CAST(v AS HUGEINT) * 1000000 //
+                      CAST(SUM(v) OVER (PARTITION BY d) AS HUGEINT)
+                      AS BIGINT) AS share_ppm
+          FROM daily
+        )
+        SELECT d, COUNT(*) AS n_types,
+               CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_pp2,
+               CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+        FROM shares
+        GROUP BY d
+        ORDER BY d""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored
