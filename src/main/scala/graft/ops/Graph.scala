@@ -464,12 +464,16 @@ object Graph {
         var k = 2
         var edgeCount = e.count()
         while (edgeCount > 0 && k < 64) {
-          // peel to the k-core; nodes dropped on the way have coreness k-1
+          // peel to the k-core; nodes dropped on the way have coreness k-1.
+          // The weak set is checkpointed ONCE per round — its count, and
+          // both anti-join probes, reuse the same materialized rows
+          // instead of re-running the degree aggregate three times.
           val before = e.select(col("s").as("node")).distinct()
           var weakCount = 1L
           while (weakCount > 0) {
             val weak = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
               .filter(col("deg") < k).select(col("s").as("w"))
+              .localCheckpoint()
             weakCount = weak.count()
             if (weakCount > 0) {
               e = e.join(weak, e("s") === weak("w"), "left_anti")
@@ -477,6 +481,8 @@ object Graph {
                 .localCheckpoint()
             }
           }
+          // dropped = before − after; weak sets alone would miss a node
+          // whose every edge vanished with its removed neighbors
           val after = e.select(col("s").as("node")).distinct()
           labels = labels.unionByName(
             before.join(after, Seq("node"), "left_anti")
