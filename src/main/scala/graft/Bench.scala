@@ -124,8 +124,13 @@ object Bench {
       // + the two component-closure keys (r12): the star alternation's
       // round count is the term that would go super-linear if convergence
       // regressed to diameter-bound
+      // + the late-r12 blocked/ranked shapes: the spatial grid join and
+      // the fuzzy block join both go quadratic exactly when their
+      // blocking breaks, and the rfm distributed rank would go
+      // super-linear if the range-exchange degenerated to one partition
       val scaleKeys = baseline12 ++ Seq("llm_dedup_ngram", "stream_sliding",
-        "graph_components", "llm_dedup_components")
+        "graph_components", "llm_dedup_components",
+        "join_spatial_grid", "join_fuzzy_blocked", "window_rfm_segments")
       val rows = scaleKeys.map { name =>
         val fixed = median(runs(name, sfSmall).tail)
         val mid = math.max(0.0, median(runs(name, sfMid).tail) - fixed)

@@ -844,13 +844,19 @@ object Joins {
     // already pinned by fn_edit_distance). Output is the per-block
     // candidate/match/distance profile. At 100 TB: blocking bounds the
     // quadratic to within-block pairs (the LSH-bucket argument in string
-    // space); a hot block is one join key — AQE skew-split, or tighten
-    // the block key (first word + length bucket) to cap it.
+    // space) — which is only a bound if block cardinality scales with
+    // the data, so the key is the first TWO name words (the one-word key
+    // measurably went quadratic on the scale probe: 8 blocks growing
+    // linearly ⇒ 25 M pairs at sf0.1); a still-hot block is one join
+    // key — AQE skew-split, or widen to three words / add a length
+    // bucket. The catalog-entity domain itself is dimension-sized, not
+    // event-sized.
     Q("join_fuzzy_blocked",
       (spark, sfDir) => {
         val p = Tables.part(spark, sfDir)
           .select(col("p_partkey"), col("p_name"),
-            split(col("p_name"), " ").getItem(0).as("blk"),
+            concat_ws(" ", split(col("p_name"), " ").getItem(0),
+              split(col("p_name"), " ").getItem(1)).as("blk"),
             length(col("p_name")).as("len"))
         p.as("a").join(p.as("b"),
             col("a.blk") === col("b.blk") &&
@@ -867,7 +873,9 @@ object Joins {
       },
       Some("""
         WITH p AS (
-          SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+          SELECT p_partkey, p_name,
+                 string_split(p_name, ' ')[1] || ' ' ||
+                 string_split(p_name, ' ')[2] AS blk,
                  length(p_name) AS len
           FROM part
         ), pairs AS (
@@ -884,5 +892,85 @@ object Joins {
         FROM pairs
         GROUP BY blk
         ORDER BY blk""".trim)),
+
+    // Interval-overlap aggregation (r12): total promo-exposure time —
+    // user sessions (30-min-gap sessionization, the window_sessionize
+    // recipe on integer micros) intersected with six deterministic
+    // 2-day promo windows laid every 5 days from the stream origin;
+    // per promo: overlapping sessions, distinct users, summed overlap
+    // micros. Half-open [start, end) intervals: overlap = min(ends) −
+    // max(starts) > 0 — pure int64 interval algebra. The promo side is
+    // dim-sized, so the inequality join is a BROADCAST of 6 rows (a
+    // nested-loop against 6 build rows is the right plan — the event
+    // side streams through codegen once); the only table-sized
+    // exchanges are the per-user session window and the final 6-row agg.
+    Q("join_interval_overlap",
+      (spark, sfDir) => {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+        val byU = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        val sess = ev
+          .withColumn("new_s",
+            when(lag(col("t"), 1).over(byU).isNull ||
+              col("t") - lag(col("t"), 1).over(byU) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(
+            byU.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("t")).as("s_start"), max(col("t")).as("s_end"))
+        val gmin = ev.agg(min(col("t")).as("g0"))
+        val promos = spark.range(0, 6).select(col("id").as("promo_id"))
+          .crossJoin(broadcast(gmin))
+          .withColumn("p_start", col("g0") + col("promo_id") * 432000000000L)
+          .withColumn("p_end", col("p_start") + 172800000000L)
+          .select(col("promo_id"), col("p_start"), col("p_end"))
+        sess.join(broadcast(promos),
+            least(col("s_end"), col("p_end"))
+              - greatest(col("s_start"), col("p_start")) > 0)
+          .withColumn("ov", least(col("s_end"), col("p_end"))
+            - greatest(col("s_start"), col("p_start")))
+          .groupBy(col("promo_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("ov")).as("overlap_us"))
+          .orderBy(col("promo_id"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS t FROM events
+        ), marked AS (
+          SELECT user_id, t,
+                 CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM ev
+        ), sid AS (
+          SELECT user_id, t,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked
+        ), sess AS (
+          SELECT user_id, sid, MIN(t) AS s_start, MAX(t) AS s_end
+          FROM sid GROUP BY 1, 2
+        ), promos AS (
+          SELECT i AS promo_id,
+                 (SELECT MIN(t) FROM ev) + i * 432000000000 AS p_start,
+                 (SELECT MIN(t) FROM ev) + i * 432000000000 + 172800000000
+                   AS p_end
+          FROM range(0, 6) r(i)
+        ), ov AS (
+          SELECT p.promo_id, s.user_id,
+                 least(s.s_end, p.p_end) - greatest(s.s_start, p.p_start)
+                   AS ov_us
+          FROM sess s JOIN promos p
+            ON least(s.s_end, p.p_end) - greatest(s.s_start, p.p_start) > 0
+        )
+        SELECT promo_id, COUNT(*) AS n_sessions,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(ov_us) AS BIGINT) AS overlap_us
+        FROM ov
+        GROUP BY promo_id
+        ORDER BY promo_id""".trim)),
   )
 }

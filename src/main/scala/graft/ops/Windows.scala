@@ -1074,5 +1074,38 @@ object Windows {
         FROM ranked
         GROUP BY 1, 2, 3
         ORDER BY r_score, f_score, m_score""".trim)),
+
+    // LTTB downsampling (r12): reduce each type's hourly series to 30
+    // visually-dominant points (`ops/Lttb.scala` — Steinarsson 2013, the
+    // Grafana-default reducer). The bucket-by-bucket dependency on the
+    // previously KEPT point is sequential and non-monotone — not
+    // SQL-expressible — so this runs on the TYPED Dataset surface:
+    // groupByKey(event_type).flatMapGroups, one bounded series array per
+    // key, executors never exchange more than the rollup. Exact integer
+    // geometry (rebased x, centroid division cleared, BigInt cross
+    // products), earliest-candidate ties → identical output under ANY
+    // partitioning (spec-pinned). At 100 TB the per-key series must fit
+    // its executor (the mapGroups contract — a 10-year hourly series is
+    // 87 k points); longer series downsample hierarchically, LTTB over
+    // LTTB per epoch. Oracle omitted per SURVEY §2's rule (sequential
+    // non-monotone); OperatorSpec pins an independent driver recount,
+    // endpoint/membership/size properties, and partition invariance.
+    Q("window_lttb_downsample",
+      (spark, sfDir) => {
+        import spark.implicits._
+        val hourly = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg((sum(Det.val6(col("value"))) * 1000000).cast("long").as("v"))
+          .as[(String, Long, Long)]
+        hourly.groupByKey(_._1)
+          .flatMapGroups { (typ, it) =>
+            val pts = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+            Lttb.select(pts, 30).map { case (x, y) => (typ, x, y) }
+          }
+          .toDF("event_type", "hr", "v")
+          .orderBy(col("event_type"), col("hr"))
+      },
+      None),
   )
 }

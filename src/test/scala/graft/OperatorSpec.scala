@@ -1672,4 +1672,58 @@ class OperatorSpec extends SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist4 == naive, "rank depends on the physical partitioning")
   }
+
+  private def refLttb(pts: Array[(Long, Long)], t: Int): Seq[(Long, Long)] = {
+    // independent recount in ABSOLUTE coordinates (no rebasing — triangle
+    // areas are translation-invariant, so any rebasing bug in the main
+    // path diverges here), following the paper's bucket walk directly
+    val n = pts.length
+    if (n <= t) return pts.toSeq
+    val m = t - 2
+    def lo(i: Int): Int = ((i.toLong * (n - 2)) / m).toInt + 1
+    val sel = scala.collection.mutable.ArrayBuffer(pts(0))
+    var prevIdx = 0
+    for (i <- 0 until m) {
+      val bLo = lo(i); val bHi = lo(i + 1)
+      val (nLo, nHi) = if (i + 1 < m) (lo(i + 1), lo(i + 2)) else (n - 1, n)
+      val c = nHi - nLo
+      val sx = pts.slice(nLo, nHi).map(p => BigInt(p._1)).sum
+      val sy = pts.slice(nLo, nHi).map(p => BigInt(p._2)).sum
+      val px = BigInt(pts(prevIdx)._1); val py = BigInt(pts(prevIdx)._2)
+      var best = bLo; var bestA = BigInt(-1)
+      for (j <- bLo until bHi) {
+        val a = ((px * c - sx) * (BigInt(pts(j)._2) - py)
+          - (px - BigInt(pts(j)._1)) * (sy - py * c)).abs
+        if (a > bestA) { bestA = a; best = j }
+      }
+      sel += pts(best); prevIdx = best
+    }
+    sel += pts(n - 1)
+    sel.toSeq
+  }
+
+  test("window_lttb_downsample equals an un-rebased driver recount, keeps endpoints, rerun-stable") {
+    val out = SparkEntry.queries("window_lttb_downsample")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hourly = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg((sum(graft.Det.val6(col("value"))) * 1000000).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).toSeq.flatMap { case (typ, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1).toArray
+      refLttb(pts, 30).map { case (x, y) => (typ, x, y) }
+    }.toSet
+    assert(out.toSet == expected, "distributed LTTB diverges from the reference walk")
+    hourly.groupBy(_._1).foreach { case (typ, rows) =>
+      val sel = out.filter(_._1 == typ).sortBy(_._2)
+      val all = rows.sortBy(_._2)
+      assert(all.length > 30, s"fixture series for $typ too short to exercise LTTB")
+      assert(sel.length == 30, s"$typ: expected 30 points, got ${sel.length}")
+      assert(sel.head._2 == all.head._2 && sel.last._2 == all.last._2,
+        s"$typ: endpoints not preserved")
+    }
+    val again = SparkEntry.queries("window_lttb_downsample")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet, "rerun not identical")
+  }
 }

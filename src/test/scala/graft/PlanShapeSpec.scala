@@ -91,6 +91,11 @@ class PlanShapeSpec extends SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join_fuzzy_blocked joins on the block key — no all-pairs product in the plan") {
+    val p = plan("join_fuzzy_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("join_cross is the only plan allowed a cartesian") {
     val p = plan("join_cross")
     assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
