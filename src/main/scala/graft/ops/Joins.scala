@@ -858,7 +858,15 @@ object Joins {
             concat_ws(" ", split(col("p_name"), " ").getItem(0),
               split(col("p_name"), " ").getItem(1)).as("blk"),
             length(col("p_name")).as("len"))
-        p.as("a").join(p.as("b"),
+        // pin the join parallelism EXPLICITLY: the self-join input is a
+        // few MB, so AQE coalesces its shuffle to ~1 partition by input
+        // bytes — but this join's OUTPUT is multiplicative (within-block
+        // pairs), which AQE cannot see, and the levenshtein verify then
+        // runs single-threaded (measured: 15+ min at a 10x catalog vs
+        // seconds parallel). A user repartition by the join key is
+        // preserved by AQE and spreads the blocks across the cluster.
+        val pr = p.repartition(64, col("blk"))
+        pr.as("a").join(pr.as("b"),
             col("a.blk") === col("b.blk") &&
               col("a.p_partkey") < col("b.p_partkey") &&
               abs(col("a.len") - col("b.len")) <= 15)
