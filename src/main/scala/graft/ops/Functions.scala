@@ -689,5 +689,68 @@ object Functions {
         FROM c
         GROUP BY 1, 2, 3
         ORDER BY cell_id""".trim)),
+
+    // User-agent parsing (r12): the log-analytics classifier with the
+    // classic PRECEDENCE trap — every Chrome UA also contains
+    // "Safari/", so family detection must test Chrome BEFORE Safari (a
+    // naive contains-Safari rule misclassifies the majority browser).
+    // Deterministic UAs are constructed per user (4 templates keyed by
+    // user_id, version from the id), then parsed back: ordered-CASE
+    // family + per-family regexp_extract of the major version, rolled
+    // up per (family, major). Pure projection + one hash-agg; the
+    // regexes are shared verbatim with the oracle.
+    Q("fn_useragent_parse",
+      (spark, sfDir) => {
+        val ua = Tables.events(spark, sfDir)
+          .withColumn("v", (col("user_id") % 50 + 80).cast("long"))
+          .withColumn("ua", expr("""CASE CAST(user_id % 4 AS INT)
+            WHEN 0 THEN concat('Mozilla/5.0 (X11; Linux x86_64) Chrome/', v, '.0.0.0 Safari/537.36')
+            WHEN 1 THEN concat('Mozilla/5.0 (Macintosh) Version/', v, '.1 Safari/605.1.15')
+            WHEN 2 THEN concat('Mozilla/5.0 (Windows NT 10.0) Firefox/', v, '.0')
+            ELSE concat('curl/', v, '.8.0') END"""))
+          .withColumn("family", expr("""CASE
+            WHEN ua LIKE '%Chrome/%' THEN 'chrome'
+            WHEN ua LIKE '%Firefox/%' THEN 'firefox'
+            WHEN ua LIKE 'curl/%' THEN 'curl'
+            WHEN ua LIKE '%Safari/%' THEN 'safari'
+            ELSE 'other' END"""))
+          .withColumn("major", expr("""CAST(CASE
+            WHEN ua LIKE '%Chrome/%' THEN regexp_extract(ua, 'Chrome/([0-9]+)', 1)
+            WHEN ua LIKE '%Firefox/%' THEN regexp_extract(ua, 'Firefox/([0-9]+)', 1)
+            WHEN ua LIKE 'curl/%' THEN regexp_extract(ua, 'curl/([0-9]+)', 1)
+            ELSE regexp_extract(ua, 'Version/([0-9]+)', 1) END AS BIGINT)"""))
+        ua.groupBy(col("family"), col("major"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("family"), col("major"))
+      },
+      Some("""
+        WITH ua0 AS (
+          SELECT user_id, (user_id % 50 + 80) AS v FROM events
+        ), ua1 AS (
+          SELECT user_id, CASE CAST(user_id % 4 AS INT)
+            WHEN 0 THEN 'Mozilla/5.0 (X11; Linux x86_64) Chrome/' || v || '.0.0.0 Safari/537.36'
+            WHEN 1 THEN 'Mozilla/5.0 (Macintosh) Version/' || v || '.1 Safari/605.1.15'
+            WHEN 2 THEN 'Mozilla/5.0 (Windows NT 10.0) Firefox/' || v || '.0'
+            ELSE 'curl/' || v || '.8.0' END AS ua
+          FROM ua0
+        ), parsed AS (
+          SELECT user_id,
+            CASE WHEN ua LIKE '%Chrome/%' THEN 'chrome'
+                 WHEN ua LIKE '%Firefox/%' THEN 'firefox'
+                 WHEN ua LIKE 'curl/%' THEN 'curl'
+                 WHEN ua LIKE '%Safari/%' THEN 'safari'
+                 ELSE 'other' END AS family,
+            CAST(CASE WHEN ua LIKE '%Chrome/%' THEN regexp_extract(ua, 'Chrome/([0-9]+)', 1)
+                      WHEN ua LIKE '%Firefox/%' THEN regexp_extract(ua, 'Firefox/([0-9]+)', 1)
+                      WHEN ua LIKE 'curl/%' THEN regexp_extract(ua, 'curl/([0-9]+)', 1)
+                      ELSE regexp_extract(ua, 'Version/([0-9]+)', 1) END AS BIGINT) AS major
+          FROM ua1
+        )
+        SELECT family, major, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM parsed
+        GROUP BY 1, 2
+        ORDER BY family, major""".trim)),
   )
 }

@@ -1057,6 +1057,50 @@ object TextOps {
         FROM per_doc
         GROUP BY lang
         ORDER BY lang""".trim)),
+
+    // Sentence-level dedup / boilerplate detection (r12): the CCNet move
+    // — deduplicate at SENTENCE granularity, where nav chrome, cookie
+    // banners, and license footers repeat across documents that are not
+    // themselves duplicates (doc-level dedup never sees them). Split on
+    // '. ', hash each sentence (grouping rides the 32-byte sha256 digest,
+    // never text — the dataset_card policy), count distinct docs per
+    // sentence, and report per doc: sentences, sentences shared with ≥1
+    // other doc, and the boilerplate floor-ppm. One explode + one
+    // digest-keyed agg + one digest join — explode multiplies rows, not
+    // shuffle width; at 100 TB the sentence-frequency table is itself a
+    // maintained artifact (the llm_dedup_incremental argument).
+    Q("llm_sentence_dedup",
+      (spark, sfDir) => {
+        val sent = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("s"))
+          .filter(length(trim(col("s"))) > 0)
+          .select(col("doc_id"), sha2(col("s"), 256).as("h"))
+        val freq = sent.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        sent.join(freq, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sent"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+          .withColumn("boiler_ppm", expr("n_boiler * 1000000 div n_sent"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH sent AS (
+          SELECT doc_id, sha256(s) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s
+                FROM documents)
+          WHERE length(trim(s)) > 0
+        ), freq AS (
+          SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sent GROUP BY h
+        )
+        SELECT s.doc_id, COUNT(*) AS n_sent,
+               CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_boiler,
+               CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS boiler_ppm
+        FROM sent s JOIN freq f ON s.h = f.h
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id""".trim)),
   )
 
   /** Integer-exact BM25 scores for the fixed query {hash, join, vector}
