@@ -494,5 +494,68 @@ object Graph {
         labels.orderBy(col("node"))
       },
       None),
+
+    // Incremental connected components (r12): the DAILY graph operation —
+    // yesterday's components are a star forest (each node → its
+    // component's min), so today's batch only needs the alternation run
+    // on STAR ∪ DELTA, a graph whose old regions already have diameter 1
+    // (the llm_dedup_incremental argument in graph space: per-day cost
+    // is O(star + delta), never a full re-closure). Correctness is
+    // EXACT, not approximate: min labels survive star contraction, so
+    // the merged run must equal the full-graph closure bit-for-bit —
+    // the oracle is the SAME recursive CTE over the full edge set as
+    // graph_components. Base/delta split: basket pairs from orders
+    // o_orderkey % 10 == 0 arrive as the delta.
+    Q("graph_components_incremental",
+      (spark, sfDir) => {
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"),
+            (col("a.l_orderkey") % 10 === 0).as("is_delta"))
+          .agg(count(lit(1)).as("c"))
+        // the >= 2 support threshold is a property of the FULL pair
+        // multiset — apply it on the (pa, pb) rollup, then split edges
+        // by whether any contributing basket is in the delta
+        val strong = pairs.groupBy(col("pa"), col("pb"))
+          .agg(sum(col("c")).as("c"), max(col("is_delta")).as("has_delta"))
+          .filter(col("c") >= 2).localCheckpoint()
+        val base = strong.filter(!col("has_delta"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        val delta = strong.filter(col("has_delta"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        val baseNodes = base.select(col("src").as("node"))
+          .unionByName(base.select(col("dst").as("node"))).distinct()
+        // yesterday: full run on the base; keep only the star forest
+        val labels0 = Components.run(baseNodes, base).localCheckpoint()
+        val star = labels0.filter(col("node") =!= col("comp"))
+          .select(col("node").as("src"), col("comp").as("dst"))
+        // today: alternation on star ∪ delta only
+        val nodes = strong.select(col("pa").as("node"))
+          .unionByName(strong.select(col("pb").as("node"))).distinct()
+        Components.run(nodes, star.unionByName(delta))
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH RECURSIVE li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), edges AS (
+          SELECT pa AS s, pb AS d FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs
+        ), nodes AS (SELECT DISTINCT s AS n FROM edges),
+        walk(node, lbl) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.d, w.lbl FROM walk w JOIN edges e ON w.node = e.s
+        )
+        SELECT node, MIN(lbl) AS comp FROM walk
+        GROUP BY node ORDER BY node""".trim)),
   )
 }
