@@ -590,6 +590,52 @@ object StreamOps {
         GROUP BY 1
         ORDER BY d""".trim)),
 
+    // Log compaction (r12): Kafka compacted-topic semantics for the
+    // graft log — the full event stream lands as segments (produce
+    // side), then compaction rewrites the log keeping only the record at
+    // the highest offset per key (user_id; event_id is the stream's
+    // monotone offset, the replay order source_stream_replay feeds by).
+    // The compacted generation is re-landed THROUGH THE WIRE FORMAT and
+    // re-read — per-user rows round-trip TSV exactly (double → shortest
+    // string → double is identity; value compared through the Det
+    // DECIMAL(18,6) → DOUBLE policy). At 100 TB compaction is the
+    // periodic maintenance job that bounds a keyed changelog at
+    // |keys| × record size regardless of stream length — the same
+    // O(keys)-not-O(history) claim as sink_cdc/merge-on-read, proven
+    // here across the serialization boundary.
+    Q("sink_graft_log_compact",
+      (spark, sfDir) => {
+        val out = graft.Tmp.dir("sink_graftlog_cmp", sfDir)
+        graft.ops.Acid.reset(out)
+        val ev = graft.Tables.events(spark, sfDir)
+        GraftLog.landBatch(ev, out, 0L)
+        val log = GraftLog.read(spark, out)
+        val lastIds = log.groupBy(col("user_id"))
+          .agg(max(col("event_id")).as("event_id"))
+        val compacted = log.join(lastIds, Seq("user_id", "event_id"))
+        val out2 = graft.Tmp.dir("sink_graftlog_cmp2", sfDir)
+        graft.ops.Acid.reset(out2)
+        GraftLog.landBatch(compacted
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")), out2, 0L)
+        GraftLog.read(spark, out2)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"),
+            graft.Det.val6(col("value")).cast("double").as("last_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH last AS (
+          SELECT user_id, MAX(event_id) AS last_event_id
+          FROM events GROUP BY 1
+        )
+        SELECT e.user_id, e.event_id AS last_event_id,
+               e.event_type AS last_type,
+               CAST(CAST(e.value AS DECIMAL(18,6)) AS DOUBLE) AS last_value
+        FROM events e JOIN last l
+          ON e.user_id = l.user_id AND e.event_id = l.last_event_id
+        ORDER BY e.user_id""".trim)),
+
     // Deterministic synthetic generator: exactly one 256-row micro-batch.
     Q("source_rate",
       (spark, sfDir) => {
