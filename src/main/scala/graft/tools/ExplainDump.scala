@@ -349,6 +349,22 @@ object ExplainDump {
     "fn_geo_grid" -> ("Geo grid heatmap (r12): trig-free integer cell arithmetic " +
       "inside one WholeStageCodegen span; one hash-agg on the packed cell id — the " +
       "shape a planetary heatmap aggregation keeps at 100 TB."),
+    "join_fuzzy_blocked" -> ("Blocked fuzzy join (r12): equi-join on the two-word " +
+      "block key with the levenshtein length prefilter in the join condition — no " +
+      "cartesian (spec-pinned); the explicit repartition(64, blk) is load-bearing: " +
+      "AQE coalesces by input bytes and cannot see the multiplicative pair fan-out, " +
+      "so without it the verify runs nearly single-threaded."),
+    "join_interval_overlap" -> ("Interval overlap (r12): the 6-row promo side is a " +
+      "broadcast build (a nested loop against 6 rows is the right plan); the only " +
+      "table-sized exchanges are the per-user session window and the final agg."),
+    "llm_sentence_dedup" -> ("Sentence-level dedup (r12): explode multiplies rows " +
+      "map-side; the shuffle carries 32-byte sentence digests, never text — one " +
+      "digest-keyed aggregate + one digest join, the dataset_card policy applied " +
+      "to boilerplate detection."),
+    "sink_graft_log_compact" -> ("Log compaction (r12): the dumped plan is the " +
+      "compacted-generation read-back; the compaction itself is one max-per-key " +
+      "aggregate + an offset equi-join — O(keys) state, and every surviving row " +
+      "crossed the TSV wire format twice."),
   )
 
   def main(args: Array[String]): Unit = {
