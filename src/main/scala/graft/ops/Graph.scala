@@ -557,5 +557,64 @@ object Graph {
         )
         SELECT node, MIN(lbl) AS comp FROM walk
         GROUP BY node ORDER BY node""".trim)),
+
+    // Minimum spanning forest (r12): Borůvka's algorithm — the MST
+    // algorithm that is NATURALLY distributed (Kruskal needs a global
+    // sorted edge stream, Prim a frontier): each round EVERY component
+    // picks its minimum outgoing edge simultaneously, components merge
+    // along the picks, and the component count at least halves →
+    // O(log n) rounds of two joins + one min-by aggregate. Edge weights
+    // (basket co-support) are tie-broken by (weight, pa, pb) — a strict
+    // total order, so the MSF is UNIQUE and the output reproducible
+    // under any partitioning. Labels between rounds come from
+    // Components.run on the forest-so-far (itself O(log) — the
+    // star-alternation reused as a subroutine). GraphSpec pins equality
+    // with a driver-side Kruskal union-find, the |V|−|components| edge
+    // count, and the weight total. Oracle omitted per SURVEY §2's rule
+    // (MST is not monotone-recursive SQL). The MSF is the backbone of
+    // single-linkage clustering — cut its heaviest edges and you have
+    // the dendrogram the dedup family's cluster step wants.
+    Q("graph_mst",
+      (spark, sfDir) => {
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .localCheckpoint()
+        val nodes = edges.select(col("pa").as("node"))
+          .unionByName(edges.select(col("pb").as("node"))).distinct()
+          .localCheckpoint()
+        var forest = edges.limit(0)
+        var labels = nodes.withColumn("comp", col("node")).localCheckpoint()
+        var rounds = 0
+        var crossing = 1L
+        while (crossing > 0 && rounds < 20) {
+          val la = labels.select(col("node").as("pa"), col("comp").as("ca"))
+          val lb = labels.select(col("node").as("pb"), col("comp").as("cb"))
+          val e2 = edges.join(la, "pa").join(lb, "pb")
+            .filter(col("ca") =!= col("cb")).localCheckpoint()
+          crossing = e2.count()
+          if (crossing > 0) {
+            val tagged = e2.select(col("ca").as("comp"),
+                struct(col("c"), col("pa"), col("pb")).as("e"))
+              .unionByName(e2.select(col("cb").as("comp"),
+                struct(col("c"), col("pa"), col("pb")).as("e")))
+            val picked = tagged.groupBy(col("comp")).agg(min(col("e")).as("e"))
+              .select(col("e.pa").as("pa"), col("e.pb").as("pb"),
+                col("e.c").as("c")).distinct()
+            forest = forest.unionByName(picked).localCheckpoint()
+            labels = Components.run(nodes,
+                forest.select(col("pa").as("src"), col("pb").as("dst")))
+              .localCheckpoint()
+            rounds += 1
+          }
+        }
+        require(crossing == 0, s"graph_mst: no fixpoint in $rounds rounds")
+        forest.orderBy(col("pa"), col("pb"))
+      },
+      None),
   )
 }

@@ -292,4 +292,36 @@ class GraphSpec extends SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
+
+  test("graph_mst equals the driver Kruskal forest under the (weight, pa, pb) total order") {
+    val out = SparkEntry.queries("graph_mst")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey"), col("b.l_partkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Kruskal with union-find over the same strict total order: both
+    // algorithms optimize the lexicographic (c, pa, pb) weights, which
+    // are DISTINCT, so the forest is unique and must match exactly
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val mst = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for ((pa, pb, c) <- edges.sortBy(e => (e._3, e._1, e._2))) {
+      val (ra, rb) = (find(pa), find(pb))
+      if (ra != rb) { parent(ra) = rb; mst += ((pa, pb, c)) }
+    }
+    assert(out == mst.toSet, "Boruvka forest diverges from Kruskal")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val nComps = nodes.map(find).size
+    assert(out.size == nodes.size - nComps,
+      s"forest size ${out.size} != |V| ${nodes.size} - components $nComps")
+    assert(out.toSeq.map(_._3).sum == mst.toSeq.map(_._3).sum)
+  }
 }
