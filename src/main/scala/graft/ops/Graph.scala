@@ -599,15 +599,25 @@ object Graph {
           crossing = e2.count()
           if (crossing > 0) {
             val tagged = e2.select(col("ca").as("comp"),
-                struct(col("c"), col("pa"), col("pb")).as("e"))
+                struct(col("c"), col("pa"), col("pb"),
+                  col("ca"), col("cb")).as("e"))
               .unionByName(e2.select(col("cb").as("comp"),
-                struct(col("c"), col("pa"), col("pb")).as("e")))
+                struct(col("c"), col("pa"), col("pb"),
+                  col("ca"), col("cb")).as("e")))
             val picked = tagged.groupBy(col("comp")).agg(min(col("e")).as("e"))
               .select(col("e.pa").as("pa"), col("e.pb").as("pb"),
-                col("e.c").as("c")).distinct()
-            forest = forest.unionByName(picked).localCheckpoint()
-            labels = Components.run(nodes,
-                forest.select(col("pa").as("src"), col("pb").as("dst")))
+                col("e.c").as("c"), col("e.ca").as("ca"), col("e.cb").as("cb"))
+              .distinct().localCheckpoint()
+            forest = forest.unionByName(picked.select("pa", "pb", "c"))
+              .localCheckpoint()
+            // relabel on the COMPONENT-level graph (|comps| nodes,
+            // geometrically shrinking) — never re-close the full forest
+            val compNodes = labels.select(col("comp").as("node")).distinct()
+            val merged = Components.run(compNodes,
+              picked.select(col("ca").as("src"), col("cb").as("dst")))
+            labels = labels.join(merged.select(col("node").as("comp"),
+                col("comp").as("newc")), Seq("comp"))
+              .select(col("node"), col("newc").as("comp"))
               .localCheckpoint()
             rounds += 1
           }
