@@ -194,6 +194,35 @@ object Acid {
     try { Files.createFile(Paths.get(table, s"claim-$v")); true }
     catch { case _: FileAlreadyExistsException => false }
 
+  /** Staleness horizon for claim expiry (ms). Generous on purpose: a live
+    * claimant slower than this that later commits would race its
+    * reclaimer — production protocols lease claims instead (Delta's LogStore
+    * put-if-absent entries are owned by a finished request by construction).
+    * Mutable only so the expiry path is testable without a 2-minute sleep. */
+  @volatile private[graft] var ClaimStaleMs = 120000L
+
+  /** Expire a wedged claim (ADVICE r12: a claimant that crashed after the
+    * O_EXCL create but before the pointer flip otherwise blocks every later
+    * writer forever — vacuum only GCs claims BELOW the horizon, which can
+    * never advance past the wedge). A claim is reclaimable iff it is older
+    * than [[ClaimStaleMs]] and `manifest-<v>` never appeared (the crash
+    * window is entirely before the manifest write). Reclaim is an atomic
+    * rename of the stale claim aside — exactly one racer wins the move, so
+    * at most one writer retries into the freed slot. Returns true if a
+    * stale claim was cleared. Manual recovery (documented escape hatch):
+    * delete `claim-<v>` by hand after verifying no writer is live. */
+  private def expireStaleClaim(table: String, v: Long): Boolean = {
+    val claim = Paths.get(table, s"claim-$v")
+    try {
+      if (Files.exists(claim) && !Files.exists(Paths.get(table, s"manifest-$v.txt")) &&
+          System.currentTimeMillis() - Files.getLastModifiedTime(claim).toMillis > ClaimStaleMs) {
+        Files.move(claim, Paths.get(table, s"claim-$v.stale.${System.nanoTime()}"),
+          StandardCopyOption.ATOMIC_MOVE)
+        true
+      } else false
+    } catch { case _: java.io.IOException => false } // lost the reclaim race
+  }
+
   /** The shared optimistic-commit loop: read the current table state, let
     * `precheck(cur, prev)` short-circuit (Some(result) = return without
     * claiming — replay no-ops and stale-snapshot aborts), claim the next
@@ -219,8 +248,15 @@ object Acid {
           if (claimVersion(table, v)) { out = commitManifest(table, v, build(v, prev)); done = true }
           else {
             spins += 1
-            require(spins < 12000, s"Acid: version-claim timeout on $table v$v")
-            Thread.sleep(5)
+            // a claim held past the staleness horizon with no manifest is a
+            // crashed claimant — reclaim it instead of spinning to the
+            // timeout (see [[expireStaleClaim]])
+            if (!expireStaleClaim(table, v)) {
+              require(spins < 12000,
+                s"Acid: version-claim timeout on $table v$v (if no writer is " +
+                  s"live, remove claim-$v to recover)")
+              Thread.sleep(5)
+            }
           }
       }
     }
@@ -630,6 +666,11 @@ object Acid {
         Files.deleteIfExists(Paths.get(table, s"manifest-$v.txt"))
         Files.deleteIfExists(Paths.get(table, s"claim-$v")) // expired claim GC
       }
+      // reclaimed-stale-claim tombstones (expireStaleClaim's renamed-aside
+      // files) are never load-bearing — GC them all
+      Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("claim-") && f.getName.contains(".stale."))
+        .foreach(f => Files.deleteIfExists(f.toPath))
       val root = Paths.get(table)
       val walk = Files.walk(root)
       val dead =

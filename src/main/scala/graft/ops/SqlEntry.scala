@@ -19,16 +19,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlEntry {
 
-  // last directory registered into the session catalog: re-registration is
-  // metadata-only but not free (10 view analyses), so skip it while the
-  // target fixture dir is unchanged. Re-registering on a dir SWITCH is the
-  // correctness half — bench runs alternate SFs within one session.
-  @volatile private var lastDir: String = ""
+  // last directory registered PER SESSION: re-registration is metadata-only
+  // but not free (10 view analyses), so skip it while the target fixture
+  // dir is unchanged. Re-registering on a dir SWITCH is the correctness
+  // half — bench runs alternate SFs within one session. Keyed by session
+  // (ADVICE r12: temp views are session-scoped, so a JVM-global cache made
+  // a SECOND SparkSession on the same dir skip registration entirely).
+  private val lastDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Register fixture views (idempotent, metadata-only) and run `text`. */
   def sql(spark: SparkSession, sfDir: String, text: String): DataFrame = {
-    if (lastDir != sfDir) synchronized {
-      if (lastDir != sfDir) { Tables.registerAll(spark, sfDir); lastDir = sfDir }
+    if (lastDir.get(spark) != sfDir) synchronized {
+      if (lastDir.get(spark) != sfDir) {
+        Tables.registerAll(spark, sfDir); lastDir.put(spark, sfDir)
+      }
     }
     spark.sql(text)
   }

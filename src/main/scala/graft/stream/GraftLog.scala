@@ -334,7 +334,14 @@ final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
         var budget = mr.maxRows()
         val next = totals.toSeq.sortBy(_._1).map { case (p, total) =>
           val cur = s.getOrElse(p, 0L)
-          val take = math.min(total - cur, budget)
+          // a checkpointed offset past the current log end means the log
+          // was truncated under the consumer — fail loudly instead of
+          // letting a negative take inflate the budget and regress the
+          // offset below start (ADVICE r12)
+          require(cur <= total,
+            s"graft-log: committed offset $cur for partition '$p' exceeds " +
+              s"log end $total — log truncated under an active consumer")
+          val take = math.max(0L, math.min(total - cur, budget))
           budget -= take
           p -> (cur + take)
         }.toMap

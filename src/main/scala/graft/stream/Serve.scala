@@ -77,12 +77,18 @@ object Serve {
     private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     private val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // reader threads still draining an accepted connection (ADVICE r12:
+    // query awaitTermination only proves the WRITERS closed their sockets;
+    // in-flight TCP bytes may not yet be in `received` — callers must
+    // quiesce before reading `lines`)
+    private val open = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile private var closed = false
 
     private val acceptor = new Thread(() => {
       try {
         while (!closed) {
           val s = server.accept()
+          open.incrementAndGet()
           val t = new Thread(() => {
             val in = new BufferedReader(new InputStreamReader(
               s.getInputStream, StandardCharsets.UTF_8))
@@ -94,7 +100,7 @@ object Serve {
                 line = in.readLine()
               }
             } catch { case _: Exception => () }
-            finally s.close()
+            finally { s.close(); open.decrementAndGet() }
           })
           t.setDaemon(true); t.start()
         }
@@ -102,6 +108,26 @@ object Serve {
     })
     acceptor.setDaemon(true)
     acceptor.start()
+
+    /** Block until every accepted connection has hit EOF and stayed that
+      * way for `quietMs` (a connection the acceptor has not yet picked up
+      * from the backlog shows as a 0→1 transition, which resets the quiet
+      * window). Call after the pushing queries terminate, before reading
+      * [[lines]]. */
+    def quiesce(quietMs: Long = 250L, timeoutMs: Long = 20000L): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var quietSince = -1L
+      while (System.nanoTime() < deadline) {
+        if (open.get() == 0) {
+          val now = System.nanoTime()
+          if (quietSince < 0) quietSince = now
+          else if (now - quietSince >= quietMs * 1000000L) return
+        } else quietSince = -1L
+        Thread.sleep(10)
+      }
+      require(open.get() == 0,
+        s"SubscriberClient: ${open.get()} connections still draining after ${timeoutMs}ms")
+    }
 
     def lines: Set[String] = {
       import scala.jdk.CollectionConverters._

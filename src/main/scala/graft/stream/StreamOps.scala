@@ -535,6 +535,10 @@ object StreamOps {
             "127.0.0.1", c.port)
         }
         queries.foreach(_.awaitTermination())
+        // termination proves the writers flushed+closed; quiesce until every
+        // accepted connection hits EOF so in-flight TCP bytes are in the
+        // received set before we aggregate (ADVICE r12)
+        clients.foreach(_.quiesce())
         clients.foreach(_.close())
         import spark.implicits._
         val received = spark.createDataset(clients.flatMap(_.lines))

@@ -142,6 +142,34 @@ class ConcurrencySpec extends SparkFixture {
     assert(Acid.read(spark, table).count() == expectKeys.size.toLong)
   }
 
+  test("Acid: a wedged claim (crashed claimant, no manifest) is reclaimed after the staleness horizon") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("acid_wedge").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).select(col("id").as("k"))
+    Acid.appendTxn(spark, table, rows(0, 10), txnId = 1L) // commits v0
+    // simulate a claimant that died after the O_EXCL create but before the
+    // pointer flip: claim-1 exists, manifest-1 never appears
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(table, "claim-1"))
+    val prevStale = Acid.ClaimStaleMs
+    Acid.ClaimStaleMs = 200L
+    try {
+      Thread.sleep(300)
+      // pre-ADVICE-fix this spun 12000×5ms then threw; now the stale claim
+      // is reclaimed and the append lands as v1
+      val v = Acid.appendTxnCAS(spark, table, rows(100, 5), txnId = 2L)
+      assert(v == 1L, s"expected reclaimed v1, got v$v")
+      assert(Acid.committedTxns(table) == Set(1L, 2L))
+      assert(Acid.read(spark, table).count() == 15L)
+    } finally Acid.ClaimStaleMs = prevStale
+    // vacuum GCs the renamed-aside stale-claim tombstone
+    Acid.appendTxn(spark, table, rows(200, 5), txnId = 3L)
+    Acid.vacuum(table, keep = 1)
+    val staleLeft = Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.contains(".stale."))
+    assert(staleLeft.isEmpty, s"stale-claim tombstones survived vacuum: ${staleLeft.mkString(",")}")
+  }
+
   test("sink_serve: a stalled subscriber does not block the other subscribers") {
     import graft.stream.{Serve, Sources}
     import org.apache.spark.sql.functions.col
