@@ -29,6 +29,18 @@ object DeltaExport {
 
   private def logDir(dir: String) = Paths.get(dir, "_delta_log")
 
+  // ---- checkpoint rows (PROTOCOL.md "Checkpoints"): one parquet row per
+  // action, struct column per action type, nulls elsewhere ----
+  case class CkptFormat(provider: String, options: Map[String, String])
+  case class CkptMetaData(id: String, format: CkptFormat, schemaString: String,
+      partitionColumns: Seq[String], configuration: Map[String, String],
+      createdTime: Long)
+  case class CkptProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  case class CkptAdd(path: String, partitionValues: Map[String, String],
+      size: Long, modificationTime: Long, dataChange: Boolean)
+  case class CkptRow(protocol: Option[CkptProtocol],
+      metaData: Option[CkptMetaData], add: Option[CkptAdd])
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -45,7 +57,7 @@ object DeltaExport {
     * wins). `overwrite = true` emits `remove` tombstones for every
     * previously-live file. Returns the committed version. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-      overwrite: Boolean = false): Long = {
+      overwrite: Boolean = false, checkpointInterval: Int = 0): Long = {
     Files.createDirectories(logDir(dir))
     val v = currentVersion(dir).map(_ + 1).getOrElse(0L)
     // data lands in a per-version subdir (Delta permits subdirectory data
@@ -67,7 +79,7 @@ object DeltaExport {
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       actions += s"""{"metaData":{"id":"$id","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":${Files.getLastModifiedTime(root).toMillis}}}"""
     }
-    if (overwrite && v > 0L) liveFiles(dir, v - 1).foreach { f =>
+    if (overwrite && v > 0L) liveFiles(spark, dir, v - 1).foreach { f =>
       actions += s"""{"remove":{"path":"${jsonEscape(f)}","deletionTimestamp":${Files.getLastModifiedTime(root).toMillis},"dataChange":true}}"""
     }
     files.foreach { f =>
@@ -80,7 +92,76 @@ object DeltaExport {
       .getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
+    if (checkpointInterval > 0 && (v + 1) % checkpointInterval == 0)
+      writeCheckpoint(spark, dir, v)
     v
+  }
+
+  /** Write the parquet checkpoint for version `v` plus `_last_checkpoint`
+    * (PROTOCOL.md "Checkpoints"): the complete replay state as one parquet
+    * file — protocol + metaData rows and one `add` row per live file — so
+    * a reader resolves the table in O(1) log entries instead of replaying
+    * every `<v>.json` from 0 (r12 verdict item 3: at a commit-per-micro-
+    * batch cadence the O(versions) replay becomes the read bottleneck;
+    * expired remove tombstones are dropped, exactly what Delta checkpoints
+    * do past the retention window). Readers that ignore checkpoints still
+    * work — the JSON chain is untouched. */
+  def writeCheckpoint(spark: SparkSession, dir: String, v: Long): Unit = {
+    val root = Paths.get(dir)
+    val rows = Seq(
+      CkptRow(Some(CkptProtocol(1, 2)), None, None),
+      CkptRow(None, Some(CkptMetaData(
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes(StandardCharsets.UTF_8)).toString,
+        CkptFormat("parquet", Map.empty), "", Nil, Map.empty,
+        Files.getLastModifiedTime(root).toMillis)), None)) ++
+      liveFiles(spark, dir, v).map { f =>
+        val p = root.resolve(f)
+        CkptRow(None, None, Some(CkptAdd(f, Map.empty, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis, dataChange = false)))
+      }
+    import spark.implicits._
+    // spark writes directories; the protocol wants the single FILE
+    // <v>.checkpoint.parquet — stage then promote the lone part file
+    val stage = Files.createTempDirectory("graft_delta_ckpt")
+    spark.createDataset(rows).coalesce(1).write.mode("overwrite")
+      .parquet(stage.toString)
+    val listing = Files.list(stage)
+    val part =
+      try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).head
+      finally listing.close()
+    Files.move(part, logDir(dir).resolve(f"$v%020d.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val walk = Files.walk(stage)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    // _last_checkpoint is the pointer readers consult first — written LAST,
+    // so a crash between checkpoint and pointer leaves the old (correct)
+    // pointer in place
+    Files.write(logDir(dir).resolve("_last_checkpoint"),
+      s"""{"version":$v,"size":${rows.size}}""".getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The `_last_checkpoint` pointer, if one exists: (version, size). */
+  def lastCheckpoint(dir: String): Option[(Long, Long)] = {
+    val p = logDir(dir).resolve("_last_checkpoint")
+    if (!Files.exists(p)) None
+    else {
+      val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val ver = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      val size = """"size"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      ver.map(v => (v, size.getOrElse(-1L)))
+    }
+  }
+
+  /** Live adds recorded in the checkpoint for version `v`. */
+  private def checkpointAdds(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(logDir(dir).resolve(f"$v%020d.checkpoint.parquet").toString)
+      .where(col("add").isNotNull)
+      .select(col("add.path"))
+      .collect().map(_.getString(0)).toSeq // O(live files) — control plane
   }
 
   /** Highest committed log version, if any. */
@@ -95,11 +176,19 @@ object DeltaExport {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Replay log versions 0..v: the live file set = adds minus removes —
-    * exactly the reconstruction every external Delta reader performs. */
-  def liveFiles(dir: String, v: Long): Seq[String] = {
+  /** Resolve the live file set at version `v` the way every external Delta
+    * reader does: consult `_last_checkpoint`, load the checkpoint's adds,
+    * then replay ONLY the JSON entries after it (adds minus removes). With
+    * no checkpoint the full 0..v chain replays — O(versions), which is
+    * exactly what the checkpoint bounds to O(1). */
+  def liveFiles(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val (start, seed) = lastCheckpoint(dir) match {
+      case Some((cv, _)) if cv <= v => (cv + 1, checkpointAdds(spark, dir, cv))
+      case _ => (0L, Seq.empty[String])
+    }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    (0L to v).foreach { i =>
+    seed.foreach(live += _)
+    (start to v).foreach { i =>
       val entry = logDir(dir).resolve(f"$i%020d.json")
       val lines = new String(Files.readAllBytes(entry), StandardCharsets.UTF_8)
         .split('\n').filter(_.nonEmpty)
@@ -121,7 +210,7 @@ object DeltaExport {
   def readDeltaLog(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(dir).getOrElse(
       sys.error(s"DeltaExport.readDeltaLog: no committed version at $dir"))
-    val files = liveFiles(dir, v)
+    val files = liveFiles(spark, dir, v)
     require(files.nonEmpty, s"DeltaExport: empty live set at $dir v$v")
     spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }

@@ -334,17 +334,25 @@ object Lakehouse {
     // listing). The oracle recomputes the restated content from the raw
     // table: one wrong add/remove tombstone and the file set — and the
     // hash — diverges. This is the "a real user points Trino/DuckDB at
-    // the output" seam the bespoke Acid manifest cannot serve.
+    // the output" seam the bespoke Acid manifest cannot serve. r13: commits
+    // run with checkpointInterval=2, so the read resolves from the v1
+    // parquet checkpoint + one JSON replay instead of the full chain —
+    // at a commit-per-micro-batch cadence the O(versions) replay was the
+    // read bottleneck (r12 verdict item 3); OperatorSpec pins O(1) replay
+    // by truncating the JSON chain below the checkpoint.
     Q("sink_delta_export",
       (spark, sfDir) => {
         val dir = graft.Tmp.dir("delta_export", sfDir)
         Acid.reset(dir) // fresh dir each run (same staging policy)
         val ev = Tables.events(spark, sfDir)
-        // v0: clicks; v1: append purchases; v2: overwrite with views only
-        DeltaExport.commit(spark, dir, ev.filter(col("event_type") === "click"))
-        DeltaExport.commit(spark, dir, ev.filter(col("event_type") === "purchase"))
+        // v0: clicks; v1: append purchases (checkpoint lands here);
+        // v2: overwrite with views only
+        DeltaExport.commit(spark, dir, ev.filter(col("event_type") === "click"),
+          checkpointInterval = 2)
+        DeltaExport.commit(spark, dir, ev.filter(col("event_type") === "purchase"),
+          checkpointInterval = 2)
         DeltaExport.commit(spark, dir, ev.filter(col("event_type") === "view"),
-          overwrite = true)
+          overwrite = true, checkpointInterval = 2)
         DeltaExport.readDeltaLog(spark, dir)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))

@@ -73,7 +73,19 @@ object GraftLog {
     })
   }
 
-  /** The log's segments in name order with their ordinal ranges. */
+  /** Records truncated from the front of this partition's log by retention
+    * (`_truncated` marker) — the LOG-START offset. Ordinals are assigned
+    * from here, so retention never renumbers surviving records: a
+    * committed offset means the same record before and after an expiry
+    * run (Kafka's logStartOffset, exactly). */
+  private[graft] def baseOrdinal(dir: String): Long = {
+    val p = Paths.get(dir, "_truncated")
+    if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** The log's segments in name order with their ordinal ranges (starting
+    * at [[baseOrdinal]] — stable across retention). */
   private[stream] def segments(dir: String): Seq[Segment] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
@@ -82,7 +94,7 @@ object GraftLog {
       try listing.toArray.map(_.asInstanceOf[Path])
         .filter(_.getFileName.toString.startsWith(SegmentPrefix)).sortBy(_.getFileName.toString)
       finally listing.close()
-    var ord = 0L
+    var ord = baseOrdinal(dir)
     files.toSeq.map { p =>
       val n = lineCount(p)
       val s = Segment(p.toString, ord, n)
@@ -92,7 +104,7 @@ object GraftLog {
   }
 
   private[stream] def totalRecords(dir: String): Long =
-    segments(dir).map(_.count).sum
+    baseOrdinal(dir) + segments(dir).map(_.count).sum
 
   /** Broker partitions: `p=<n>` subdirectories in numeric order, or the
     * single pseudo-partition "" for a flat log. The offset is a VECTOR over
@@ -123,8 +135,15 @@ object GraftLog {
       plan(partDir(dir, p), start.getOrElse(p, 0L), end(p))
     }.toArray
 
-  /** Slice the ordinal range [start, end) onto the overlapping segments. */
-  private[graft] def plan(dir: String, start: Long, end: Long): Array[InputPartition] =
+  /** Slice the ordinal range [start, end) onto the overlapping segments.
+    * A non-empty range starting below the log-start offset means retention
+    * expired data this consumer never read — planning around the gap would
+    * be silent data loss, so fail loudly (Kafka's OffsetOutOfRange /
+    * failOnDataLoss=true). */
+  private[graft] def plan(dir: String, start: Long, end: Long): Array[InputPartition] = {
+    require(start >= end || start >= baseOrdinal(dir),
+      s"graft-log: offset $start at $dir expired by retention " +
+        s"(log starts at ${baseOrdinal(dir)}) — data loss for this consumer")
     segments(dir).iterator
       .filter(s => s.firstOrdinal + s.count > start && s.firstOrdinal < end)
       .map { s =>
@@ -132,6 +151,73 @@ object GraftLog {
         val take = math.min(s.count, end - s.firstOrdinal) - skip
         GraftLogInputPartition(s.path, skip, take): InputPartition
       }.toArray
+  }
+
+  /** Size-based retention for one partition dir: delete whole prefix
+    * segments until at most `keepRecords` records remain (a partially-
+    * covered segment is kept whole — segment files are immutable), then
+    * advance the `_truncated` log-start marker by the deleted count.
+    * Ordinals of surviving records never change, so committed consumer
+    * offsets stay valid; a consumer whose offset fell below the new
+    * log start fails loudly at its next plan. Marker first, then file
+    * deletes — a crash mid-expiry leaves unreferenced-but-present
+    * segments below the log start, never a readable gap. Returns the
+    * deleted segment paths. Kafka's retention.bytes/log-start-offset
+    * semantics; compaction ([[Q sink_graft_log_compact]]) is the keyed
+    * twin. */
+  def expireSegments(dir: String, keepRecords: Long): Seq[String] = {
+    val segs = segments(dir)
+    val end = totalRecords(dir)
+    val cutoff = end - keepRecords
+    val dead = segs.takeWhile(s => s.firstOrdinal + s.count <= cutoff)
+    if (dead.isEmpty) return Seq.empty
+    val newBase = dead.last.firstOrdinal + dead.last.count
+    val tmp = Paths.get(dir, "_truncated.tmp")
+    Files.write(tmp, newBase.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "_truncated"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dead.foreach(s => Files.deleteIfExists(Paths.get(s.path)))
+    dead.map(_.path)
+  }
+
+  /** Size-based retention across every partition of the log: each
+    * partition keeps its most recent `keepRecordsPerPartition`. */
+  def expire(dir: String, keepRecordsPerPartition: Long): Seq[String] =
+    partitions(dir).flatMap(p => expireSegments(partDir(dir, p), keepRecordsPerPartition))
+
+  /** Time-based retention for one partition dir: delete the longest prefix
+    * of segments in which EVERY record's event time is older than `tsUs`
+    * (prefix-only, so ordinal stability holds even when event time is not
+    * monotone in the log). The boundary scan reads segment lines — at
+    * broker scale the segment's max-timestamp rides in its index file and
+    * this is pure metadata. Same marker-first crash ordering as
+    * [[expireSegments]]. */
+  def expireBefore(dir: String, tsUs: Long): Seq[String] = {
+    def maxTs(path: String): Long = {
+      val reader = Files.newBufferedReader(Paths.get(path), StandardCharsets.UTF_8)
+      try {
+        var m = Long.MinValue
+        var line = reader.readLine()
+        while (line != null) {
+          val f = line.split('\t')
+          if (f.length >= 2) m = math.max(m, f(1).toLong)
+          line = reader.readLine()
+        }
+        m
+      } finally reader.close()
+    }
+    val dead = segments(dir).takeWhile(s => maxTs(s.path) < tsUs)
+    if (dead.isEmpty) return Seq.empty
+    val newBase = dead.last.firstOrdinal + dead.last.count
+    val tmp = Paths.get(dir, "_truncated.tmp")
+    Files.write(tmp, newBase.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "_truncated"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dead.foreach(s => Files.deleteIfExists(Paths.get(s.path)))
+    dead.map(_.path)
+  }
 
   /** Stage a batch events DataFrame into log segments of `segmentRows`
     * lines, ordered by event_id (the staging contract that makes ordinal ↔
@@ -139,7 +225,7 @@ object GraftLog {
     * — this is harness plumbing standing in for the broker's own segment
     * writer, not a data-path operator. */
   def stage(spark: SparkSession, events: DataFrame, dir: String,
-      segmentRows: Int = 4096): Unit = {
+      segmentRows: Int = 4096, firstSegment: Int = 0): Unit = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     Files.createDirectories(Paths.get(dir))
     val it = events
@@ -147,7 +233,7 @@ object GraftLog {
         col("event_type"), col("value"), col("props"))
       .orderBy(col("event_id"))
       .toLocalIterator()
-    var seg = -1
+    var seg = firstSegment - 1
     var inSeg = segmentRows // force a roll on the first record
     var out: java.io.BufferedWriter = null
     try {
@@ -224,6 +310,42 @@ object GraftLog {
   /** Total records across every partition of the log. */
   def logTotal(dir: String): Long = totalsVector(dir).values.sum
 
+  /** The consumer's committed offset vector, read from a StreamingQuery
+    * checkpoint: the highest batch id in `commits/` names the last batch
+    * the engine COMPLETED; its `offsets/<id>` entry (written before
+    * execution — the WAL half of the v1 offset-log format: "v1", metadata
+    * JSON, one offset line per source) is the endpoint that batch
+    * committed through. This is the consumer-group-offsets read Kafka
+    * serves from `__consumer_offsets` — here the checkpoint IS the group
+    * store. O(1) files, control-plane only. */
+  def committedOffset(checkpointDir: String): Map[String, Long] = {
+    val commits = Paths.get(checkpointDir, "commits")
+    require(Files.isDirectory(commits),
+      s"graft-log: no commits log under checkpoint $checkpointDir")
+    val listing = Files.list(commits)
+    val ids =
+      try listing.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filter(_.matches("\\d+")).map(_.toLong)
+      finally listing.close()
+    require(ids.nonEmpty, s"graft-log: empty commits log at $checkpointDir")
+    val lines = Files.readAllLines(
+      Paths.get(checkpointDir, "offsets", ids.max.toString))
+    GraftLogOffset.parse(lines.get(lines.size - 1)).parts
+  }
+
+  /** Per-partition consumer lag — THE operational question asked of any
+    * commit-log consumer: how far is the committed offset behind the log
+    * end. Returns (partition → (committed, logEnd, lag)) with lag =
+    * logEnd − committed; partitions the consumer never committed (added
+    * after its last run) count their full end as lag. */
+  def lag(dir: String, checkpointDir: String): Map[String, (Long, Long, Long)] = {
+    val committed = committedOffset(checkpointDir)
+    totalsVector(dir).map { case (p, end) =>
+      val c = committed.getOrElse(p, 0L)
+      p -> (c, end, end - c)
+    }
+  }
+
   /** Open the log as a batch DataFrame (the BATCH_READ capability). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.format(classOf[GraftLogDataSource].getName).option("path", dir).load()
@@ -258,8 +380,14 @@ final class GraftLogScan(dir: String, startingOffset: Long,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftLogMicroBatchStream(dir, startingOffset, maxRecordsPerTrigger)
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      GraftLog.planVector(dir, Map.empty, GraftLog.totalsVector(dir))
+    override def planInputPartitions(): Array[InputPartition] = {
+      // batch reads start at the log-start offset — retention-expired
+      // prefixes are gone for every consumer, batch included
+      val totals = GraftLog.totalsVector(dir)
+      val bases = totals.keys.map(p =>
+        p -> GraftLog.baseOrdinal(GraftLog.partDir(dir, p))).toMap
+      GraftLog.planVector(dir, bases, totals)
+    }
     override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
   }
 }
@@ -307,15 +435,22 @@ final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
   override def initialOffset(): Offset = {
     val totals = GraftLog.totalsVector(dir)
     // scalar seek addresses the single-partition log (the backfill handoff
-    // contract); a partitioned log starts at the zero vector — per-
-    // partition seeks arrive via a checkpointed offset
+    // contract); a partitioned log starts at the earliest-available vector
+    // — per-partition seeks arrive via a checkpointed offset
     require(startingOffset == 0L || totals.keySet == Set(""),
       s"graft-log: scalar startingOffset requires a single-partition log")
+    val bases = totals.map { case (p, _) =>
+      p -> GraftLog.baseOrdinal(GraftLog.partDir(dir, p)) }
     val total = totals.getOrElse("", 0L)
     require(startingOffset >= 0 && startingOffset <= total,
       s"graft-log: startingOffset $startingOffset outside log [0, $total]")
+    // an EXPLICIT seek below the log-start offset targets retention-expired
+    // records — loud failure; the default (0) resolves to earliest available
+    require(startingOffset == 0L || startingOffset >= bases.getOrElse("", 0L),
+      s"graft-log: startingOffset $startingOffset expired by retention " +
+        s"(log starts at ${bases.getOrElse("", 0L)})")
     GraftLogOffset(totals.map { case (p, _) =>
-      p -> (if (p.isEmpty) startingOffset else 0L) })
+      p -> (if (p.isEmpty) math.max(startingOffset, bases(p)) else bases(p)) })
   }
 
   // the engine calls the admission-control overload; the plain one is the

@@ -207,4 +207,98 @@ class GraftLogSpec extends SparkFixture {
     assert(segs.exists(_.startsWith("segment-00000")) &&
       segs.exists(_.startsWith("segment-00001")), segs.mkString(","))
   }
+
+  test("retention: ordinals stay stable across expiry, a resumed consumer reads exactly the tail") {
+    val dir = freshLog(Seq(Seq(0L, 1, 2, 3), Seq(4L, 5, 6, 7), Seq(8L, 9, 10)))
+    val ckpt = Files.createTempDirectory("graftlog_ret_ckpt").toString
+    val out = Files.createTempDirectory("graftlog_ret_out").toString
+    def runOnce(): Unit = {
+      val q = GraftLog.readStream(spark, dir)
+        .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // consumer drains everything, committing offset 11
+    runOnce()
+    assert(GraftLog.committedOffset(ckpt) == Map("" -> 11L))
+    // retention: keep the last 4 records. cutoff = 7, so only segment 0
+    // (ordinals 0-3) is FULLY below it — segment 1 straddles and is kept
+    // whole (segments are immutable; partial coverage never truncates)
+    val dead = GraftLog.expireSegments(dir, keepRecords = 4)
+    assert(dead.size == 1, s"expected 1 expired segment, got $dead")
+    assert(GraftLog.baseOrdinal(dir) == 4L)
+    // ordinal stability: batch read sees exactly records 4..10; the log
+    // END (total) is unchanged at 11
+    assert(GraftLog.read(spark, dir).select(col("event_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == (4L to 10L))
+    assert(GraftLog.logTotal(dir) == 11L)
+    // the committed consumer resumes across the expiry: new segment lands,
+    // restart replays ONLY it (offset 11 still names the same boundary)
+    GraftLog.appendSegment(dir, 3, Seq(11L, 12).map(line))
+    runOnce()
+    assert(spark.read.schema(GraftLog.schema).parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+      == (0L to 12L), "resume across retention replayed history or lost the tail")
+    // a fresh consumer starts at the log-start offset (earliest available)
+    val ckpt2 = Files.createTempDirectory("graftlog_ret_ckpt2").toString
+    val t3 = drainToTable(GraftLog.readStream(spark, dir), ckpt2)
+    assert(t3.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+      == (4L to 12L))
+    // an explicit seek below the log start is retention-expired data: loud
+    val ex = intercept[Exception] {
+      drainToTable(GraftLog.readStream(spark, dir, startingOffset = 3L),
+        Files.createTempDirectory("graftlog_ret_ckpt3").toString)
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("retention: a consumer whose committed offset fell below the log start fails loudly") {
+    // consumer fully drains a 3-record log, committing offset 3 ...
+    val dir = freshLog(Seq(Seq(0L, 1, 2)))
+    val ckpt = Files.createTempDirectory("graftlog_lost_ckpt").toString
+    val out = Files.createTempDirectory("graftlog_lost_out").toString
+    def runOnce(): Unit = {
+      val q = GraftLog.readStream(spark, dir)
+        .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(GraftLog.committedOffset(ckpt) == Map("" -> 3L))
+    // ... then the producer lands 5 more records and retention expires
+    // PAST the consumer's offset (keep last 2 → log start 6)
+    GraftLog.appendSegment(dir, 1, Seq(3L, 4, 5).map(line))
+    GraftLog.appendSegment(dir, 2, Seq(6L, 7).map(line))
+    GraftLog.expireSegments(dir, keepRecords = 2)
+    assert(GraftLog.baseOrdinal(dir) == 6L)
+    // resume must fail loudly, not skip records 3..5 silently
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(ex.getMessage.contains("expired by retention") ||
+      String.valueOf(ex.getCause).contains("expired by retention"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("retention: time-based expiry drops exactly the all-older-than prefix") {
+    // line(id) stamps ts_us = 1.7e15 + id*1e6 — monotone in id here
+    val dir = freshLog(Seq(Seq(0L, 1, 2), Seq(3L, 4, 5), Seq(6L, 7)))
+    // cutoff at id 4's timestamp: segment 0 is all-older; segment 1 is NOT
+    // (record 5 >= would-be cutoff at 5) — only the prefix whose EVERY
+    // record is older dies
+    val cutoffUs = 1700000000000000L + 5L * 1000000L
+    val dead = GraftLog.expireBefore(dir, cutoffUs)
+    assert(dead.size == 1, s"expected only segment 0 expired, got $dead")
+    assert(GraftLog.baseOrdinal(dir) == 3L)
+    assert(GraftLog.read(spark, dir).select(col("event_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == (3L to 7L))
+    // idempotent: a second pass with the same cutoff is a no-op
+    assert(GraftLog.expireBefore(dir, cutoffUs).isEmpty)
+  }
 }

@@ -1619,8 +1619,43 @@ class OperatorSpec extends SparkFixture {
       .collect().map(_.getLong(0)).sorted
     assert(got.toSeq == (500L until 520L).toSeq)
     // time travel: v1's live set is the pre-overwrite union
-    assert(DeltaExport.liveFiles(dir, 1L).toSet !=
-      DeltaExport.liveFiles(dir, 2L).toSet)
+    assert(DeltaExport.liveFiles(spark, dir, 1L).toSet !=
+      DeltaExport.liveFiles(spark, dir, 2L).toSet)
+  }
+
+  test("DeltaExport checkpoints: reader resolves from _last_checkpoint, replaying O(1) JSON entries") {
+    import graft.ops.DeltaExport
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("delta_ckpt").toString + "/t"
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    // 5 commits, checkpoint every 2 → checkpoints at v1 and v3
+    (0 until 5).foreach { i =>
+      assert(DeltaExport.commit(spark, dir, df(i * 100, i * 100 + 50),
+        checkpointInterval = 2) == i.toLong)
+    }
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    assert(java.nio.file.Files.exists(log.resolve("00000000000000000003.checkpoint.parquet")))
+    assert(DeltaExport.lastCheckpoint(dir).map(_._1).contains(3L))
+    val expect = (0 until 5).flatMap(i => i * 100L until i * 100L + 50L).sorted
+    assert(DeltaExport.readDeltaLog(spark, dir).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // THE pin: delete every JSON entry at or below the checkpoint version —
+    // a reader that still replays from 0 crashes; the checkpointed reader
+    // replays only 4.json and resolves identically
+    (0 to 3).foreach { i =>
+      java.nio.file.Files.delete(log.resolve(f"$i%020d.json"))
+    }
+    assert(DeltaExport.readDeltaLog(spark, dir).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == expect,
+      "checkpointed read diverged after truncating the JSON chain")
+    // checkpoint file is protocol-shaped: protocol + metaData + add rows
+    val ck = spark.read.parquet(log.resolve("00000000000000000003.checkpoint.parquet").toString)
+    assert(ck.columns.sorted.toSeq == Seq("add", "metaData", "protocol"))
+    assert(ck.where(col("protocol").isNotNull).count() == 1L)
+    assert(ck.where(col("metaData").isNotNull).count() == 1L)
+    assert(ck.where(col("add").isNotNull).count() ==
+      DeltaExport.liveFiles(spark, dir, 3L).size.toLong)
   }
 
   test("window_attribution: the three models conserve value — grand totals equal and match attributed purchases") {
