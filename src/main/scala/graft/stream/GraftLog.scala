@@ -53,6 +53,15 @@ object GraftLog {
   /** The logical events schema every source implementation must produce. */
   val schema: StructType = Schemas.events
 
+  /** Wire-schema generation 2 (r13 — r12 verdict item 5): v2 segments add
+    * a trailing `source` column, declared by a `#v=2` header line. Schema
+    * evolution is reader-side merge: a v2 reader surfaces v1 records with
+    * `source` NULL (backward compat), and the v1 reader ignores trailing
+    * fields in v2 segments (forward compat) — a producer upgrade never
+    * breaks a running consumer in either direction. */
+  val schemaV2: StructType = Schemas.events
+    .add("source", org.apache.spark.sql.types.StringType)
+
   private[stream] val SegmentPrefix = "segment-"
 
   /** A segment's contribution to the ordinal space. */
@@ -68,7 +77,15 @@ object GraftLog {
     countCache.computeIfAbsent(key, _ => {
       var n = 0L
       val reader = Files.newBufferedReader(p, StandardCharsets.UTF_8)
-      try { while (reader.readLine() != null) n += 1 } finally reader.close()
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          // header lines (`#v=2`) are metadata, not records — ordinals
+          // count records only, so headers never shift an offset
+          if (!line.startsWith("#")) n += 1
+          line = reader.readLine()
+        }
+      } finally reader.close()
       n
     })
   }
@@ -296,13 +313,51 @@ object GraftLog {
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Stage a batch DataFrame carrying the v2 wire schema (events columns +
+    * `source`) as v2 segments: each segment opens with the `#v=2` header
+    * and its records carry the 7th tab-separated field. The upgraded-
+    * producer half of the wire-evolution seam; same staging contract as
+    * [[stage]]. */
+  def stageV2(spark: SparkSession, events: DataFrame, dir: String,
+      segmentRows: Int = 4096, firstSegment: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    Files.createDirectories(Paths.get(dir))
+    val it = events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"), col("source"))
+      .orderBy(col("event_id"))
+      .toLocalIterator()
+    var seg = firstSegment - 1
+    var inSeg = segmentRows // force a roll on the first record
+    var out: java.io.BufferedWriter = null
+    try {
+      while (it.hasNext) {
+        if (inSeg >= segmentRows) {
+          if (out != null) out.close()
+          seg += 1; inSeg = 0
+          out = Files.newBufferedWriter(
+            Paths.get(dir, f"$SegmentPrefix$seg%05d.log"), StandardCharsets.UTF_8)
+          out.write("#v=2"); out.newLine()
+        }
+        val r = it.next()
+        out.write(s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
+          s"${r.getString(3)}\t${java.lang.Double.toString(r.getDouble(4))}\t" +
+          s"${r.getString(5)}\t${r.getString(6)}")
+        out.newLine()
+        inSeg += 1
+      }
+    } finally if (out != null) out.close()
+  }
+
   /** Open the log as a streaming DataFrame. `startingOffset` seeks; a
-    * `maxRecordsPerTrigger` bound forces multi-batch execution. */
+    * `maxRecordsPerTrigger` bound forces multi-batch execution;
+    * `wireVersion = 2` reads under the evolved schema ([[schemaV2]]). */
   def readStream(spark: SparkSession, dir: String, startingOffset: Long = 0L,
-      maxRecordsPerTrigger: Option[Long] = None): DataFrame = {
+      maxRecordsPerTrigger: Option[Long] = None, wireVersion: Int = 1): DataFrame = {
     val r = spark.readStream.format(classOf[GraftLogDataSource].getName)
       .option("path", dir)
       .option("startingOffset", startingOffset.toString)
+      .option("wireVersion", wireVersion.toString)
     maxRecordsPerTrigger.foreach(m => r.option("maxRecordsPerTrigger", m.toString))
     r.load()
   }
@@ -347,38 +402,44 @@ object GraftLog {
   }
 
   /** Open the log as a batch DataFrame (the BATCH_READ capability). */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format(classOf[GraftLogDataSource].getName).option("path", dir).load()
+  def read(spark: SparkSession, dir: String, wireVersion: Int = 1): DataFrame =
+    spark.read.format(classOf[GraftLogDataSource].getName)
+      .option("path", dir).option("wireVersion", wireVersion.toString).load()
 }
 
 /** `format("graft-log")` entry point. */
 class GraftLogDataSource extends TableProvider with DataSourceRegister {
+  private def wireV2(options: java.util.Map[String, String]): Boolean =
+    Option(options.get("wireVersion")).exists(_.trim == "2")
   override def shortName(): String = "graft-log"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftLog.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (wireV2(options)) GraftLog.schemaV2 else GraftLog.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new GraftLogTable(Option(properties.get("path")).getOrElse(
-      sys.error("graft-log: 'path' option is required")))
+      sys.error("graft-log: 'path' option is required")), wireV2(properties))
 }
 
-final class GraftLogTable(dir: String) extends Table with SupportsRead {
+final class GraftLogTable(dir: String, wireV2: Boolean) extends Table with SupportsRead {
   override def name(): String = s"graft-log:$dir"
-  override def schema(): StructType = GraftLog.schema
+  override def schema(): StructType =
+    if (wireV2) GraftLog.schemaV2 else GraftLog.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScan(dir,
       Option(options.get("startingOffset")).map(_.toLong).getOrElse(0L),
-      Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
+      Option(options.get("maxRecordsPerTrigger")).map(_.toLong), wireV2)
 }
 
 final class GraftLogScan(dir: String, startingOffset: Long,
-    maxRecordsPerTrigger: Option[Long]) extends ScanBuilder with Scan {
+    maxRecordsPerTrigger: Option[Long], wireV2: Boolean) extends ScanBuilder with Scan {
   override def build(): Scan = this
-  override def readSchema(): StructType = GraftLog.schema
+  override def readSchema(): StructType =
+    if (wireV2) GraftLog.schemaV2 else GraftLog.schema
   override def description(): String = s"graft-log $dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(dir, startingOffset, maxRecordsPerTrigger)
+    new GraftLogMicroBatchStream(dir, startingOffset, maxRecordsPerTrigger, wireV2)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       // batch reads start at the log-start offset — retention-expired
@@ -386,7 +447,9 @@ final class GraftLogScan(dir: String, startingOffset: Long,
       val totals = GraftLog.totalsVector(dir)
       val bases = totals.keys.map(p =>
         p -> GraftLog.baseOrdinal(GraftLog.partDir(dir, p))).toMap
-      GraftLog.planVector(dir, bases, totals)
+      GraftLog.planVector(dir, bases, totals).map {
+        case p: GraftLogInputPartition => p.copy(wireV2 = wireV2): InputPartition
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
   }
@@ -418,7 +481,7 @@ object GraftLogOffset {
 }
 
 final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
-    maxRecordsPerTrigger: Option[Long])
+    maxRecordsPerTrigger: Option[Long], wireV2: Boolean = false)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // AvailableNow contract: freeze the log's end at trigger start, so the
@@ -494,7 +557,9 @@ final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     GraftLog.planVector(dir, start.asInstanceOf[GraftLogOffset].parts,
-      end.asInstanceOf[GraftLogOffset].parts)
+      end.asInstanceOf[GraftLogOffset].parts).map {
+      case p: GraftLogInputPartition => p.copy(wireV2 = wireV2): InputPartition
+    }
 
   override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
 
@@ -502,8 +567,10 @@ final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
   override def stop(): Unit = ()
 }
 
-/** One segment slice: skip `skip` records, read `take`. */
-final case class GraftLogInputPartition(path: String, skip: Long, take: Long)
+/** One segment slice: skip `skip` records, read `take`. `wireV2` selects
+  * the evolved output schema (7th `source` column, NULL for v1 records). */
+final case class GraftLogInputPartition(path: String, skip: Long, take: Long,
+    wireV2: Boolean = false)
   extends InputPartition
 
 object GraftLogReaderFactory extends PartitionReaderFactory {
@@ -513,7 +580,10 @@ object GraftLogReaderFactory extends PartitionReaderFactory {
 
 /** Line reader for one segment slice — parses the TSV wire format into
   * InternalRow (TimestampType's internal representation IS epoch-µs long,
-  * so `ts_us` needs no conversion). */
+  * so `ts_us` needs no conversion). Wire evolution: header lines (`#v=2`)
+  * are metadata, skipped without consuming an ordinal; a v1 reader
+  * ignores trailing fields of v2 records (forward compat), a v2 reader
+  * NULL-fills `source` on 6-field v1 records (backward compat). */
 final class GraftLogPartitionReader(part: GraftLogInputPartition)
   extends PartitionReader[InternalRow] {
   private val reader = Files.newBufferedReader(Paths.get(part.path), StandardCharsets.UTF_8)
@@ -521,21 +591,32 @@ final class GraftLogPartitionReader(part: GraftLogInputPartition)
   private var emitted = 0L
   private var row: InternalRow = _
 
+  /** Next RECORD line (headers skipped), or null at EOF. */
+  private def readRecord(): String = {
+    var line = reader.readLine()
+    while (line != null && line.startsWith("#")) line = reader.readLine()
+    line
+  }
+
   override def next(): Boolean = {
     while (skipped < part.skip) {
-      require(reader.readLine() != null,
+      require(readRecord() != null,
         s"graft-log: segment ${part.path} shorter than planned skip ${part.skip}")
       skipped += 1
     }
     if (emitted >= part.take) false
     else {
-      val line = reader.readLine()
+      val line = readRecord()
       require(line != null,
         s"graft-log: segment ${part.path} shorter than planned slice")
       val f = line.split('\t')
-      require(f.length == 6, s"graft-log: malformed record in ${part.path}: $line")
-      row = InternalRow(f(0).toLong, f(1).toLong, f(2).toLong,
+      require(f.length >= 6, s"graft-log: malformed record in ${part.path}: $line")
+      val base = Seq[Any](f(0).toLong, f(1).toLong, f(2).toLong,
         UTF8String.fromString(f(3)), f(4).toDouble, UTF8String.fromString(f(5)))
+      row =
+        if (!part.wireV2) InternalRow(base: _*)
+        else InternalRow(base :+
+          (if (f.length >= 7) UTF8String.fromString(f(6)) else null): _*)
       emitted += 1
       true
     }

