@@ -42,11 +42,23 @@ object Serve {
     val wire = events.select(to_json(struct(
       col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
       col("event_type"), col("value"), col("props"))).as("line"))
-    wire.writeStream
+    pushLines(wire, host, port, checkpointDir = None)
+  }
+
+  /** Push a single-string-column ("line") streaming DF to `host:port`, one
+    * line per row, from executor-side ForeachWriter connections. An
+    * explicit `checkpointDir` makes the push RESTARTABLE — a later query
+    * on the same checkpoint resumes from the committed source offsets (the
+    * egress half of the end-to-end service chain). */
+  def pushLines(lines: DataFrame, host: String, port: Int,
+      checkpointDir: Option[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val w = lines.writeStream
       .foreach(new LineSocketWriter(host, port))
       .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
+      .trigger(trigger)
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.start()
   }
 
   /** Executor-side per-partition TCP push of a single string column. */

@@ -651,6 +651,55 @@ object StreamOps {
         GROUP BY event_type
         ORDER BY event_type""".trim)),
 
+    // The composed end-to-end service loop (r13 — see [[E2e]]; r12 verdict
+    // item 1, highest leverage): graft-log ingest → per-user stateful
+    // transform → serve egress as ONE restartable chain. Generation 1 of
+    // the log (first ~60% by event_id) drains through the chain, the query
+    // TERMINATES (the down window), the producer lands generation 2, and a
+    // SECOND query on the same checkpoint resumes — offsets at the source
+    // (only gen 2 replays), state across the restart (per-user sequence
+    // counters continue where gen 1 left them), idempotent consumption at
+    // the sink (exact-line dedup; a divergent re-push would survive as a
+    // duplicate event_id row and fail the row count). The result is every
+    // served record with its sequence number, hash-matched against the
+    // batch ROW_NUMBER oracle over the FULL log: one lost, duplicated, or
+    // re-numbered record anywhere across the restart boundary fails. The
+    // asynchronous mid-batch kill variant is pinned in StreamingSpec.
+    Q("pipeline_e2e_serve",
+      (spark, sfDir) => {
+        ensureRocksDb(spark)
+        val log = graft.Tmp.dir("e2e_log", sfDir)
+        val ckpt = graft.Tmp.dir("e2e_ckpt", sfDir)
+        graft.ops.Acid.reset(log); graft.ops.Acid.reset(ckpt)
+        val ev = Tables.events(spark, sfDir)
+        val n = ev.count()
+        // deterministic split point: the (3n/5)-th smallest event_id
+        val split = ev.orderBy(col("event_id")).limit((n * 3 / 5).toInt)
+          .agg(max(col("event_id"))).head.getLong(0)
+        GraftLog.stage(spark, ev.filter(col("event_id") <= split), log,
+          segmentRows = 4096)
+        val client = new Serve.SubscriberClient()
+        val perTrigger = math.max(1024L, n / 5)
+        // leg 1: drain generation 1 in several admitted micro-batches
+        E2e.startChain(spark, log, ckpt, perTrigger,
+          "127.0.0.1", client.port).awaitTermination()
+        // the consumer is down; the producer keeps producing
+        GraftLog.stage(spark, ev.filter(col("event_id") > split), log,
+          segmentRows = 4096, firstSegment = 90000)
+        // leg 2: restart from the checkpoint — offsets AND state resume
+        E2e.startChain(spark, log, ckpt, perTrigger,
+          "127.0.0.1", client.port).awaitTermination()
+        client.quiesce(); client.close()
+        E2e.parseReceived(spark, client.lines)
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        ORDER BY event_id""".trim)),
+
     // The PRODUCER side of the commit log (r12): a StreamingQuery LANDS
     // its micro-batches as graft-log segments (executors render the TSV
     // wire format distributed; deterministic segment names + overwrite =

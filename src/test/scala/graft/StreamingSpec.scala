@@ -1302,4 +1302,55 @@ class StreamingSpec extends SparkFixture {
       "second run committed no new transactions")
     assert(txnsFirst.subsetOf(Acid.committedTxns(table)))
   }
+
+  test("e2e service chain: asynchronous kill mid-drain, restart resumes — no loss, no dup, state continuity") {
+    import graft.stream.{E2e, GraftLog, Serve}
+    import java.nio.file.{Files => NF}
+    val log = NF.createTempDirectory("e2e_kill_log").toString
+    val ckpt = NF.createTempDirectory("e2e_kill_ckpt").toString
+    val ev = Tables.events(spark, sf001)
+    val total = ev.count()
+    GraftLog.stage(spark, ev, log, segmentRows = 512)
+    val client = new Serve.SubscriberClient()
+    // many small admitted batches on a slow trigger, so the kill lands
+    // mid-drain with high probability (the assertions hold wherever it
+    // lands — that invariance is the point)
+    val perTrigger = math.max(64L, total / 16)
+    val q = E2e.startChain(spark, log, ckpt, perTrigger,
+      "127.0.0.1", client.port, Trigger.ProcessingTime("100 milliseconds"))
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    def committed(): Int =
+      if (!NF.isDirectory(commits)) 0
+      else {
+        val l = NF.list(commits)
+        try l.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+          .count(_.matches("\\d+"))
+        finally l.close()
+      }
+    while (committed() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(committed() >= 2, "chain never committed 2 batches before the kill deadline")
+    q.stop(); q.awaitTermination() // the KILL — uncommitted work in flight
+    // restart on the same checkpoint: replay the uncommitted range, then
+    // drain the rest to completion
+    E2e.startChain(spark, log, ckpt, perTrigger,
+      "127.0.0.1", client.port).awaitTermination()
+    client.quiesce(); client.close()
+    val got = E2e.parseReceived(spark, client.lines)
+    // no dup: at-least-once re-pushes are absorbed only because replayed
+    // records carry byte-identical lines — a divergent seq would double a
+    // row here
+    assert(got.count() == got.select(col("event_id")).distinct().count(),
+      "duplicate event_id with divergent seq after the kill/restart")
+    // no loss + state continuity: exact equality with the batch twin —
+    // any state reset at the kill renumbers every later record per user
+    val expect = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))).cast("long").as("seq"))
+    assert(got.count() == expect.count(),
+      s"lost records across the kill: ${got.count()} vs ${expect.count()}")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "served (user_id, event_id, seq) set diverged from the batch twin")
+  }
 }
