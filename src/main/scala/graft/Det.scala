@@ -64,6 +64,21 @@ object Det {
     * int64-exact prefix. */
   def sqlEmit(x: String, scale: Int): String =
     s"CAST(CAST(CAST($x AS DECIMAL(18,$scale)) AS STRING) AS DOUBLE)"
+
+  /** Wide emit for aggregates that outgrow DECIMAL(18,s)'s |value| <
+    * 10^(18-s) domain AT SCALE — e.g. Gini's Σ i·xᵢ grows O(n²·x̄) and
+    * passed 10^16 at the r13 sf1 full gate (ANSI overflow, caught loudly
+    * rather than silently wrapping). Route through DECIMAL(38,s): Spark's
+    * decimal→double (BigDecimal.doubleValue) is single-rounded at any
+    * precision, and the SQL twin string-routes like [[sqlEmit]] because
+    * int128 decimals double-round in DuckDB far earlier than 2^53.
+    * Bit-identical to [[emit]] on values inside the narrow domain (same
+    * quantization, same correctly-rounded double), so adopting it never
+    * moves a small-SF hash. */
+  def emitWide(c: Column, scale: Int): Column =
+    c.cast(DecimalType(38, scale)).cast("double")
+  def sqlEmitWide(x: String, scale: Int): String =
+    s"CAST(CAST(CAST($x AS DECIMAL(38,$scale)) AS STRING) AS DOUBLE)"
   def sqlSumMoney(x: String): String = sqlEmit(s"SUM(CAST($x AS DECIMAL(12,2)))", 2)
   def sqlVal6(x: String): String = s"CAST($x AS DECIMAL(18,6))"
   def sqlSumVal6(x: String): String = sqlEmit(s"SUM(${sqlVal6(x)})", 6)

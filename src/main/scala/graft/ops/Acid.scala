@@ -499,32 +499,88 @@ object Acid {
     * commits a manifest with NO delete lines — the maintenance operator
     * that keeps the read-path anti-join small. The txn ledger is carried
     * forward so streaming exactly-once resumption survives compaction. */
-  def compactDeletes(spark: SparkSession, table: String, txnId: Long): Long = {
+  def compactDeletes(spark: SparkSession, table: String, txnId: Long): Long =
+    rewriteCommit(spark, table, txnId, "compactDeletes")(identity)(_ => Seq.empty)
+
+  /** OPTIMIZE — small-file compaction + clustering (Delta `OPTIMIZE …
+    * ZORDER BY` / Iceberg `rewrite_data_files`): rewrite the live merged
+    * snapshot as `targetFiles` files, range-clustered on `clusterCol`
+    * (bin-pack only when None), in one rewrite commit. This is the
+    * maintenance operator for the small-files problem a streaming sink
+    * creates by construction — a commit per micro-batch means O(batches)
+    * tiny files, and every later scan pays per-file open cost while zone
+    * maps stay useless because ARRIVAL order clusters nothing. After the
+    * rewrite each file owns a disjoint `clusterCol` slice, so the
+    * `stats` zone maps harvested here make [[readSkipping]] sharp —
+    * compaction is what MAKES data skipping effective, they are one
+    * operation at 100 TB, not two. Standing delete vectors fold in (the
+    * rewrite reads the merged state), the txn ledger is carried forward
+    * (streaming exactly-once survives, replay no-ops), and a commit
+    * racing the rewrite triggers the stale-snapshot retry rather than
+    * being silently dropped — same loop as [[compactDeletes]]. */
+  def optimize(spark: SparkSession, table: String, txnId: Long,
+      targetFiles: Int, clusterCol: Option[String] = None,
+      stats: Option[(String, Column)] = None): Long = {
+    require(targetFiles >= 1, "optimize: targetFiles must be >= 1")
+    rewriteCommit(spark, table, txnId, "optimize") { merged =>
+      clusterCol match {
+        case Some(c) => merged.repartitionByRange(targetFiles, col(c))
+        case None    => merged.coalesce(targetFiles)
+      }
+    } { newFiles =>
+      // zone maps for the freshly clustered files (root-relative paths, so
+      // [[skipFiles]] matches them against the manifest's data lines). At
+      // 100 TB these come free from the parquet footers the rewrite just
+      // wrote; the narrow re-read is fixture-scale convenience, same as
+      // [[commit]]'s stat harvest.
+      stats.toSeq.flatMap { case (name, expr) =>
+        val root = Paths.get(table).toAbsolutePath
+        spark.read.parquet(newFiles.map(f => s"$table/$f"): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(expr).as("lo"), max(expr).as("hi"))
+          .collect() // O(files) rows — manifest-construction control plane
+          .map { r =>
+            val rel = root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
+            s"# minmax:$rel|$name|${r.getLong(1)}|${r.getLong(2)}"
+          }.sorted
+      }
+    }
+  }
+
+  /** Shared snapshot-rewrite commit loop ([[compactDeletes]] /
+    * [[optimize]]): materialize the merged current state OUTSIDE the lock
+    * (the rewrite must not read files its own manifest is about to stop
+    * referencing), apply `layout`, land as `txn=<txnId>/`, and commit a
+    * manifest of ledger + `headers(newFiles)` + the new files only — no
+    * delete lines (the rewrite folded them in). A commit landing between
+    * materialization and the lock restarts the loop against the advanced
+    * state; committing the stale snapshot would silently drop that
+    * writer's rows. */
+  private def rewriteCommit(spark: SparkSession, table: String, txnId: Long,
+      what: String)(layout: DataFrame => DataFrame)(
+      headers: Seq[String] => Seq[String]): Long = {
     val StaleSnapshot = -2L
     var attempts = 0
     var out = StaleSnapshot
     while (out == StaleSnapshot) {
       attempts += 1
-      require(attempts <= 50, s"compactDeletes: concurrent-commit retry limit on $table")
+      require(attempts <= 50, s"$what: concurrent-commit retry limit on $table")
       val snapV = currentVersion(table).getOrElse(
-        sys.error(s"Acid.compactDeletes: no committed version at $table"))
-      val merged = readVersion(spark, table, snapV).cache()
-      merged.count() // materialize BEFORE the lock: the rewrite must not read
-                     // files the new manifest is about to stop referencing
+        sys.error(s"Acid.$what: no committed version at $table"))
+      val merged = layout(readVersion(spark, table, snapV)).cache()
+      merged.count() // materialize BEFORE the lock
       try out = withWriterLock(table) {
         commitNextVersion(table) { (cur, prev) =>
           require(prev.contains("# base:."),
-            s"compactDeletes on snapshot-mode table $table")
+            s"$what on snapshot-mode table $table")
           if (prev.contains(s"# txn:$txnId")) Some(cur.get) // replay → no-op
-          // a commit landed between materializing the merge and taking the
-          // lock: committing the stale snapshot would silently drop that
-          // writer's rows — re-materialize against the advanced state
           else if (cur.get != snapV) Some(StaleSnapshot)
           else None
         } { (_, prev) =>
           val newFiles = writeTxnData(spark, table, merged, txnId)
           ("# base:." +:
-            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++ newFiles
+            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            headers(newFiles) ++ newFiles
         }
       } finally merged.unpersist(blocking = false)
     }
@@ -556,19 +612,30 @@ object Acid {
     * it is the difference between "open 4 of 40,000 files" and "open all
     * of them to let parquet row-group stats say no". The caller keeps the
     * residual predicate on the returned frame: skipping only removes
-    * provably-dead files, it never substitutes for the filter. */
+    * provably-dead files, it never substitutes for the filter. Works on
+    * both snapshot-mode (`v=<n>/`-relative) and append-mode
+    * (root-relative) manifests — the latter get their zone maps from
+    * [[optimize]]; standing delete vectors are subtracted so a skipping
+    * read never resurrects a deleted row. */
   def readSkipping(spark: SparkSession, table: String, statsName: String,
       lo: Long, hi: Long): DataFrame = {
     val v = currentVersion(table).getOrElse(
       sys.error(s"Acid.readSkipping: no committed version at $table"))
     val (kept, all) = skipFiles(table, v, statsName, lo, hi)
     require(all.nonEmpty, s"Acid.readSkipping: empty manifest at $table v$v")
-    if (kept.isEmpty) spark.read
-      .option("basePath", s"$table/v=$v")
-      .parquet(s"$table/v=$v/${all.head}").limit(0) // schema-stable empty
-    else spark.read
-      .option("basePath", s"$table/v=$v")
-      .parquet(kept.map(f => s"$table/v=$v/$f"): _*)
+    val lines = manifestLines(table, v)
+    val rootRel = lines.contains("# base:.")
+    val base = if (rootRel) table else s"$table/v=$v"
+    // append-mode files live under txn=<id>/ dirs: a basePath at the table
+    // root would hive-parse `txn` into a phantom partition column, so the
+    // root-relative branch reads explicit files bare (same as readVersion)
+    def rd(paths: Seq[String]) =
+      if (rootRel) spark.read.parquet(paths: _*)
+      else spark.read.option("basePath", base).parquet(paths: _*)
+    val df =
+      if (kept.isEmpty) rd(Seq(s"$base/${all.head}")).limit(0) // schema-stable empty
+      else rd(kept.map(f => s"$base/$f"))
+    subtractDeletes(spark, table, lines, df)
   }
 
   /** Per-file row counts of version `v`, from the manifest's `# rows:`
@@ -623,6 +690,78 @@ object Acid {
     else spark.read
       .option("basePath", s"$table/v=$v")
       .parquet(kept.map(f => s"$table/v=$v/$f"): _*)
+  }
+
+  /** Change data feed — row-level changes committed in versions
+    * `(fromV, toV]` of an append-mode table (Delta CDF's `table_changes` /
+    * Iceberg's changelog scan): the incremental-consumption seam that
+    * lets a downstream job (MV refresh, index update, replication)
+    * process O(changes) instead of rescanning O(table) per cycle.
+    *
+    * Derived entirely from the two manifests, no change files needed,
+    * because append-mode commits are monotone: appends ADD files (never
+    * touch old ones — pinned in OperatorSpec) and deletes ADD key
+    * vectors. So:
+    *
+    *  - inserts = rows in (toV's files − fromV's files), minus keys in
+    *    toV's standing vectors — a row appended then deleted inside the
+    *    window nets to nothing, and a row appended under an
+    *    already-deleted key was never visible (vectors subtract keys,
+    *    not predicates — the [[appendManifest]] carry-forward rule);
+    *  - deletes = fromV's LIVE state semi-joined to (toV's vectors −
+    *    fromV's vectors) — full preimage rows, Delta CDF shape; keys
+    *    deleted that never existed at fromV emit nothing.
+    *
+    * The fundamental invariant (spec-pinned): state(fromV) + inserts −
+    * deletes == state(toV), bit for bit. Rewrite commits
+    * ([[compactDeletes]]/[[optimize]]) REPLACE files without logical
+    * change, which breaks the file-diff derivation — crossing one fails
+    * loudly; production CDF materializes `_change_data` files at write
+    * time for exactly this case (out of scope). Cost: O(changed files +
+    * vectors) I/O for inserts; the delete preimage reads fromV filtered
+    * by a broadcast semi-join (at 100 TB, [[skipFilesBloom]] prunes that
+    * scan to the files whose blooms admit a deleted key). */
+  def changeFeed(spark: SparkSession, table: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV < toV, s"changeFeed: need fromV < toV, got $fromV >= $toV")
+    val linesFrom = manifestLines(table, fromV)
+    val linesTo = manifestLines(table, toV)
+    require(linesFrom.contains("# base:.") && linesTo.contains("# base:."),
+      s"changeFeed on snapshot-mode table $table")
+    val filesFrom = linesFrom.filterNot(_.startsWith("#")).toSet
+    val filesTo = linesTo.filterNot(_.startsWith("#"))
+    require(filesFrom.subsetOf(filesTo.toSet),
+      s"changeFeed($fromV, $toV) crosses a rewrite commit (files were " +
+        "replaced without logical change) — consume the feed before " +
+        "maintenance or materialize change files at write time")
+    def delFiles(lines: Seq[String]): Seq[String] =
+      lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim)
+    def keyOf(lines: Seq[String]): Option[String] =
+      lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
+    val added = filesTo.filterNot(filesFrom)
+    val delsToFiles = delFiles(linesTo)
+    val newDelFiles = delsToFiles.filterNot(delFiles(linesFrom).toSet)
+    val insertsRaw =
+      if (added.isEmpty) readVersion(spark, table, toV).limit(0) // schema-stable
+      else spark.read.parquet(added.map(f => s"$table/$f").toSeq: _*)
+    val insertTag = org.apache.spark.sql.functions.lit("insert")
+    keyOf(linesTo).filter(_ => delsToFiles.nonEmpty) match {
+      case Some(k) =>
+        val standing = spark.read.parquet(delsToFiles.map(f => s"$table/$f"): _*)
+          .select(col(k)).distinct()
+        val inserts = insertsRaw.join(standing, Seq(k), "left_anti")
+          .withColumn("change_type", insertTag)
+        if (newDelFiles.isEmpty) inserts
+        else {
+          val fresh = spark.read.parquet(newDelFiles.map(f => s"$table/$f"): _*)
+            .select(col(k)).distinct()
+          val deletes = readVersion(spark, table, fromV)
+            .join(fresh, Seq(k), "left_semi")
+            .withColumn("change_type", org.apache.spark.sql.functions.lit("delete"))
+          inserts.unionByName(deletes)
+        }
+      case None => insertsRaw.withColumn("change_type", insertTag)
+    }
   }
 
   private def horizonPath(table: String): Path = Paths.get(table, "_horizon")

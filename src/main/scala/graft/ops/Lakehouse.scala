@@ -364,5 +364,129 @@ object Lakehouse {
         WHERE event_type = 'view'
         GROUP BY event_type
         ORDER BY event_type""".trim)),
+
+    // OPTIMIZE — small-file compaction + clustering (r13): the maintenance
+    // op the streaming-sink shape makes mandatory. stream_acid_sink commits
+    // a version per micro-batch, so after a day the table is O(batches)
+    // tiny files scattered in ARRIVAL order: every scan pays per-file open
+    // cost and zone maps prune nothing because no file owns a key range.
+    // Here 8 micro-batch-shaped appends land 24 small files; one
+    // Acid.optimize rewrite (the same stale-snapshot CAS loop as
+    // compactDeletes — a racing append is retried against, never dropped)
+    // re-lands the live snapshot as 4 files RANGE-CLUSTERED on o_orderkey
+    // with fresh manifest zone maps. In-body requires pin the three claims
+    // that make this OPTIMIZE and not just a rewrite: (1) the file count
+    // collapses 24 → ≤4; (2) the txn ledger survives, so a replayed
+    // micro-batch still no-ops (streaming exactly-once is not reset by
+    // maintenance); (3) post-optimize, a key-range query opens ≤ 1/4 of
+    // the files via manifest skipping — pre-optimize the same query keeps
+    // EVERY file, which is the 100 TB point: compaction is what makes
+    // data skipping effective. Time travel to the pre-optimize version
+    // stays intact (immutable history). The oracle hash-checks the full
+    // read-back against the fixture — the rewrite lost and duplicated
+    // nothing.
+    Q("sink_acid_optimize",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_acidopt", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        // a day of micro-batches: 8 appends × 3 files each
+        (0 until 8).foreach { i =>
+          Acid.appendTxn(spark, table,
+            or.filter(pmod(col("o_orderkey"), lit(8)) === i).repartition(3),
+            txnId = i.toLong)
+        }
+        val preV = Acid.currentVersion(table).get
+        def dataFiles(v: Long) = Acid.skipFiles(table, v, "__none", 0L, 0L)._2
+        val preFiles = dataFiles(preV).size
+        val preRows = Acid.readVersion(spark, table, preV).count()
+        Acid.optimize(spark, table, txnId = 100L, targetFiles = 4,
+          clusterCol = Some("o_orderkey"),
+          stats = Some("okey" -> col("o_orderkey")))
+        val v = Acid.currentVersion(table).get
+        val postFiles = dataFiles(v).size
+        require(postFiles <= 4 && postFiles < preFiles,
+          s"optimize must collapse files: $preFiles -> $postFiles")
+        // ledger carried forward: replaying micro-batch 3 must no-op
+        require(Acid.appendTxn(spark, table, or.limit(5), txnId = 3L) == v,
+          "optimize must carry the txn ledger (replay no-op)")
+        // immutable history: the pre-optimize version still reads in full
+        require(Acid.readVersion(spark, table, preV).count() == preRows,
+          "pre-optimize time travel must stay intact")
+        // clustering makes skipping sharp: a key-range probe keeps ≤ 1/4
+        // of the files now; pre-optimize it provably kept all of them
+        // (no zone maps → nothing is skippable)
+        val (kept, all) = Acid.skipFiles(table, v, "okey", 1L, 100L)
+        require(kept.size * 4 <= all.size,
+          s"range-clustered zone maps must prune: kept ${kept.size} of ${all.size}")
+        require(Acid.skipFiles(table, preV, "okey", 1L, 100L)._1.size == preFiles,
+          "pre-optimize manifest has no zone maps, so nothing may be skipped")
+        Acid.readSkipping(spark, table, "okey", 1L, Long.MaxValue)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders
+        ORDER BY o_orderkey""".trim)),
+
+    // Change data feed (r13): row-level changes between two versions —
+    // Delta CDF's table_changes / Iceberg's changelog scan, the
+    // incremental-consumption seam. A downstream job (MV refresh, search
+    // index, replica) that rescans a 100 TB table per cycle is O(table);
+    // consuming the feed is O(changes): inserts come from exactly the
+    // files ADDED in the window (append-mode commits never touch old
+    // files), deletes from the NEW vector keys semi-joined to the
+    // window-start state for full preimage rows. History: v0 appends A
+    // (keys ≡0 mod 3), v1 appends B (≡1), v2 deletes every key ≡0 mod 7
+    // (hitting A and B), v3 appends C (≡2 — its ≡0-mod-7 keys land under
+    // the STANDING vector, so they were never visible and must not
+    // surface as inserts). The feed over (v0, v3] must be: inserts =
+    // B∪C minus the deleted keys, deletes = A's ≡0-mod-7 rows with full
+    // preimages — the oracle rebuilds both set-theoretically. The
+    // fundamental invariant (state(from) + inserts − deletes ==
+    // state(to)) and the loud rewrite-crossing failure are spec-pinned.
+    Q("scan_change_feed",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_cdf", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 0), txnId = 0L) // v0 = A
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 1), txnId = 1L) // v1 = B
+        Acid.deleteTxn(spark, table,
+          Tables.orders(spark, sfDir)
+            .filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 2L)                           // v2 = D
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 2), txnId = 3L) // v3 = C
+        Acid.changeFeed(spark, table, fromV = 0L, toV = 3L)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"), col("change_type"))
+          .orderBy(col("change_type"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+               change_type
+        FROM (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'insert' AS change_type
+          FROM orders
+          WHERE o_orderkey % 3 IN (1, 2) AND o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'delete' AS change_type
+          FROM orders
+          WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+        )
+        ORDER BY change_type, o_orderkey""".trim)),
   )
 }

@@ -755,8 +755,10 @@ object Stats {
           .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
             sum(col("rn") * col("x")).as("srx"))
         val nd = col("n").cast("double")
+        // srx = Σ i·xᵢ grows O(n²·x̄): 10^16 already at sf1 (the r13 full
+        // gate caught the narrow emit overflowing under ANSI) — wide emit
         g.select(col("p"), col("n"), emit(col("sx"), 2).as("total"),
-            round(lit(2.0) * emit(col("srx"), 2) / (nd * emit(col("sx"), 2))
+            round(lit(2.0) * emitWide(col("srx"), 2) / (nd * emit(col("sx"), 2))
               - (nd + lit(1.0)) / nd, 6).as("gini"))
           .orderBy(col("p"))
       },
@@ -770,7 +772,7 @@ object Stats {
           SELECT p, COUNT(*) AS n, SUM(x) AS sx, SUM(rn * x) AS srx
           FROM b GROUP BY p)
         SELECT p, n, ${graft.Det.sqlEmit("sx", 2)} AS total,
-          round(2.0 * ${graft.Det.sqlEmit("srx", 2)}
+          round(2.0 * ${graft.Det.sqlEmitWide("srx", 2)}
                   / (CAST(n AS DOUBLE) * ${graft.Det.sqlEmit("sx", 2)})
                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
         FROM g

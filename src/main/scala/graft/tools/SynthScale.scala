@@ -41,6 +41,10 @@ object SynthScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "true")
+      // match the driver fixture's INT64 timestamp-micros physical type
+      // (Spark's default INT96 is a legacy encoding DuckDB reads fine, but
+      // fixture fidelity means matching the bytes the driver writes)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -188,7 +192,10 @@ object SynthScale {
         element_at(array(Seq("en", "en", "en", "en", "en", "en", "de", "fr",
           "es", "ja").map(lit): _*), u("id", 37, 10).cast("int") + 1).as("lang"),
         concat(lit("src"), u("id", 38, 20)).as("source"))
-      .withColumn("n_chars", length(col("text"))),
+      // LongType to match the driver fixture's physical schema exactly —
+      // the r13 full gate caught length()'s int32 surfacing as a DTYPE
+      // mismatch on every key that passes n_chars through to its output
+      .withColumn("n_chars", length(col("text")).cast("long")),
       "documents")
 
     save(spark.range(nVecs).select(

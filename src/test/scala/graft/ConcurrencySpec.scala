@@ -41,7 +41,7 @@ class ConcurrencySpec extends SparkFixture {
     }
   }
 
-  test("Acid commit storm: 8 mixed CAS/lock/delete/compact writers, no txn lost, readers isolated") {
+  test("Acid commit storm: 9 mixed CAS/lock/delete/compact/optimize writers, no txn lost, readers isolated") {
     import graft.ops.Acid
     import org.apache.spark.sql.functions.col
     import scala.jdk.CollectionConverters._
@@ -111,6 +111,14 @@ class ConcurrencySpec extends SparkFixture {
           } catch { case t: Throwable => failures.add(t) }
         }),
         new Thread(() => {
+          // OPTIMIZE shares compactDeletes' stale-snapshot rewrite loop —
+          // racing it against the CAS appenders exercises the retry path
+          // with a layout shuffle in flight
+          try Acid.optimize(spark, table, txnId = 500L, targetFiles = 2,
+            clusterCol = Some("k"))
+          catch { case t: Throwable => failures.add(t) }
+        }),
+        new Thread(() => {
           // keep > total commits → retention never triggers mid-storm; this
           // exercises vacuum's lock + live-set walk + grace window racing
           // CAS writers whose data lands before their manifest commit
@@ -127,7 +135,7 @@ class ConcurrencySpec extends SparkFixture {
     // ledger: every txn id committed exactly once, replays included
     val txns = Acid.committedTxns(table)
     val expectedTxns = Set(1L, 100L, 101L, 110L, 111L, 120L, 121L,
-      200L, 201L, 300L, 301L, 400L, 401L)
+      200L, 201L, 300L, 301L, 400L, 401L, 500L)
     assert(txns == expectedTxns, s"txn ledger diverged: $txns")
     // final rows: seed minus both delete sets, plus every appended range —
     // regardless of interleaving (append keys never overlap delete keys)

@@ -1332,6 +1332,91 @@ class OperatorSpec extends SparkFixture {
       "compaction must preserve the txn ledger (exactly-once resumption)")
   }
 
+  test("Acid: optimize bin-packs + clusters, folds deletes, keeps ledger/history, and makes skipping sharp") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_opt").toString
+    def dataFiles(v: Long): Seq[String] =
+      Acid.skipFiles(table, v, "__none", 0L, 0L)._2
+    // 6 micro-batch appends, 4 files each (arrival order ⇒ no clustering),
+    // plus a standing delete vector the rewrite must fold in
+    (0 until 6).foreach { i =>
+      Acid.appendTxn(spark, table,
+        spark.range(0, 1200).filter(col("id") % 6 === i)
+          .select(col("id")).repartition(4), txnId = i.toLong)
+    }
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 1200).filter(col("id") % 100 === 0).select(col("id")),
+      "id", txnId = 50L)
+    val preV = Acid.currentVersion(table).get
+    val preFiles = dataFiles(preV).size
+    assert(preFiles == 24, s"expected 24 small files, got $preFiles")
+    val before = Acid.read(spark, table).collect().map(_.getLong(0)).sorted.toSeq
+    Acid.optimize(spark, table, txnId = 100L, targetFiles = 4,
+      clusterCol = Some("id"), stats = Some("id" -> col("id")))
+    val v = Acid.currentVersion(table).get
+    // contents identical, deletes folded (no vectors left), ledger carried
+    val after = Acid.read(spark, table).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "optimize changed the table contents")
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      table, s"manifest-$v.txt")).toArray.map(_.toString).toSeq
+    assert(!lines.exists(_.startsWith("# delete:")), "optimize must fold delete vectors")
+    assert(Acid.committedTxns(table) == Set(0L, 1L, 2L, 3L, 4L, 5L, 50L, 100L))
+    // replay no-op (maintenance must not reset streaming exactly-once)
+    assert(Acid.optimize(spark, table, txnId = 100L, targetFiles = 4) == v)
+    assert(Acid.appendTxn(spark, table, spark.range(0, 1).select(col("id")),
+      txnId = 2L) == v, "replayed micro-batch must still no-op after optimize")
+    // file collapse + immutable history
+    assert(dataFiles(v).size <= 4 && dataFiles(v).size < preFiles)
+    assert(Acid.readVersion(spark, table, preV).count() == before.size.toLong)
+    // range clustering makes the zone maps disjoint ⇒ a narrow probe keeps
+    // ~1 file; skipping read == plain read on the same predicate; an
+    // impossible range prunes everything to a schema-stable empty
+    val (kept, all) = Acid.skipFiles(table, v, "id", 10L, 60L)
+    assert(kept.size * 4 <= all.size, s"kept ${kept.size} of ${all.size}")
+    val viaSkip = Acid.readSkipping(spark, table, "id", 10L, 60L)
+      .filter(col("id").between(10, 60)).collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSkip == before.filter(k => k >= 10 && k <= 60),
+      "skipping read must equal the plain filtered read")
+    assert(Acid.readSkipping(spark, table, "id", 100000L, 200000L).count() == 0)
+  }
+
+  test("Acid: changeFeed(m,n) satisfies state(m) + inserts - deletes == state(n); rewrites fail loudly") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_cdf").toString
+    // interleaved appends and deletes, including keys appended-then-deleted
+    // inside a window, deleted-then-reappended (stay invisible — vectors
+    // subtract keys), and deletes of keys that never existed
+    Acid.appendTxn(spark, table, spark.range(0, 100).select(col("id")), 0L)      // v0
+    Acid.appendTxn(spark, table, spark.range(100, 180).select(col("id")), 1L)    // v1
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 200).filter(col("id") % 9 === 0).select(col("id")), "id", 2L) // v2
+    Acid.appendTxn(spark, table, spark.range(180, 260).select(col("id")), 3L)    // v3
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 400).filter(col("id") % 10 === 5).select(col("id")), "id", 4L) // v4
+    def state(v: Long): Set[Long] =
+      Acid.readVersion(spark, table, v).collect().map(_.getLong(0)).toSet
+    for (m <- 0L to 3L; n <- (m + 1) to 4L) {
+      val feed = Acid.changeFeed(spark, table, m, n).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val ins = feed.collect { case (k, "insert") => k }.toSet
+      val del = feed.collect { case (k, "delete") => k }.toSet
+      assert(ins.intersect(del).isEmpty, s"($m,$n]: a key is both insert and delete")
+      assert(state(m) ++ ins -- del == state(n),
+        s"changeFeed($m,$n] does not reproduce state($n)")
+      assert(del.subsetOf(state(m)), s"($m,$n]: delete preimage not in state($m)")
+    }
+    // crossing a rewrite (optimize replaces files, no logical change) is a
+    // loud error, never a feed of phantom inserts
+    Acid.optimize(spark, table, txnId = 100L, targetFiles = 2)
+    val e = intercept[IllegalArgumentException](Acid.changeFeed(spark, table, 3L, 5L))
+    assert(e.getMessage.contains("rewrite"))
+    // windows entirely after the rewrite work again
+    Acid.appendTxn(spark, table, spark.range(300, 320).select(col("id")), 6L)
+    val post = Acid.changeFeed(spark, table, 5L, 6L).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(post.forall(_._2 == "insert") && post.map(_._1).toSet == (300L until 320L).toSet)
+  }
+
   test("Acid: vacuum deletes only expired-exclusive files and expired time travel fails loudly") {
     import graft.ops.Acid
     val table = java.nio.file.Files.createTempDirectory("graft_acid_vac").toString
