@@ -16,7 +16,8 @@ object SparkEntry {
       ops.Llm.queries ++ ops.TextOps.queries ++ ops.Pipeline.queries ++
       ops.Udx.queries ++ ops.Graph.queries ++ ops.Bpe.queries ++
       ops.Stats.queries ++ ops.Lakehouse.queries ++
-      stream.StreamOps.queries ++ stream.Pattern.queries
+      stream.StreamOps.queries ++ stream.Pattern.queries ++
+      stream.AcidStream.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -692,6 +692,13 @@ object Acid {
       .parquet(kept.map(f => s"$table/v=$v/$f"): _*)
   }
 
+  /** Manifest accessor for the streaming source and change feed: (data
+    * files, `# delete:` lines) of version `v` — O(lines) control plane. */
+  private[graft] def manifestFiles(table: String, v: Long): (Seq[String], Seq[String]) = {
+    val lines = manifestLines(table, v)
+    (lines.filterNot(_.startsWith("#")), lines.filter(_.startsWith("# delete:")))
+  }
+
   /** Change data feed — row-level changes committed in versions
     * `(fromV, toV]` of an append-mode table (Delta CDF's `table_changes` /
     * Iceberg's changelog scan): the incremental-consumption seam that

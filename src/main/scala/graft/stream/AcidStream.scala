@@ -1,0 +1,229 @@
+package graft.stream
+
+import graft.{Q, Tables}
+import graft.Det._
+import graft.ops.Acid
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** The Acid TABLE as a STREAMING SOURCE (r13) — the lakehouse twin of the
+  * graft-log source, and the missing half of the table↔stream symmetry:
+  * `stream_acid_sink` lands a stream INTO the table exactly-once; this
+  * source streams committed appends OUT of it, so a governed table is
+  * also a replayable feed (Delta's streaming source / Iceberg's
+  * incremental read, the pattern every medallion pipeline runs between
+  * its bronze→silver→gold tables).
+  *
+  * Semantics, mirroring the public Delta source contract:
+  *  - **Offsets are table VERSIONS** — the commit log IS the stream. A
+  *    micro-batch covering `(start, end]` reads exactly the data files
+  *    each append commit in that range ADDED (manifest set-difference per
+  *    version — O(manifest lines) control plane, zero data I/O to plan).
+  *  - **Append-only admission**: a delete or rewrite commit in the range
+  *    fails the query loudly (a row-level change cannot be represented as
+  *    an append feed) unless `skipChangeCommits=true`, which skips those
+  *    commits' file contributions entirely — exactly Delta's
+  *    `skipChangeCommits`. Rewrites (optimize/compactDeletes) add files
+  *    carrying NO new rows, so skipping them is lossless for the feed.
+  *  - **Checkpoint resume**: the engine persists the version offset; a
+  *    restarted query resumes from the committed version and never
+  *    re-emits a committed append (pinned by the key's two-generation
+  *    drain and StreamingSpec).
+  *  - **Retention interplay**: a consumer resuming below the vacuum
+  *    horizon fails loudly at plan time (manifest gone) — the Kafka
+  *    log-truncation contract, same as the graft-log source.
+  *
+  * Implemented against the V1 `Source` seam (getBatch returns a
+  * log-derived BATCH DataFrame) because that is precisely the public
+  * architecture of the Delta source itself: the log names the files, the
+  * engine's parquet reader does the reading — no bespoke row decoding,
+  * full pushdown/codegen on the scan. The DSv2 `MicroBatchStream` path
+  * (per-partition vector offsets, admission budgets) is proven by
+  * `stream/GraftLog.scala`; versions are a TOTAL order, so a scalar
+  * offset is the faithful model here.
+  */
+object AcidStream {
+
+  /** Data-file and delete-file lines of version v's manifest. */
+  private def filesAt(table: String, v: Long): (Seq[String], Seq[String]) =
+    Acid.manifestFiles(table, v)
+
+  /** Files contributed by versions `(start, end]`, append commits only.
+    * A non-append commit (new delete vectors, or replaced files) either
+    * throws or contributes nothing, per `skipChangeCommits`. */
+  private[stream] def addedFiles(table: String, start: Long, end: Long,
+      skipChangeCommits: Boolean): Seq[String] =
+    (start + 1 to end).flatMap { v =>
+      val (df1, del1) = filesAt(table, v)
+      val (df0, del0) =
+        if (v == 0) (Seq.empty[String], Seq.empty[String])
+        else filesAt(table, v - 1)
+      val prev = df0.toSet
+      val isAppend = prev.subsetOf(df1.toSet) && del1 == del0
+      if (isAppend) df1.filterNot(prev)
+      else if (skipChangeCommits) Seq.empty
+      else throw new IllegalStateException(
+        s"acid-stream: version $v of $table is not append-only (delete " +
+          "vector or file rewrite) — an append feed cannot represent it; " +
+          "set skipChangeCommits=true to skip such commits")
+    }
+
+  private def offsetOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset from the WAL
+  }
+
+  /** V1 streaming source over an append-mode Acid table.
+    *
+    * Implements [[SupportsTriggerAvailableNow]] itself: Spark 4 no longer
+    * auto-wraps V1 sources for Trigger.AvailableNow — without the
+    * interface the engine silently falls back to SINGLE-batch execution,
+    * which re-runs a pending failed batch and then terminates WITHOUT
+    * draining commits that landed since (observed: a post-failure append
+    * was never delivered). `prepareForTriggerAvailableNow` freezes the
+    * drain target at the version committed when the query starts; the
+    * run then drains to exactly that snapshot and terminates. */
+  final class AcidSource(spark: SparkSession, table: String,
+      skipChangeCommits: Boolean, schema0: StructType)
+      extends Source
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
+
+    @volatile private var availableNowCap: Option[Long] = None
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = Acid.currentVersion(table)
+
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+    override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+      val cur = Acid.currentVersion(table)
+      val capped = availableNowCap match {
+        case Some(c) => cur.map(math.min(_, c))
+        case None    => cur
+      }
+      capped.map(LongOffset.apply).orNull
+    }
+
+    override def schema: StructType = schema0
+
+    override def getOffset: Option[OffsetV1] =
+      Acid.currentVersion(table).map(LongOffset.apply)
+
+    override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+      val s = start.map(offsetOf).getOrElse(-1L)
+      val files = addedFiles(table, s, offsetOf(end), skipChangeCommits)
+      val batch =
+        if (files.isEmpty)
+          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema0)
+        else
+          // the engine's own parquet scan over exactly the committed files —
+          // pushdown, pruning, and codegen all intact; the schema is pinned
+          // at source creation so later table evolution cannot flip a
+          // running query's shape mid-stream
+          spark.read.schema(schema0).parquet(files.map(f => s"$table/$f"): _*)
+      asStreaming(batch)
+    }
+
+    /** Re-flag the batch scan's leaf as streaming — what FileStreamSource
+      * itself does (a V1 getBatch result must report isStreaming=true;
+      * the plan is otherwise the ordinary parquet relation). */
+    private def asStreaming(df: DataFrame): DataFrame = {
+      val plan = df.queryExecution.analyzed.transform {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.copy(isStreaming = true)
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.copy(isStreaming = true)
+      }
+      org.apache.spark.sql.classic.GraftDatasetBridge.ofRows(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+    }
+
+    override def stop(): Unit = ()
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Table-as-stream (r13): three appendTxn commits land generation 1;
+    // a checkpointed query drains them (versions are the offsets), STOPS,
+    // two more commits land, and a SECOND query on the same checkpoint
+    // resumes from the committed version — emitting exactly the new
+    // appends, never re-emitting generation 1 (the foreachBatch sink
+    // lands every delivered row in a second Acid table under the engine's
+    // monotone batchId, so a re-emission would double-land and break the
+    // hash; a skipped version would drop rows and break it the other
+    // way). The oracle is the per-type aggregate over the FULL fixture:
+    // loss and duplication across the restart are both caught exactly.
+    // This is the medallion-pipeline seam — bronze table committed by one
+    // job, streamed incrementally into silver by another, restartable at
+    // any point, O(new versions) per cycle.
+    Q("source_acid_stream",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("source_acidstream_tbl", sfDir)
+        val out = graft.Tmp.dir("source_acidstream_out", sfDir)
+        Acid.reset(table); Acid.reset(out)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_acidstream_ckpt").toString
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        def land(lo: Int, hi: Int): Unit = (lo until hi).foreach { i =>
+          Acid.appendTxn(spark, table,
+            ev.filter(pmod(col("event_id"), lit(5)) === i), txnId = i.toLong)
+        }
+        def drain(): Unit = {
+          val q = spark.readStream
+            .format("graft.stream.AcidStreamProvider")
+            .option("table", table).load()
+            .writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              Acid.appendTxn(spark, out, b, txnId = id); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        land(0, 3); drain() // generation 1: versions 0..2
+        land(3, 5); drain() // generation 2: restart resumes at version 2
+        Acid.read(spark, out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+  )
+}
+
+/** `spark.readStream.format("graft.stream.AcidStreamProvider")
+  * .option("table", dir)` — registered by fully-qualified class name, the
+  * vanilla V1 registration path (top-level class so `DataSource`'s
+  * `Class.forName` lookup needs no nested-name mangling). */
+final class AcidStreamProvider extends StreamSourceProvider {
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.get("table").orElse(parameters.get("path")).getOrElse(
+      sys.error("acid-stream: set .option(\"table\", <dir>) or .load(<dir>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("acid-stream", schema.getOrElse(
+      Acid.read(sqlContext.sparkSession, tableOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val table = tableOf(parameters)
+    new AcidStream.AcidSource(sqlContext.sparkSession, table,
+      parameters.get("skipChangeCommits").exists(_.toBoolean),
+      schema.getOrElse(Acid.read(sqlContext.sparkSession, table).schema))
+  }
+}

@@ -1441,4 +1441,69 @@ class StreamingSpec extends SparkFixture {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
       "served (user_id, event_id, seq) set diverged from the batch twin")
   }
+
+  test("acid-stream source: version offsets resume exactly-once; change commits fail loudly or skip; vacuumed resume fails") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("acidstream_tbl").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("acidstream_ckpt").toString
+    def land(lo: Long, n: Long, txn: Long): Unit =
+      Acid.appendTxn(spark, table,
+        spark.range(lo, lo + n).select(col("id")), txnId = txn)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]() // (batchId, id)
+    def drain(skipChangeCommits: Boolean = false): Unit = {
+      val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+        .option("table", table)
+        .option("skipChangeCommits", skipChangeCommits.toString).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.collect().foreach(r => received.add((id, r.getLong(0)))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    land(0, 100, 0L); land(100, 50, 1L)
+    drain()
+    assert(received.asScala.map(_._2).toSeq.sorted == (0L until 150L),
+      "generation 1 must deliver exactly versions 0..1's rows")
+    // restart with NO new commits: nothing re-emitted
+    val n1 = received.size()
+    drain()
+    assert(received.size() == n1, "an idle restart re-emitted committed appends")
+    // generation 2 lands after the drain; restart resumes at the committed
+    // version and delivers ONLY the new appends
+    land(1000, 25, 2L)
+    drain()
+    assert(received.asScala.map(_._2).toSeq.sorted ==
+      ((0L until 150L) ++ (1000L until 1025L)),
+      "restart must deliver exactly the new appends, no loss, no re-emission")
+    // a delete commit is not representable as an append feed: strict mode
+    // fails the query loudly...
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 10).select(col("id")), "id", txnId = 3L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + chain(t.getCause)
+    assert(chain(e).contains("not append-only"), s"wrong failure: ${chain(e)}")
+    // ...and skipChangeCommits=true skips it while later appends still flow
+    land(2000, 5, 4L)
+    drain(skipChangeCommits = true)
+    assert(received.asScala.map(_._2).toSeq.sorted ==
+      ((0L until 150L) ++ (1000L until 1025L) ++ (2000L until 2005L)),
+      "skipChangeCommits must skip the delete commit and deliver the later append")
+    // a consumer resuming below the vacuum horizon fails loudly (the
+    // Kafka log-truncation contract): vacuum everything but the last
+    // version, then ask for a fresh read from version 0
+    Acid.vacuum(table, keep = 1)
+    val e2 = intercept[Exception] {
+      val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+        .option("table", table).option("skipChangeCommits", "true").load()
+        .writeStream.format("memory").queryName(sinkName())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("acidstream_ckpt2").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e2.getMessage != null)
+  }
 }
