@@ -89,7 +89,7 @@ object AcidStream {
     * drain target at the version committed when the query starts; the
     * run then drains to exactly that snapshot and terminates. */
   final class AcidSource(spark: SparkSession, table: String,
-      skipChangeCommits: Boolean, schema0: StructType)
+      skipChangeCommits: Boolean, schema0: StructType, cdf: Boolean = false)
       extends Source
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
     import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
@@ -112,12 +112,22 @@ object AcidStream {
 
     override def schema: StructType = schema0
 
-    override def getOffset: Option[OffsetV1] =
-      Acid.currentVersion(table).map(LongOffset.apply)
+    // legacy (non-admission-control) path — same cap as latestOffset so
+    // an AvailableNow drain can never overshoot its snapshot through
+    // whichever entry point the engine picks
+    override def getOffset: Option[OffsetV1] = {
+      val cur = Acid.currentVersion(table)
+      (availableNowCap match {
+        case Some(c) => cur.map(math.min(_, c))
+        case None    => cur
+      }).map(LongOffset.apply)
+    }
 
     override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
       val s = start.map(offsetOf).getOrElse(-1L)
-      val files = addedFiles(table, s, offsetOf(end), skipChangeCommits)
+      val e = offsetOf(end)
+      if (cdf) return getBatchCdf(s, e)
+      val files = addedFiles(table, s, e, skipChangeCommits)
       val batch =
         if (files.isEmpty)
           spark.createDataFrame(java.util.Collections.emptyList[Row](), schema0)
@@ -128,6 +138,47 @@ object AcidStream {
           // running query's shape mid-stream
           spark.read.schema(schema0).parquet(files.map(f => s"$table/$f"): _*)
       asStreaming(batch)
+    }
+
+    /** CDF mode: emit ROW-LEVEL CHANGES per version — Delta CDF's
+      * streaming `readChangeFeed` shape. Deletes ARE representable here
+      * (change_type='delete' with full preimage rows), so only rewrite
+      * commits (no logical change, files replaced) are refused/skipped.
+      * Per-version emission is [[Acid.changeFeed]] with a width-1 window,
+      * tagged `_commit_version`, so downstream consumers replay the exact
+      * commit history — the MV-refresh / replica-apply feed. */
+    private def getBatchCdf(s: Long, e: Long): DataFrame = {
+      val parts = (s + 1 to e).flatMap { v =>
+        try {
+          val piece =
+            if (v == 0) {
+              val (files, _) = Acid.manifestFiles(table, 0L)
+              if (files.isEmpty) None
+              else Some(Acid.readVersion(spark, table, 0L)
+                .withColumn("change_type", lit("insert")))
+            } else Some(Acid.changeFeed(spark, table, v - 1, v))
+          piece.map(_.withColumn("_commit_version", lit(v)))
+        } catch {
+          case ex: IllegalArgumentException
+              if ex.getMessage != null && ex.getMessage.contains("rewrite") =>
+            if (skipChangeCommits) None
+            else throw new IllegalStateException(
+              s"acid-stream cdf: version $v of $table is a rewrite commit " +
+                "(files replaced, no logical change) — set " +
+                "skipChangeCommits=true to skip it", ex)
+        }
+      }
+      val batch =
+        if (parts.isEmpty)
+          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema0)
+        else parts.reduce(_.unionByName(_))
+      // the CDF plan contains semi/anti JOINS (delete preimages): leaf
+      // re-flagging would make them stream-stream joins, so wrap the
+      // planned RDD under ONE streaming leaf instead (the V1 Kafka-source
+      // getBatch pattern) — underneath it stays a plain batch plan
+      org.apache.spark.sql.classic.GraftDatasetBridge.ofInternalRows(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        batch.queryExecution.toRdd, batch.schema)
     }
 
     /** Re-flag the batch scan's leaf as streaming — what FileStreamSource
@@ -200,6 +251,83 @@ object AcidStream {
         FROM events
         GROUP BY event_type
         ORDER BY event_type""".trim)),
+
+    // Streaming CDF (r13): the change-data-feed twin of source_acid_stream
+    // — the stream carries ROW-LEVEL CHANGES (inserts AND delete
+    // preimages, tagged with the commit version), so a downstream replica
+    // or materialized view applies the exact commit history at O(changes)
+    // per cycle: Delta's readChangeFeed-as-stream. History: v0 appends A
+    // (keys ≡0 mod 3), v1 appends B (≡1) — drained; the query STOPS; v2
+    // deletes every key ≡0 mod 7 (the feed must emit those rows' full
+    // preimages from state(v1)), v3 appends C (≡2, whose ≡0-mod-7 keys
+    // land under the standing vector and must never surface) — a second
+    // query on the same checkpoint resumes at v1 and emits exactly v2's
+    // deletes and v3's visible inserts. foreachBatch lands every change
+    // in an output table under the engine's monotone batchId; the oracle
+    // rebuilds all four versions' change sets set-theoretically — a
+    // change lost, duplicated, or mis-tagged across the restart breaks
+    // the hash.
+    Q("stream_change_feed",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("stream_cdf_tbl", sfDir)
+        val out = graft.Tmp.dir("stream_cdf_out", sfDir)
+        Acid.reset(table); Acid.reset(out)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_streamcdf_ckpt").toString
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        def drain(): Unit = {
+          val q = spark.readStream
+            .format("graft.stream.AcidStreamProvider")
+            .option("table", table).option("mode", "cdf").load()
+            .writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              Acid.appendTxn(spark, out, b, txnId = id); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 0), txnId = 0L) // v0 = A
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 1), txnId = 1L) // v1 = B
+        drain() // generation 1
+        Acid.deleteTxn(spark, table,
+          Tables.orders(spark, sfDir)
+            .filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 2L)                           // v2 = D
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 2), txnId = 3L) // v3 = C
+        drain() // generation 2: resumes at v1, emits v2 deletes + v3 inserts
+        Acid.read(spark, out)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"), col("change_type"),
+            col("_commit_version"))
+          .orderBy(col("_commit_version"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+               change_type, _commit_version
+        FROM (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'insert' AS change_type, CAST(0 AS BIGINT) AS _commit_version
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'insert', 1 FROM orders WHERE o_orderkey % 3 = 1
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'delete', 2 FROM orders
+          WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 'insert', 3 FROM orders
+          WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 <> 0
+        )
+        ORDER BY _commit_version, o_orderkey""".trim)),
   )
 }
 
@@ -212,18 +340,28 @@ final class AcidStreamProvider extends StreamSourceProvider {
     parameters.get("table").orElse(parameters.get("path")).getOrElse(
       sys.error("acid-stream: set .option(\"table\", <dir>) or .load(<dir>)"))
 
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("mode").exists(_.equalsIgnoreCase("cdf"))
+
+  private def schemaOf(sqlContext: SQLContext, schema: Option[StructType],
+      parameters: Map[String, String]): StructType = {
+    val base = schema.getOrElse(
+      Acid.read(sqlContext.sparkSession, tableOf(parameters)).schema)
+    if (!isCdf(parameters) || base.fieldNames.contains("_commit_version")) base
+    else base
+      .add("change_type", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    ("acid-stream", schema.getOrElse(
-      Acid.read(sqlContext.sparkSession, tableOf(parameters)).schema))
+    ("acid-stream", schemaOf(sqlContext, schema, parameters))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source = {
-    val table = tableOf(parameters)
-    new AcidStream.AcidSource(sqlContext.sparkSession, table,
+      parameters: Map[String, String]): Source =
+    new AcidStream.AcidSource(sqlContext.sparkSession, tableOf(parameters),
       parameters.get("skipChangeCommits").exists(_.toBoolean),
-      schema.getOrElse(Acid.read(sqlContext.sparkSession, table).schema))
-  }
+      schemaOf(sqlContext, schema, parameters), cdf = isCdf(parameters))
 }

@@ -15,4 +15,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftDatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Streaming-flagged DataFrame over an already-planned RDD — the V1
+    * Kafka source's own getBatch pattern. Needed when the batch plan
+    * contains JOINS (the CDF delete-preimage semi/anti joins): re-flagging
+    * its LEAVES as streaming would turn them into (unsupported)
+    * stream-stream joins, whereas one streaming LogicalRDD leaf keeps the
+    * computation a plain batch plan underneath. */
+  def ofInternalRows(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
 }
