@@ -245,7 +245,28 @@ object Acid {
         case Some(short) => out = short; done = true
         case None =>
           val v = cur.map(_ + 1).getOrElse(0L)
-          if (claimVersion(table, v)) { out = commitManifest(table, v, build(v, prev)); done = true }
+          if (claimVersion(table, v)) {
+            // manifest-<v> is opened CREATE_NEW: if our claim was expired as
+            // stale by a reclaimer whose winner already committed v, the
+            // write fails here (never silently overwriting the other
+            // writer's manifest — ADVICE r13) and we rebase against the
+            // advanced state like any other lost race. A manifest present
+            // with the pointer still BELOW v is an orphan from a crashed
+            // run — unrecoverable without operator action, so fail loudly.
+            try { out = commitManifest(table, v, build(v, prev)); done = true }
+            catch { case e: FileAlreadyExistsException =>
+              // brief wait for a racing winner's pointer flip before calling
+              // the manifest an orphan
+              var waits = 0
+              while (!currentVersion(table).exists(_ >= v) && waits < 400) {
+                waits += 1; Thread.sleep(5)
+              }
+              if (!currentVersion(table).exists(_ >= v)) throw new IllegalStateException(
+                s"Acid: orphan manifest-$v.txt at $table (crashed writer left " +
+                  s"a manifest without flipping the pointer) — remove it and " +
+                  s"claim-$v to recover", e)
+            }
+          }
           else {
             spins += 1
             // a claim held past the staleness horizon with no manifest is a
@@ -263,12 +284,22 @@ object Acid {
     out
   }
 
+  /** Snapshot commit. `txnId` makes it IDEMPOTENT (the foreachBatch
+    * exactly-once contract for non-append sinks, Delta's `txnAppId`/
+    * `txnVersion` shape): the id rides the manifest's `# txn:` ledger, a
+    * replayed commit whose id is already in the ledger no-ops — so a
+    * restarted micro-batch that re-commits derived state (e.g. an
+    * incrementally-maintained MV) can never double-apply its delta. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
       partitionCols: Seq[String] = Nil,
       stats: Option[(String, Column)] = None,
       bloom: Option[(String, Column)] = None,
-      rowCounts: Boolean = false): Long = withWriterLock(table) {
-    commitNextVersion(table)((_, _) => None) { (v, _) =>
+      rowCounts: Boolean = false,
+      txnId: Option[Long] = None): Long = withWriterLock(table) {
+    commitNextVersion(table)((cur, prev) =>
+      txnId.filter(t => prev.contains(s"# txn:$t")).map(_ => cur.get)) { (v, prev) =>
+    val ledger = txnId.toSeq.flatMap(t =>
+      prev.filter(_.startsWith("# txn:")) :+ s"# txn:$t")
     val dataDir = Paths.get(table, s"v=$v")
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
@@ -342,7 +373,7 @@ object Acid {
           s"# rows:$rel|${r.getLong(1)}"
         }.sorted.toSeq
     }
-    statLines ++ bloomLines ++ rowLines ++ files.toSeq
+    ledger ++ statLines ++ bloomLines ++ rowLines ++ files.toSeq
     }
   }
 
@@ -446,8 +477,14 @@ object Acid {
   }
 
   private def commitManifest(table: String, v: Long, lines: Seq[String]): Long = {
+    // CREATE_NEW: the manifest write is itself a put-if-absent, so two
+    // writers who both believe they own v (possible only through stale-claim
+    // reclamation racing a slow-but-live claimant) cannot silently clobber
+    // each other — the loser throws FileAlreadyExistsException and rebases
     Files.write(Paths.get(table, s"manifest-$v.txt"),
-      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
     val tmp = Paths.get(table, s"_current.tmp.$v")
     Files.write(tmp, v.toString.getBytes("UTF-8"))
     Files.move(tmp, pointer(table),
@@ -697,6 +734,17 @@ object Acid {
   private[graft] def manifestFiles(table: String, v: Long): (Seq[String], Seq[String]) = {
     val lines = manifestLines(table, v)
     (lines.filterNot(_.startsWith("#")), lines.filter(_.startsWith("# delete:")))
+  }
+
+  /** Standing equality-delete vector of version `v`: (key column, delete
+    * file paths), if any. Control plane for readers that assemble their
+    * own scans (the streaming source) yet must honor merge-on-read. */
+  private[graft] def standingDeletes(table: String, v: Long): Option[(String, Seq[String])] = {
+    val lines = manifestLines(table, v)
+    val delFiles = lines.filter(_.startsWith("# delete:"))
+      .map(_.stripPrefix("# delete:").trim)
+    lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
+      .filter(_ => delFiles.nonEmpty).map(k => (k, delFiles))
   }
 
   /** Change data feed — row-level changes committed in versions

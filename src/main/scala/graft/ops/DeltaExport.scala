@@ -97,6 +97,43 @@ object DeltaExport {
     v
   }
 
+  private def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o => sb += o; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The table's metaData as the v0 commit wrote it: (schemaString,
+    * createdTime). The checkpoint's metaData row must be byte-equivalent
+    * to the commit's (PROTOCOL.md: readers resolving from `_last_
+    * checkpoint` take the TABLE SCHEMA from the checkpoint row — an empty
+    * schemaString breaks Trino/delta-rs/DuckDB; ADVICE r13), so it is
+    * re-derived from the v0 JSON entry rather than recomputed. */
+  private def v0MetaData(dir: String): (String, Long) = {
+    val entry = logDir(dir).resolve(f"${0L}%020d.json")
+    val txt = new String(Files.readAllBytes(entry), StandardCharsets.UTF_8)
+    val schema = """"schemaString":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(txt).map(m => jsonUnescape(m.group(1)))
+      .getOrElse(sys.error(s"DeltaExport: no schemaString in v0 entry at $dir"))
+    val created = """"createdTime":(\d+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+    (schema, created)
+  }
+
   /** Write the parquet checkpoint for version `v` plus `_last_checkpoint`
     * (PROTOCOL.md "Checkpoints"): the complete replay state as one parquet
     * file — protocol + metaData rows and one `add` row per live file — so
@@ -108,12 +145,13 @@ object DeltaExport {
     * work — the JSON chain is untouched. */
   def writeCheckpoint(spark: SparkSession, dir: String, v: Long): Unit = {
     val root = Paths.get(dir)
+    val (schemaString, createdTime) = v0MetaData(dir)
     val rows = Seq(
       CkptRow(Some(CkptProtocol(1, 2)), None, None),
       CkptRow(None, Some(CkptMetaData(
         java.util.UUID.nameUUIDFromBytes(dir.getBytes(StandardCharsets.UTF_8)).toString,
-        CkptFormat("parquet", Map.empty), "", Nil, Map.empty,
-        Files.getLastModifiedTime(root).toMillis)), None)) ++
+        CkptFormat("parquet", Map.empty), schemaString, Nil, Map.empty,
+        createdTime)), None)) ++
       liveFiles(spark, dir, v).map { f =>
         val p = root.resolve(f)
         CkptRow(None, None, Some(CkptAdd(f, Map.empty, Files.size(p),

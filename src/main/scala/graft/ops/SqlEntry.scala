@@ -25,12 +25,15 @@ object SqlEntry {
   // half — bench runs alternate SFs within one session. Keyed by session
   // (ADVICE r12: temp views are session-scoped, so a JVM-global cache made
   // a SECOND SparkSession on the same dir skip registration entirely).
-  private val lastDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // WeakHashMap (ADVICE r13): a strong-keyed map retained every session
+  // ever passed through here for the JVM lifetime, pinning its
+  // SessionState — weak keys let retired sessions collect. All access goes
+  // through the lock (WeakHashMap is not thread-safe).
+  private val lastDir = new java.util.WeakHashMap[SparkSession, String]()
 
   /** Register fixture views (idempotent, metadata-only) and run `text`. */
   def sql(spark: SparkSession, sfDir: String, text: String): DataFrame = {
-    if (lastDir.get(spark) != sfDir) synchronized {
+    lastDir.synchronized {
       if (lastDir.get(spark) != sfDir) {
         Tables.registerAll(spark, sfDir); lastDir.put(spark, sfDir)
       }

@@ -128,16 +128,32 @@ object AcidStream {
       val e = offsetOf(end)
       if (cdf) return getBatchCdf(s, e)
       val files = addedFiles(table, s, e, skipChangeCommits)
-      val batch =
-        if (files.isEmpty)
-          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema0)
-        else
-          // the engine's own parquet scan over exactly the committed files —
-          // pushdown, pruning, and codegen all intact; the schema is pinned
-          // at source creation so later table evolution cannot flip a
-          // running query's shape mid-stream
-          spark.read.schema(schema0).parquet(files.map(f => s"$table/$f"): _*)
-      asStreaming(batch)
+      if (files.isEmpty)
+        return asStreaming(
+          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema0))
+      // the engine's own parquet scan over exactly the committed files —
+      // pushdown, pruning, and codegen all intact; the schema is pinned
+      // at source creation so later table evolution cannot flip a
+      // running query's shape mid-stream
+      val batch = spark.read.schema(schema0).parquet(files.map(f => s"$table/$f"): _*)
+      Acid.standingDeletes(table, e) match {
+        case Some((k, delFiles)) =>
+          // merge-on-read applies to the feed too (ADVICE r13): a row
+          // appended under an already-standing delete vector is invisible
+          // in EVERY table read (appendManifest carries vectors forward),
+          // so the feed must not deliver it either. The anti-join plan
+          // cannot ride the leaf re-flag (it would become a stream-stream
+          // join), so wrap the planned RDD under one streaming leaf — the
+          // same bridge the CDF path uses.
+          val dels = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+            .select(col(k)).distinct()
+          val visible = batch.join(dels, Seq(k), "left_anti").select(
+            schema0.fieldNames.map(col).toSeq: _*)
+          org.apache.spark.sql.classic.GraftDatasetBridge.ofInternalRows(
+            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            visible.queryExecution.toRdd, visible.schema)
+        case None => asStreaming(batch)
+      }
     }
 
     /** CDF mode: emit ROW-LEVEL CHANGES per version — Delta CDF's

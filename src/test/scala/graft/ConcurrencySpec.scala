@@ -178,6 +178,29 @@ class ConcurrencySpec extends SparkFixture {
     assert(staleLeft.isEmpty, s"stale-claim tombstones survived vacuum: ${staleLeft.mkString(",")}")
   }
 
+  test("Acid: an orphan manifest (crashed writer, pointer never flipped) fails the next writer loudly") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("acid_orphan").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).select(col("id").as("k"))
+    Acid.appendTxn(spark, table, rows(0, 10), txnId = 1L) // commits v0
+    // a writer crashed AFTER writing manifest-1 but BEFORE the pointer
+    // flip, and its claim was cleared by hand (the documented recovery) —
+    // the orphan manifest remains. CREATE_NEW (ADVICE r13) makes the next
+    // writer detect it loudly instead of silently clobbering it.
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "manifest-1.txt"),
+      "# base:.\n# txn:99\nghost.parquet\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Acid.appendTxnCAS(spark, table, rows(100, 5), txnId = 2L)
+    }
+    assert(e.getMessage.contains("orphan manifest"), s"wrong failure: ${e.getMessage}")
+    // operator recovery: remove the orphan, the append lands normally
+    java.nio.file.Files.delete(java.nio.file.Paths.get(table, "manifest-1.txt"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(table, "claim-1"))
+    assert(Acid.appendTxnCAS(spark, table, rows(100, 5), txnId = 2L) == 1L)
+    assert(Acid.read(spark, table).count() == 15L)
+  }
+
   test("sink_serve: a stalled subscriber does not block the other subscribers") {
     import graft.stream.{Serve, Sources}
     import org.apache.spark.sql.functions.col

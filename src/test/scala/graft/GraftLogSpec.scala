@@ -314,6 +314,96 @@ class GraftLogSpec extends SparkFixture {
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap == bySrc)
   }
 
+  test("retention: a crash between the marker write and the deletes never renumbers survivors") {
+    val dir = freshLog(Seq(Seq(0L, 1, 2, 3), Seq(4L, 5, 6, 7), Seq(8L, 9, 10)))
+    // simulate the crash window: the marker lands exactly as expireSegments
+    // writes it (base 4, last-dead segment-00000.log) but the dead file is
+    // never deleted (ADVICE r13: before the marker carried the last-dead
+    // name, the leftover file silently shifted every survivor's ordinal)
+    Files.write(java.nio.file.Paths.get(dir, "_truncated"),
+      "4\tsegment-00000.log".getBytes("UTF-8"))
+    assert(GraftLog.baseOrdinal(dir) == 4L)
+    // the dead-but-present segment is invisible: reads and totals are
+    // IDENTICAL to a completed expiry run
+    assert(GraftLog.read(spark, dir).select(col("event_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == (4L to 10L))
+    assert(GraftLog.logTotal(dir) == 11L)
+    // a committed offset still names the same records: [5, 9) must slice
+    // segment 1 tail + segment 2 head, exactly as before the crash
+    val got = GraftLog.plan(dir, 5, 9).map(_.asInstanceOf[GraftLogInputPartition])
+      .flatMap { p =>
+        val r = GraftLogReaderFactory.createReader(p)
+        val b = Seq.newBuilder[Long]
+        while (r.next()) b += r.get().getLong(0)
+        r.close(); b.result()
+      }
+    assert(got.toSeq == Seq(5L, 6, 7, 8), s"ordinals shifted after crash: $got")
+    // the next expiry run sweeps the leftover file even when nothing new expires
+    assert(GraftLog.expireSegments(dir, keepRecords = 100).isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "segment-00000.log")),
+      "crashed-expiry leftover was not swept")
+    assert(GraftLog.read(spark, dir).select(col("event_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == (4L to 10L))
+  }
+
+  test("offset vector round-trips through Kafka's {topic:{partition:offset}} checkpoint shape") {
+    import graft.stream.GraftLogOffset
+    // partitioned log: lossless in both directions, no re-keying
+    val off = GraftLogOffset(Map("p=0" -> 12L, "p=1" -> 7L))
+    val k = GraftLog.toKafkaOffsetJson(off, "events")
+    assert(k == """{"events":{"0":12,"1":7}}""", k)
+    val (topic, back) = GraftLog.fromKafkaOffsetJson(k)
+    assert(topic == "events" && back == off)
+    // flat log normalizes to Kafka partition 0
+    assert(GraftLog.toKafkaOffsetJson(GraftLogOffset(Map("" -> 9L)), "t")
+      == """{"t":{"0":9}}""")
+    assert(GraftLog.fromKafkaOffsetJson("""{"t":{"0":9}}""")._2
+      == GraftLogOffset(Map("p=0" -> 9L)))
+    // empty vector (fresh consumer)
+    assert(GraftLog.fromKafkaOffsetJson(
+      GraftLog.toKafkaOffsetJson(GraftLogOffset(Map.empty), "t"))._2.parts.isEmpty)
+  }
+
+  test("a checkpoint from a different partition layout fails loudly, never re-keys") {
+    // consumer commits offsets on a 2-partition log ...
+    val dir = Files.createTempDirectory("graftlog_layout").toString
+    GraftLog.appendSegment(s"$dir/p=0", 0, Seq(0L, 1).map(line))
+    GraftLog.appendSegment(s"$dir/p=1", 0, Seq(100L, 101).map(line))
+    val ckpt = Files.createTempDirectory("graftlog_layout_ckpt").toString
+    val out = Files.createTempDirectory("graftlog_layout_out").toString
+    def runOnce(): Unit = {
+      val q = GraftLog.readStream(spark, dir)
+        .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(GraftLog.committedOffset(ckpt) == Map("p=0" -> 2L, "p=1" -> 2L))
+    // ... then the log is rebuilt with ONE partition (p=1 vanished): the
+    // committed p=1 position has no referent — resuming must fail loudly
+    // instead of silently dropping it (data loss) or re-keying it
+    val walk = Files.walk(java.nio.file.Paths.get(dir, "p=1"))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    val ex = intercept[Exception] { runOnce() }
+    val msg = ex.getMessage + String.valueOf(ex.getCause) +
+      String.valueOf(Option(ex.getCause).map(_.getCause).orNull)
+    assert(msg.contains("different partition layout"), s"wrong failure: $msg")
+    // a partition ADDED since the checkpoint is fine: new partitions start
+    // at 0 (Kafka's new-partition semantics) — resume reads only the news
+    GraftLog.appendSegment(s"$dir/p=2", 0, Seq(200L, 201).map(line))
+    GraftLog.appendSegment(s"$dir/p=1", 0, Seq(100L, 101).map(line)) // restore
+    runOnce()
+    val landed = spark.read.schema(GraftLog.schema).parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(landed == Set(0L, 1, 100, 101, 200, 201),
+      s"added-partition resume re-read history or lost the news: $landed")
+  }
+
   test("retention: time-based expiry drops exactly the all-older-than prefix") {
     // line(id) stamps ts_us = 1.7e15 + id*1e6 — monotone in id here
     val dir = freshLog(Seq(Seq(0L, 1, 2), Seq(3L, 4, 5), Seq(6L, 7)))

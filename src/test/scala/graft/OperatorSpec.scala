@@ -1741,6 +1741,13 @@ class OperatorSpec extends SparkFixture {
     assert(ck.where(col("metaData").isNotNull).count() == 1L)
     assert(ck.where(col("add").isNotNull).count() ==
       DeltaExport.liveFiles(spark, dir, 3L).size.toLong)
+    // the metaData row carries the REAL table schema (ADVICE r13: an
+    // external reader resolving from _last_checkpoint takes its schema
+    // from here — an empty schemaString breaks Trino/delta-rs/DuckDB)
+    val md = ck.where(col("metaData").isNotNull)
+      .select(col("metaData.schemaString")).head().getString(0)
+    assert(md == df(0, 1).schema.json,
+      s"checkpoint metaData schemaString diverged from the commit's: $md")
   }
 
   test("window_attribution: the three models conserve value — grand totals equal and match attributed purchases") {
