@@ -1506,4 +1506,98 @@ class StreamingSpec extends SparkFixture {
     }
     assert(e2.getMessage != null)
   }
+
+  test("stream_incremental_mv: maintained state equals a full recompute at EVERY version, across delete and restart") {
+    import graft.ops.Acid
+    import graft.stream.IncrementalMv
+    import graft.Det.money
+    val table = java.nio.file.Files.createTempDirectory("incmv_tbl").toString + "/t"
+    val mv = java.nio.file.Files.createTempDirectory("incmv_mv").toString + "/m"
+    val ckpt = java.nio.file.Files.createTempDirectory("incmv_ckpt").toString
+    val or = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (money(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+    def rollup(df: DataFrame) = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def mvState() = Acid.read(spark, mv)
+      .select(col("o_orderstatus"), col("n"), col("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def refresh() = IncrementalMv.refresh(spark, table, mv, ckpt,
+      "o_orderstatus", "price_cents")
+    // each step: one commit, one refresh (a FRESH query on the same
+    // checkpoint — every step exercises the restart seam), then the
+    // maintained MV must equal a from-scratch recompute of that version
+    Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0), txnId = 0L)
+    refresh()
+    assert(mvState() == rollup(Acid.readVersion(spark, table, 0L)), "diverged at v0")
+    Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 1), txnId = 1L)
+    refresh()
+    assert(mvState() == rollup(Acid.readVersion(spark, table, 1L)), "diverged at v1")
+    Acid.deleteTxn(spark, table,
+      Tables.orders(spark, sf001).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey")), "o_orderkey", txnId = 2L)
+    refresh()
+    assert(mvState() == rollup(Acid.readVersion(spark, table, 2L)),
+      "diverged after the delete commit")
+    Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 2), txnId = 3L)
+    refresh()
+    assert(mvState() == rollup(Acid.readVersion(spark, table, 3L)), "diverged at v3")
+    // an idle refresh commits nothing (empty feed → no MV version)
+    val vBefore = Acid.currentVersion(mv)
+    refresh()
+    assert(Acid.currentVersion(mv) == vBefore, "idle refresh committed a version")
+    // replayed micro-batch: re-applying an already-committed batchId is a
+    // no-op through the commit ledger (exactly-once under redelivery)
+    val fakeBatch = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row("O", 1L, "insert")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("price_cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("change_type",
+          org.apache.spark.sql.types.StringType))))
+    val replayId = Acid.committedTxns(mv).max // an id the ledger already has
+    val stateBefore = mvState()
+    IncrementalMv.applyCdfBatch(spark, mv, fakeBatch, replayId,
+      "o_orderstatus", "price_cents")
+    assert(Acid.currentVersion(mv) == vBefore && mvState() == stateBefore,
+      "replayed batchId re-applied its delta")
+  }
+
+  test("acid-stream source: a row appended under a standing delete vector never surfaces") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("acidstream_dv").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("acidstream_dv_ckpt").toString
+    Acid.appendTxn(spark, table,
+      spark.range(0, 10).select(col("id")), txnId = 0L)        // v0: 0..9
+    Acid.deleteTxn(spark, table,
+      spark.createDataset(Seq(3L, 4L, 12L, 13L))(org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("id"), "id", txnId = 1L)                          // v1: kills 3,4 and future 12,13
+    Acid.appendTxn(spark, table,
+      spark.range(10, 20).select(col("id")), txnId = 2L)       // v2: 10..19 (12,13 stillborn)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+      .option("table", table).option("skipChangeCommits", "true").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => received.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // ADVICE r13: rows appended under an already-standing vector (12, 13)
+    // are invisible in EVERY table read — the feed must not deliver them
+    // either; nor the deleted 3, 4. Delivered set == state(v2), exactly.
+    val expect = ((0L until 10L) ++ (10L until 20L)).filterNot(Set(3L, 4L, 12L, 13L))
+    assert(received.asScala.toSeq.sorted == expect.sorted,
+      s"feed diverged from table state: ${received.asScala.toSeq.sorted}")
+    assert(Acid.read(spark, table).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == expect.sorted)
+  }
 }
