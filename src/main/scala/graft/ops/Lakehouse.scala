@@ -273,8 +273,8 @@ object Lakehouse {
           .select(col("o_orderkey"), col("o_orderstatus"),
             money(col("o_totalprice")).as("price"))
         val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-        val threads = (0 until 4).map { i =>
-          val slice = or.filter(pmod(col("o_orderkey"), lit(4)) === i)
+        val threads = (0 until 8).map { i =>
+          val slice = or.filter(pmod(col("o_orderkey"), lit(8)) === i)
           new Thread(() => {
             try Acid.appendTxnCAS(spark, table, slice, txnId = i.toLong)
             catch { case t: Throwable => errs.add(t) }
@@ -282,6 +282,13 @@ object Lakehouse {
         }
         threads.foreach(_.start()); threads.foreach(_.join())
         if (!errs.isEmpty) throw errs.peek()
+        // every writer committed exactly once — 8 versions, full ledger
+        // (ConcurrencySpec additionally pins that the DATA writes
+        // overlapped: only the O(lines) manifest step serializes)
+        require(Acid.committedTxns(table) == (0L until 8L).toSet,
+          s"txn ledger incomplete: ${Acid.committedTxns(table)}")
+        require(Acid.currentVersion(table).contains(7L),
+          s"expected 8 commits (v0..v7), got ${Acid.currentVersion(table)}")
         Acid.read(spark, table)
           .select(col("o_orderkey"), col("o_orderstatus"),
             emit(col("price"), 2).as("price"))

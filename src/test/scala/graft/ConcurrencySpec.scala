@@ -178,6 +178,55 @@ class ConcurrencySpec extends SparkFixture {
     assert(staleLeft.isEmpty, s"stale-claim tombstones survived vacuum: ${staleLeft.mkString(",")}")
   }
 
+  test("optimistic appends: 8 writers' data writes overlap — only the manifest step serializes") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("acid_parallel").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).select(col("id").as("k"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        try Acid.appendTxnCAS(spark, table, rows(i * 1000L, 300L), txnId = i.toLong)
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    assert(failures.isEmpty, s"storm failures: ${failures.asScala.map(_.toString).toSeq}")
+    assert(Acid.committedTxns(table) == (0L until 8L).toSet)
+    assert(Acid.currentVersion(table).contains(7L))
+    assert(Acid.read(spark, table).count() == 8L * 300L)
+    // Non-serialization evidence (r13 verdict item 4), from on-disk mtimes:
+    // dataLanded(i) = newest file in txn=<i>/ (the writer's data fully
+    // landed); commitTime(i) = mtime of the first manifest whose ledger
+    // names txn i. Delta-style optimistic concurrency means the expensive
+    // data phase runs OUTSIDE the commit critical section, so there must
+    // exist writers i≠j with BOTH data sets landed before EITHER committed
+    // — impossible under a protocol that serializes whole transactions.
+    val root = java.nio.file.Paths.get(table)
+    def dataLanded(i: Int): Long = {
+      val walk = java.nio.file.Files.walk(root.resolve(s"txn=$i"))
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max
+      finally walk.close()
+    }
+    def commitTime(i: Int): Long = (0L to 7L).collectFirst {
+      case v if java.nio.file.Files.readAllLines(root.resolve(s"manifest-$v.txt"))
+        .asScala.contains(s"# txn:$i") =>
+        java.nio.file.Files.getLastModifiedTime(root.resolve(s"manifest-$v.txt")).toMillis
+    }.get
+    val landed = (0 until 8).map(dataLanded)
+    val committed = (0 until 8).map(commitTime)
+    val mutualPairs = for {
+      i <- 0 until 8; j <- (i + 1) until 8
+      if landed(i) <= committed(j) && landed(j) <= committed(i)
+    } yield (i, j)
+    assert(mutualPairs.nonEmpty,
+      s"no pair of writers overlapped their data phases — appends are " +
+        s"serializing whole transactions (landed=$landed committed=$committed)")
+  }
+
   test("Acid: an orphan manifest (crashed writer, pointer never flipped) fails the next writer loudly") {
     import graft.ops.Acid
     import org.apache.spark.sql.functions.col
