@@ -474,10 +474,16 @@ object Lakehouse {
           "o_orderkey", txnId = 2L)                           // v2 = D
         Acid.appendTxn(spark, table,
           or.filter(col("o_orderkey") % 3 === 2), txnId = 3L) // v3 = C
-        Acid.changeFeed(spark, table, fromV = 0L, toV = 3L)
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            emit(col("price"), 2).as("price"), col("change_type"))
-          .orderBy(col("change_type"), col("o_orderkey"))
+        // consumed through the PURE-SQL entry path (r14 — Delta CDF's
+        // table_changes TVF shape): SqlEntry resolves the TVF through
+        // Acid.changeFeed, so the SQL user's plan is the DataFrame
+        // user's plan (SurfaceDocSpec pins the parity)
+        SqlEntry.sqlLakehouse(spark, s"""
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price,
+                 change_type
+          FROM table_changes('$table', 0, 3)
+          ORDER BY change_type, o_orderkey""")
       },
       Some("""
         SELECT o_orderkey, o_orderstatus,

@@ -348,10 +348,18 @@ object Scans {
             .select((col("doc_id") + 5000).as("doc_id"), col("lang"),
               (col("n_chars") + 7).as("n_chars")))
         Acid.commit(spark, table, next)
-        Acid.readVersion(spark, table, 0).withColumn("version", lit(0L))
-          .unionByName(
-            Acid.readVersion(spark, table, 1).withColumn("version", lit(1L)))
-          .orderBy(col("version"), col("doc_id"))
+        // both historical reads go through the PURE-SQL entry path (r14 —
+        // Delta's `VERSION AS OF` surface): the text below is what a SQL
+        // user types; SqlEntry resolves acid_table(...) VERSION AS OF
+        // through the same manifest seam as Acid.readVersion, so the plan
+        // is identical (SurfaceDocSpec pins the parity)
+        SqlEntry.sqlLakehouse(spark, s"""
+          SELECT doc_id, lang, n_chars, CAST(0 AS BIGINT) AS version
+          FROM acid_table('$table') VERSION AS OF 0
+          UNION ALL
+          SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS version
+          FROM acid_table('$table') VERSION AS OF 1
+          ORDER BY version, doc_id""")
       },
       Some("""
         WITH base AS (

@@ -72,6 +72,41 @@ class SurfaceDocSpec extends AnyFunSuite {
       s"join_inner_equi SQL plan ${shape(jSql)} != DataFrame twin ${shape(jDf)}")
   }
 
+  test("lakehouse SQL surface: VERSION AS OF and table_changes match their DataFrame twins in rows and plan shape") {
+    import graft.ops.{Acid, SqlEntry}
+    val spark = SparkFixture.session
+    import org.apache.spark.sql.functions._
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+    val table = java.nio.file.Files.createTempDirectory("sql_lakehouse").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).select(col("id").as("k"))
+    Acid.appendTxn(spark, table, rows(0, 50), txnId = 0L)   // v0
+    Acid.appendTxn(spark, table, rows(100, 30), txnId = 1L) // v1
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 10).select(col("id").as("k")), "k", txnId = 2L) // v2
+    // time travel: SQL text vs the seam's DataFrame — same rows, same plan
+    val ttSql = SqlEntry.sqlLakehouse(spark,
+      s"SELECT k FROM acid_table('$table') VERSION AS OF 1 ORDER BY k")
+    val ttDf = Acid.readVersion(spark, table, 1L).select(col("k")).orderBy(col("k"))
+    assert(ttSql.collect().map(_.getLong(0)).toSeq ==
+      ttDf.collect().map(_.getLong(0)).toSeq)
+    assert(shape(ttSql) == shape(ttDf),
+      s"VERSION AS OF plan ${shape(ttSql)} != DataFrame twin ${shape(ttDf)}")
+    // current-version read through the bare acid_table(...) form
+    assert(SqlEntry.sqlLakehouse(spark,
+      s"SELECT COUNT(*) FROM acid_table('$table')").head().getLong(0) == 70L)
+    // change feed TVF: rows and plan shape match Acid.changeFeed
+    val cfSql = SqlEntry.sqlLakehouse(spark,
+      s"SELECT k, change_type FROM table_changes('$table', 0, 2) ORDER BY change_type, k")
+    val cfDf = Acid.changeFeed(spark, table, 0L, 2L)
+      .select(col("k"), col("change_type"))
+      .orderBy(col("change_type"), col("k"))
+    assert(cfSql.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      cfDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    assert(shape(cfSql) == shape(cfDf),
+      s"table_changes plan ${shape(cfSql)} != DataFrame twin ${shape(cfDf)}")
+  }
+
   test("README surface table keys column is exactly the registry key set") {
     val start = readme.indexOf("## Surface")
     val end = readme.indexOf("## Verification")
