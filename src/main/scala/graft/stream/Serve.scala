@@ -49,17 +49,42 @@ object Serve {
     * line per row, from executor-side ForeachWriter connections. An
     * explicit `checkpointDir` makes the push RESTARTABLE — a later query
     * on the same checkpoint resumes from the committed source offsets (the
-    * egress half of the end-to-end service chain). */
+    * egress half of the end-to-end service chain).
+    *
+    * `bound` selects the backpressure policy. None (default): the TCP
+    * window is the buffer — a slow subscriber back-pressures its own
+    * query's tasks (blocking write), never the other subscribers'.
+    * Some(policy): a BOUNDED per-connection send buffer decouples the
+    * push from the socket; a subscriber that stays `maxPending`-deep for
+    * `graceMs` is DISCONNECTED (the policy a production push gateway
+    * runs — one stuck client must not pin task slots for the whole
+    * drain), the drop is counted on `policy.drops` (a Spark accumulator,
+    * so executor-side disconnects surface at the driver as a metric), and
+    * the query completes without it. The kicked subscriber's recovery
+    * path is [[Hub.attach]]-at-offset backfill — drop-then-reattach, not
+    * unbounded buffering, is the scalable contract. */
   def pushLines(lines: DataFrame, host: String, port: Int,
       checkpointDir: Option[String],
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      bound: Option[SendBound] = None): StreamingQuery = {
+    val writer = bound match {
+      case Some(p) => new BoundedLineSocketWriter(host, port, p)
+      case None => new LineSocketWriter(host, port)
+    }
     val w = lines.writeStream
-      .foreach(new LineSocketWriter(host, port))
+      .foreach(writer)
       .outputMode(OutputMode.Append())
       .trigger(trigger)
     checkpointDir.foreach(c => w.option("checkpointLocation", c))
     w.start()
   }
+
+  /** Slow-consumer policy for [[pushLines]]: disconnect a subscriber whose
+    * send buffer stays `maxPending` lines deep for `graceMs`; each
+    * disconnect increments `drops` (create via
+    * `spark.sparkContext.longAccumulator("serve.slowDisconnects")`). */
+  final case class SendBound(maxPending: Int, graceMs: Long,
+      drops: org.apache.spark.util.LongAccumulator)
 
   /** Dynamic subscriber registry (r13 verdict item 2) — the reference's
     * reconnect/backfill UX composed into one surface: subscribers ATTACH
@@ -92,14 +117,15 @@ object Serve {
     def attach(id: String, host: String, port: Int,
         startingOffset: Long = 0L,
         transform: DataFrame => DataFrame = identity,
-        intervalMs: Long = 100L): StreamingQuery = {
+        intervalMs: Long = 100L,
+        bound: Option[SendBound] = None): StreamingQuery = {
       import org.apache.spark.sql.functions.{col, struct, to_json, unix_micros}
       val events = GraftLog.readStream(spark, logDir, startingOffset)
       val wire = transform(events).select(to_json(struct(
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"), col("value"), col("props"))).as("line"))
       val q = pushLines(wire, host, port, checkpointDir = None,
-        trigger = Trigger.ProcessingTime(intervalMs))
+        trigger = Trigger.ProcessingTime(intervalMs), bound = bound)
       require(active.putIfAbsent(id, q) == null, {
         q.stop(); s"Serve.Hub: subscriber $id already attached"
       })
@@ -149,12 +175,83 @@ object Serve {
     }
   }
 
+  /** Bounded-buffer twin of [[LineSocketWriter]]: a sender thread drains a
+    * `maxPending`-capacity queue to the socket (per-line flush — the TCP
+    * pipe, not this JVM, is the only other buffer), so the pushing task
+    * never blocks on a slow consumer's window. When the queue stays full
+    * past `graceMs`, the subscriber is disconnected: remaining lines for
+    * THIS connection are dropped, the drop is counted, and the task
+    * completes normally — a stuck client costs one metric increment, not
+    * a pinned task slot. Small send buffer so the bound is the QUEUE, not
+    * an opaque kernel buffer. */
+  private final class BoundedLineSocketWriter(host: String, port: Int,
+      bound: SendBound) extends ForeachWriter[org.apache.spark.sql.Row] {
+    @transient private var sock: Socket = _
+    @transient private var out: BufferedWriter = _
+    @transient private var queue: java.util.concurrent.ArrayBlockingQueue[String] = _
+    @transient private var sender: Thread = _
+    @transient @volatile private var disconnected = false
+    private val Poison = " __serve_eof__"
+
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      sock = new Socket()
+      sock.setSendBufferSize(16 * 1024)
+      sock.connect(new java.net.InetSocketAddress(host, port))
+      out = new BufferedWriter(new OutputStreamWriter(
+        sock.getOutputStream, StandardCharsets.UTF_8))
+      queue = new java.util.concurrent.ArrayBlockingQueue[String](bound.maxPending)
+      sender = new Thread(() => {
+        try {
+          var line = queue.take()
+          while (line ne Poison) {
+            out.write(line); out.write('\n'); out.flush()
+            line = queue.take()
+          }
+        } catch { case _: Exception => () } // disconnect/interrupt: drain ends
+      })
+      sender.setDaemon(true)
+      sender.start()
+      true
+    }
+
+    override def process(row: org.apache.spark.sql.Row): Unit = {
+      if (disconnected) return // policy: drop the rest of this connection
+      if (!queue.offer(row.getString(0), bound.graceMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        disconnected = true
+        bound.drops.add(1L)
+        sender.interrupt()
+        try sock.close() catch { case _: Exception => () }
+      }
+    }
+
+    override def close(errorOrNull: Throwable): Unit = {
+      if (!disconnected && queue != null) {
+        // bounded wait for the tail to drain, then EOF the sender
+        if (!queue.offer(Poison, bound.graceMs * 4,
+            java.util.concurrent.TimeUnit.MILLISECONDS)) sender.interrupt()
+      }
+      if (sender != null) sender.join(10000)
+      if (out != null) try { out.flush() } catch { case _: Exception => () }
+      if (sock != null) try { sock.close() } catch { case _: Exception => () }
+    }
+  }
+
   /** In-process subscriber endpoint (test double for the long-lived serve
     * client): accepts any number of connections (one per pushing task ×
     * epoch), drains each into a shared received-lines set. `perLineDelayMs`
     * simulates a slow consumer (the back-pressure isolation test). */
-  final class SubscriberClient(perLineDelayMs: Long = 0L) {
-    private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+  final class SubscriberClient(perLineDelayMs: Long = 0L,
+      recvBufferBytes: Int = 0) {
+    private val server = {
+      val s = new ServerSocket()
+      // set BEFORE bind so accepted sockets inherit it — a small receive
+      // window makes a slow reader's stall reach the writer fast (the
+      // backpressure-policy tests); 0 = OS default
+      if (recvBufferBytes > 0) s.setReceiveBufferSize(recvBufferBytes)
+      s.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, 0), 64)
+      s
+    }
     val port: Int = server.getLocalPort
     private val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     // reader threads still draining an accepted connection (ADVICE r12:

@@ -365,6 +365,22 @@ object ExplainDump {
       "compacted-generation read-back; the compaction itself is one max-per-key " +
       "aggregate + an offset equi-join — O(keys) state, and every surviving row " +
       "crossed the TSV wire format twice."),
+    "sink_acid_optimize" -> ("OPTIMIZE rewrite (r13): the dumped plan is the " +
+      "post-rewrite read-back over targetFiles range-clustered files resolved " +
+      "from the manifest — no delete-vector anti-join left (the rewrite folded " +
+      "the vectors), and the per-file zone maps it harvested are provably " +
+      "disjoint (spec-pinned), which is what makes readSkipping sharp at 100 TB."),
+    "scan_change_feed" -> ("Change data feed through the SQL TVF (r13/r14): " +
+      "table_changes('t', 0, 3) resolves through the manifest diff — inserts are " +
+      "a scan of exactly the window's ADDED files anti-joined to the broadcast " +
+      "standing vectors, delete preimages a semi-join of the window-start state " +
+      "against the new vector keys; O(changes) I/O, never O(table), and the SQL " +
+      "plan is bit-identical to the DataFrame seam's (SurfaceDocSpec parity pin)."),
+    "stream_incremental_mv" -> ("Streaming incremental MV (r14): the dumped plan " +
+      "is the maintained-state read-back; each refresh cycle's plan is one " +
+      "O(changes) delta aggregate + a full-outer merge join against the O(groups) " +
+      "standing state committed idempotently through the txn ledger — the base " +
+      "table is never rescanned after v0, the whole point of consuming the CDF."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -292,4 +292,44 @@ class ConcurrencySpec extends SparkFixture {
       slow.close(); fastB.close(); fastC.close()
     }
   }
+
+  test("serve backpressure: a subscriber stuck past the bound is disconnected at the bound; healthy feeds complete") {
+    import graft.stream.{Serve, Sources}
+    import org.apache.spark.sql.functions.{col, struct, to_json, unix_micros}
+    // bounded policy: 64-deep send buffer, 400 ms grace, drops counted on
+    // a Spark accumulator (executor-side disconnects surface at the driver)
+    val drops = spark.sparkContext.longAccumulator("serve.slowDisconnects")
+    val bound = Serve.SendBound(maxPending = 64, graceMs = 400L, drops = drops)
+    // the stuck client reads 100 ms/line with a tiny receive window, so
+    // its stall reaches the writer's queue quickly; the healthy clients
+    // are fast
+    val stuck = new Serve.SubscriberClient(perLineDelayMs = 100L,
+      recvBufferBytes = 4096)
+    val fastB = new Serve.SubscriberClient()
+    val fastC = new Serve.SubscriberClient()
+    val n = Tables.events(spark, sf001).count()
+    def wire() = Sources.replayEvents(spark, sf001, "events.parquet")
+      .select(to_json(struct(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))).as("line"))
+    val qs = Seq(stuck, fastB, fastC).map(c =>
+      Serve.pushLines(wire(), "127.0.0.1", c.port, checkpointDir = None,
+        bound = Some(bound)))
+    try {
+      // ALL queries terminate — including the one feeding the stuck client:
+      // at 100 ms/line an un-disconnected drain would need ~10 minutes, so
+      // termination inside the timeout is itself the policy working
+      qs.foreach(q => assert(q.awaitTermination(120000L),
+        "a push query did not terminate — the stuck client pinned it"))
+      fastB.quiesce(); fastC.quiesce()
+      assert(fastB.lines.size.toLong == n, "healthy subscriber B incomplete")
+      assert(fastC.lines.size.toLong == n, "healthy subscriber C incomplete")
+      assert(drops.value >= 1L, "no disconnect was recorded for the stuck subscriber")
+      assert(stuck.count.toLong < n,
+        "the stuck subscriber received everything — the bound never engaged")
+    } finally {
+      qs.foreach(q => if (q.isActive) q.stop())
+      stuck.close(); fastB.close(); fastC.close()
+    }
+  }
 }

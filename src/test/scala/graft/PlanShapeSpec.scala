@@ -664,4 +664,69 @@ class PlanShapeSpec extends SparkFixture {
       "global moments must broadcast")
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("source_acid_stream: predicate pushdown and column pruning survive into the micro-batch scan") {
+    // the V1 source re-flags a REAL parquet relation as streaming; the
+    // engine's per-micro-batch planning must still push a downstream
+    // filter into that scan — captured from inside foreachBatch, where the
+    // batch DataFrame's queryExecution IS the micro-batch plan
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("acid_mb_plan").toString + "/t"
+    (0 until 2).foreach { i =>
+      Acid.appendTxn(spark, table,
+        spark.range(i * 500L, i * 500L + 500L)
+          .select(col("id").as("k"), (col("id") * 2).as("v")), txnId = i.toLong)
+    }
+    val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+      .option("table", table).load()
+      .filter(col("k") > 100L)
+      .select(col("k"))
+      .writeStream.format("memory").queryName("acid_mb_plan_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("acid_mb_plan_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the engine's own last micro-batch plan (IncrementalExecution), where
+    // the source's re-flagged parquet relation is planned as a real scan
+    val p = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(p.contains("FileScan parquet"), s"no parquet scan in micro-batch plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,100)"),
+      s"filter not pushed into the micro-batch scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("k") && !readSchema.contains("v"),
+      s"column pruning lost in the micro-batch scan: $readSchema")
+  }
+
+  test("stream_change_feed: each micro-batch plans ONE wrapped leaf — the CDF joins never become stream-stream joins") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("cdf_mb_plan").toString + "/t"
+    Acid.appendTxn(spark, table,
+      spark.range(0, 400).select(col("id").as("k")), txnId = 0L)
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 50).select(col("id").as("k")), "k", txnId = 1L)
+    val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+      .option("table", table).option("mode", "cdf").load()
+      .writeStream.format("memory").queryName("cdf_mb_plan_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdf_mb_plan_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the delete-preimage semi/anti joins execute INSIDE getBatchCdf's own
+    // batch plan; the micro-batch the ENGINE runs must see one wrapped RDD
+    // leaf — a stream-stream join operator appearing here would mean the
+    // streaming re-flag leaked through the join
+    val p = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(!p.contains("StreamingSymmetricHashJoin"),
+      s"CDF joins became stream-stream joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"CDF joins leaked into the engine's micro-batch plan:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the single wrapped CDF leaf in the micro-batch plan:\n$p")
+  }
 }
