@@ -116,7 +116,11 @@ object Bench {
         val s = xs.sorted
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
-      def runs(name: String, dir: String): Seq[Double] = (1 to 6).map { _ =>
+      // run count per (key, SF): 6 for the standard decade; the sf10
+      // third-decade probe sets 3 — big-SF runs are tens of seconds each,
+      // so the median-of-tail needs fewer repeats to clear the noise floor
+      val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "6").toInt
+      def runs(name: String, dir: String): Seq[Double] = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
