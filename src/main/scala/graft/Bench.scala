@@ -132,9 +132,19 @@ object Bench {
       // the fuzzy block join both go quadratic exactly when their
       // blocking breaks, and the rfm distributed rank would go
       // super-linear if the range-exchange degenerated to one partition
-      val scaleKeys = baseline12 ++ Seq("llm_dedup_ngram", "stream_sliding",
+      // SPARK_GRAFT_SCALE_SKIP (comma list, default none — the driver's
+      // protocol is unchanged): the sf10 third-decade probe excludes
+      // join_fuzzy_blocked, whose fixed-cardinality blocking is quadratic
+      // in block size BY CONSTRUCTION (~31e9 levenshtein pairs at the 100×
+      // catalog — the r12 follow-up measured ~14 min already at 10×); its
+      // domain is the dimension-sized catalog, not the event stream, and
+      // the exclusion is recorded in BASELINE.md rather than hidden.
+      val skip = sys.env.get("SPARK_GRAFT_SCALE_SKIP")
+        .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      val scaleKeys = (baseline12 ++ Seq("llm_dedup_ngram", "stream_sliding",
         "graph_components", "llm_dedup_components",
-        "join_spatial_grid", "join_fuzzy_blocked", "window_rfm_segments")
+        "join_spatial_grid", "join_fuzzy_blocked", "window_rfm_segments"))
+        .filterNot(skip)
       val rows = scaleKeys.map { name =>
         val fixed = median(runs(name, sfSmall).tail)
         val mid = math.max(0.0, median(runs(name, sfMid).tail) - fixed)
