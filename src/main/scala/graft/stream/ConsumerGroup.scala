@@ -1,0 +1,99 @@
+package graft.stream
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Consumer-group consumption over the partitioned graft log — Kafka's
+  * horizontal-scale primitive for one logical subscriber (reference domain:
+  * the event-stream service's high-volume consumers; public shape: Kafka
+  * consumer groups / Kinesis enhanced fan-out workers): a GROUP of members
+  * divides the topic's partitions so each record is delivered to exactly
+  * one member, the group commits per-partition offsets to a shared ledger,
+  * and a member leaving hands its partitions to survivors who resume from
+  * the committed vector — no loss, no duplicate, across the rebalance.
+  *
+  * The Spark mapping: each member is an independent StreamingQuery over the
+  * [[GraftLogDataSource]] restricted by `assignedPartitions`, so member
+  * parallelism is query parallelism (executors scale per member, members
+  * scale per group — the two axes a 100 TB feed needs). The group ledger is
+  * a tiny JSON offset vector (O(partitions), control plane); commits come
+  * from the query's OWN reported source endOffset — the engine's committed
+  * progress, not a side channel that could drift from it.
+  *
+  * Assignment is the deterministic sorted round-robin (Kafka's range
+  * assignor shape): members and partitions sorted, partition i → member
+  * (i mod |members|). Deterministic assignment means a coordinator replay
+  * reproduces the same layout — no reconciliation state.
+  */
+object ConsumerGroup {
+
+  /** Deterministic partition assignment: sorted partitions round-robin over
+    * sorted members. Every partition is assigned to exactly one member;
+    * member loads differ by at most one partition. */
+  def assign(partitions: Seq[String], members: Seq[String]): Map[String, Seq[String]] = {
+    require(members.nonEmpty, "consumer group needs at least one member")
+    val ps = partitions.sorted
+    val ms = members.sorted
+    ps.zipWithIndex
+      .groupMap { case (_, i) => ms(i % ms.size) } { case (p, _) => p }
+      .view.mapValues(_.toSeq).toMap
+      .withDefaultValue(Seq.empty)
+  }
+
+  private def ledgerPath(groupDir: String) = Paths.get(groupDir, "offsets.json")
+
+  /** The group's committed offset vector (empty before any commit). */
+  def committedOffsets(groupDir: String): Map[String, Long] = {
+    val p = ledgerPath(groupDir)
+    if (!Files.exists(p)) Map.empty
+    else GraftLogOffset.parse(Files.readString(p, StandardCharsets.UTF_8)).parts
+  }
+
+  /** Merge a member's end-of-run offsets into the group ledger, keeping the
+    * MAX per partition (commits are monotone; a replayed member re-commits
+    * positions the ledger already holds — idempotent). Atomic
+    * write-tmp-then-move so a reader never sees a torn ledger. */
+  def commitOffsets(groupDir: String, offsets: Map[String, Long]): Unit = {
+    Files.createDirectories(Paths.get(groupDir))
+    val merged = (committedOffsets(groupDir).toSeq ++ offsets.toSeq)
+      .groupMapReduce(_._1)(_._2)(math.max)
+    val tmp = Paths.get(groupDir, "offsets.json.tmp")
+    Files.write(tmp, GraftLogOffset(merged).json().getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, ledgerPath(groupDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val memberSinkId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One member's drain: run an AvailableNow query over the member's
+    * assigned partitions, starting from the group's committed vector
+    * (positions for partitions the ledger doesn't name reset to log start),
+    * commit the query's reported end offsets back to the ledger, and return
+    * the received rows. `maxRecordsPerTrigger` keeps the drain multi-batch
+    * so the vector-offset admission path is what's exercised. */
+  def drainMember(spark: SparkSession, log: String, groupDir: String,
+      assigned: Seq[String], maxRecordsPerTrigger: Option[Long] = None): DataFrame = {
+    val start = committedOffsets(groupDir).view
+      .filterKeys(assigned.toSet).toMap
+    val src = GraftLog.readStream(spark, log,
+      maxRecordsPerTrigger = maxRecordsPerTrigger,
+      assignedPartitions = Some(assigned),
+      startingOffsetVector = if (start.isEmpty) None else Some(start))
+    val tbl = s"graft_cg_member_${memberSinkId.incrementAndGet()}"
+    val q = src.writeStream.format("memory").queryName(tbl)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the engine's committed progress IS the group commit: the last
+    // micro-batch's source endOffset vector (never ahead of what the sink
+    // observed under AvailableNow's drain-then-terminate contract)
+    val end = Option(q.lastProgress)
+      .orElse(q.recentProgress.lastOption)
+      .flatMap(p => p.sources.headOption)
+      .flatMap(s => Option(s.endOffset))
+    end.foreach(j => commitOffsets(groupDir, GraftLogOffset.parse(j).parts))
+    spark.table(tbl)
+  }
+}

@@ -393,14 +393,22 @@ object GraftLog {
 
   /** Open the log as a streaming DataFrame. `startingOffset` seeks; a
     * `maxRecordsPerTrigger` bound forces multi-batch execution;
-    * `wireVersion = 2` reads under the evolved schema ([[schemaV2]]). */
+    * `wireVersion = 2` reads under the evolved schema ([[schemaV2]]);
+    * `assignedPartitions` restricts the consumer to its group-assigned
+    * broker partitions; `startingOffsetVector` is the per-partition seek a
+    * rebalanced member resumes from (exclusive with `startingOffset`). */
   def readStream(spark: SparkSession, dir: String, startingOffset: Long = 0L,
-      maxRecordsPerTrigger: Option[Long] = None, wireVersion: Int = 1): DataFrame = {
+      maxRecordsPerTrigger: Option[Long] = None, wireVersion: Int = 1,
+      assignedPartitions: Option[Seq[String]] = None,
+      startingOffsetVector: Option[Map[String, Long]] = None): DataFrame = {
     val r = spark.readStream.format(classOf[GraftLogDataSource].getName)
       .option("path", dir)
       .option("startingOffset", startingOffset.toString)
       .option("wireVersion", wireVersion.toString)
     maxRecordsPerTrigger.foreach(m => r.option("maxRecordsPerTrigger", m.toString))
+    assignedPartitions.foreach(ps => r.option("assignedPartitions", ps.mkString(",")))
+    startingOffsetVector.foreach(v =>
+      r.option("startingOffsetVector", GraftLogOffset(v).json()))
     r.load()
   }
 
@@ -505,17 +513,25 @@ final class GraftLogTable(dir: String, wireV2: Boolean) extends Table with Suppo
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScan(dir,
       Option(options.get("startingOffset")).map(_.toLong).getOrElse(0L),
-      Option(options.get("maxRecordsPerTrigger")).map(_.toLong), wireV2)
+      Option(options.get("maxRecordsPerTrigger")).map(_.toLong), wireV2,
+      Option(options.get("assignedPartitions"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet),
+      Option(options.get("startingOffsetVector"))
+        .map(j => GraftLogOffset.parse(j).parts))
 }
 
 final class GraftLogScan(dir: String, startingOffset: Long,
-    maxRecordsPerTrigger: Option[Long], wireV2: Boolean) extends ScanBuilder with Scan {
+    maxRecordsPerTrigger: Option[Long], wireV2: Boolean,
+    assignedPartitions: Option[Set[String]] = None,
+    startingOffsetVector: Option[Map[String, Long]] = None)
+  extends ScanBuilder with Scan {
   override def build(): Scan = this
   override def readSchema(): StructType =
     if (wireV2) GraftLog.schemaV2 else GraftLog.schema
   override def description(): String = s"graft-log $dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLogMicroBatchStream(dir, startingOffset, maxRecordsPerTrigger, wireV2)
+    new GraftLogMicroBatchStream(dir, startingOffset, maxRecordsPerTrigger, wireV2,
+      assignedPartitions, startingOffsetVector)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       // batch reads start at the log-start offset — retention-expired
@@ -557,8 +573,29 @@ object GraftLogOffset {
 }
 
 final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
-    maxRecordsPerTrigger: Option[Long], wireV2: Boolean = false)
+    maxRecordsPerTrigger: Option[Long], wireV2: Boolean = false,
+    assignedPartitions: Option[Set[String]] = None,
+    startingOffsetVector: Option[Map[String, Long]] = None)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Consumer-group membership (`assignedPartitions`): this consumer reads
+  // ONLY its assigned broker partitions — Kafka's group-assignment contract,
+  // where a topic's partitions are divided across members and each record
+  // is delivered to exactly one. The filter applies at every offset-vector
+  // read, so planning, admission control, and progress reporting all see
+  // the member's slice of the log and nothing else.
+  private def visible(totals: Map[String, Long]): Map[String, Long] =
+    assignedPartitions match {
+      case None => totals
+      case Some(as) =>
+        // an assignment naming a partition the log doesn't have is a
+        // coordinator/layout bug — loud, never silently empty
+        require(as.subsetOf(totals.keySet),
+          s"graft-log: assignedPartitions names partitions " +
+            s"${(as -- totals.keySet).toSeq.sorted.mkString(",")} absent from " +
+            s"the log at $dir (present: ${totals.keySet.toSeq.sorted.mkString(",")})")
+        totals.view.filterKeys(as).toMap
+    }
 
   // AvailableNow contract: freeze the log's end at trigger start, so the
   // run drains everything present then and terminates even if a writer
@@ -566,30 +603,52 @@ final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
   @volatile private var frozenEnd: Option[Map[String, Long]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    frozenEnd = Some(GraftLog.totalsVector(dir))
+    frozenEnd = Some(visible(GraftLog.totalsVector(dir)))
 
   private def logEnd(): Map[String, Long] =
-    frozenEnd.getOrElse(GraftLog.totalsVector(dir))
+    frozenEnd.getOrElse(visible(GraftLog.totalsVector(dir)))
 
   override def initialOffset(): Offset = {
-    val totals = GraftLog.totalsVector(dir)
-    // scalar seek addresses the single-partition log (the backfill handoff
-    // contract); a partitioned log starts at the earliest-available vector
-    // — per-partition seeks arrive via a checkpointed offset
-    require(startingOffset == 0L || totals.keySet == Set(""),
-      s"graft-log: scalar startingOffset requires a single-partition log")
+    val totals = visible(GraftLog.totalsVector(dir))
     val bases = totals.map { case (p, _) =>
       p -> GraftLog.baseOrdinal(GraftLog.partDir(dir, p)) }
-    val total = totals.getOrElse("", 0L)
-    require(startingOffset >= 0 && startingOffset <= total,
-      s"graft-log: startingOffset $startingOffset outside log [0, $total]")
-    // an EXPLICIT seek below the log-start offset targets retention-expired
-    // records — loud failure; the default (0) resolves to earliest available
-    require(startingOffset == 0L || startingOffset >= bases.getOrElse("", 0L),
-      s"graft-log: startingOffset $startingOffset expired by retention " +
-        s"(log starts at ${bases.getOrElse("", 0L)})")
-    GraftLogOffset(totals.map { case (p, _) =>
-      p -> (if (p.isEmpty) math.max(startingOffset, bases(p)) else bases(p)) })
+    startingOffsetVector match {
+      case Some(vec) =>
+        // per-partition seek — the consumer-group REBALANCE handoff: a
+        // member taking over partitions resumes from the group's committed
+        // vector. Partitions assigned but not named start at the log-start
+        // offset (Kafka's no-committed-offset → earliest reset).
+        require(startingOffset == 0L,
+          "graft-log: startingOffset and startingOffsetVector are exclusive")
+        require(vec.keySet.subsetOf(totals.keySet),
+          s"graft-log: startingOffsetVector names partitions " +
+            s"${(vec.keySet -- totals.keySet).toSeq.sorted.mkString(",")} outside " +
+            s"this consumer's view of the log at $dir")
+        vec.foreach { case (p, o) =>
+          require(o >= bases(p) && o <= totals(p),
+            s"graft-log: startingOffsetVector position $o for partition '$p' " +
+              s"outside available range [${bases(p)}, ${totals(p)}]")
+        }
+        GraftLogOffset(totals.map { case (p, _) => p -> vec.getOrElse(p, bases(p)) })
+      case None =>
+        // scalar seek addresses the single-partition log (the backfill
+        // handoff contract); a partitioned log starts at the earliest-
+        // available vector — per-partition seeks arrive via a checkpointed
+        // offset or startingOffsetVector
+        require(startingOffset == 0L || totals.keySet == Set(""),
+          s"graft-log: scalar startingOffset requires a single-partition log")
+        val total = totals.getOrElse("", 0L)
+        require(startingOffset >= 0 && startingOffset <= total,
+          s"graft-log: startingOffset $startingOffset outside log [0, $total]")
+        // an EXPLICIT seek below the log-start offset targets retention-
+        // expired records — loud failure; the default (0) resolves to
+        // earliest available
+        require(startingOffset == 0L || startingOffset >= bases.getOrElse("", 0L),
+          s"graft-log: startingOffset $startingOffset expired by retention " +
+            s"(log starts at ${bases.getOrElse("", 0L)})")
+        GraftLogOffset(totals.map { case (p, _) =>
+          p -> (if (p.isEmpty) math.max(startingOffset, bases(p)) else bases(p)) })
+    }
   }
 
   // the engine calls the admission-control overload; the plain one is the

@@ -714,6 +714,53 @@ object StreamOps {
         WHERE event_id > (SELECT CAST(FLOOR(MAX(event_id) * 3 / 10) AS BIGINT) FROM events)
         ORDER BY event_id""".trim)),
 
+    // Consumer-group consumption (r14 — see [[ConsumerGroup]]): Kafka's
+    // horizontal-scale primitive for ONE logical subscriber, composed over
+    // the partitioned commit log. Generation 1 (ids ≤ cut, 4 broker
+    // partitions keyed user_id % 4) is divided between members alice
+    // {p=0,p=2} and bob {p=1,p=3} — independent StreamingQueries whose
+    // source sees ONLY its assigned partitions; both commit their reported
+    // end-offset vectors to the group ledger. Bob then LEAVES, the producer
+    // lands generation 2, and the rebalanced group (alice alone, all four
+    // partitions) resumes from the ledger — her own commits plus bob's
+    // handoff. The key's output is the UNION of everything every member
+    // ever received, per-event rows with NO dedup: a record delivered to
+    // two members, re-delivered across the rebalance (ledger position too
+    // low), or lost at a partition handoff (position too high) changes the
+    // row multiset and fails the hash against the whole events table.
+    Q("serve_consumer_group",
+      (spark, sfDir) => {
+        val log = graft.Tmp.dir("cg_log", sfDir)
+        val group = graft.Tmp.dir("cg_group", sfDir)
+        graft.ops.Acid.reset(log); graft.ops.Acid.reset(group)
+        val ev = Tables.events(spark, sfDir)
+        val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+        val cut = maxId * 3 / 5 // generation 1 = ids <= cut
+        def land(df: DataFrame, firstSegment: Int): Unit =
+          (0 until 4).foreach { k =>
+            GraftLog.stage(spark, df.filter(pmod(col("user_id"), lit(4)) === k),
+              s"$log/p=$k", segmentRows = 2048, firstSegment = firstSegment)
+          }
+        land(ev.filter(col("event_id") <= cut), 0)
+        val parts = (0 until 4).map(k => s"p=$k")
+        val per = Some(2048L) // keep every drain multi-batch
+        val gen1 = ConsumerGroup.assign(parts, Seq("alice", "bob"))
+        val aliceG1 = ConsumerGroup.drainMember(spark, log, group, gen1("alice"), per)
+        val bobG1 = ConsumerGroup.drainMember(spark, log, group, gen1("bob"), per)
+        land(ev.filter(col("event_id") > cut), 90000) // generation 2
+        val gen2 = ConsumerGroup.assign(parts, Seq("alice")) // bob left
+        val aliceG2 = ConsumerGroup.drainMember(spark, log, group, gen2("alice"), per)
+        val cols = Seq("event_id", "user_id", "event_type", "value").map(col)
+        aliceG1.select(cols: _*)
+          .unionAll(bobG1.select(cols: _*))
+          .unionAll(aliceG2.select(cols: _*))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        ORDER BY event_id""".trim)),
+
     // The composed end-to-end service loop (r13 — see [[E2e]]; r12 verdict
     // item 1, highest leverage): graft-log ingest → per-user stateful
     // transform → serve egress as ONE restartable chain. Generation 1 of

@@ -419,4 +419,101 @@ class GraftLogSpec extends SparkFixture {
     // idempotent: a second pass with the same cutoff is a no-op
     assert(GraftLog.expireBefore(dir, cutoffUs).isEmpty)
   }
+
+  // ---- consumer groups (r14): assignment, isolation, rebalance handoff ----
+
+  import graft.stream.ConsumerGroup
+
+  /** Partitioned log: partition name → segments of ids. */
+  private def freshPartLog(parts: Map[String, Seq[Seq[Long]]]): String = {
+    val dir = Files.createTempDirectory("graftlog_cg").toString
+    parts.foreach { case (p, segs) =>
+      segs.zipWithIndex.foreach { case (seg, i) =>
+        GraftLog.appendSegment(s"$dir/$p", i, seg.map(line))
+      }
+    }
+    dir
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+
+  test("consumer-group assignment is deterministic, total, and balanced") {
+    val parts = Seq("p=0", "p=1", "p=2", "p=3")
+    val a = ConsumerGroup.assign(parts, Seq("bob", "alice")) // member order irrelevant
+    assert(a("alice") == Seq("p=0", "p=2") && a("bob") == Seq("p=1", "p=3"))
+    assert(a == ConsumerGroup.assign(parts.reverse, Seq("alice", "bob")))
+    val b = ConsumerGroup.assign(parts, Seq("m1", "m2", "m3"))
+    assert(b.values.flatten.toSeq.sorted == parts, "every partition exactly once")
+    assert(b.values.map(_.size).max - b.values.map(_.size).min <= 1, "balanced ±1")
+    assert(b("nobody").isEmpty, "unknown member holds nothing")
+  }
+
+  test("assignedPartitions: a member's source sees only its partitions") {
+    val dir = freshPartLog(Map(
+      "p=0" -> Seq(Seq(0L, 1, 2)), "p=1" -> Seq(Seq(10L, 11)), "p=2" -> Seq(Seq(20L))))
+    val ckpt = Files.createTempDirectory("graftlog_ckpt").toString
+    val got = drainToTable(GraftLog.readStream(spark, dir,
+      assignedPartitions = Some(Seq("p=0", "p=2"))), ckpt)
+    assert(ids(got) == Seq(0L, 1, 2, 20), "member saw records outside its assignment")
+  }
+
+  test("assignedPartitions naming an absent partition fails loudly, not silently empty") {
+    val dir = freshPartLog(Map("p=0" -> Seq(Seq(0L, 1))))
+    val ckpt = Files.createTempDirectory("graftlog_ckpt").toString
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainToTable(GraftLog.readStream(spark, dir,
+        assignedPartitions = Some(Seq("p=0", "p=9"))), ckpt)
+    }
+    assert(e.getMessage.contains("p=9"), s"wrong failure: ${e.getMessage}")
+  }
+
+  test("startingOffsetVector outside the available range fails loudly") {
+    val dir = freshPartLog(Map("p=0" -> Seq(Seq(0L, 1, 2))))
+    val ckpt = Files.createTempDirectory("graftlog_ckpt").toString
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainToTable(GraftLog.readStream(spark, dir,
+        assignedPartitions = Some(Seq("p=0")),
+        startingOffsetVector = Some(Map("p=0" -> 7L))), ckpt)
+    }
+    assert(e.getMessage.contains("outside available range"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("group ledger: commits merge max per partition and re-commits are idempotent") {
+    val g = Files.createTempDirectory("graftlog_cg_ledger").toString
+    assert(ConsumerGroup.committedOffsets(g).isEmpty)
+    ConsumerGroup.commitOffsets(g, Map("p=0" -> 5L, "p=1" -> 3L))
+    ConsumerGroup.commitOffsets(g, Map("p=0" -> 2L, "p=2" -> 9L)) // stale p=0 replay
+    assert(ConsumerGroup.committedOffsets(g) == Map("p=0" -> 5L, "p=1" -> 3L, "p=2" -> 9L))
+  }
+
+  test("rebalance handoff: survivor resumes from the ledger — union exact, no re-delivery") {
+    val dir = freshPartLog(Map(
+      "p=0" -> Seq(Seq(0L, 1, 2), Seq(3L, 4)),
+      "p=1" -> Seq(Seq(10L, 11, 12)),
+      "p=2" -> Seq(Seq(20L, 21)),
+      "p=3" -> Seq(Seq(30L))))
+    val group = Files.createTempDirectory("graftlog_cg_group").toString
+    val asg = ConsumerGroup.assign(Seq("p=0", "p=1", "p=2", "p=3"), Seq("alice", "bob"))
+    val aliceG1 = ids(ConsumerGroup.drainMember(spark, dir, group, asg("alice"),
+      maxRecordsPerTrigger = Some(2)))
+    val bobG1 = ids(ConsumerGroup.drainMember(spark, dir, group, asg("bob"),
+      maxRecordsPerTrigger = Some(2)))
+    assert(aliceG1 == Seq(0L, 1, 2, 3, 4, 20, 21))
+    assert(bobG1 == Seq(10L, 11, 12, 30))
+    assert(ConsumerGroup.committedOffsets(group) ==
+      Map("p=0" -> 5L, "p=1" -> 3L, "p=2" -> 2L, "p=3" -> 1L),
+      "ledger must hold the engine-reported end offsets of generation 1")
+    // generation 2 lands on two partitions; bob leaves; alice takes all four
+    GraftLog.appendSegment(s"$dir/p=1", 99, Seq(13L, 14).map(line))
+    GraftLog.appendSegment(s"$dir/p=3", 99, Seq(31L).map(line))
+    val aliceG2 = ids(ConsumerGroup.drainMember(spark, dir, group,
+      Seq("p=0", "p=1", "p=2", "p=3"), maxRecordsPerTrigger = Some(2)))
+    assert(aliceG2 == Seq(13L, 14, 31),
+      "survivor must receive exactly generation 2 — a gen-1 record here is a " +
+        "rebalance re-delivery, a missing gen-2 record is a handoff loss")
+    assert(ConsumerGroup.committedOffsets(group) ==
+      Map("p=0" -> 5L, "p=1" -> 5L, "p=2" -> 2L, "p=3" -> 2L))
+  }
 }
