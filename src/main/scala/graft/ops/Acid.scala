@@ -615,7 +615,12 @@ object Acid {
           else None
         } { (_, prev) =>
           val newFiles = writeTxnData(spark, table, merged, txnId)
-          ("# base:." +:
+          // "# op:rewrite" = Delta's dataChange=false: the commit replaced
+          // files without logical change, so streaming readers may cross it
+          // contributing nothing (background OPTIMIZE must not break tailing
+          // consumers). Commit-local by construction: appendManifest carries
+          // only txn/delete headers forward.
+          ("# base:." +: s"# op:rewrite:$what" +:
             (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
             headers(newFiles) ++ newFiles
         }
@@ -735,6 +740,15 @@ object Acid {
     val lines = manifestLines(table, v)
     (lines.filterNot(_.startsWith("#")), lines.filter(_.startsWith("# delete:")))
   }
+
+  /** True iff version `v` is a tagged rewrite commit ([[optimize]] /
+    * [[compactDeletes]]) — files replaced, no logical change; Delta's
+    * `dataChange=false`. Streaming readers cross these contributing
+    * nothing. Manifests written before the tag existed read as false and
+    * fall back to the structural (file-diff) detection at their call
+    * sites. */
+  private[graft] def isRewriteCommit(table: String, v: Long): Boolean =
+    manifestLines(table, v).exists(_.startsWith("# op:rewrite"))
 
   /** Standing equality-delete vector of version `v`: (key column, delete
     * file paths), if any. Control plane for readers that assemble their

@@ -233,10 +233,11 @@ object Llm {
     *
     * PNG payloads decode for REAL through JDK `javax.imageio` — true
     * dimensions from the pixel grid, frame count from the tEXt metadata
-    * chunk, per-frame pixel access for the feature stage. Non-PNG mimes
-    * (video codecs etc., which the JDK lacks and SURVEY §0's environment
-    * cannot install) fall to the clearly-marked deterministic stub; a
-    * production build replaces ONLY that branch. */
+    * chunk, per-frame pixel access for the feature stage. PCM/WAV audio
+    * decodes for real through its own lane ([[audioStatsBatch]], r14).
+    * The remaining mimes (video codecs, which the JDK lacks and SURVEY
+    * §0's environment cannot install) fall to the clearly-marked
+    * deterministic stub; a production build replaces ONLY that branch. */
   def decodeBatch(batch: Seq[MediaIn]): Seq[MediaFeat] = batch.map { m =>
     if (isPng(m.payload)) {
       val (img, nFrames) = readPng(m.payload)
@@ -251,6 +252,101 @@ object Llm {
         math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1,
         nFrames, (0 until nFrames by 24).toArray)
     }
+  }
+
+  // ---- real PCM/WAV audio codec (JDK javax.sound.sampled — no external
+  // media libs; PCM WAV is the one audio container the JDK parses) ----
+
+  /** Input record for the audio stage: opaque payload + typed metadata,
+    * same at-rest shape as [[MediaIn]]. */
+  case class AudioIn(doc_id: Long, payload: Array[Byte], mime: String)
+
+  /** Integer-exact per-document audio stats — the quantities a speech-data
+    * curation pass filters on (silence, clipping, energy, pitch proxy). */
+  case class AudioStat(doc_id: Long, sample_rate: Int, n_samples: Long,
+      sum_abs: Long, crossings: Long, peak: Long)
+
+  /** Deterministic 16-bit PCM sample formula — integer-only so the DuckDB
+    * oracle regenerates it exactly: `llm_multimodal_audio` hash-matches
+    * only if the WAV container round-trip (RIFF encode → RIFF decode) is
+    * bit-lossless AND the stats arithmetic agrees, making the audio codec
+    * path the first ORACLE-CHECKED multimodal key (the PNG keys are
+    * spec-checked — image dims aren't SQL-derivable; these samples are). */
+  def pcmSample(docId: Long, i: Int): Short =
+    (((docId * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toShort
+
+  /** Encode samples as a REAL RIFF/WAVE file: 16-bit signed little-endian
+    * mono PCM — `AudioSystem.write` emits the actual RIFF header +
+    * fmt/data chunks, so the decode side exercises a genuine container
+    * parse, not a side channel. */
+  def wavFromSamples(samples: Array[Short], rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(i * 2) = (samples(i) & 0xFF).toByte
+      raw(i * 2 + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    finally ais.close()
+    baos.toByteArray
+  }
+
+  /** Fixture generator for the audio keys: `n` [[pcmSample]] samples in a
+    * real WAV container at 8 kHz (telephony rate — small fixtures). */
+  def wavBytes(docId: Long, n: Int, rate: Float = 8000f): Array[Byte] =
+    wavFromSamples(Array.tabulate(n)(pcmSample(docId, _)), rate)
+
+  /** Decode a WAV payload back to its 16-bit PCM samples + sample rate —
+    * a true container parse via `AudioSystem.getAudioInputStream` (RIFF
+    * chunk walk, format resolution), honoring the container's declared
+    * endianness. */
+  def readWav(bytes: Array[Byte]): (Array[Short], Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"readWav: expected 16-bit mono PCM, got $fmt")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val out = new Array[Short](n)
+      val le = !fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (le) ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+          else ((raw(2 * i + 1) & 0xFF) | (raw(2 * i) << 8)).toShort
+        i += 1
+      }
+      (out, fmt.getSampleRate.toInt)
+    } finally ais.close()
+  }
+
+  /** Audio feature kernel over the batch-decode seam — the audio sibling
+    * of [[decodeBatch]]: per payload, decode the REAL WAV container and
+    * compute integer-exact stats. sum|s| and peak are the energy/clipping
+    * filters; sign crossings (zero-crossing count) is the classic cheap
+    * pitch/voicedness proxy. Batch-in/batch-out, partition-local; only
+    * the 6-field stat row outlives the batch. */
+  def audioStatsBatch(batch: Seq[AudioIn]): Seq[AudioStat] = batch.map { in =>
+    val (s, rate) = readWav(in.payload)
+    var sumAbs = 0L; var crossings = 0L; var peak = 0L
+    var i = 0
+    while (i < s.length) {
+      val v = s(i).toLong
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      if (i > 0 && ((s(i - 1) < 0) != (v < 0))) crossings += 1
+      i += 1
+    }
+    AudioStat(in.doc_id, rate, s.length.toLong, sumAbs, crossings, peak)
   }
 
   /** 64-bit perceptual hash of a media payload. */
@@ -784,5 +880,59 @@ object Llm {
           .orderBy(col("a_id"), col("b_id"))
       },
       None),
+
+    // Multimodal AUDIO decode + feature extraction (r14): the audio lane
+    // of the batch-decode seam, and the first ORACLE-CHECKED multimodal
+    // key. Payloads are REAL RIFF/WAVE containers (16-bit mono PCM at
+    // 8 kHz, samples from the integer-only [[pcmSample]] formula) and the
+    // decode is a real `javax.sound.sampled` container parse — RIFF chunk
+    // walk, declared-endianness honored. [[audioStatsBatch]] computes
+    // integer-exact curation stats (energy, clipping peak, zero-crossing
+    // pitch proxy) in bounded 64-row slices inside each partition. The
+    // DuckDB oracle REGENERATES the PCM formula over generate_series and
+    // recomputes the stats in SQL: the hash matches only if the container
+    // round-trip is bit-lossless and the kernel arithmetic agrees — a
+    // header-offset, endianness, or sign error anywhere in the codec path
+    // breaks it. Same scale shape as the PNG keys: rows (not payloads)
+    // cross the pre-decode spread exchange, decode is partition-local,
+    // only the 6-field stat row shuffles for the presentation sort.
+    Q("llm_multimodal_audio",
+      (spark, sfDir) => {
+        import spark.implicits._
+        val wav = udf((id: Long) => wavBytes(id, 2048))
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"))
+          .filter(col("doc_id") % 3 === 0)
+          // pre-encode spread, exactly like llm_multimodal_decode: the
+          // exchange carries doc_id only; payloads are born post-exchange
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), wav(col("doc_id")).as("payload"),
+            lit("audio/wav").as("mime"))
+          .as[AudioIn]
+          .mapPartitions(_.grouped(64).flatMap(b => audioStatsBatch(b.toSeq)))
+          .toDF()
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+            col("sum_abs"), col("crossings"), col("peak"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT d.doc_id, g.i,
+                 ((d.doc_id * 2654435761 + g.i * 40503) % 65536) - 32768 AS v
+          FROM documents d
+          CROSS JOIN (SELECT CAST(range AS BIGINT) AS i FROM range(0, 2048)) g
+          WHERE d.doc_id % 3 = 0
+        )
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+               CAST(SUM(CASE WHEN i > 0 AND
+                 ((((doc_id * 2654435761 + (i - 1) * 40503) % 65536) - 32768 < 0)
+                   <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS crossings,
+               CAST(MAX(ABS(v)) AS BIGINT) AS peak
+        FROM s
+        GROUP BY doc_id
+        ORDER BY doc_id""".trim)),
   )
 }

@@ -24,12 +24,15 @@ import org.apache.spark.sql.types.StructType
   *    micro-batch covering `(start, end]` reads exactly the data files
   *    each append commit in that range ADDED (manifest set-difference per
   *    version — O(manifest lines) control plane, zero data I/O to plan).
-  *  - **Append-only admission**: a delete or rewrite commit in the range
-  *    fails the query loudly (a row-level change cannot be represented as
-  *    an append feed) unless `skipChangeCommits=true`, which skips those
-  *    commits' file contributions entirely — exactly Delta's
-  *    `skipChangeCommits`. Rewrites (optimize/compactDeletes) add files
-  *    carrying NO new rows, so skipping them is lossless for the feed.
+  *  - **Append-only admission**: a DELETE commit in the range fails the
+  *    query loudly (a row-level change cannot be represented as an append
+  *    feed) unless `skipChangeCommits=true`, which skips those commits'
+  *    file contributions entirely — exactly Delta's `skipChangeCommits`.
+  *    A REWRITE commit (optimize/compactDeletes — Delta's
+  *    `dataChange=false`) is crossed transparently with NO opt-in: its
+  *    files carry no new rows, and background compaction concurrent with
+  *    tailing consumers is the normal operating mode of a governed table
+  *    (pinned by `stream_across_optimize`).
   *  - **Checkpoint resume**: the engine persists the version offset; a
   *    restarted query resumes from the committed version and never
   *    re-emits a committed append (pinned by the key's two-generation
@@ -54,9 +57,14 @@ object AcidStream {
     Acid.manifestFiles(table, v)
 
   /** Files contributed by versions `(start, end]`, append commits only.
-    * A non-append commit (new delete vectors, or replaced files) either
-    * throws or contributes nothing, per `skipChangeCommits`. */
-  private[stream] def addedFiles(table: String, start: Long, end: Long,
+    * A tagged rewrite commit (optimize/compactDeletes — Delta's
+    * `dataChange=false`) is crossed TRANSPARENTLY: its files carry no new
+    * rows, so it contributes nothing and needs no opt-in — background
+    * table maintenance must never break a tailing consumer. A commit that
+    * actually changes data (new delete vectors) either throws or
+    * contributes nothing, per `skipChangeCommits` — exactly Delta's
+    * admission split between dataChange=false and change commits. */
+  private[graft] def addedFiles(table: String, start: Long, end: Long,
       skipChangeCommits: Boolean): Seq[String] =
     (start + 1 to end).flatMap { v =>
       val (df1, del1) = filesAt(table, v)
@@ -65,7 +73,8 @@ object AcidStream {
         else filesAt(table, v - 1)
       val prev = df0.toSet
       val isAppend = prev.subsetOf(df1.toSet) && del1 == del0
-      if (isAppend) df1.filterNot(prev)
+      if (Acid.isRewriteCommit(table, v)) Seq.empty // dataChange=false
+      else if (isAppend) df1.filterNot(prev)
       else if (skipChangeCommits) Seq.empty
       else throw new IllegalStateException(
         s"acid-stream: version $v of $table is not append-only (delete " +
@@ -165,7 +174,8 @@ object AcidStream {
       * commit history — the MV-refresh / replica-apply feed. */
     private def getBatchCdf(s: Long, e: Long): DataFrame = {
       val parts = (s + 1 to e).flatMap { v =>
-        try {
+        if (Acid.isRewriteCommit(table, v)) None // dataChange=false: no changes
+        else try {
           val piece =
             if (v == 0) {
               val (files, _) = Acid.manifestFiles(table, 0L)
@@ -344,6 +354,62 @@ object AcidStream {
           WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 <> 0
         )
         ORDER BY _commit_version, o_orderkey""".trim)),
+
+    // Maintenance-transparent tailing (r14): background OPTIMIZE must not
+    // break — or re-feed — a streaming consumer. History: v0–v2 append
+    // three event slices (drained as generation 1); v3 is an OPTIMIZE
+    // rewrite (files replaced, rows identical — Delta dataChange=false,
+    // tagged `# op:rewrite` in the manifest); v4–v5 append the remaining
+    // slices. The generation-2 query resumes at v2 WITHOUT
+    // skipChangeCommits and must cross v3 contributing zero rows — a
+    // re-delivery of the rewritten generation-1 files would double-count
+    // the aggregate; a loud failure (the pre-r14 behavior) would abort the
+    // drain and lose v4–v5. foreachBatch lands deliveries in an Acid
+    // output table under the engine's monotone batchId, so the per-type
+    // aggregate over the output catches loss and duplication exactly.
+    // At 100 TB this is the normal operating mode: compaction jobs run
+    // hourly UNDER live medallion consumers.
+    Q("stream_across_optimize",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("stream_optskip_tbl", sfDir)
+        val out = graft.Tmp.dir("stream_optskip_out", sfDir)
+        Acid.reset(table); Acid.reset(out)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_optskip_ckpt").toString
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        def land(lo: Int, hi: Int): Unit = (lo until hi).foreach { i =>
+          Acid.appendTxn(spark, table,
+            ev.filter(pmod(col("event_id"), lit(5)) === i), txnId = i.toLong)
+        }
+        def drain(): Unit = {
+          val q = spark.readStream
+            .format("graft.stream.AcidStreamProvider")
+            .option("table", table).load()
+            .writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              Acid.appendTxn(spark, out, b, txnId = id); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        land(0, 3); drain()                        // gen 1: v0..v2
+        Acid.optimize(spark, table, txnId = 100L,  // v3: rewrite, no new rows
+          targetFiles = 2, clusterCol = Some("event_id"))
+        land(3, 5); drain()                        // gen 2: resumes at v2,
+                                                   // crosses v3 silently
+        Acid.read(spark, out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
   )
 }
 

@@ -335,4 +335,53 @@ class LlmSpec extends SparkFixture {
       assert(ham > 12, s"unrelated docs $a,$b at hamming $ham")
     }
   }
+
+  test("WAV container round-trip is bit-lossless and reads back the declared rate") {
+    val ids = Seq(0L, 1L, 7L, 123L, 99991L)
+    ids.foreach { id =>
+      val (samples, rate) = ops.Llm.readWav(ops.Llm.wavBytes(id, 2048))
+      assert(rate == 8000, s"doc $id: rate $rate")
+      assert(samples.length == 2048, s"doc $id: ${samples.length} samples")
+      (0 until 2048).foreach { i =>
+        assert(samples(i) == ops.Llm.pcmSample(id, i),
+          s"doc $id sample $i: ${samples(i)} != formula")
+      }
+    }
+  }
+
+  test("audio stats on a REAL sine match the closed forms (RMS = a/sqrt2, ZCR = 2f)") {
+    // 440 Hz sine, amplitude 16384 (half scale), 1 s at 8 kHz — genuine
+    // audio through the same encode/decode/stats path as the key
+    val rate = 8000
+    val f = 440.0
+    val amp = 16384.0
+    val sine = Array.tabulate(rate)(i =>
+      (amp * math.sin(2 * math.Pi * f * i / rate)).toShort)
+    val wav = ops.Llm.wavFromSamples(sine, rate.toFloat)
+    val st = ops.Llm.audioStatsBatch(
+      Seq(ops.Llm.AudioIn(1L, wav, "audio/wav"))).head
+    assert(st.sample_rate == rate && st.n_samples == rate.toLong)
+    // mean |sin| = 2/pi → sum_abs ≈ amp * 2/pi * n (within 1%)
+    val meanAbs = st.sum_abs.toDouble / st.n_samples
+    assert(math.abs(meanAbs - amp * 2 / math.Pi) < amp * 0.01,
+      s"mean|s| $meanAbs vs ${amp * 2 / math.Pi}")
+    // a 440 Hz sine crosses zero 2f times per second (±1 boundary effect)
+    assert(math.abs(st.crossings - 2 * f) <= 2, s"crossings ${st.crossings}")
+    assert(st.peak <= amp.toLong && st.peak > (amp * 0.99).toLong,
+      s"peak ${st.peak} vs amp $amp")
+  }
+
+  test("llm_multimodal_audio decodes stay partition-local: only the spread exchange and the sort shuffle") {
+    val df = SparkEntry.queries("llm_multimodal_audio")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan.take(800))
+    // pre-encode doc_id spread + presentation sort; payloads never shuffle
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      "audio decode must not shuffle payloads:\n" + plan.take(1500))
+    // no exchange may sit between payload encode (UDF) and the decode
+    val below = plan.substring(plan.indexOf("MapPartitions"))
+    val (udfAt, exAt) = (below.indexOf("UDF"), below.indexOf("Exchange"))
+    assert(udfAt >= 0 && (exAt == -1 || exAt > udfAt),
+      "no exchange may sit between payload encode and decode:\n" + plan.take(1500))
+  }
 }

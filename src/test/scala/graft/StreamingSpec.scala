@@ -1507,6 +1507,66 @@ class StreamingSpec extends SparkFixture {
     assert(e2.getMessage != null)
   }
 
+  test("acid-stream source: an OPTIMIZE rewrite commit is crossed transparently in both feed modes") {
+    import graft.ops.Acid
+    import graft.stream.AcidStream
+    val table = java.nio.file.Files.createTempDirectory("acidopt_tbl").toString + "/t"
+    def land(lo: Long, n: Long, txn: Long): Unit =
+      Acid.appendTxn(spark, table,
+        spark.range(lo, lo + n).select(col("id")), txnId = txn)
+    land(0, 100, 0L)  // v0
+    land(100, 50, 1L) // v1
+    Acid.optimize(spark, table, txnId = 10L, targetFiles = 1) // v2: rewrite
+    land(1000, 25, 2L) // v3: append after the rewrite
+    // unit pin: the rewrite version contributes NOTHING to the append
+    // feed (no skipChangeCommits opt-in), and the post-rewrite append's
+    // file diff is computed against the REWRITTEN manifest
+    assert(AcidStream.addedFiles(table, 1L, 2L, skipChangeCommits = false).isEmpty,
+      "a dataChange=false rewrite must contribute zero files")
+    val afterRewrite = AcidStream.addedFiles(table, 1L, 3L, skipChangeCommits = false)
+    assert(afterRewrite.nonEmpty && afterRewrite.forall(_.startsWith("txn=2/")),
+      s"post-rewrite append must contribute only its own files, got $afterRewrite")
+    // end-to-end append feed from scratch: v0+v1 original files, v2
+    // silently crossed, v3's rows — exactly once each
+    def drainIds(mode: Option[String]): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val r = spark.readStream.format("graft.stream.AcidStreamProvider")
+        .option("table", table)
+      val q = mode.fold(r)(m => r.option("mode", m)).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("id")).collect().foreach(row => got.add(row.getLong(0))); ()
+        }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("acidopt_ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.asScala.toSeq.sorted
+    }
+    val want = ((0L until 150L) ++ (1000L until 1025L)).sorted
+    assert(drainIds(None) == want,
+      "append feed across the rewrite must deliver each committed row exactly once")
+    // CDF feed: same rows, all inserts, tagged with their TRUE commit
+    // versions (0,1,3) — the rewrite version never appears
+    val gotCdf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val qc = spark.readStream.format("graft.stream.AcidStreamProvider")
+      .option("table", table).option("mode", "cdf").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("id"), col("change_type"), col("_commit_version"))
+          .collect().foreach(r => gotCdf.add((r.getLong(0), r.getString(1), r.getLong(2)))); ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("acidopt_ckpt_cdf").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination()
+    val cdf = gotCdf.asScala.toSeq.sortBy(_._1)
+    assert(cdf.map(_._1) == want, "CDF feed lost or duplicated rows across the rewrite")
+    assert(cdf.forall(_._2 == "insert"), "rewrite must not synthesize change rows")
+    assert(cdf.map(_._3).toSet == Set(0L, 1L, 3L),
+      s"CDF versions must be the logical commits only, got ${cdf.map(_._3).toSet}")
+  }
+
   test("stream_incremental_mv: maintained state equals a full recompute at EVERY version, across delete and restart") {
     import graft.ops.Acid
     import graft.stream.IncrementalMv
