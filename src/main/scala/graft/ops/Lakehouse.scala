@@ -501,5 +501,59 @@ object Lakehouse {
           WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
         )
         ORDER BY change_type, o_orderkey""".trim)),
+
+    // Multi-table atomic transaction (r14 — see [[Catalog]]): a fact
+    // table and its dimension move in LOCKSTEP through a catalog-level
+    // commit (Nessie / Iceberg-REST multi-table shape; per-table logs
+    // like Delta's cannot express it). Txn 0 lands dim + first fact
+    // slice, txn 1 appends the second fact slice with the dim pin
+    // carried forward, and a REPLAY of txn 1 (driver retry after a
+    // simulated failure) must not advance the catalog — the per-table
+    // txn ledgers plus the catalog's own txn list make the whole
+    // multi-table commit exactly-once. The read resolves ONE snapshot
+    // and reads both members at their pinned versions (no torn
+    // fact-new/dim-old join); the oracle demands the joined aggregate
+    // equal a direct join of the source tables, so a missing slice,
+    // a doubled replay, or a stale pin all shift the hash. At 100 TB
+    // the catalog adds O(tables) text + one atomic rename per commit
+    // on top of the per-table protocol — the data path is untouched.
+    // ConcurrencySpec pins crash atomicity (tables advanced, catalog
+    // not flipped → old snapshot; retry completes) and snapshot
+    // isolation across a concurrent later commit.
+    Q("sink_catalog_txn",
+      (spark, sfDir) => {
+        val cat = graft.Tmp.dir("sink_catalogtxn", sfDir)
+        Catalog.reset(cat)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            money(col("o_totalprice")).as("price"))
+        val dim = Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        Catalog.commitTxn(spark, cat, 0L, Seq(
+          "cust"   -> dim,
+          "orders" -> or.filter(col("o_orderkey") % 2 === 0)))
+        Catalog.commitTxn(spark, cat, 1L, Seq(
+          "orders" -> or.filter(col("o_orderkey") % 2 === 1)))
+        val v = Catalog.commitTxn(spark, cat, 1L, Seq( // replayed retry
+          "orders" -> or.filter(col("o_orderkey") % 2 === 1)))
+        require(v == 1L, s"replayed txn advanced the catalog to v$v")
+        require(Catalog.committedTxns(cat) == Set(0L, 1L),
+          s"catalog txn ledger incomplete: ${Catalog.committedTxns(cat)}")
+        val pins = Catalog.snapshot(cat) // resolved ONCE — both reads share it
+        Catalog.readAt(spark, cat, pins, "orders")
+          .join(Catalog.readAt(spark, cat, pins, "cust"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            emit(sum(col("price")), 2).as("revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               ${sqlEmit(s"SUM(${sqlMoney("o_totalprice")})", 2)} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""".trim)),
   )
 }

@@ -350,6 +350,62 @@ class ConcurrencySpec extends SparkFixture {
       stuck.close(); fastB.close(); fastC.close()
     }
   }
+
+  test("catalog txn: crash after the table phase leaves readers on the old snapshot; retry completes the flip") {
+    import graft.ops.{Acid, Catalog}
+    val cat = java.nio.file.Files.createTempDirectory("cat_crash").toString
+    def r(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Catalog.commitTxn(spark, cat, 10L, Seq("fact" -> r(0, 10), "dim" -> r(0, 3)))
+    val before = Catalog.snapshot(cat)
+    // simulate a writer that CRASHED mid-txn 11: both member tables
+    // advanced through their own protocol, but the catalog never flipped
+    Acid.appendTxn(spark, Catalog.tablePath(cat, "fact"), r(100, 5), txnId = 11L)
+    Acid.appendTxn(spark, Catalog.tablePath(cat, "dim"), r(100, 2), txnId = 11L)
+    // catalog readers are untouched: same version, same pins, same rows
+    assert(Catalog.snapshot(cat) == before,
+      "half-committed txn leaked into the catalog snapshot")
+    assert(Catalog.readAt(spark, cat, before, "fact").count() == 10L,
+      "catalog read saw rows from the unflipped txn")
+    // the writer retries THE SAME txnId: table appends no-op through their
+    // ledgers (no double data), the catalog flip completes
+    val v = Catalog.commitTxn(spark, cat, 11L,
+      Seq("fact" -> r(100, 5), "dim" -> r(100, 2)))
+    assert(v == 1L, s"retry should complete as catalog v1, got v$v")
+    val after = Catalog.snapshot(cat)
+    assert(Catalog.readAt(spark, cat, after, "fact").count() == 15L)
+    assert(Catalog.readAt(spark, cat, after, "dim").count() == 5L)
+    // and a SECOND retry of the same txn is a pure no-op at both levels
+    assert(Catalog.commitTxn(spark, cat, 11L, Seq("fact" -> r(100, 5))) == 1L)
+    assert(Catalog.readAt(spark, cat, Catalog.snapshot(cat), "fact").count() == 15L)
+  }
+
+  test("catalog txn: a resolved snapshot is immune to later commits (no torn multi-table read)") {
+    import graft.ops.Catalog
+    val cat = java.nio.file.Files.createTempDirectory("cat_iso").toString
+    def r(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Catalog.commitTxn(spark, cat, 0L, Seq("fact" -> r(0, 10), "dim" -> r(0, 3)))
+    val pins = Catalog.snapshot(cat) // reader resolves ONCE
+    val factBefore = Catalog.readAt(spark, cat, pins, "fact").count()
+    // a fact-only commit lands between the reader's two table reads;
+    // the dim pin carries forward into catalog v1
+    Catalog.commitTxn(spark, cat, 1L, Seq("fact" -> r(100, 7)))
+    assert(Catalog.readAt(spark, cat, pins, "fact").count() == factBefore,
+      "pinned read drifted after a later commit — snapshot isolation broken")
+    assert(Catalog.readAt(spark, cat, pins, "dim").count() == 3L)
+    // fresh snapshot sees the new fact AND the carried-forward dim pin
+    val now = Catalog.snapshot(cat)
+    assert(Catalog.readAt(spark, cat, now, "fact").count() == 17L)
+    assert(now("dim") == pins("dim"), "unwritten member's pin should carry forward")
+    // racing writers on the SAME catalog version: put-if-absent makes the
+    // loser fail loudly instead of silently clobbering the winner
+    val winnerV = Catalog.currentVersion(cat).get
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(cat, s"catalog-$winnerV.txt"),
+        "x".getBytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    }
+  }
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode
