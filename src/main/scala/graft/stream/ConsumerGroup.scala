@@ -44,6 +44,7 @@ object ConsumerGroup {
   }
 
   private def ledgerPath(groupDir: String) = Paths.get(groupDir, "offsets.json")
+  private def genPath(groupDir: String) = Paths.get(groupDir, "generation.txt")
 
   /** The group's committed offset vector (empty before any commit). */
   def committedOffsets(groupDir: String): Map[String, Long] = {
@@ -52,11 +53,49 @@ object ConsumerGroup {
     else GraftLogOffset.parse(Files.readString(p, StandardCharsets.UTF_8)).parts
   }
 
+  /** The group's current generation (0 before the first rebalance). */
+  def currentGeneration(groupDir: String): Long = {
+    val p = genPath(groupDir)
+    if (!Files.exists(p)) 0L
+    else Files.readString(p, StandardCharsets.UTF_8).linesIterator
+      .next().trim.toLong
+  }
+
+  /** Membership change = REBALANCE (Kafka's group epoch): bump the group
+    * generation and record the new membership + its deterministic
+    * assignment. Returns (generation, assignment). A member that missed
+    * the rebalance keeps its OLD generation and is FENCED at its next
+    * commit — the zombie cannot advance offsets for partitions it no
+    * longer owns (with max-merge commits, an unfenced zombie committing
+    * ahead on a revoked partition would make the new owner SKIP records:
+    * silent loss; the epoch turns that into a loud rejection). Atomic
+    * write-tmp-then-move like the ledger. */
+  def rebalance(groupDir: String, partitions: Seq[String],
+      members: Seq[String]): (Long, Map[String, Seq[String]]) = {
+    Files.createDirectories(Paths.get(groupDir))
+    val gen = currentGeneration(groupDir) + 1
+    val body = (gen.toString +: members.sorted).mkString("", "\n", "\n")
+    val tmp = Paths.get(groupDir, "generation.txt.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, genPath(groupDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    (gen, assign(partitions, members))
+  }
+
   /** Merge a member's end-of-run offsets into the group ledger, keeping the
     * MAX per partition (commits are monotone; a replayed member re-commits
     * positions the ledger already holds — idempotent). Atomic
-    * write-tmp-then-move so a reader never sees a torn ledger. */
-  def commitOffsets(groupDir: String, offsets: Map[String, Long]): Unit = {
+    * write-tmp-then-move so a reader never sees a torn ledger.
+    * `generation`, when given, is checked against the group's current
+    * epoch: a commit from an older generation throws
+    * [[FencedGenerationException]] and leaves the ledger untouched. */
+  def commitOffsets(groupDir: String, offsets: Map[String, Long],
+      generation: Option[Long] = None): Unit = {
+    generation.foreach { g =>
+      val cur = currentGeneration(groupDir)
+      if (g != cur) throw new FencedGenerationException(
+        s"commit from generation $g rejected: group is at generation $cur")
+    }
     Files.createDirectories(Paths.get(groupDir))
     val merged = (committedOffsets(groupDir).toSeq ++ offsets.toSeq)
       .groupMapReduce(_._1)(_._2)(math.max)
@@ -75,7 +114,8 @@ object ConsumerGroup {
     * the received rows. `maxRecordsPerTrigger` keeps the drain multi-batch
     * so the vector-offset admission path is what's exercised. */
   def drainMember(spark: SparkSession, log: String, groupDir: String,
-      assigned: Seq[String], maxRecordsPerTrigger: Option[Long] = None): DataFrame = {
+      assigned: Seq[String], maxRecordsPerTrigger: Option[Long] = None,
+      generation: Option[Long] = None): DataFrame = {
     val start = committedOffsets(groupDir).view
       .filterKeys(assigned.toSet).toMap
     val src = GraftLog.readStream(spark, log,
@@ -93,7 +133,12 @@ object ConsumerGroup {
       .orElse(q.recentProgress.lastOption)
       .flatMap(p => p.sources.headOption)
       .flatMap(s => Option(s.endOffset))
-    end.foreach(j => commitOffsets(groupDir, GraftLogOffset.parse(j).parts))
+    end.foreach(j => commitOffsets(groupDir, GraftLogOffset.parse(j).parts, generation))
     spark.table(tbl)
   }
 }
+
+/** A member committed under a generation the group has moved past — the
+  * Kafka `FencedInstanceIdException` shape: the zombie must rejoin (and
+  * resume from the ledger), never write. */
+final class FencedGenerationException(msg: String) extends RuntimeException(msg)

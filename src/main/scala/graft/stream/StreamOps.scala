@@ -761,6 +761,69 @@ object StreamOps {
         FROM events
         ORDER BY event_id""".trim)),
 
+    // Join-side rebalance with generation fencing (r14 — the complement
+    // of serve_consumer_group's leave-side handoff; Kafka's group epoch):
+    // alice consumes the whole topic alone under generation 1, then BOB
+    // JOINS — the rebalance bumps the epoch and REVOKES p=1/p=3 from
+    // alice; bob resumes those partitions from ALICE's committed ledger
+    // positions (the revocation handoff: log-start would duplicate her
+    // generation-1 receipts, log-end would lose the backlog). A zombie
+    // commit from the dead generation is FENCED in-body: with the
+    // ledger's monotone max-merge, an unfenced zombie advancing a revoked
+    // partition would make bob SKIP records — the fence turns silent
+    // loss into a loud rejection, and the oracle hash over the union of
+    // every member's receipts (NO dedup) would catch either failure
+    // mode. Member parallelism stays query parallelism: each drain is an
+    // independent StreamingQuery over only its assigned partitions.
+    Q("serve_group_rebalance",
+      (spark, sfDir) => {
+        val log = graft.Tmp.dir("cgr_log", sfDir)
+        val group = graft.Tmp.dir("cgr_group", sfDir)
+        graft.ops.Acid.reset(log); graft.ops.Acid.reset(group)
+        val ev = Tables.events(spark, sfDir)
+        val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+        val cut = maxId * 3 / 5
+        def land(df: DataFrame, firstSegment: Int): Unit =
+          (0 until 4).foreach { k =>
+            GraftLog.stage(spark, df.filter(pmod(col("user_id"), lit(4)) === k),
+              s"$log/p=$k", segmentRows = 2048, firstSegment = firstSegment)
+          }
+        land(ev.filter(col("event_id") <= cut), 0)
+        val parts = (0 until 4).map(k => s"p=$k")
+        val per = Some(2048L)
+        // generation 1: alice is the whole group
+        val (g1, asg1) = ConsumerGroup.rebalance(group, parts, Seq("alice"))
+        val aliceG1 = ConsumerGroup.drainMember(spark, log, group,
+          asg1("alice"), per, generation = Some(g1))
+        land(ev.filter(col("event_id") > cut), 90000) // backlog keeps growing
+        // bob JOINS: epoch bump, p=1/p=3 revoked from alice
+        val (g2, asg2) = ConsumerGroup.rebalance(group, parts, Seq("alice", "bob"))
+        require(g2 == g1 + 1, s"rebalance must bump the generation: $g1 -> $g2")
+        // a zombie still living in generation 1 tries to push p=1 past the
+        // end of the log — fenced, ledger untouched (bob would otherwise
+        // resume past the backlog and the hash below would miss rows)
+        val before = ConsumerGroup.committedOffsets(group)
+        val fenced =
+          try { ConsumerGroup.commitOffsets(group, Map("p=1" -> Long.MaxValue), Some(g1)); false }
+          catch { case _: FencedGenerationException => true }
+        require(fenced, "stale-generation commit was not fenced")
+        require(ConsumerGroup.committedOffsets(group) == before,
+          "fenced commit mutated the group ledger")
+        val aliceG2 = ConsumerGroup.drainMember(spark, log, group,
+          asg2("alice"), per, generation = Some(g2))
+        val bobG2 = ConsumerGroup.drainMember(spark, log, group,
+          asg2("bob"), per, generation = Some(g2))
+        val cols = Seq("event_id", "user_id", "event_type", "value").map(col)
+        aliceG1.select(cols: _*)
+          .unionAll(aliceG2.select(cols: _*))
+          .unionAll(bobG2.select(cols: _*))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        ORDER BY event_id""".trim)),
+
     // The composed end-to-end service loop (r13 — see [[E2e]]; r12 verdict
     // item 1, highest leverage): graft-log ingest → per-user stateful
     // transform → serve egress as ONE restartable chain. Generation 1 of

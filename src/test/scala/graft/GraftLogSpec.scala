@@ -516,4 +516,39 @@ class GraftLogSpec extends SparkFixture {
     assert(ConsumerGroup.committedOffsets(group) ==
       Map("p=0" -> 5L, "p=1" -> 5L, "p=2" -> 2L, "p=3" -> 2L))
   }
+
+  test("generation fencing: a zombie's commit from a dead epoch is rejected; the ledger stands") {
+    import graft.stream.FencedGenerationException
+    val dir = freshPartLog(Map(
+      "p=0" -> Seq(Seq(0L, 1, 2)), "p=1" -> Seq(Seq(10L, 11))))
+    val parts = Seq("p=0", "p=1")
+    val group = Files.createTempDirectory("graftlog_cg_fence").toString
+    assert(ConsumerGroup.currentGeneration(group) == 0L)
+    val (g1, asg1) = ConsumerGroup.rebalance(group, parts, Seq("alice"))
+    assert(g1 == 1L && asg1("alice") == parts)
+    ids(ConsumerGroup.drainMember(spark, dir, group, asg1("alice"),
+      generation = Some(g1)))
+    val ledgerG1 = ConsumerGroup.committedOffsets(group)
+    assert(ledgerG1 == Map("p=0" -> 3L, "p=1" -> 2L))
+    // bob joins: epoch bumps, p=1 revoked from alice
+    val (g2, asg2) = ConsumerGroup.rebalance(group, parts, Seq("alice", "bob"))
+    assert(g2 == 2L && asg2("bob") == Seq("p=1"))
+    // alice-the-zombie (never heard the rebalance) tries to advance the
+    // revoked partition PAST the log end — with the ledger's monotone
+    // max-merge an unfenced zombie would make bob's next resume skip
+    // records (silent loss); the epoch makes it a loud rejection
+    intercept[FencedGenerationException] {
+      ConsumerGroup.commitOffsets(group, Map("p=1" -> 999L), Some(g1))
+    }
+    assert(ConsumerGroup.committedOffsets(group) == ledgerG1,
+      "fenced commit mutated the ledger")
+    // an un-epoched commit (legacy caller) and a current-epoch commit work
+    ConsumerGroup.commitOffsets(group, Map("p=0" -> 3L))
+    GraftLog.appendSegment(s"$dir/p=1", 99, Seq(12L, 13).map(line))
+    val bob = ids(ConsumerGroup.drainMember(spark, dir, group, asg2("bob"),
+      generation = Some(g2)))
+    assert(bob == Seq(12L, 13),
+      "bob must resume p=1 exactly at alice's committed position")
+    assert(ConsumerGroup.committedOffsets(group)("p=1") == 4L)
+  }
 }
