@@ -476,6 +476,112 @@ object Acid {
     } { (_, prev) => appendManifest(prev, txnId, newFiles) }
   }
 
+  // ---- write-audit-publish staging (Iceberg WAP / Delta shadow-commit) ----
+
+  /** Stage `df` as an UNPUBLISHED append: data lands under `wap=<id>/` and
+    * the staged file list is recorded in `manifest-wap-<id>.txt` — a
+    * namespace committed readers, writers, and the orphan-manifest check
+    * never touch, so a staged batch is invisible to every consumer of the
+    * table until [[publishWap]]. This is the audit gate production
+    * pipelines put between ingest and visibility (Iceberg's `wap.id`
+    * snapshot staging): land the data, run quality checks against
+    * [[readWap]]'s preview, then publish metadata-only — or [[abortWap]]
+    * and the table never knew. Re-staging the same id overwrites its own
+    * data (idempotent retry). Staged files are pinned live against
+    * [[vacuum]] by the wap manifest itself. */
+  def stageWap(spark: SparkSession, table: String, df: DataFrame,
+      wapId: String): Seq[String] = {
+    require(wapId.matches("[A-Za-z0-9_-]+"), s"wap id must be path-safe: $wapId")
+    val root = Paths.get(table)
+    Files.createDirectories(root)
+    val dataDir = root.resolve(s"wap=$wapId")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val walk = Files.walk(dataDir)
+    val files =
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => root.relativize(p).toString)
+        .sorted().toArray.map(_.toString).toSeq
+      finally walk.close()
+    val tmp = root.resolve(s"manifest-wap-$wapId.txt.tmp")
+    Files.write(tmp, files.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, wapManifest(table, wapId),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    files
+  }
+
+  private def wapManifest(table: String, wapId: String) =
+    Paths.get(table, s"manifest-wap-$wapId.txt")
+
+  /** Staged-but-unpublished wap ids (the audit queue). */
+  def stagedWapIds(table: String): Seq[String] =
+    Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("manifest-wap-") && n.endsWith(".txt") =>
+        n.stripPrefix("manifest-wap-").stripSuffix(".txt") }
+      .sorted.toSeq
+
+  private def wapFiles(table: String, wapId: String): Seq[String] = {
+    val p = wapManifest(table, wapId)
+    require(Files.exists(p), s"Acid: no staged wap '$wapId' at $table")
+    val it = Files.readAllLines(p).iterator()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) { val l = it.next().trim; if (l.nonEmpty) b += l }
+    b.result()
+  }
+
+  /** The AUDIT view: current committed snapshot ∪ the staged batch —
+    * exactly what [[publishWap]] would make visible (standing delete
+    * vectors apply to the committed base; like [[appendTxn]], an append
+    * does not resurrect deleted keys, so they subtract from the staged
+    * rows too). Quality checks run here; the table's readers see none
+    * of it. */
+  def readWap(spark: SparkSession, table: String, wapId: String): DataFrame = {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.readWap: no committed version at $table"))
+    val lines = manifestLines(table, cur)
+    require(lines.contains("# base:."), s"readWap on snapshot-mode table $table")
+    val all = lines.filterNot(_.startsWith("#")) ++ wapFiles(table, wapId)
+    subtractDeletes(spark, table, lines,
+      spark.read.parquet(all.map(f => s"$table/$f"): _*))
+  }
+
+  /** Publish a staged batch: a METADATA-ONLY commit through the same
+    * CAS/rebase path as [[appendTxnCAS]] — the staged files are already
+    * durable, so publish moves no data whatever the batch size (Iceberg's
+    * cherry-pick of a wap snapshot). Idempotent per `txnId` via the txn
+    * ledger; concurrent appends rebase exactly as append∥append does. The
+    * wap manifest is retired on success (its files are now pinned by the
+    * committed manifest). */
+  def publishWap(table: String, wapId: String, txnId: Long): Long = {
+    if (committedTxns(table).contains(txnId)) {
+      // replayed retry — possibly after a crash between the commit and the
+      // wap-manifest retirement below: finish the retirement, change nothing
+      Files.deleteIfExists(wapManifest(table, wapId))
+      return currentVersion(table).get
+    }
+    val files = wapFiles(table, wapId)
+    val v = commitNextVersion(table) { (cur, prev) =>
+      require(cur.isEmpty || prev.contains("# base:."),
+        s"publishWap on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None // replay
+    } { (_, prev) => appendManifest(prev, txnId, files) }
+    Files.deleteIfExists(wapManifest(table, wapId))
+    v
+  }
+
+  /** Drop a staged batch that failed its audit: manifest + data gone, the
+    * table never saw it. */
+  def abortWap(table: String, wapId: String): Unit = {
+    Files.deleteIfExists(wapManifest(table, wapId))
+    val dataDir = Paths.get(table, s"wap=$wapId")
+    if (Files.exists(dataDir)) {
+      val walk = Files.walk(dataDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
+
   private def commitManifest(table: String, v: Long, lines: Seq[String]): Long = {
     // CREATE_NEW: the manifest write is itself a put-if-absent, so two
     // writers who both believe they own v (possible only through stale-claim
@@ -858,14 +964,16 @@ object Acid {
     val newHorizon = math.max(horizon(table), cur - keep + 1)
     if (newHorizon == 0) Seq.empty
     else {
-      // table-relative live set across every retained manifest
-      val live: Set[String] = (newHorizon to cur).flatMap { v =>
+      // table-relative live set across every retained manifest, plus every
+      // staged-but-unpublished WAP batch (a pending audit is live by
+      // definition — abortWap is the only way to drop one)
+      val live: Set[String] = ((newHorizon to cur).flatMap { v =>
         val lines = manifestLines(table, v)
         val rootRel = lines.contains("# base:.")
         lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
           lines.filterNot(_.startsWith("#"))
             .map(f => if (rootRel) f else s"v=$v/$f")
-      }.toSet
+      } ++ stagedWapIds(table).flatMap(id => wapFiles(table, id))).toSet
       val tmp = Paths.get(table, "_horizon.tmp")
       Files.write(tmp, newHorizon.toString.getBytes("UTF-8"))
       Files.move(tmp, horizonPath(table),

@@ -502,6 +502,59 @@ object Lakehouse {
         )
         ORDER BY change_type, o_orderkey""".trim)),
 
+    // Write-audit-publish (r14 — see [[Acid.stageWap]]): the audit gate
+    // production pipelines put between ingest and visibility (Iceberg's
+    // wap.id snapshot staging / the Netflix WAP pattern). Slice B lands
+    // as an UNPUBLISHED staged batch — data durable, readers blind to it
+    // (pinned in-body: the committed read still equals slice A while B
+    // is staged, and the staged files survive a vacuum). The audit runs
+    // against readWap's preview (base ∪ staged — exactly what publish
+    // would expose); a batch that FAILS its audit is aborted and the
+    // table never knew. Publish is METADATA-ONLY through the same
+    // CAS/rebase path as optimistic appends — zero data movement at any
+    // batch size, which is the entire point at 100 TB: the quality gate
+    // costs one manifest line-merge, not a second copy of the data. A
+    // replayed publish (driver retry) no-ops through the txn ledger.
+    // The oracle sees A ∪ B exactly once — a leaked staged batch, a
+    // double publish, or a lost abort all shift the hash.
+    Q("sink_wap_publish",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_wap", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0),
+          txnId = 0L) // committed base = A
+        val baseCount = Acid.read(spark, table).count()
+        Acid.stageWap(spark, table, or.filter(col("o_orderkey") % 3 === 1), "b")
+        require(Acid.read(spark, table).count() == baseCount,
+          "staged batch leaked into the committed read")
+        Acid.vacuum(table, keep = 1)
+        require(Acid.readWap(spark, table, "b").count() > baseCount,
+          "staged files did not survive vacuum — the audit copy was GC'd")
+        // a batch that fails its audit: staged, rejected, aborted
+        Acid.stageWap(spark, table, or.filter(col("o_orderkey") % 3 === 2), "bad")
+        require(Acid.stagedWapIds(table) == Seq("b", "bad"))
+        Acid.abortWap(table, "bad")
+        // publish B metadata-only; the retry no-ops through the ledger
+        val v = Acid.publishWap(table, "b", txnId = 1L)
+        require(Acid.publishWap(table, "b", txnId = 1L) == v,
+          "replayed publish advanced the table")
+        require(Acid.stagedWapIds(table).isEmpty,
+          "published/aborted wap manifests must be retired")
+        Acid.read(spark, table)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+        ORDER BY o_orderkey""".trim)),
+
     // Multi-table atomic transaction (r14 — see [[Catalog]]): a fact
     // table and its dimension move in LOCKSTEP through a catalog-level
     // commit (Nessie / Iceberg-REST multi-table shape; per-table logs

@@ -1866,4 +1866,36 @@ class OperatorSpec extends SparkFixture {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet == out.toSet, "rerun not identical")
   }
+
+  test("Acid WAP: publish survives a crash before manifest retirement; publish racing an append rebases") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_wap").toString + "/t"
+    def r(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Acid.appendTxn(spark, table, r(0, 10), txnId = 0L) // base A
+    // stage B, then a CONCURRENT writer lands C before the publish: the
+    // publish's CAS commit must rebase onto C's manifest (publish∥append
+    // is append∥append — disjoint files, never a conflict)
+    Acid.stageWap(spark, table, r(100, 5), "b")
+    Acid.appendTxnCAS(spark, table, r(200, 7), txnId = 1L)
+    val v = Acid.publishWap(table, "b", txnId = 2L)
+    assert(v == 2L, s"publish should land as v2 after the racing append, got v$v")
+    assert(Acid.read(spark, table).count() == 22L,
+      "publish rebased wrong: expected A(10) + C(7) + B(5)")
+    // crash seam: the commit landed but the wap manifest retirement never
+    // ran (simulated by recreating it) — the RETRY must finish retirement
+    // without touching the table
+    val m = java.nio.file.Paths.get(table, "manifest-wap-b.txt")
+    java.nio.file.Files.write(m, "wap=b/zombie.parquet\n".getBytes("UTF-8"))
+    assert(Acid.publishWap(table, "b", txnId = 2L) == v,
+      "replayed publish after crash advanced the table")
+    assert(!java.nio.file.Files.exists(m), "retry must retire the wap manifest")
+    assert(Acid.read(spark, table).count() == 22L)
+    // an aborted id can be re-staged and re-audited from scratch
+    Acid.stageWap(spark, table, r(300, 3), "d")
+    Acid.abortWap(table, "d")
+    assert(Acid.stagedWapIds(table).isEmpty)
+    Acid.stageWap(spark, table, r(400, 4), "d")
+    assert(Acid.readWap(spark, table, "d").count() == 26L)
+    Acid.abortWap(table, "d")
+  }
 }
