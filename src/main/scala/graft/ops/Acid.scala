@@ -436,7 +436,8 @@ object Acid {
       newFiles: Seq[String]): Seq[String] =
     ("# base:." +:
       (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
-      prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")) ++
+      prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:") ||
+        l.startsWith("# pval:") || l.startsWith("# pspec:")) ++
       prev.filterNot(_.startsWith("#")) ++ newFiles
 
   /** Optimistic multi-writer append — Delta's commit protocol shape,
@@ -474,6 +475,106 @@ object Acid {
         s"appendTxnCAS on snapshot-mode table $table")
       if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None // raced replay
     } { (_, prev) => appendManifest(prev, txnId, newFiles) }
+  }
+
+  // ---- partition evolution (Iceberg partition-spec evolution) ----
+
+  /** Append under a PARTITION SPEC that may differ from earlier commits'
+    * — Iceberg's partition evolution, the capability hive-style layouts
+    * structurally lack: the spec is per-COMMIT metadata, not a table-wide
+    * path convention, so changing how new data is clustered never
+    * rewrites a byte of old data. Mechanics:
+    *
+    *  - data lands hive-clustered under `txn=<id>/` via SHADOW copies of
+    *    the partition columns (`__part_<c>=<v>` dirs), so the REAL
+    *    columns stay inside the parquet files — readers never depend on
+    *    path-derived columns, which is exactly what lets two specs
+    *    coexist in one file list (mixed hive schemes under one basePath
+    *    cannot even be loaded);
+    *  - each file's partition values are recorded in the manifest
+    *    (`# pval:<file>|c=v,...`), the spec itself as `# pspec:<txn>|c,...`
+    *    — Iceberg's manifest-entry partition tuple;
+    *  - [[readPrunedEvolved]] prunes the file list from those tuples:
+    *    a file is dropped only if it NAMES a predicate column with a
+    *    different value; files from an older spec that never recorded
+    *    the column are always kept (they may contain matching rows), and
+    *    the caller's residual filter keeps the answer exact — pruning is
+    *    an optimization, never a semantics change.
+    *
+    * Idempotent per txnId like [[appendTxn]]; delete vectors and the txn
+    * ledger carry forward unchanged. */
+  def appendTxnEvolved(spark: SparkSession, table: String, df: DataFrame,
+      txnId: Long, partitionCols: Seq[String]): Long = withWriterLock(table) {
+    require(partitionCols.nonEmpty, "appendTxnEvolved: empty spec — use appendTxn")
+    lazy val written: (Seq[String], Seq[String]) = { // at most once
+      val root = Paths.get(table)
+      val dataDir = root.resolve(s"txn=$txnId")
+      val shadows = partitionCols.map(c => s"__part_$c")
+      val shadowed = partitionCols.zip(shadows).foldLeft(df) {
+        case (d, (c, s)) => d.withColumn(s, col(c))
+      }
+      shadowed.write.mode("overwrite")
+        .partitionBy(shadows: _*).parquet(dataDir.toString)
+      val walk = Files.walk(dataDir)
+      val files =
+        try walk.filter(p => p.toString.endsWith(".parquet"))
+          .map[String](p => root.relativize(p).toString)
+          .sorted().toArray.map(_.toString).toSeq
+        finally walk.close()
+      // partition tuple per file, parsed from the shadow dirs it landed in
+      val pvals = files.map { f =>
+        val vals = f.split('/').toSeq.collect {
+          case seg if seg.startsWith("__part_") && seg.contains('=') =>
+            val Array(c, v) = seg.split("=", 2)
+            s"${c.stripPrefix("__part_")}=$v"
+        }
+        s"# pval:$f|${vals.mkString(",")}"
+      }
+      (files, pvals :+ s"# pspec:$txnId|${partitionCols.mkString(",")}")
+    }
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isEmpty || prev.contains("# base:."),
+        s"appendTxnEvolved on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:") ||
+          l.startsWith("# pval:") || l.startsWith("# pspec:")) ++
+        written._2 ++
+        prev.filterNot(_.startsWith("#")) ++ written._1
+    }
+  }
+
+  /** Metadata partition pruning across EVOLVED specs: keep a file unless
+    * its recorded partition tuple names a predicate column with a
+    * DIFFERENT value (old-spec files that never recorded the column are
+    * kept — only provably-dead files drop). Returns (dataframe over kept
+    * files, kept count, total count); the caller applies the predicate as
+    * a residual filter, so the answer is exact whatever the prune kept. */
+  def readPrunedEvolved(spark: SparkSession, table: String,
+      preds: Map[String, String]): (DataFrame, Int, Int) = {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.readPrunedEvolved: no committed version at $table"))
+    val lines = manifestLines(table, cur)
+    require(lines.contains("# base:."),
+      s"readPrunedEvolved on snapshot-mode table $table")
+    val pvals: Map[String, Map[String, String]] = lines
+      .filter(_.startsWith("# pval:"))
+      .map { l =>
+        val body = l.stripPrefix("# pval:")
+        val (f, tup) = body.span(_ != '|')
+        f -> tup.drop(1).split(',').filter(_.nonEmpty)
+          .map { kv => val Array(c, v) = kv.split("=", 2); c -> v }.toMap
+      }.toMap
+    val files = lines.filterNot(_.startsWith("#"))
+    val kept = files.filter { f =>
+      val tuple = pvals.getOrElse(f, Map.empty)
+      preds.forall { case (c, v) => tuple.get(c).forall(_ == v) }
+    }
+    require(kept.nonEmpty, "prune kept no files — nothing to scan")
+    val base = spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+    (subtractDeletes(spark, table, lines, base), kept.size, files.size)
   }
 
   // ---- write-audit-publish staging (Iceberg WAP / Delta shadow-commit) ----
@@ -633,6 +734,9 @@ object Acid {
         (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
         Seq(s"# delkey:$keyCol") ++
         (prev.filter(_.startsWith("# delete:")) ++ delFiles.map(f => s"# delete:$f")) ++
+        // partition-evolution metadata survives merge-on-read deletes (the
+        // data files are untouched, so their partition tuples still hold)
+        prev.filter(l => l.startsWith("# pval:") || l.startsWith("# pspec:")) ++
         prev.filterNot(_.startsWith("#"))
     }
   }

@@ -502,6 +502,57 @@ object Lakehouse {
         )
         ORDER BY change_type, o_orderkey""".trim)),
 
+    // Partition evolution (r14 — see [[Acid.appendTxnEvolved]]): the
+    // partition spec is per-COMMIT manifest metadata (Iceberg's
+    // evolution), not a table-wide path convention — so when the feed
+    // grows and [event_type] clustering stops being enough, new appends
+    // land under [event_type, wk] without rewriting a byte of the old
+    // generation. Pruning reads the manifest's per-file partition
+    // tuples: a file drops only if it NAMES a predicate column with a
+    // different value, so old-spec files (which never recorded `wk`)
+    // are always kept and the residual filter keeps the answer exact.
+    // In-body requires pin both prune shapes: a `wk` predicate keeps
+    // ALL gen-1 files + only matching gen-2 files; an `event_type`
+    // predicate prunes BOTH generations. At 100 TB this is the
+    // difference between re-clustering history (an outage-scale
+    // rewrite) and a metadata line per new commit.
+    Q("sink_partition_evolution",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_partevo", sfDir)
+        Acid.reset(table)
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("event_type"),
+            floor((dayofmonth(col("ts")) - 1) / 7).cast("int").as("wk"),
+            col("value"))
+        // generation 1: clustered on event_type alone (5 partitions)
+        Acid.appendTxnEvolved(spark, table,
+          ev.filter(col("event_id") % 2 === 0), txnId = 0L, Seq("event_type"))
+        // the feed grows: new data needs the time dimension too
+        Acid.appendTxnEvolved(spark, table,
+          ev.filter(col("event_id") % 2 === 1), txnId = 1L, Seq("event_type", "wk"))
+        // prune on the EVOLVED column: gen-1 files never recorded wk, so
+        // all of them stay; gen-2 keeps only wk=2
+        val (_, keptWk, total) = Acid.readPrunedEvolved(spark, table, Map("wk" -> "2"))
+        require(keptWk < total,
+          s"wk prune dropped nothing ($keptWk/$total)")
+        // prune on the ORIGINAL column: both generations prune
+        val (byType, keptTy, _) =
+          Acid.readPrunedEvolved(spark, table, Map("event_type" -> "click"))
+        require(keptTy < keptWk,
+          s"event_type prune should cut both generations ($keptTy vs $keptWk)")
+        // exactness: the residual filter over the pruned scan
+        byType.filter(col("event_type") === "click")
+          .select(col("event_id"), col("event_type"), col("wk"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, event_type,
+               CAST(FLOOR((DAY(ts) - 1) / 7) AS INT) AS wk,
+               value
+        FROM events
+        WHERE event_type = 'click'
+        ORDER BY event_id""".trim)),
+
     // Write-audit-publish (r14 — see [[Acid.stageWap]]): the audit gate
     // production pipelines put between ingest and visibility (Iceberg's
     // wap.id snapshot staging / the Netflix WAP pattern). Slice B lands
