@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.functions.{col, count, expr, input_file_name, max, min, when}
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 
 /** Minimal ACID commit protocol for directory tables (r10 verdict item 5)
@@ -177,6 +177,36 @@ object Acid {
   // concentrate into a gcd-coset and saturate it (measured: absent-key
   // false positives on every file before this).
   private[ops] val BloomBits = 4096
+  /** Per-file 4096-bit bloom lines over a long-valued expr, one pass of
+    * bit_or aggregates (fully distributed — no per-file driver collect of
+    * keys). Shared by [[commit]] (snapshot mode, `v=<n>`-relative paths)
+    * and [[optimize]] (append mode, root-relative): the `relTo` prefix is
+    * what keeps the stat key identical to the manifest's data-file line. */
+  private def bloomLines(spark: SparkSession, paths: Seq[String],
+      relTo: Path, name: String, expr0: Column): Seq[String] = {
+    val words = BloomBits / 64
+    def setBit(p: String, k: Int): String =
+      s"IF($p div 64 = $k, shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT)), CAST(0 AS BIGINT))"
+    val aggs = (0 until words).map { k =>
+      org.apache.spark.sql.functions.bit_or(
+        org.apache.spark.sql.functions.expr(
+          s"${setBit("__p1", k)} | ${setBit("__p2", k)}")).as(s"w$k")
+    }
+    spark.read.parquet(paths: _*)
+      .withColumn("__y", org.apache.spark.sql.functions.pmod(expr0, org.apache.spark.sql.functions.lit(1000003L)))
+      .withColumn("__h1", org.apache.spark.sql.functions.expr("(__y * 48271) % 2147483647"))
+      .withColumn("__p1", org.apache.spark.sql.functions.expr(s"__h1 % $BloomBits"))
+      .withColumn("__p2", org.apache.spark.sql.functions.expr(s"(__h1 * 48271) % 2147483647 % $BloomBits"))
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // O(files) rows — manifest-construction control plane
+      .map { r =>
+        val rel = relTo.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
+        val ws = (0 until words).map(k => r.getLong(k + 1)).mkString(",")
+        s"# bloom:$rel|$name|$ws"
+      }.sorted.toSeq
+  }
+
   private[ops] def bloomPositions(key: Long): (Int, Int) = {
     val y = Math.floorMod(key, 1000003L)
     val h1 = (y * 48271L) % 2147483647L
@@ -332,29 +362,8 @@ object Acid {
     // MANIFEST level is what lets a point lookup prune the file list
     // before any footer I/O — Iceberg's puffin-file shape. At 100 TB
     // writers harvest these from the footers they just produced.
-    val bloomLines = bloom.toSeq.flatMap { case (name, expr0) =>
-      val abs = dataDir.toAbsolutePath
-      val words = BloomBits / 64
-      def setBit(p: String, k: Int): String =
-        s"IF($p div 64 = $k, shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT)), CAST(0 AS BIGINT))"
-      val aggs = (0 until words).map { k =>
-        org.apache.spark.sql.functions.bit_or(
-          org.apache.spark.sql.functions.expr(
-            s"${setBit("__p1", k)} | ${setBit("__p2", k)}")).as(s"w$k")
-      }
-      spark.read.parquet(dataDir.toString)
-        .withColumn("__y", org.apache.spark.sql.functions.pmod(expr0, org.apache.spark.sql.functions.lit(1000003L)))
-        .withColumn("__h1", org.apache.spark.sql.functions.expr("(__y * 48271) % 2147483647"))
-        .withColumn("__p1", org.apache.spark.sql.functions.expr(s"__h1 % $BloomBits"))
-        .withColumn("__p2", org.apache.spark.sql.functions.expr(s"(__h1 * 48271) % 2147483647 % $BloomBits"))
-        .groupBy(input_file_name().as("f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect() // O(files) rows — manifest-construction control plane
-        .map { r =>
-          val rel = abs.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
-          val ws = (0 until words).map(k => r.getLong(k + 1)).mkString(",")
-          s"# bloom:$rel|$name|$ws"
-        }.sorted
+    val bloomStatLines = bloom.toSeq.flatMap { case (name, expr0) =>
+      bloomLines(spark, Seq(dataDir.toString), dataDir.toAbsolutePath, name, expr0)
     }
     // per-file row counts (`# rows:<file>|<n>`): the statistic that lets
     // COUNT(*)-shaped queries be answered from the manifest alone —
@@ -373,7 +382,7 @@ object Acid {
           s"# rows:$rel|${r.getLong(1)}"
         }.sorted.toSeq
     }
-    ledger ++ statLines ++ bloomLines ++ rowLines ++ files.toSeq
+    ledger ++ statLines ++ bloomStatLines ++ rowLines ++ files.toSeq
     }
   }
 
@@ -437,7 +446,12 @@ object Acid {
     ("# base:." +:
       (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
       prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:") ||
-        l.startsWith("# pval:") || l.startsWith("# pspec:")) ++
+        l.startsWith("# pval:") || l.startsWith("# pspec:") ||
+        l.startsWith("# constraint:") ||
+        // per-file stats describe PHYSICAL files an append never touches —
+        // dropping them here would blind skipping/erase after any append
+        l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
+        l.startsWith("# rows:")) ++
       prev.filterNot(_.startsWith("#")) ++ newFiles
 
   /** Optimistic multi-writer append — Delta's commit protocol shape,
@@ -475,6 +489,111 @@ object Acid {
         s"appendTxnCAS on snapshot-mode table $table")
       if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None // raced replay
     } { (_, prev) => appendManifest(prev, txnId, newFiles) }
+  }
+
+  // ---- targeted key erasure (GDPR right-to-be-forgotten) ----
+
+  /** Physically erase every row whose `keyCol` is in `keys`, rewriting
+    * ONLY the files that can contain them — the right-to-be-forgotten
+    * operation at lake scale (Delta's DELETE + VACUUM path, Iceberg
+    * RewriteFiles): candidate files are pruned from the manifest's
+    * per-file blooms (`bloomName`, see [[skipFilesBloom]]); files the
+    * blooms prove clean survive BYTE-UNTOUCHED, so the rewrite is
+    * O(files containing the subject), not O(table) — on 100 TB the
+    * difference between an afternoon and a quarter. Note the contrast
+    * with [[deleteTxn]]: merge-on-read hides rows but the bytes remain
+    * (not GDPR-sufficient); erase rewrites the bytes. Files without a
+    * recorded bloom are conservatively rewritten. Standing delete
+    * vectors, constraints, and the txn ledger carry forward; partition
+    * tuples and stat lines for REPLACED files are dropped (they describe
+    * dead files), survivors keep theirs. Idempotent per txnId. `keys` is
+    * an erasure REQUEST — driver-side by nature, O(subjects), the legal
+    * queue is never table-sized. Returns (version, rewritten, total). */
+  def eraseKeys(spark: SparkSession, table: String, keys: Seq[Long],
+      keyCol: String, bloomName: String, txnId: Long): (Long, Int, Int) = withWriterLock(table) {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.eraseKeys: no committed version at $table"))
+    if (committedTxns(table).contains(txnId)) {
+      val lines = manifestLines(table, cur)
+      return (cur, 0, lines.count(!_.startsWith("#"))) // replay → no-op
+    }
+    val lines = manifestLines(table, cur)
+    require(lines.contains("# base:."), s"eraseKeys on snapshot-mode table $table")
+    val candidates = keys
+      .flatMap(k => skipFilesBloom(table, cur, bloomName, k)._1)
+      .distinct.sorted
+    val all = lines.filterNot(_.startsWith("#"))
+    val survivors = all.filterNot(candidates.contains)
+    val newFiles = if (candidates.isEmpty) Seq.empty else {
+      val scrubbed = spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
+        .filter(!col(keyCol).isin(keys: _*))
+      writeTxnData(spark, table, scrubbed, txnId)
+    }
+    val deadStat = (l: String) => candidates.exists(f =>
+      l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+        l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+    val v = commitNextVersion(table) { (c, prev) =>
+      if (prev.contains(s"# txn:$txnId")) Some(c.get) else None
+    } { (_, prev) =>
+      ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:") && !deadStat(l)) ++
+        survivors ++ newFiles
+    }
+    (v, candidates.size, all.size)
+  }
+
+  // ---- CHECK constraints (Delta table constraints / invariants) ----
+
+  /** Constraints recorded in version `v`'s manifest: name → SQL predicate
+    * every row of every future append must satisfy. */
+  def constraints(table: String, v: Long): Seq[(String, String)] =
+    manifestLines(table, v).filter(_.startsWith("# constraint:")).map { l =>
+      val body = l.stripPrefix("# constraint:")
+      val (n, p) = body.span(_ != '|')
+      n -> p.drop(1)
+    }
+
+  /** Idempotent append that ENFORCES the table's CHECK constraints —
+    * Delta's `ALTER TABLE ADD CONSTRAINT` contract: constraints ride the
+    * manifest (`# constraint:<name>|<predicate>` lines, carried forward
+    * by every commit class), and every append validates its batch against
+    * ALL standing constraints plus any declared with this call. The check
+    * is ONE aggregate over the batch (count of violations per constraint,
+    * map-side combined — O(batch), never O(table)); a violating batch
+    * throws [[ConstraintViolationException]] with per-constraint counts
+    * and the table does not advance. Enforce-at-write is what makes
+    * downstream readers trust the predicate without re-checking it —
+    * the garbage stops at the gate, not in every consumer. */
+  def appendTxnChecked(spark: SparkSession, table: String, df: DataFrame,
+      txnId: Long, newConstraints: Seq[(String, String)] = Nil): Long = withWriterLock(table) {
+    val standing = currentVersion(table).map(constraints(table, _)).getOrElse(Seq.empty)
+    val all = (standing ++ newConstraints).distinct
+    require(all.map(_._1).distinct.size == all.size,
+      s"duplicate constraint names at $table")
+    if (all.nonEmpty) {
+      val aggs = all.map { case (n, p) =>
+        count(when(!expr(p) || expr(p).isNull, 1)).as(n)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head
+      val bad = all.zipWithIndex
+        .map { case ((n, p), i) => (n, p, row.getLong(i)) }
+        .filter(_._3 > 0)
+      if (bad.nonEmpty) throw new ConstraintViolationException(
+        bad.map { case (n, p, c) => s"$n ($p): $c rows" }.mkString("; "))
+    }
+    lazy val newFiles = writeTxnData(spark, table, df, txnId)
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isEmpty || prev.contains("# base:."),
+        s"appendTxnChecked on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      val declared = prev.filter(_.startsWith("# constraint:"))
+      val added = newConstraints.map { case (n, p) => s"# constraint:$n|$p" }
+        .filterNot(declared.contains)
+      appendManifest(prev, txnId, newFiles) ++ added
+    }
   }
 
   // ---- partition evolution (Iceberg partition-spec evolution) ----
@@ -734,9 +853,13 @@ object Acid {
         (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
         Seq(s"# delkey:$keyCol") ++
         (prev.filter(_.startsWith("# delete:")) ++ delFiles.map(f => s"# delete:$f")) ++
-        // partition-evolution metadata survives merge-on-read deletes (the
-        // data files are untouched, so their partition tuples still hold)
-        prev.filter(l => l.startsWith("# pval:") || l.startsWith("# pspec:")) ++
+        // partition-evolution metadata, CHECK constraints, and per-file
+        // stats survive merge-on-read deletes (the data files are
+        // untouched, so their tuples/zone-maps/blooms still hold; # rows
+        // stays PHYSICAL truth — logical counts subtract the vectors)
+        prev.filter(l => l.startsWith("# pval:") || l.startsWith("# pspec:") ||
+          l.startsWith("# constraint:") || l.startsWith("# minmax:") ||
+          l.startsWith("# bloom:") || l.startsWith("# rows:")) ++
         prev.filterNot(_.startsWith("#"))
     }
   }
@@ -767,7 +890,8 @@ object Acid {
     * being silently dropped — same loop as [[compactDeletes]]. */
   def optimize(spark: SparkSession, table: String, txnId: Long,
       targetFiles: Int, clusterCol: Option[String] = None,
-      stats: Option[(String, Column)] = None): Long = {
+      stats: Option[(String, Column)] = None,
+      bloom: Option[(String, Column)] = None): Long = {
     require(targetFiles >= 1, "optimize: targetFiles must be >= 1")
     rewriteCommit(spark, table, txnId, "optimize") { merged =>
       clusterCol match {
@@ -790,6 +914,12 @@ object Acid {
             val rel = root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
             s"# minmax:$rel|$name|${r.getLong(1)}|${r.getLong(2)}"
           }.sorted
+      } ++
+      // file-level blooms for append-mode tables (commit's bloom harvest,
+      // root-relative) — the point-lookup index [[eraseKeys]] prunes by
+      bloom.toSeq.flatMap { case (name, expr0) =>
+        bloomLines(spark, newFiles.map(f => s"$table/$f"),
+          Paths.get(table).toAbsolutePath, name, expr0)
       }
     }
   }
@@ -832,6 +962,10 @@ object Acid {
           // only txn/delete headers forward.
           ("# base:." +: s"# op:rewrite:$what" +:
             (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            // CHECK constraints are table invariants — they outlive a
+            // rewrite (pvals/delete vectors do NOT: they describe the
+            // replaced files)
+            prev.filter(_.startsWith("# constraint:")) ++
             headers(newFiles) ++ newFiles
         }
       } finally merged.unpersist(blocking = false)
@@ -897,6 +1031,18 @@ object Acid {
     manifestLines(table, v).filter(_.startsWith("# rows:")).flatMap { l =>
       l.stripPrefix("# rows:").split('|') match {
         case Array(f, n) => Some(f -> n.toLong)
+        case _ => None
+      }
+    }
+
+  /** Per-file zone maps of version `v` for `statsName`, from the
+    * manifest's `# minmax:` lines — (file, min, max). The metadata that
+    * answers MIN/MAX-shaped queries with zero data I/O (fold over
+    * O(files) driver-side lines), the aggregation twin of [[rowStats]]. */
+  def minmaxStats(table: String, v: Long, statsName: String): Seq[(String, Long, Long)] =
+    manifestLines(table, v).filter(_.startsWith("# minmax:")).flatMap { l =>
+      l.stripPrefix("# minmax:").split('|') match {
+        case Array(f, n, mn, mx) if n == statsName => Some((f, mn.toLong, mx.toLong))
         case _ => None
       }
     }
@@ -1124,3 +1270,8 @@ object Acid {
     }
   }
 }
+
+/** A batch violated the table's CHECK constraints — the commit did not
+  * happen and the table did not advance (Delta's InvariantViolationException
+  * shape). The message carries per-constraint violation counts. */
+final class ConstraintViolationException(msg: String) extends RuntimeException(msg)

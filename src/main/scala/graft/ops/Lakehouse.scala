@@ -502,6 +502,157 @@ object Lakehouse {
         )
         ORDER BY change_type, o_orderkey""".trim)),
 
+    // Targeted key erasure (r14 — see [[Acid.eraseKeys]]): GDPR
+    // right-to-be-forgotten at lake scale. A streaming-shaped ingest
+    // (4 appends) is OPTIMIZEd into user-range-clustered files with
+    // per-file blooms on user_id; the erasure request (3 subjects)
+    // rewrites ONLY the files the blooms cannot prove clean — the
+    // in-body require pins that the rewrite touched a strict minority
+    // of files (OperatorSpec additionally pins survivors byte-identical
+    // by size+mtime and the delete-vector interplay). deleteTxn would merely
+    // hide the rows (bytes remain — not GDPR-sufficient); erase rewrites
+    // them, and the closing vacuum drops the pre-erase versions so no
+    // time-travel read can resurrect the subjects. Replay of the erase
+    // txn no-ops. At 100 TB: O(files containing the subject) rewrite +
+    // O(files) metadata, vs the naive full-table rewrite.
+    Q("sink_gdpr_erase",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_gdpr", sfDir)
+        Acid.reset(table)
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        (0 until 4).foreach { i =>
+          Acid.appendTxn(spark, table,
+            ev.filter(pmod(col("event_id"), lit(4)) === i), txnId = i.toLong)
+        }
+        Acid.optimize(spark, table, txnId = 10L, targetFiles = 8,
+          clusterCol = Some("user_id"),
+          bloom = Some(("user_id", col("user_id"))))
+        // the erasure queue: three deterministic subjects drawn from the data
+        val subjects = ev.select(col("user_id")).distinct()
+          .orderBy(col("user_id")).limit(3)
+          .collect().map(_.getLong(0)).toSeq // O(subjects) — the legal queue
+        val (v, rewritten, total) =
+          Acid.eraseKeys(spark, table, subjects, "user_id", "user_id", txnId = 11L)
+        require(rewritten < total,
+          s"erase rewrote everything ($rewritten/$total) — blooms pruned nothing")
+        // replay (driver retry) must not advance or rewrite again
+        require(Acid.eraseKeys(spark, table, subjects, "user_id", "user_id", 11L)._1 == v,
+          "replayed erase advanced the table")
+        // pre-erase versions still hold the bytes; vacuum completes the
+        // forgetting — time travel to them now fails loudly
+        Acid.vacuum(table, keep = 1)
+        val gone =
+          try { Acid.readVersion(spark, table, v - 1).count(); false }
+          catch { case _: IllegalArgumentException => true }
+        require(gone, "pre-erase version still readable after vacuum")
+        Acid.read(spark, table)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE user_id NOT IN (
+          SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 3)
+        ORDER BY event_id""".trim)),
+
+    // CHECK constraints (r14 — see [[Acid.appendTxnChecked]]): Delta's
+    // ADD CONSTRAINT contract — invariants ride the manifest and every
+    // append validates its batch against ALL standing constraints in
+    // ONE O(batch) aggregate before the table advances. A violating
+    // batch is rejected LOUDLY with per-constraint counts and the
+    // table stays at its version (pinned in-body); constraints survive
+    // deletes, plain appends, and rewrites (they are table invariants,
+    // unlike pvals/delete vectors which describe specific files).
+    // Enforce-at-write is the scale story: the predicate is checked
+    // once at the gate on O(batch) rows, not re-checked by every
+    // downstream reader of 100 TB.
+    Q("sink_constraints",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_constraints", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxnChecked(spark, table, or.filter(col("o_orderkey") % 2 === 0),
+          txnId = 0L, Seq(
+            "price_pos" -> "price >= 0",
+            "status_known" -> "o_orderstatus IN ('F','O','P')"))
+        val v0 = Acid.currentVersion(table).get
+        // a poisoned batch: prices negated on a slice — must be rejected
+        // with the table untouched
+        val poisoned = or.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("price",
+            when(col("o_orderkey") % 100 === 1, -col("price")).otherwise(col("price")))
+        val rejected =
+          try { Acid.appendTxnChecked(spark, table, poisoned, txnId = 1L); false }
+          catch { case e: ConstraintViolationException =>
+            require(e.getMessage.contains("price_pos"),
+              s"rejection must name the violated constraint: ${e.getMessage}")
+            true }
+        require(rejected, "violating batch was accepted")
+        require(Acid.currentVersion(table).contains(v0),
+          "rejected batch advanced the table")
+        // the repaired batch passes re-validation against the STANDING
+        // constraints (read from the manifest, not re-declared)
+        Acid.appendTxnChecked(spark, table,
+          or.filter(col("o_orderkey") % 2 === 1), txnId = 2L)
+        require(Acid.constraints(table, Acid.currentVersion(table).get).size == 2,
+          "constraints did not carry into the new version")
+        Acid.read(spark, table)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders
+        ORDER BY o_orderkey""".trim)),
+
+    // Metadata-answered MIN/MAX (r14): the aggregation twin of
+    // scan_metadata_count — per-partition MIN/MAX/COUNT answered from
+    // the manifest's zone maps + row counts ALONE (fold over O(files)
+    // driver-side lines, zero data I/O at query time). File-level
+    // min/max under a hive partitioning ARE the per-partition extrema
+    // (every file belongs to exactly one partition), so the fold is
+    // exact, not approximate — Delta/Iceberg's stats-answered
+    // MIN/MAX/COUNT fast path. The oracle recomputes the expensive way,
+    // proving the writers' metadata never drifted from the data. At
+    // 100 TB: a dashboard extremum costs O(files) arithmetic on lines
+    // the writers recorded for free (parquet footers), not a scan.
+    Q("scan_stats_minmax",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_minmax", sfDir)
+        Acid.reset(table)
+        Acid.commit(spark, table, Tables.events(spark, sfDir),
+          partitionCols = Seq("event_type"),
+          stats = Some(("event_id", col("event_id"))), rowCounts = true)
+        val v = Acid.currentVersion(table).get
+        def ptype(f: String): String = {
+          val dir = f.substring(0, f.indexOf('/'))
+          dir.substring(dir.indexOf('=') + 1)
+        }
+        val mm = Acid.minmaxStats(table, v, "event_id")
+          .groupBy(t => ptype(t._1))
+          .map { case (t, fs) => t -> (fs.map(_._2).min, fs.map(_._3).max) }
+        val cnt = Acid.rowStats(table, v)
+          .groupBy(t => ptype(t._1))
+          .map { case (t, fs) => t -> fs.map(_._2).sum }
+        val rows = mm.keySet.toSeq.sorted.map { t =>
+          (t, mm(t)._1, mm(t)._2, cnt(t))
+        }
+        import spark.implicits._
+        rows.toDF("event_type", "lo", "hi", "n")
+      },
+      Some("""
+        SELECT event_type, MIN(event_id) AS lo, MAX(event_id) AS hi,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
     // Partition evolution (r14 — see [[Acid.appendTxnEvolved]]): the
     // partition spec is per-COMMIT manifest metadata (Iceberg's
     // evolution), not a table-wide path convention — so when the feed

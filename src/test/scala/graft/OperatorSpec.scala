@@ -1931,4 +1931,63 @@ class OperatorSpec extends SparkFixture {
     val v = Acid.currentVersion(table).get
     assert(Acid.appendTxnEvolved(spark, table, rows(100, 30), 1L, Seq("a", "b")) == v)
   }
+
+  test("Acid eraseKeys: survivors byte-identical, subjects physically gone, delete vectors still apply") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_erase").toString + "/t"
+    val root = java.nio.file.Paths.get(table)
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id").as("k"), (col("id") * 10).as("payload"))
+    (0 until 4).foreach(i => Acid.appendTxn(spark, table,
+      rows(i * 100, 50), txnId = i.toLong))
+    Acid.optimize(spark, table, txnId = 10L, targetFiles = 8,
+      clusterCol = Some("k"), bloom = Some(("k", col("k"))))
+    // a standing merge-on-read delete UNRELATED to the erasure
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 400).filter(col("id") % 50 === 1).select(col("id").as("k")),
+      "k", txnId = 11L)
+    def attrs(): Map[String, (Long, Long)] = {
+      val w = java.nio.file.Files.walk(root)
+      try w.filter(p => p.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => root.relativize(p).toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      finally w.close()
+    }
+    val beforeAttrs = attrs()
+    val subjects = Seq(7L, 205L, 333L)
+    val (v, rewritten, total) =
+      Acid.eraseKeys(spark, table, subjects, "k", "k", txnId = 12L)
+    assert(rewritten > 0 && rewritten < total,
+      s"expected a targeted rewrite, got $rewritten/$total")
+    // every file that existed before and still exists is byte-untouched
+    val afterAttrs = attrs()
+    val common = beforeAttrs.keySet intersect afterAttrs.keySet
+    assert(common.nonEmpty)
+    common.foreach { f =>
+      assert(beforeAttrs(f) == afterAttrs(f), s"survivor $f was modified")
+    }
+    val state = Acid.read(spark, table)
+    assert(state.filter(col("k").isin(subjects: _*)).count() == 0L,
+      "erased subjects still readable")
+    // the unrelated delete vector still hides its keys (k % 50 == 1)
+    assert(state.filter(col("k") % 50 === 1).count() == 0L,
+      "standing delete vector stopped applying after erase")
+    // 200 rows - 4 vector-hidden (k ∈ {1,101,201,301}) - 3 erased subjects
+    assert(state.count() == 193L, s"row conservation broke: ${state.count()}")
+    // physical bytes of the subjects exist only in pre-erase versions;
+    // vacuum forgets them and expired time travel fails loudly
+    Acid.vacuum(table, keep = 1)
+    intercept[IllegalArgumentException] { Acid.readVersion(spark, table, v - 1) }
+    val w2 = java.nio.file.Files.walk(root)
+    val liveFiles =
+      try w2.filter(p => p.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      finally w2.close()
+    val resurrect = spark.read.parquet(liveFiles.map(_.toString): _*)
+      .filter(col("k").isin(subjects: _*)).count()
+    assert(resurrect == 0L,
+      "subject bytes survive on disk after erase+vacuum — not forgotten")
+  }
 }
