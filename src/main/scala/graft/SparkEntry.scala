@@ -17,7 +17,8 @@ object SparkEntry {
       ops.Udx.queries ++ ops.Graph.queries ++ ops.Bpe.queries ++
       ops.Stats.queries ++ ops.Lakehouse.queries ++
       stream.StreamOps.queries ++ stream.Pattern.queries ++
-      stream.AcidStream.queries ++ stream.IncrementalMv.queries
+      stream.AcidStream.queries ++ stream.IncrementalMv.queries ++
+      stream.CdcApply.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -509,39 +509,190 @@ object Acid {
     * dead files), survivors keep theirs. Idempotent per txnId. `keys` is
     * an erasure REQUEST — driver-side by nature, O(subjects), the legal
     * queue is never table-sized. Returns (version, rewritten, total). */
+  /** Test seam: fires after eraseKeys snapshots the manifest but before it
+    * claims the commit — the window a lock-free appendTxnCAS can land in.
+    * No-op in production; ConcurrencySpec injects a concurrent append here
+    * to pin the stale-snapshot rebase deterministically. */
+  private[graft] var eraseKeysRaceHook: () => Unit = () => ()
+
   def eraseKeys(spark: SparkSession, table: String, keys: Seq[Long],
       keyCol: String, bloomName: String, txnId: Long): (Long, Int, Int) = withWriterLock(table) {
-    val cur = currentVersion(table).getOrElse(
-      sys.error(s"Acid.eraseKeys: no committed version at $table"))
-    if (committedTxns(table).contains(txnId)) {
+    // Stale-snapshot retry (ADVICE r14, mirrors [[rewriteCommit]]): the
+    // candidate/survivor sets below are derived from a SNAPSHOT of the
+    // manifest taken before the claim. appendTxnCAS takes no writer lock,
+    // so a concurrent append can land between this read and our claim —
+    // committing the stale survivor list would silently drop that writer's
+    // just-committed data files. The precheck detects the advance
+    // (cur != snapV), returns a sentinel, and the whole erase recomputes
+    // against the fresh state (the re-write of txn=<id>/ overwrites its
+    // own prior attempt, so retries stay idempotent).
+    val StaleSnapshot = -2L
+    var attempts = 0
+    var result: (Long, Int, Int) = null
+    while (result == null) {
+      attempts += 1
+      require(attempts <= 50, s"eraseKeys: concurrent-commit retry limit on $table")
+      val cur = currentVersion(table).getOrElse(
+        sys.error(s"Acid.eraseKeys: no committed version at $table"))
       val lines = manifestLines(table, cur)
-      return (cur, 0, lines.count(!_.startsWith("#"))) // replay → no-op
+      if (lines.contains(s"# txn:$txnId")) {
+        result = (cur, 0, lines.count(!_.startsWith("#"))) // replay → no-op
+      } else {
+        require(lines.contains("# base:."), s"eraseKeys on snapshot-mode table $table")
+        val candidates = keys
+          .flatMap(k => skipFilesBloom(table, cur, bloomName, k)._1)
+          .distinct.sorted
+        val all = lines.filterNot(_.startsWith("#"))
+        val survivors = all.filterNot(candidates.contains)
+        val newFiles = if (candidates.isEmpty) Seq.empty else {
+          val scrubbed = spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
+            .filter(!col(keyCol).isin(keys: _*))
+          writeTxnData(spark, table, scrubbed, txnId)
+        }
+        val deadStat = (l: String) => candidates.exists(f =>
+          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+        eraseKeysRaceHook()
+        val v = commitNextVersion(table) { (c, prev) =>
+          if (prev.contains(s"# txn:$txnId")) Some(c.get)
+          else if (c.get != cur) Some(StaleSnapshot)
+          else None
+        } { (_, prev) =>
+          ("# base:." +:
+            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:") && !deadStat(l)) ++
+            survivors ++ newFiles
+        }
+        if (v != StaleSnapshot) result = (v, candidates.size, all.size)
+      }
     }
-    val lines = manifestLines(table, cur)
-    require(lines.contains("# base:."), s"eraseKeys on snapshot-mode table $table")
-    val candidates = keys
-      .flatMap(k => skipFilesBloom(table, cur, bloomName, k)._1)
-      .distinct.sorted
-    val all = lines.filterNot(_.startsWith("#"))
-    val survivors = all.filterNot(candidates.contains)
-    val newFiles = if (candidates.isEmpty) Seq.empty else {
-      val scrubbed = spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
-        .filter(!col(keyCol).isin(keys: _*))
-      writeTxnData(spark, table, scrubbed, txnId)
+    result
+  }
+
+  // ---- row-level MERGE (copy-on-write) ----
+
+  /** MERGE INTO, copy-on-write — the Delta/Iceberg row-level MERGE
+    * algorithm on the manifest seam: `changes` rows REPLACE table rows
+    * with the same `keyCol` (matched → update), land as inserts otherwise
+    * (not-matched → insert), and — when `opCol` is given — rows whose op
+    * is `"delete"` remove the key. Mechanics, in the order Delta runs
+    * them:
+    *
+    *  1. **Touched-file probe**: one distributed semi-join of the table
+    *     scan against the (broadcast-small) change keys, grouped by
+    *     `input_file_name()` — exactly Delta MERGE's findTouchedFiles
+    *     job. Output is O(files), a control-plane collect; at 100 TB the
+    *     scan side is pre-pruned by manifest blooms/zone maps before any
+    *     footer opens.
+    *  2. **Rewrite only the touched files**: survivors stay
+    *     byte-untouched (spec-pinned); the rewrite anti-joins ALL change
+    *     keys out and unions the upsert rows in. Cost is O(files
+    *     containing a matched key), never O(table).
+    *  3. **Delete-vector reconciliation**: standing merge-on-read vectors
+    *     are folded into the rewrite (a vector-deleted row never
+    *     resurrects by accident), and upserted keys are REMOVED from the
+    *     vector (an explicit MERGE insert of a previously-deleted key
+    *     must resurrect it — the one place append semantics and MERGE
+    *     semantics differ). An empty reconciled vector drops the delete
+    *     lines entirely.
+    *
+    * Concurrent lock-free appends rebase through the same stale-snapshot
+    * retry as [[eraseKeys]]; idempotent per txnId via the ledger. Returns
+    * (version, touched files, total files). */
+  def mergeCow(spark: SparkSession, table: String, changes: DataFrame,
+      keyCol: String, txnId: Long,
+      opCol: Option[String] = None): (Long, Int, Int) = withWriterLock(table) {
+    val StaleSnapshot = -2L
+    var attempts = 0
+    var result: (Long, Int, Int) = null
+    while (result == null) {
+      attempts += 1
+      require(attempts <= 50, s"mergeCow: concurrent-commit retry limit on $table")
+      // an uninitialized table is a legal MERGE target (the streaming CDC
+      // consumer's first micro-batch): empty file set, everything inserts
+      val cur = currentVersion(table)
+      val lines = cur.map(manifestLines(table, _)).getOrElse(Seq("# base:."))
+      if (lines.contains(s"# txn:$txnId")) {
+        result = (cur.get, 0, lines.count(!_.startsWith("#"))) // replay → no-op
+      } else {
+        require(lines.contains("# base:."), s"mergeCow on snapshot-mode table $table")
+        val all = lines.filterNot(_.startsWith("#"))
+        val root = Paths.get(table).toAbsolutePath
+        val allKeys = changes.select(col(keyCol)).distinct()
+        val upserts = opCol match {
+          case Some(o) => changes.filter(col(o) =!= "delete").drop(o)
+          case None    => changes
+        }
+        // Delta's findTouchedFiles: which files contain a changed key —
+        // one semi-join scan, O(files) rows back to the driver
+        val touched = if (all.isEmpty) Seq.empty[String]
+        else spark.read.parquet(all.map(f => s"$table/$f"): _*)
+          // input_file_name is captured ON the scan, before the join —
+          // post-join the expression has two sources and Spark rejects it
+          .select(col(keyCol), input_file_name().as("f"))
+          .join(allKeys, Seq(keyCol), "left_semi")
+          .select(col("f")).distinct()
+          .collect() // O(files) rows — manifest-construction control plane
+          .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
+          .sorted.toSeq
+        val survivors = all.filterNot(touched.contains)
+        // rewrite = (touched files − standing vectors − change keys) ∪ upserts
+        val rewritten = {
+          val basePart =
+            if (touched.isEmpty) upserts.limit(0)
+            else subtractDeletes(spark, table, lines,
+              spark.read.parquet(touched.map(f => s"$table/$f"): _*))
+              .join(allKeys, Seq(keyCol), "left_anti")
+          basePart.unionByName(upserts)
+        }
+        val newFiles = writeTxnData(spark, table, rewritten, txnId)
+        // vector reconciliation: upserted keys leave the standing vector
+        val upsertedKeyRows = upserts.select(col(keyCol)).distinct()
+        val newVector: Option[Seq[String]] = cur.flatMap(standingDeletes(table, _)).map {
+          case (k, delFiles) =>
+            require(k == keyCol,
+              s"mergeCow: table uses delete key $k, got $keyCol")
+            val remaining = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+              .select(col(k)).distinct()
+              .join(upsertedKeyRows, Seq(k), "left_anti")
+            if (remaining.isEmpty) Seq.empty
+            else {
+              val delDir = Paths.get(table).resolve(s"del=$txnId")
+              remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+              val walk = Files.walk(delDir)
+              try walk.filter(p => p.toString.endsWith(".parquet"))
+                .map[String](p => Paths.get(table).relativize(p).toString)
+                .sorted().toArray.map(_.toString).toSeq
+              finally walk.close()
+            }
+        }
+        val deadStat = (l: String) => touched.exists(f =>
+          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+        val v = commitNextVersion(table) { (c, prev) =>
+          if (prev.contains(s"# txn:$txnId")) Some(c.get)
+          else if (c != cur) Some(StaleSnapshot)
+          else None
+        } { (_, prev) =>
+          val vectorLines = newVector match {
+            case Some(fs) if fs.nonEmpty =>
+              Seq(s"# delkey:$keyCol") ++ fs.map(f => s"# delete:$f")
+            case _ => Seq.empty // no vector, or reconciled to empty
+          }
+          ("# base:." +:
+            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            vectorLines ++
+            prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:") &&
+              !l.startsWith("# delkey:") && !l.startsWith("# delete:") &&
+              !deadStat(l)) ++
+            survivors ++ newFiles
+        }
+        if (v != StaleSnapshot) result = (v, touched.size, all.size)
+      }
     }
-    val deadStat = (l: String) => candidates.exists(f =>
-      l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-        l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
-    val v = commitNextVersion(table) { (c, prev) =>
-      if (prev.contains(s"# txn:$txnId")) Some(c.get) else None
-    } { (_, prev) =>
-      ("# base:." +:
-        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
-        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
-          !l.startsWith("# base:") && !l.startsWith("# op:") && !deadStat(l)) ++
-        survivors ++ newFiles
-    }
-    (v, candidates.size, all.size)
+    result
   }
 
   // ---- CHECK constraints (Delta table constraints / invariants) ----
@@ -658,8 +809,15 @@ object Acid {
     } { (_, prev) =>
       ("# base:." +:
         (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        // same carry-forward prefix set as [[appendManifest]] (ADVICE r14:
+        // dropping constraint/minmax/bloom/rows here silently un-enforced
+        // standing CHECK constraints and blinded skipping/erase after any
+        // evolved append)
         prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:") ||
-          l.startsWith("# pval:") || l.startsWith("# pspec:")) ++
+          l.startsWith("# pval:") || l.startsWith("# pspec:") ||
+          l.startsWith("# constraint:") ||
+          l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
+          l.startsWith("# rows:")) ++
         written._2 ++
         prev.filterNot(_.startsWith("#")) ++ written._1
     }
@@ -691,9 +849,18 @@ object Acid {
       val tuple = pvals.getOrElse(f, Map.empty)
       preds.forall { case (c, v) => tuple.get(c).forall(_ == v) }
     }
-    require(kept.nonEmpty, "prune kept no files — nothing to scan")
-    val base = spark.read.parquet(kept.map(f => s"$table/$f"): _*)
-    (subtractDeletes(spark, table, lines, base), kept.size, files.size)
+    // an all-pruned predicate is a legitimate empty RESULT, not an error
+    // (ADVICE r14: pruning is an optimization, never a semantics change) —
+    // return a schema-stable empty frame over the table's merged schema
+    if (kept.isEmpty) {
+      require(files.nonEmpty, s"readPrunedEvolved: empty manifest at $table v$cur")
+      val empty = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$table/$f"): _*).limit(0)
+      (subtractDeletes(spark, table, lines, empty), 0, files.size)
+    } else {
+      val base = spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+      (subtractDeletes(spark, table, lines, base), kept.size, files.size)
+    }
   }
 
   // ---- write-audit-publish staging (Iceberg WAP / Delta shadow-commit) ----
@@ -971,6 +1138,188 @@ object Acid {
       } finally merged.unpersist(blocking = false)
     }
     out
+  }
+
+  // ---- RESTORE (version rollback) ----
+
+  /** RESTORE the table to the logical state of version `toV` — Delta's
+    * `RESTORE TABLE ... TO VERSION AS OF`: a METADATA-ONLY commit whose
+    * manifest re-references `toV`'s files, delete vectors, and stat lines
+    * verbatim. No data moves whatever the table size (the files are still
+    * on disk — that is what retention pays for), history is preserved
+    * (the bad versions stay time-travelable until vacuum; a restore is a
+    * new version, not an erasure), and the txn LEDGER carries forward
+    * from the CURRENT version, not `toV` — exactly-once streams that
+    * committed after `toV` must keep no-oping their replays even though
+    * their data was rolled back (Delta keeps `txn` appIds across RESTORE
+    * for the same reason). Idempotent per `txnId`; concurrent lock-free
+    * appends rebase via the claim loop. */
+  def restore(table: String, toV: Long, txnId: Long): Long = withWriterLock(table) {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.restore: no committed version at $table"))
+    require(toV >= 0 && toV <= cur, s"restore: version $toV not committed (current $cur)")
+    require(toV >= horizon(table),
+      s"restore: version $toV vacuumed (retention horizon is ${horizon(table)})")
+    val target = manifestLines(table, toV)
+    require(target.contains("# base:."), s"restore on snapshot-mode table $table")
+    commitNextVersion(table) { (c, prev) =>
+      if (prev.contains(s"# txn:$txnId")) Some(c.get) else None // replay
+    } { (_, prev) =>
+      ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        target.filter(l => !l.startsWith("# txn:") && !l.startsWith("# base:") &&
+          !l.startsWith("# op:"))
+    }
+  }
+
+  // ---- shallow clone (zero-copy table fork) ----
+
+  /** Shallow-clone version `version` (default: current) of `src` as a new
+    * table at `dst` — Delta `CREATE TABLE ... SHALLOW CLONE`: a
+    * metadata-only fork that copies NO data. The clone's manifest
+    * re-references the source's files through a relative path, so it
+    * costs O(manifest) regardless of table size; writes to either side
+    * never touch the other (clone appends land in the clone's own
+    * `txn=<id>/` dirs; the source's files are immutable by the commit
+    * contract). Per-file stat/partition lines are rewritten through the
+    * same prefix so skipping stays sharp on the clone. The source's txn
+    * ledger is NOT carried — the clone is a new table and streams writing
+    * to it start their own exactly-once history. Standing delete vectors
+    * DO carry (the clone's logical state must equal the source's at the
+    * cloned version). Caveat, same as Delta's: vacuuming the SOURCE can
+    * delete files the clone still references — production either tracks
+    * cross-table references or re-materializes clones ([[optimize]] on
+    * the clone localizes every file into it). */
+  def shallowClone(src: String, dst: String, version: Option[Long] = None): Long = {
+    val v = version.getOrElse(currentVersion(src).getOrElse(
+      sys.error(s"Acid.shallowClone: no committed version at $src")))
+    require(v >= horizon(src), s"shallowClone: version $v vacuumed at $src")
+    val lines = manifestLines(src, v)
+    require(lines.contains("# base:."), s"shallowClone on snapshot-mode table $src")
+    require(currentVersion(dst).isEmpty, s"shallowClone: $dst already exists")
+    Files.createDirectories(Paths.get(dst))
+    val rel = Paths.get(dst).toAbsolutePath.normalize
+      .relativize(Paths.get(src).toAbsolutePath.normalize).toString
+    def reroot(f: String) = s"$rel/$f"
+    // per-file stat/tuple lines key on the data-file path — rewrite the
+    // embedded path so lookups still match the rerooted file lines
+    def rerootStat(l: String, prefix: String): String = {
+      val body = l.stripPrefix(prefix)
+      val (f, tail) = body.span(_ != '|')
+      s"$prefix${reroot(f)}$tail"
+    }
+    val out = lines.flatMap {
+      case l if l.startsWith("# txn:") || l.startsWith("# op:") => None
+      case l if l.startsWith("# delete:") =>
+        Some("# delete:" + reroot(l.stripPrefix("# delete:").trim))
+      case l if l.startsWith("# pval:")   => Some(rerootStat(l, "# pval:"))
+      case l if l.startsWith("# minmax:") => Some(rerootStat(l, "# minmax:"))
+      case l if l.startsWith("# bloom:")  => Some(rerootStat(l, "# bloom:"))
+      case l if l.startsWith("# rows:")   => Some(rerootStat(l, "# rows:"))
+      case l if l.startsWith("#")         => Some(l) // base/delkey/constraint/pspec
+      case f                              => Some(reroot(f))
+    }
+    commitNextVersion(dst)((_, _) => None)((_, _) => out)
+  }
+
+  // ---- Z-ORDER clustering (multi-dimension data skipping) ----
+
+  /** OPTIMIZE ... ZORDER BY — rewrite the live snapshot clustered on the
+    * INTERLEAVED bits of several dimensions, so per-file zone maps prune
+    * on EVERY listed column at once (Delta's multi-column OPTIMIZE
+    * ZORDER; range-clustering on one column makes that column's zone
+    * maps sharp and everyone else's useless — the z-curve spends its
+    * locality budget across all dimensions). Each `zCols` entry is
+    * (statsName, long-valued expr); per-file min/max for every dimension
+    * are harvested into the manifest for [[readSkippingAll]].
+    *
+    * Normalization: each dimension maps to a 16-bit bucket via its global
+    * [min,max] — ONE tiny aggregate (2·dims values, control plane; at
+    * 100 TB these come from existing table stats). Bucket width is
+    * integer arithmetic (no overflow at any span); the z-value is a pure
+    * bit-interleave expression, fully codegen'd, and the rewrite is one
+    * `repartitionByRange` shuffle on it — the same cost as single-column
+    * clustering. Ledger carry, delete-vector fold-in, and concurrent
+    * -commit retry are [[rewriteCommit]]'s. */
+  def optimizeZorder(spark: SparkSession, table: String, txnId: Long,
+      targetFiles: Int, zCols: Seq[(String, Column)]): Long = {
+    require(zCols.size >= 2, "optimizeZorder: need >= 2 dimensions (use optimize)")
+    require(targetFiles >= 1, "optimizeZorder: targetFiles must be >= 1")
+    val bits = 16
+    val k = zCols.size
+    rewriteCommit(spark, table, txnId, "optimizeZorder") { merged =>
+      import org.apache.spark.sql.functions.{greatest, least, lit, shiftleft, shiftright}
+      val aggs = zCols.flatMap { case (n, e) =>
+        Seq(min(e).as(s"mn_$n"), max(e).as(s"mx_$n")) }
+      val row = merged.agg(aggs.head, aggs.tail: _*).head
+      if (row.isNullAt(0)) merged // empty snapshot: nothing to cluster
+      else {
+        val buckets = zCols.zipWithIndex.map { case ((_, e), i) =>
+          val mn = row.getLong(2 * i); val mx = row.getLong(2 * i + 1)
+          val span = math.max(1L, mx - mn + 1)
+          // power-of-two bucket width so the bucket is a pure SHIFT —
+          // integer-exact at any span, no double rounding, codegen'd
+          val usedBits = 64 - java.lang.Long.numberOfLeadingZeros(span - 1)
+          val shift = math.max(0, usedBits - bits)
+          val raw = least(greatest(shiftright(e - lit(mn), shift), lit(0L)),
+            lit((1L << bits) - 1))
+          // TOP-ALIGN every dimension to the same bit width: a narrow
+          // dimension (span ≪ 2^bits) left as-is would only populate the
+          // LOW interleave positions, letting any wide dimension's high
+          // bits dominate the curve — i.e. single-column clustering with
+          // extra steps. Scaling up costs nothing (buckets are ordinal).
+          if (usedBits >= bits) raw else shiftleft(raw, bits - usedBits)
+        }
+        val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+          buckets.zipWithIndex.foldLeft(acc) { case (a, (bk, i)) =>
+            a.bitwiseOR(shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * k + i))
+          }
+        }
+        merged.withColumn("__z", z)
+          .repartitionByRange(targetFiles, col("__z")).drop("__z")
+      }
+    } { newFiles =>
+      // one pass harvesting every dimension's per-file zone map
+      val root = Paths.get(table).toAbsolutePath
+      val aggs = zCols.flatMap { case (n, e) =>
+        Seq(min(e).as(s"lo_$n"), max(e).as(s"hi_$n")) }
+      spark.read.parquet(newFiles.map(f => s"$table/$f"): _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // O(files) rows — manifest-construction control plane
+        .flatMap { r =>
+          val f = root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
+          zCols.zipWithIndex.map { case ((n, _), i) =>
+            s"# minmax:$f|$n|${r.getLong(2 * i + 1)}|${r.getLong(2 * i + 2)}"
+          }
+        }.sorted.toSeq
+    }
+  }
+
+  /** Multi-dimension data-skipping read: drop every file whose zone map
+    * proves it misses ANY of the `[lo,hi]` predicates — the consumer
+    * [[optimizeZorder]] exists for (each predicate prunes independently;
+    * conjunction keeps only files alive on every dimension). Same
+    * conservative contract as [[readSkipping]]: un-statted files are
+    * kept, the caller re-applies every predicate as a residual. */
+  def readSkippingAll(spark: SparkSession, table: String,
+      preds: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    require(preds.nonEmpty, "readSkippingAll: need at least one predicate")
+    val v = currentVersion(table).getOrElse(
+      sys.error(s"Acid.readSkippingAll: no committed version at $table"))
+    val lines = manifestLines(table, v)
+    require(lines.contains("# base:."),
+      s"readSkippingAll on snapshot-mode table $table")
+    val all = lines.filterNot(_.startsWith("#"))
+    require(all.nonEmpty, s"Acid.readSkippingAll: empty manifest at $table v$v")
+    val kept = preds.foldLeft(all) { case (fs, (name, lo, hi)) =>
+      val (k, _) = skipFiles(table, v, name, lo, hi)
+      fs.filter(k.contains)
+    }
+    val base =
+      if (kept.isEmpty) spark.read.parquet(s"$table/${all.head}").limit(0)
+      else spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+    (subtractDeletes(spark, table, lines, base), kept.size, all.size)
   }
 
   /** Zone-map file lists for [[readSkipping]]: (kept, all) data files of

@@ -121,10 +121,31 @@ object Catalog {
     // CREATE_NEW put-if-absent: two writers racing the same catalog
     // version cannot silently clobber each other (same hygiene as the
     // table-level commitManifest)
-    Files.write(Paths.get(dir, s"catalog-$v.txt"),
-      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW,
-      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      Files.write(Paths.get(dir, s"catalog-$v.txt"),
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        // catalog-<v>.txt exists but the pointer never reached v: a prior
+        // run crashed between the manifest write and the flip (ADVICE r14:
+        // without this the documented same-txnId retry recomputes the same
+        // v and throws forever). If the orphan carries OUR txn, finishing
+        // the flip completes the crashed commit — the table phase already
+        // no-oped through each member's own ledger, so the orphan's pins
+        // are exactly what this retry would pin. A foreign txn's orphan is
+        // unrecoverable without operator action: fail loudly, like
+        // Acid.commitNextVersion's orphan check.
+        if (currentVersion(dir).exists(_ >= v))
+          return commitTxn(spark, dir, txnId, writes) // lost a race: rebase
+        if (!manifestLines(dir, v).contains(s"# txn:$txnId"))
+          throw new IllegalStateException(
+            s"catalog: orphan catalog-$v.txt at $dir from a different txn " +
+              s"(crashed writer left a manifest without flipping the " +
+              s"pointer) — remove it to recover", e)
+      // else: our own orphan — fall through and complete the flip
+    }
     val tmp = Paths.get(dir, s"_current.tmp.$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer(dir),

@@ -810,5 +810,245 @@ object Lakehouse {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""".trim)),
+
+    // Row-level MERGE, copy-on-write (r15 — see [[Acid.mergeCow]]): the
+    // Delta MERGE INTO algorithm on the manifest seam. One change batch
+    // carries all four row fates at once — updates (status → 'X'),
+    // RESURRECTIONS of vector-deleted keys (an explicit upsert must undo a
+    // merge-on-read delete — the one place MERGE and append semantics
+    // differ), fresh inserts under shifted keys, and row deletes — applied
+    // in one commit that rewrites ONLY the files the touched-file probe
+    // (a distributed semi-join grouped by input_file_name, Delta's
+    // findTouchedFiles job) proves contain a changed key. The in-body
+    // require pins the COW claim: a strict minority of files rewritten
+    // (OperatorSpec additionally pins survivors byte-identical and the
+    // vector reconciliation). At 100 TB the cost is O(files containing a
+    // matched key) + one O(batch) shuffle — never O(table).
+    Q("sink_merge_cow",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_mergecow", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        val k = col("o_orderkey")
+        // 4 append commits × 3 RANGE-CLUSTERED files each: every file owns
+        // a contiguous key slice, so a key-local change batch has files it
+        // provably does not touch (hash-scattered files would force a full
+        // rewrite — clustering is what makes COW pay, same lesson as
+        // sink_acid_optimize's zone maps)
+        (0 until 4).foreach { i =>
+          Acid.appendTxn(spark, table,
+            or.filter(pmod(k, lit(4)) === i).repartitionByRange(3, k),
+            txnId = i.toLong)
+        }
+        // a standing merge-on-read vector: every key ≡ 0 mod 13 is hidden
+        Acid.deleteTxn(spark, table,
+          or.filter(k % 13 === 0).select(k), "o_orderkey", txnId = 10L)
+        // the MERGE batch: key-local (k < 2000), change classes disjoint
+        // by construction
+        val up = or.filter(k % 17 === 0 && k % 13 =!= 0 && k % 19 =!= 0 && k < 2000)
+          .withColumn("o_orderstatus", lit("X"))     // matched → update
+        val res = or.filter(k % 13 === 0 && k % 17 =!= 0 && k % 19 =!= 0 && k < 2000)
+          .withColumn("o_orderstatus", lit("R"))     // resurrect deleted keys
+        val ins = or.filter(k < 40)
+          .withColumn("o_orderkey", k + 3000000L)    // not-matched → insert
+        val del = or.filter(k % 19 === 0 && k < 2000) // matched → delete
+        val changes = up.unionByName(res).unionByName(ins)
+          .withColumn("__op", lit("upsert"))
+          .unionByName(del.withColumn("__op", lit("delete")))
+        val (_, touched, total) =
+          Acid.mergeCow(spark, table, changes, "o_orderkey", txnId = 20L,
+            opCol = Some("__op"))
+        require(touched > 0 && touched * 2 <= total,
+          s"MERGE must rewrite a strict minority of files: $touched/$total")
+        Acid.read(spark, table).orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, price FROM (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN 'R'
+                      WHEN o_orderkey % 17 = 0 AND o_orderkey < 2000 THEN 'X'
+                      ELSE o_orderstatus END AS o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders
+          WHERE (o_orderkey % 19 <> 0 OR o_orderkey >= 2000)
+            AND (o_orderkey % 13 <> 0
+                 OR (o_orderkey % 17 <> 0 AND o_orderkey % 19 <> 0
+                     AND o_orderkey < 2000))
+          UNION ALL
+          SELECT o_orderkey + 3000000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 40
+        ) ORDER BY o_orderkey""".trim)),
+
+    // RESTORE / rollback (r15 — see [[Acid.restore]]): a botched job lands
+    // a bad delete (v2) and a bad append (v3); RESTORE TO v1 rolls the
+    // table back METADATA-ONLY — no data moves whatever the table size,
+    // history stays time-travelable (the bad versions remain readable
+    // until vacuum), and the txn LEDGER carries from the current head so
+    // exactly-once streams that committed during the bad window keep
+    // no-oping their replays (Delta keeps txn appIds across RESTORE for
+    // the same reason — in-body require pins it, plus restore-replay
+    // idempotence). Work continues after the rollback with a good append.
+    // The oracle rebuilds the final state from scratch: all orders plus
+    // the post-restore insert — any leakage of the rolled-back delete or
+    // append breaks the hash.
+    Q("sink_restore",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_restore", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 2 === 0), txnId = 0L) // v0
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 2 === 1), txnId = 1L) // v1 (good head)
+        val goodRows = Acid.read(spark, table).count()
+        Acid.deleteTxn(spark, table,                          // v2: BAD delete
+          or.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 2L)
+        Acid.appendTxn(spark, table,                          // v3: BAD append
+          or.filter(col("o_orderkey") < 30)
+            .withColumn("o_orderkey", col("o_orderkey") + 2000000L), txnId = 3L)
+        val v = Acid.restore(table, toV = 1L, txnId = 4L)     // v4 = rollback
+        require(Acid.read(spark, table).count() == goodRows,
+          "restore did not reproduce the pre-incident state")
+        require(Acid.restore(table, toV = 1L, txnId = 4L) == v,
+          "replayed restore must no-op through the ledger")
+        // ledger carried from the HEAD: the bad append's txn still no-ops
+        require(Acid.appendTxn(spark, table, or.limit(3), txnId = 3L) == v,
+          "restore must carry the txn ledger forward (stream exactly-once)")
+        // history preserved: the bad version is still auditable — its
+        // rogue shifted keys remain visible through time travel
+        require(Acid.readVersion(spark, table, 3L)
+            .filter(col("o_orderkey") >= 2000000L).count() == 30L,
+          "restore must not erase history before vacuum")
+        Acid.appendTxn(spark, table,                          // life goes on
+          or.filter(col("o_orderkey") < 20)
+            .withColumn("o_orderkey", col("o_orderkey") + 5000000L), txnId = 5L)
+        Acid.read(spark, table).orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, price FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey + 5000000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 20
+        ) ORDER BY o_orderkey""".trim)),
+
+    // Shallow clone (r15 — see [[Acid.shallowClone]]): fork a governed
+    // table for an experiment WITHOUT copying a byte of data — Delta's
+    // CREATE TABLE ... SHALLOW CLONE. The clone's manifest re-references
+    // the source's immutable files; writes to either side never touch the
+    // other (in-body requires pin both directions of the isolation, plus
+    // that the clone dir holds ONLY the clone's own append — the zero-copy
+    // claim as a disk fact). Standing delete vectors carry (the clone's
+    // v0 state equals the source's cloned version); the txn ledger does
+    // NOT (the clone is a new table — its streams start their own
+    // exactly-once history). At 100 TB a clone costs O(manifest) text —
+    // the difference between "minutes and 2× storage" and "instant".
+    Q("sink_shallow_clone",
+      (spark, sfDir) => {
+        val src = graft.Tmp.dir("sink_clone_src", sfDir)
+        val dst = graft.Tmp.dir("sink_clone_dst", sfDir)
+        Acid.reset(src); Acid.reset(dst)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, src, or, txnId = 0L)
+        Acid.deleteTxn(spark, src,
+          or.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 1L)
+        val srcRows = Acid.read(spark, src).count()
+        Acid.shallowClone(src, dst)
+        require(Acid.read(spark, dst).count() == srcRows,
+          "clone v0 must equal the source's cloned version")
+        // diverge BOTH sides; neither write may leak into the other
+        Acid.appendTxn(spark, dst,
+          or.filter(col("o_orderkey") < 25)
+            .withColumn("o_orderkey", col("o_orderkey") + 4000000L), txnId = 0L)
+        Acid.appendTxn(spark, src,
+          or.filter(col("o_orderkey") < 10)
+            .withColumn("o_orderkey", col("o_orderkey") + 7000000L), txnId = 2L)
+        require(Acid.read(spark, src).count() == srcRows + 10,
+          "clone append leaked into the source")
+        // zero-copy as a disk fact: the clone dir holds only its own append
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dst))
+        val cloneLocal =
+          try walk.filter(p => p.toString.endsWith(".parquet")).count()
+          finally walk.close()
+        val cloneRead = Acid.read(spark, dst)
+        require(cloneLocal < cloneRead.count(),
+          s"clone materialized data files ($cloneLocal local parquet files)")
+        require(cloneRead.filter(col("o_orderkey") >= 7000000L).count() == 0L,
+          "source append leaked into the clone")
+        cloneRead.orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, price FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey % 5 <> 0
+          UNION ALL
+          SELECT o_orderkey + 4000000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 25
+        ) ORDER BY o_orderkey""".trim)),
+
+    // Z-ORDER clustering (r15 — see [[Acid.optimizeZorder]]): range
+    // clustering on ONE column makes that column's zone maps sharp and
+    // every other column's useless; interleaving the bits of (user_id,
+    // ts) spends the locality budget across BOTH, so a who-did-what-when
+    // query prunes files on each dimension at once — Delta's OPTIMIZE
+    // ZORDER BY. The in-body requires pin the multi-dimension claim:
+    // each single-dimension predicate prunes on its own, and the
+    // conjunction keeps no more than either alone (readSkippingAll
+    // intersects the per-dimension survivor sets). Residual predicates
+    // stay on the scan — skipping only ever drops provably-dead files.
+    // At 100 TB this is the difference between a 2-D probe opening ~√N
+    // of the files and opening all of them because the second dimension
+    // was sacrificed to the first.
+    Q("sink_acid_zorder",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_zorder", sfDir)
+        Acid.reset(table)
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        Acid.appendTxn(spark, table, ev, txnId = 0L)
+        Acid.optimizeZorder(spark, table, txnId = 1L, targetFiles = 16,
+          zCols = Seq("uid" -> col("user_id"), "ts_us" -> col("ts_us")))
+        val v = Acid.currentVersion(table).get
+        val lo = utcMicros("2024-01-10T00:00:00Z")
+        val hi = utcMicros("2024-01-18T00:00:00Z") - 1
+        val (keptU, all) = Acid.skipFiles(table, v, "uid", 10L, 29L)
+        val (keptT, _) = Acid.skipFiles(table, v, "ts_us", lo, hi)
+        require(keptU.size < all.size && keptT.size < all.size,
+          s"z-order must prune on BOTH dimensions: uid ${keptU.size}/${all.size}, " +
+            s"ts ${keptT.size}/${all.size}")
+        val (df, keptBoth, total) = Acid.readSkippingAll(spark, table,
+          Seq(("uid", 10L, 29L), ("ts_us", lo, hi)))
+        require(keptBoth <= math.min(keptU.size, keptT.size) && keptBoth < total,
+          s"conjunction must prune at least as hard as either dimension: " +
+            s"$keptBoth vs (${keptU.size}, ${keptT.size})")
+        df.filter(col("user_id").between(10, 29) &&
+            col("ts_us").between(lo, hi))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE user_id BETWEEN 10 AND 29
+          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-18 00:00:00'
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
   )
 }

@@ -46,6 +46,30 @@ object ConsumerGroup {
   private def ledgerPath(groupDir: String) = Paths.get(groupDir, "offsets.json")
   private def genPath(groupDir: String) = Paths.get(groupDir, "generation.txt")
 
+  /** Group-coordinator critical section (ADVICE r14: the epoch fence was
+    * check-then-act — a rebalance bumping the generation between a zombie's
+    * check and its ledger merge let the stale commit land under the new
+    * epoch). Serializing [[rebalance]] and [[commitOffsets]] through one
+    * atomic O_EXCL lock file makes check+merge atomic relative to epoch
+    * bumps — the same primitive Kafka gets from running both through the
+    * single group coordinator. Bounded spin turns a crashed holder into a
+    * loud error, mirroring Acid.withWriterLock. */
+  private def withGroupLock[T](groupDir: String)(body: => T): T = {
+    Files.createDirectories(Paths.get(groupDir))
+    val lock = Paths.get(groupDir, "_lock")
+    var spins = 0
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        spins += 1
+        require(spins < 12000, s"ConsumerGroup: coordinator-lock timeout on $groupDir")
+        Thread.sleep(5)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   /** The group's committed offset vector (empty before any commit). */
   def committedOffsets(groupDir: String): Map[String, Long] = {
     val p = ledgerPath(groupDir)
@@ -71,8 +95,7 @@ object ConsumerGroup {
     * silent loss; the epoch turns that into a loud rejection). Atomic
     * write-tmp-then-move like the ledger. */
   def rebalance(groupDir: String, partitions: Seq[String],
-      members: Seq[String]): (Long, Map[String, Seq[String]]) = {
-    Files.createDirectories(Paths.get(groupDir))
+      members: Seq[String]): (Long, Map[String, Seq[String]]) = withGroupLock(groupDir) {
     val gen = currentGeneration(groupDir) + 1
     val body = (gen.toString +: members.sorted).mkString("", "\n", "\n")
     val tmp = Paths.get(groupDir, "generation.txt.tmp")
@@ -90,13 +113,14 @@ object ConsumerGroup {
     * epoch: a commit from an older generation throws
     * [[FencedGenerationException]] and leaves the ledger untouched. */
   def commitOffsets(groupDir: String, offsets: Map[String, Long],
-      generation: Option[Long] = None): Unit = {
+      generation: Option[Long] = None): Unit = withGroupLock(groupDir) {
+    // fence check INSIDE the coordinator lock: a rebalance cannot bump the
+    // epoch between this check and the ledger merge below
     generation.foreach { g =>
       val cur = currentGeneration(groupDir)
       if (g != cur) throw new FencedGenerationException(
         s"commit from generation $g rejected: group is at generation $cur")
     }
-    Files.createDirectories(Paths.get(groupDir))
     val merged = (committedOffsets(groupDir).toSeq ++ offsets.toSeq)
       .groupMapReduce(_._1)(_._2)(math.max)
     val tmp = Paths.get(groupDir, "offsets.json.tmp")

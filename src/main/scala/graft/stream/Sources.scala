@@ -124,7 +124,7 @@ object Sources {
   private val stagedFlushDirs =
     scala.collection.mutable.Map.empty[String, java.nio.file.Path]
 
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+  private[stream] def deleteRecursively(dir: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(dir)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))

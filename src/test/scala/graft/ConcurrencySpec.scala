@@ -406,6 +406,71 @@ class ConcurrencySpec extends SparkFixture {
         java.nio.file.StandardOpenOption.CREATE_NEW)
     }
   }
+
+  test("eraseKeys rebases when a lock-free append lands in its snapshot window (ADVICE r14 high)") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("acid_erase_race").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id").as("k"), (col("id") * 10).as("payload"))
+    (0 until 2).foreach(i => Acid.appendTxn(spark, table, rows(i * 100, 50), i.toLong))
+    Acid.optimize(spark, table, txnId = 10L, targetFiles = 4,
+      clusterCol = Some("k"), bloom = Some(("k", col("k"))))
+    // inject an appendTxnCAS exactly in the window the advice names: after
+    // eraseKeys snapshots candidates/survivors, before it claims the commit
+    // (CAS takes no writer lock, so this interleave is real under
+    // concurrency — the hook just makes it deterministic)
+    @volatile var fired = false
+    Acid.eraseKeysRaceHook = () => if (!fired) {
+      fired = true
+      Acid.appendTxnCAS(spark, table, rows(500, 7), txnId = 20L)
+    }
+    try {
+      val (_, rewritten, _) =
+        Acid.eraseKeys(spark, table, Seq(5L, 105L), "k", "k", txnId = 21L)
+      assert(rewritten > 0, "bloom-pruned erase found no candidate files")
+    } finally Acid.eraseKeysRaceHook = () => ()
+    assert(fired, "race hook never fired — the test exercised nothing")
+    val state = Acid.read(spark, table)
+    assert(state.filter(col("k") >= 500).count() == 7L,
+      "the concurrent append's rows were silently dropped by a stale-snapshot erase")
+    assert(state.filter(col("k").isin(5L, 105L)).count() == 0L,
+      "erase subjects survived the rebase")
+    assert(state.count() == 100L - 2L + 7L, s"row conservation broke: ${state.count()}")
+    // the victim's txn id must still be in the ledger (replay stays a no-op)
+    assert(Acid.committedTxns(table).contains(20L),
+      "the concurrent append's txn id vanished from the ledger")
+  }
+
+  test("catalog txn: crash between manifest write and pointer flip — same-txn retry completes, foreign orphan fails loudly (ADVICE r14)") {
+    import graft.ops.{Acid, Catalog}
+    val cat = java.nio.file.Files.createTempDirectory("cat_orphan").toString
+    def r(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Catalog.commitTxn(spark, cat, 0L, Seq("fact" -> r(0, 10)))
+    // simulate txn 1 crashing AFTER catalog-1.txt landed but BEFORE the
+    // flip: table phase done, manifest present, pointer still at 0
+    Acid.appendTxn(spark, Catalog.tablePath(cat, "fact"), r(100, 5), txnId = 1L)
+    val factV = Acid.currentVersion(Catalog.tablePath(cat, "fact")).get
+    java.nio.file.Files.write(java.nio.file.Paths.get(cat, "catalog-1.txt"),
+      s"# txn:0\n# txn:1\nfact=$factV\n".getBytes("UTF-8"))
+    assert(Catalog.currentVersion(cat).contains(0L))
+    // the documented same-txnId retry must COMPLETE the flip, not throw
+    // FileAlreadyExistsException forever
+    val v = Catalog.commitTxn(spark, cat, 1L, Seq("fact" -> r(100, 5)))
+    assert(v == 1L, s"retry should complete the crashed flip as catalog v1, got v$v")
+    assert(Catalog.snapshot(cat)("fact") == factV)
+    assert(Catalog.readAt(spark, cat, Catalog.snapshot(cat), "fact").count() == 15L,
+      "retry double-applied the table phase")
+    // a FOREIGN txn's orphan is unrecoverable: loud error with recovery
+    // guidance, never a silent clobber or a stolen flip
+    java.nio.file.Files.write(java.nio.file.Paths.get(cat, "catalog-2.txt"),
+      "# txn:777\nfact=0\n".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      Catalog.commitTxn(spark, cat, 2L, Seq("fact" -> r(200, 1)))
+    }
+    assert(Catalog.currentVersion(cat).contains(1L),
+      "failed recovery advanced the catalog pointer")
+  }
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode

@@ -551,4 +551,33 @@ class GraftLogSpec extends SparkFixture {
       "bob must resume p=1 exactly at alice's committed position")
     assert(ConsumerGroup.committedOffsets(group)("p=1") == 4L)
   }
+
+  test("coordinator lock serializes commits against rebalances (ADVICE r14: fence is check+merge atomic)") {
+    val group = Files.createTempDirectory("graftlog_cg_lock").toString
+    val (g1, _) = ConsumerGroup.rebalance(group, Seq("p=0"), Seq("alice"))
+    // hold the coordinator lock: a commit must BLOCK (not race past the
+    // fence check) until the lock is released — this is the mechanism that
+    // closes the check-then-act window a mid-flight rebalance exploited
+    val lock = java.nio.file.Paths.get(group, "_lock")
+    java.nio.file.Files.createFile(lock)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      ConsumerGroup.commitOffsets(group, Map("p=0" -> 1L), Some(g1))
+      done.countDown()
+    })
+    t.start()
+    Thread.sleep(200)
+    assert(ConsumerGroup.committedOffsets(group).isEmpty,
+      "commit proceeded while the coordinator lock was held")
+    java.nio.file.Files.delete(lock)
+    assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "commit never completed after the lock was released")
+    t.join()
+    assert(ConsumerGroup.committedOffsets(group) == Map("p=0" -> 1L))
+    // and the fence itself still rejects a dead epoch under the lock
+    ConsumerGroup.rebalance(group, Seq("p=0"), Seq("alice", "bob"))
+    intercept[graft.stream.FencedGenerationException] {
+      ConsumerGroup.commitOffsets(group, Map("p=0" -> 99L), Some(g1))
+    }
+  }
 }

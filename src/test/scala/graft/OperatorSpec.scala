@@ -1930,6 +1930,44 @@ class OperatorSpec extends SparkFixture {
     // a replayed evolved append no-ops through the ledger
     val v = Acid.currentVersion(table).get
     assert(Acid.appendTxnEvolved(spark, table, rows(100, 30), 1L, Seq("a", "b")) == v)
+    // an all-pruned predicate is a legitimate EMPTY result, not an error
+    // (ADVICE r14: pruning is an optimization, never a semantics change)
+    val (emptyDf, kept0, total0) = Acid.readPrunedEvolved(spark, table, Map("a" -> "99"))
+    assert(kept0 == 0 && total0 > 0, s"expected 0/$total0 kept, got $kept0")
+    assert(emptyDf.count() == 0L)
+    assert(emptyDf.columns.toSet == Set("k", "a", "b"),
+      "schema-stable empty frame lost the table schema")
+  }
+
+  test("Acid evolved appends carry constraints and per-file stats forward (ADVICE r14)") {
+    import graft.ops.{Acid, ConstraintViolationException}
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_evcarry").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id").as("k"), (col("id") % 3).cast("int").as("a"),
+        (col("id") % 2).cast("int").as("b"))
+    Acid.appendTxn(spark, table, rows(0, 50), txnId = 0L)
+    Acid.optimize(spark, table, txnId = 1L, targetFiles = 4,
+      clusterCol = Some("k"), stats = Some(("k", col("k"))),
+      bloom = Some(("k", col("k"))))
+    Acid.appendTxnChecked(spark, table, rows(100, 10), txnId = 2L,
+      newConstraints = Seq("k_nonneg" -> "k >= 0"))
+    val preEvolve = Acid.minmaxStats(table, Acid.currentVersion(table).get, "k")
+    assert(preEvolve.nonEmpty, "optimize recorded no zone maps — test setup broken")
+    Acid.appendTxnEvolved(spark, table, rows(200, 10), txnId = 3L, Seq("a"))
+    val v = Acid.currentVersion(table).get
+    // the standing CHECK constraint survives the evolved append and is
+    // still ENFORCED by the next checked append
+    assert(Acid.constraints(table, v).contains("k_nonneg" -> "k >= 0"),
+      "evolved append dropped the standing CHECK constraint")
+    intercept[ConstraintViolationException] {
+      Acid.appendTxnChecked(spark, table, rows(-5, 3), txnId = 4L)
+    }
+    // per-file zone maps and blooms survive: skipping/erase stay sharp
+    assert(Acid.minmaxStats(table, v, "k").toSet == preEvolve.toSet,
+      "evolved append dropped per-file zone maps")
+    val (kept, all) = Acid.skipFilesBloom(table, v, "k", 999999L)
+    assert(kept.size < all.size,
+      "evolved append dropped per-file blooms — point lookups can no longer prune")
   }
 
   test("Acid eraseKeys: survivors byte-identical, subjects physically gone, delete vectors still apply") {
@@ -1989,5 +2027,177 @@ class OperatorSpec extends SparkFixture {
       .filter(col("k").isin(subjects: _*)).count()
     assert(resurrect == 0L,
       "subject bytes survive on disk after erase+vacuum — not forgotten")
+  }
+
+  test("Acid mergeCow: survivors byte-identical, vector reconciliation, replay no-op, empty-table bootstrap") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_merge").toString + "/t"
+    val root = java.nio.file.Paths.get(table)
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id").as("k"), (col("id") * 10).as("payload"))
+    // 4 range-clustered appends: files own contiguous key slices
+    (0 until 4).foreach(i => Acid.appendTxn(spark, table,
+      rows(i * 100, 100).repartitionByRange(2, col("k")), txnId = i.toLong))
+    // standing vector hides k % 25 == 0
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 400).filter(col("id") % 25 === 0).select(col("id").as("k")),
+      "k", txnId = 10L)
+    def attrs(): Map[String, (Long, Long)] = {
+      val w = java.nio.file.Files.walk(root)
+      try w.filter(p => p.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => root.relativize(p).toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      finally w.close()
+    }
+    val before = attrs()
+    // key-local change batch: update k=5, resurrect k=50 (vector-deleted),
+    // delete k=7, insert k=9999 — all in the low key band
+    import spark.implicits._
+    val changes = Seq(
+      (5L, 5000L, "upsert"),    // update
+      (50L, 5050L, "upsert"),   // resurrection of a vector-deleted key
+      (7L, 0L, "delete"),       // row delete
+      (9999L, 9L, "upsert"))    // fresh insert
+      .toDF("k", "payload", "__op")
+    val (v, touched, total) =
+      Acid.mergeCow(spark, table, changes, "k", txnId = 20L, opCol = Some("__op"))
+    assert(touched > 0 && touched * 2 <= total,
+      s"key-local merge must touch a strict minority: $touched/$total")
+    // untouched files byte-identical
+    val after = attrs()
+    (before.keySet intersect after.keySet).foreach { f =>
+      assert(before(f) == after(f), s"survivor $f was modified") }
+    val state = Acid.read(spark, table).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state(5L) == 5000L, "matched update did not apply")
+    assert(state(50L) == 5050L, "upsert of a vector-deleted key must resurrect it")
+    assert(!state.contains(7L), "merge delete did not apply")
+    assert(state(9999L) == 9L, "not-matched insert did not apply")
+    assert(!state.contains(25L) && !state.contains(375L),
+      "non-upserted vector-deleted keys must stay deleted after the merge")
+    // 400 - 16 vector-hidden (k%25, minus resurrected 50 ⇒ 15) - 1 deleted + 1 inserted
+    assert(state.size == 400 - 15 - 1 + 1, s"row conservation broke: ${state.size}")
+    // replay no-ops
+    assert(Acid.mergeCow(spark, table, changes, "k", 20L, Some("__op"))._1 == v)
+    assert(Acid.read(spark, table).count() == state.size.toLong)
+    // bootstrap: first merge on an uninitialized table inserts everything
+    val t2 = java.nio.file.Files.createTempDirectory("graft_acid_merge2").toString + "/t"
+    Acid.mergeCow(spark, t2, changes.filter(col("__op") =!= "delete").drop("__op"),
+      "k", txnId = 0L)
+    assert(Acid.read(spark, t2).count() == 3L)
+  }
+
+  test("Acid restore: metadata-only (no data written), vacuumed target fails loudly") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_restore").toString + "/t"
+    val root = java.nio.file.Paths.get(table)
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Acid.appendTxn(spark, table, rows(0, 50), txnId = 0L)
+    Acid.appendTxn(spark, table, rows(100, 50), txnId = 1L)
+    Acid.deleteTxn(spark, table,
+      rows(0, 10).select(col("k")), "k", txnId = 2L)
+    def parquetCount(): Long = {
+      val w = java.nio.file.Files.walk(root)
+      try w.filter(p => p.toString.endsWith(".parquet")).count()
+      finally w.close()
+    }
+    val beforeFiles = parquetCount()
+    val v = Acid.restore(table, toV = 1L, txnId = 3L)
+    assert(parquetCount() == beforeFiles,
+      "restore must be metadata-only — it wrote data files")
+    assert(Acid.read(spark, table).count() == 100L,
+      "restore did not reproduce the target state")
+    // the rolled-back delete is still in history until vacuum...
+    assert(Acid.readVersion(spark, table, 2L).count() == 90L)
+    // ...and a restore to a vacuumed version fails loudly
+    Acid.vacuum(table, keep = 1)
+    intercept[IllegalArgumentException] { Acid.restore(table, toV = 0L, txnId = 9L) }
+    assert(Acid.currentVersion(table).contains(v),
+      "failed restore advanced the table")
+  }
+
+  test("Acid shallowClone: stat lines stay sharp on the clone; optimize localizes; clone vacuum spares the source") {
+    import graft.ops.Acid
+    val base = java.nio.file.Files.createTempDirectory("graft_acid_clone")
+    val src = s"$base/src"; val dst = s"$base/dst"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id").as("k"), (col("id") * 10).as("payload"))
+    Acid.appendTxn(spark, src, rows(0, 200), txnId = 0L)
+    Acid.optimize(spark, src, txnId = 1L, targetFiles = 8,
+      clusterCol = Some("k"), stats = Some(("k", col("k"))),
+      bloom = Some(("k", col("k"))))
+    Acid.shallowClone(src, dst)
+    // rerooted stat lines still key the rerooted file lines: zone-map and
+    // bloom skipping prune on the CLONE, not just on the source
+    val cv = Acid.currentVersion(dst).get
+    val (keptZ, allZ) = Acid.skipFiles(dst, cv, "k", 0L, 20L)
+    assert(keptZ.nonEmpty && keptZ.size < allZ.size,
+      s"clone zone maps must prune: ${keptZ.size}/${allZ.size}")
+    val (keptB, allB) = Acid.skipFilesBloom(dst, cv, "k", 999999L)
+    assert(keptB.size < allB.size, "clone blooms must prune")
+    // skipping read on the clone is correct
+    assert(Acid.readSkipping(spark, dst, "k", 0L, 20L)
+      .filter(col("k") <= 20).count() == 21L)
+    // the source ledger is NOT carried: src txn 0 re-lands on the clone
+    Acid.appendTxn(spark, dst, rows(1000, 5), txnId = 0L)
+    assert(Acid.read(spark, dst).count() == 205L,
+      "clone must start its own txn ledger")
+    // optimize on the clone MATERIALIZES it: every referenced file local
+    Acid.optimize(spark, dst, txnId = 50L, targetFiles = 2)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dst, s"manifest-${Acid.currentVersion(dst).get}.txt"))
+    lines.forEach(l => if (!l.startsWith("#") && l.nonEmpty)
+      assert(!l.contains(".."), s"post-optimize clone still references source: $l"))
+    // clone vacuum never deletes source bytes
+    val srcRowsBefore = Acid.read(spark, src).count()
+    Acid.vacuum(dst, keep = 1)
+    assert(Acid.read(spark, src).count() == srcRowsBefore,
+      "clone vacuum deleted source data")
+    assert(Acid.read(spark, dst).count() == 205L)
+  }
+
+  test("Acid optimizeZorder: a 2-D grid prunes on both dimensions; single-column clustering provably cannot") {
+    import graft.ops.Acid
+    val base = java.nio.file.Files.createTempDirectory("graft_acid_z")
+    val zt = s"$base/z"; val rt = s"$base/r"
+    // perfect 256×256 grid: two independent uniform dimensions
+    val grid = spark.range(0, 65536)
+      .select((col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+    Acid.appendTxn(spark, zt, grid, txnId = 0L)
+    Acid.appendTxn(spark, rt, grid, txnId = 0L)
+    Acid.optimizeZorder(spark, zt, txnId = 1L, targetFiles = 16,
+      zCols = Seq("a" -> col("a"), "b" -> col("b")))
+    Acid.optimize(spark, rt, txnId = 1L, targetFiles = 16,
+      clusterCol = Some("a"), stats = Some(("a", col("a"))))
+    val zv = Acid.currentVersion(zt).get
+    // both dimensions prune under z-order (quarter-range probes)
+    val (ka, alla) = Acid.skipFiles(zt, zv, "a", 0L, 63L)
+    val (kb, _) = Acid.skipFiles(zt, zv, "b", 0L, 63L)
+    assert(ka.size * 2 <= alla.size, s"a-dim did not prune: ${ka.size}/${alla.size}")
+    assert(kb.size * 2 <= alla.size, s"b-dim did not prune: ${kb.size}/${alla.size}")
+    // the conjunction prunes multiplicatively (a 2-D tile)
+    val (df, keptBoth, total) = Acid.readSkippingAll(spark, zt,
+      Seq(("a", 0L, 63L), ("b", 0L, 63L)))
+    assert(keptBoth <= math.min(ka.size, kb.size) && keptBoth * 4 <= total,
+      s"2-D probe must keep a small tile: $keptBoth/$total")
+    assert(df.filter(col("a") <= 63 && col("b") <= 63).count() == 64L * 64L,
+      "skipping changed the answer")
+    // range clustering on `a` alone: the b-dimension cannot prune AT ALL
+    // (every file spans the full b range) — the z-order point
+    val rStats = {
+      val rv = Acid.currentVersion(rt).get
+      // harvest b zone maps for the range-clustered table post-hoc to
+      // prove they are useless, not merely missing
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(rt, s"manifest-$rv.txt"))
+      import scala.jdk.CollectionConverters._
+      val files = lines.asScala.filterNot(_.startsWith("#")).toSeq
+      spark.read.parquet(files.map(f => s"$rt/$f"): _*)
+        .groupBy(input_file_name()).agg(min(col("b")), max(col("b")))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    }
+    assert(rStats.forall { case (mn, mx) => mn <= 63L && mx >= 63L },
+      "expected every a-clustered file to span the b probe range")
   }
 }

@@ -1660,4 +1660,55 @@ class StreamingSpec extends SparkFixture {
     assert(Acid.read(spark, table).select(col("id"))
       .collect().map(_.getLong(0)).sorted.toSeq == expect.sorted)
   }
+
+  test("stream_cdc_apply: exactly-once across a mid-stream restart; a forced batch replay no-ops") {
+    import graft.stream.CdcApply
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_cdcapply_t").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcapply_ck").toString
+    val live = java.nio.file.Files.createTempDirectory("graft_cdcapply_live").toString
+    // full staged changelog, then replay it into `live` in two waves to
+    // force a STOPPED query mid-history (same checkpoint dir across both)
+    val fullDir = java.nio.file.Paths.get(
+      CdcApply.stagedChangelog(spark, sf001, files = 6))
+    val all = {
+      val w = java.nio.file.Files.walk(fullDir)
+      try w.filter(_.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path]).sortBy(_.getFileName.toString)
+      finally w.close()
+    }
+    assert(all.length == 6)
+    def copyWave(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
+      java.nio.file.Files.copy(p,
+        java.nio.file.Paths.get(live).resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    copyWave(all.take(3).toSeq)
+    CdcApply.drain(spark, live, table, ckpt)   // generation 1: first half
+    val midV = Acid.currentVersion(table).get
+    copyWave(all.drop(3).toSeq)
+    CdcApply.drain(spark, live, table, ckpt)   // generation 2: resumes, no re-apply
+    // final state equals the batch LWW oracle over the whole history
+    val expect = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1 && col("event_id") % 10 =!= 7)
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def state(): Map[Long, Long] = Acid.read(spark, table)
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state() == expect,
+      "restarted CDC apply diverged from the batch last-writer-wins oracle")
+    // forced replay of an already-committed micro-batch: the ledger no-ops
+    val vEnd = Acid.currentVersion(table).get
+    assert(vEnd > midV, "second generation applied nothing")
+    val replayBatch = spark.read.parquet(all.head.toString)
+    CdcApply.applyBatch(spark, table, replayBatch, batchId = 0L)
+    assert(Acid.currentVersion(table).contains(vEnd),
+      "replayed batch advanced the table — exactly-once broken")
+    assert(state() == expect, "replayed batch mutated state")
+  }
 }
