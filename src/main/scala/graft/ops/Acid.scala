@@ -1538,6 +1538,63 @@ object Acid {
     }
   }
 
+  // ---- snapshot tags (Iceberg named refs) ----
+
+  /** TAG a committed version with an immutable name — Iceberg's tag refs
+    * (`AS OF 'training-run-2024q3'`): the auditable pin a reproduction or
+    * compliance claim hangs on. Tags are CREATE_NEW (a name can never be
+    * silently repointed — delete and re-tag is the explicit operator
+    * action), cost one O(1) file, and — the load-bearing part — PIN their
+    * version against [[vacuum]]: retention GC keeps a tagged manifest and
+    * every file it references alive past the horizon, so the tag stays
+    * readable for years while ordinary history ages out. Version-number
+    * time travel to the same snapshot still expires (the horizon contract
+    * is unchanged); the NAME is the durable handle. */
+  def tagVersion(table: String, name: String, v: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"tag name must be path-safe: $name")
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.tagVersion: no committed version at $table"))
+    require(v >= 0 && v <= cur, s"tagVersion: version $v not committed (current $cur)")
+    require(v >= horizon(table), s"tagVersion: version $v already vacuumed")
+    Files.write(Paths.get(table, s"tag-$name.txt"),
+      v.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+  }
+
+  /** All tags of `table`: name → pinned version. */
+  def tags(table: String): Map[String, Long] =
+    Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("tag-") && n.endsWith(".txt"))
+          Some(n.stripPrefix("tag-").stripSuffix(".txt") ->
+            new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
+        else None
+      }.toMap
+
+  /** Drop a tag (the version becomes ordinary history and ages out with
+    * the next vacuum unless still above the horizon). */
+  def dropTag(table: String, name: String): Unit =
+    Files.deleteIfExists(Paths.get(table, s"tag-$name.txt"))
+
+  /** Read the snapshot a tag pins — works BELOW the vacuum horizon (the
+    * tag kept the manifest and its files alive), which version-number
+    * time travel deliberately does not. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val v = tags(table).getOrElse(name,
+      sys.error(s"Acid.readTag: no tag '$name' at $table"))
+    val lines = manifestLines(table, v)
+    val rootRel = lines.contains("# base:.")
+    val files = lines.filterNot(_.startsWith("#"))
+    val base =
+      if (rootRel) spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      else spark.read
+        .option("basePath", s"$table/v=$v")
+        .parquet(files.map(f => s"$table/v=$v/$f"): _*)
+    subtractDeletes(spark, table, lines, base)
+  }
+
   private def horizonPath(table: String): Path = Paths.get(table, "_horizon")
 
   /** Oldest version still readable (0 if never vacuumed). */
@@ -1563,22 +1620,27 @@ object Acid {
     val newHorizon = math.max(horizon(table), cur - keep + 1)
     if (newHorizon == 0) Seq.empty
     else {
-      // table-relative live set across every retained manifest, plus every
+      // table-relative live set across every retained manifest, every
+      // TAGGED manifest (a named ref pins its snapshot past the horizon —
+      // Iceberg's expireSnapshots keeps tagged refs), plus every
       // staged-but-unpublished WAP batch (a pending audit is live by
       // definition — abortWap is the only way to drop one)
-      val live: Set[String] = ((newHorizon to cur).flatMap { v =>
-        val lines = manifestLines(table, v)
-        val rootRel = lines.contains("# base:.")
-        lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
-          lines.filterNot(_.startsWith("#"))
-            .map(f => if (rootRel) f else s"v=$v/$f")
-      } ++ stagedWapIds(table).flatMap(id => wapFiles(table, id))).toSet
+      val tagged = tags(table).values.toSet
+      val live: Set[String] = (((newHorizon to cur) ++ tagged.filter(_ < newHorizon))
+        .flatMap { v =>
+          val lines = manifestLines(table, v)
+          val rootRel = lines.contains("# base:.")
+          lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
+            lines.filterNot(_.startsWith("#"))
+              .map(f => if (rootRel) f else s"v=$v/$f")
+        } ++ stagedWapIds(table).flatMap(id => wapFiles(table, id))).toSet
       val tmp = Paths.get(table, "_horizon.tmp")
       Files.write(tmp, newHorizon.toString.getBytes("UTF-8"))
       Files.move(tmp, horizonPath(table),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       (0L until newHorizon).foreach { v =>
-        Files.deleteIfExists(Paths.get(table, s"manifest-$v.txt"))
+        if (!tagged.contains(v)) // a tagged manifest outlives the horizon
+          Files.deleteIfExists(Paths.get(table, s"manifest-$v.txt"))
         Files.deleteIfExists(Paths.get(table, s"claim-$v")) // expired claim GC
       }
       // reclaimed-stale-claim tombstones (expireStaleClaim's renamed-aside

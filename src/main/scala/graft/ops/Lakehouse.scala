@@ -1050,5 +1050,55 @@ object Lakehouse {
           AND ts <  TIMESTAMP '2024-01-18 00:00:00'
         GROUP BY event_type
         ORDER BY event_type""".trim)),
+
+    // Snapshot tags (r15 — see [[Acid.tagVersion]]): an immutable NAMED
+    // ref to a committed version (Iceberg tag refs / `AS OF 'name'`) that
+    // PINS its snapshot against retention GC — the handle a "reproduce
+    // training run X" or compliance claim hangs on for years while
+    // ordinary history ages out. The key tags the good audited state,
+    // lets a delete + an append land after it, vacuums down to ONE
+    // retained version — and then reads the tag through the pure-SQL
+    // entry path (`VERSION AS OF 'quarterly-audit'`). In-body requires
+    // pin the two halves of the contract: version-NUMBER time travel to
+    // the same snapshot fails loudly (the horizon moved — unchanged), the
+    // NAME still resolves (vacuum spared the tagged manifest and every
+    // file it references). Cost: one O(1) file per tag, O(tagged
+    // manifests) extra live-set arithmetic per vacuum.
+    Q("sink_snapshot_tag",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_tag", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 0), txnId = 0L) // v0
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 1), txnId = 1L) // v1: audited
+        Acid.tagVersion(table, "quarterly-audit", 1L)
+        Acid.deleteTxn(spark, table,                          // v2
+          or.filter(col("o_orderkey") % 4 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 2L)
+        Acid.appendTxn(spark, table,                          // v3
+          or.filter(col("o_orderkey") % 3 === 2), txnId = 3L)
+        Acid.vacuum(table, keep = 1)
+        // ordinary time travel to v1 is expired...
+        val expired =
+          try { Acid.readVersion(spark, table, 1L); false }
+          catch { case _: IllegalArgumentException => true }
+        require(expired, "vacuum must expire version-number time travel")
+        // ...but the tag still resolves, through the SQL entry path
+        SqlEntry.sqlLakehouse(spark, s"""
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price
+          FROM acid_table('$table') VERSION AS OF 'quarterly-audit'
+          ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+        ORDER BY o_orderkey""".trim)),
   )
 }

@@ -59,6 +59,28 @@ object SqlEntry {
   def sqlLakehouse(spark: SparkSession, text: String): DataFrame = {
     var out = text
     def slug(dir: String): String = Integer.toHexString(dir.hashCode)
+    // RESTORE TABLE acid_table('<dir>') TO VERSION AS OF <v> TXN <id> —
+    // Delta's RESTORE statement (r15): a metadata-only rollback through
+    // Acid.restore, surfaced in the pure-SQL entry path. Returns a 1-row
+    // frame (restored_to, new_version) like Delta's RESTORE output.
+    val restoreStmt =
+      """(?is)^\s*RESTORE\s+TABLE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s+TXN\s+(\d+)\s*$""".r
+    restoreStmt.findFirstMatchIn(text).foreach { m =>
+      val (dir, toV, txn) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
+      val v = Acid.restore(dir, toV, txn)
+      import spark.implicits._
+      return Seq((toV, v)).toDF("restored_to", "new_version")
+    }
+    // VERSION AS OF '<tag>' — named-ref time travel (r15, Iceberg tag
+    // refs): resolves through Acid.readTag, which works below the vacuum
+    // horizon (the tag pinned its snapshot)
+    val tagTravel = """acid_table\s*\(\s*'([^']+)'\s*\)\s+VERSION\s+AS\s+OF\s+'([A-Za-z0-9._-]+)'""".r
+    tagTravel.findAllMatchIn(text).toSeq.foreach { m =>
+      val (dir, name) = (m.group(1), m.group(2))
+      val view = s"__graft_acid_tag_${name.replaceAll("[^A-Za-z0-9]", "_")}_${slug(dir)}"
+      Acid.readTag(spark, dir, name).createOrReplaceTempView(view)
+      out = out.replace(m.matched, view)
+    }
     val timeTravel = """acid_table\s*\(\s*'([^']+)'\s*\)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
     timeTravel.findAllMatchIn(text).toSeq.foreach { m =>
       val (dir, v) = (m.group(1), m.group(2).toLong)

@@ -381,6 +381,24 @@ object ExplainDump {
       "O(changes) delta aggregate + a full-outer merge join against the O(groups) " +
       "standing state committed idempotently through the txn ledger — the base " +
       "table is never rescanned after v0, the whole point of consuming the CDF."),
+    "sink_merge_cow" -> ("Row-level MERGE, copy-on-write (r15): the dumped plan " +
+      "is the post-MERGE read-back — survivors + the rewrite's files resolved " +
+      "from the manifest, the reconciled delete vector applied as one broadcast " +
+      "anti-join. The MERGE itself ran as Delta's two jobs: a touched-file " +
+      "semi-join probe grouped by input_file_name (O(files) to the driver) and " +
+      "a rewrite of only those files — survivors byte-identical, spec-pinned."),
+    "sink_acid_zorder" -> ("OPTIMIZE ZORDER (r15): the dumped plan's scan leaf " +
+      "lists ONLY the z-tile survivors of the 2-D manifest prune " +
+      "(readSkippingAll intersects per-dimension zone-map survivor sets) with " +
+      "both residual predicates still on the scan; the rewrite that enabled it " +
+      "was one repartitionByRange shuffle on a codegen'd bit-interleave — " +
+      "multi-dimension skipping at single-dimension maintenance cost."),
+    "stream_cdc_apply" -> ("Streaming CDC apply (r15): the dumped plan is the " +
+      "maintained table's read-back after 6 MERGE micro-batches. Each cycle " +
+      "planned as: window-ranked conflation to the last change per key " +
+      "(O(batch keys) rows), a touched-file probe, and a rewrite of only the " +
+      "touched files committed under txnId=batchId — per-cycle cost tracks the " +
+      "batch and its key locality, never the table."),
   )
 
   def main(args: Array[String]): Unit = {

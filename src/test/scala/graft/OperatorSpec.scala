@@ -2157,6 +2157,45 @@ class OperatorSpec extends SparkFixture {
     assert(Acid.read(spark, dst).count() == 205L)
   }
 
+  test("Acid tags: immutable names, vacuum pins tagged snapshots, untagged history ages out") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_tag").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Acid.appendTxn(spark, table, rows(0, 50), txnId = 0L)    // v0
+    Acid.appendTxn(spark, table, rows(100, 30), txnId = 1L)  // v1
+    Acid.tagVersion(table, "audit", 1L)
+    // a tag is immutable: repointing the same name is a loud error
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Acid.tagVersion(table, "audit", 0L)
+    }
+    // pre-vacuum, the tag reads exactly what version-number travel reads
+    assert(Acid.readTag(spark, table, "audit").count() ==
+      Acid.readVersion(spark, table, 1L).count())
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 10).select(col("id").as("k")), "k", txnId = 2L) // v2
+    Acid.appendTxn(spark, table, rows(200, 5), txnId = 3L)           // v3
+    Acid.vacuum(table, keep = 1)
+    // v1 by NUMBER is expired; by NAME it is pinned — and bit-complete
+    intercept[IllegalArgumentException] { Acid.readVersion(spark, table, 1L) }
+    assert(Acid.readTag(spark, table, "audit")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 50L) ++ (100L until 130L)).sorted)
+    // untagged expired manifests are gone; the tagged one survives
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "manifest-0.txt")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "manifest-1.txt")))
+    // dropping the tag releases the pin: the next vacuum reclaims it
+    Acid.dropTag(table, "audit")
+    Acid.appendTxn(spark, table, rows(300, 5), txnId = 4L) // advance head
+    Acid.vacuum(table, keep = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "manifest-1.txt")),
+      "dropped tag must stop pinning its manifest")
+    // tagging an already-vacuumed version fails loudly
+    intercept[IllegalArgumentException] { Acid.tagVersion(table, "late", 0L) }
+  }
+
   test("Acid optimizeZorder: a 2-D grid prunes on both dimensions; single-column clustering provably cannot") {
     import graft.ops.Acid
     val base = java.nio.file.Files.createTempDirectory("graft_acid_z")

@@ -105,6 +105,19 @@ class SurfaceDocSpec extends AnyFunSuite {
       cfDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
     assert(shape(cfSql) == shape(cfDf),
       s"table_changes plan ${shape(cfSql)} != DataFrame twin ${shape(cfDf)}")
+    // RESTORE statement (r15): rolls back through the same Acid.restore
+    // the DataFrame user calls — metadata-only, ledger carried, idempotent
+    val preV = Acid.currentVersion(table).get
+    val out = SqlEntry.sqlLakehouse(spark,
+      s"RESTORE TABLE acid_table('$table') TO VERSION AS OF 1 TXN 50").head()
+    assert(out.getLong(0) == 1L && out.getLong(1) == preV + 1)
+    assert(SqlEntry.sqlLakehouse(spark,
+      s"SELECT COUNT(*) FROM acid_table('$table')").head().getLong(0) == 80L,
+      "SQL RESTORE did not reproduce the target state (v1 = 80 rows)")
+    // replayed statement no-ops through the txn ledger
+    assert(SqlEntry.sqlLakehouse(spark,
+      s"RESTORE TABLE acid_table('$table') TO VERSION AS OF 1 TXN 50")
+      .head().getLong(1) == preV + 1)
   }
 
   test("README surface table keys column is exactly the registry key set") {
