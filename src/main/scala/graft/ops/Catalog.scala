@@ -153,6 +153,35 @@ object Catalog {
     v
   }
 
+  /** Write-time EXPECTATIONS with quarantine — the Delta Live Tables
+    * expectation contract, composed from two existing seams: every row of
+    * `df` is tested against `rules` (name → predicate Column, evaluated
+    * in declaration order — a row failing several is tagged with the
+    * FIRST); passing rows land in the `clean` member, failing rows in the
+    * `quarantine` member tagged `__rule`, and BOTH land through ONE
+    * [[commitTxn]] — the atomic multi-table flip is what makes the split
+    * auditable: no reader can ever see clean rows whose rejects haven't
+    * landed (or vice versa), and the crash-retry exactly-once story is
+    * the catalog's, not new machinery. Contrast
+    * [[Acid.appendTxnChecked]]: constraints REJECT the whole batch;
+    * expectations let the good rows through and keep the bad ones for
+    * triage — the shape ingest pipelines actually want. The tagging is
+    * one CASE expression over the batch: O(batch), map-side, no shuffle
+    * beyond the two writes. */
+  def commitExpectations(spark: SparkSession, dir: String, txnId: Long,
+      df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)],
+      clean: String = "clean", quarantine: String = "quarantine"): Long = {
+    require(rules.nonEmpty, "commitExpectations: no rules — use commitTxn")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val firstFailing = rules.foldRight(lit(null: String)) {
+      case ((n, p), acc) => when(!p || p.isNull, lit(n)).otherwise(acc)
+    }
+    val tagged = df.withColumn("__rule", firstFailing)
+    commitTxn(spark, dir, txnId, Seq(
+      clean -> tagged.filter(col("__rule").isNull).drop("__rule"),
+      quarantine -> tagged.filter(col("__rule").isNotNull)))
+  }
+
   /** Wipe a catalog dir (test/demo plumbing, mirrors [[Acid.reset]]). */
   def reset(dir: String): Unit = {
     val root = Paths.get(dir)

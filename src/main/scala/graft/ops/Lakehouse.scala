@@ -1100,5 +1100,64 @@ object Lakehouse {
         FROM orders
         WHERE o_orderkey % 3 IN (0, 1)
         ORDER BY o_orderkey""".trim)),
+
+    // Write-time expectations with quarantine (r15 — see
+    // [[Catalog.commitExpectations]]): the Delta Live Tables contract.
+    // CHECK constraints (`sink_constraints`) reject a dirty batch
+    // WHOLESALE — correct for invariants, wrong for ingest, where one bad
+    // row must not block a million good ones. Expectations split the
+    // batch: passing rows land in the clean table, failing rows in a
+    // quarantine table tagged with the FIRST violated rule (declaration
+    // order — spec-pinned), and both land through ONE atomic catalog
+    // commit, so no reader ever sees accepted rows whose rejects haven't
+    // landed — the quarantine ledger is always audit-consistent with the
+    // data it explains. Tagging is one CASE expression: O(batch),
+    // map-side; exactly-once under driver retry is the catalog txn's
+    // (in-body require pins the replay no-op and the lockstep pins).
+    Q("sink_expectations_quarantine",
+      (spark, sfDir) => {
+        val cat = graft.Tmp.dir("sink_expect", sfDir)
+        Catalog.reset(cat)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), money(col("o_totalprice")).as("price"))
+        val rules = Seq(
+          "price_bound" -> (col("o_totalprice") < 400000.0d),
+          "key_mod" -> (col("o_orderkey") % 1000 =!= 0))
+        val v = Catalog.commitExpectations(spark, cat, txnId = 0L, or, rules)
+        require(v == 0L)
+        // replay is a no-op at both levels
+        require(Catalog.commitExpectations(spark, cat, 0L, or, rules) == 0L,
+          "replayed expectations commit advanced the catalog")
+        val pins = Catalog.snapshot(cat)
+        require(pins.keySet == Set("clean", "quarantine"),
+          s"one atomic commit must pin both members: $pins")
+        val clean = Catalog.readAt(spark, cat, pins, "clean")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("price"),
+            lit("clean").as("disposition"))
+        val quarantined = Catalog.readAt(spark, cat, pins, "quarantine")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("price"),
+            concat(lit("quarantine:"), col("__rule")).as("disposition"))
+        clean.unionByName(quarantined).orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, price, disposition FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+                 'clean' AS disposition
+          FROM orders
+          WHERE o_totalprice < 400000 AND o_orderkey % 1000 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+                 'quarantine:price_bound' AS disposition
+          FROM orders WHERE o_totalprice >= 400000
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+                 'quarantine:key_mod' AS disposition
+          FROM orders
+          WHERE o_totalprice < 400000 AND o_orderkey % 1000 = 0
+        ) ORDER BY o_orderkey""".trim)),
   )
 }

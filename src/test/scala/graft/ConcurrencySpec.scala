@@ -471,6 +471,45 @@ class ConcurrencySpec extends SparkFixture {
     assert(Catalog.currentVersion(cat).contains(1L),
       "failed recovery advanced the catalog pointer")
   }
+
+  test("expectations quarantine: first-rule tagging, atomic lockstep, clean-only batches still advance both members") {
+    import graft.ops.Catalog
+    import org.apache.spark.sql.functions.{col, lit}
+    val cat = java.nio.file.Files.createTempDirectory("cat_expect").toString
+    val rules = Seq(
+      "nonneg" -> (col("v") >= 0),
+      "bounded" -> (col("v") < 100))
+    // row -5 fails BOTH rules → tagged with the FIRST (declaration order);
+    // row 500 fails only 'bounded'; 1 and 2 are clean
+    import spark.implicits._
+    val batch = Seq(1L, -5L, 500L, 2L).toDF("v")
+    Catalog.commitExpectations(spark, cat, txnId = 0L, batch, rules)
+    val pins = Catalog.snapshot(cat)
+    assert(Catalog.readAt(spark, cat, pins, "clean")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val q = Catalog.readAt(spark, cat, pins, "quarantine")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(q == Map(-5L -> "nonneg", 500L -> "bounded"),
+      s"first-failing-rule tagging broke: $q")
+    // a fully-clean batch still advances BOTH members in lockstep (the
+    // quarantine table gets a data-less version — its pin moves, so an
+    // auditor can prove "this commit rejected nothing")
+    Catalog.commitExpectations(spark, cat, txnId = 1L,
+      Seq(3L).toDF("v"), rules)
+    val pins2 = Catalog.snapshot(cat)
+    assert(pins2("clean") == pins("clean") + 1 &&
+      pins2("quarantine") == pins("quarantine") + 1,
+      s"lockstep broke: $pins -> $pins2")
+    assert(Catalog.readAt(spark, cat, pins2, "quarantine").count() == 2L)
+    assert(Catalog.readAt(spark, cat, pins2, "clean").count() == 3L)
+    // null predicate result = violation, not a silent pass
+    Catalog.commitExpectations(spark, cat, txnId = 2L,
+      Seq(Some(7L), Option.empty[Long]).toDF("v"), rules)
+    val pins3 = Catalog.snapshot(cat)
+    assert(Catalog.readAt(spark, cat, pins3, "quarantine")
+      .filter(col("v").isNull).count() == 1L,
+      "NULL rule result must quarantine, never silently pass")
+  }
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode
