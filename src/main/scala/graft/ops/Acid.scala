@@ -823,6 +823,129 @@ object Acid {
     }
   }
 
+  // ---- hidden partitioning (Iceberg partition transforms) ----
+
+  /** Append under TRANSFORM-derived partition values — Iceberg's hidden
+    * partitioning, the piece hive layouts get catastrophically wrong:
+    * the table is clustered by `day(ts)` / `bucket(id)` but the USER
+    * never sees, writes, or filters on a derived column — queries state
+    * raw predicates (`ts BETWEEN …`, `id = k`) and the engine maps them
+    * to partition math at plan time ([[readPrunedHidden]]). Hive's
+    * alternative (a physical `dt` string column the user must remember
+    * to filter on) silently full-scans the moment anyone forgets.
+    *
+    * `transforms` are (derivedName, expr) pairs; the derived value lands
+    * ONLY in the shadow partition dirs and the manifest's `# pval:`
+    * tuples — data files keep exactly `df`'s columns (hidden = not in the
+    * schema). Same manifest format as [[appendTxnEvolved]], so specs can
+    * evolve (add a transform later; old files are conservatively kept by
+    * every pruner). Idempotent per txnId. */
+  def appendTxnHidden(spark: SparkSession, table: String, df: DataFrame,
+      txnId: Long, transforms: Seq[(String, Column)]): Long = withWriterLock(table) {
+    require(transforms.nonEmpty, "appendTxnHidden: no transforms — use appendTxn")
+    lazy val written: (Seq[String], Seq[String]) = { // at most once
+      val root = Paths.get(table)
+      val dataDir = root.resolve(s"txn=$txnId")
+      val shadows = transforms.map { case (n, _) => s"__part_$n" }
+      val shadowed = transforms.foldLeft(df) {
+        case (d, (n, e)) => d.withColumn(s"__part_$n", e)
+      }
+      // one task per partition tuple keeps the file count O(tuples), not
+      // O(tuples × tasks) — the small-files guard a real writer applies
+      shadowed.repartition(col(s"__part_${transforms.head._1}"))
+        .write.mode("overwrite")
+        .partitionBy(shadows: _*).parquet(dataDir.toString)
+      val walk = Files.walk(dataDir)
+      val files =
+        try walk.filter(p => p.toString.endsWith(".parquet"))
+          .map[String](p => root.relativize(p).toString)
+          .sorted().toArray.map(_.toString).toSeq
+        finally walk.close()
+      val pvals = files.map { f =>
+        val vals = f.split('/').toSeq.collect {
+          case seg if seg.startsWith("__part_") && seg.contains('=') =>
+            val Array(c, v) = seg.split("=", 2)
+            s"${c.stripPrefix("__part_")}=$v"
+        }
+        s"# pval:$f|${vals.mkString(",")}"
+      }
+      (files, pvals :+ s"# pspec:$txnId|${transforms.map(_._1).mkString(",")}")
+    }
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isEmpty || prev.contains("# base:."),
+        s"appendTxnHidden on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:") ||
+          l.startsWith("# pval:") || l.startsWith("# pspec:") ||
+          l.startsWith("# constraint:") ||
+          l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
+          l.startsWith("# rows:")) ++
+        written._2 ++
+        prev.filterNot(_.startsWith("#")) ++ written._1
+    }
+  }
+
+  /** The standard transforms, as (derivedName, expr) builders. `dayOf`
+    * buckets a timestamp column into epoch-day ordinals (Iceberg `days`);
+    * `bucketOf` mods a long key into n buckets (Iceberg `bucket[n]`;
+    * production uses murmur3 — plain mod keeps the driver-side predicate
+    * mapping trivially reproducible here, same contract). Exposed so the
+    * WRITE side and the PRUNE side provably share one definition. */
+  def dayOf(tsCol: String): (String, Column) =
+    s"day_$tsCol" -> (org.apache.spark.sql.functions.unix_micros(col(tsCol)) / 86400000000L).cast("long")
+  def bucketOf(c: String, n: Int): (String, Column) =
+    s"b${n}_$c" -> org.apache.spark.sql.functions.pmod(col(c), org.apache.spark.sql.functions.lit(n.toLong))
+  /** Driver-side twins of the transforms — the predicate mapping. */
+  def dayOfValue(micros: Long): Long = Math.floorDiv(micros, 86400000000L)
+  def bucketOfValue(key: Long, n: Int): Long = Math.floorMod(key, n.toLong)
+
+  /** Hidden-partition pruning from RAW predicates: `ranges` are
+    * (derivedName, lo, hi) bounds and `eqs` exact derived values — both
+    * computed by the caller from raw predicates via the [[dayOfValue]]/
+    * [[bucketOfValue]] twins, so the user-facing query never names a
+    * derived column. A file is kept unless its recorded tuple names the
+    * derived column with a value provably outside the predicate;
+    * un-tupled (pre-transform) files are always kept; the caller's raw
+    * residual filter keeps the answer exact — pruning is an optimization,
+    * never a semantics change (same contract as [[readPrunedEvolved]]).
+    * Returns (frame, kept, total). */
+  def readPrunedHidden(spark: SparkSession, table: String,
+      ranges: Seq[(String, Long, Long)],
+      eqs: Map[String, Long] = Map.empty): (DataFrame, Int, Int) = {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.readPrunedHidden: no committed version at $table"))
+    val lines = manifestLines(table, cur)
+    require(lines.contains("# base:."),
+      s"readPrunedHidden on snapshot-mode table $table")
+    val pvals: Map[String, Map[String, String]] = lines
+      .filter(_.startsWith("# pval:"))
+      .map { l =>
+        val body = l.stripPrefix("# pval:")
+        val (f, tup) = body.span(_ != '|')
+        f -> tup.drop(1).split(',').filter(_.nonEmpty)
+          .map { kv => val Array(c, v) = kv.split("=", 2); c -> v }.toMap
+      }.toMap
+    val files = lines.filterNot(_.startsWith("#"))
+    val kept = files.filter { f =>
+      val tuple = pvals.getOrElse(f, Map.empty)
+      ranges.forall { case (n, lo, hi) =>
+        tuple.get(n).forall { v => val x = v.toLong; x >= lo && x <= hi } } &&
+        eqs.forall { case (n, v) => tuple.get(n).forall(_.toLong == v) }
+    }
+    if (kept.isEmpty) {
+      require(files.nonEmpty, s"readPrunedHidden: empty manifest at $table v$cur")
+      val empty = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$table/$f"): _*).limit(0)
+      (subtractDeletes(spark, table, lines, empty), 0, files.size)
+    } else {
+      val base = spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+      (subtractDeletes(spark, table, lines, base), kept.size, files.size)
+    }
+  }
+
   /** Metadata partition pruning across EVOLVED specs: keep a file unless
     * its recorded partition tuple names a predicate column with a
     * DIFFERENT value (old-spec files that never recorded the column are

@@ -1159,5 +1159,65 @@ object Lakehouse {
           FROM orders
           WHERE o_totalprice < 400000 AND o_orderkey % 1000 = 0
         ) ORDER BY o_orderkey""".trim)),
+
+    // Hidden partitioning (r15 — see [[Acid.appendTxnHidden]]): Iceberg's
+    // partition transforms. The table is clustered by day(ts) × bucket8
+    // (user_id), but the QUERY below states only raw predicates — a ts
+    // window and two user ids; the engine maps them to partition math
+    // (dayOfValue / bucketOfValue, the write side's provable twins) and
+    // prunes the file list before any I/O. Hive's alternative — a
+    // physical dt string column users must remember to filter on —
+    // full-scans the moment anyone forgets; here forgetting is
+    // impossible because the derived column does not exist in the
+    // schema (the data files carry exactly the raw columns). In-body
+    // requires pin that the day window and the bucket each prune alone
+    // and the conjunction keeps ≤ either; residual raw filters keep the
+    // answer exact. At 100 TB this is the default layout for every
+    // time-series fact table: day × key-bucket, pruned from raw
+    // predicates, evolvable per commit.
+    Q("scan_hidden_partition",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_hidden", sfDir)
+        Acid.reset(table)
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+        val transforms = Seq(Acid.dayOf("ts"), Acid.bucketOf("user_id", 8))
+        // two appends — the tuple metadata accumulates per commit
+        Acid.appendTxnHidden(spark, table,
+          ev.filter(col("event_id") % 2 === 0), txnId = 0L, transforms)
+        Acid.appendTxnHidden(spark, table,
+          ev.filter(col("event_id") % 2 === 1), txnId = 1L, transforms)
+        // raw predicates, mapped to partition math by the twins
+        val lo = utcMicros("2024-01-08T00:00:00Z")
+        val hi = utcMicros("2024-01-20T00:00:00Z") - 1
+        val users = Seq(7L, 23L) // both ≡ 7 mod 8 — one bucket
+        val dayRange = Seq(("day_ts", Acid.dayOfValue(lo), Acid.dayOfValue(hi)))
+        val bucket = Map("b8_user_id" -> Acid.bucketOfValue(7L, 8))
+        val (_, keptDay, total) = Acid.readPrunedHidden(spark, table, dayRange)
+        val (_, keptB, _) = Acid.readPrunedHidden(spark, table, Nil, bucket)
+        require(keptDay < total && keptB < total,
+          s"hidden transforms must prune: day $keptDay/$total, bucket $keptB/$total")
+        val (df, keptBoth, _) =
+          Acid.readPrunedHidden(spark, table, dayRange, bucket)
+        require(keptBoth <= math.min(keptDay, keptB),
+          s"conjunction must prune at least as hard: $keptBoth vs ($keptDay, $keptB)")
+        // derived columns are HIDDEN: not in the schema the reader sees
+        require(!df.columns.exists(c => c.startsWith("day_") || c.startsWith("b8_")),
+          "transform columns leaked into the data schema")
+        df.filter(col("user_id").isin(users: _*) &&
+            unix_micros(col("ts")).between(lo, hi))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE user_id IN (7, 23)
+          AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
   )
 }

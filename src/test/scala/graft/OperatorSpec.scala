@@ -2157,6 +2157,56 @@ class OperatorSpec extends SparkFixture {
     assert(Acid.read(spark, dst).count() == 205L)
   }
 
+  test("Acid hidden partitioning: raw predicates prune exactly, transforms evolve, vectors apply, schema stays clean") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_hidden").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id").as("k"),
+        org.apache.spark.sql.functions.timestamp_micros(
+          lit(1704067200000000L) + col("id") * 3600000000L).as("ts"), // hourly from 2024-01-01
+        (col("id") * 10).as("payload"))
+    // gen 1: day transform only; gen 2 EVOLVES the spec (adds bucketing)
+    Acid.appendTxnHidden(spark, table, rows(0, 240), txnId = 0L,
+      Seq(Acid.dayOf("ts")))
+    Acid.appendTxnHidden(spark, table, rows(1000, 240), txnId = 1L,
+      Seq(Acid.dayOf("ts"), Acid.bucketOf("k", 4)))
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 2000).filter(col("id") % 100 === 0).select(col("id").as("k")),
+      "k", txnId = 2L)
+    val full = Acid.read(spark, table)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // raw ts window → day range; raw key equality → bucket value
+    val lo = 1704067200000000L + 3L * 86400000000L  // Jan 4
+    val hi = 1704067200000000L + 6L * 86400000000L - 1 // end Jan 6
+    val dayPred = Seq(("day_ts", Acid.dayOfValue(lo), Acid.dayOfValue(hi)))
+    val (dfDay, keptDay, total) = Acid.readPrunedHidden(spark, table, dayPred)
+    assert(keptDay < total, s"day prune kept everything: $keptDay/$total")
+    assert(canon(dfDay.filter(unix_micros(col("ts")).between(lo, hi))) ==
+      canon(full.filter(unix_micros(col("ts")).between(lo, hi))),
+      "day-pruned + residual diverged from the full read")
+    // bucket predicate: gen-1 files never recorded it → conservatively kept
+    val (dfB, keptB, _) = Acid.readPrunedHidden(spark, table, Nil,
+      Map("b4_k" -> Acid.bucketOfValue(1001L, 4)))
+    assert(keptB < total, "bucket prune kept everything")
+    assert(canon(dfB.filter(col("k") === 1001L)) ==
+      canon(full.filter(col("k") === 1001L)),
+      "bucket-pruned + residual diverged (old-spec files must be kept)")
+    // the deleted keys stay deleted through every pruned read
+    assert(dfDay.filter(col("k") % 100 === 0).count() == 0L)
+    // derived columns never surface in the data schema
+    assert(full.columns.toSet == Set("k", "ts", "payload"),
+      s"hidden transform leaked into the schema: ${full.columns.toSeq}")
+    // all-pruned predicate = legitimate empty result
+    val (dfNone, kept0, _) = Acid.readPrunedHidden(spark, table,
+      Seq(("day_ts", 999999L, 999999L)))
+    assert(kept0 == 0 && dfNone.count() == 0L)
+    // replay no-op
+    val v = Acid.currentVersion(table).get
+    assert(Acid.appendTxnHidden(spark, table, rows(0, 240), 0L,
+      Seq(Acid.dayOf("ts"))) == v)
+  }
+
   test("Acid tags: immutable names, vacuum pins tagged snapshots, untagged history ages out") {
     import graft.ops.Acid
     val table = java.nio.file.Files.createTempDirectory("graft_acid_tag").toString + "/t"
