@@ -141,9 +141,16 @@ object Bench {
       // the exclusion is recorded in BASELINE.md rather than hidden.
       val skip = sys.env.get("SPARK_GRAFT_SCALE_SKIP")
         .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      // + the r15 row-level MERGE shapes: sink_merge_cow's touched-file
+      // probe scans the whole table per merge (linear by design — the
+      // probe is the term that would go super-linear if the semi-join
+      // degenerated), and stream_cdc_apply compounds 6 of those probes
+      // over a growing table — the first streaming key whose STATE lives
+      // in the lakehouse rather than a state store
       val scaleKeys = (baseline12 ++ Seq("llm_dedup_ngram", "stream_sliding",
         "graph_components", "llm_dedup_components",
-        "join_spatial_grid", "join_fuzzy_blocked", "window_rfm_segments"))
+        "join_spatial_grid", "join_fuzzy_blocked", "window_rfm_segments",
+        "sink_merge_cow", "stream_cdc_apply"))
         .filterNot(skip)
       val rows = scaleKeys.map { name =>
         val fixed = median(runs(name, sfSmall).tail)

@@ -845,15 +845,17 @@ object Lakehouse {
         // a standing merge-on-read vector: every key ≡ 0 mod 13 is hidden
         Acid.deleteTxn(spark, table,
           or.filter(k % 13 === 0).select(k), "o_orderkey", txnId = 10L)
-        // the MERGE batch: key-local (k < 2000), change classes disjoint
-        // by construction
-        val up = or.filter(k % 17 === 0 && k % 13 =!= 0 && k % 19 =!= 0 && k < 2000)
+        // the MERGE batch is KEY-LOCAL: bounded to the lowest decile of
+        // the key domain (computed, not absolute — the locality must hold
+        // at every fixture scale; 1-row agg, control plane)
+        val bound = or.agg(max(k)).head.getLong(0) / 10
+        val up = or.filter(k % 17 === 0 && k % 13 =!= 0 && k % 19 =!= 0 && k < bound)
           .withColumn("o_orderstatus", lit("X"))     // matched → update
-        val res = or.filter(k % 13 === 0 && k % 17 =!= 0 && k % 19 =!= 0 && k < 2000)
+        val res = or.filter(k % 13 === 0 && k % 17 =!= 0 && k % 19 =!= 0 && k < bound)
           .withColumn("o_orderstatus", lit("R"))     // resurrect deleted keys
         val ins = or.filter(k < 40)
           .withColumn("o_orderkey", k + 3000000L)    // not-matched → insert
-        val del = or.filter(k % 19 === 0 && k < 2000) // matched → delete
+        val del = or.filter(k % 19 === 0 && k < bound) // matched → delete
         val changes = up.unionByName(res).unionByName(ins)
           .withColumn("__op", lit("upsert"))
           .unionByName(del.withColumn("__op", lit("delete")))
@@ -865,17 +867,20 @@ object Lakehouse {
         Acid.read(spark, table).orderBy(col("o_orderkey"))
       },
       Some("""
+        WITH b AS (
+          SELECT CAST(FLOOR(MAX(o_orderkey) / 10.0) AS BIGINT) AS bound
+          FROM orders)
         SELECT o_orderkey, o_orderstatus, price FROM (
           SELECT o_orderkey,
                  CASE WHEN o_orderkey % 13 = 0 THEN 'R'
-                      WHEN o_orderkey % 17 = 0 AND o_orderkey < 2000 THEN 'X'
+                      WHEN o_orderkey % 17 = 0 AND o_orderkey < bound THEN 'X'
                       ELSE o_orderstatus END AS o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-          FROM orders
-          WHERE (o_orderkey % 19 <> 0 OR o_orderkey >= 2000)
+          FROM orders, b
+          WHERE (o_orderkey % 19 <> 0 OR o_orderkey >= bound)
             AND (o_orderkey % 13 <> 0
                  OR (o_orderkey % 17 <> 0 AND o_orderkey % 19 <> 0
-                     AND o_orderkey < 2000))
+                     AND o_orderkey < bound))
           UNION ALL
           SELECT o_orderkey + 3000000 AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price

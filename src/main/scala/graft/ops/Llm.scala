@@ -137,7 +137,7 @@ object Llm {
   // ---- real PNG codec (JDK javax.imageio — no external media libs) ----
 
   /** PNG signature prefix — decode dispatches on content, like a demuxer. */
-  private def isPng(b: Array[Byte]): Boolean =
+  private[graft] def isPng(b: Array[Byte]): Boolean =
     b.length >= 4 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
 
   /** Deterministic tiny "frame strip" PNG: `n_frames` frames of w×frameH
@@ -225,6 +225,33 @@ object Llm {
     } finally { reader.dispose(); in.close() }
   }
 
+  /** JPEG signature (SOI marker) — content dispatch, like [[isPng]]. */
+  private[graft] def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte
+
+  /** Deterministic single-frame JPEG: a flat-luminance tile (value chosen
+    * MID-BIN so lossy wiggle of ±2 cannot cross a histogram bin edge)
+    * encoded through the JDK's REAL JPEG writer. JPEG is lossy, so
+    * consumers assert structure — exact dimensions, histogram mass in the
+    * right bin — never exact bytes (the PNG strip keeps the bit-exact
+    * contract; this lane proves a second real codec in the same seam). */
+  def jpegTile(docId: Long, w: Int = 48, h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bin = math.floorMod(docId, 8L).toInt
+    val g = bin * 32 + 16 // mid-bin luminance
+    val gfx = img.createGraphics()
+    gfx.setColor(new java.awt.Color(g, g, g))
+    gfx.fillRect(0, 0, w, h)
+    gfx.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  private def readJpeg(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
   /** Batch decode kernel — the narrow seam a real decoder drops into.
     * Batch-in/batch-out like a vectorized (Pandas-style) UDF: the caller
     * feeds bounded slices of a partition so a native decoder can amortize
@@ -243,6 +270,11 @@ object Llm {
       val (img, nFrames) = readPng(m.payload)
       MediaFeat(m.doc_id, m.mime, img.getWidth, img.getHeight / nFrames,
         nFrames, (0 until nFrames by 24).toArray)
+    } else if (isJpeg(m.payload)) {
+      // second REAL still-image codec (r15): true dims from the decoded
+      // pixel grid; JPEG carries no frame metadata — single frame
+      val img = readJpeg(m.payload)
+      MediaFeat(m.doc_id, m.mime, img.getWidth, img.getHeight, 1, Array(0))
     } else {
       // STUB branch: deterministic fake dims/frame-count from payload bytes;
       // frame sampling (1 per 24 frames ≈ 1/s @ 24 fps) is real arithmetic.
@@ -426,8 +458,12 @@ object Llm {
     * the pooled 8-double vector is the only thing that outlives the
     * batch. */
   def featureBatch(batch: Seq[MediaIn]): Seq[MediaVec] = batch.map { in =>
-    if (isPng(in.payload)) {
-      val (img, nFrames) = readPng(in.payload)
+    val decoded: Option[(java.awt.image.BufferedImage, Int)] =
+      if (isPng(in.payload)) Some(readPng(in.payload))
+      else if (isJpeg(in.payload)) Some((readJpeg(in.payload), 1))
+      else None
+    if (decoded.isDefined) {
+      val (img, nFrames) = decoded.get
       val w = img.getWidth
       val frameH = img.getHeight / nFrames
       val sampled = 0 until nFrames by 24

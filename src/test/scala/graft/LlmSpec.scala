@@ -384,4 +384,34 @@ class LlmSpec extends SparkFixture {
     assert(udfAt >= 0 && (exAt == -1 || exAt > udfAt),
       "no exchange may sit between payload encode and decode:\n" + plan.take(1500))
   }
+
+  test("JPEG lane (r15): real decode through the second still-image codec — true dims, structural features") {
+    import graft.ops.Llm
+    // dims come from the decoded pixel grid, not the hash stub (the stub
+    // would fabricate dims from the payload hash — 48×32 proves the real
+    // lane engaged on content dispatch)
+    val bytes = Llm.jpegTile(docId = 5L, w = 48, h = 32)
+    assert(Llm.isJpeg(bytes) && !Llm.isPng(bytes))
+    val feat = Llm.decodeBatch(Seq(Llm.MediaIn(5L, bytes, "image/jpeg"))).head
+    assert(feat.width == 48 && feat.height == 32 && feat.n_frames == 1,
+      s"JPEG decode returned stub-shaped output: $feat")
+    // features are STRUCTURAL under lossy coding: a flat mid-bin tile's
+    // luminance histogram concentrates in its bin (doc 5 → bin 5), for
+    // every bin
+    (0L until 8L).foreach { id =>
+      val v = Llm.featureBatch(Seq(Llm.MediaIn(id,
+        Llm.jpegTile(id), "image/jpeg"))).head
+      val bin = id.toInt
+      assert(v.feat(bin) > 0.9,
+        s"doc $id: luminance mass must sit in bin $bin: ${v.feat.toSeq}")
+    }
+    // mixed batch: PNG (bit-exact lane), JPEG (real lossy lane), and a
+    // stub mime — one seam, three dispositions, no cross-talk
+    val mixed = Llm.decodeBatch(Seq(
+      Llm.MediaIn(1L, Llm.pngStrip(1L, "hello world png"), "image/png"),
+      Llm.MediaIn(2L, Llm.jpegTile(2L, 20, 10), "image/jpeg"),
+      Llm.MediaIn(3L, Array.tabulate[Byte](64)(_.toByte), "video/mp4")))
+    assert(mixed(1).width == 20 && mixed(1).height == 10)
+    assert(mixed(0).n_frames >= 1 && mixed(2).n_frames >= 1)
+  }
 }
