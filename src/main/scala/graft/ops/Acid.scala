@@ -627,12 +627,7 @@ object Acid {
         // Delta's findTouchedFiles: which files contain a changed key —
         // one semi-join scan, O(files) rows back to the driver
         val touched = if (all.isEmpty) Seq.empty[String]
-        else spark.read.parquet(all.map(f => s"$table/$f"): _*)
-          // input_file_name is captured ON the scan, before the join —
-          // post-join the expression has two sources and Spark rejects it
-          .select(col(keyCol), input_file_name().as("f"))
-          .join(allKeys, Seq(keyCol), "left_semi")
-          .select(col("f")).distinct()
+        else touchedFilesPlan(spark, all.map(f => s"$table/$f"), allKeys, keyCol)
           .collect() // O(files) rows — manifest-construction control plane
           .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
           .sorted.toSeq
@@ -694,6 +689,20 @@ object Acid {
     }
     result
   }
+
+  /** The touched-file probe plan (exposed for plan-shape pinning): scan →
+    * LEFT SEMI against the (small) change-key set → distinct file names.
+    * `input_file_name` is captured ON the scan, before the join —
+    * post-join the expression has two sources and Spark rejects it. At
+    * any healthy size the key side broadcasts (AQE; no shuffle of the
+    * table side beyond the final O(files) distinct) — PlanShapeSpec pins
+    * the BroadcastHashJoin LeftSemi shape. */
+  private[graft] def touchedFilesPlan(spark: SparkSession, paths: Seq[String],
+      keys: DataFrame, keyCol: String): DataFrame =
+    spark.read.parquet(paths: _*)
+      .select(col(keyCol), input_file_name().as("f"))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("f")).distinct()
 
   // ---- CHECK constraints (Delta table constraints / invariants) ----
 
@@ -1371,34 +1380,14 @@ object Acid {
     val bits = 16
     val k = zCols.size
     rewriteCommit(spark, table, txnId, "optimizeZorder") { merged =>
-      import org.apache.spark.sql.functions.{greatest, least, lit, shiftleft, shiftright}
       val aggs = zCols.flatMap { case (n, e) =>
         Seq(min(e).as(s"mn_$n"), max(e).as(s"mx_$n")) }
       val row = merged.agg(aggs.head, aggs.tail: _*).head
       if (row.isNullAt(0)) merged // empty snapshot: nothing to cluster
       else {
-        val buckets = zCols.zipWithIndex.map { case ((_, e), i) =>
-          val mn = row.getLong(2 * i); val mx = row.getLong(2 * i + 1)
-          val span = math.max(1L, mx - mn + 1)
-          // power-of-two bucket width so the bucket is a pure SHIFT —
-          // integer-exact at any span, no double rounding, codegen'd
-          val usedBits = 64 - java.lang.Long.numberOfLeadingZeros(span - 1)
-          val shift = math.max(0, usedBits - bits)
-          val raw = least(greatest(shiftright(e - lit(mn), shift), lit(0L)),
-            lit((1L << bits) - 1))
-          // TOP-ALIGN every dimension to the same bit width: a narrow
-          // dimension (span ≪ 2^bits) left as-is would only populate the
-          // LOW interleave positions, letting any wide dimension's high
-          // bits dominate the curve — i.e. single-column clustering with
-          // extra steps. Scaling up costs nothing (buckets are ordinal).
-          if (usedBits >= bits) raw else shiftleft(raw, bits - usedBits)
-        }
-        val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-          buckets.zipWithIndex.foldLeft(acc) { case (a, (bk, i)) =>
-            a.bitwiseOR(shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * k + i))
-          }
-        }
-        merged.withColumn("__z", z)
+        val dims = zCols.zipWithIndex.map { case ((_, e), i) =>
+          (e, row.getLong(2 * i), row.getLong(2 * i + 1)) }
+        merged.withColumn("__z", zorderColumn(dims, bits))
           .repartitionByRange(targetFiles, col("__z")).drop("__z")
       }
     } { newFiles =>
@@ -1416,6 +1405,55 @@ object Acid {
             s"# minmax:$f|$n|${r.getLong(2 * i + 1)}|${r.getLong(2 * i + 2)}"
           }
         }.sorted.toSeq
+    }
+  }
+
+  /** The z-value Column (exposed for plan-shape + bit-exactness pinning):
+    * each (expr, min, max) dimension maps to a 16-bit bucket by a pure
+    * power-of-two SHIFT (integer-exact at any span, no double rounding),
+    * narrow dimensions TOP-ALIGN to the full bit width (left as-is they
+    * would only populate the LOW interleave positions and any wide
+    * dimension's high bits would dominate the curve — single-column
+    * clustering with extra steps; scaling up costs nothing, buckets are
+    * ordinal), and the buckets bit-interleave. Pure arithmetic — stays
+    * inside whole-stage codegen (PlanShapeSpec pins no UDF/codegen
+    * break); [[zorderValue]] is the driver-side twin the spec checks
+    * bit-for-bit. */
+  private[graft] def zorderColumn(dims: Seq[(Column, Long, Long)],
+      bits: Int = 16): Column = {
+    import org.apache.spark.sql.functions.{greatest, least, lit, shiftleft, shiftright}
+    val k = dims.size
+    val buckets = dims.map { case (e, mn, mx) =>
+      val span = math.max(1L, mx - mn + 1)
+      val usedBits = 64 - java.lang.Long.numberOfLeadingZeros(span - 1)
+      val shift = math.max(0, usedBits - bits)
+      val raw = least(greatest(shiftright(e - lit(mn), shift), lit(0L)),
+        lit((1L << bits) - 1))
+      if (usedBits >= bits) raw else shiftleft(raw, bits - usedBits)
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (bk, i)) =>
+        a.bitwiseOR(shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * k + i))
+      }
+    }
+  }
+
+  /** Driver-side twin of [[zorderColumn]] — same shifts, same clamps,
+    * same interleave, plain Scala. */
+  private[graft] def zorderValue(values: Seq[Long],
+      bounds: Seq[(Long, Long)], bits: Int = 16): Long = {
+    val k = values.size
+    val buckets = values.zip(bounds).map { case (v, (mn, mx)) =>
+      val span = math.max(1L, mx - mn + 1)
+      val usedBits = 64 - java.lang.Long.numberOfLeadingZeros(span - 1)
+      val shift = math.max(0, usedBits - bits)
+      val raw = math.min(math.max((v - mn) >> shift, 0L), (1L << bits) - 1)
+      if (usedBits >= bits) raw else raw << (bits - usedBits)
+    }
+    (0 until bits).foldLeft(0L) { (acc, b) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (bk, i)) =>
+        a | (((bk >> b) & 1L) << (b * k + i))
+      }
     }
   }
 

@@ -729,4 +729,47 @@ class PlanShapeSpec extends SparkFixture {
     assert(p.contains("ExistingRDD"),
       s"expected the single wrapped CDF leaf in the micro-batch plan:\n$p")
   }
+
+  test("mergeCow touched-file probe: change keys broadcast into a LEFT SEMI against the scan — the table side never shuffles") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("merge_probe_plan").toString + "/t"
+    Acid.appendTxn(spark, table,
+      spark.range(0, 5000).select(col("id").as("k"), (col("id") * 2).as("v")),
+      txnId = 0L)
+    val files = graft.ops.Acid.skipFiles(table, 0L, "__none", 0L, 0L)._2
+      .map(f => s"$table/$f")
+    val keys = spark.range(0, 20).select(col("id").as("k"))
+    val probe = Acid.touchedFilesPlan(spark, files, keys, "k")
+    probe.collect() // materialize so AQE finalizes the join strategy
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"probe must broadcast the change keys into a left semi:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe shuffled the table side:\n$p")
+    assert(p.contains("input_file_name"),
+      s"probe lost the file-name capture on the scan:\n$p")
+  }
+
+  test("zorderColumn: pure codegen'd bit arithmetic, bit-identical to the driver twin") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val bounds = Seq((0L, 255L), (1000L, 1000L + 1234567L))
+    val df = spark.range(0, 1000)
+      .select((col("id") % 256).as("a"), (col("id") * 1234 + 1000).as("b"))
+      .withColumn("z", Acid.zorderColumn(
+        Seq((col("a"), bounds(0)._1, bounds(0)._2),
+          (col("b"), bounds(1)._1, bounds(1)._2))))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("udf"),
+      s"z-value must be pure expression arithmetic:\n$p")
+    assert(p.contains("*(1) Project"),
+      s"z-value fell out of whole-stage codegen (no starred project):\n$p")
+    // bit-exact against the driver-side twin on every row
+    df.collect().foreach { r =>
+      val expect = Acid.zorderValue(Seq(r.getLong(0), r.getLong(1)), bounds)
+      assert(r.getLong(2) == expect,
+        s"z(${r.getLong(0)}, ${r.getLong(1)}) = ${r.getLong(2)}, twin says $expect")
+    }
+  }
 }
