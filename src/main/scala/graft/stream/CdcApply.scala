@@ -149,5 +149,64 @@ object CdcApply {
           FROM events)
         WHERE rn = 1 AND op = 'upsert'
         ORDER BY user_id""".trim)),
+
+    // Streaming expectations gate (r15): the ingest-edge composition of
+    // [[graft.ops.Catalog.commitExpectations]] — a live feed drained
+    // through foreachBatch, each micro-batch SPLIT against declared
+    // rules (error events and out-of-bound values quarantined, tagged
+    // with the first violated rule) and committed to clean + quarantine
+    // members through ONE atomic catalog txn under `txnId = batchId`:
+    // per batch, either both members advance or neither does, a replayed
+    // batch no-ops through the catalog ledger, and at any instant an
+    // auditor's snapshot explains exactly the data the consumers see.
+    // This is the DLT-expectations-on-a-stream shape — the gate every
+    // raw feed crosses before a 100 TB lakehouse trusts it. The oracle
+    // rebuilds both dispositions set-theoretically from the fixture; a
+    // row routed to the wrong side, double-committed on a batch retry,
+    // or tagged with the wrong rule breaks the hash.
+    Q("stream_expectations_gate",
+      (spark, sfDir) => {
+        val cat = graft.Tmp.dir("stream_expect", sfDir)
+        graft.ops.Catalog.reset(cat)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_sexpect_ckpt").toString
+        val log = Sources.stagedLogDir(spark, sfDir).toString
+        val n = Tables.events(spark, sfDir).count()
+        val rules = Seq(
+          "no_error_events" -> (col("event_type") =!= "error"),
+          "value_bound" -> (col("value") < 400.0d))
+        val q = GraftLog.readStream(spark, log,
+            maxRecordsPerTrigger = Some(math.max(1L, n / 4)))
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (!b.isEmpty) {
+              graft.ops.Catalog.commitExpectations(spark, cat, id,
+                b.select(col("event_id"), col("user_id"),
+                  col("event_type"), col("value")), rules)
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val pins = graft.ops.Catalog.snapshot(cat)
+        require(pins.keySet == Set("clean", "quarantine"),
+          s"each batch must advance both members atomically: $pins")
+        require(pins("clean") == pins("quarantine"),
+          s"members advanced out of lockstep: $pins")
+        val clean = graft.ops.Catalog.readAt(spark, cat, pins, "clean")
+          .withColumn("disposition", lit("clean"))
+        val quarantined = graft.ops.Catalog.readAt(spark, cat, pins, "quarantine")
+          .withColumn("disposition",
+            concat(lit("quarantine:"), col("__rule"))).drop("__rule")
+        clean.unionByName(quarantined).orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'quarantine:no_error_events'
+                    WHEN value >= 400 THEN 'quarantine:value_bound'
+                    ELSE 'clean' END AS disposition
+        FROM events
+        ORDER BY event_id""".trim)),
   )
 }

@@ -399,6 +399,23 @@ object ExplainDump {
       "(O(batch keys) rows), a touched-file probe, and a rewrite of only the " +
       "touched files committed under txnId=batchId — per-cycle cost tracks the " +
       "batch and its key locality, never the table."),
+    "scan_hidden_partition" -> ("Hidden partitioning (r15): the dumped plan's " +
+      "scan lists only the files surviving the day(ts) × bucket8(user_id) " +
+      "tuple prune, with the RAW residual predicates still on the scan — the " +
+      "derived columns exist nowhere in the plan because they exist nowhere " +
+      "in the schema, which is the whole point (a hive dt column the user " +
+      "forgets to filter full-scans; here there is nothing to forget)."),
+    "sink_expectations_quarantine" -> ("Write-time expectations (r15): the " +
+      "dumped plan is the clean ∪ tagged-quarantine read-back from the two " +
+      "catalog members pinned by ONE atomic commit. The split itself planned " +
+      "as a single CASE projection over the batch (map-side, no extra " +
+      "shuffle) feeding two filtered writes — O(batch), and the quarantine " +
+      "ledger can never be torn from the data it explains."),
+    "sink_snapshot_tag" -> ("Snapshot tags (r15): the dumped plan reads the " +
+      "TAGGED manifest through the SQL entry path (VERSION AS OF " +
+      "'quarterly-audit') AFTER a vacuum that expired the same version by " +
+      "number — the scan lists the pinned version's files exactly; the tag " +
+      "costs one O(1) file and O(tagged manifests) vacuum arithmetic."),
   )
 
   def main(args: Array[String]): Unit = {
