@@ -14,6 +14,21 @@ import duckdb
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+def strip_tz(df):
+    """Normalize tz-AWARE datetime columns to UTC-naive before compare.
+
+    The driver fixture's parquet carries naive timestamps
+    (isAdjustedToUTC=false) while Spark-written fixtures (the sf1/sf10
+    SynthScale decades) carry isAdjustedToUTC=true, which DuckDB surfaces
+    as TIMESTAMPTZ — same UTC instants, different pandas dtype. Both
+    engines run in UTC, so stripping the tz loses nothing and keeps the
+    strict dtype check meaningful across both fixture generations.
+    """
+    for c in df.columns:
+        if getattr(df[c].dtype, "tz", None) is not None:
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+    return df
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -35,8 +50,8 @@ def main():
             ddf = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
-        sdf = sdf[sorted(sdf.columns)]
-        ddf = ddf[sorted(ddf.columns)]
+        sdf = strip_tz(sdf[sorted(sdf.columns)])
+        ddf = strip_tz(ddf[sorted(ddf.columns)])
         errs = []
         if list(sdf.columns) != list(ddf.columns):
             errs.append(f"columns spark={list(sdf.columns)} duck={list(ddf.columns)}")

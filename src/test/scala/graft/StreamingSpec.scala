@@ -1711,4 +1711,27 @@ class StreamingSpec extends SparkFixture {
       "replayed batch advanced the table — exactly-once broken")
     assert(state() == expect, "replayed batch mutated state")
   }
+
+  test("stream_expectations_gate: a replayed micro-batch commit no-ops at BOTH members; lockstep holds") {
+    import graft.ops.Catalog
+    val cat = java.nio.file.Files.createTempDirectory("gate_replay").toString
+    val rules = Seq(
+      "no_error_events" -> (col("event_type") =!= "error"),
+      "value_bound" -> (col("value") < 400.0d))
+    val batch = graft.Tables.events(spark, sf001).limit(500)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Catalog.commitExpectations(spark, cat, txnId = 0L, batch, rules)
+    val pins1 = Catalog.snapshot(cat)
+    val cleanN = Catalog.readAt(spark, cat, pins1, "clean").count()
+    val qN = Catalog.readAt(spark, cat, pins1, "quarantine").count()
+    assert(cleanN + qN == 500L, "split lost or duplicated rows")
+    assert(qN > 0L, "fixture slice should contain quarantined rows")
+    // the foreachBatch redelivery case: same batchId re-commits — neither
+    // member may advance, no row may double-land
+    Catalog.commitExpectations(spark, cat, txnId = 0L, batch, rules)
+    val pins2 = Catalog.snapshot(cat)
+    assert(pins2 == pins1, s"replayed gate batch advanced the catalog: $pins1 -> $pins2")
+    assert(Catalog.readAt(spark, cat, pins2, "clean").count() == cleanN)
+    assert(Catalog.readAt(spark, cat, pins2, "quarantine").count() == qN)
+  }
 }
