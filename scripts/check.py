@@ -46,6 +46,19 @@ def main():
             sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
+        # Guard (r16): the PHYSICAL spark parquet must not carry DECIMAL
+        # columns. fetchdf coerces DECIMAL->float64, which masked a real
+        # driver hash-mismatch in r15 (driver loads the parquet natively and
+        # hashes Decimal('1.23') != 1.23). Emit policy: money leaves as
+        # double (Det.emit) before the final projection.
+        dec = [(r[0], r[1]) for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out}/{name}/*.parquet')"
+        ).fetchall() if "DECIMAL" in str(r[1]).upper()]
+        if dec:
+            print(f"FAIL {name}: DECIMAL column(s) in spark output {dec} — "
+                  f"cast to double (Det.emit) before returning")
+            n_fail += 1
+            continue
         try:
             ddf = con.execute(sql).fetchdf()
         except Exception as e:

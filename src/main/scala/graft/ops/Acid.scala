@@ -904,7 +904,15 @@ object Acid {
     * mapping trivially reproducible here, same contract). Exposed so the
     * WRITE side and the PRUNE side provably share one definition. */
   def dayOf(tsCol: String): (String, Column) =
-    s"day_$tsCol" -> (org.apache.spark.sql.functions.unix_micros(col(tsCol)) / 86400000000L).cast("long")
+    // exact integer FLOOR division (ADVICE r15): Spark's `/` is double
+    // true-division and cast-to-long truncates toward zero, which disagrees
+    // with [[dayOfValue]]'s Math.floorDiv for pre-epoch micros (and loses
+    // precision past 2^53). `a - pmod(a,d)` is an exact multiple of d, so
+    // integral `div` equals floorDiv — no floating point anywhere, exact
+    // over the full long domain (Iceberg's days transform floor-divides).
+    s"day_$tsCol" -> org.apache.spark.sql.functions.expr(
+      s"(unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), 86400000000)) " +
+        s"div 86400000000")
   def bucketOf(c: String, n: Int): (String, Column) =
     s"b${n}_$c" -> org.apache.spark.sql.functions.pmod(col(c), org.apache.spark.sql.functions.lit(n.toLong))
   /** Driver-side twins of the transforms — the predicate mapping. */
@@ -1478,7 +1486,11 @@ object Acid {
       fs.filter(k.contains)
     }
     val base =
-      if (kept.isEmpty) spark.read.parquet(s"$table/${all.head}").limit(0)
+      // schema-stable empty frame (ADVICE r15): build from ALL files with
+      // mergeSchema, like readPrunedEvolved — a single file's schema would
+      // silently drop evolved columns from the empty result
+      if (kept.isEmpty) spark.read.option("mergeSchema", "true")
+        .parquet(all.map(f => s"$table/$f"): _*).limit(0)
       else spark.read.parquet(kept.map(f => s"$table/$f"): _*)
     (subtractDeletes(spark, table, lines, base), kept.size, all.size)
   }
@@ -1711,7 +1723,11 @@ object Acid {
     * readable for years while ordinary history ages out. Version-number
     * time travel to the same snapshot still expires (the horizon contract
     * is unchanged); the NAME is the durable handle. */
-  def tagVersion(table: String, name: String, v: Long): Unit = {
+  def tagVersion(table: String, name: String, v: Long): Unit = withWriterLock(table) {
+    // under the writer lock (ADVICE r15): vacuum computes its live set
+    // under the same lock, so a tag can no longer slip in between the
+    // live-set snapshot and the deletions — tag creation and vacuum
+    // serialize, which is the whole "tags pin their snapshot" guarantee
     require(name.matches("[A-Za-z0-9._-]+"), s"tag name must be path-safe: $name")
     val cur = currentVersion(table).getOrElse(
       sys.error(s"Acid.tagVersion: no committed version at $table"))
@@ -1736,8 +1752,9 @@ object Acid {
 
   /** Drop a tag (the version becomes ordinary history and ages out with
     * the next vacuum unless still above the horizon). */
-  def dropTag(table: String, name: String): Unit =
-    Files.deleteIfExists(Paths.get(table, s"tag-$name.txt"))
+  def dropTag(table: String, name: String): Unit = withWriterLock(table) {
+    Files.deleteIfExists(Paths.get(table, s"tag-$name.txt")); ()
+  }
 
   /** Read the snapshot a tag pins — works BELOW the vacuum horizon (the
     * tag kept the manifest and its files alive), which version-number
@@ -1754,6 +1771,213 @@ object Acid {
         .option("basePath", s"$table/v=$v")
         .parquet(files.map(f => s"$table/v=$v/$f"): _*)
     subtractDeletes(spark, table, lines, base)
+  }
+
+  // ---- branch refs (Iceberg branches / Nessie-style write-isolate-publish) ----
+  //
+  // A BRANCH is a named, writable line of commits forked from a committed
+  // main version — the generalization of WAP from "one staged batch" to "a
+  // whole experiment's worth of commits". Branch state lives beside main's:
+  // `branch-<name>.txt` holds `base=<mainV>` + `head=<k>`; branch commits
+  // land as self-contained manifests `manifest-br-<name>-<k>.txt` (same
+  // format as main's, same txn ledger semantics), data under
+  // `branch=<name>/txn=<id>/`. Main's readers and writers never look at
+  // any of it; [[vacuum]] pins every branch's head (and its fork base)
+  // alive, exactly like tags. Publish is [[fastForwardBranch]] (main did
+  // not advance: main adopts the branch head METADATA-ONLY, ledger and
+  // all) or [[mergeBranch]] (main advanced: append-only branch commits
+  // rebase onto main's head — the append∥append commute; a branch that
+  // recorded deletes refuses to merge loudly, that reconciliation is
+  // [[mergeCow]]'s job). At 100 TB both publishes move zero data bytes.
+
+  private def branchRef(table: String, name: String) =
+    Paths.get(table, s"branch-$name.txt")
+  private def brManifest(table: String, name: String, k: Long) =
+    Paths.get(table, s"manifest-br-$name-$k.txt")
+
+  /** All branches of `table`: name → (fork base version, head commit
+    * ordinal; head == -1 means no branch commits yet). */
+  def branches(table: String): Map[String, (Long, Long)] =
+    Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (f.isFile && n.startsWith("branch-") && n.endsWith(".txt")) {
+          val kv = new String(Files.readAllBytes(f.toPath), "UTF-8").trim
+            .split('\n').map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+          Some(n.stripPrefix("branch-").stripSuffix(".txt") ->
+            (kv("base").toLong, kv("head").toLong))
+        } else None
+      }.toMap
+
+  private def writeBranchRef(table: String, name: String, base: Long,
+      head: Long, createNew: Boolean): Unit = {
+    val bytes = s"base=$base\nhead=$head\n".getBytes("UTF-8")
+    if (createNew)
+      Files.write(branchRef(table, name), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    else {
+      val tmp = Paths.get(table, s"_branch-$name.tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, branchRef(table, name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Fork a branch at committed main version `v`. CREATE_NEW like tags —
+    * a branch name can never be silently repointed. Same writer-lock
+    * discipline as [[tagVersion]]: branch creation serializes with vacuum
+    * so the fork base cannot be GC'd out from under it. */
+  def createBranch(table: String, name: String, v: Long): Unit = withWriterLock(table) {
+    require(name.matches("[A-Za-z0-9._-]+"), s"branch name must be path-safe: $name")
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.createBranch: no committed version at $table"))
+    require(v >= 0 && v <= cur, s"createBranch: version $v not committed (current $cur)")
+    require(v >= horizon(table), s"createBranch: version $v already vacuumed")
+    require(manifestLines(table, v).contains("# base:."),
+      s"createBranch on snapshot-mode table $table")
+    writeBranchRef(table, name, v, -1L, createNew = true)
+  }
+
+  /** The branch head's manifest lines (the fork base's when the branch
+    * has no commits of its own). */
+  private def branchLines(table: String, name: String): Seq[String] = {
+    val (base, head) = branches(table).getOrElse(name,
+      sys.error(s"Acid: no branch '$name' at $table"))
+    if (head < 0) manifestLines(table, base)
+    else {
+      val it = Files.readAllLines(brManifest(table, name, head)).iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) { val l = it.next().trim; if (l.nonEmpty) b += l }
+      b.result()
+    }
+  }
+
+  /** Append to a BRANCH: same idempotent-txn contract as [[appendTxn]],
+    * against the branch's own ledger; main never sees the commit. */
+  def appendTxnBranch(spark: SparkSession, table: String, name: String,
+      df: DataFrame, txnId: Long): Long = withWriterLock(table) {
+    val (base, head) = branches(table).getOrElse(name,
+      sys.error(s"Acid.appendTxnBranch: no branch '$name' at $table"))
+    val prev = branchLines(table, name)
+    if (prev.contains(s"# txn:$txnId")) return head // replay → no-op
+    val root = Paths.get(table)
+    val dataDir = root.resolve(s"branch=$name").resolve(s"txn=$txnId")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val walk = Files.walk(dataDir)
+    val files =
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => root.relativize(p).toString)
+        .sorted().toArray.map(_.toString).toSeq
+      finally walk.close()
+    val k = head + 1
+    Files.write(brManifest(table, name, k),
+      appendManifest(prev, txnId, files).mkString("", "\n", "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    writeBranchRef(table, name, base, k, createNew = false)
+    k
+  }
+
+  /** Read the branch head (fork base ∪ branch commits, standing delete
+    * vectors applied — the preview [[fastForwardBranch]] would publish). */
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame = {
+    val lines = branchLines(table, name)
+    subtractDeletes(spark, table, lines,
+      spark.read.parquet(lines.filterNot(_.startsWith("#")).map(f => s"$table/$f"): _*))
+  }
+
+  /** Publish a branch whose fork base is STILL main's head: main adopts
+    * the branch head manifest metadata-only — including the branch's txn
+    * ledger, so a stream that committed to the branch keeps no-oping its
+    * replays after publish (same ledger-carry contract as [[restore]]).
+    * Fails loudly if main advanced past the base — that case is
+    * [[mergeBranch]]. Idempotent per `txnId`; retires the branch ref. */
+  def fastForwardBranch(table: String, name: String, txnId: Long): Long =
+    withWriterLock(table) {
+      if (committedTxns(table).contains(txnId)) {
+        dropBranchRefOnly(table, name) // crashed between commit and retire
+        return currentVersion(table).get
+      }
+      val (base, head) = branches(table).getOrElse(name,
+        sys.error(s"Acid.fastForwardBranch: no branch '$name' at $table"))
+      val cur = currentVersion(table).get
+      require(cur == base,
+        s"fastForwardBranch: main advanced ($base -> $cur) since the fork — " +
+          s"use mergeBranch")
+      if (head < 0) { dropBranchRefOnly(table, name); return cur } // empty branch
+      val lines = branchLines(table, name)
+      val v = commitManifest(table, cur + 1,
+        ("# base:." +:
+          ((lines.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId") ++
+            lines.filterNot(l => l.startsWith("# txn:") || l == "# base:."))))
+      dropBranchRefOnly(table, name)
+      v
+    }
+
+  /** Publish an APPEND-ONLY branch onto a main that has advanced since
+    * the fork: the branch's new files and txns rebase onto main's current
+    * manifest (append∥append commutes — the same reasoning as
+    * [[appendTxnCAS]]'s rebase loop). Main's standing delete vectors
+    * apply to the branch's rows, exactly as they would had the rows been
+    * appended to main directly. A branch that recorded its OWN deletes
+    * after the fork refuses to merge loudly — reconciling delete∥write is
+    * [[mergeCow]]'s job, not a silent union's. Idempotent per `txnId`. */
+  def mergeBranch(table: String, name: String, txnId: Long): Long =
+    withWriterLock(table) {
+      if (committedTxns(table).contains(txnId)) {
+        dropBranchRefOnly(table, name)
+        return currentVersion(table).get
+      }
+      val (base, _) = branches(table).getOrElse(name,
+        sys.error(s"Acid.mergeBranch: no branch '$name' at $table"))
+      val baseLines = manifestLines(table, base)
+      val brLines = branchLines(table, name)
+      def dels(ls: Seq[String]) =
+        ls.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")).toSet
+      require(dels(brLines) == dels(baseLines),
+        s"mergeBranch: branch '$name' recorded deletes since the fork — " +
+          s"append-only branches merge; delete reconciliation needs mergeCow")
+      val newFiles = {
+        val baseFiles = baseLines.filterNot(_.startsWith("#")).toSet
+        brLines.filterNot(_.startsWith("#")).filterNot(baseFiles)
+      }
+      val newTxns = {
+        val baseTxns = baseLines.filter(_.startsWith("# txn:")).toSet
+        brLines.filter(_.startsWith("# txn:")).filterNot(baseTxns)
+      }
+      val cur = currentVersion(table).get
+      val curLines = manifestLines(table, cur)
+      require(curLines.contains("# base:."),
+        s"mergeBranch on snapshot-mode table $table")
+      val v = commitManifest(table, cur + 1,
+        ("# base:." +:
+          ((curLines.filter(_.startsWith("# txn:")) ++ newTxns :+ s"# txn:$txnId") ++
+            curLines.filter(l => !l.startsWith("# txn:") && l != "# base:." &&
+              l.startsWith("#")))) ++
+          curLines.filterNot(_.startsWith("#")) ++ newFiles)
+      dropBranchRefOnly(table, name)
+      v
+    }
+
+  private def dropBranchRefOnly(table: String, name: String): Unit = {
+    Files.deleteIfExists(branchRef(table, name))
+    Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"manifest-br-$name-"))
+      .foreach(f => Files.deleteIfExists(f.toPath))
+  }
+
+  /** Abandon a branch: ref, branch manifests, and branch data gone — main
+    * never knew (the [[abortWap]] of branches). */
+  def dropBranch(table: String, name: String): Unit = withWriterLock(table) {
+    dropBranchRefOnly(table, name)
+    val dataDir = Paths.get(table, s"branch=$name")
+    if (Files.exists(dataDir)) {
+      val walk = Files.walk(dataDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
   }
 
   private def horizonPath(table: String): Path = Paths.get(table, "_horizon")
@@ -1787,20 +2011,31 @@ object Acid {
       // staged-but-unpublished WAP batch (a pending audit is live by
       // definition — abortWap is the only way to drop one)
       val tagged = tags(table).values.toSet
-      val live: Set[String] = (((newHorizon to cur) ++ tagged.filter(_ < newHorizon))
+      // a branch pins its fork base (its head manifest may be the base's)
+      // and every file its head references — same liveness rule as tags/WAP
+      val branchMap = branches(table)
+      val branchBases = branchMap.values.map(_._1).toSet
+      val live: Set[String] = (((newHorizon to cur) ++
+        (tagged ++ branchBases).filter(_ < newHorizon))
         .flatMap { v =>
           val lines = manifestLines(table, v)
           val rootRel = lines.contains("# base:.")
           lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
             lines.filterNot(_.startsWith("#"))
               .map(f => if (rootRel) f else s"v=$v/$f")
-        } ++ stagedWapIds(table).flatMap(id => wapFiles(table, id))).toSet
+        } ++ stagedWapIds(table).flatMap(id => wapFiles(table, id)) ++
+        branchMap.keys.flatMap { n =>
+          val ls = branchLines(table, n)
+          ls.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
+            ls.filterNot(_.startsWith("#"))
+        }).toSet
       val tmp = Paths.get(table, "_horizon.tmp")
       Files.write(tmp, newHorizon.toString.getBytes("UTF-8"))
       Files.move(tmp, horizonPath(table),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       (0L until newHorizon).foreach { v =>
-        if (!tagged.contains(v)) // a tagged manifest outlives the horizon
+        // a tagged or branch-base manifest outlives the horizon
+        if (!tagged.contains(v) && !branchBases.contains(v))
           Files.deleteIfExists(Paths.get(table, s"manifest-$v.txt"))
         Files.deleteIfExists(Paths.get(table, s"claim-$v")) // expired claim GC
       }

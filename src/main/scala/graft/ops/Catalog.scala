@@ -139,11 +139,23 @@ object Catalog {
         // Acid.commitNextVersion's orphan check.
         if (currentVersion(dir).exists(_ >= v))
           return commitTxn(spark, dir, txnId, writes) // lost a race: rebase
-        if (!manifestLines(dir, v).contains(s"# txn:$txnId"))
+        if (!manifestLines(dir, v).contains(s"# txn:$txnId")) {
+          // grace spin (ADVICE r15, mirrors Acid.commitNextVersion's 2s
+          // wait): a LIVE concurrent writer that just wrote catalog-<v>.txt
+          // but hasn't flipped yet is not a crashed orphan — wait briefly
+          // for its pointer flip and rebase; only declare a foreign orphan
+          // after the grace expires
+          var spins = 0
+          while (!currentVersion(dir).exists(_ >= v) && spins < 400) {
+            Thread.sleep(5); spins += 1
+          }
+          if (currentVersion(dir).exists(_ >= v))
+            return commitTxn(spark, dir, txnId, writes) // live winner: rebase
           throw new IllegalStateException(
             s"catalog: orphan catalog-$v.txt at $dir from a different txn " +
               s"(crashed writer left a manifest without flipping the " +
               s"pointer) — remove it to recover", e)
+        }
       // else: our own orphan — fall through and complete the flip
     }
     val tmp = Paths.get(dir, s"_current.tmp.$v")

@@ -864,7 +864,12 @@ object Lakehouse {
             opCol = Some("__op"))
         require(touched > 0 && touched * 2 <= total,
           s"MERGE must rewrite a strict minority of files: $touched/$total")
-        Acid.read(spark, table).orderBy(col("o_orderkey"))
+        // emit the money column as double (Det emit policy): the stored
+        // DECIMAL(12,2) would hash-mismatch the oracle's DOUBLE even though
+        // the values are numerically identical
+        Acid.read(spark, table)
+          .withColumn("price", col("price").cast("double"))
+          .orderBy(col("o_orderkey"))
       },
       Some("""
         WITH b AS (
@@ -933,7 +938,9 @@ object Lakehouse {
         Acid.appendTxn(spark, table,                          // life goes on
           or.filter(col("o_orderkey") < 20)
             .withColumn("o_orderkey", col("o_orderkey") + 5000000L), txnId = 5L)
-        Acid.read(spark, table).orderBy(col("o_orderkey"))
+        Acid.read(spark, table)
+          .withColumn("price", col("price").cast("double"))
+          .orderBy(col("o_orderkey"))
       },
       Some("""
         SELECT o_orderkey, o_orderstatus, price FROM (
@@ -992,7 +999,9 @@ object Lakehouse {
           s"clone materialized data files ($cloneLocal local parquet files)")
         require(cloneRead.filter(col("o_orderkey") >= 7000000L).count() == 0L,
           "source append leaked into the clone")
-        cloneRead.orderBy(col("o_orderkey"))
+        cloneRead
+          .withColumn("price", col("price").cast("double"))
+          .orderBy(col("o_orderkey"))
       },
       Some("""
         SELECT o_orderkey, o_orderstatus, price FROM (
@@ -1143,7 +1152,9 @@ object Lakehouse {
         val quarantined = Catalog.readAt(spark, cat, pins, "quarantine")
           .select(col("o_orderkey"), col("o_orderstatus"), col("price"),
             concat(lit("quarantine:"), col("__rule")).as("disposition"))
-        clean.unionByName(quarantined).orderBy(col("o_orderkey"))
+        clean.unionByName(quarantined)
+          .withColumn("price", col("price").cast("double"))
+          .orderBy(col("o_orderkey"))
       },
       Some("""
         SELECT o_orderkey, o_orderstatus, price, disposition FROM (
