@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, count, expr, input_file_name, max, min, when}
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 
@@ -1978,6 +1978,41 @@ object Acid {
         .forEach(p => { Files.deleteIfExists(p); () })
       finally walk.close()
     }
+  }
+
+  /** Commit-history METADATA table — Delta `DESCRIBE HISTORY` / Iceberg's
+    * `snapshots` metadata table, as a queryable DataFrame: one row per
+    * readable version with its data-file count, txn-ledger depth, standing
+    * delete-key count, and exact row count. The structural columns come
+    * from O(versions) driver-side manifest reads (no data I/O — this is
+    * the control plane); `n_rows` re-counts each version through
+    * [[readVersion]], O(history) scan jobs — the fixture-scale audit
+    * convenience. At 100 TB the row counts come from the `# rows:` stat
+    * lines the writers already record; the manifest seam is the source
+    * either way. Vacuumed versions are absent by construction (their
+    * manifests are gone — history is exactly what is still readable). */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.history: no committed version at $table"))
+    val rows = (horizon(table) to cur).map { v =>
+      val lines = manifestLines(table, v)
+      Row(v,
+        lines.count(!_.startsWith("#")).toLong,
+        lines.count(_.startsWith("# txn:")).toLong,
+        readVersion(spark, table, v).count())
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_txns",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   private def horizonPath(table: String): Path = Paths.get(table, "_horizon")

@@ -1235,5 +1235,215 @@ object Lakehouse {
           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
         GROUP BY event_type
         ORDER BY event_type""".trim)),
+
+    // Branch refs, fast-forward publish (r16 — see [[Acid.createBranch]] /
+    // [[Acid.fastForwardBranch]]): Iceberg branches / the Nessie
+    // write-isolate-publish pattern — WAP generalized from one staged
+    // batch to a whole line of commits. An experiment forks `exp` from the
+    // governed head, lands TWO commits on the branch (each with its own
+    // exactly-once txn id against the BRANCH ledger), and main's readers
+    // never see a row of it (in-body require). Publish is metadata-only:
+    // main adopts the branch head manifest — data files already durable,
+    // zero bytes move whatever the experiment's size — and the branch's
+    // txn ledger carries into main, so a stream that committed to the
+    // branch keeps no-oping its replays after publish (require pins it,
+    // same ledger-carry contract as RESTORE). The fork base's standing
+    // delete vectors apply on the branch throughout. At 100 TB this is
+    // how risky pipeline changes ship: run the new code against a branch
+    // for a week, audit, publish in O(1).
+    Q("sink_branch_publish",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_branch_ff", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or, txnId = 0L)                 // v0
+        Acid.deleteTxn(spark, table,                                 // v1
+          or.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 1L)
+        val mainRows = Acid.read(spark, table).count()
+        Acid.createBranch(table, "exp", 1L)
+        Acid.appendTxnBranch(spark, table, "exp",
+          or.filter(col("o_orderkey") < 50)
+            .withColumn("o_orderkey", col("o_orderkey") + 6000000L), txnId = 100L)
+        val h = Acid.appendTxnBranch(spark, table, "exp",
+          or.filter(col("o_orderkey") < 30)
+            .withColumn("o_orderkey", col("o_orderkey") + 6500000L), txnId = 101L)
+        // replay no-ops against the branch's own ledger
+        require(Acid.appendTxnBranch(spark, table, "exp",
+          or.limit(3), txnId = 100L) == h,
+          "replayed branch append advanced the branch")
+        // isolation: main is bit-unaware of the branch
+        require(Acid.read(spark, table).count() == mainRows,
+          "branch write leaked into main")
+        // fork base's standing vectors apply on the branch preview
+        require(Acid.readBranch(spark, table, "exp")
+          .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < 6000000L)
+          .count() == 0L, "fork base's delete vectors must apply on the branch")
+        val v = Acid.fastForwardBranch(table, "exp", txnId = 2L)
+        // ledger carried: the branch txns now no-op on MAIN
+        require(Acid.appendTxn(spark, table, or.limit(3), txnId = 101L) == v,
+          "publish must carry the branch txn ledger (stream exactly-once)")
+        require(Acid.branches(table).isEmpty, "publish must retire the branch ref")
+        Acid.read(spark, table)
+          .withColumn("price", col("price").cast("double"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, price FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT o_orderkey + 6000000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 50
+          UNION ALL
+          SELECT o_orderkey + 6500000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 30
+        ) ORDER BY o_orderkey""".trim)),
+
+    // Branch merge onto an advanced main (r16 — see [[Acid.mergeBranch]]):
+    // the case fast-forward refuses. Main keeps moving while the branch
+    // runs — a delete lands (v1), an append lands (v2) — so the branch's
+    // fork base is stale. An APPEND-ONLY branch still publishes safely:
+    // its new files and txn ids rebase onto main's head in one metadata
+    // commit (append∥append commutes, the same argument as the CAS
+    // writer's rebase loop), and main's standing delete vectors apply to
+    // the branch's rows exactly as if they had landed on main directly —
+    // pinned here by branching COPIES of low orderkeys and watching
+    // main's %11 delete subtract from both copies. The in-body requires
+    // pin that fast-forward refuses loudly and the merge retires the
+    // branch. A branch that recorded its own deletes refuses to merge
+    // (spec-pinned) — delete∥write reconciliation is mergeCow's job.
+    Q("sink_branch_merge",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_branch_mrg", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or, txnId = 0L)                 // v0
+        Acid.createBranch(table, "exp", 0L)
+        Acid.appendTxnBranch(spark, table, "exp",
+          or.filter(col("o_orderkey") < 200), txnId = 100L)          // branch copies
+        // main advances underneath the branch
+        Acid.deleteTxn(spark, table,                                 // v1
+          or.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 1L)
+        Acid.appendTxn(spark, table,                                 // v2
+          or.filter(col("o_orderkey") < 25)
+            .withColumn("o_orderkey", col("o_orderkey") + 8000000L), txnId = 2L)
+        // fast-forward must refuse a diverged main — loudly, not silently
+        val ffRefused =
+          try { Acid.fastForwardBranch(table, "exp", txnId = 3L); false }
+          catch { case _: IllegalArgumentException => true }
+        require(ffRefused, "fastForwardBranch accepted a diverged main")
+        val v = Acid.mergeBranch(table, "exp", txnId = 3L)
+        require(Acid.mergeBranch(table, "exp", txnId = 3L) == v,
+          "replayed merge must no-op through the ledger")
+        require(Acid.branches(table).isEmpty, "merge must retire the branch ref")
+        Acid.read(spark, table)
+          .withColumn("price", col("price").cast("double"))
+          .orderBy(col("o_orderkey"), col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, price FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey % 11 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 200 AND o_orderkey % 11 <> 0
+          UNION ALL
+          SELECT o_orderkey + 8000000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 25
+        ) ORDER BY o_orderkey, o_orderstatus""".trim)),
+
+    // Commit-history metadata table (r16 — see [[Acid.history]]): Delta's
+    // DESCRIBE HISTORY / Iceberg's `snapshots` metadata table, queryable
+    // like any other DataFrame. Three known commits (append evens, append
+    // odds, equality-delete every 5th key) produce three history rows
+    // whose structural columns come from O(versions) manifest reads — the
+    // control plane, no data I/O — and whose exact row counts the oracle
+    // re-derives from the raw table. repartition(4) pins the per-append
+    // file count so the file-count column is an exact cross-engine fact,
+    // not an accident of parallelism. This is the table ops dashboards
+    // and retention audits query at 100 TB: "what landed, when, how big".
+    Q("scan_table_history",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_history", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir).select(col("o_orderkey"))
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 2 === 0).repartition(4), txnId = 0L)
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 2 === 1).repartition(4), txnId = 1L)
+        Acid.deleteTxn(spark, table,
+          or.filter(col("o_orderkey") % 5 === 0), "o_orderkey", txnId = 2L)
+        Acid.history(spark, table).orderBy(col("version"))
+      },
+      Some("""
+        SELECT version, n_files, n_txns, n_rows FROM (
+          SELECT CAST(0 AS BIGINT) AS version, CAST(4 AS BIGINT) AS n_files,
+                 CAST(1 AS BIGINT) AS n_txns,
+                 (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows
+          UNION ALL
+          SELECT 1, 8, 2, (SELECT COUNT(*) FROM orders)
+          UNION ALL
+          SELECT 2, 8, 3,
+                 (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 <> 0)
+        ) ORDER BY version""".trim)),
+
+    // Row-level security + column masking (r16 — see [[Policy.secureView]]):
+    // the Unity Catalog / Snowflake row-access-policy shape as a view
+    // rewrite. The principal here is scoped to two regions and must never
+    // see raw PII: the row policy filters customers to ASIA+EUROPE nations
+    // (pushed into the scan — the rows do not exist for this principal,
+    // they are not filtered post-hoc), the name column is replaced by an
+    // opaque join-stable token, and the balance is coarsened to its
+    // hundred-band (k-anonymity-style generalization) — masks applied IN
+    // PLACE so the schema is indistinguishable from the raw table. Dimension joins broadcast (25-row nation, 5-row
+    // region); the fact side never shuffles. At 100 TB this is the only
+    // governance design that scales: policies as Catalyst expressions keep
+    // pushdown, pruning, and codegen intact.
+    Q("scan_row_policy",
+      (spark, sfDir) => {
+        val nat = Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val reg = Tables.region(spark, sfDir)
+          .select(col("r_regionkey"), col("r_name"))
+        val dim = broadcast(nat.join(broadcast(reg),
+          col("n_regionkey") === col("r_regionkey")))
+        val joined = Tables.customer(spark, sfDir)
+          .join(dim, col("c_nationkey") === col("n_nationkey"))
+        val secured = Policy.secureView(joined,
+          rowFilter = col("r_name").isin("ASIA", "EUROPE"),
+          masks = Seq(
+            "c_name" -> concat(lit("cust-"), col("c_custkey")),
+            // coarsening mask: the principal sees the balance BAND, never
+            // the exact figure (k-anonymity-style generalization)
+            "c_acctbal" -> floor(col("c_acctbal") / 100.0).cast("long")))
+        secured.select(
+          col("c_custkey"),
+          col("c_name").as("name_token"),
+          col("n_name").as("nation"),
+          col("c_acctbal").as("acctbal_band"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey,
+               'cust-' || c_custkey AS name_token,
+               n_name AS nation,
+               CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS acctbal_band
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+        ORDER BY c_custkey""".trim)),
   )
 }

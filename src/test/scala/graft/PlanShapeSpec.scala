@@ -772,4 +772,20 @@ class PlanShapeSpec extends SparkFixture {
         s"z(${r.getLong(0)}, ${r.getLong(1)}) = ${r.getLong(2)}, twin says $expect")
     }
   }
+
+  test("scan_row_policy: dims broadcast, masks stay in codegen, untouched columns pruned") {
+    val p = plan("scan_row_policy")
+    // governance as a view rewrite keeps the physical plan a reporting
+    // query would get: broadcast dims, no sort-merge join
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    // masks are plain expressions — no UDF, no codegen break
+    assert(!p.toLowerCase.contains("udf"), p)
+    // column pruning survives the policy: the customer scan must not read
+    // c_mktsegment (untouched by filter, masks, or output)
+    val custSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(custSchema.contains("c_acctbal"), custSchema)
+    assert(!custSchema.contains("c_mktsegment"),
+      s"policy view read an untouched column:\n$custSchema")
+  }
 }
