@@ -1364,6 +1364,59 @@ object Lakehouse {
           FROM orders WHERE o_orderkey < 25
         ) ORDER BY o_orderkey, o_orderstatus""".trim)),
 
+    // Branch diff — the publish PREVIEW (r16): before merging an
+    // experiment, the operator asks "what exactly would publish change?"
+    // — the same question snapshot_diff answers across versions, asked
+    // across REFS. Both sides resolve from manifests (branch head vs main
+    // head) and diff as two broadcast-able anti-joins on the key: rows
+    // only on the branch (the experiment's additions) and rows only on
+    // main (landed concurrently since the fork, which the branch does not
+    // yet see). Standing delete vectors apply on both sides first, so the
+    // preview shows exactly what readers would gain/lose. At 100 TB the
+    // anti-joins are key-only (no payload shuffle) and the typical diff
+    // is a sliver of the table — this is the audit gate before every
+    // mergeBranch.
+    Q("scan_branch_diff",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_brdiff", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or, txnId = 0L)
+        Acid.createBranch(table, "exp", 0L)
+        Acid.appendTxnBranch(spark, table, "exp",
+          or.filter(col("o_orderkey") < 100)
+            .withColumn("o_orderkey", col("o_orderkey") + 9000000L), txnId = 100L)
+        // main lands work the branch does not see
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") < 40)
+            .withColumn("o_orderkey", col("o_orderkey") + 9500000L), txnId = 1L)
+        val main = Acid.read(spark, table)
+        val branch = Acid.readBranch(spark, table, "exp")
+        val branchOnly = branch.join(main.select(col("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+          .withColumn("side", lit("branch_only"))
+        val mainOnly = main.join(branch.select(col("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+          .withColumn("side", lit("main_only"))
+        branchOnly.unionByName(mainOnly)
+          .withColumn("price", col("price").cast("double"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, price, side FROM (
+          SELECT o_orderkey + 9000000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+                 'branch_only' AS side
+          FROM orders WHERE o_orderkey < 100
+          UNION ALL
+          SELECT o_orderkey + 9500000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+                 'main_only' AS side
+          FROM orders WHERE o_orderkey < 40
+        ) ORDER BY o_orderkey""".trim)),
+
     // Commit-history metadata table (r16 — see [[Acid.history]]): Delta's
     // DESCRIBE HISTORY / Iceberg's `snapshots` metadata table, queryable
     // like any other DataFrame. Three known commits (append evens, append

@@ -1637,5 +1637,73 @@ object StreamOps {
           SELECT 3 AS sub_id, event_id, user_id, event_type, value
           FROM events WHERE user_id % 7 = 2 AND value > 50)
         ORDER BY sub_id, event_id""".trim)),
+
+    // Streaming canary onto a BRANCH, audited publish (r16): the risky
+    // new ingest pipeline runs as a real StreamingQuery whose micro-
+    // batches commit to a branch ref via [[graft.ops.Acid.appendTxnBranch]]
+    // keyed by batchId — the branch's own txn ledger makes the landing
+    // exactly-once under replay (in-body pinned by re-playing batch 0
+    // post-run), while main's readers provably never see a canary row
+    // (pinned). After the run, the AUDIT reads the branch preview and
+    // only then fast-forward-publishes: main adopts the whole canary
+    // history metadata-only, ledger carried. This is stream_acid_sink
+    // composed with branch refs — the deployment story for new pipeline
+    // code at 100 TB: shadow-run against the real table's branch for a
+    // day, audit, publish in O(1), or dropBranch and main never knew.
+    Q("stream_branch_publish",
+      (spark, sfDir) => {
+        import graft.ops.Acid
+        val stage = graft.Tmp.dir("stream_brpub_src", sfDir)
+        Tables.events(spark, sfDir)
+          .repartition(4, col("event_id"))
+          .write.mode("overwrite").parquet(stage)
+        val table = graft.Tmp.dir("stream_brpub_tbl", sfDir)
+        Acid.reset(table)
+        // the PRODUCTION pipeline already landed clicks (v0); the canary
+        // pipeline will ingest purchases on a branch
+        Acid.appendTxn(spark, table,
+          Tables.events(spark, sfDir)
+            .filter(col("event_type") === "click")
+            .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+          txnId = 1000L)
+        Acid.createBranch(table, "canary", 0L)
+        val mainRows = Acid.read(spark, table).count()
+        val ckpt = Files.createTempDirectory("graft_brpub_ckpt").toString
+        val q = Sources.replayEvents(spark, stage)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.ops.Acid.appendTxnBranch(spark, table, "canary", batch, batchId); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // main never saw a canary row while the stream ran
+        require(Acid.read(spark, table).count() == mainRows,
+          "canary stream leaked into main before publish")
+        // a replayed micro-batch no-ops against the BRANCH ledger
+        val head = Acid.branches(table)("canary")._2
+        require(Acid.appendTxnBranch(spark, table, "canary",
+          Tables.events(spark, sfDir).limit(3)
+            .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+          txnId = 0L) == head,
+          "replayed canary batch advanced the branch")
+        // audit passes -> publish metadata-only
+        require(Acid.readBranch(spark, table, "canary").count() > mainRows,
+          "canary branch is empty — nothing to audit")
+        Acid.fastForwardBranch(table, "canary", txnId = 2000L)
+        Acid.read(spark, table)
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("d"), col("event_type"))
+      },
+      Some(s"""
+        SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+               ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1, 2
+        ORDER BY d, event_type""".trim)),
   )
 }
