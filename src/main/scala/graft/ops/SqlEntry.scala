@@ -81,6 +81,25 @@ object SqlEntry {
       Acid.readTag(spark, dir, name).createOrReplaceTempView(view)
       out = out.replace(m.matched, view)
     }
+    // BRANCH AS OF '<name>' — branch-ref reads for pure-SQL users (r16,
+    // Iceberg branch refs): resolves through Acid.readBranch (fork base ∪
+    // branch commits, delete vectors applied)
+    val branchTravel = """acid_table\s*\(\s*'([^']+)'\s*\)\s+BRANCH\s+AS\s+OF\s+'([A-Za-z0-9._-]+)'""".r
+    branchTravel.findAllMatchIn(text).toSeq.foreach { m =>
+      val (dir, name) = (m.group(1), m.group(2))
+      val view = s"__graft_acid_br_${name.replaceAll("[^A-Za-z0-9]", "_")}_${slug(dir)}"
+      Acid.readBranch(spark, dir, name).createOrReplaceTempView(view)
+      out = out.replace(m.matched, view)
+    }
+    // table_history('<dir>') — the DESCRIBE HISTORY metadata table as a
+    // TVF shape (r16), resolving through Acid.history
+    val hist = """table_history\s*\(\s*'([^']+)'\s*\)""".r
+    hist.findAllMatchIn(text).toSeq.foreach { m =>
+      val dir = m.group(1)
+      val view = s"__graft_acid_hist_${slug(dir)}"
+      Acid.history(spark, dir).createOrReplaceTempView(view)
+      out = out.replace(m.matched, view)
+    }
     val timeTravel = """acid_table\s*\(\s*'([^']+)'\s*\)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
     timeTravel.findAllMatchIn(text).toSeq.foreach { m =>
       val (dir, v) = (m.group(1), m.group(2).toLong)

@@ -118,6 +118,28 @@ class SurfaceDocSpec extends AnyFunSuite {
     assert(SqlEntry.sqlLakehouse(spark,
       s"RESTORE TABLE acid_table('$table') TO VERSION AS OF 1 TXN 50")
       .head().getLong(1) == preV + 1)
+    // BRANCH AS OF (r16): branch-ref read through SQL matches readBranch
+    val postRestoreV = Acid.currentVersion(table).get
+    Acid.createBranch(table, "exp", postRestoreV)
+    Acid.appendTxnBranch(spark, table, "exp", rows(500, 7), txnId = 900L)
+    val brSql = SqlEntry.sqlLakehouse(spark,
+      s"SELECT k FROM acid_table('$table') BRANCH AS OF 'exp' ORDER BY k")
+    val brDf = Acid.readBranch(spark, table, "exp").select(col("k")).orderBy(col("k"))
+    assert(brSql.collect().map(_.getLong(0)).toSeq ==
+      brDf.collect().map(_.getLong(0)).toSeq)
+    assert(shape(brSql) == shape(brDf),
+      s"BRANCH AS OF plan ${shape(brSql)} != DataFrame twin ${shape(brDf)}")
+    // main's SQL view is branch-blind
+    assert(SqlEntry.sqlLakehouse(spark,
+      s"SELECT COUNT(*) FROM acid_table('$table')").head().getLong(0) == 80L)
+    Acid.dropBranch(table, "exp")
+    // table_history TVF (r16): structural columns match the manifests
+    val h = SqlEntry.sqlLakehouse(spark,
+      s"SELECT version, n_rows FROM table_history('$table') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(h.map(_._1) == (0L to postRestoreV).toSeq,
+      s"history must list every readable version: $h")
+    assert(h.last._2 == 80L, s"history head row count wrong: $h")
   }
 
   test("README surface table keys column is exactly the registry key set") {
