@@ -147,10 +147,14 @@ object Bench {
       // degenerated), and stream_cdc_apply compounds 6 of those probes
       // over a growing table — the first streaming key whose STATE lives
       // in the lakehouse rather than a state store
+      // + the r16 branch-publish shape: sink_branch_merge's data phases
+      // (appends, the standing delete) are linear and the merge commit is
+      // O(manifest lines) — the term that would go super-linear if publish
+      // ever started moving data instead of metadata
       val scaleKeys = (baseline12 ++ Seq("llm_dedup_ngram", "stream_sliding",
         "graph_components", "llm_dedup_components",
         "join_spatial_grid", "join_fuzzy_blocked", "window_rfm_segments",
-        "sink_merge_cow", "stream_cdc_apply"))
+        "sink_merge_cow", "stream_cdc_apply", "sink_branch_merge"))
         .filterNot(skip)
       val rows = scaleKeys.map { name =>
         val fixed = median(runs(name, sfSmall).tail)
