@@ -1950,6 +1950,17 @@ object Acid {
       val curLines = manifestLines(table, cur)
       require(curLines.contains("# base:."),
         s"mergeBranch on snapshot-mode table $table")
+      // exactly-once across refs: a txn id that landed on BOTH main (since
+      // the fork) and the branch is the same logical commit applied twice —
+      // merging would double its rows silently. Refuse loudly; the operator
+      // resolves by dropping one side (Delta's txnAppId is global for the
+      // same reason).
+      val collided = newTxns.toSet.intersect(
+        curLines.filter(_.startsWith("# txn:")).toSet)
+      require(collided.isEmpty,
+        s"mergeBranch: txn ids committed on both main and branch '$name' " +
+          s"since the fork: ${collided.mkString(", ")} — the same logical " +
+          s"commit cannot land twice")
       val v = commitManifest(table, cur + 1,
         ("# base:." +:
           ((curLines.filter(_.startsWith("# txn:")) ++ newTxns :+ s"# txn:$txnId") ++

@@ -510,6 +510,60 @@ class ConcurrencySpec extends SparkFixture {
       .filter(col("v").isNull).count() == 1L,
       "NULL rule result must quarantine, never silently pass")
   }
+
+  test("branch storm: 3 branches + main CAS appends race; merges land every row once; txn collision refuses") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files.createTempDirectory("graft_branch_storm").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Acid.appendTxn(spark, table, rows(0, 100), txnId = 0L) // v0
+    val names = Seq("b1", "b2", "b3")
+    names.foreach(n => Acid.createBranch(table, n, 0L))
+    // 3 branch writers (2 commits each, disjoint key ranges) race 2 main
+    // CAS appenders — branch commits serialize on the writer lock but must
+    // never interleave state across refs
+    val futs = names.zipWithIndex.map { case (n, i) =>
+      Future {
+        Acid.appendTxnBranch(spark, table, n,
+          rows(10000L * (i + 1), 50), txnId = 100L + i)
+        Acid.appendTxnBranch(spark, table, n,
+          rows(10000L * (i + 1) + 500, 30), txnId = 200L + i)
+      }
+    } ++ Seq(
+      Future { Acid.appendTxnCAS(spark, table, rows(90000, 40), txnId = 1L) },
+      Future { Acid.appendTxnCAS(spark, table, rows(91000, 60), txnId = 2L) })
+    futs.foreach(Await.result(_, 180.seconds))
+    // every ref sees exactly its own writes
+    assert(Acid.read(spark, table).count() == 200L, "main count drifted")
+    names.zipWithIndex.foreach { case (n, i) =>
+      val br = Acid.readBranch(spark, table, n)
+      assert(br.count() == 180L, s"branch $n count drifted")
+      assert(br.filter(col("k") >= 10000L * (i + 1) &&
+        col("k") < 10000L * (i + 1) + 1000).count() == 80L,
+        s"branch $n lost its own rows or absorbed another's")
+    }
+    // merge all three in sequence onto the advanced main: additive, no loss
+    val vs = names.zipWithIndex.map { case (n, i) =>
+      Acid.mergeBranch(table, n, txnId = 300L + i)
+    }
+    assert(vs == vs.sorted && vs.distinct == vs, s"merge versions not monotone: $vs")
+    assert(Acid.read(spark, table).count() == 200L + 3 * 80L,
+      "merged table lost or duplicated rows")
+    // ledger union: every branch txn now no-ops on main
+    (0 until 3).foreach { i =>
+      assert(Acid.appendTxn(spark, table, rows(0, 1), txnId = 100L + i) == vs.last,
+        s"branch txn ${100 + i} not carried into main's ledger")
+    }
+    // txn-collision guard: a branch commit reusing an id that ALSO landed
+    // on main since the fork refuses to merge (exactly-once across refs)
+    Acid.createBranch(table, "dup", vs.last)
+    Acid.appendTxnBranch(spark, table, "dup", rows(95000, 5), txnId = 999L)
+    Acid.appendTxn(spark, table, rows(96000, 5), txnId = 999L) // same id on main
+    intercept[IllegalArgumentException] {
+      Acid.mergeBranch(table, "dup", txnId = 400L)
+    }
+    Acid.dropBranch(table, "dup")
+  }
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode
