@@ -1971,6 +1971,57 @@ object Acid {
       v
     }
 
+  /** Cherry-pick ONE branch commit onto main — Iceberg's cherrypickSnapshot:
+    * the branch stays open (unlike [[mergeBranch]]), only the files the
+    * picked commit ADDED land on main, under both the picked commit's txn
+    * id and the publish `txnId` (so the eventual full merge of the same
+    * branch refuses loudly via the cross-ref collision guard instead of
+    * double-applying the picked rows). Append-only commits only: a picked
+    * commit that changed delete vectors refuses. `branchTxn` names the
+    * branch commit by its ledger id — the stable handle a replayed pick
+    * keys on. Metadata-only; idempotent per `txnId`. */
+  def cherryPick(table: String, name: String, branchTxn: Long,
+      txnId: Long): Long = withWriterLock(table) {
+    if (committedTxns(table).contains(txnId)) return currentVersion(table).get
+    val (base, head) = branches(table).getOrElse(name,
+      sys.error(s"Acid.cherryPick: no branch '$name' at $table"))
+    def linesAt(k: Long): Seq[String] =
+      if (k < 0) manifestLines(table, base)
+      else {
+        val it = Files.readAllLines(brManifest(table, name, k)).iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) { val l = it.next().trim; if (l.nonEmpty) b += l }
+        b.result()
+      }
+    val k = (0L to head).find(k => linesAt(k).contains(s"# txn:$branchTxn") &&
+        !linesAt(k - 1).contains(s"# txn:$branchTxn"))
+      .getOrElse(sys.error(
+        s"Acid.cherryPick: no commit with txn $branchTxn on branch '$name'"))
+    val (before, after) = (linesAt(k - 1), linesAt(k))
+    def dels(ls: Seq[String]) =
+      ls.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")).toSet
+    require(dels(after) == dels(before),
+      s"cherryPick: branch commit $branchTxn changed delete vectors — " +
+        s"only append-only commits cherry-pick")
+    val picked = {
+      val prev = before.filterNot(_.startsWith("#")).toSet
+      after.filterNot(_.startsWith("#")).filterNot(prev)
+    }
+    val cur = currentVersion(table).get
+    val curLines = manifestLines(table, cur)
+    require(curLines.contains("# base:."),
+      s"cherryPick on snapshot-mode table $table")
+    require(!curLines.contains(s"# txn:$branchTxn"),
+      s"cherryPick: txn $branchTxn already committed on main")
+    commitManifest(table, cur + 1,
+      ("# base:." +:
+        ((curLines.filter(_.startsWith("# txn:")) :+ s"# txn:$branchTxn"
+          :+ s"# txn:$txnId") ++
+          curLines.filter(l => !l.startsWith("# txn:") && l != "# base:." &&
+            l.startsWith("#")))) ++
+        curLines.filterNot(_.startsWith("#")) ++ picked)
+  }
+
   private def dropBranchRefOnly(table: String, name: String): Unit = {
     Files.deleteIfExists(branchRef(table, name))
     Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
@@ -1978,15 +2029,42 @@ object Acid {
       .foreach(f => Files.deleteIfExists(f.toPath))
   }
 
-  /** Abandon a branch: ref, branch manifests, and branch data gone — main
-    * never knew (the [[abortWap]] of branches). */
+  /** Abandon a branch: ref, branch manifests, and the branch's
+    * UNPUBLISHED data gone — main never knew (the [[abortWap]] of
+    * branches). Files a [[cherryPick]] already landed on main (or that
+    * another ref still references) are spared: a dropped experiment must
+    * never tear data out of the published table. */
   def dropBranch(table: String, name: String): Unit = withWriterLock(table) {
     dropBranchRefOnly(table, name)
     val dataDir = Paths.get(table, s"branch=$name")
     if (Files.exists(dataDir)) {
+      // live set across every other ref: readable main versions, tagged
+      // manifests, other branches' heads, staged WAP batches — the same
+      // liveness rule vacuum applies, scoped to this branch's data dir
+      val cur = currentVersion(table)
+      val tagged = tags(table).values.toSet
+      val live: Set[String] = (cur.toSeq.flatMap { c =>
+        ((horizon(table) to c) ++ tagged.filter(_ < horizon(table))).flatMap { v =>
+          val ls = manifestLines(table, v)
+          ls.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
+            ls.filterNot(_.startsWith("#"))
+        }
+      } ++ branches(table).keys.flatMap(n => branchLines(table, n)
+        .filterNot(_.startsWith("#"))) ++
+        stagedWapIds(table).flatMap(id => wapFiles(table, id))).toSet
+      val root = Paths.get(table)
       val walk = Files.walk(dataDir)
       try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { Files.deleteIfExists(p); () })
+        .forEach { p =>
+          val rel = root.relativize(p).toString
+          if (Files.isDirectory(p)) {
+            // remove now-empty dirs only
+            val ls = Files.list(p)
+            val empty = try !ls.iterator().hasNext finally ls.close()
+            if (empty) Files.deleteIfExists(p)
+          } else if (!live(rel)) Files.deleteIfExists(p)
+          ()
+        }
       finally walk.close()
     }
   }
@@ -2021,6 +2099,52 @@ object Acid {
         org.apache.spark.sql.types.StructField("n_files",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("n_txns",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Partition-tuple METADATA table — Iceberg's `partitions` metadata
+    * table: one row per distinct partition tuple of the current version
+    * with its data-file count and exact row count. Tuples come from the
+    * manifest's `# pval:` lines (O(files) driver-side text); row counts
+    * come from ONE distributed scan grouped by `input_file_name`, folded
+    * to tuples through the broadcast file→tuple map — never a per-tuple
+    * scan. Reports PHYSICAL data-file facts (standing delete vectors are
+    * not subtracted), same contract as Iceberg's partitions table. Files
+    * written before any transform existed report under the empty tuple. */
+  def partitions(spark: SparkSession, table: String): DataFrame = {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.partitions: no committed version at $table"))
+    val lines = manifestLines(table, cur)
+    require(lines.contains("# base:."),
+      s"Acid.partitions on snapshot-mode table $table")
+    val tupleOf: Map[String, String] =
+      lines.filter(_.startsWith("# pval:")).map { l =>
+        val parts = l.stripPrefix("# pval:").split("\\|", 2)
+        parts(0) -> (if (parts.length > 1) parts(1) else "")
+      }.toMap
+    val files = lines.filterNot(_.startsWith("#"))
+    val root = Paths.get(table).toAbsolutePath
+    val perFile = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect() // O(files) rows — metadata-construction control plane
+      .map { r =>
+        val rel = root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
+        rel -> r.getLong(1)
+      }.toMap
+    val rows = files.groupBy(f => tupleOf.getOrElse(f, ""))
+      .map { case (t, fs) =>
+        Row(t, fs.size.toLong, fs.map(f => perFile.getOrElse(f, 0L)).sum)
+      }.toSeq
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("n_rows",
           org.apache.spark.sql.types.LongType, nullable = false))))

@@ -1364,6 +1364,68 @@ object Lakehouse {
           FROM orders WHERE o_orderkey < 25
         ) ORDER BY o_orderkey, o_orderstatus""".trim)),
 
+    // Cherry-pick ONE branch commit (r16 — see [[Acid.cherryPick]]):
+    // Iceberg's cherrypickSnapshot. The experiment branch carries two
+    // commits; only the SECOND is ready to ship, so main picks exactly
+    // that commit's files — metadata-only, under BOTH the picked commit's
+    // branch txn id and the publish txn id — while the branch stays open
+    // for more work. The dual-id landing is the exactly-once hinge: a
+    // later full mergeBranch of the same branch REFUSES via the cross-ref
+    // collision guard (in-body pinned) instead of silently double-applying
+    // the picked rows. Replayed picks no-op through the main ledger
+    // (pinned). At 100 TB cherry-pick is how one urgent fix ships out of
+    // a week-long experiment without publishing the rest.
+    Q("sink_branch_cherrypick",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_brpick", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or, txnId = 0L)                 // v0
+        Acid.createBranch(table, "exp", 0L)
+        Acid.appendTxnBranch(spark, table, "exp",                    // commit A
+          or.filter(col("o_orderkey") < 50)
+            .withColumn("o_orderkey", col("o_orderkey") + 6000000L), txnId = 100L)
+        Acid.appendTxnBranch(spark, table, "exp",                    // commit B
+          or.filter(col("o_orderkey") < 30)
+            .withColumn("o_orderkey", col("o_orderkey") + 7000000L), txnId = 101L)
+        Acid.appendTxn(spark, table,                                 // main moves
+          or.filter(col("o_orderkey") < 20)
+            .withColumn("o_orderkey", col("o_orderkey") + 8000000L), txnId = 1L)
+        val branchRows = Acid.readBranch(spark, table, "exp").count()
+        val v = Acid.cherryPick(table, "exp", branchTxn = 101L, txnId = 2L)
+        require(Acid.cherryPick(table, "exp", 101L, txnId = 2L) == v,
+          "replayed cherry-pick must no-op through the ledger")
+        // the branch stays OPEN and unchanged
+        require(Acid.readBranch(spark, table, "exp").count() == branchRows,
+          "cherry-pick must not mutate the branch")
+        // a later full merge refuses: commit B's txn now lives on BOTH refs
+        val mergeRefused =
+          try { Acid.mergeBranch(table, "exp", txnId = 3L); false }
+          catch { case _: IllegalArgumentException => true }
+        require(mergeRefused,
+          "mergeBranch accepted a branch whose picked txn already landed on main")
+        Acid.dropBranch(table, "exp") // abandon commit A
+        Acid.read(spark, table)
+          .withColumn("price", col("price").cast("double"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, price FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey + 8000000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 20
+          UNION ALL
+          SELECT o_orderkey + 7000000 AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 30
+        ) ORDER BY o_orderkey""".trim)),
+
     // Branch diff — the publish PREVIEW (r16): before merging an
     // experiment, the operator asks "what exactly would publish change?"
     // — the same question snapshot_diff answers across versions, asked
@@ -1416,6 +1478,40 @@ object Lakehouse {
                  'main_only' AS side
           FROM orders WHERE o_orderkey < 40
         ) ORDER BY o_orderkey""".trim)),
+
+    // Partition-tuple metadata table (r16 — see [[Acid.partitions]]):
+    // Iceberg's `partitions` metadata table. The events table lands under
+    // a hidden day(ts) transform in two appends, each repartitioned BY the
+    // day expression so every (append, day) pair is exactly one file —
+    // the file count per tuple becomes a cross-engine fact (2), not an
+    // accident of parallelism. Row counts per tuple come from ONE
+    // distributed scan folded through the broadcast file→tuple map; the
+    // oracle re-derives them from raw events with the same floor-division
+    // day math the transform uses. This is the table a 100 TB operator
+    // reads before every backfill: "which days exist, how fragmented,
+    // how big" — O(files) metadata, one scan for the exact counts.
+    Q("scan_table_partitions",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_parts", sfDir)
+        Acid.reset(table)
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val day = Acid.dayOf("ts")
+        (0 until 2).foreach { i =>
+          Acid.appendTxnHidden(spark, table,
+            ev.filter(col("event_id") % 2 === i).repartition(day._2),
+            txnId = i.toLong, Seq(day))
+        }
+        Acid.partitions(spark, table).orderBy(col("partition"))
+      },
+      Some("""
+        SELECT 'day_ts=' || CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                 AS partition,
+               CAST(2 AS BIGINT) AS n_files,
+               COUNT(*) AS n_rows
+        FROM events
+        GROUP BY 1
+        ORDER BY partition""".trim)),
 
     // Commit-history metadata table (r16 — see [[Acid.history]]): Delta's
     // DESCRIBE HISTORY / Iceberg's `snapshots` metadata table, queryable

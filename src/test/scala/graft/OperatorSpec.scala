@@ -2352,6 +2352,43 @@ class OperatorSpec extends SparkFixture {
       java.nio.file.Paths.get(table, "branch=del")))
   }
 
+  test("Acid cherryPick: picked files survive dropBranch AND vacuum; unpicked data is reclaimed") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_pick").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Acid.appendTxn(spark, table, rows(0, 100), txnId = 0L)
+    Acid.createBranch(table, "exp", 0L)
+    Acid.appendTxnBranch(spark, table, "exp", rows(1000, 40), txnId = 100L) // A
+    Acid.appendTxnBranch(spark, table, "exp", rows(2000, 25), txnId = 101L) // B
+    val v = Acid.cherryPick(table, "exp", branchTxn = 101L, txnId = 1L)
+    assert(Acid.read(spark, table).count() == 125L, "pick did not land B's rows")
+    // picking a delete-bearing or unknown commit refuses
+    intercept[RuntimeException] { Acid.cherryPick(table, "exp", 999L, 2L) }
+    // replay no-op; the branch is untouched and still carries A+B
+    assert(Acid.cherryPick(table, "exp", 101L, txnId = 1L) == v)
+    assert(Acid.readBranch(spark, table, "exp").count() == 165L)
+    // drop the branch: A's data is reclaimed, B's (published) data is spared
+    Acid.dropBranch(table, "exp")
+    assert(Acid.read(spark, table).count() == 125L,
+      "dropBranch tore cherry-picked files out of the published table")
+    assert(Acid.read(spark, table).filter(col("k") >= 2000L).count() == 25L)
+    // vacuum agrees: the picked files stay live through the main manifest
+    Acid.appendTxn(spark, table, rows(5000, 3), txnId = 3L)
+    Acid.vacuum(table, keep = 1)
+    assert(Acid.read(spark, table).count() == 128L,
+      "vacuum reclaimed cherry-picked branch files still referenced by main")
+    // A's unpublished rows are really gone from disk (no dangling data)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(table))
+    val orphaned =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.count(p =>
+          p.toString.contains("branch=exp/txn=100") &&
+            p.toString.endsWith(".parquet"))
+      } finally walk.close()
+    assert(orphaned == 0, "unpicked branch data not reclaimed")
+  }
+
   test("Acid dayOf == dayOfValue bit-for-bit, incl. pre-epoch micros (ADVICE r15)") {
     import graft.ops.Acid
     // adversarial micros: pre-epoch (floor vs trunc disagree), exact day
