@@ -84,10 +84,13 @@ object Lakehouse {
             .select(col("o_orderkey")),
           "o_orderkey", txnId = 2L)
         // late arrivals under shifted keys: appended AFTER the deletes,
-        // must survive them (vectors subtract keys, not predicates)
+        // must survive them (vectors subtract keys, not predicates; the
+        // shift is data-relative so a shifted key can never alias a
+        // vector-deleted key at any fixture scale — r16 sf10 lesson)
+        val s = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1
         Acid.appendTxn(spark, table,
           base.filter(col("o_orderkey") < 50)
-            .select((col("o_orderkey") + 2000000L).as("o_orderkey"),
+            .select((col("o_orderkey") + s).as("o_orderkey"),
               col("o_orderstatus"), col("o_totalprice")),
           txnId = 3L)
         Acid.read(spark, table).orderBy(col("o_orderkey"))
@@ -97,13 +100,13 @@ object Lakehouse {
           SELECT o_orderkey FROM orders
           WHERE (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
              OR o_orderkey % 11 = 3
-        )
+        ), b AS (SELECT MAX(o_orderkey) + 1 AS s FROM orders)
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
           UNION ALL
-          SELECT o_orderkey + 2000000 AS o_orderkey, o_orderstatus, o_totalprice
-          FROM orders WHERE o_orderkey < 50
+          SELECT o_orderkey + s AS o_orderkey, o_orderstatus, o_totalprice
+          FROM orders, b WHERE o_orderkey < 50
         ) ORDER BY o_orderkey""".trim)),
 
     // Retention vacuum (r11): time travel is free only until someone pays
@@ -848,13 +851,16 @@ object Lakehouse {
         // the MERGE batch is KEY-LOCAL: bounded to the lowest decile of
         // the key domain (computed, not absolute — the locality must hold
         // at every fixture scale; 1-row agg, control plane)
-        val bound = or.agg(max(k)).head.getLong(0) / 10
+        val mx = or.agg(max(k)).head.getLong(0)
+        val bound = mx / 10
         val up = or.filter(k % 17 === 0 && k % 13 =!= 0 && k % 19 =!= 0 && k < bound)
           .withColumn("o_orderstatus", lit("X"))     // matched → update
         val res = or.filter(k % 13 === 0 && k % 17 =!= 0 && k % 19 =!= 0 && k < bound)
           .withColumn("o_orderstatus", lit("R"))     // resurrect deleted keys
         val ins = or.filter(k < 40)
-          .withColumn("o_orderkey", k + 3000000L)    // not-matched → insert
+          .withColumn("o_orderkey", k + mx + 1L)     // not-matched → insert
+                                                     // (data-relative shift,
+                                                     // r16 sf10 lesson)
         val del = or.filter(k % 19 === 0 && k < bound) // matched → delete
         val changes = up.unionByName(res).unionByName(ins)
           .withColumn("__op", lit("upsert"))
@@ -873,7 +879,8 @@ object Lakehouse {
       },
       Some("""
         WITH b AS (
-          SELECT CAST(FLOOR(MAX(o_orderkey) / 10.0) AS BIGINT) AS bound
+          SELECT CAST(FLOOR(MAX(o_orderkey) / 10.0) AS BIGINT) AS bound,
+                 MAX(o_orderkey) + 1 AS s
           FROM orders)
         SELECT o_orderkey, o_orderstatus, price FROM (
           SELECT o_orderkey,
@@ -887,9 +894,9 @@ object Lakehouse {
                  OR (o_orderkey % 17 <> 0 AND o_orderkey % 19 <> 0
                      AND o_orderkey < bound))
           UNION ALL
-          SELECT o_orderkey + 3000000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-          FROM orders WHERE o_orderkey < 40
+          FROM orders, b WHERE o_orderkey < 40
         ) ORDER BY o_orderkey""".trim)),
 
     // RESTORE / rollback (r15 — see [[Acid.restore]]): a botched job lands
@@ -915,13 +922,14 @@ object Lakehouse {
           or.filter(col("o_orderkey") % 2 === 0), txnId = 0L) // v0
         Acid.appendTxn(spark, table,
           or.filter(col("o_orderkey") % 2 === 1), txnId = 1L) // v1 (good head)
+        val s = or.agg(max(col("o_orderkey"))).head.getLong(0) + 1 // data-relative shift
         val goodRows = Acid.read(spark, table).count()
         Acid.deleteTxn(spark, table,                          // v2: BAD delete
           or.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")),
           "o_orderkey", txnId = 2L)
         Acid.appendTxn(spark, table,                          // v3: BAD append
           or.filter(col("o_orderkey") < 30)
-            .withColumn("o_orderkey", col("o_orderkey") + 2000000L), txnId = 3L)
+            .withColumn("o_orderkey", col("o_orderkey") + s), txnId = 3L)
         val v = Acid.restore(table, toV = 1L, txnId = 4L)     // v4 = rollback
         require(Acid.read(spark, table).count() == goodRows,
           "restore did not reproduce the pre-incident state")
@@ -933,24 +941,25 @@ object Lakehouse {
         // history preserved: the bad version is still auditable — its
         // rogue shifted keys remain visible through time travel
         require(Acid.readVersion(spark, table, 3L)
-            .filter(col("o_orderkey") >= 2000000L).count() == 30L,
+            .filter(col("o_orderkey") >= s).count() == 30L,
           "restore must not erase history before vacuum")
         Acid.appendTxn(spark, table,                          // life goes on
           or.filter(col("o_orderkey") < 20)
-            .withColumn("o_orderkey", col("o_orderkey") + 5000000L), txnId = 5L)
+            .withColumn("o_orderkey", col("o_orderkey") + 2 * s), txnId = 5L)
         Acid.read(spark, table)
           .withColumn("price", col("price").cast("double"))
           .orderBy(col("o_orderkey"))
       },
       Some("""
+        WITH b AS (SELECT MAX(o_orderkey) + 1 AS s FROM orders)
         SELECT o_orderkey, o_orderstatus, price FROM (
           SELECT o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
           FROM orders
           UNION ALL
-          SELECT o_orderkey + 5000000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + 2 * s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-          FROM orders WHERE o_orderkey < 20
+          FROM orders, b WHERE o_orderkey < 20
         ) ORDER BY o_orderkey""".trim)),
 
     // Shallow clone (r15 — see [[Acid.shallowClone]]): fork a governed
@@ -977,16 +986,17 @@ object Lakehouse {
           or.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")),
           "o_orderkey", txnId = 1L)
         val srcRows = Acid.read(spark, src).count()
+        val s = or.agg(max(col("o_orderkey"))).head.getLong(0) + 1 // data-relative shift
         Acid.shallowClone(src, dst)
         require(Acid.read(spark, dst).count() == srcRows,
           "clone v0 must equal the source's cloned version")
         // diverge BOTH sides; neither write may leak into the other
         Acid.appendTxn(spark, dst,
           or.filter(col("o_orderkey") < 25)
-            .withColumn("o_orderkey", col("o_orderkey") + 4000000L), txnId = 0L)
+            .withColumn("o_orderkey", col("o_orderkey") + s), txnId = 0L)
         Acid.appendTxn(spark, src,
           or.filter(col("o_orderkey") < 10)
-            .withColumn("o_orderkey", col("o_orderkey") + 7000000L), txnId = 2L)
+            .withColumn("o_orderkey", col("o_orderkey") + 2 * s), txnId = 2L)
         require(Acid.read(spark, src).count() == srcRows + 10,
           "clone append leaked into the source")
         // zero-copy as a disk fact: the clone dir holds only its own append
@@ -997,21 +1007,22 @@ object Lakehouse {
         val cloneRead = Acid.read(spark, dst)
         require(cloneLocal < cloneRead.count(),
           s"clone materialized data files ($cloneLocal local parquet files)")
-        require(cloneRead.filter(col("o_orderkey") >= 7000000L).count() == 0L,
+        require(cloneRead.filter(col("o_orderkey") >= 2 * s).count() == 0L,
           "source append leaked into the clone")
         cloneRead
           .withColumn("price", col("price").cast("double"))
           .orderBy(col("o_orderkey"))
       },
       Some("""
+        WITH b AS (SELECT MAX(o_orderkey) + 1 AS s FROM orders)
         SELECT o_orderkey, o_orderstatus, price FROM (
           SELECT o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
           FROM orders WHERE o_orderkey % 5 <> 0
           UNION ALL
-          SELECT o_orderkey + 4000000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-          FROM orders WHERE o_orderkey < 25
+          FROM orders, b WHERE o_orderkey < 25
         ) ORDER BY o_orderkey""".trim)),
 
     // Z-ORDER clustering (r15 — see [[Acid.optimizeZorder]]): range
@@ -1263,13 +1274,18 @@ object Lakehouse {
           or.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
           "o_orderkey", txnId = 1L)
         val mainRows = Acid.read(spark, table).count()
+        // shift base is DATA-RELATIVE (r16 sf10 lesson: absolute offsets
+        // collide with the key domain at bigger fixtures — a shifted key
+        // that equals an existing deleted key gets vector-subtracted and
+        // the count silently drifts; 1-row agg, control plane)
+        val s = or.agg(max(col("o_orderkey"))).head.getLong(0) + 1
         Acid.createBranch(table, "exp", 1L)
         Acid.appendTxnBranch(spark, table, "exp",
           or.filter(col("o_orderkey") < 50)
-            .withColumn("o_orderkey", col("o_orderkey") + 6000000L), txnId = 100L)
+            .withColumn("o_orderkey", col("o_orderkey") + s), txnId = 100L)
         val h = Acid.appendTxnBranch(spark, table, "exp",
           or.filter(col("o_orderkey") < 30)
-            .withColumn("o_orderkey", col("o_orderkey") + 6500000L), txnId = 101L)
+            .withColumn("o_orderkey", col("o_orderkey") + 2 * s), txnId = 101L)
         // replay no-ops against the branch's own ledger
         require(Acid.appendTxnBranch(spark, table, "exp",
           or.limit(3), txnId = 100L) == h,
@@ -1279,7 +1295,7 @@ object Lakehouse {
           "branch write leaked into main")
         // fork base's standing vectors apply on the branch preview
         require(Acid.readBranch(spark, table, "exp")
-          .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < 6000000L)
+          .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") < s)
           .count() == 0L, "fork base's delete vectors must apply on the branch")
         val v = Acid.fastForwardBranch(table, "exp", txnId = 2L)
         // ledger carried: the branch txns now no-op on MAIN
@@ -1291,18 +1307,19 @@ object Lakehouse {
           .orderBy(col("o_orderkey"))
       },
       Some("""
+        WITH b AS (SELECT MAX(o_orderkey) + 1 AS s FROM orders)
         SELECT o_orderkey, o_orderstatus, price FROM (
           SELECT o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
           FROM orders WHERE o_orderkey % 7 <> 0
           UNION ALL
-          SELECT o_orderkey + 6000000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-          FROM orders WHERE o_orderkey < 50
+          FROM orders, b WHERE o_orderkey < 50
           UNION ALL
-          SELECT o_orderkey + 6500000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + 2 * s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-          FROM orders WHERE o_orderkey < 30
+          FROM orders, b WHERE o_orderkey < 30
         ) ORDER BY o_orderkey""".trim)),
 
     // Branch merge onto an advanced main (r16 — see [[Acid.mergeBranch]]):
@@ -1326,6 +1343,7 @@ object Lakehouse {
           .select(col("o_orderkey"), col("o_orderstatus"),
             money(col("o_totalprice")).as("price"))
         Acid.appendTxn(spark, table, or, txnId = 0L)                 // v0
+        val s = or.agg(max(col("o_orderkey"))).head.getLong(0) + 1   // data-relative shift
         Acid.createBranch(table, "exp", 0L)
         Acid.appendTxnBranch(spark, table, "exp",
           or.filter(col("o_orderkey") < 200), txnId = 100L)          // branch copies
@@ -1335,7 +1353,7 @@ object Lakehouse {
           "o_orderkey", txnId = 1L)
         Acid.appendTxn(spark, table,                                 // v2
           or.filter(col("o_orderkey") < 25)
-            .withColumn("o_orderkey", col("o_orderkey") + 8000000L), txnId = 2L)
+            .withColumn("o_orderkey", col("o_orderkey") + s), txnId = 2L)
         // fast-forward must refuse a diverged main — loudly, not silently
         val ffRefused =
           try { Acid.fastForwardBranch(table, "exp", txnId = 3L); false }
@@ -1350,6 +1368,7 @@ object Lakehouse {
           .orderBy(col("o_orderkey"), col("o_orderstatus"))
       },
       Some("""
+        WITH b AS (SELECT MAX(o_orderkey) + 1 AS s FROM orders)
         SELECT o_orderkey, o_orderstatus, price FROM (
           SELECT o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
@@ -1359,9 +1378,9 @@ object Lakehouse {
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
           FROM orders WHERE o_orderkey < 200 AND o_orderkey % 11 <> 0
           UNION ALL
-          SELECT o_orderkey + 8000000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-          FROM orders WHERE o_orderkey < 25
+          FROM orders, b WHERE o_orderkey < 25
         ) ORDER BY o_orderkey, o_orderstatus""".trim)),
 
     // Cherry-pick ONE branch commit (r16 — see [[Acid.cherryPick]]):
@@ -1383,16 +1402,17 @@ object Lakehouse {
           .select(col("o_orderkey"), col("o_orderstatus"),
             money(col("o_totalprice")).as("price"))
         Acid.appendTxn(spark, table, or, txnId = 0L)                 // v0
+        val s = or.agg(max(col("o_orderkey"))).head.getLong(0) + 1   // data-relative shift
         Acid.createBranch(table, "exp", 0L)
         Acid.appendTxnBranch(spark, table, "exp",                    // commit A
           or.filter(col("o_orderkey") < 50)
-            .withColumn("o_orderkey", col("o_orderkey") + 6000000L), txnId = 100L)
+            .withColumn("o_orderkey", col("o_orderkey") + s), txnId = 100L)
         Acid.appendTxnBranch(spark, table, "exp",                    // commit B
           or.filter(col("o_orderkey") < 30)
-            .withColumn("o_orderkey", col("o_orderkey") + 7000000L), txnId = 101L)
+            .withColumn("o_orderkey", col("o_orderkey") + 2 * s), txnId = 101L)
         Acid.appendTxn(spark, table,                                 // main moves
           or.filter(col("o_orderkey") < 20)
-            .withColumn("o_orderkey", col("o_orderkey") + 8000000L), txnId = 1L)
+            .withColumn("o_orderkey", col("o_orderkey") + 3 * s), txnId = 1L)
         val branchRows = Acid.readBranch(spark, table, "exp").count()
         val v = Acid.cherryPick(table, "exp", branchTxn = 101L, txnId = 2L)
         require(Acid.cherryPick(table, "exp", 101L, txnId = 2L) == v,
@@ -1412,18 +1432,19 @@ object Lakehouse {
           .orderBy(col("o_orderkey"))
       },
       Some("""
+        WITH b AS (SELECT MAX(o_orderkey) + 1 AS s FROM orders)
         SELECT o_orderkey, o_orderstatus, price FROM (
           SELECT o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
           FROM orders
           UNION ALL
-          SELECT o_orderkey + 8000000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + 3 * s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-          FROM orders WHERE o_orderkey < 20
+          FROM orders, b WHERE o_orderkey < 20
           UNION ALL
-          SELECT o_orderkey + 7000000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + 2 * s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-          FROM orders WHERE o_orderkey < 30
+          FROM orders, b WHERE o_orderkey < 30
         ) ORDER BY o_orderkey""".trim)),
 
     // Branch diff — the publish PREVIEW (r16): before merging an
@@ -1446,14 +1467,15 @@ object Lakehouse {
           .select(col("o_orderkey"), col("o_orderstatus"),
             money(col("o_totalprice")).as("price"))
         Acid.appendTxn(spark, table, or, txnId = 0L)
+        val s = or.agg(max(col("o_orderkey"))).head.getLong(0) + 1   // data-relative shift
         Acid.createBranch(table, "exp", 0L)
         Acid.appendTxnBranch(spark, table, "exp",
           or.filter(col("o_orderkey") < 100)
-            .withColumn("o_orderkey", col("o_orderkey") + 9000000L), txnId = 100L)
+            .withColumn("o_orderkey", col("o_orderkey") + s), txnId = 100L)
         // main lands work the branch does not see
         Acid.appendTxn(spark, table,
           or.filter(col("o_orderkey") < 40)
-            .withColumn("o_orderkey", col("o_orderkey") + 9500000L), txnId = 1L)
+            .withColumn("o_orderkey", col("o_orderkey") + 2 * s), txnId = 1L)
         val main = Acid.read(spark, table)
         val branch = Acid.readBranch(spark, table, "exp")
         val branchOnly = branch.join(main.select(col("o_orderkey")),
@@ -1467,24 +1489,27 @@ object Lakehouse {
           .orderBy(col("o_orderkey"))
       },
       Some("""
+        WITH b AS (SELECT MAX(o_orderkey) + 1 AS s FROM orders)
         SELECT o_orderkey, o_orderstatus, price, side FROM (
-          SELECT o_orderkey + 9000000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
                  'branch_only' AS side
-          FROM orders WHERE o_orderkey < 100
+          FROM orders, b WHERE o_orderkey < 100
           UNION ALL
-          SELECT o_orderkey + 9500000 AS o_orderkey, o_orderstatus,
+          SELECT o_orderkey + 2 * s AS o_orderkey, o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
                  'main_only' AS side
-          FROM orders WHERE o_orderkey < 40
+          FROM orders, b WHERE o_orderkey < 40
         ) ORDER BY o_orderkey""".trim)),
 
     // Partition-tuple metadata table (r16 — see [[Acid.partitions]]):
     // Iceberg's `partitions` metadata table. The events table lands under
-    // a hidden day(ts) transform in two appends, each repartitioned BY the
-    // day expression so every (append, day) pair is exactly one file —
-    // the file count per tuple becomes a cross-engine fact (2), not an
-    // accident of parallelism. Row counts per tuple come from ONE
+    // a hidden day(ts) transform in two appends (even/odd event ids), each
+    // repartitioned BY the day expression so every (append, day) pair is
+    // exactly one file — the file count per tuple becomes a cross-engine
+    // fact (the count of id-parities present that day — 2 except where a
+    // sparse edge day carries only one parity), not an accident of
+    // parallelism. Row counts per tuple come from ONE
     // distributed scan folded through the broadcast file→tuple map; the
     // oracle re-derives them from raw events with the same floor-division
     // day math the transform uses. This is the table a 100 TB operator
@@ -1507,7 +1532,7 @@ object Lakehouse {
       Some("""
         SELECT 'day_ts=' || CAST(epoch_us(ts) // 86400000000 AS BIGINT)
                  AS partition,
-               CAST(2 AS BIGINT) AS n_files,
+               COUNT(DISTINCT event_id % 2) AS n_files,
                COUNT(*) AS n_rows
         FROM events
         GROUP BY 1

@@ -416,6 +416,21 @@ object ExplainDump {
       "'quarterly-audit') AFTER a vacuum that expired the same version by " +
       "number — the scan lists the pinned version's files exactly; the tag " +
       "costs one O(1) file and O(tagged manifests) vacuum arithmetic."),
+    "scan_branch_diff" -> ("Branch diff (r16): the publish preview plans as " +
+      "two LEFT ANTI joins on the key — at fixture scale AQE broadcasts " +
+      "the key sides; at 100 TB both degrade gracefully to shuffled anti " +
+      "joins that carry keys, never payloads. Both inputs resolve from " +
+      "manifests (branch head vs main head) with delete vectors applied " +
+      "before the diff."),
+    "scan_row_policy" -> ("Row policy + masks (r16): governance as a view " +
+      "rewrite keeps the reporting-query plan — dims broadcast, the scoped " +
+      "row predicate applied before any user expression, masks as plain " +
+      "projections inside whole-stage codegen, and the untouched " +
+      "c_mktsegment column pruned out of the customer scan entirely."),
+    "scan_table_partitions" -> ("Partitions metadata table (r16): the exact " +
+      "row counts come from ONE distributed scan grouped by " +
+      "input_file_name — O(files) rows to the driver, folded to tuples " +
+      "through the manifest's pval map; never a per-tuple scan."),
   )
 
   def main(args: Array[String]): Unit = {
