@@ -1971,6 +1971,61 @@ object Acid {
       v
     }
 
+  /** REBASE a branch onto main's current head — the git-rebase of refs:
+    * a long-running experiment keeps itself current instead of divergence
+    * compounding until publish day. The branch's own commits (txns + the
+    * files they added since the fork) replay onto main's head manifest as
+    * ONE new branch commit, the ref's fork base moves to main's current
+    * version, and main is untouched — after a rebase, [[fastForwardBranch]]
+    * publishes in O(1) as long as main holds still. Same safety rails as
+    * [[mergeBranch]]: append-only branches only, cross-ref txn collisions
+    * refuse. Main's standing delete vectors apply to the branch's rows
+    * from now on (they ride the new base manifest). Idempotent per
+    * `txnId` against the BRANCH ledger. Metadata-only — zero data bytes
+    * move whatever the experiment's size. */
+  def rebaseBranch(table: String, name: String, txnId: Long): Long =
+    withWriterLock(table) {
+      val (base, head) = branches(table).getOrElse(name,
+        sys.error(s"Acid.rebaseBranch: no branch '$name' at $table"))
+      val brLines = branchLines(table, name)
+      if (brLines.contains(s"# txn:$txnId")) return head // replay → no-op
+      val baseLines = manifestLines(table, base)
+      def dels(ls: Seq[String]) =
+        ls.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")).toSet
+      require(dels(brLines) == dels(baseLines),
+        s"rebaseBranch: branch '$name' recorded deletes since the fork — " +
+          s"append-only branches rebase; delete reconciliation needs mergeCow")
+      val newFiles = {
+        val baseFiles = baseLines.filterNot(_.startsWith("#")).toSet
+        brLines.filterNot(_.startsWith("#")).filterNot(baseFiles)
+      }
+      val newTxns = {
+        val baseTxns = baseLines.filter(_.startsWith("# txn:")).toSet
+        brLines.filter(_.startsWith("# txn:")).filterNot(baseTxns)
+      }
+      val cur = currentVersion(table).get
+      val curLines = manifestLines(table, cur)
+      require(curLines.contains("# base:."),
+        s"rebaseBranch on snapshot-mode table $table")
+      val collided = newTxns.toSet.intersect(
+        curLines.filter(_.startsWith("# txn:")).toSet)
+      require(collided.isEmpty,
+        s"rebaseBranch: txn ids committed on both main and branch '$name' " +
+          s"since the fork: ${collided.mkString(", ")}")
+      val k = head + 1
+      Files.write(brManifest(table, name, k),
+        (("# base:." +:
+          ((curLines.filter(_.startsWith("# txn:")) ++ newTxns :+ s"# txn:$txnId") ++
+            curLines.filter(l => !l.startsWith("# txn:") && l != "# base:." &&
+              l.startsWith("#")))) ++
+          curLines.filterNot(_.startsWith("#")) ++ newFiles)
+          .mkString("", "\n", "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      writeBranchRef(table, name, cur, k, createNew = false)
+      k
+    }
+
   /** Cherry-pick ONE branch commit onto main — Iceberg's cherrypickSnapshot:
     * the branch stays open (unlike [[mergeBranch]]), only the files the
     * picked commit ADDED land on main, under both the picked commit's txn

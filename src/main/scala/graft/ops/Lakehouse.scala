@@ -1383,6 +1383,86 @@ object Lakehouse {
           FROM orders, b WHERE o_orderkey < 25
         ) ORDER BY o_orderkey, o_orderstatus""".trim)),
 
+    // Branch rebase (r16 — see [[Acid.rebaseBranch]]): the git-rebase of
+    // refs. A long experiment forks, copies low keys, and keeps working
+    // while main lands a delete AND an append; instead of letting the
+    // divergence compound until publish day, the branch REBASES — its own
+    // commits replay onto main's head as one metadata commit, the fork
+    // base moves forward, main untouched (in-body pinned). After the
+    // rebase the branch sees main's new rows, main's delete vectors
+    // subtract from the branch's copies (the oracle pins exactly that),
+    // and work continues ON the branch before a clean O(1) fast-forward
+    // publish — which would have REFUSED before the rebase (pinned). At
+    // 100 TB this is how week-long experiments stay publishable: rebase
+    // daily for O(manifest) text, publish whenever, no data moves ever.
+    Q("sink_branch_rebase",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_brrebase", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or, txnId = 0L)                 // v0
+        val s = or.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+        Acid.createBranch(table, "exp", 0L)
+        Acid.appendTxnBranch(spark, table, "exp",
+          or.filter(col("o_orderkey") < 150), txnId = 100L)          // copies
+        // main advances: a delete and an append the branch cannot see yet
+        Acid.deleteTxn(spark, table,
+          or.filter(col("o_orderkey") % 13 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 1L)                                  // v1
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") < 35)
+            .withColumn("o_orderkey", col("o_orderkey") + s), txnId = 2L) // v2
+        // stale fork: fast-forward refuses until the branch rebases
+        val ffRefused =
+          try { Acid.fastForwardBranch(table, "exp", txnId = 3L); false }
+          catch { case _: IllegalArgumentException => true }
+        require(ffRefused, "fastForwardBranch accepted a stale fork base")
+        val mainRows = Acid.read(spark, table).count()
+        val h = Acid.rebaseBranch(table, "exp", txnId = 200L)
+        require(Acid.rebaseBranch(table, "exp", txnId = 200L) == h,
+          "replayed rebase must no-op through the branch ledger")
+        require(Acid.read(spark, table).count() == mainRows,
+          "rebase mutated main")
+        // the rebased branch sees main's append; main's delete vectors now
+        // subtract from the branch's copies too
+        require(Acid.readBranch(spark, table, "exp")
+          .filter(col("o_orderkey") >= s).count() == 35L,
+          "rebase did not bring main's new rows onto the branch")
+        require(Acid.readBranch(spark, table, "exp")
+          .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") < s)
+          .count() == 0L,
+          "main's delete vectors must apply to the rebased branch")
+        // work continues on the branch, then a clean O(1) publish
+        Acid.appendTxnBranch(spark, table, "exp",
+          or.filter(col("o_orderkey") < 15)
+            .withColumn("o_orderkey", col("o_orderkey") + 2 * s), txnId = 101L)
+        Acid.fastForwardBranch(table, "exp", txnId = 3L)
+        Acid.read(spark, table)
+          .withColumn("price", col("price").cast("double"))
+          .orderBy(col("o_orderkey"), col("o_orderstatus"))
+      },
+      Some("""
+        WITH b AS (SELECT MAX(o_orderkey) + 1 AS s FROM orders)
+        SELECT o_orderkey, o_orderstatus, price FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey % 13 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey < 150 AND o_orderkey % 13 <> 0
+          UNION ALL
+          SELECT o_orderkey + s AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders, b WHERE o_orderkey < 35
+          UNION ALL
+          SELECT o_orderkey + 2 * s AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders, b WHERE o_orderkey < 15
+        ) ORDER BY o_orderkey, o_orderstatus""".trim)),
+
     // Cherry-pick ONE branch commit (r16 — see [[Acid.cherryPick]]):
     // Iceberg's cherrypickSnapshot. The experiment branch carries two
     // commits; only the SECOND is ready to ship, so main picks exactly

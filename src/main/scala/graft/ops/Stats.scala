@@ -1522,6 +1522,76 @@ object Stats {
         FROM shares
         GROUP BY d
         ORDER BY d""".trim)),
+
+    // Cramér's V (r16): the EFFECT-SIZE companion to stats_chi_square —
+    // chi² says "statuses and priorities are associated", V says "by how
+    // much" on a 0..1 scale (V = sqrt(chi² / (n·min(r−1, c−1)))), the
+    // number one actually compares across tables. Determinism follows the
+    // §7.3 chi-square pattern one step further: each cell's contribution
+    // is coarsened to DECIMAL(18,6) (the per-row double→decimal rounding
+    // is engine-identical), then SUMMED AS DECIMALS — exact and
+    // order-independent, so the cross-row reduction that plain double
+    // summation would make partitioning-dependent is exact; the final
+    // division and sqrt are one correctly-rounded IEEE op each on
+    // identical operands. The r·c contingency cells are the only shuffle
+    // payload — output-bound, independent of row count at 100 TB.
+    graft.Q("stats_cramers_v",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val or = Tables.orders(spark, sfDir)
+        val cell = or.groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("obs"))
+        val wr = Window.partitionBy("o_orderstatus")
+        val wc = Window.partitionBy("o_orderpriority")
+        val per = cell
+          .select(col("obs"),
+            sum("obs").over(wr).as("rt"), sum("obs").over(wc).as("ct"))
+          .crossJoin(broadcast(cell.agg(sum("obs").as("n"))))
+          .withColumn("expected",
+            (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+          .withColumn("contrib",
+            (col("obs").cast("double") - col("expected")) *
+              (col("obs").cast("double") - col("expected")) / col("expected"))
+        val r = cell.select("o_orderstatus").distinct().count()
+        val c = cell.select("o_orderpriority").distinct().count()
+        val minDim = math.min(r - 1, c - 1)
+        per.agg(
+          sum(col("obs")).as("n"),
+          graft.Det.emit(sum(col("contrib").cast(DecimalType(18, 6))), 6).as("chi2"))
+          .withColumn("df", lit((r - 1) * (c - 1)))
+          .withColumn("cramers_v",
+            sqrt(col("chi2") / (col("n") * lit(minDim)).cast("double")))
+          .select(col("n"), col("chi2"), col("df"), col("cramers_v"))
+      },
+      Some(s"""
+        WITH cell AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS obs
+          FROM orders GROUP BY 1, 2),
+        m AS (
+          SELECT obs,
+                 CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS rt,
+                 CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS ct,
+                 (SELECT CAST(SUM(obs) AS BIGINT) FROM cell) AS n
+          FROM cell),
+        e AS (
+          SELECT obs, n,
+                 CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected
+          FROM m),
+        dims AS (
+          SELECT (SELECT COUNT(DISTINCT o_orderstatus) FROM orders) AS r,
+                 (SELECT COUNT(DISTINCT o_orderpriority) FROM orders) AS c),
+        agg AS (
+          SELECT CAST(MAX(n) AS BIGINT) AS n,
+                 ${graft.Det.sqlEmit(
+                   "SUM(CAST((CAST(obs AS DOUBLE) - expected) * " +
+                   "(CAST(obs AS DOUBLE) - expected) / expected AS DECIMAL(18,6)))",
+                   6)} AS chi2
+          FROM e)
+        SELECT n, chi2,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+               SQRT(chi2 / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+        FROM agg, dims""".trim)),
   )
 
   /** Register fixture tables as managed catalog tables under `db` (stored

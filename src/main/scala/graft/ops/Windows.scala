@@ -1107,5 +1107,35 @@ object Windows {
           .orderBy(col("event_type"), col("hr"))
       },
       None),
+
+    // Distribution windows (r16): the ranked-distribution trio — NTILE
+    // (equal-frequency bucketing, larger buckets first per the SQL
+    // standard), CUME_DIST (rank/n), PERCENT_RANK ((rank−1)/(n−1)) — over
+    // a total order (o_orderkey is unique per partition, so no tie
+    // ambiguity). The two ratios are each ONE IEEE division of identical
+    // integer operands in both engines — bit-deterministic without any
+    // coarsening. One hash exchange on o_orderstatus carries all three
+    // analytics; at 100 TB this is the quantile-bucket assignment every
+    // feature pipeline runs (decile targets, rank-normalized features).
+    Q("window_ntile",
+      (spark, sfDir) => {
+        val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+        Tables.orders(spark, sfDir)
+          .filter(col("o_orderkey") % 97 === 0) // ~1% sample keeps output bounded
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            cume_dist().over(w).as("cdist"),
+            percent_rank().over(w).as("prank"))
+          .orderBy(col("o_orderstatus"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderkey,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               CUME_DIST() OVER w AS cdist,
+               PERCENT_RANK() OVER w AS prank
+        FROM orders
+        WHERE o_orderkey % 97 = 0
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        ORDER BY o_orderstatus, o_orderkey""".trim)),
   )
 }
