@@ -176,42 +176,64 @@ object Acid {
   // mod 4096 stays affine, so bucket-clustered keys (k ≡ c mod 8) would
   // concentrate into a gcd-coset and saturate it (measured: absent-key
   // false positives on every file before this).
-  private[ops] val BloomBits = 4096
-  /** Per-file 4096-bit bloom lines over a long-valued expr, one pass of
-    * bit_or aggregates (fully distributed — no per-file driver collect of
-    * keys). Shared by [[commit]] (snapshot mode, `v=<n>`-relative paths)
-    * and [[optimize]] (append mode, root-relative): the `relTo` prefix is
-    * what keeps the stat key identical to the manifest's data-file line. */
+  private[ops] val BloomBits = 4096 // floor width; real width adapts to NDV
+  /** Per-file bloom lines over a long-valued expr, one pass of bit_or
+    * aggregates (fully distributed — no per-file driver collect of keys).
+    * The filter WIDTH is ADAPTIVE (r16 sf10 lesson: a fixed 4096-bit
+    * filter saturates at ~19k keys/file and prunes nothing — parquet
+    * sizes its blooms by NDV for the same reason): a first O(files)
+    * approx-NDV pass picks the smallest power of two ≥ 16 bits/key for
+    * the densest file (k = 2 probes → ~12.5% fill → ~1.5% FPR at any
+    * scale), floored at 4096 and capped at 2²⁰ (16 KiB of words per file
+    * line — manifest text, not data). Readers derive the width from the
+    * stored word count, so mixed-width generations coexist in one
+    * manifest. Shared by [[commit]] (snapshot mode, `v=<n>`-relative
+    * paths) and [[optimize]] (append mode, root-relative): the `relTo`
+    * prefix is what keeps the stat key identical to the manifest's
+    * data-file line. */
   private def bloomLines(spark: SparkSession, paths: Seq[String],
       relTo: Path, name: String, expr0: Column): Seq[String] = {
-    val words = BloomBits / 64
-    def setBit(p: String, k: Int): String =
-      s"IF($p div 64 = $k, shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT)), CAST(0 AS BIGINT))"
-    val aggs = (0 until words).map { k =>
-      org.apache.spark.sql.functions.bit_or(
-        org.apache.spark.sql.functions.expr(
-          s"${setBit("__p1", k)} | ${setBit("__p2", k)}")).as(s"w$k")
-    }
-    spark.read.parquet(paths: _*)
+    val maxNdv = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name())
+      .agg(org.apache.spark.sql.functions.approx_count_distinct(expr0).as("ndv"))
+      .agg(max(col("ndv"))).head.getLong(0) // O(files) control plane
+    val bits = math.min(1L << 20,
+      math.max(BloomBits.toLong, java.lang.Long.highestOneBit(
+        math.max(1L, 16L * maxNdv - 1)) << 1)).toInt
+    val words = bits / 64
+    // aggregate per (file, word) GROUP, not per-word agg columns: a wide
+    // filter as thousands of bit_or columns blows codegen and the hash
+    // map (OOM observed at 2²⁰ bits); as groups the shuffle carries at
+    // most min(2·ndv, words) rows per file
+    val positions = spark.read.parquet(paths: _*)
       .withColumn("__y", org.apache.spark.sql.functions.pmod(expr0, org.apache.spark.sql.functions.lit(1000003L)))
       .withColumn("__h1", org.apache.spark.sql.functions.expr("(__y * 48271) % 2147483647"))
-      .withColumn("__p1", org.apache.spark.sql.functions.expr(s"__h1 % $BloomBits"))
-      .withColumn("__p2", org.apache.spark.sql.functions.expr(s"(__h1 * 48271) % 2147483647 % $BloomBits"))
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // O(files) rows — manifest-construction control plane
-      .map { r =>
-        val rel = relTo.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
-        val ws = (0 until words).map(k => r.getLong(k + 1)).mkString(",")
-        s"# bloom:$rel|$name|$ws"
-      }.sorted.toSeq
+      .withColumn("__p1", org.apache.spark.sql.functions.expr(s"__h1 % $bits"))
+      .withColumn("__p2", org.apache.spark.sql.functions.expr(s"(__h1 * 48271) % 2147483647 % $bits"))
+    val wordRows = positions
+      .select(input_file_name().as("f"), col("__p1").as("p"))
+      .unionAll(positions.select(input_file_name().as("f"), col("__p2").as("p")))
+      .groupBy(col("f"), org.apache.spark.sql.functions.expr("p div 64").as("w"))
+      .agg(org.apache.spark.sql.functions.bit_or(
+        org.apache.spark.sql.functions.expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")).as("bits"))
+      .collect() // O(files × set words) rows — manifest control plane
+    wordRows.groupBy(r => r.getString(0)).map { case (file, rs) =>
+      val arr = new Array[Long](words)
+      rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+      val rel = relTo.relativize(Paths.get(java.net.URI.create(file))).toString
+      s"# bloom:$rel|$name|${arr.mkString(",")}"
+    }.toSeq.sorted
   }
 
-  private[ops] def bloomPositions(key: Long): (Int, Int) = {
+  /** Probe positions for a `bits`-wide filter — duplicated EXACTLY from
+    * the column expressions in [[bloomLines]]; `bits` comes from the
+    * stored word count at read time. */
+  private[ops] def bloomPositions(key: Long, bits: Int = BloomBits): (Int, Int) = {
     val y = Math.floorMod(key, 1000003L)
     val h1 = (y * 48271L) % 2147483647L
     val h2 = (h1 * 48271L) % 2147483647L
-    ((h1 % BloomBits).toInt, (h2 % BloomBits).toInt)
+    ((h1 % bits).toInt, (h2 % bits).toInt)
   }
 
   /** Atomic O_EXCL create of `claim-<v>` — the single version-coordination
@@ -1584,11 +1606,14 @@ object Acid {
         case _ => None
       }
     }.toMap
-    val (p1, p2) = bloomPositions(key)
     def hasBit(w: Array[Long], p: Int): Boolean = (w(p / 64) >>> (p % 64) & 1L) == 1L
     val all = lines.filterNot(_.startsWith("#"))
     val kept = all.filter(f =>
-      blooms.get(f).forall(w => hasBit(w, p1) && hasBit(w, p2)))
+      blooms.get(f).forall { w =>
+        // width is per-line (adaptive blooms; mixed generations coexist)
+        val (p1, p2) = bloomPositions(key, w.length * 64)
+        hasBit(w, p1) && hasBit(w, p2)
+      })
     (kept, all)
   }
 
