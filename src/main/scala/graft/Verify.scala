@@ -40,6 +40,16 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-key session residue (r16: a 14-streaming-key sf10 run
+      // OOM'd because each memory sink's rows stay pinned by its temp
+      // view until the session dies): drop the sinks' temp views and the
+      // SQL entry path's manifest-resolved views — never the fixture
+      // table views, which SqlEntry's per-sfDir registration cache owns
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && (t.name.startsWith("graft_sink_") ||
+          t.name.startsWith("graft_fanout_") || t.name.startsWith("__graft_acid_")))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
