@@ -38,7 +38,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // print the CAUSE chain: scala futures box fatal errors as
+        // ExecutionException("Boxed Exception", t) — the message alone
+        // hides the OOM/SO underneath (r16 diagnosis cost a 40-min rerun)
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(5).map(t => s"${t.getClass.getSimpleName}: ${t.getMessage}")
+          .mkString(" <- ")
+        System.err.println(s"[verify] $name failed: $chain")
       }
       // release per-key session residue (r16: a 14-streaming-key sf10 run
       // OOM'd because each memory sink's rows stay pinned by its temp
