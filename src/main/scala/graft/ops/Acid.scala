@@ -193,10 +193,14 @@ object Acid {
     * data-file line. */
   private def bloomLines(spark: SparkSession, paths: Seq[String],
       relTo: Path, name: String, expr0: Column): Seq[String] = {
-    val maxNdv = spark.read.parquet(paths: _*)
+    // O(files) control plane. Degenerate inputs must behave like the old
+    // fixed-width path (ADVICE r16): an all-empty file set groups to zero
+    // rows, so max(ndv) is NULL — fall back to 1 key (floor width) instead
+    // of NPEing; optimize-after-delete-all is a legal maintenance call.
+    val maxNdv = Option(spark.read.parquet(paths: _*)
       .groupBy(input_file_name())
       .agg(org.apache.spark.sql.functions.approx_count_distinct(expr0).as("ndv"))
-      .agg(max(col("ndv"))).head.getLong(0) // O(files) control plane
+      .agg(max(col("ndv"))).head.get(0)).fold(1L)(_.asInstanceOf[Long])
     val bits = math.min(1L << 20,
       math.max(BloomBits.toLong, java.lang.Long.highestOneBit(
         math.max(1L, 16L * maxNdv - 1)) << 1)).toInt
@@ -213,6 +217,10 @@ object Acid {
     val wordRows = positions
       .select(input_file_name().as("f"), col("__p1").as("p"))
       .unionAll(positions.select(input_file_name().as("f"), col("__p2").as("p")))
+      // NULL keys hash to NULL positions: drop them (ADVICE r16 — a null
+      // word index NPEd below). A null key is simply not representable in
+      // the filter; readers never probe null, so pruning stays sound.
+      .filter(col("p").isNotNull)
       .groupBy(col("f"), org.apache.spark.sql.functions.expr("p div 64").as("w"))
       .agg(org.apache.spark.sql.functions.bit_or(
         org.apache.spark.sql.functions.expr(
@@ -1886,6 +1894,18 @@ object Acid {
       sys.error(s"Acid.appendTxnBranch: no branch '$name' at $table"))
     val prev = branchLines(table, name)
     if (prev.contains(s"# txn:$txnId")) return head // replay → no-op
+    // Global-ledger guard (ADVICE r16, Delta's txnAppId contract): a txn id
+    // already committed to MAIN but absent from this branch's own ledger is
+    // a cross-incarnation replay — after a merge/cherry-pick publish, main
+    // permanently references files under branch=<name>/txn=<id>/, and a
+    // re-created branch replaying that id would overwrite (mode=overwrite)
+    // published data files, silently corrupting main's committed snapshot.
+    // The branch-local ledger (fork base ∪ branch commits) already no-ops
+    // legitimate same-incarnation replays above; anything else refuses.
+    require(!committedTxns(table).contains(txnId),
+      s"Acid.appendTxnBranch: txn $txnId is already committed on main at " +
+        s"$table but not on branch '$name' — a published txn's data files " +
+        s"must never be overwritten by a branch replay; use a fresh txn id")
     val root = Paths.get(table)
     val dataDir = root.resolve(s"branch=$name").resolve(s"txn=$txnId")
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -1920,23 +1940,45 @@ object Acid {
     * [[mergeBranch]]. Idempotent per `txnId`; retires the branch ref. */
   def fastForwardBranch(table: String, name: String, txnId: Long): Long =
     withWriterLock(table) {
-      if (committedTxns(table).contains(txnId)) {
-        dropBranchRefOnly(table, name) // crashed between commit and retire
-        return currentVersion(table).get
-      }
-      val (base, head) = branches(table).getOrElse(name,
-        sys.error(s"Acid.fastForwardBranch: no branch '$name' at $table"))
-      val cur = currentVersion(table).get
-      require(cur == base,
-        s"fastForwardBranch: main advanced ($base -> $cur) since the fork — " +
-          s"use mergeBranch")
-      if (head < 0) { dropBranchRefOnly(table, name); return cur } // empty branch
-      val lines = branchLines(table, name)
-      val v = commitManifest(table, cur + 1,
-        ("# base:." +:
+      // Through commitNextVersion like every other commit path (ADVICE r16):
+      // the claim is what serializes a publish against lock-free
+      // appendTxnCAS writers — a direct commitManifest would throw an
+      // unhandled FileAlreadyExistsException on a lost race instead of
+      // re-evaluating against the advanced head.
+      val v = commitNextVersion(table) { (cur, prev) =>
+        if (prev.contains(s"# txn:$txnId")) {
+          // txnId already on main: either OUR publish crashed between the
+          // commit and the ref retire, or an unrelated main commit happens
+          // to carry the same id. Retire the ref only on the completed-
+          // publish signature — every branch txn visible on main (ADVICE
+          // r16: an accidental collision must not destroy a live branch).
+          branches(table).get(name).foreach { _ =>
+            val brTxns = branchLines(table, name)
+              .filter(_.startsWith("# txn:")).toSet
+            require(brTxns.subsetOf(prev.toSet),
+              s"fastForwardBranch: txn $txnId is already committed on main " +
+                s"at $table but branch '$name' holds unpublished commits — " +
+                s"txn-id collision, refusing to retire the branch ref")
+            dropBranchRefOnly(table, name)
+          }
+          Some(cur.get)
+        } else {
+          val (base, head) = branches(table).getOrElse(name,
+            sys.error(s"Acid.fastForwardBranch: no branch '$name' at $table"))
+          val c = cur.get
+          require(c == base,
+            s"fastForwardBranch: main advanced ($base -> $c) since the fork — " +
+              s"use mergeBranch")
+          if (head < 0) { dropBranchRefOnly(table, name); Some(c) } // empty
+          else None
+        }
+      } { (_, _) =>
+        val lines = branchLines(table, name)
+        "# base:." +:
           ((lines.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId") ++
-            lines.filterNot(l => l.startsWith("# txn:") || l == "# base:."))))
-      dropBranchRefOnly(table, name)
+            lines.filterNot(l => l.startsWith("# txn:") || l == "# base:."))
+      }
+      if (branches(table).contains(name)) dropBranchRefOnly(table, name)
       v
     }
 
@@ -1950,49 +1992,63 @@ object Acid {
     * [[mergeCow]]'s job, not a silent union's. Idempotent per `txnId`. */
   def mergeBranch(table: String, name: String, txnId: Long): Long =
     withWriterLock(table) {
-      if (committedTxns(table).contains(txnId)) {
-        dropBranchRefOnly(table, name)
-        return currentVersion(table).get
-      }
-      val (base, _) = branches(table).getOrElse(name,
-        sys.error(s"Acid.mergeBranch: no branch '$name' at $table"))
-      val baseLines = manifestLines(table, base)
-      val brLines = branchLines(table, name)
-      def dels(ls: Seq[String]) =
-        ls.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")).toSet
-      require(dels(brLines) == dels(baseLines),
-        s"mergeBranch: branch '$name' recorded deletes since the fork — " +
-          s"append-only branches merge; delete reconciliation needs mergeCow")
-      val newFiles = {
-        val baseFiles = baseLines.filterNot(_.startsWith("#")).toSet
-        brLines.filterNot(_.startsWith("#")).filterNot(baseFiles)
-      }
-      val newTxns = {
-        val baseTxns = baseLines.filter(_.startsWith("# txn:")).toSet
-        brLines.filter(_.startsWith("# txn:")).filterNot(baseTxns)
-      }
-      val cur = currentVersion(table).get
-      val curLines = manifestLines(table, cur)
-      require(curLines.contains("# base:."),
-        s"mergeBranch on snapshot-mode table $table")
-      // exactly-once across refs: a txn id that landed on BOTH main (since
-      // the fork) and the branch is the same logical commit applied twice —
-      // merging would double its rows silently. Refuse loudly; the operator
-      // resolves by dropping one side (Delta's txnAppId is global for the
-      // same reason).
-      val collided = newTxns.toSet.intersect(
-        curLines.filter(_.startsWith("# txn:")).toSet)
-      require(collided.isEmpty,
-        s"mergeBranch: txn ids committed on both main and branch '$name' " +
-          s"since the fork: ${collided.mkString(", ")} — the same logical " +
-          s"commit cannot land twice")
-      val v = commitManifest(table, cur + 1,
+      // Same claim-protocol routing as [[fastForwardBranch]] (ADVICE r16):
+      // the build re-derives against whatever head the claim serialized on,
+      // so a racing appendTxnCAS makes the merge rebase, not throw.
+      val v = commitNextVersion(table) { (cur, prev) =>
+        if (prev.contains(s"# txn:$txnId")) {
+          branches(table).get(name).foreach { _ =>
+            val brTxns = branchLines(table, name)
+              .filter(_.startsWith("# txn:")).toSet
+            require(brTxns.subsetOf(prev.toSet),
+              s"mergeBranch: txn $txnId is already committed on main at " +
+                s"$table but branch '$name' holds unpublished commits — " +
+                s"txn-id collision, refusing to retire the branch ref")
+            dropBranchRefOnly(table, name)
+          }
+          Some(cur.get)
+        } else {
+          branches(table).getOrElse(name,
+            sys.error(s"Acid.mergeBranch: no branch '$name' at $table"))
+          None
+        }
+      } { (_, curLines) =>
+        val (base, _) = branches(table)(name)
+        val baseLines = manifestLines(table, base)
+        val brLines = branchLines(table, name)
+        def dels(ls: Seq[String]) =
+          ls.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:")).toSet
+        require(dels(brLines) == dels(baseLines),
+          s"mergeBranch: branch '$name' recorded deletes since the fork — " +
+            s"append-only branches merge; delete reconciliation needs mergeCow")
+        val newFiles = {
+          val baseFiles = baseLines.filterNot(_.startsWith("#")).toSet
+          brLines.filterNot(_.startsWith("#")).filterNot(baseFiles)
+        }
+        val newTxns = {
+          val baseTxns = baseLines.filter(_.startsWith("# txn:")).toSet
+          brLines.filter(_.startsWith("# txn:")).filterNot(baseTxns)
+        }
+        require(curLines.contains("# base:."),
+          s"mergeBranch on snapshot-mode table $table")
+        // exactly-once across refs: a txn id that landed on BOTH main (since
+        // the fork) and the branch is the same logical commit applied twice —
+        // merging would double its rows silently. Refuse loudly; the operator
+        // resolves by dropping one side (Delta's txnAppId is global for the
+        // same reason).
+        val collided = newTxns.toSet.intersect(
+          curLines.filter(_.startsWith("# txn:")).toSet)
+        require(collided.isEmpty,
+          s"mergeBranch: txn ids committed on both main and branch '$name' " +
+            s"since the fork: ${collided.mkString(", ")} — the same logical " +
+            s"commit cannot land twice")
         ("# base:." +:
           ((curLines.filter(_.startsWith("# txn:")) ++ newTxns :+ s"# txn:$txnId") ++
             curLines.filter(l => !l.startsWith("# txn:") && l != "# base:." &&
               l.startsWith("#")))) ++
-          curLines.filterNot(_.startsWith("#")) ++ newFiles)
-      dropBranchRefOnly(table, name)
+          curLines.filterNot(_.startsWith("#")) ++ newFiles
+      }
+      if (branches(table).contains(name)) dropBranchRefOnly(table, name)
       v
     }
 
@@ -2062,7 +2118,6 @@ object Acid {
     * keys on. Metadata-only; idempotent per `txnId`. */
   def cherryPick(table: String, name: String, branchTxn: Long,
       txnId: Long): Long = withWriterLock(table) {
-    if (committedTxns(table).contains(txnId)) return currentVersion(table).get
     val (base, head) = branches(table).getOrElse(name,
       sys.error(s"Acid.cherryPick: no branch '$name' at $table"))
     def linesAt(k: Long): Seq[String] =
@@ -2087,19 +2142,32 @@ object Acid {
       val prev = before.filterNot(_.startsWith("#")).toSet
       after.filterNot(_.startsWith("#")).filterNot(prev)
     }
-    val cur = currentVersion(table).get
-    val curLines = manifestLines(table, cur)
-    require(curLines.contains("# base:."),
-      s"cherryPick on snapshot-mode table $table")
-    require(!curLines.contains(s"# txn:$branchTxn"),
-      s"cherryPick: txn $branchTxn already committed on main")
-    commitManifest(table, cur + 1,
+    // Claim-protocol commit like every other publish path (ADVICE r16): a
+    // racing appendTxnCAS rebases this pick instead of surfacing as an
+    // unhandled FileAlreadyExistsException.
+    commitNextVersion(table) { (cur, prev) =>
+      if (prev.contains(s"# txn:$txnId")) {
+        // completed-pick signature: the picked branch commit itself is on
+        // main. An unrelated commit merely sharing our publish id must not
+        // silently skip the pick (ADVICE r16).
+        require(prev.contains(s"# txn:$branchTxn"),
+          s"cherryPick: txn $txnId is already committed on main at $table " +
+            s"but picked commit $branchTxn is not — txn-id collision, " +
+            s"refusing to skip the pick")
+        Some(cur.get)
+      } else None
+    } { (_, curLines) =>
+      require(curLines.contains("# base:."),
+        s"cherryPick on snapshot-mode table $table")
+      require(!curLines.contains(s"# txn:$branchTxn"),
+        s"cherryPick: txn $branchTxn already committed on main")
       ("# base:." +:
         ((curLines.filter(_.startsWith("# txn:")) :+ s"# txn:$branchTxn"
           :+ s"# txn:$txnId") ++
           curLines.filter(l => !l.startsWith("# txn:") && l != "# base:." &&
             l.startsWith("#")))) ++
-        curLines.filterNot(_.startsWith("#")) ++ picked)
+        curLines.filterNot(_.startsWith("#")) ++ picked
+    }
   }
 
   private def dropBranchRefOnly(table: String, name: String): Unit = {

@@ -564,6 +564,49 @@ class ConcurrencySpec extends SparkFixture {
     }
     Acid.dropBranch(table, "dup")
   }
+
+  test("branch publish goes through the claim protocol: a racing CAS commit rebases the merge (ADVICE r16)") {
+    import graft.ops.Acid
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val table = java.nio.file.Files.createTempDirectory("graft_publish_claim").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Acid.appendTxn(spark, table, rows(0, 100), txnId = 0L) // v0
+    Acid.createBranch(table, "exp", 0L)
+    Acid.appendTxnBranch(spark, table, "exp", rows(1000, 30), txnId = 100L)
+    // a lock-free CAS writer "in flight": it holds the claim on v1 but has
+    // not yet written its manifest — the r16 defect path published straight
+    // via commitManifest(cur+1) and threw FileAlreadyExistsException once
+    // the racer's manifest landed, instead of rebasing like every other
+    // commit path
+    Files.createFile(Paths.get(table, "claim-1"))
+    val fut = Future { Acid.mergeBranch(table, "exp", txnId = 7L) }
+    Thread.sleep(300) // merge must be spinning on the lost claim, not done
+    assert(!fut.isCompleted, "merge bypassed the claim protocol")
+    // the racer commits v1 (data-less append shape) and flips the pointer
+    val prev = Files.readAllLines(Paths.get(table, "manifest-0.txt")).asScala
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val racerLines = ("# base:." +:
+      (prev.filter(_.startsWith("# txn:")) :+ "# txn:55")) ++
+      prev.filterNot(_.startsWith("#"))
+    Files.write(Paths.get(table, "manifest-1.txt"),
+      racerLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val tmp = Paths.get(table, "_current.tmp.race")
+    Files.write(tmp, "1".getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(table, "_current"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the merge rebases onto v1 and commits v2 — no exception, no lost rows
+    val v = Await.result(fut, 120.seconds)
+    assert(v == 2L, s"merge did not rebase onto the racer's commit: v$v")
+    assert(Acid.read(spark, table).count() == 130L,
+      "rebased merge lost main's or the branch's rows")
+    assert(Acid.committedTxns(table).contains(55L) &&
+      Acid.committedTxns(table).contains(7L) &&
+      Acid.committedTxns(table).contains(100L),
+      "rebased merge dropped a ledger entry")
+    assert(Acid.branches(table).isEmpty, "merge must retire the branch ref")
+  }
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode

@@ -2526,4 +2526,114 @@ class OperatorSpec extends SparkFixture {
       s"all-pruned empty frame dropped evolved columns: " +
         s"${empty.columns.toSeq} vs $evolvedCols")
   }
+
+  test("Acid publish txn-id collision refuses instead of destroying the ref (ADVICE r16)") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_ffcollide").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Acid.appendTxn(spark, table, rows(0, 50), txnId = 7L) // main ledger holds 7
+    Acid.createBranch(table, "exp", 0L)
+    Acid.appendTxnBranch(spark, table, "exp", rows(1000, 10), txnId = 100L)
+    // publishing under an id that an UNRELATED main commit already carries
+    // must refuse loudly — the r16 bug dropped the ref without publishing
+    intercept[IllegalArgumentException] {
+      Acid.fastForwardBranch(table, "exp", txnId = 7L)
+    }
+    assert(Acid.branches(table).contains("exp"),
+      "txn-id collision silently destroyed the branch ref")
+    assert(Acid.readBranch(spark, table, "exp").count() == 60L,
+      "collision refusal lost branch data")
+    // mergeBranch shares the guard
+    intercept[IllegalArgumentException] {
+      Acid.mergeBranch(table, "exp", txnId = 7L)
+    }
+    assert(Acid.branches(table).contains("exp"))
+    // the legitimate publish still works, and its replay no-ops (ref gone)
+    val v = Acid.fastForwardBranch(table, "exp", txnId = 8L)
+    assert(Acid.read(spark, table).count() == 60L)
+    assert(Acid.fastForwardBranch(table, "exp", txnId = 8L) == v,
+      "replayed completed publish must no-op")
+    // cherryPick: a publish id colliding with main while the PICKED commit
+    // is absent must refuse, not silently skip the pick
+    Acid.createBranch(table, "exp2", v)
+    Acid.appendTxnBranch(spark, table, "exp2", rows(3000, 5), txnId = 300L)
+    intercept[IllegalArgumentException] {
+      Acid.cherryPick(table, "exp2", branchTxn = 300L, txnId = 7L)
+    }
+    val v2 = Acid.cherryPick(table, "exp2", branchTxn = 300L, txnId = 9L)
+    assert(Acid.read(spark, table).count() == 65L)
+    assert(Acid.cherryPick(table, "exp2", branchTxn = 300L, txnId = 9L) == v2)
+    Acid.dropBranch(table, "exp2")
+  }
+
+  test("Acid appendTxnBranch refuses a txn id already published to main (ADVICE r16)") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_brreplay").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Acid.appendTxn(spark, table, rows(0, 100), txnId = 0L) // v0
+    Acid.createBranch(table, "b", 0L)
+    Acid.appendTxnBranch(spark, table, "b", rows(1000, 20), txnId = 100L)
+    Acid.mergeBranch(table, "b", txnId = 1L) // main now references branch=b/txn=100 files
+    assert(Acid.read(spark, table).count() == 120L)
+    // re-create the branch at the PRE-merge fork and replay the same txn id:
+    // the r16 bug overwrote (mode=overwrite) the published data files under
+    // branch=b/txn=100/, silently corrupting main's committed snapshot
+    Acid.createBranch(table, "b", 0L)
+    intercept[IllegalArgumentException] {
+      Acid.appendTxnBranch(spark, table, "b", rows(5000, 99), txnId = 100L)
+    }
+    assert(Acid.read(spark, table).count() == 120L,
+      "branch replay corrupted main's committed snapshot")
+    assert(Acid.read(spark, table)
+      .filter(col("k") >= 1000L && col("k") < 1020L).count() == 20L,
+      "published rows were overwritten by the branch replay")
+    // a FRESH id on the re-created branch still appends normally
+    Acid.appendTxnBranch(spark, table, "b", rows(6000, 3), txnId = 101L)
+    assert(Acid.readBranch(spark, table, "b").count() == 103L)
+    Acid.dropBranch(table, "b")
+    assert(Acid.read(spark, table).count() == 120L,
+      "dropBranch tore published files out of main")
+  }
+
+  test("Acid blooms survive degenerate inputs: NULL keys and all-rows-deleted optimize (ADVICE r16)") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_bloomnull").toString + "/t"
+    // nullable key column: every 7th key is NULL (the r16 bug NPEd on the
+    // null word index); 0..99 over 2 files after optimize
+    val df = spark.range(0, 100).select(
+      when(col("id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("k"))
+    Acid.appendTxn(spark, table, df, txnId = 0L)
+    val v1 = Acid.optimize(spark, table, txnId = 1L, targetFiles = 2,
+      clusterCol = Some("k"), bloom = Some(("k", col("k"))))
+    // blooms recorded; a present key keeps its file, and no row is lost
+    val (kept, all) = Acid.skipFilesBloom(table, v1, "k", 13L)
+    assert(all.size == 2 && kept.nonEmpty)
+    assert(spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+      .filter(col("k") === 13L).count() == 1L,
+      "bloom pruned the file holding the probed key")
+    assert(Acid.read(spark, table).count() == 100L)
+    // all-NULL-key survivors: delete every non-null key, re-optimize with
+    // blooms — the merged file's keys are ALL null (ndv 0, every position
+    // null); no bloom line is recorded and reads stay correct
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 100).select(col("id").as("k")), "k", txnId = 2L)
+    val v3 = Acid.optimize(spark, table, txnId = 3L, targetFiles = 1,
+      bloom = Some(("k", col("k"))))
+    assert(Acid.read(spark, table).count() == 15L) // the NULL-key rows survive
+    val (kept3, all3) = Acid.skipFilesBloom(table, v3, "k", 13L)
+    assert(kept3 == all3, "a file with no recorded bloom must be kept")
+    // truly ZERO-ROW optimize (the NDV aggregate's max(ndv) row is NULL —
+    // the exact r16 NPE): null-free table, delete everything, re-optimize
+    val t2 = java.nio.file.Files.createTempDirectory("graft_acid_bloomempty").toString + "/t"
+    Acid.appendTxn(spark, t2, spark.range(0, 40).toDF("k"), txnId = 0L)
+    Acid.deleteTxn(spark, t2, spark.range(0, 40).select(col("id").as("k")),
+      "k", txnId = 1L)
+    val v2e = Acid.optimize(spark, t2, txnId = 2L, targetFiles = 1,
+      bloom = Some(("k", col("k"))))
+    assert(v2e > 0L)
+    assert(Acid.read(spark, t2).count() == 0L)
+    val (kept2, all2) = Acid.skipFilesBloom(t2, v2e, "k", 13L)
+    assert(kept2 == all2, "empty files carry no bloom line and must be kept")
+  }
 }
