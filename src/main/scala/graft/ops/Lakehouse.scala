@@ -1699,5 +1699,145 @@ object Lakehouse {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name IN ('ASIA', 'EUROPE')
         ORDER BY c_custkey""".trim)),
+
+    // SQL MERGE INTO (r17, VERDICT r16 item 2): the pure-SQL user's
+    // row-level upsert — until now MERGE existed only as the Scala
+    // Acid.mergeCow API, so the entry-point-B persona (SURVEY §3.2) could
+    // read governed tables but not maintain them. The statement text below
+    // is the whole story: key-equality MERGE with whole-row UPDATE SET * /
+    // INSERT * and a conditional DELETE clause, compiled onto the same
+    // copy-on-write machinery as sink_merge_cow (touched-file probe →
+    // minority rewrite; the in-body require pins the COW economics through
+    // the statement's own summary row). The oracle rebuilds the final
+    // table state set-theoretically — a row updated twice, deleted by the
+    // wrong clause, or inserted under a colliding key breaks the hash.
+    Q("sql_merge_into",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sql_mergeinto", sfDir)
+        Acid.reset(table)
+        // register the fixture views the USING subquery reads
+        SqlEntry.sql(spark, sfDir, "SELECT 1").collect()
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        val k = col("o_orderkey")
+        // 4 commits × 3 range-clustered files: key-local changes provably
+        // skip files (same staging economics as sink_merge_cow)
+        (0 until 4).foreach { i =>
+          Acid.appendTxn(spark, table,
+            or.filter(pmod(k, lit(4)) === i).repartitionByRange(3, k),
+            txnId = i.toLong)
+        }
+        val mx = or.agg(max(k)).head.getLong(0)
+        val bound = mx / 10
+        val s = mx + 1
+        val summary = SqlEntry.sqlLakehouse(spark, s"""
+          MERGE INTO acid_table('$table')
+          USING (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 17 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS price
+            FROM orders
+            WHERE (o_orderkey % 17 = 0 OR o_orderkey % 19 = 0)
+              AND o_orderkey < $bound
+            UNION ALL
+            SELECT o_orderkey + $s AS o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS price
+            FROM orders WHERE o_orderkey < 40
+          ) ON o_orderkey
+          WHEN MATCHED AND o_orderkey % 19 = 0 AND o_orderkey < $bound THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          TXN 20""").head
+        require(summary.getLong(2) > 0 && summary.getLong(2) * 2 <= summary.getLong(3),
+          s"SQL MERGE must rewrite a strict minority of files: " +
+            s"${summary.getLong(2)}/${summary.getLong(3)}")
+        SqlEntry.sqlLakehouse(spark, s"""
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(price AS DOUBLE) AS price
+          FROM acid_table('$table')
+          ORDER BY o_orderkey""")
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(FLOOR(MAX(o_orderkey) / 10.0) AS BIGINT) AS bound,
+                 MAX(o_orderkey) + 1 AS s
+          FROM orders)
+        SELECT o_orderkey, o_orderstatus, price FROM (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 17 = 0 AND o_orderkey < bound THEN 'X'
+                      ELSE o_orderstatus END AS o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders, b
+          WHERE NOT (o_orderkey % 19 = 0 AND o_orderkey < bound)
+          UNION ALL
+          SELECT o_orderkey + s AS o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+          FROM orders, b WHERE o_orderkey < 40
+        ) ORDER BY o_orderkey""".trim)),
+
+    // SQL UPDATE + DELETE (r17): the other two row-level DML statements,
+    // copy-on-write on the predicate seam ([[Acid.updateWhere]] /
+    // [[Acid.deleteWhere]] — Delta's UPDATE/DELETE algorithm: one probe
+    // scan finds the files holding a matching row, only those rewrite,
+    // survivors stay byte-untouched). The UPDATE swaps lang and source in
+    // ONE statement — pinning the SQL-standard rule that every SET
+    // expression evaluates against the PRE-update row (sequential
+    // withColumn chaining would make both columns equal). The DELETE is
+    // replayed with the same TXN id and must no-op (version unchanged) —
+    // exactly-once DML for the retrying-job persona. The oracle rebuilds
+    // the final state from the raw fixture with a projection swap and an
+    // anti-filter.
+    Q("sql_update_delete",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sql_upddel", sfDir)
+        Acid.reset(table)
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val bound = math.max(mx / 10, 1L)
+        // 3 range-clustered files: the doc_id-bounded UPDATE provably
+        // skips the upper slices
+        Acid.appendTxn(spark, table,
+          docs.repartitionByRange(3, col("doc_id")), txnId = 0L)
+        val upd = SqlEntry.sqlLakehouse(spark, s"""
+          UPDATE acid_table('$table')
+          SET lang = source, source = lang, n_chars = n_chars + 7
+          WHERE doc_id % 2 = 0 AND doc_id < $bound
+          TXN 1""").head
+        require(upd.getLong(2) > 0 && upd.getLong(2) < upd.getLong(3),
+          s"SQL UPDATE must rewrite a strict subset of files: " +
+            s"${upd.getLong(2)}/${upd.getLong(3)}")
+        val del = SqlEntry.sqlLakehouse(spark, s"""
+          DELETE FROM acid_table('$table')
+          WHERE doc_id % 13 = 0
+          TXN 2""").head
+        val replay = SqlEntry.sqlLakehouse(spark, s"""
+          DELETE FROM acid_table('$table')
+          WHERE doc_id % 13 = 0
+          TXN 2""").head
+        require(replay.getLong(1) == del.getLong(1) && replay.getLong(2) == 0,
+          s"replayed SQL DELETE must no-op: v${replay.getLong(1)} " +
+            s"touched ${replay.getLong(2)}")
+        SqlEntry.sqlLakehouse(spark, s"""
+          SELECT doc_id, lang, source, n_chars
+          FROM acid_table('$table')
+          ORDER BY doc_id""")
+      },
+      Some("""
+        WITH b AS (
+          SELECT GREATEST(CAST(FLOOR(MAX(doc_id) / 10.0) AS BIGINT), 1) AS bound
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 AND doc_id < bound
+                    THEN source ELSE lang END AS lang,
+               CASE WHEN doc_id % 2 = 0 AND doc_id < bound
+                    THEN lang ELSE source END AS source,
+               CASE WHEN doc_id % 2 = 0 AND doc_id < bound
+                    THEN n_chars + 7 ELSE n_chars END AS n_chars
+        FROM documents, b
+        WHERE doc_id % 13 <> 0
+        ORDER BY doc_id""".trim)),
   )
 }

@@ -59,6 +59,74 @@ object SqlEntry {
   def sqlLakehouse(spark: SparkSession, text: String): DataFrame = {
     var out = text
     def slug(dir: String): String = Integer.toHexString(dir.hashCode)
+    def dmlSummary(what: String, r: (Long, Int, Int)): DataFrame = {
+      import spark.implicits._
+      Seq((what, r._1, r._2.toLong, r._3.toLong))
+        .toDF("operation", "new_version", "touched_files", "total_files")
+    }
+    // MERGE INTO acid_table('<dir>') USING <view|(subquery)> ON <keyCol>
+    //   [WHEN MATCHED AND <pred> THEN DELETE]
+    //   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    //   TXN <id>
+    // — the Delta MERGE surface restricted to mergeCow's contract: key
+    // equality, whole-row upsert (SET * / INSERT *), optional conditional
+    // delete. The source text re-enters this rewriter, so it may itself
+    // read acid_table(...) / table_changes(...) — a pure-SQL CDC apply.
+    val mergeStmt =
+      """(?is)^\s*MERGE\s+INTO\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+USING\s+(.+?)\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)\s+(WHEN\s+.+?)\s+TXN\s+(\d+)\s*$""".r
+    mergeStmt.findFirstMatchIn(text).foreach { m =>
+      val (dir, src, keyCol, clauses, txn) =
+        (m.group(1), m.group(2).trim, m.group(3), m.group(4), m.group(5).toLong)
+      require(
+        """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""".r
+          .findFirstIn(clauses).isDefined &&
+        """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""".r
+          .findFirstIn(clauses).isDefined,
+        "MERGE INTO acid_table: whole-row clauses required — " +
+          "WHEN MATCHED THEN UPDATE SET * and WHEN NOT MATCHED THEN INSERT *")
+      val delPred =
+        """(?is)WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE""".r
+          .findFirstMatchIn(clauses).map(_.group(1))
+      val srcSql =
+        if (src.startsWith("(")) src.stripPrefix("(").stripSuffix(")")
+        else s"SELECT * FROM $src"
+      val source = sqlLakehouse(spark, srcSql)
+      val changes = delPred match {
+        case Some(p) => source.withColumn("__op",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.expr(p),
+            "delete").otherwise("upsert"))
+        case None => source
+      }
+      val r = Acid.mergeCow(spark, dir, changes, keyCol, txn,
+        opCol = delPred.map(_ => "__op"))
+      return dmlSummary("merge", r)
+    }
+    // UPDATE acid_table('<dir>') SET c = <expr>[, ...] WHERE <pred> TXN <id>
+    val updateStmt =
+      """(?is)^\s*UPDATE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
+    updateStmt.findFirstMatchIn(text).foreach { m =>
+      val (dir, setsTxt, pred, txn) =
+        (m.group(1), m.group(2), m.group(3), m.group(4).toLong)
+      val sets = splitTopLevel(setsTxt).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"UPDATE acid_table: malformed assignment '$a'")
+        (a.take(i).trim,
+          org.apache.spark.sql.functions.expr(a.drop(i + 1).trim))
+      }
+      val r = Acid.updateWhere(spark, dir, sets,
+        org.apache.spark.sql.functions.expr(pred), txn)
+      return dmlSummary("update", r)
+    }
+    // DELETE FROM acid_table('<dir>') WHERE <pred> TXN <id>
+    val deleteStmt =
+      """(?is)^\s*DELETE\s+FROM\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+WHERE\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
+    deleteStmt.findFirstMatchIn(text).foreach { m =>
+      val (dir, pred, txn) = (m.group(1), m.group(2), m.group(3).toLong)
+      val r = Acid.deleteWhere(spark, dir,
+        org.apache.spark.sql.functions.expr(pred), txn)
+      return dmlSummary("delete", r)
+    }
     // RESTORE TABLE acid_table('<dir>') TO VERSION AS OF <v> TXN <id> —
     // Delta's RESTORE statement (r15): a metadata-only rollback through
     // Acid.restore, surfaced in the pure-SQL entry path. Returns a 1-row
@@ -122,5 +190,27 @@ object SqlEntry {
       out = out.replace(m.matched, view)
     }
     spark.sql(out)
+  }
+
+  /** Split `a = f(x, y), b = z` on TOP-LEVEL commas only (assignments may
+    * carry function calls); quotes respected so a ',' literal never
+    * splits. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 }

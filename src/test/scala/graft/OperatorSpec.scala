@@ -2527,6 +2527,66 @@ class OperatorSpec extends SparkFixture {
         s"${empty.columns.toSeq} vs $evolvedCols")
   }
 
+  test("Acid updateWhere/deleteWhere: survivors byte-identical; vector-hidden rows neither update nor resurrect") {
+    import graft.ops.Acid
+    import java.nio.file.{Files, Paths}
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_cowdml").toString + "/t"
+    val df = spark.range(0, 90).select(col("id").as("k"),
+      (col("id") % 5).as("grp"), lit("a").as("tag"))
+    Acid.appendTxn(spark, table, df.repartitionByRange(3, col("k")), txnId = 0L)
+    // hide k=7 behind a merge-on-read vector BEFORE the update
+    Acid.deleteTxn(spark, table,
+      spark.range(7, 8).select(col("id").as("k")), "k", txnId = 1L)
+    val before = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(table, "txn=0")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis)).toMap
+    }
+    // key-local UPDATE: only the file(s) holding k < 30 rewrite
+    val (_, touched, total) = Acid.updateWhere(spark, table,
+      Seq("tag" -> lit("B"), "grp" -> (col("grp") + 100L)),
+      col("k") < 30 && col("k") % 2 === 1, txnId = 2L)
+    assert(touched > 0 && touched < total, s"COW must be partial: $touched/$total")
+    // untouched original files are byte-identical (size + mtime)
+    val after = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(table, "txn=0")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis)).toMap
+    }
+    val survivorsIntact = after.count { case (n, meta) => before.get(n).contains(meta) }
+    assert(survivorsIntact >= total - touched,
+      s"a survivor file was rewritten: before=$before after=$after")
+    val got = Acid.read(spark, table)
+    // updated rows carry new values computed from PRE-update columns
+    assert(got.filter(col("k") === 9).head.getString(2) == "B")
+    assert(got.filter(col("k") === 9).head.getLong(1) == 104L)
+    // even rows and k >= 30 untouched
+    assert(got.filter(col("k") === 8).head.getString(2) == "a")
+    assert(got.filter(col("k") === 31).head.getString(2) == "a")
+    // the vector-hidden row k=7 matched the predicate but must NOT
+    // resurrect (subtractDeletes runs before the rewrite)
+    assert(got.filter(col("k") === 7).count() == 0L,
+      "updateWhere resurrected a vector-hidden row")
+    assert(got.count() == 89L)
+    // deleteWhere: NULL predicate keeps the row (three-valued SQL DELETE)
+    val t2 = java.nio.file.Files.createTempDirectory("graft_acid_cowdel").toString + "/t"
+    Acid.appendTxn(spark, t2, spark.range(0, 20).select(
+      when(col("id") % 4 === 0, lit(null).cast("long")).otherwise(col("id")).as("k")),
+      txnId = 0L)
+    Acid.deleteWhere(spark, t2, col("k") % 3 === 0, txnId = 1L)
+    val left = Acid.read(spark, t2)
+    assert(left.filter(col("k").isNull).count() == 5L,
+      "NULL-predicate rows must survive a DELETE WHERE")
+    assert(left.filter(col("k") % 3 === 0).count() == 0L)
+    // replay no-ops at the same version
+    val (v1, t1, _) = Acid.deleteWhere(spark, t2, col("k") % 3 === 0, txnId = 1L)
+    assert(t1 == 0 && v1 == Acid.currentVersion(t2).get)
+  }
+
   test("Acid publish txn-id collision refuses instead of destroying the ref (ADVICE r16)") {
     import graft.ops.Acid
     val table = java.nio.file.Files.createTempDirectory("graft_acid_ffcollide").toString + "/t"
