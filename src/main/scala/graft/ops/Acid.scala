@@ -2317,6 +2317,35 @@ object Acid {
     }
   }
 
+  /** Retention for NAMED REFS — the GC story the branch/tag families
+    * opened: a branch pins its fork base (and every file its head
+    * references) against [[vacuum]] FOREVER, so an abandoned experiment
+    * quietly pins storage at 100 TB scale. Drops every branch and tag
+    * whose ref file was last written more than `maxAgeMs` ago (Iceberg's
+    * `max-ref-age-ms`): an expired branch reclaims its EXCLUSIVE
+    * unpublished data through [[dropBranch]]'s liveness rule
+    * (published/cherry-picked files and anything another ref still
+    * references survive — a dropped experiment never tears data out of
+    * the published table), and an expired tag releases its manifest pin
+    * so the next vacuum can advance past it. `keep` names protected refs
+    * exempt from expiry. Control plane only: O(refs) file stats; each
+    * drop serializes on the writer lock individually (expiry is
+    * maintenance, not a transaction). Returns the expired ref names,
+    * kind-prefixed. */
+  def expireRefs(table: String, maxAgeMs: Long,
+      keep: Set[String] = Set.empty): Seq[String] = {
+    val now = System.currentTimeMillis()
+    def stale(p: Path): Boolean =
+      Files.exists(p) && now - Files.getLastModifiedTime(p).toMillis > maxAgeMs
+    val deadTags = tags(table).keys.toSeq.sorted.filterNot(keep)
+      .filter(n => stale(Paths.get(table, s"tag-$n.txt")))
+    val deadBranches = branches(table).keys.toSeq.sorted.filterNot(keep)
+      .filter(n => stale(branchRef(table, n)))
+    deadTags.foreach(dropTag(table, _))
+    deadBranches.foreach(dropBranch(table, _))
+    deadTags.map(n => s"tag:$n") ++ deadBranches.map(n => s"branch:$n")
+  }
+
   /** Commit-history METADATA table — Delta `DESCRIBE HISTORY` / Iceberg's
     * `snapshots` metadata table, as a queryable DataFrame: one row per
     * readable version with its data-file count, txn-ledger depth, standing
@@ -2349,6 +2378,37 @@ object Acid {
         org.apache.spark.sql.types.StructField("n_txns",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Refs METADATA table — Iceberg's `refs`: one row per named reference
+    * of the table (the implicit `main` branch, every tag, every live
+    * branch) with its kind, pinned version (tag's snapshot / branch's
+    * fork base / main's head), and the branch's own unpublished commit
+    * count. Pure control plane: O(refs) driver-side file reads, zero data
+    * I/O. This is the listing the r16 branch/tag families lacked — an
+    * operator of a multi-ref table (now the normal case) can finally ask
+    * "what pins storage here" before a vacuum or an [[expireRefs]]. */
+  def refs(spark: SparkSession, table: String): DataFrame = {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.refs: no committed version at $table"))
+    val rows =
+      Seq(Row("main", "branch", cur, 0L)) ++
+      tags(table).toSeq.sortBy(_._1).map { case (n, v) =>
+        Row(n, "tag", v, 0L) } ++
+      branches(table).toSeq.sortBy(_._1).map { case (n, (base, head)) =>
+        Row(n, "branch", base, head + 1L) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ref_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("commits",
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 

@@ -1700,6 +1700,59 @@ object Lakehouse {
         WHERE r_name IN ('ASIA', 'EUROPE')
         ORDER BY c_custkey""".trim)),
 
+    // Refs metadata table + named-ref retention (r17, VERDICT r16 items
+    // 3+6): Iceberg's `refs` — one row per named reference (the implicit
+    // main branch, every tag, every live branch) with kind, pinned
+    // version, and the branch's unpublished commit count. r16 made
+    // multi-ref tables the NORMAL case but left no way to LIST the refs —
+    // this is the "what pins storage here" question every vacuum decision
+    // starts from. The fixture builds two tags and two branches (one with
+    // two commits, one idle), artificially ages the idle branch's ref,
+    // and runs Acid.expireRefs (Iceberg max-ref-age-ms): the in-body
+    // require pins that exactly the aged branch expired; the emitted refs
+    // listing — read through the PURE-SQL table_refs(...) TVF — proves
+    // the survivor set. O(refs) control plane, zero data I/O.
+    Q("scan_table_refs",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_refs", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir).select(col("o_orderkey"))
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 2 === 0), txnId = 0L) // v0
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 2 === 1), txnId = 1L) // v1
+        Acid.tagVersion(table, "rel-1.0", 0L)
+        Acid.tagVersion(table, "rel-1.1", 1L)
+        Acid.createBranch(table, "exp", 1L)
+        Acid.appendTxnBranch(spark, table, "exp",
+          or.filter(col("o_orderkey") < 10), txnId = 100L)
+        Acid.appendTxnBranch(spark, table, "exp",
+          or.filter(col("o_orderkey") < 5), txnId = 101L)
+        Acid.createBranch(table, "idle", 0L)
+        // age the idle branch past the retention window and expire it:
+        // exactly that ref drops (dropBranch liveness — its unpublished
+        // data is exclusive, so it is reclaimed; every other ref survives)
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(table, "branch-idle.txt"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 3600L * 1000))
+        val expired = Acid.expireRefs(table, maxAgeMs = 1800L * 1000)
+        require(expired == Seq("branch:idle"),
+          s"expireRefs must drop exactly the aged ref, got $expired")
+        SqlEntry.sqlLakehouse(spark, s"""
+          SELECT ref_name, kind, version, commits
+          FROM table_refs('$table')
+          ORDER BY kind, ref_name""")
+      },
+      Some("""
+        SELECT ref_name, kind, version, commits FROM (
+          SELECT 'exp' AS ref_name, 'branch' AS kind,
+                 CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS commits
+          UNION ALL SELECT 'main', 'branch', 1, 0
+          UNION ALL SELECT 'rel-1.0', 'tag', 0, 0
+          UNION ALL SELECT 'rel-1.1', 'tag', 1, 0
+        ) ORDER BY kind, ref_name""".trim)),
+
     // SQL MERGE INTO (r17, VERDICT r16 item 2): the pure-SQL user's
     // row-level upsert — until now MERGE existed only as the Scala
     // Acid.mergeCow API, so the entry-point-B persona (SURVEY §3.2) could

@@ -168,6 +168,16 @@ object SqlEntry {
       Acid.history(spark, dir).createOrReplaceTempView(view)
       out = out.replace(m.matched, view)
     }
+    // table_refs('<dir>') — Iceberg's refs metadata table as a TVF shape
+    // (r17), resolving through Acid.refs: one row per named ref (main,
+    // tags, branches) with kind, pinned version, unpublished commit count
+    val refsTvf = """table_refs\s*\(\s*'([^']+)'\s*\)""".r
+    refsTvf.findAllMatchIn(text).toSeq.foreach { m =>
+      val dir = m.group(1)
+      val view = s"__graft_acid_refs_${slug(dir)}"
+      Acid.refs(spark, dir).createOrReplaceTempView(view)
+      out = out.replace(m.matched, view)
+    }
     val timeTravel = """acid_table\s*\(\s*'([^']+)'\s*\)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
     timeTravel.findAllMatchIn(text).toSeq.foreach { m =>
       val (dir, v) = (m.group(1), m.group(2).toLong)

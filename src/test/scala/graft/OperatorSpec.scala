@@ -2527,6 +2527,58 @@ class OperatorSpec extends SparkFixture {
         s"${empty.columns.toSeq} vs $evolvedCols")
   }
 
+  test("Acid expireRefs: aged branch releases its vacuum pin; published files survive; refs table tracks the lifecycle") {
+    import graft.ops.Acid
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_refexp").toString + "/t"
+    def rows(lo: Long, n: Long) = spark.range(lo, lo + n).toDF("k")
+    Acid.appendTxn(spark, table, rows(0, 50), txnId = 0L)  // v0
+    Acid.appendTxn(spark, table, rows(50, 30), txnId = 1L) // v1
+    Acid.createBranch(table, "old", 0L)
+    Acid.appendTxnBranch(spark, table, "old", rows(1000, 10), txnId = 100L) // D
+    // publish D onto main via cherry-pick (branch stays open), then add an
+    // UNPUBLISHED commit E — expiry must reclaim E's data, spare D's
+    val vPick = Acid.cherryPick(table, "old", branchTxn = 100L, txnId = 2L)
+    Acid.appendTxnBranch(spark, table, "old", rows(2000, 5), txnId = 101L)  // E
+    Acid.tagVersion(table, "keepme", vPick)
+    // refs lists main + tag + branch with its commit count
+    val refs0 = Acid.refs(spark, table).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(refs0 == Set(("main", "branch", vPick, 0L), ("keepme", "tag", vPick, 0L),
+      ("old", "branch", 0L, 2L)), s"refs listing wrong: $refs0")
+    // a fresh ref never expires; an aged one does (keep-list exempts)
+    assert(Acid.expireRefs(table, maxAgeMs = 3600L * 1000).isEmpty)
+    Files.setLastModifiedTime(Paths.get(table, "branch-old.txt"),
+      FileTime.fromMillis(System.currentTimeMillis() - 7200L * 1000))
+    assert(Acid.expireRefs(table, 3600L * 1000, keep = Set("old")).isEmpty,
+      "a protected ref must never expire")
+    assert(Acid.expireRefs(table, 3600L * 1000) == Seq("branch:old"))
+    // E's unpublished data reclaimed; D's published rows intact
+    assert(Acid.read(spark, table).filter(col("k") >= 2000L).count() == 0L)
+    assert(Acid.read(spark, table).filter(col("k") >= 1000L &&
+      col("k") < 1010L).count() == 10L,
+      "expiry tore cherry-picked files out of the published table")
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(Paths.get(table))
+    val eFiles = try walk.iterator().asScala.count(p =>
+      p.toString.contains("branch=old/txn=101") && p.toString.endsWith(".parquet"))
+      finally walk.close()
+    assert(eFiles == 0, "expired branch's exclusive data not reclaimed")
+    // the fork-base pin is released: vacuum can now advance past v0
+    // (with the branch live it was pinned); the tag still pins vPick
+    Acid.vacuum(table, keep = 1)
+    intercept[Exception] { Acid.readVersion(spark, table, 0L).count() }
+    assert(Acid.readTag(spark, table, "keepme").count() == 90L,
+      "vacuum broke the surviving tag")
+    assert(Acid.read(spark, table).count() == 90L)
+    // expire the tag too: the next vacuum keeps only the live window
+    Files.setLastModifiedTime(Paths.get(table, "tag-keepme.txt"),
+      FileTime.fromMillis(System.currentTimeMillis() - 7200L * 1000))
+    assert(Acid.expireRefs(table, 3600L * 1000) == Seq("tag:keepme"))
+    assert(Acid.refs(spark, table).count() == 1L) // only main remains
+  }
+
   test("Acid updateWhere/deleteWhere: survivors byte-identical; vector-hidden rows neither update nor resurrect") {
     import graft.ops.Acid
     import java.nio.file.{Files, Paths}
