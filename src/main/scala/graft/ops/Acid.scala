@@ -103,9 +103,93 @@ object Acid {
     // merge-on-read applies to evolved reads too (ADVICE r11: skipping the
     // subtraction here silently resurrected deleted rows)
     subtractDeletes(spark, table, lines,
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$table/$f"): _*))
+      applyColumnMapping(lines,
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$table/$f"): _*)))
   }
+
+  /** Resolve the manifest's COLUMN MAPPING over a merged-schema read —
+    * the Delta column-mapping / Iceberg field-id contract scoped to the
+    * manifest seam: `# colmap:<old>|<new>` lines record renames (applied
+    * in recorded order, so chained renames compose), `# coldrop:<name>`
+    * lines record drops. Files written BEFORE a rename carry the old
+    * physical name, files written after carry the new one — the merged
+    * frame has both columns, and `coalesce(new, old) AS new` stitches
+    * them; a table where every old-named file has since been rewritten
+    * degrades to a plain rename. Zero data bytes move for either
+    * operation. */
+  private def applyColumnMapping(lines: Seq[String], df: DataFrame): DataFrame = {
+    val steps = lines.filter(_.startsWith("# colmap:")).map { l =>
+      val Array(o, n) = l.stripPrefix("# colmap:").split('|'); (o.trim, n.trim)
+    }
+    val drops = lines.filter(_.startsWith("# coldrop:"))
+      .map(_.stripPrefix("# coldrop:").trim)
+    if (steps.isEmpty && drops.isEmpty) return df
+    val renamed = steps.foldLeft(df) { case (d, (o, n)) =>
+      if (!d.columns.contains(o)) d // every old-named file since rewritten
+      else if (!d.columns.contains(n)) d.withColumnRenamed(o, n)
+      else d.withColumn(n, coalesce(col(n), col(o))).drop(o)
+    }
+    drops.foldLeft(renamed)((d, c) => if (d.columns.contains(c)) d.drop(c) else d)
+  }
+
+  /** RENAME a column metadata-only — Delta `ALTER TABLE ... RENAME
+    * COLUMN` under column mapping: one `# colmap:` manifest line, zero
+    * data files touched (old files keep their bytes and their physical
+    * name; [[readEvolved]] resolves them under the new logical name).
+    * Appends after the rename simply write the new name — the mapping
+    * stitches the generations. Refuses to rename the standing
+    * delete-vector key (the vector files carry the physical name; remap
+    * would silently stop hiding rows) — [[compactDeletes]] first.
+    * Idempotent per txnId. */
+  def renameColumn(table: String, from: String, to: String,
+      txnId: Long): Long = withWriterLock(table) {
+    require(from.nonEmpty && to.nonEmpty && from != to,
+      s"renameColumn: bad rename $from -> $to")
+    require(!from.contains("|") && !to.contains("|"),
+      "renameColumn: '|' is the colmap separator")
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isDefined, s"Acid.renameColumn: no committed version at $table")
+      require(prev.contains("# base:."),
+        s"renameColumn on snapshot-mode table $table")
+      require(!prev.contains(s"# delkey:$from"),
+        s"renameColumn: $from is the standing delete-vector key — " +
+          s"compactDeletes before renaming it")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:")) ++
+        Seq(s"# colmap:$from|$to") ++
+        prev.filterNot(_.startsWith("#"))
+    }
+  }
+
+  /** DROP a column metadata-only — one `# coldrop:` manifest line; the
+    * bytes stay in the files (like Delta's mapping-mode drop, the data
+    * is unreadable, not erased — GDPR-grade removal is [[eraseKeys]]'
+    * territory), reads through [[readEvolved]] no longer surface it.
+    * Idempotent per txnId. */
+  def dropColumn(table: String, name: String, txnId: Long): Long =
+    withWriterLock(table) {
+      require(!name.contains("|"), "dropColumn: '|' is the colmap separator")
+      commitNextVersion(table) { (cur, prev) =>
+        require(cur.isDefined, s"Acid.dropColumn: no committed version at $table")
+        require(prev.contains("# base:."),
+          s"dropColumn on snapshot-mode table $table")
+        require(!prev.contains(s"# delkey:$name"),
+          s"dropColumn: $name is the standing delete-vector key")
+        if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+      } { (_, prev) =>
+        ("# base:." +:
+          (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+          prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+            !l.startsWith("# base:") && !l.startsWith("# op:")) ++
+          Seq(s"# coldrop:$name") ++
+          prev.filterNot(_.startsWith("#"))
+      }
+    }
 
   /** Merge-on-read: subtract the manifest's standing equality-delete
     * vectors from `base`. The delete set is tiny relative to the data, so
@@ -478,6 +562,9 @@ object Acid {
       prev.filter(l => l.startsWith("# delkey:") || l.startsWith("# delete:") ||
         l.startsWith("# pval:") || l.startsWith("# pspec:") ||
         l.startsWith("# constraint:") ||
+        // column mapping is table metadata — it survives every append
+        // (dropping it would un-rename the table on the next commit)
+        l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
         // per-file stats describe PHYSICAL files an append never touches —
         // dropping them here would blind skipping/erase after any append
         l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
@@ -1296,7 +1383,8 @@ object Acid {
         // stays PHYSICAL truth — logical counts subtract the vectors)
         prev.filter(l => l.startsWith("# pval:") || l.startsWith("# pspec:") ||
           l.startsWith("# constraint:") || l.startsWith("# minmax:") ||
-          l.startsWith("# bloom:") || l.startsWith("# rows:")) ++
+          l.startsWith("# bloom:") || l.startsWith("# rows:") ||
+          l.startsWith("# colmap:") || l.startsWith("# coldrop:")) ++
         prev.filterNot(_.startsWith("#"))
     }
   }

@@ -1700,6 +1700,59 @@ object Lakehouse {
         WHERE r_name IN ('ASIA', 'EUROPE')
         ORDER BY c_custkey""".trim)),
 
+    // Column mapping (r17, VERDICT r16 item 4): rename/drop evolution
+    // METADATA-ONLY — Delta column mapping / Iceberg field-ids on the
+    // manifest seam. sink_schema_evolution proved ADDITIVE evolution;
+    // until now a rename meant a full table rewrite. Here: half the docs
+    // land, `lang` renames to `language` and `source` drops (one
+    // `# colmap:`/`# coldrop:` manifest line each — the in-body requires
+    // pin the old files byte-identical and the commits data-less), the
+    // other half appends under the NEW name, and readEvolved stitches the
+    // generations (coalesce(new, old) over the merged schema). At 100 TB
+    // this is the difference between an ALTER TABLE that takes
+    // milliseconds and one that rewrites the lake.
+    Q("sink_column_rename",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sink_colrename", sfDir)
+        Acid.reset(table)
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        Acid.appendTxn(spark, table,
+          docs.filter(col("doc_id") % 2 === 0), txnId = 0L)
+        def fileMeta(): Map[String, (Long, Long)] = {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(table, "txn=0"))
+          try walk.iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .map(p => p.getFileName.toString -> (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+          finally walk.close()
+        }
+        val before = fileMeta()
+        val nFiles = Acid.read(spark, table).inputFiles.length
+        val vRen = Acid.renameColumn(table, "lang", "language", txnId = 1L)
+        require(Acid.renameColumn(table, "lang", "language", txnId = 1L) == vRen,
+          "replayed rename must no-op")
+        Acid.dropColumn(table, "source", txnId = 2L)
+        require(fileMeta() == before,
+          "rename/drop must leave every data file byte-identical")
+        require(Acid.read(spark, table).inputFiles.length == nFiles,
+          "rename/drop must not add or remove data files")
+        // the second generation appends under the NEW logical name — the
+        // mapping stitches it with the old-named files
+        Acid.appendTxn(spark, table,
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang").as("language"), col("n_chars")),
+          txnId = 3L)
+        Acid.readEvolved(spark, table)
+          .select(col("doc_id"), col("language"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang AS language, n_chars
+        FROM documents
+        ORDER BY doc_id""".trim)),
+
     // Refs metadata table + named-ref retention (r17, VERDICT r16 items
     // 3+6): Iceberg's `refs` — one row per named reference (the implicit
     // main branch, every tag, every live branch) with kind, pinned

@@ -2527,6 +2527,50 @@ class OperatorSpec extends SparkFixture {
         s"${empty.columns.toSeq} vs $evolvedCols")
   }
 
+  test("Acid column mapping: rename->append->read chain, chained renames compose, delete-key rename refuses") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("graft_acid_colmap").toString + "/t"
+    val g1 = spark.range(0, 40).select(col("id").as("k"), (col("id") * 2).as("a"))
+    Acid.appendTxn(spark, table, g1, txnId = 0L)
+    Acid.renameColumn(table, "a", "b", txnId = 1L)
+    // generation 2 appends under the renamed name
+    Acid.appendTxn(spark, table,
+      spark.range(40, 60).select(col("id").as("k"), (col("id") * 3).as("b")),
+      txnId = 2L)
+    // chained rename: b -> c (covers BOTH generations' physical names)
+    Acid.renameColumn(table, "b", "c", txnId = 3L)
+    val got = Acid.readEvolved(spark, table)
+    assert(got.columns.sorted.toSeq == Seq("c", "k"),
+      s"mapped schema wrong: ${got.columns.toSeq}")
+    // old-file values surface under the twice-renamed name, new-file too
+    assert(got.filter(col("k") === 5).head.getLong(
+      got.columns.indexOf("c")) == 10L)
+    assert(got.filter(col("k") === 50).head.getLong(
+      got.columns.indexOf("c")) == 150L)
+    assert(got.count() == 60L)
+    // a dropped column disappears without a rewrite and stays gone after
+    // further appends
+    Acid.dropColumn(table, "c", txnId = 4L)
+    Acid.appendTxn(spark, table,
+      spark.range(60, 70).select(col("id").as("k")), txnId = 5L)
+    val dropped = Acid.readEvolved(spark, table)
+    assert(dropped.columns.toSeq == Seq("k") && dropped.count() == 70L)
+    // delete-vector interplay: renaming the standing delkey refuses
+    val t2 = java.nio.file.Files.createTempDirectory("graft_acid_colmap2").toString + "/t"
+    Acid.appendTxn(spark, t2, spark.range(0, 20).select(col("id").as("k"),
+      lit("x").as("v")), txnId = 0L)
+    Acid.deleteTxn(spark, t2, spark.range(0, 5).select(col("id").as("k")),
+      "k", txnId = 1L)
+    intercept[IllegalArgumentException] {
+      Acid.renameColumn(t2, "k", "key", txnId = 2L)
+    }
+    // a NON-key column still renames, and the vector keeps applying
+    Acid.renameColumn(t2, "v", "val", txnId = 3L)
+    val t2got = Acid.readEvolved(spark, t2)
+    assert(t2got.columns.sorted.toSeq == Seq("k", "val"))
+    assert(t2got.count() == 15L, "rename broke the standing delete vector")
+  }
+
   test("Acid expireRefs: aged branch releases its vacuum pin; published files survive; refs table tracks the lifecycle") {
     import graft.ops.Acid
     import java.nio.file.{Files, Paths}
