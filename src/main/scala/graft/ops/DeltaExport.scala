@@ -244,12 +244,94 @@ object DeltaExport {
 
   /** Independent log-driven read: resolve the live file set from the
     * transaction log alone (never a directory listing) and scan exactly
-    * those files — what Trino/DuckDB/polars do with the same directory. */
+    * those files — what Trino/DuckDB/polars do with the same directory.
+    * Absolute-path adds (the protocol's external-file form, emitted by
+    * [[exportAcid]]'s zero-copy path) resolve as-is; relative adds
+    * resolve against the table root. */
   def readDeltaLog(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(dir).getOrElse(
       sys.error(s"DeltaExport.readDeltaLog: no committed version at $dir"))
     val files = liveFiles(spark, dir, v)
     require(files.nonEmpty, s"DeltaExport: empty live set at $dir v$v")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    spark.read.parquet(files.map(f =>
+      if (f.startsWith("/")) f else s"$dir/$f"): _*)
+  }
+
+  /** Export an [[Acid]] table's CURRENT snapshot as a Delta log at `dir`
+    * — including MERGE-ON-READ tables (VERDICT r16 item 5: a table with
+    * standing `# delete:` vectors previously could not round-trip to
+    * external Delta tooling; the log has no way to say "anti-join these
+    * keys" without deletion-vector actions). Reconciliation is the
+    * export-time compactDeletes: ONE probe scan names the files that
+    * contain a deleted key (same touched-file plan as MERGE), only those
+    * are materialized vector-subtracted into the export directory;
+    * every clean file exports ZERO-COPY as an absolute-path `add` (the
+    * protocol's external-file form — Delta shallow clones use exactly
+    * this, with the same caveat: vacuuming the SOURCE invalidates the
+    * export). Cost is O(files containing a deleted key), never O(table).
+    * Re-exporting into the same `dir` commits a new snapshot version
+    * (removes for the previous live set, adds for the new one) — the
+    * periodic-refresh cadence interop consumers run. Returns
+    * (delta version, materialized files, total files). */
+  def exportAcid(spark: SparkSession, table: String,
+      dir: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    Files.createDirectories(logDir(dir))
+    val av = Acid.currentVersion(table).getOrElse(
+      sys.error(s"DeltaExport.exportAcid: no committed version at $table"))
+    val (files, _) = Acid.manifestFiles(table, av)
+    require(files.nonEmpty, s"DeltaExport.exportAcid: empty manifest at $table")
+    val tableRoot = Paths.get(table).toAbsolutePath
+    val v = currentVersion(dir).map(_ + 1).getOrElse(0L)
+    val dataSub = f"v$v%020d"
+    val (zeroCopy, rewritten) = Acid.standingDeletes(table, av) match {
+      case None => (files, Seq.empty[String])
+      case Some((k, delFiles)) =>
+        val keys = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+          .select(col(k)).distinct()
+        val touched = Acid.touchedFilesPlan(spark,
+            files.map(f => s"$table/$f"), keys, k)
+          .collect() // O(files) rows — control plane
+          .map(r => tableRoot.relativize(
+            Paths.get(java.net.URI.create(r.getString(0)))).toString)
+          .sorted.toSeq
+        val clean = files.filterNot(touched.contains)
+        if (touched.isEmpty) (clean, Seq.empty[String])
+        else {
+          spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+            .join(keys, Seq(k), "left_anti")
+            .write.mode("overwrite").parquet(s"$dir/$dataSub")
+          val root = Paths.get(dir)
+          val walk = Files.walk(root.resolve(dataSub))
+          val out =
+            try walk.filter(p => p.toString.endsWith(".parquet"))
+              .map[String](p => root.relativize(p).toString)
+              .sorted().toArray.map(_.toString).toSeq
+            finally walk.close()
+          (clean, out)
+        }
+    }
+    val actions = Seq.newBuilder[String]
+    if (v == 0L) {
+      val id = java.util.UUID.nameUUIDFromBytes(
+        dir.getBytes(StandardCharsets.UTF_8)).toString
+      val schemaJson = jsonEscape(Acid.read(spark, table).schema.json)
+      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      actions += s"""{"metaData":{"id":"$id","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":${Files.getLastModifiedTime(Paths.get(dir)).toMillis}}}"""
+    } else {
+      // snapshot refresh: tombstone the previous live set
+      liveFiles(spark, dir, v - 1).foreach { f =>
+        actions += s"""{"remove":{"path":"${jsonEscape(f)}","deletionTimestamp":${Files.getLastModifiedTime(Paths.get(dir)).toMillis},"dataChange":true}}"""
+      }
+    }
+    (zeroCopy.map(f => tableRoot.resolve(f).toString) ++ rewritten).foreach { f =>
+      val p = if (f.startsWith("/")) Paths.get(f) else Paths.get(dir).resolve(f)
+      actions += s"""{"add":{"path":"${jsonEscape(f)}","partitionValues":{},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true}}"""
+    }
+    Files.write(logDir(dir).resolve(f"$v%020d.json"),
+      actions.result().mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    (v, rewritten.size, files.size)
   }
 }
