@@ -133,6 +133,13 @@ object Acid {
     drops.foldLeft(renamed)((d, c) => if (d.columns.contains(c)) d.drop(c) else d)
   }
 
+  /** True iff the current manifest carries column-mapping lines — the
+    * switch SQL reads use to route through [[readEvolved]] (the mapping-
+    * aware path) instead of the plain scan. */
+  def hasColumnMapping(table: String): Boolean =
+    currentVersion(table).exists(v => manifestLines(table, v).exists(l =>
+      l.startsWith("# colmap:") || l.startsWith("# coldrop:")))
+
   /** RENAME a column metadata-only — Delta `ALTER TABLE ... RENAME
     * COLUMN` under column mapping: one `# colmap:` manifest line, zero
     * data files touched (old files keep their bytes and their physical
@@ -1489,8 +1496,11 @@ object Acid {
             (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
             // CHECK constraints are table invariants — they outlive a
             // rewrite (pvals/delete vectors do NOT: they describe the
-            // replaced files)
-            prev.filter(_.startsWith("# constraint:")) ++
+            // replaced files). Column mapping survives too: the rewrite
+            // reads the RAW physical frame, so the new files keep the old
+            // physical names and the mapping must keep resolving them.
+            prev.filter(l => l.startsWith("# constraint:") ||
+              l.startsWith("# colmap:") || l.startsWith("# coldrop:")) ++
             headers(newFiles) ++ newFiles
         }
       } finally merged.unpersist(blocking = false)
@@ -2498,6 +2508,92 @@ object Acid {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("commits",
           org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Files METADATA table — Iceberg's `files`: one row per data file of
+    * the current version with its partition tuple (hive path segments or
+    * the manifest's `# pval:` line), recorded row count, and recorded
+    * min/max stats (canonical `name:lo..hi` string, `;`-joined). Pure
+    * manifest arithmetic — zero data I/O, O(files) driver-side; the
+    * listing a compaction or skew diagnosis starts from. Files whose
+    * writer recorded no `# rows:` line surface NULL (stats are an
+    * optimization, never a requirement — same contract as skipping). */
+  def filesTable(spark: SparkSession, table: String): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      sys.error(s"Acid.filesTable: no committed version at $table"))
+    val lines = manifestLines(table, v)
+    val files = lines.filterNot(_.startsWith("#"))
+    val rowsMap = lines.filter(_.startsWith("# rows:")).flatMap { l =>
+      l.stripPrefix("# rows:").split('|') match {
+        case Array(f, n) => Some(f -> n.toLong)
+        case _ => None
+      }
+    }.toMap
+    val statsMap = lines.filter(_.startsWith("# minmax:")).flatMap { l =>
+      l.stripPrefix("# minmax:").split('|') match {
+        case Array(f, n, lo, hi) => Some(f -> s"$n:$lo..$hi")
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).sorted.mkString(";") }
+    val pvalMap = lines.filter(_.startsWith("# pval:")).flatMap { l =>
+      // format: # pval:<file>|<name>=<value>[,<name>=<value>...]
+      val body = l.stripPrefix("# pval:")
+      val (f, rest) = body.span(_ != '|')
+      if (rest.isEmpty) None else Some(f -> rest.drop(1))
+    }.toMap
+    def hivePartition(f: String): String =
+      f.split('/').dropRight(1).filter(_.contains("=")).mkString(",")
+    val rows = files.sorted.map { f =>
+      Row(f,
+        pvalMap.getOrElse(f, hivePartition(f)),
+        rowsMap.get(f).map(Long.box).orNull,
+        statsMap.getOrElse(f, ""))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("stats",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
+  /** ADD a CHECK constraint metadata-only — Delta `ALTER TABLE ... ADD
+    * CONSTRAINT`: validates the EXISTING data satisfies the predicate
+    * first (one aggregate over the current merged state — Delta refuses
+    * a constraint the table already violates for the same reason), then
+    * commits one `# constraint:` manifest line; every later
+    * [[appendTxnChecked]] enforces it at the write gate. Idempotent per
+    * txnId. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      predicate: String, txnId: Long): Long = withWriterLock(table) {
+    require(!name.contains("|"), "addConstraint: '|' is the separator")
+    val bad = read(spark, table)
+      .agg(count(when(!expr(predicate) || expr(predicate).isNull, 1)))
+      .head.getLong(0)
+    if (bad > 0) throw new ConstraintViolationException(
+      s"$name ($predicate): $bad existing rows violate it")
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isDefined, s"Acid.addConstraint: no committed version at $table")
+      require(prev.contains("# base:."),
+        s"addConstraint on snapshot-mode table $table")
+      val dup = prev.find(l => l.startsWith(s"# constraint:$name|"))
+      require(dup.isEmpty || dup.contains(s"# constraint:$name|$predicate"),
+        s"addConstraint: constraint $name already exists with a different predicate")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:")) ++
+        Seq(s"# constraint:$name|$predicate") ++
+        prev.filterNot(_.startsWith("#"))
+    }
   }
 
   /** Partition-tuple METADATA table — Iceberg's `partitions` metadata

@@ -1700,6 +1700,96 @@ object Lakehouse {
         WHERE r_name IN ('ASIA', 'EUROPE')
         ORDER BY c_custkey""".trim)),
 
+    // Files metadata table (r17 — the other half of VERDICT r16 item 3:
+    // Iceberg exposes `refs` AND `files` as queryable tables):
+    // Acid.filesTable surfaces one row per data file with its partition
+    // tuple (hive path segments or the manifest's pval line), recorded
+    // row count, and min/max stats — pure manifest arithmetic, zero data
+    // I/O, the listing every compaction / skew / skipping diagnosis
+    // starts from. The fixture commits hive-partitioned with stats +
+    // row counts recorded, so every emitted column is deterministic
+    // (the nondeterministic file NAME is deliberately projected away);
+    // the oracle recomputes each partition's count and key range from
+    // the raw fixture — a wrong stat line breaks the hash.
+    Q("scan_table_files",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_files", sfDir)
+        Acid.reset(table)
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), (col("doc_id") % 3).as("grp"), col("n_chars"))
+          .repartition(1) // one writer task -> exactly one file per partition
+        Acid.commit(spark, table, docs, partitionCols = Seq("grp"),
+          stats = Some(("doc_id", col("doc_id"))), rowCounts = true)
+        SqlEntry.sqlLakehouse(spark, s"""
+          SELECT partition, n_rows, stats
+          FROM table_files('$table')
+          ORDER BY partition""")
+      },
+      Some("""
+        SELECT 'grp=' || CAST(doc_id % 3 AS VARCHAR) AS partition,
+               COUNT(*) AS n_rows,
+               'doc_id:' || CAST(MIN(doc_id) AS VARCHAR) || '..' ||
+                 CAST(MAX(doc_id) AS VARCHAR) AS stats
+        FROM documents
+        GROUP BY doc_id % 3
+        ORDER BY partition""".trim)),
+
+    // Pure-SQL maintenance console (r17): the DDL/maintenance statements
+    // an operator runs — OPTIMIZE (small-file compaction, CLUSTER BY),
+    // ALTER TABLE ADD CONSTRAINT (validated against existing data before
+    // the metadata-only commit), ALTER TABLE RENAME COLUMN (column
+    // mapping), and VACUUM — all entered as SQL TEXT through the same
+    // rewriter as the DML trio, each returning a summary row. In-body
+    // requires pin the economics through the SQL TVFs themselves: the
+    // optimize collapses 4 appends' files to 2 (table_files count), the
+    // rename leaves the file set untouched, the vacuum shrinks readable
+    // history to the live window (table_history count). Final state is
+    // read back through acid_table(...) under the POST-RENAME schema —
+    // the mapping-aware SQL read path.
+    Q("sql_maintenance",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sql_maint", sfDir)
+        Acid.reset(table)
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        (0 until 4).foreach { i =>
+          Acid.appendTxn(spark, table,
+            ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1),
+            txnId = i.toLong)
+        }
+        SqlEntry.sqlLakehouse(spark,
+          s"OPTIMIZE acid_table('$table') CLUSTER BY event_id TARGET 2 TXN 10")
+        val nf = SqlEntry.sqlLakehouse(spark,
+          s"SELECT COUNT(*) AS n FROM table_files('$table')").head.getLong(0)
+        require(nf == 2L, s"SQL OPTIMIZE must collapse to 2 files, got $nf")
+        SqlEntry.sqlLakehouse(spark, s"""
+          ALTER TABLE acid_table('$table')
+          ADD CONSTRAINT evid_nonneg CHECK (event_id >= 0) TXN 11""")
+        require(Acid.constraints(table, Acid.currentVersion(table).get)
+          .contains(("evid_nonneg", "event_id >= 0")),
+          "SQL ADD CONSTRAINT did not record the invariant")
+        SqlEntry.sqlLakehouse(spark,
+          s"ALTER TABLE acid_table('$table') RENAME COLUMN value TO amount TXN 12")
+        val nf2 = SqlEntry.sqlLakehouse(spark,
+          s"SELECT COUNT(*) AS n FROM table_files('$table')").head.getLong(0)
+        require(nf2 == 2L, "SQL RENAME must leave the file set untouched")
+        SqlEntry.sqlLakehouse(spark, s"VACUUM acid_table('$table') KEEP 1")
+        val hist = SqlEntry.sqlLakehouse(spark,
+          s"SELECT COUNT(*) AS n FROM table_history('$table')").head.getLong(0)
+        require(hist == 1L, s"SQL VACUUM must shrink history to 1 version, got $hist")
+        SqlEntry.sqlLakehouse(spark,
+          s"SELECT event_type, amount FROM acid_table('$table')")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("amount")).as("sum_amount"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n,
+               ${sqlSumVal6("value")} AS sum_amount
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
     // Delta export of a MERGE-ON-READ table (r17, VERDICT r16 item 5):
     // sink_delta_export proved the log emission for append/overwrite
     // histories, but a table with standing delete vectors could not

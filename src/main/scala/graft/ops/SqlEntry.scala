@@ -127,6 +127,49 @@ object SqlEntry {
         org.apache.spark.sql.functions.expr(pred), txn)
       return dmlSummary("delete", r)
     }
+    def ddlSummary(what: String, v: Long): DataFrame = {
+      import spark.implicits._
+      Seq((what, v)).toDF("operation", "new_version")
+    }
+    // ALTER TABLE acid_table('<dir>') RENAME COLUMN a TO b TXN <id>
+    val renameStmt =
+      """(?is)^\s*ALTER\s+TABLE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s+TXN\s+(\d+)\s*$""".r
+    renameStmt.findFirstMatchIn(text).foreach { m =>
+      return ddlSummary("rename_column",
+        Acid.renameColumn(m.group(1), m.group(2), m.group(3), m.group(4).toLong))
+    }
+    // ALTER TABLE acid_table('<dir>') DROP COLUMN a TXN <id>
+    val dropColStmt =
+      """(?is)^\s*ALTER\s+TABLE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TXN\s+(\d+)\s*$""".r
+    dropColStmt.findFirstMatchIn(text).foreach { m =>
+      return ddlSummary("drop_column",
+        Acid.dropColumn(m.group(1), m.group(2), m.group(3).toLong))
+    }
+    // ALTER TABLE acid_table('<dir>') ADD CONSTRAINT name CHECK (<pred>) TXN <id>
+    val constraintStmt =
+      """(?is)^\s*ALTER\s+TABLE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s+TXN\s+(\d+)\s*$""".r
+    constraintStmt.findFirstMatchIn(text).foreach { m =>
+      return ddlSummary("add_constraint",
+        Acid.addConstraint(spark, m.group(1), m.group(2), m.group(3).trim,
+          m.group(4).toLong))
+    }
+    // OPTIMIZE acid_table('<dir>') [CLUSTER BY c] TARGET <n> TXN <id>
+    val optimizeStmt =
+      """(?is)^\s*OPTIMIZE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+(?:CLUSTER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s+)?TARGET\s+(\d+)\s+TXN\s+(\d+)\s*$""".r
+    optimizeStmt.findFirstMatchIn(text).foreach { m =>
+      return ddlSummary("optimize",
+        Acid.optimize(spark, m.group(1), m.group(4).toLong, m.group(3).toInt,
+          clusterCol = Option(m.group(2))))
+    }
+    // VACUUM acid_table('<dir>') KEEP <n>
+    val vacuumStmt =
+      """(?is)^\s*VACUUM\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+KEEP\s+(\d+)\s*$""".r
+    vacuumStmt.findFirstMatchIn(text).foreach { m =>
+      val deleted = Acid.vacuum(m.group(1), m.group(2).toInt)
+      import spark.implicits._
+      return Seq(("vacuum", deleted.size.toLong))
+        .toDF("operation", "files_deleted")
+    }
     // RESTORE TABLE acid_table('<dir>') TO VERSION AS OF <v> TXN <id> —
     // Delta's RESTORE statement (r15): a metadata-only rollback through
     // Acid.restore, surfaced in the pure-SQL entry path. Returns a 1-row
@@ -178,6 +221,16 @@ object SqlEntry {
       Acid.refs(spark, dir).createOrReplaceTempView(view)
       out = out.replace(m.matched, view)
     }
+    // table_files('<dir>') — Iceberg's files metadata table as a TVF
+    // shape (r17), resolving through Acid.filesTable: one row per data
+    // file with partition tuple, recorded row count, and min/max stats
+    val filesTvf = """table_files\s*\(\s*'([^']+)'\s*\)""".r
+    filesTvf.findAllMatchIn(text).toSeq.foreach { m =>
+      val dir = m.group(1)
+      val view = s"__graft_acid_files_${slug(dir)}"
+      Acid.filesTable(spark, dir).createOrReplaceTempView(view)
+      out = out.replace(m.matched, view)
+    }
     val timeTravel = """acid_table\s*\(\s*'([^']+)'\s*\)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
     timeTravel.findAllMatchIn(text).toSeq.foreach { m =>
       val (dir, v) = (m.group(1), m.group(2).toLong)
@@ -196,7 +249,12 @@ object SqlEntry {
     current.findAllMatchIn(out).toSeq.foreach { m =>
       val dir = m.group(1)
       val view = s"__graft_acid_cur_${slug(dir)}"
-      Acid.read(spark, dir).createOrReplaceTempView(view)
+      // column-mapped tables resolve through the mapping-aware read; the
+      // plain scan (identical plan to the DataFrame twin, SurfaceDocSpec-
+      // pinned) stays the fast path for everything else
+      val df = if (Acid.hasColumnMapping(dir)) Acid.readEvolved(spark, dir)
+        else Acid.read(spark, dir)
+      df.createOrReplaceTempView(view)
       out = out.replace(m.matched, view)
     }
     spark.sql(out)
