@@ -133,6 +133,26 @@ object Acid {
     drops.foldLeft(renamed)((d, c) => if (d.columns.contains(c)) d.drop(c) else d)
   }
 
+  /** Resolve a wall-clock instant to the table version committed AT OR
+    * BEFORE it — Delta's `TIMESTAMP AS OF` resolution rule (greatest
+    * version whose commit time ≤ the asked instant; commit time = the
+    * manifest file's mtime, which the atomic CREATE_NEW write stamps).
+    * Fails loudly when the instant predates the first readable version
+    * (Delta does too) or when it has been vacuumed past. O(readable
+    * versions) file stats — control plane. */
+  def versionAsOf(table: String, millis: Long): Long = {
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.versionAsOf: no committed version at $table"))
+    val cands = (horizon(table) to cur).filter { v =>
+      Files.getLastModifiedTime(
+        Paths.get(table, s"manifest-$v.txt")).toMillis <= millis
+    }
+    require(cands.nonEmpty,
+      s"versionAsOf: no readable version of $table committed at or before " +
+        s"$millis (first readable is ${horizon(table)})")
+    cands.max
+  }
+
   /** True iff the current manifest carries column-mapping lines — the
     * switch SQL reads use to route through [[readEvolved]] (the mapping-
     * aware path) instead of the plain scan. */

@@ -131,6 +131,28 @@ object SqlEntry {
       import spark.implicits._
       Seq((what, v)).toDF("operation", "new_version")
     }
+    // INSERT INTO acid_table('<dir>') <select> TXN <id> — the SQL append,
+    // routed through appendTxnChecked so the table's standing CHECK
+    // constraints gate the batch (the write-side enforcement a pure-SQL
+    // producer would otherwise silently bypass). CREATE TABLE ... AS is
+    // the first-commit twin (refuses on an initialized table).
+    val insertStmt =
+      """(?is)^\s*INSERT\s+INTO\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
+    insertStmt.findFirstMatchIn(text).foreach { m =>
+      val (dir, sel, txn) = (m.group(1), m.group(2), m.group(3).toLong)
+      val df = sqlLakehouse(spark, sel)
+      return ddlSummary("insert",
+        Acid.appendTxnChecked(spark, dir, df, txn))
+    }
+    val ctasStmt =
+      """(?is)^\s*CREATE\s+TABLE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+AS\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
+    ctasStmt.findFirstMatchIn(text).foreach { m =>
+      val (dir, sel, txn) = (m.group(1), m.group(2), m.group(3).toLong)
+      require(Acid.currentVersion(dir).isEmpty,
+        s"CREATE TABLE acid_table: $dir is already initialized — INSERT INTO appends")
+      val df = sqlLakehouse(spark, sel)
+      return ddlSummary("create_table", Acid.appendTxn(spark, dir, df, txn))
+    }
     // ALTER TABLE acid_table('<dir>') RENAME COLUMN a TO b TXN <id>
     val renameStmt =
       """(?is)^\s*ALTER\s+TABLE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s+TXN\s+(\d+)\s*$""".r
@@ -181,6 +203,20 @@ object SqlEntry {
       val v = Acid.restore(dir, toV, txn)
       import spark.implicits._
       return Seq((toV, v)).toDF("restored_to", "new_version")
+    }
+    // TIMESTAMP AS OF '<iso-instant>' — wall-clock time travel (r17,
+    // Delta's other AS OF dialect): resolves through Acid.versionAsOf
+    // (greatest version whose commit mtime ≤ the instant) then the same
+    // readVersion seam as numeric travel
+    val tsTravel =
+      """acid_table\s*\(\s*'([^']+)'\s*\)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+    tsTravel.findAllMatchIn(text).toSeq.foreach { m =>
+      val (dir, iso) = (m.group(1), m.group(2))
+      val millis = java.time.Instant.parse(iso).toEpochMilli
+      val v = Acid.versionAsOf(dir, millis)
+      val view = s"__graft_acid_ts${v}_${slug(dir)}"
+      Acid.readVersion(spark, dir, v).createOrReplaceTempView(view)
+      out = out.replace(m.matched, view)
     }
     // VERSION AS OF '<tag>' — named-ref time travel (r15, Iceberg tag
     // refs): resolves through Acid.readTag, which works below the vacuum
