@@ -144,7 +144,8 @@ object AcidStream {
     * run then drains to exactly that snapshot and terminates. */
   final class AcidSource(spark: SparkSession, table: String,
       skipChangeCommits: Boolean, schema0: StructType, cdf: Boolean = false,
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None)
       extends Source
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
     import org.apache.spark.sql.connector.read.streaming.{
@@ -164,7 +165,12 @@ object AcidStream {
       * `latestOffset(start, limit)` (this class extends
       * SupportsAdmissionControl via SupportsTriggerAvailableNow). */
     override def getDefaultReadLimit: ReadLimit =
-      maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+      maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
+        // a bytes-only budget still needs the engine on the admission
+        // path (allAvailable short-circuits the split walk): advertise a
+        // file cap wide enough to never bind — bytes bind first
+        if (maxBytesPerTrigger.isDefined) ReadLimit.maxFiles(Int.MaxValue - 1)
+        else ReadLimit.allAvailable())
 
     private def budgetOf(limit: ReadLimit): Int = limit match {
       case _: ReadAllAvailable => Int.MaxValue
@@ -199,22 +205,31 @@ object AcidStream {
       * start offset itself when nothing new is admitted — the engine's
       * no-new-data signal (offset json equality). */
     private def latestSplit(start: OffsetV2, cap: Long, budget: Int): OffsetV2 = {
+      val byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
       val (sv, sf) = Option(start).map(parsePos).getOrElse((-1L, Long.MaxValue))
-      val cnt0 = if (sv < 0) 0 else addedAt(table, sv, skipChangeCommits).size
       var pv = sv
-      var pcnt = cnt0.toLong
-      var pf = math.min(sf, pcnt)
+      var pfiles: Seq[String] =
+        if (sv < 0) Seq.empty else addedAt(table, sv, skipChangeCommits)
+      var pf = math.min(sf, pfiles.size.toLong)
       val pf0 = pf
-      var used = 0L
+      var filesUsed = 0L
+      var bytesUsed = 0L
       var stop = false
       while (!stop) {
-        if (pf < pcnt) {
-          val take = math.min(pcnt - pf, budget - used)
-          pf += take; used += take
-          if (used >= budget) stop = true
+        if (pf < pfiles.size) {
+          // budgets check BEFORE the take, so the first file of a batch is
+          // always admitted — a single file larger than maxBytesPerTrigger
+          // still flows, alone in its batch (Delta's rule)
+          if (filesUsed >= budget ||
+              (filesUsed > 0 && bytesUsed >= byteBudget)) stop = true
+          else {
+            bytesUsed += java.nio.file.Files.size(
+              java.nio.file.Paths.get(table, pfiles(pf.toInt)))
+            pf += 1; filesUsed += 1
+          }
         } else if (pv < cap) {
           pv += 1
-          pcnt = addedAt(table, pv, skipChangeCommits).size.toLong
+          pfiles = addedAt(table, pv, skipChangeCommits)
           pf = 0L
         } else stop = true
       }
@@ -576,6 +591,11 @@ final class AcidStreamProvider extends StreamSourceProvider {
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { s =>
         val n = s.toInt
         require(n >= 1, s"acid-stream: maxFilesPerTrigger must be >= 1, got $n")
+        n
+      },
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map { s =>
+        val n = s.toLong
+        require(n >= 1L, s"acid-stream: maxBytesPerTrigger must be >= 1, got $n")
         n
       })
 }

@@ -1609,6 +1609,38 @@ class StreamingSpec extends SparkFixture {
     assert(gen2Batches == 2, s"4 new files under cap=2 must split in 2, got $gen2Batches")
     assert(got3.asScala.toSeq.sorted == (0L until 100L),
       "option flip across a restart lost or duplicated rows")
+
+    // BYTES budget (Delta's other admission knob): 4 ~equal files, budget
+    // = the first two files' exact sizes -> two 2-file batches; and a
+    // budget smaller than any single file still admits one file per batch
+    // (a giant file flows alone, never wedges the stream)
+    val table4 = java.nio.file.Files.createTempDirectory("acidadm4_tbl").toString + "/t"
+    Acid.appendTxn(spark, table4,
+      spark.range(0, 80).select(col("id")).repartition(4), txnId = 0L)
+    val manifested = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(table4, "manifest-0.txt")).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    }
+    val sizes = manifested.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(table4, f)))
+    def drain4(maxBytes: Long): Long = {
+      var n = 0L
+      val q4 = spark.readStream.format("graft.stream.AcidStreamProvider")
+        .option("table", table4)
+        .option("maxBytesPerTrigger", maxBytes.toString).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) => n += math.min(b.count(), 1); () }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("acidadm4_ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q4.awaitTermination(); n
+    }
+    assert(drain4(sizes(0) + sizes(1)) == 2L,
+      "a 2-file byte budget over 4 files must drain in 2 batches")
+    assert(drain4(1L) == 4L,
+      "a sub-file byte budget must still admit one file per batch")
   }
 
   test("acid-stream source: an OPTIMIZE rewrite commit is crossed transparently in both feed modes") {
