@@ -1476,6 +1476,67 @@ object Acid {
     }
   }
 
+  /** ANALYZE — retrofit manifest STATISTICS onto existing files,
+    * metadata-only (Delta `ANALYZE TABLE ... COMPUTE STATISTICS` /
+    * Iceberg `compute_table_stats`): tables written before a stats
+    * policy existed (or by writers that skipped the harvest) get zone
+    * maps, blooms, and row counts WITHOUT rewriting a byte — the scan
+    * cost is one pass over exactly the files MISSING the requested
+    * line (files that already carry it are skipped, so re-analyzing is
+    * incremental), and the commit is one new manifest. This is what
+    * turns an inherited pile of parquet into a skippable table — at
+    * 100 TB, retrofit-then-skip beats rewrite by the size of the lake.
+    * Idempotent per txnId. */
+  def analyzeTable(spark: SparkSession, table: String, txnId: Long,
+      stats: Option[(String, Column)] = None,
+      bloom: Option[(String, Column)] = None,
+      rowCounts: Boolean = false): Long = withWriterLock(table) {
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isDefined, s"Acid.analyzeTable: no committed version at $table")
+      require(prev.contains("# base:."),
+        s"analyzeTable on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      val files = prev.filterNot(_.startsWith("#"))
+      val root = Paths.get(table).toAbsolutePath
+      def rel(uri: String) =
+        root.relativize(Paths.get(java.net.URI.create(uri))).toString
+      val statLines = stats.toSeq.flatMap { case (name, e) =>
+        val missing = files.filterNot(f =>
+          prev.exists(_.startsWith(s"# minmax:$f|$name|")))
+        if (missing.isEmpty) Seq.empty
+        else spark.read.parquet(missing.map(f => s"$table/$f"): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(e).as("lo"), max(e).as("hi"))
+          .filter(col("lo").isNotNull) // all-null/empty files carry no line
+          .collect() // O(files) rows — manifest control plane
+          .map(r => s"# minmax:${rel(r.getString(0))}|$name|${r.getLong(1)}|${r.getLong(2)}")
+          .sorted.toSeq
+      }
+      val bloomStatLines = bloom.toSeq.flatMap { case (name, e) =>
+        val missing = files.filterNot(f =>
+          prev.exists(_.startsWith(s"# bloom:$f|$name|")))
+        if (missing.isEmpty) Seq.empty
+        else bloomLines(spark, missing.map(f => s"$table/$f"), root, name, e)
+      }
+      val rowLines = if (!rowCounts) Seq.empty else {
+        val missing = files.filterNot(f => prev.exists(_.startsWith(s"# rows:$f|")))
+        if (missing.isEmpty) Seq.empty
+        else spark.read.parquet(missing.map(f => s"$table/$f"): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+          .collect()
+          .map(r => s"# rows:${rel(r.getString(0))}|${r.getLong(1)}")
+          .sorted.toSeq
+      }
+      ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:")) ++
+        statLines ++ bloomStatLines ++ rowLines ++ files
+    }
+  }
+
   /** Shared snapshot-rewrite commit loop ([[compactDeletes]] /
     * [[optimize]]): materialize the merged current state OUTSIDE the lock
     * (the rewrite must not read files its own manifest is about to stop

@@ -1700,6 +1700,68 @@ object Lakehouse {
         WHERE r_name IN ('ASIA', 'EUROPE')
         ORDER BY c_custkey""".trim)),
 
+    // SQL ANALYZE — stats retrofit (r17): an INHERITED pile of appends
+    // (no writer ever harvested stats) becomes a skippable table without
+    // rewriting a byte. Before: a range probe keeps EVERY file (no zone
+    // maps — skipping is an optimization, absent stats keep everything);
+    // one metadata-only ANALYZE later the same probe prunes (in-body
+    // requires pin both states, plus the bloom point-probe pruning and
+    // the file list staying identical). The scan pays one pass over
+    // exactly the files missing the requested line — re-analyzing is
+    // incremental. Oracle = the range filter over the raw fixture; the
+    // pruned read plus residual predicate must lose nothing.
+    Q("sql_analyze",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sql_analyze", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val k = col("o_orderkey")
+        (0 until 4).foreach { i =>
+          Acid.appendTxn(spark, table,
+            or.filter(pmod(k, lit(4)) === i).repartitionByRange(3, k),
+            txnId = i.toLong)
+        }
+        val mx = or.agg(max(k)).head.getLong(0)
+        val (lo, hi) = (2L * mx / 5, 9L * mx / 20) // a ~5%-of-domain window
+        val v0 = Acid.currentVersion(table).get
+        val (kept0, all0) = Acid.skipFiles(table, v0, "o_orderkey", lo, hi)
+        require(kept0.size == all0.size,
+          "without stats, skipping must keep every file")
+        val filesBefore = Acid.read(spark, table).inputFiles.toSet
+        SqlEntry.sqlLakehouse(spark, s"""
+          ANALYZE acid_table('$table')
+          STATS (o_orderkey) BLOOM (o_orderkey) ROWS TXN 10""")
+        val v1 = Acid.currentVersion(table).get
+        require(Acid.read(spark, table).inputFiles.toSet == filesBefore,
+          "ANALYZE must be metadata-only")
+        val (kept1, all1) = Acid.skipFiles(table, v1, "o_orderkey", lo, hi)
+        require(kept1.size < all1.size,
+          s"retrofitted zone maps must prune: ${kept1.size}/${all1.size}")
+        // the adaptive bloom width caps at 2^20 bits (r16): past ~65k keys
+        // per file the filter saturates and honestly keeps everything, so
+        // the point-probe pruning promise only holds below that density —
+        // zone maps carry the probe above it (kept1 already pinned)
+        val keysPerFile = or.count() / all1.size
+        if (keysPerFile * 16 <= (1L << 20)) {
+          val (bk, ba) = Acid.skipFilesBloom(table, v1, "o_orderkey", lo)
+          require(bk.size < ba.size,
+            s"retrofitted blooms must prune a point probe: ${bk.size}/${ba.size}")
+        }
+        Acid.readSkipping(spark, table, "o_orderkey", lo, hi)
+          .filter(k.between(lo, hi)) // caller keeps the residual predicate
+          .orderBy(k)
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(FLOOR(MAX(o_orderkey) * 2 / 5.0) AS BIGINT) AS lo,
+                 CAST(FLOOR(MAX(o_orderkey) * 9 / 20.0) AS BIGINT) AS hi
+          FROM orders)
+        SELECT o_orderkey, o_orderstatus
+        FROM orders, b
+        WHERE o_orderkey BETWEEN lo AND hi
+        ORDER BY o_orderkey""".trim)),
+
     // SQL INSERT INTO / CREATE TABLE AS (r17): the WRITE half of the
     // pure-SQL story — CTAS initializes the table (refuses when one
     // exists), INSERT INTO appends through appendTxnChecked so standing

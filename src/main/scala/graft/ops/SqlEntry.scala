@@ -183,6 +183,19 @@ object SqlEntry {
         Acid.optimize(spark, m.group(1), m.group(4).toLong, m.group(3).toInt,
           clusterCol = Option(m.group(2))))
     }
+    // ANALYZE acid_table('<dir>') [STATS (c)] [BLOOM (c)] [ROWS] TXN <id>
+    // — retrofit zone maps / blooms / row counts onto existing files,
+    // metadata-only (Acid.analyzeTable)
+    val analyzeStmt =
+      """(?is)^\s*ANALYZE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+(?:STATS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+)?(?:BLOOM\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+)?(?:(ROWS)\s+)?TXN\s+(\d+)\s*$""".r
+    analyzeStmt.findFirstMatchIn(text).foreach { m =>
+      import org.apache.spark.sql.functions.col
+      return ddlSummary("analyze",
+        Acid.analyzeTable(spark, m.group(1), m.group(5).toLong,
+          stats = Option(m.group(2)).map(c => (c, col(c))),
+          bloom = Option(m.group(3)).map(c => (c, col(c))),
+          rowCounts = m.group(4) != null))
+    }
     // VACUUM acid_table('<dir>') KEEP <n>
     val vacuumStmt =
       """(?is)^\s*VACUUM\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+KEEP\s+(\d+)\s*$""".r
