@@ -366,6 +366,99 @@ object AcidStream {
     override def stop(): Unit = ()
   }
 
+  /** Branch lines at ordinal `k` of branch `name` (k == -1 → empty). */
+  private def brLinesAt(table: String, name: String, k: Long): Seq[String] =
+    if (k < 0) Seq.empty
+    else {
+      val p = java.nio.file.Paths.get(table, s"manifest-br-$name-$k.txt")
+      val it = java.nio.file.Files.readAllLines(p).iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) { val l = it.next().trim; if (l.nonEmpty) b += l }
+      b.result()
+    }
+
+  /** V1 streaming source over a BRANCH — tail an experiment line the way
+    * main consumers tail the table (the Nessie dev-pipeline pattern: a
+    * silver job tests against the branch feed before the branch
+    * publishes). Offsets are BRANCH COMMIT ORDINALS (scalar n = ordinals
+    * 0..n-1 delivered): ordinal 0's batch is the INITIAL SNAPSHOT (fork
+    * base ∪ first branch commit — Delta's startingVersion semantics);
+    * later ordinals deliver their manifest diff. Branch history is
+    * append-only by construction (the merge/rebase delete guards), so
+    * diffs are always appends; a REBASE ordinal's diff is exactly the
+    * files main added since the fork — the feed naturally delivers the
+    * rebase pull. Standing delete vectors of the branch head apply to
+    * every batch (a hidden row never surfaces). A published/retired
+    * branch fails the stream loudly — its consumers move to the main
+    * feed, which carries the branch's txn ledger after publish. */
+  final class AcidBranchSource(spark: SparkSession, table: String,
+      name: String, schema0: StructType)
+      extends Source
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
+
+    @volatile private var availableNowCap: Option[Long] = None
+
+    private def headOrdinals: Long = {
+      val (_, head) = Acid.branches(table).getOrElse(name,
+        sys.error(s"acid-branch-stream: no branch '$name' at $table — " +
+          "a published or dropped branch's consumers move to the main feed"))
+      head + 1 // count of ordinals
+    }
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = Some(headOrdinals)
+
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+    override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+      val n = availableNowCap.fold(headOrdinals)(math.min(_, headOrdinals))
+      if (n <= 0) null else LongOffset(n)
+    }
+
+    override def schema: StructType = schema0
+
+    override def getOffset: Option[OffsetV1] = {
+      val n = availableNowCap.fold(headOrdinals)(math.min(_, headOrdinals))
+      if (n <= 0) None else Some(LongOffset(n))
+    }
+
+    override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+      val s = start.map(parsePos(_)._1).getOrElse(0L)
+      val e = parsePos(end)._1
+      val files = (s until e).flatMap { k =>
+        val prev = brLinesAt(table, name, k - 1).filterNot(_.startsWith("#")).toSet
+        brLinesAt(table, name, k).filterNot(_.startsWith("#")).filterNot(prev)
+      }
+      if (files.isEmpty)
+        return org.apache.spark.sql.classic.GraftDatasetBridge.ofInternalRows(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema0)
+            .queryExecution.toRdd, schema0)
+      val batch = spark.read.schema(schema0)
+        .parquet(files.map(f => s"$table/$f"): _*)
+      // the branch head's standing vectors (fork-base inheritance) apply
+      // to the feed exactly as readBranch applies them to batch reads
+      val headLines = brLinesAt(table, name, headOrdinals - 1)
+      val delFiles = headLines.filter(_.startsWith("# delete:"))
+        .map(_.stripPrefix("# delete:").trim)
+      val visible = headLines.find(_.startsWith("# delkey:"))
+        .map(_.stripPrefix("# delkey:").trim) match {
+        case Some(k) if delFiles.nonEmpty =>
+          val dels = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+            .select(col(k)).distinct()
+          batch.join(dels, Seq(k), "left_anti")
+            .select(schema0.fieldNames.map(col).toSeq: _*)
+        case _ => batch
+      }
+      org.apache.spark.sql.classic.GraftDatasetBridge.ofInternalRows(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        visible.queryExecution.toRdd, visible.schema)
+    }
+
+    override def stop(): Unit = ()
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Table-as-stream (r13): three appendTxn commits land generation 1;
@@ -497,6 +590,66 @@ object AcidStream {
         )
         ORDER BY _commit_version, o_orderkey""".trim)),
 
+    // Branch tailing (r17): stream FROM a branch — the Nessie
+    // dev-pipeline pattern: a consumer job tests against an experiment
+    // branch's feed exactly the way production tails main. Offsets are
+    // branch commit ordinals; ordinal 0 delivers the initial snapshot
+    // (fork base ∪ first branch commit — Delta's startingVersion
+    // semantics), later ordinals their manifest diff, and a REBASE
+    // ordinal's diff is precisely the files main added since the fork —
+    // the feed delivers the rebase pull with no special casing. History:
+    // main lands slice A (v0); branch "dev" forks; two branch commits
+    // land B and C — drained as generation 1 (one initial-snapshot batch
+    // A∪B, then C). Main advances with D; the branch REBASES (ordinal 2 =
+    // D's files) and lands E (ordinal 3) — the generation-2 drain on the
+    // same checkpoint resumes at ordinal 2 and emits exactly D and E.
+    // foreachBatch lands deliveries in an Acid output table under the
+    // engine's monotone batchId; the oracle is the per-type aggregate
+    // over the FULL fixture (A∪B∪C∪D∪E = every event) — loss and
+    // re-emission across the restart both break the hash.
+    Q("stream_branch_tail",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("stream_brtail_tbl", sfDir)
+        val out = graft.Tmp.dir("stream_brtail_out", sfDir)
+        Acid.reset(table); Acid.reset(out)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_brtail_ckpt").toString
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(5)) === i)
+        def drain(): Unit = {
+          val q = spark.readStream
+            .format("graft.stream.AcidStreamProvider")
+            .option("table", table).option("branch", "dev").load()
+            .writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              Acid.appendTxn(spark, out, b, txnId = id); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        Acid.appendTxn(spark, table, slice(0), txnId = 0L)        // main: A (v0)
+        Acid.createBranch(table, "dev", 0L)
+        Acid.appendTxnBranch(spark, table, "dev", slice(1), 100L) // dev: B
+        Acid.appendTxnBranch(spark, table, "dev", slice(2), 101L) // dev: C
+        drain() // generation 1: snapshot(A∪B), then C
+        Acid.appendTxn(spark, table, slice(3), txnId = 1L)        // main: D (v1)
+        Acid.rebaseBranch(table, "dev", txnId = 102L)             // ordinal 2 = D
+        Acid.appendTxnBranch(spark, table, "dev", slice(4), 103L) // dev: E
+        drain() // generation 2: resumes at ordinal 2, emits D then E
+        Acid.read(spark, out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
     // Maintenance-transparent tailing (r14): background OPTIMIZE must not
     // break — or re-feed — a streaming consumer. History: v0–v2 append
     // three event slices (drained as generation 1); v3 is an OPTIMIZE
@@ -569,8 +722,14 @@ final class AcidStreamProvider extends StreamSourceProvider {
 
   private def schemaOf(sqlContext: SQLContext, schema: Option[StructType],
       parameters: Map[String, String]): StructType = {
-    val base = schema.getOrElse(
-      Acid.read(sqlContext.sparkSession, tableOf(parameters)).schema)
+    val base = schema.getOrElse(parameters.get("branch") match {
+      case Some(br) =>
+        require(Acid.branches(tableOf(parameters)).contains(br),
+          s"acid-branch-stream: no branch '$br' at ${tableOf(parameters)} — " +
+            "a published or dropped branch's consumers move to the main feed")
+        Acid.readBranch(sqlContext.sparkSession, tableOf(parameters), br).schema
+      case None => Acid.read(sqlContext.sparkSession, tableOf(parameters)).schema
+    })
     if (!isCdf(parameters) || base.fieldNames.contains("_commit_version")) base
     else base
       .add("change_type", org.apache.spark.sql.types.StringType, nullable = false)
@@ -585,6 +744,11 @@ final class AcidStreamProvider extends StreamSourceProvider {
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
+    parameters.get("branch") match {
+      case Some(br) =>
+        new AcidStream.AcidBranchSource(sqlContext.sparkSession,
+          tableOf(parameters), br, schemaOf(sqlContext, schema, parameters))
+      case None =>
     new AcidStream.AcidSource(sqlContext.sparkSession, tableOf(parameters),
       parameters.get("skipChangeCommits").exists(_.toBoolean),
       schemaOf(sqlContext, schema, parameters), cdf = isCdf(parameters),
@@ -598,4 +762,5 @@ final class AcidStreamProvider extends StreamSourceProvider {
         require(n >= 1L, s"acid-stream: maxBytesPerTrigger must be >= 1, got $n")
         n
       })
+    }
 }

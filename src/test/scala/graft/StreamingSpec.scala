@@ -1643,6 +1643,49 @@ class StreamingSpec extends SparkFixture {
       "a sub-file byte budget must still admit one file per batch")
   }
 
+  test("acid-branch stream: empty branch idles, vector-hidden rows never surface, a published branch fails the feed loudly") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("acidbr_tbl").toString + "/t"
+    Acid.appendTxn(spark, table,
+      spark.range(0, 100).select(col("id")), txnId = 0L)
+    // fork-base standing vector: ids 0..9 are hidden on main AND on any
+    // branch forked after the delete
+    Acid.deleteTxn(spark, table,
+      spark.range(0, 10).select(col("id")), "id", txnId = 1L)
+    Acid.createBranch(table, "dev", 1L)
+    def drain(ckpt: String): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+        .option("table", table).option("branch", "dev").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("id")).collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.asScala.toSeq.sorted
+    }
+    // an EMPTY branch has no ordinals: the feed idles (nothing delivered
+    // until the first branch commit carries the initial snapshot)
+    val ckpt = java.nio.file.Files.createTempDirectory("acidbr_ckpt").toString
+    assert(drain(ckpt).isEmpty, "an empty branch must deliver nothing")
+    // first branch commit: ordinal 0 = initial snapshot (base minus the
+    // standing vector) plus the commit's own rows
+    Acid.appendTxnBranch(spark, table, "dev",
+      spark.range(1000, 1020).select(col("id")), txnId = 100L)
+    val got = drain(ckpt)
+    assert(got == ((10L until 100L) ++ (1000L until 1020L)),
+      s"initial snapshot must apply the fork base's standing vector: $got")
+    // publish the branch: the ref retires, and the branch feed fails
+    // loudly (its consumers move to the main feed)
+    Acid.mergeBranch(table, "dev", txnId = 2L)
+    val e = intercept[Exception] { drain(ckpt) }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + chain(t.getCause)
+    assert(chain(e).contains("main feed"), s"wrong failure: ${chain(e)}")
+  }
+
   test("acid-stream source: an OPTIMIZE rewrite commit is crossed transparently in both feed modes") {
     import graft.ops.Acid
     import graft.stream.AcidStream
