@@ -2624,11 +2624,14 @@ object Acid {
     }.toMap
     def hivePartition(f: String): String =
       f.split('/').dropRight(1).filter(_.contains("=")).mkString(",")
+    // snapshot-mode tables root their files under v=<n>/
+    val prefix = if (lines.contains("# base:.")) "" else s"v=$v/"
     val rows = files.sorted.map { f =>
       Row(f,
         pvalMap.getOrElse(f, hivePartition(f)),
         rowsMap.get(f).map(Long.box).orNull,
-        statsMap.getOrElse(f, ""))
+        statsMap.getOrElse(f, ""),
+        Files.size(Paths.get(table, prefix + f)))
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
@@ -2641,7 +2644,9 @@ object Acid {
         org.apache.spark.sql.types.StructField("n_rows",
           org.apache.spark.sql.types.LongType, nullable = true),
         org.apache.spark.sql.types.StructField("stats",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("size_bytes",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** ADD a CHECK constraint metadata-only — Delta `ALTER TABLE ... ADD

@@ -1879,6 +1879,11 @@ object Lakehouse {
           .repartition(1) // one writer task -> exactly one file per partition
         Acid.commit(spark, table, docs, partitionCols = Seq("grp"),
           stats = Some(("doc_id", col("doc_id"))), rowCounts = true)
+        // size_bytes is real on-disk truth (nondeterministic across parquet
+        // encoders, so it is required-positive here and projected away)
+        require(SqlEntry.sqlLakehouse(spark,
+          s"SELECT MIN(size_bytes) AS s FROM table_files('$table')")
+          .head.getLong(0) > 0L, "files table must carry real file sizes")
         SqlEntry.sqlLakehouse(spark, s"""
           SELECT partition, n_rows, stats
           FROM table_files('$table')

@@ -607,6 +607,52 @@ class ConcurrencySpec extends SparkFixture {
       "rebased merge dropped a ledger entry")
     assert(Acid.branches(table).isEmpty, "merge must retire the branch ref")
   }
+
+  test("predicate-COW DML rebases onto a racing append: the racer's matching rows are deleted too") {
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val table = java.nio.file.Files.createTempDirectory("graft_cow_race").toString + "/t"
+    Acid.appendTxn(spark, table,
+      spark.range(0, 50).select(col("id").as("k")), txnId = 0L) // v0
+    // a racer "in flight": it holds the claim on v1 with data already
+    // landed (the CAS protocol's data-first phase) — rows 5..8 MATCH the
+    // delete predicate below, so a stale-snapshot commit that skipped the
+    // rebase would silently leave them alive
+    Files.createFile(Paths.get(table, "claim-1"))
+    spark.range(100, 110).select(col("id").as("k"))
+      .unionAll(spark.range(5, 9).select(col("id").as("k")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$table/txn=99")
+    val racerFiles = {
+      val walk = Files.walk(Paths.get(table, "txn=99"))
+      try walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => Paths.get(table).relativize(p).toString).toSeq.sorted
+      finally walk.close()
+    }
+    val fut = Future { Acid.deleteWhere(spark, table, col("k") < 10, txnId = 5L) }
+    Thread.sleep(400) // the DML is spinning on the racer's claim
+    assert(!fut.isCompleted, "deleteWhere bypassed the claim protocol")
+    // the racer commits v1 and flips the pointer
+    val prev = Files.readAllLines(Paths.get(table, "manifest-0.txt")).asScala
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    Files.write(Paths.get(table, "manifest-1.txt"),
+      (("# base:." +: (prev.filter(_.startsWith("# txn:")) :+ "# txn:99")) ++
+        prev.filterNot(_.startsWith("#")) ++ racerFiles)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val tmp = Paths.get(table, "_current.tmp.race")
+    Files.write(tmp, "1".getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(table, "_current"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val (v, touched, _) = Await.result(fut, 120.seconds)
+    assert(v == 2L, s"deleteWhere did not rebase onto the racer's commit: v$v")
+    assert(touched >= 2, s"the rebased probe must re-find the racer's file: $touched")
+    val got = Acid.read(spark, table).select(col("k")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == ((10L until 50L) ++ (100L until 110L)),
+      s"stale-snapshot DML leaked the racer's matching rows: $got")
+  }
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode
