@@ -1805,6 +1805,18 @@ object Lakehouse {
             false
           } catch { case _: IllegalArgumentException => true }
         require(ctasRefused, "CTAS on an initialized table must refuse")
+        // write-side schema check: a SELECT projecting the wrong columns
+        // refuses by name, never lands a divergent-schema file
+        val wrongCols =
+          try {
+            SqlEntry.sqlLakehouse(spark, s"""
+              INSERT INTO acid_table('$table')
+              SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey < 5 TXN 5""")
+            false
+          } catch { case _: IllegalArgumentException => true }
+        require(wrongCols && Acid.currentVersion(table).get == vBefore,
+          "a wrong-column SQL INSERT must refuse with the table unmoved")
         SqlEntry.sqlLakehouse(spark, s"""
           SELECT o_orderkey, o_orderstatus FROM acid_table('$table')
           ORDER BY o_orderkey""")

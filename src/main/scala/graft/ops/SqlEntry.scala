@@ -141,6 +141,17 @@ object SqlEntry {
     insertStmt.findFirstMatchIn(text).foreach { m =>
       val (dir, sel, txn) = (m.group(1), m.group(2), m.group(3).toLong)
       val df = sqlLakehouse(spark, sel)
+      // column-set validation (Delta's write-side schema check): an
+      // INSERT whose SELECT projects the wrong columns must refuse, not
+      // land a divergent-schema file the next read trips over. Match is
+      // BY NAME (the lakehouse contract throughout), not positional.
+      Acid.currentVersion(dir).foreach { _ =>
+        val want = Acid.read(spark, dir).schema.fieldNames.sorted.toSeq
+        val got = df.schema.fieldNames.sorted.toSeq
+        require(got == want,
+          s"INSERT INTO acid_table: select columns $got do not match the " +
+            s"table's $want (insertion is by name)")
+      }
       return ddlSummary("insert",
         Acid.appendTxnChecked(spark, dir, df, txn))
     }
