@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, max, min, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, count, explode, expr, input_file_name, lit, max, min, struct, when}
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 
 /** Minimal ACID commit protocol for directory tables (r10 verdict item 5)
@@ -2021,6 +2021,114 @@ object Acid {
         }
       case None => insertsRaw.withColumn("change_type", insertTag)
     }
+  }
+
+  /** Row-granular change feed WITH update images — Delta CDF's four change
+    * types (`insert` / `delete` / `update_preimage` / `update_postimage`;
+    * Iceberg's `create_changelog_view(compute_updates => true)`) — and,
+    * unlike [[changeFeed]], it CROSSES rewrite commits: each version step
+    * is reconstructed from the manifest DIFF (removed ∪ added files plus
+    * the delete-vector delta), keyed on `keyCol`, so a COW
+    * MERGE/UPDATE/DELETE step emits exactly the rows that logically
+    * changed and a maintenance rewrite (optimize / zorder /
+    * compactDeletes — `# op:rewrite` commits) emits NOTHING: the carried
+    * rows compare equal on both sides and cancel out, no special casing.
+    *
+    * Cost model (the 100 TB contract): a rewrite step reads only the
+    * files the commit itself touched (removed ∪ added — the same
+    * minority the COW write already paid for), a MoR-delete step pays one
+    * semi-join of the prior snapshot against the newly-hidden key set
+    * (zone-map/bloom prunable — the cost the delete's own readers pay),
+    * and an append step reads only the appended files. Never
+    * O(table × versions), and nothing collects to the driver.
+    *
+    * `keyCol` must identify a row uniquely within any one commit's
+    * touched scope — the same uniqueness the MERGE key contract already
+    * imposes on every writer of this table. */
+  def changeFeedRow(spark: SparkSession, table: String, fromV: Long,
+      toV: Long, keyCol: String): DataFrame = {
+    require(fromV < toV, s"changeFeedRow: need fromV < toV, got $fromV >= $toV")
+    def vecKeys(lines: Seq[String]): Option[DataFrame] = {
+      val fs = lines.filter(_.startsWith("# delete:"))
+        .map(_.stripPrefix("# delete:").trim)
+      lines.find(_.startsWith("# delkey:"))
+        .map(_.stripPrefix("# delkey:").trim) match {
+        case Some(k) if fs.nonEmpty =>
+          require(k == keyCol,
+            s"changeFeedRow: table uses delete key $k, got $keyCol")
+          Some(spark.read.parquet(fs.map(f => s"$table/$f"): _*)
+            .select(col(k)).distinct())
+        case _ => None
+      }
+    }
+    val snapshot = readVersion(spark, table, toV).limit(0)
+    val dataCols = snapshot.columns.toSeq
+    require(dataCols.contains(keyCol), s"changeFeedRow: no column $keyCol")
+    val outCols = dataCols.map(col) :+ col("change_type") :+ col("commit_version")
+    val emptyOut = snapshot
+      .withColumn("change_type", lit(""))
+      .withColumn("commit_version", lit(0L))
+      .select(outCols: _*)
+    def keyed(d: DataFrame) =
+      d.select(col(keyCol).as("__k"), struct(dataCols.map(col): _*).as("__r"))
+    val steps: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
+      val prev = manifestLines(table, v - 1)
+      val cur = manifestLines(table, v)
+      require(prev.contains("# base:.") && cur.contains("# base:."),
+        s"changeFeedRow on snapshot-mode table $table")
+      val pf = prev.filterNot(_.startsWith("#"))
+      val cf = cur.filterNot(_.startsWith("#"))
+      val added = cf.filterNot(pf.toSet)
+      val removed = pf.filterNot(cf.toSet)
+      // vector delta: keys newly hidden at v (MoR delete). Their rows can
+      // sit in ANY surviving file, so they are found by one prunable
+      // semi-join against the prior snapshot, not by the file diff.
+      val nhKeys = (vecKeys(cur), vecKeys(prev)) match {
+        case (Some(c), Some(p)) => Some(c.join(p, Seq(keyCol), "left_anti"))
+        case (Some(c), None)    => Some(c)
+        case _                  => None
+      }
+      if (added.isEmpty && removed.isEmpty && nhKeys.isEmpty) None
+      else {
+        // old side = rows VISIBLE at v-1 inside the removed files (standing
+        // vector subtracted; newly-hidden keys routed to the MoR branch so
+        // no event double-emits); new side = rows visible at v inside the
+        // added files. Equal (key, row) pairs cancel — that is what makes
+        // a maintenance rewrite silent here.
+        val oldRows = if (removed.isEmpty) snapshot
+          else nhKeys.foldLeft(subtractDeletes(spark, table, prev,
+            spark.read.parquet(removed.map(f => s"$table/$f"): _*)))(
+            (d, k) => d.join(k, Seq(keyCol), "left_anti"))
+        val newRows = if (added.isEmpty) snapshot
+          else subtractDeletes(spark, table, cur,
+            spark.read.parquet(added.map(f => s"$table/$f"): _*))
+        val j = keyed(oldRows).as("o")
+          .join(keyed(newRows).as("n"), col("o.__k") === col("n.__k"),
+            "full_outer")
+        val events = j.select(explode(
+          when(col("o.__r").isNull,
+            array(struct(col("n.__r").as("r"), lit("insert").as("t"))))
+            .when(col("n.__r").isNull,
+              array(struct(col("o.__r").as("r"), lit("delete").as("t"))))
+            .when(!(col("o.__r") <=> col("n.__r")), array(
+              struct(col("o.__r").as("r"), lit("update_preimage").as("t")),
+              struct(col("n.__r").as("r"), lit("update_postimage").as("t"))))
+            .otherwise(lit(null))).as("e"))
+          .select(col("e.r.*"), col("e.t").as("change_type"))
+          .withColumn("commit_version", lit(v))
+          .select(outCols: _*)
+        val withMor = nhKeys.fold(events) { k =>
+          events.unionByName(
+            readVersion(spark, table, v - 1)
+              .join(k, Seq(keyCol), "left_semi")
+              .withColumn("change_type", lit("delete"))
+              .withColumn("commit_version", lit(v))
+              .select(outCols: _*))
+        }
+        Some(withMor)
+      }
+    }
+    steps.reduceOption(_ unionByName _).getOrElse(emptyOut)
   }
 
   // ---- snapshot tags (Iceberg named refs) ----

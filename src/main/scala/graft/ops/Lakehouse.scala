@@ -505,6 +505,86 @@ object Lakehouse {
         )
         ORDER BY change_type, o_orderkey""".trim)),
 
+    // Row-granular CDF with UPDATE IMAGES (see [[Acid.changeFeedRow]]):
+    // Delta CDF's four change types reconstructed from manifest diffs, so
+    // the feed CROSSES rewrite commits — the one thing [[Acid.changeFeed]]
+    // refuses. One MERGE commit (updates + inserts + deletes), one MoR
+    // delete, then an OPTIMIZE: the feed must carry the merge as
+    // pre/post-image pairs, the MoR delete as deletes, and the maintenance
+    // rewrite as NOTHING (in-body require) — carried rows compare equal
+    // across the diff and cancel. At 100 TB each step reads only what the
+    // commit itself touched; the downstream CDC consumer gets the same
+    // contract Delta's table_changes gives without the engine ever
+    // materializing change files at write time.
+    Q("scan_change_feed_row",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("scan_cdfrow", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 0), txnId = 0L)        // v0
+        val updates = or
+          .filter(col("o_orderkey") % 15 === 0 && col("o_orderkey") % 21 =!= 0)
+          .withColumn("price", money(col("price") + 1000))
+          .withColumn("op", lit("upsert"))
+        val inserts = or
+          .filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)
+          .withColumn("op", lit("upsert"))
+        val deletes = or.filter(col("o_orderkey") % 21 === 0)
+          .withColumn("op", lit("delete"))
+        Acid.mergeCow(spark, table,
+          updates.unionByName(inserts).unionByName(deletes),
+          "o_orderkey", txnId = 1L, opCol = Some("op"))              // v1
+        Acid.deleteTxn(spark, table,
+          Tables.orders(spark, sfDir)
+            .filter(col("o_orderkey") % 33 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 2L)                                  // v2 MoR
+        Acid.optimize(spark, table, txnId = 3L, targetFiles = 2)     // v3
+        val feed = Acid.changeFeedRow(spark, table, 0L, 3L, "o_orderkey")
+        require(feed.filter(col("commit_version") === 3L).isEmpty,
+          "changeFeedRow: maintenance rewrite leaked change events")
+        feed.select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"),
+            col("change_type"), col("commit_version"))
+          .orderBy(col("commit_version"), col("change_type"), col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               change_type, commit_version
+        FROM (
+          SELECT o_orderkey, o_orderstatus, price,
+                 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+          FROM base WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, price,
+                 'delete', CAST(1 AS BIGINT)
+          FROM base WHERE o_orderkey % 21 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, price,
+                 'update_preimage', CAST(1 AS BIGINT)
+          FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 21 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(price + 1000 AS DECIMAL(12,2)),
+                 'update_postimage', CAST(1 AS BIGINT)
+          FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 21 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CASE WHEN o_orderkey % 15 = 0 THEN price + 1000
+                      ELSE price END AS DECIMAL(12,2)),
+                 'delete', CAST(2 AS BIGINT)
+          FROM base WHERE o_orderkey % 33 = 0 AND o_orderkey % 21 <> 0
+        )
+        ORDER BY commit_version, change_type, o_orderkey""".trim)),
+
     // Targeted key erasure (r14 — see [[Acid.eraseKeys]]): GDPR
     // right-to-be-forgotten at lake scale. A streaming-shaped ingest
     // (4 appends) is OPTIMIZEd into user-range-clustered files with

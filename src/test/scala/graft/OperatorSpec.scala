@@ -2792,4 +2792,41 @@ class OperatorSpec extends SparkFixture {
     val (kept2, all2) = Acid.skipFilesBloom(t2, v2e, "k", 13L)
     assert(kept2 == all2, "empty files carry no bloom line and must be kept")
   }
+
+  test("changeFeedRow: update images pair exactly; MoR deletes surface; maintenance rewrites are silent; legacy feed refuses the window") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_cdfrow").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "x"),
+      txnId = 0L)                                                    // v0
+    // v1: one MERGE carrying all three operation kinds
+    Acid.mergeCow(spark, t,
+      Seq((2L, "b", 25L, "upsert"), (4L, "d", 40L, "upsert"),
+        (3L, "c", 0L, "delete")).toDF("k", "s", "x", "op"),
+      "k", txnId = 1L, opCol = Some("op"))
+    Acid.deleteTxn(spark, t, Seq(1L).toDF("k"), "k", txnId = 2L)     // v2 MoR
+    Acid.compactDeletes(spark, t, txnId = 3L)                        // v3 maintenance
+    Acid.optimize(spark, t, txnId = 4L, targetFiles = 1)             // v4 maintenance
+    val feed = Acid.changeFeedRow(spark, t, 0L, 4L, "k")
+      .select("k", "s", "x", "change_type", "commit_version")
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    // exactly five events: the merge's three ops (update as a pre/post
+    // PAIR) and the MoR delete; v3/v4 maintenance emit NOTHING
+    assert(feed == Set(
+      (2L, "b", 20L, "update_preimage", 1L),
+      (2L, "b", 25L, "update_postimage", 1L),
+      (4L, "d", 40L, "insert", 1L),
+      (3L, "c", 30L, "delete", 1L),
+      (1L, "a", 10L, "delete", 2L)), s"row feed wrong: $feed")
+    // a sub-window sees only its own commits
+    val sub = Acid.changeFeedRow(spark, t, 1L, 2L, "k")
+      .select("k", "change_type").as[(Long, String)].collect().toSet
+    assert(sub == Set((1L, "delete")), s"sub-window feed wrong: $sub")
+    // the file-granular legacy feed REFUSES to cross the rewrite commits
+    intercept[IllegalArgumentException] {
+      Acid.changeFeed(spark, t, 0L, 4L).collect()
+    }
+  }
 }
