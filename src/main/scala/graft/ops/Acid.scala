@@ -79,6 +79,12 @@ object Acid {
     b.result()
   }
 
+  /** Current head's manifest lines — read-only view for sibling modules
+    * (the bucketed DSv2 scan derives its partition map from these). */
+  private[graft] def headLines(table: String): Seq[String] =
+    manifestLines(table, currentVersion(table).getOrElse(
+      sys.error(s"Acid.headLines: no committed version at $table")))
+
   /** Read the committed snapshot: pointer → manifest → exactly those
     * files. `basePath` keeps hive-style partition columns (`d=...`)
     * derivable from the explicit file list. */

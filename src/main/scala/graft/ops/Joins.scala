@@ -617,6 +617,92 @@ object Joins {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""".trim)),
 
+    // STORAGE-PARTITIONED JOIN (r17 — Iceberg's SPJ, SPARK-37375, on the
+    // Acid seam): both sides are Acid tables written with HIDDEN bucket
+    // partitioning (`appendTxnHidden(bucketOf(k, 8))` manifest pvals); the
+    // DSv2 scan (graft.sources.AcidBucketedSource) surfaces the manifest's
+    // bucket map as KeyGroupedPartitioning with HasPartitionKey input
+    // partitions, so Catalyst plans the join with ZERO exchange on EITHER
+    // side — shuffle once at write time, then join big-to-big in place
+    // forever, with the bucket map living in table metadata (no metastore,
+    // unlike join_bucketed's managed-catalog variant). The in-body require
+    // pins the claim on the executed adaptive plan: a SortMergeJoin and
+    // exactly ONE Exchange (the final aggregate's) — a failed SPJ would
+    // show three. Broadcast is disabled inside the run to mimic the
+    // big×big shape at fixture scale (at 100 TB neither side broadcasts);
+    // all touched confs restore after. Oracle = the plain logical join:
+    // layout must change nothing.
+    Q("join_storage_partitioned",
+      (spark, sfDir) => {
+        import graft.ops.Acid
+        val tA = graft.Tmp.dir("spj_orders", sfDir)
+        val tB = graft.Tmp.dir("spj_customer", sfDir)
+        Acid.reset(tA); Acid.reset(tB)
+        Acid.appendTxnHidden(spark, tA,
+          Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"),
+            (graft.Det.money(col("o_totalprice")) * 100).cast("long").as("cents")),
+          txnId = 0L, transforms = Seq(Acid.bucketOf("o_custkey", 8)))
+        Acid.appendTxnHidden(spark, tB,
+          Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment")),
+          txnId = 0L, transforms = Seq(Acid.bucketOf("c_custkey", 8)))
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val src = classOf[graft.sources.AcidBucketedSource].getName
+          val dA = spark.read.format(src).option("path", tA)
+            .option("bucket", "b8_o_custkey").load()
+          val dB = spark.read.format(src).option("path", tB)
+            .option("bucket", "b8_c_custkey").load()
+          val agg = dA.join(dB,
+              dA("b8_o_custkey") === dB("b8_c_custkey") &&
+                dA("o_custkey") === dB("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+            .orderBy(col("c_mktsegment"))
+          val rows = agg.collect()
+          val finalPlan = agg.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          // AQE query stages are leaf wrappers — their subtree hangs off
+          // .plan, not .children — so cross them explicitly
+          def walk(p: org.apache.spark.sql.execution.SparkPlan):
+              Seq[org.apache.spark.sql.execution.SparkPlan] =
+            p +: (p match {
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(q.plan)
+              case _ => p.children.flatMap(walk)
+            })
+          val smj = walk(finalPlan).collectFirst {
+            case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          }.getOrElse(sys.error(
+            "join_storage_partitioned: no SortMergeJoin in the final plan —\n" +
+              finalPlan.toString.take(3000)))
+          val shuffles = smj.children.flatMap(walk).collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+            case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+          }
+          require(shuffles.isEmpty,
+            s"join_storage_partitioned: the join shuffled —\n${finalPlan.toString.take(2000)}")
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq, 1), agg.schema)
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""".trim)),
+
     // Binned PURE range join (r8): count lineitems shipping within 7 days
     // of each order's date — NO equi key at all, the case Catalyst can
     // only plan as a nested-loop cross product (join_interval/asof both

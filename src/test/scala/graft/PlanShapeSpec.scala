@@ -788,4 +788,95 @@ class PlanShapeSpec extends SparkFixture {
     assert(!custSchema.contains("c_mktsegment"),
       s"policy view read an untouched column:\n$custSchema")
   }
+
+  test("storage-partitioned join: zero shuffle below the join; pruning reaches the projected read; bucket-set mismatch stays correct") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Acid
+    val tA = java.nio.file.Files.createTempDirectory("spjA").toString + "/t"
+    val tB = java.nio.file.Files.createTempDirectory("spjB").toString + "/t"
+    Acid.reset(tA); Acid.reset(tB)
+    Acid.appendTxnHidden(spark, tA,
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 7 % 100).as("x"),
+        concat(lit("row"), col("id")).as("s")),
+      0L, Seq(Acid.bucketOf("k", 8)))
+    // B deliberately covers only buckets {0..5}: a bucket-set MISMATCH —
+    // pushPartValues alignment (or a fallback shuffle) must keep the
+    // result identical to the logical join either way
+    Acid.appendTxnHidden(spark, tB,
+      spark.range(0, 200).select((col("id") * 8 + col("id") % 6).as("k"),
+        (col("id") % 5).as("g")),
+      0L, Seq(Acid.bucketOf("k", 8)))
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val src = classOf[graft.sources.AcidBucketedSource].getName
+      def rd(t: String) = spark.read.format(src).option("path", t)
+        .option("bucket", "b8_k").load()
+      // 1) co-bucketed complete sets: zero shuffle below the join
+      val dA = rd(tA)
+      val tA2 = java.nio.file.Files.createTempDirectory("spjA2").toString + "/t"
+      Acid.reset(tA2)
+      Acid.appendTxnHidden(spark, tA2,
+        spark.range(0, 1000).select(col("id").as("k2"), (col("id") * 3 % 50).as("x2")),
+        0L, Seq(Acid.bucketOf("k2", 8)))
+      val dA2 = spark.read.format(src).option("path", tA2)
+        .option("bucket", "b8_k2").load()
+      val j = dA.join(dA2, dA("b8_k") === dA2("b8_k2") && dA("k") === dA2("k2"))
+        .agg(count(lit(1)).as("n"), sum(col("x") + col("x2")).as("sx"))
+      val row = j.collect()(0)
+      assert(row.getLong(0) == 1000L)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case _ => p.children.flatMap(walk)
+        })
+      val fin = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val smj = walk(fin).collectFirst {
+        case x: org.apache.spark.sql.execution.joins.SortMergeJoinExec => x }
+      assert(smj.nonEmpty, s"no SMJ:\n${fin.toString.take(2000)}")
+      val shuffles = smj.get.children.flatMap(walk).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => q
+      }
+      assert(shuffles.isEmpty, s"join shuffled:\n${fin.toString.take(2000)}")
+      // 2) column pruning reaches the projected parquet read: selecting
+      // (k) must not surface x/s in the scan output columns
+      val pruned = rd(tA).select(col("k")).filter(col("k") < 10)
+      val scanLine = pruned.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("BatchScan")).getOrElse("")
+      assert(scanLine.contains("k#") && !scanLine.contains("x#") && !scanLine.contains("s#"),
+        s"scan not pruned: $scanLine")
+      assert(pruned.count() == 10)
+      // 3) bucket-set mismatch: result equals the logical join exactly
+      val dB = rd(tB)
+      val mm = dA.join(dB, dA("b8_k") === dB("b8_k") && dA("k") === dB("k"))
+        .select(dA("k"), dA("x"), dB("g"))
+      val expect = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 7 % 100).as("x"))
+        .join(spark.range(0, 200).select((col("id") * 8 + col("id") % 6).as("k"),
+          (col("id") % 5).as("g")), Seq("k"))
+        .select(col("k"), col("x"), col("g"))
+      assert(mm.collect().map(_.toSeq).toSet == expect.collect().map(_.toSeq).toSet)
+      // 4) refusals: vectored and un-bucketed tables fail loudly
+      import spark.implicits._
+      Acid.deleteTxn(spark, tB, Seq(8L).toDF("k"), "k", txnId = 1L)
+      val e1 = intercept[Exception] { rd(tB).collect() }
+      assert(e1.getMessage.contains("delete vectors"), e1.getMessage)
+      val tC = java.nio.file.Files.createTempDirectory("spjC").toString + "/t"
+      Acid.reset(tC)
+      Acid.appendTxn(spark, tC, spark.range(3).toDF("k"), 0L)
+      val e2 = intercept[Exception] { rd(tC).collect() }
+      assert(e2.getMessage.contains("no partition tuple"), e2.getMessage)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
