@@ -601,7 +601,11 @@ object Acid {
         // per-file stats describe PHYSICAL files an append never touches —
         // dropping them here would blind skipping/erase after any append
         l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
-        l.startsWith("# rows:")) ++
+        l.startsWith("# rows:") ||
+        // row-lineage assignments are per-PHYSICAL-file and the high-water
+        // mark is table metadata — both survive every append
+        l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
+        l.startsWith("# rowid_next:")) ++
       prev.filterNot(_.startsWith("#")) ++ newFiles
 
   /** Optimistic multi-writer append — Delta's commit protocol shape,
@@ -1417,7 +1421,9 @@ object Acid {
         prev.filter(l => l.startsWith("# pval:") || l.startsWith("# pspec:") ||
           l.startsWith("# constraint:") || l.startsWith("# minmax:") ||
           l.startsWith("# bloom:") || l.startsWith("# rows:") ||
-          l.startsWith("# colmap:") || l.startsWith("# coldrop:")) ++
+          l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
+          l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
+          l.startsWith("# rowid_next:")) ++
         prev.filterNot(_.startsWith("#"))
     }
   }
@@ -1541,6 +1547,159 @@ object Acid {
           !l.startsWith("# base:") && !l.startsWith("# op:")) ++
         statLines ++ bloomStatLines ++ rowLines ++ files
     }
+  }
+
+  // ---- row lineage (Iceberg v3 row ids, assigned lazily) ----
+
+  /** Assign STABLE ROW IDS to every data file lacking one — Iceberg v3's
+    * row-lineage upgrade done the metadata-only way: each file gets a
+    * `# firstrow:<file>|<id>` manifest line claiming the contiguous id
+    * range [id, id + rows), and a reader materializes
+    * `row_id = firstrow + _metadata.row_index` — ZERO data rewrite, zero
+    * shuffle, O(files) metadata. The table-level `# rowid_next:`
+    * high-water mark makes re-runs INCREMENTAL (only files appended since
+    * the last assignment pay a count pass, and `# rows:` lines recorded
+    * by ANALYZE are reused for free) and guarantees ids are never reused
+    * — the contract an incremental downstream consumer (CDC indexing,
+    * feature-store sync) keys its bookkeeping on. Idempotent per txnId. */
+  def assignRowIds(spark: SparkSession, table: String, txnId: Long): Long =
+    withWriterLock(table) {
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isDefined, s"Acid.assignRowIds: no committed version at $table")
+      require(prev.contains("# base:."),
+        s"assignRowIds on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      val files = prev.filterNot(_.startsWith("#"))
+      val assigned = prev.collect {
+        case l if l.startsWith("# firstrow:") =>
+          l.stripPrefix("# firstrow:").takeWhile(_ != '|')
+      }.toSet
+      val phys = prev.collect { case l if l.startsWith("# rowid_phys:") =>
+        l.stripPrefix("# rowid_phys:").trim }.toSet
+      val missing = files.filterNot(f => assigned(f) || phys(f)).sorted
+      val recorded: Map[String, Long] = prev.collect {
+        case l if l.startsWith("# rows:") =>
+          val body = l.stripPrefix("# rows:")
+          val (f, n) = body.span(_ != '|')
+          f -> n.drop(1).toLong
+      }.toMap
+      val toCount = missing.filterNot(recorded.contains)
+      val root = Paths.get(table).toAbsolutePath
+      val counted: Map[String, Long] =
+        if (toCount.isEmpty) Map.empty
+        else spark.read.parquet(toCount.map(f => s"$table/$f"): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("n"))
+          .collect() // O(files) rows — manifest-construction control plane
+          .map(r => root.relativize(
+            Paths.get(java.net.URI.create(r.getString(0)))).toString -> r.getLong(1))
+          .toMap
+      var next = prev.find(_.startsWith("# rowid_next:"))
+        .map(_.stripPrefix("# rowid_next:").trim.toLong).getOrElse(0L)
+      val newLines = missing.map { f =>
+        val line = s"# firstrow:$f|$next"
+        next += counted.getOrElse(f, recorded.getOrElse(f, 0L))
+        line
+      }
+      (("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:") &&
+          !l.startsWith("# rowid_next:")) ++
+        newLines :+ s"# rowid_next:$next") ++ files
+    }
+  }
+
+  /** Read with lineage: the table's columns + `row_id`. Lazily-assigned
+    * files compute `firstrow + _metadata.row_index` (a broadcast of the
+    * O(files) map — the data never shuffles); files rewritten by
+    * [[optimizeLineage]] carry the id MATERIALIZED (`__row_id`) and read
+    * it back directly. Standing delete vectors subtract as everywhere
+    * else — a hidden row keeps its id for when MERGE resurrects the key. */
+  def readLineage(spark: SparkSession, table: String): DataFrame = {
+    val lines = headLines(table)
+    val files = lines.filterNot(_.startsWith("#"))
+    val first: Map[String, Long] = lines.collect {
+      case l if l.startsWith("# firstrow:") =>
+        val b = l.stripPrefix("# firstrow:")
+        val (f, v) = b.span(_ != '|')
+        f -> v.drop(1).toLong
+    }.toMap
+    val phys = lines.collect { case l if l.startsWith("# rowid_phys:") =>
+      l.stripPrefix("# rowid_phys:").trim }.toSet
+    files.find(f => !first.contains(f) && !phys(f)).foreach(f => sys.error(
+      s"Acid.readLineage: $f has no row-id assignment — run assignRowIds first"))
+    val lazyFiles = files.filterNot(phys)
+    val physFiles = files.filter(phys)
+    val parts = Seq(
+      if (lazyFiles.isEmpty) None else Some {
+        val base = spark.read.parquet(lazyFiles.map(f => s"$table/$f"): _*)
+        require(!base.columns.contains("row_id"),
+          s"readLineage: $table already has a row_id data column")
+        val dataCols = base.columns.toSeq
+        val uriMap = lazyFiles.map(f =>
+          (Paths.get(table, f).toAbsolutePath.toUri.toString, first(f)))
+        val mapDf = spark.createDataFrame(uriMap).toDF("__uri", "__first")
+        base
+          .withColumn("__uri", input_file_name())
+          .withColumn("__idx", col("_metadata.row_index"))
+          .join(org.apache.spark.sql.functions.broadcast(mapDf), Seq("__uri"))
+          .withColumn("row_id", col("__first") + col("__idx"))
+          .select(dataCols.map(col) :+ col("row_id"): _*)
+      },
+      if (physFiles.isEmpty) None else Some {
+        spark.read.parquet(physFiles.map(f => s"$table/$f"): _*)
+          .withColumnRenamed("__row_id", "row_id")
+      }
+    ).flatten
+    subtractDeletes(spark, table, lines, parts.reduce(_ unionByName _))
+  }
+
+  /** Compaction that PRESERVES row ids — what Iceberg v3 does on any
+    * rewrite: the compacted files carry the id MATERIALIZED as a physical
+    * `__row_id` column (`# rowid_phys:` manifest mark), so a row's id
+    * survives arbitrarily many maintenance cycles; standing delete
+    * vectors fold in; the `# rowid_next:` high-water mark carries so later
+    * appends keep allocating above every id ever issued. Plain
+    * [[read]]/[[optimize]] remain the non-lineage path — a lineage table
+    * is read through [[readLineage]]. */
+  def optimizeLineage(spark: SparkSession, table: String, txnId: Long,
+      targetFiles: Int, clusterCol: Option[String] = None): Long = {
+    require(targetFiles >= 1, "optimizeLineage: targetFiles must be >= 1")
+    val StaleSnapshot = -2L
+    var attempts = 0
+    var out = StaleSnapshot
+    while (out == StaleSnapshot) {
+      attempts += 1
+      require(attempts <= 50, s"optimizeLineage: concurrent-commit retry limit on $table")
+      val snapV = currentVersion(table).getOrElse(
+        sys.error(s"Acid.optimizeLineage: no committed version at $table"))
+      val merged0 = readLineage(spark, table).withColumnRenamed("row_id", "__row_id")
+      val merged = (clusterCol match {
+        case Some(c) => merged0.repartitionByRange(targetFiles, col(c))
+        case None    => merged0.coalesce(targetFiles)
+      }).cache()
+      merged.count() // materialize BEFORE the lock
+      try out = withWriterLock(table) {
+        commitNextVersion(table) { (cur, prev) =>
+          require(prev.contains("# base:."),
+            s"optimizeLineage on snapshot-mode table $table")
+          if (prev.contains(s"# txn:$txnId")) Some(cur.get)
+          else if (cur.get != snapV) Some(StaleSnapshot)
+          else None
+        } { (_, prev) =>
+          val newFiles = writeTxnData(spark, table, merged, txnId)
+          ("# base:." +: s"# op:rewrite:optimizeLineage" +:
+            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            prev.filter(l => l.startsWith("# constraint:") ||
+              l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
+              l.startsWith("# rowid_next:")) ++
+            newFiles.map(f => s"# rowid_phys:$f") ++ newFiles
+        }
+      } finally merged.unpersist(blocking = false)
+    }
+    out
   }
 
   /** Shared snapshot-rewrite commit loop ([[compactDeletes]] /

@@ -585,6 +585,77 @@ object Lakehouse {
         )
         ORDER BY commit_version, change_type, o_orderkey""".trim)),
 
+    // ROW LINEAGE (r17 — Iceberg v3 row ids, see [[Acid.assignRowIds]]):
+    // stable per-row identifiers assigned LAZILY from manifest metadata
+    // (`firstrow + _metadata.row_index` — zero rewrite, zero shuffle) and
+    // preserved through MoR deletes AND compaction ([[Acid.optimizeLineage]]
+    // materializes them into rewritten files — both stabilities pinned by
+    // in-body requires on the full (key → id) map). The high-water mark
+    // makes assignment incremental and ids never reused — the contract an
+    // incremental downstream consumer keys its bookkeeping on. The oracle
+    // pins the allocation arithmetic: each append generation owns exactly
+    // its contiguous id range, so per-generation (count, min, max, sum)
+    // are closed-form from the fixture alone.
+    Q("sink_row_lineage",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("rowlineage", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0), txnId = 0L)
+        Acid.assignRowIds(spark, table, txnId = 1L)
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 1), txnId = 2L)
+        Acid.assignRowIds(spark, table, txnId = 3L) // incremental: gen2 only
+        def idMap() = Acid.readLineage(spark, table)
+          .select(col("o_orderkey"), col("row_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val ids = idMap()
+        // stability pin 1: a MoR delete leaves every survivor's id untouched
+        val delKeys = or.filter(col("o_orderkey") % 33 === 0)
+          .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+        Acid.deleteTxn(spark, table,
+          or.filter(col("o_orderkey") % 33 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 4L)
+        val afterDel = idMap()
+        require(afterDel == ids.view.filterKeys(k => !delKeys(k)).toMap,
+          "sink_row_lineage: MoR delete moved a survivor's row id")
+        // stability pin 2: compaction (vectors folded, files rewritten)
+        // preserves every id — the materialized-__row_id path
+        Acid.optimizeLineage(spark, table, txnId = 5L, targetFiles = 2)
+        require(idMap() == afterDel,
+          "sink_row_lineage: compaction moved a row id")
+        // returned frame: PRE-delete per-generation allocation stats —
+        // closed-form in the oracle because each generation owns exactly
+        // one contiguous range
+        val stats = ids.toSeq
+          .groupBy { case (k, _) => if (k % 3 == 0) 1L else 2L }
+          .toSeq.sortBy(_._1)
+          .map { case (g, xs) =>
+            org.apache.spark.sql.Row(g, xs.size.toLong, xs.map(_._2).min,
+              xs.map(_._2).max, xs.map(_._2).sum)
+          }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          "gen", "n_rows", "min_id", "max_id", "id_sum").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(stats, 1), schema)
+      },
+      Some("""
+        WITH g1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+                    WHERE o_orderkey % 3 = 0),
+             g2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+                    WHERE o_orderkey % 3 = 1)
+        SELECT CAST(1 AS BIGINT) AS gen, n AS n_rows,
+               CAST(0 AS BIGINT) AS min_id, n - 1 AS max_id,
+               n * (n - 1) // 2 AS id_sum
+        FROM g1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), g2.n, g1.n, g1.n + g2.n - 1,
+               g2.n * g1.n + g2.n * (g2.n - 1) // 2
+        FROM g1, g2
+        ORDER BY gen""".trim)),
+
     // Targeted key erasure (r14 — see [[Acid.eraseKeys]]): GDPR
     // right-to-be-forgotten at lake scale. A streaming-shaped ingest
     // (4 appends) is OPTIMIZEd into user-range-clustered files with

@@ -2829,4 +2829,39 @@ class OperatorSpec extends SparkFixture {
       Acid.changeFeed(spark, t, 0L, 4L).collect()
     }
   }
+
+  test("row lineage: ids dense per generation, stable across MoR delete + compaction, high-water mark never reused") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_rowlin").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "s"), 0L)
+    Acid.assignRowIds(spark, t, 1L)
+    Acid.appendTxn(spark, t, Seq((40L, "d"), (50L, "e")).toDF("k", "s"), 2L)
+    Acid.assignRowIds(spark, t, 3L)
+    def ids() = Acid.readLineage(spark, t).select("k", "row_id")
+      .as[(Long, Long)].collect().toMap
+    val m0 = ids()
+    assert(m0.values.toSeq.sorted == Seq(0L, 1L, 2L, 3L, 4L), s"ids not dense: $m0")
+    assert(Set(40L, 50L).map(m0) == Set(3L, 4L), "generation 2 must own the top range")
+    // re-running with no new files assigns nothing (incremental no-op)
+    Acid.assignRowIds(spark, t, 4L)
+    assert(ids() == m0)
+    // MoR delete then id-preserving compaction: survivors keep ids exactly
+    Acid.deleteTxn(spark, t, Seq(20L).toDF("k"), "k", 5L)
+    Acid.optimizeLineage(spark, t, 6L, targetFiles = 1)
+    val m1 = ids()
+    assert(m1 == m0 - 20L, s"ids moved: $m1 vs $m0")
+    // the high-water mark survives compaction: fresh rows allocate ABOVE
+    // every id ever issued — 1 was deleted, but its id is never reused
+    Acid.appendTxn(spark, t, Seq((60L, "f"), (70L, "g")).toDF("k", "s"), 7L)
+    Acid.assignRowIds(spark, t, 8L)
+    val m2 = ids()
+    assert(Set(60L, 70L).map(m2) == Set(5L, 6L), s"high-water mark violated: $m2")
+    assert((m2 - 60L - 70L) == m1)
+    // replaying an assignment txn no-ops at the version level
+    val v = Acid.currentVersion(t).get
+    Acid.assignRowIds(spark, t, 8L)
+    assert(Acid.currentVersion(t).get == v)
+  }
 }
