@@ -925,6 +925,117 @@ object Acid {
     result
   }
 
+  /** Raised when a lock-free writer loses a race it cannot rebase across —
+    * Delta's ConcurrentAppendException / ConcurrentDeleteReadException
+    * family. The caller retries on the new snapshot or surfaces the abort. */
+  final class WriteConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Lock-free predicate UPDATE — Delta's optimistic-concurrency contract
+    * for row-level writes, replacing [[updateWhere]]'s writer lock with
+    * version-claim CAS + SEMANTIC conflict detection:
+    *
+    *  1. Probe + rewrite run against a snapshot OUTSIDE any lock — two
+    *     updates on a 100 TB table never serialize their (possibly huge)
+    *     rewrites, only the O(lines) manifest step.
+    *  2. At commit, the loser of a version race REBASES iff the races
+    *     commute: the winner must not have REMOVED any file this update
+    *     read (Delta ConcurrentDeleteRead — our rewrite would resurrect
+    *     the winner's dead rows), must not have landed a standing delete
+    *     VECTOR (its hides apply to rows we already rewrote), and must
+    *     not have ADDED rows matching this update's predicate (Delta
+    *     ConcurrentAppend — serializability would require updating them
+    *     too). Disjoint-file updates and non-matching appends all rebase
+    *     and commit; anything else aborts loudly with
+    *     [[WriteConflictException]], table unmoved by this writer.
+    *
+    * The conflict check costs O(files changed since the snapshot): set
+    * arithmetic on manifests plus one predicate probe of only the
+    * winner's added files. Idempotent per txnId. `beforeCommit` is a
+    * test seam injected between the rewrite and the commit loop so specs
+    * can stage deterministic races. */
+  def updateWhereCAS(spark: SparkSession, table: String,
+      sets: Seq[(String, Column)], pred: Column, txnId: Long,
+      beforeCommit: () => Unit = () => ()): (Long, Int, Int) = {
+    require(sets.nonEmpty, "updateWhereCAS: no SET assignments")
+    val bySet = sets.toMap
+    require(bySet.size == sets.size, "updateWhereCAS: duplicate SET column")
+    val curV = currentVersion(table).getOrElse(
+      sys.error(s"Acid.updateWhereCAS: no committed version at $table"))
+    val snap = manifestLines(table, curV)
+    if (snap.contains(s"# txn:$txnId"))
+      return (curV, 0, snap.count(!_.startsWith("#"))) // replay → no-op
+    require(snap.contains("# base:."),
+      s"updateWhereCAS on snapshot-mode table $table")
+    require(!snap.exists(_.startsWith("# delete:")),
+      s"updateWhereCAS: $table carries standing delete vectors — use the " +
+        "locked updateWhere (vector semantics do not commute with appends)")
+    val all = snap.filterNot(_.startsWith("#"))
+    val root = Paths.get(table).toAbsolutePath
+    val touched = if (all.isEmpty) Seq.empty[String]
+    else spark.read.parquet(all.map(f => s"$table/$f"): _*)
+      .filter(pred)
+      .select(input_file_name().as("f")).distinct()
+      .collect() // O(files) rows — manifest-construction control plane
+      .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
+      .sorted.toSeq
+    val touchedSet = touched.toSet
+    val newFiles =
+      if (touched.isEmpty) Seq.empty[String]
+      else {
+        val base = spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+        sets.foreach { case (c, _) =>
+          require(base.columns.contains(c), s"updateWhereCAS: no column $c") }
+        val updated = base.select(base.columns.toSeq.map { c =>
+          bySet.get(c) match {
+            case Some(e) => when(pred, e).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+        writeTxnData(spark, table, updated, txnId)
+      }
+    beforeCommit()
+    val deadStat = (l: String) => touched.exists(f =>
+      l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+        l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+    val v = commitNextVersion(table) { (c, prev) =>
+      if (prev.contains(s"# txn:$txnId")) Some(c.get)
+      else {
+        // conflict check against however far the table advanced past the
+        // snapshot — runs BEFORE the claim, so an abort never wedges a
+        // claim file; re-evaluated from scratch on every raced retry
+        val prevFiles = prev.filterNot(_.startsWith("#")).toSet
+        val lostRead = touched.filterNot(prevFiles)
+        if (lostRead.nonEmpty) throw new WriteConflictException(
+          s"updateWhereCAS($txnId) on $table: a concurrent writer rewrote " +
+            s"file(s) this update read (${lostRead.take(3).mkString(", ")}) — " +
+            "retry on the new snapshot")
+        if (prev.exists(_.startsWith("# delete:")))
+          throw new WriteConflictException(
+            s"updateWhereCAS($txnId) on $table: a concurrent merge-on-read " +
+              "delete landed a standing vector — its hides apply to rows " +
+              "this update already rewrote; retry on the new snapshot")
+        val addedSince = prevFiles.diff(all.toSet).toSeq.sorted
+        if (addedSince.nonEmpty) {
+          val hit = spark.read.parquet(addedSince.map(f => s"$table/$f"): _*)
+            .filter(pred).limit(1).count() > 0
+          if (hit) throw new WriteConflictException(
+            s"updateWhereCAS($txnId) on $table: a concurrent append added " +
+              "rows matching this update's predicate — serializability " +
+              "requires updating them too; retry on the new snapshot")
+        }
+        None
+      }
+    } { (_, prev) =>
+      // rebase: the advanced state minus this update's touched files
+      ("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:") && !deadStat(l)) ++
+        prev.filterNot(_.startsWith("#")).filterNot(touchedSet) ++ newFiles
+    }
+    (v, touched.size, all.size)
+  }
+
   /** `UPDATE ... SET ... WHERE pred`, copy-on-write. Every SET expression
     * evaluates against the PRE-update row (SQL standard — `SET a = b,
     * b = a` swaps), via one simultaneous projection, never sequential

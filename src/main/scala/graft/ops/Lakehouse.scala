@@ -585,6 +585,83 @@ object Lakehouse {
         )
         ORDER BY commit_version, change_type, o_orderkey""".trim)),
 
+    // Lock-free OPTIMISTIC row-level UPDATE (r17 — [[Acid.updateWhereCAS]],
+    // Delta's optimistic concurrency for DML): two updates on DISJOINT
+    // file sets run their rewrites SIMULTANEOUSLY (no writer lock — at
+    // 100 TB the rewrites are the cost; serializing them halves write
+    // throughput for no reason) and the claim loser REBASES; a
+    // non-commuting race — here a concurrent append landing rows that
+    // MATCH the update's predicate, staged deterministically through the
+    // test seam — aborts loudly with WriteConflictException, table
+    // unmoved by the loser (Delta's ConcurrentAppendException contract).
+    // The oracle sees both disjoint updates applied plus the appended
+    // slice NOT updated (the aborted writer changed nothing).
+    Q("sink_occ_update",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("occ_upd", sfDir)
+        Acid.reset(table)
+        val base = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+        (0 to 3).foreach(i => Acid.appendTxn(spark, table,
+          base.filter(col("o_orderkey") % 4 === i), txnId = i.toLong))
+        val v0 = Acid.currentVersion(table).get
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val tA = new Thread(() => try {
+          barrier.await()
+          Acid.updateWhereCAS(spark, table,
+            Seq("o_orderstatus" -> lit("X")),
+            col("o_orderkey") % 4 === 0, txnId = 10L)
+        } catch { case t: Throwable => errs.add(t) })
+        val tB = new Thread(() => try {
+          barrier.await()
+          Acid.updateWhereCAS(spark, table,
+            Seq("cents" -> (col("cents") + 7L)),
+            col("o_orderkey") % 4 === 3, txnId = 11L)
+        } catch { case t: Throwable => errs.add(t) })
+        tA.start(); tB.start(); tA.join(120000); tB.join(120000)
+        require(errs.isEmpty,
+          s"sink_occ_update: disjoint concurrent updates must both " +
+            s"commit: ${errs.peek()}")
+        require(Acid.currentVersion(table).get == v0 + 2,
+          "sink_occ_update: both updates must land as separate versions")
+        // non-commuting race, staged deterministically: the append lands
+        // between this update's rewrite and its commit and its rows MATCH
+        // the predicate — serializability demands the abort
+        val conflicted = try {
+          Acid.updateWhereCAS(spark, table,
+            Seq("o_orderstatus" -> lit("Y")),
+            col("o_orderkey") % 4 === 1, txnId = 12L,
+            beforeCommit = () => {
+              Acid.appendTxnCAS(spark, table,
+                base.filter(col("o_orderkey") % 4 === 1), txnId = 13L); ()
+            })
+          false
+        } catch { case _: Acid.WriteConflictException => true }
+        require(conflicted,
+          "sink_occ_update: a matching concurrent append must abort the update")
+        require(Acid.currentVersion(table).get == v0 + 3,
+          "sink_occ_update: the append committed, the update aborted")
+        Acid.read(spark, table)
+          .orderBy(col("o_orderkey"), col("o_orderstatus"), col("cents"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               cents + CASE WHEN o_orderkey % 4 = 3 THEN 7 ELSE 0 END AS cents
+        FROM base
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, cents FROM base
+        WHERE o_orderkey % 4 = 1
+        ORDER BY o_orderkey, o_orderstatus, cents""".trim)),
+
     // ROW LINEAGE (r17 — Iceberg v3 row ids, see [[Acid.assignRowIds]]):
     // stable per-row identifiers assigned LAZILY from manifest metadata
     // (`firstrow + _metadata.row_index` — zero rewrite, zero shuffle) and

@@ -653,6 +653,69 @@ class ConcurrencySpec extends SparkFixture {
     assert(got == ((10L until 50L) ++ (100L until 110L)),
       s"stale-snapshot DML leaked the racer's matching rows: $got")
   }
+  test("updateWhereCAS conflict matrix: disjoint rebases, read-set rewrite / vector / matching append abort, overlap serializes or aborts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_occ").toString + "/t"
+    Acid.reset(t)
+    (0 to 1).foreach(i => Acid.appendTxn(spark, t,
+      spark.range(0, 40).select(col("id").as("k"), lit(0L).as("x"))
+        .filter(col("k") % 2 === i), txnId = i.toLong))
+    def xs() = Acid.read(spark, t).select("k", "x").as[(Long, Long)].collect().toMap
+    // disjoint race (staged): the other slice updates mid-flight -> rebase,
+    // BOTH updates land
+    Acid.updateWhereCAS(spark, t, Seq("x" -> (col("x") + 1L)),
+      col("k") % 2 === 0, txnId = 10L,
+      beforeCommit = () => { Acid.updateWhere(spark, t,
+        Seq("x" -> (col("x") + 50L)), col("k") % 2 === 1, txnId = 11L); () })
+    val m0 = xs()
+    assert((0L until 40L).forall(k => m0(k) == (if (k % 2 == 0) 1L else 50L)), s"$m0")
+    // read-set rewrite race: the SAME slice updates mid-flight -> abort,
+    // only the winner's change applies
+    intercept[Acid.WriteConflictException] {
+      Acid.updateWhereCAS(spark, t, Seq("x" -> (col("x") + 1L)),
+        col("k") % 2 === 0, txnId = 12L,
+        beforeCommit = () => { Acid.updateWhere(spark, t,
+          Seq("x" -> (col("x") + 100L)), col("k") % 2 === 0, txnId = 13L); () })
+    }
+    assert(xs()(0L) == 101L, "only the winner's update may apply")
+    // standing-vector race: a MoR delete lands mid-flight -> abort (its
+    // hides apply to rows the rewrite already copied)
+    intercept[Acid.WriteConflictException] {
+      Acid.updateWhereCAS(spark, t, Seq("x" -> (col("x") + 1L)),
+        col("k") % 2 === 0, txnId = 14L,
+        beforeCommit = () => { Acid.deleteTxn(spark, t, Seq(7L).toDF("k"), "k",
+          txnId = 15L); () })
+    }
+    assert(!xs().contains(7L) && xs()(0L) == 101L)
+    // a non-matching append mid-flight is NOT a conflict (blind appends
+    // commute with predicate updates on other rows)
+    Acid.compactDeletes(spark, t, txnId = 16L) // clear the vector first
+    Acid.updateWhereCAS(spark, t, Seq("x" -> (col("x") + 1L)),
+      col("k") % 2 === 0, txnId = 17L,
+      beforeCommit = () => { Acid.appendTxnCAS(spark, t,
+        Seq((101L, 0L)).toDF("k", "x"), txnId = 18L); () })
+    val m1 = xs()
+    assert(m1(0L) == 102L && m1(101L) == 0L && m1(1L) == 50L, s"$m1")
+    // truly concurrent OVERLAP: either serializes (both commit) or the
+    // loser aborts — never a lost update, never a double apply
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val before = m1(2L)
+    val threads = (0 to 1).map(i => new Thread(() => {
+      barrier.await()
+      try { Acid.updateWhereCAS(spark, t, Seq("x" -> (col("x") + 1000L)),
+        col("k") % 2 === 0, txnId = 20L + i); outcomes.add("ok") }
+      catch { case _: Acid.WriteConflictException => outcomes.add("conflict") }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val ok = outcomes.toArray.count(_ == "ok")
+    assert(ok >= 1 && outcomes.size == 2, s"outcomes: $outcomes")
+    assert(xs()(2L) == before + 1000L * ok,
+      s"final x inconsistent with $ok committed updates")
+  }
+
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode
