@@ -1599,6 +1599,73 @@ object Acid {
     }
   }
 
+  /** Partition-scoped OPTIMIZE — Delta's `OPTIMIZE ... WHERE` / Iceberg
+    * `rewrite_data_files(where)`: compact ONLY the files whose recorded
+    * partition tuple (`# pval:`) names `part._1 = part._2`, leaving every
+    * other file byte-untouched. This is the maintenance shape a streaming
+    * ingest actually needs — yesterday's partition compacts while today's
+    * keeps appending and the rest of the 100 TB table is never read,
+    * listed, or rewritten; a full [[optimize]] would pay O(table) for a
+    * one-partition problem. The compacted files inherit exactly the
+    * selector as their tuple (other tuple columns go unnamed, which the
+    * [[readPrunedHidden]] contract treats as always-kept — pruning stays
+    * exact across the rewrite). Standing delete vectors subtract from the
+    * rewritten rows and CARRY FORWARD (they still hide rows in survivor
+    * files — contrast [[optimize]], which folds and drops them); stat
+    * lines for replaced files drop, survivors' stats stay live.
+    * Idempotent per txnId; stale-snapshot rebase like every rewrite. */
+  def optimizeWhere(spark: SparkSession, table: String, txnId: Long,
+      targetFiles: Int, part: (String, Long)): Long = {
+    require(targetFiles >= 1, "optimizeWhere: targetFiles must be >= 1")
+    val (name, value) = part
+    val StaleSnapshot = -2L
+    var attempts = 0
+    var out = StaleSnapshot
+    while (out == StaleSnapshot) {
+      attempts += 1
+      require(attempts <= 50, s"optimizeWhere: concurrent-commit retry limit on $table")
+      val snapV = currentVersion(table).getOrElse(
+        sys.error(s"Acid.optimizeWhere: no committed version at $table"))
+      val lines = manifestLines(table, snapV)
+      if (lines.contains(s"# txn:$txnId")) return snapV // replay → no-op
+      require(lines.contains("# base:."),
+        s"optimizeWhere on snapshot-mode table $table")
+      val sel = lines.collect {
+        case l if l.startsWith("# pval:") =>
+          val body = l.stripPrefix("# pval:")
+          val (f, tuple) = body.span(_ != '|')
+          (f, tuple.drop(1).split(',').toSeq)
+      }.collect { case (f, comps) if comps.contains(s"$name=$value") => f }
+      require(sel.nonEmpty,
+        s"optimizeWhere: no file's partition tuple names $name=$value")
+      val selSet = sel.toSet
+      val merged = subtractDeletes(spark, table, lines,
+        spark.read.parquet(sel.map(f => s"$table/$f"): _*))
+        .coalesce(targetFiles).cache()
+      merged.count() // materialize BEFORE the lock
+      try out = withWriterLock(table) {
+        commitNextVersion(table) { (cur, prev) =>
+          if (prev.contains(s"# txn:$txnId")) Some(cur.get)
+          else if (cur.get != snapV) Some(StaleSnapshot)
+          else None
+        } { (_, prev) =>
+          val newFiles = writeTxnData(spark, table, merged, txnId)
+          val deadMeta = (l: String) => sel.exists(f =>
+            l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+              l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|") ||
+              l.startsWith(s"# firstrow:$f|"))
+          ("# base:." +: s"# op:rewrite:optimizeWhere" +:
+            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:") && !deadMeta(l)) ++
+            newFiles.map(f => s"# pval:$f|$name=$value") ++
+            prev.filterNot(_.startsWith("#")).filterNot(selSet) ++ newFiles
+        }
+      } finally merged.unpersist(blocking = false)
+    }
+    out
+  }
+
   /** ANALYZE — retrofit manifest STATISTICS onto existing files,
     * metadata-only (Delta `ANALYZE TABLE ... COMPUTE STATISTICS` /
     * Iceberg `compute_table_stats`): tables written before a stats

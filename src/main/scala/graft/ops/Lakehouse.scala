@@ -585,6 +585,67 @@ object Lakehouse {
         )
         ORDER BY commit_version, change_type, o_orderkey""".trim)),
 
+    // Partition-scoped OPTIMIZE (r17 — [[Acid.optimizeWhere]], Delta's
+    // `OPTIMIZE ... WHERE`): a streaming-shaped ingest leaves every day
+    // fragmented; compacting YESTERDAY must not read, list, or rewrite the
+    // other 100 TB. Three hidden-partitioned appends fragment each day
+    // into ≥3 files; the scoped rewrite collapses ONE day to a single file
+    // while every other file stays BYTE-identical (in-body requires pin
+    // the file-set arithmetic: selected day 3+→1, survivors set-equal) and
+    // a standing MoR delete vector carries across the rewrite (hidden
+    // users stay hidden — the oracle would catch a resurrection). The
+    // compacted files inherit exactly the selector tuple, so hidden-
+    // partition pruning stays exact after maintenance.
+    Q("sink_optimize_where",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("opt_where", sfDir)
+        Acid.reset(table)
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+        val transforms = Seq(Acid.dayOf("ts"))
+        (0 to 2).foreach(i => Acid.appendTxnHidden(spark, table,
+          ev.filter(col("event_id") % 3 === i), txnId = i.toLong, transforms))
+        Acid.deleteTxn(spark, table,
+          ev.filter(col("user_id") % 97 === 0).select(col("user_id")).distinct(),
+          "user_id", txnId = 3L)
+        val d = Acid.dayOfValue(utcMicros("2024-01-10T00:00:00Z"))
+        def split(): (Set[String], Set[String]) = {
+          val lines = Acid.headLines(table)
+          val files = lines.filterNot(_.startsWith("#")).toSet
+          val day = lines.collect {
+            case l if l.startsWith("# pval:") &&
+              l.stripPrefix("# pval:").dropWhile(_ != '|').drop(1)
+                .split(',').contains(s"day_ts=$d") =>
+              l.stripPrefix("# pval:").takeWhile(_ != '|')
+          }.toSet
+          (day, files -- day)
+        }
+        val (dayBefore, othersBefore) = split()
+        require(dayBefore.size >= 3,
+          s"sink_optimize_where: expected a fragmented day, got ${dayBefore.size}")
+        // through the PURE-SQL maintenance console (statement pre-pass →
+        // Acid.optimizeWhere), so the SQL operator persona gets the same
+        // partition-scoped rewrite
+        SqlEntry.sqlLakehouse(spark,
+          s"OPTIMIZE acid_table('$table') WHERE day_ts = $d TARGET 1 TXN 4")
+        val (dayAfter, othersAfter) = split()
+        require(dayAfter.size == 1,
+          s"sink_optimize_where: day not compacted (${dayAfter.size} files)")
+        require(othersAfter == othersBefore,
+          "sink_optimize_where: a file outside the selected partition moved")
+        Acid.read(spark, table)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${sqlSumVal6("value")} AS sum_val
+        FROM events
+        WHERE user_id % 97 <> 0
+        GROUP BY event_type
+        ORDER BY event_type""".trim)),
+
     // Lock-free OPTIMISTIC row-level UPDATE (r17 — [[Acid.updateWhereCAS]],
     // Delta's optimistic concurrency for DML): two updates on DISJOINT
     // file sets run their rewrites SIMULTANEOUSLY (no writer lock — at

@@ -194,6 +194,16 @@ object SqlEntry {
         Acid.optimize(spark, m.group(1), m.group(4).toLong, m.group(3).toInt,
           clusterCol = Option(m.group(2))))
     }
+    // OPTIMIZE acid_table('<dir>') WHERE <col> = <v> TARGET <n> TXN <id>
+    // — partition-scoped compaction (Acid.optimizeWhere): only the files
+    // whose recorded tuple names the selector rewrite
+    val optimizeWhereStmt =
+      """(?is)^\s*OPTIMIZE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+WHERE\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(-?\d+)\s+TARGET\s+(\d+)\s+TXN\s+(\d+)\s*$""".r
+    optimizeWhereStmt.findFirstMatchIn(text).foreach { m =>
+      return ddlSummary("optimize_where",
+        Acid.optimizeWhere(spark, m.group(1), m.group(5).toLong,
+          m.group(4).toInt, part = (m.group(2), m.group(3).toLong)))
+    }
     // ANALYZE acid_table('<dir>') [STATS (c)] [BLOOM (c)] [ROWS] TXN <id>
     // — retrofit zone maps / blooms / row counts onto existing files,
     // metadata-only (Acid.analyzeTable)
