@@ -145,7 +145,8 @@ object AcidStream {
   final class AcidSource(spark: SparkSession, table: String,
       skipChangeCommits: Boolean, schema0: StructType, cdf: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None,
-      maxBytesPerTrigger: Option[Long] = None)
+      maxBytesPerTrigger: Option[Long] = None,
+      cdfKey: Option[String] = None)
       extends Source
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
     import org.apache.spark.sql.connector.read.streaming.{
@@ -317,6 +318,21 @@ object AcidStream {
     private def getBatchCdf(s: Long, e: Long): DataFrame = {
       val parts = (s + 1 to e).flatMap { v =>
         if (Acid.isRewriteCommit(table, v)) None // dataChange=false: no changes
+        else if (cdfKey.isDefined) {
+          // row-granular mode (.option("key", col)): UPDATE IMAGES via the
+          // manifest-diff feed — a MERGE/UPDATE/DELETE commit streams its
+          // pre/post-image pairs instead of refusing, and maintenance
+          // rewrites contribute nothing by construction
+          if (v == 0) {
+            val (files0, _) = Acid.manifestFiles(table, 0L)
+            if (files0.isEmpty) None
+            else Some(Acid.readVersion(spark, table, 0L)
+              .withColumn("change_type", lit("insert"))
+              .withColumn("_commit_version", lit(0L)))
+          } else Some(
+            Acid.changeFeedRow(spark, table, v - 1, v, cdfKey.get)
+              .withColumnRenamed("commit_version", "_commit_version"))
+        }
         else try {
           val piece =
             if (v == 0) {
@@ -590,6 +606,106 @@ object AcidStream {
         )
         ORDER BY _commit_version, o_orderkey""".trim)),
 
+    // Streaming ROW-GRANULAR CDF (r17): the update-image twin of
+    // stream_change_feed — `.option("key", col)` switches the feed to
+    // [[Acid.changeFeedRow]]'s manifest-diff reconstruction, so a MERGE
+    // commit streams its update pre/post-image PAIRS (plus inserts and
+    // delete preimages) instead of refusing, and maintenance rewrites
+    // stream NOTHING. History: v0 appends A — drained; the query stops;
+    // v1 is one MERGE (updates + inserts + conditional deletes), v2 a MoR
+    // delete, v3 an OPTIMIZE — the second drain on the same checkpoint
+    // resumes at v0 and emits exactly v1's images and v2's deletes, with
+    // v3 silent. A change lost, duplicated, double-imaged, or mis-tagged
+    // across the restart breaks the hash.
+    Q("stream_change_feed_row",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("stream_cdfrow_tbl", sfDir)
+        val out = graft.Tmp.dir("stream_cdfrow_out", sfDir)
+        Acid.reset(table); Acid.reset(out)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_streamcdfrow_ckpt").toString
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        def drain(): Unit = {
+          val q = spark.readStream
+            .format("graft.stream.AcidStreamProvider")
+            .option("table", table).option("mode", "cdf")
+            .option("key", "o_orderkey").load()
+            .writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              Acid.appendTxn(spark, out, b, txnId = id); ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 0), txnId = 0L)   // v0
+        drain() // generation 1: the v0 snapshot as inserts
+        val updates = or
+          .filter(col("o_orderkey") % 15 === 0 && col("o_orderkey") % 21 =!= 0)
+          .withColumn("price", money(col("price") + 1000))
+          .withColumn("op", lit("upsert"))
+        val inserts = or
+          .filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)
+          .withColumn("op", lit("upsert"))
+        val deletes = or.filter(col("o_orderkey") % 21 === 0)
+          .withColumn("op", lit("delete"))
+        Acid.mergeCow(spark, table,
+          updates.unionByName(inserts).unionByName(deletes),
+          "o_orderkey", txnId = 1L, opCol = Some("op"))         // v1
+        Acid.deleteTxn(spark, table,
+          Tables.orders(spark, sfDir)
+            .filter(col("o_orderkey") % 33 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 2L)                             // v2 MoR
+        Acid.optimize(spark, table, txnId = 3L, targetFiles = 2) // v3 silent
+        drain() // generation 2: resumes at v0, emits v1 images + v2 deletes
+        Acid.read(spark, out)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"), col("change_type"),
+            col("_commit_version"))
+          .orderBy(col("_commit_version"), col("change_type"), col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               change_type, _commit_version
+        FROM (
+          SELECT o_orderkey, o_orderstatus, price,
+                 'insert' AS change_type, CAST(0 AS BIGINT) AS _commit_version
+          FROM base WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, price,
+                 'insert', CAST(1 AS BIGINT)
+          FROM base WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, price,
+                 'delete', CAST(1 AS BIGINT)
+          FROM base WHERE o_orderkey % 21 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, price,
+                 'update_preimage', CAST(1 AS BIGINT)
+          FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 21 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(price + 1000 AS DECIMAL(12,2)),
+                 'update_postimage', CAST(1 AS BIGINT)
+          FROM base WHERE o_orderkey % 15 = 0 AND o_orderkey % 21 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CASE WHEN o_orderkey % 15 = 0 THEN price + 1000
+                      ELSE price END AS DECIMAL(12,2)),
+                 'delete', CAST(2 AS BIGINT)
+          FROM base WHERE o_orderkey % 33 = 0 AND o_orderkey % 21 <> 0
+        )
+        ORDER BY _commit_version, change_type, o_orderkey""".trim)),
+
     // Branch tailing (r17): stream FROM a branch — the Nessie
     // dev-pipeline pattern: a consumer job tests against an experiment
     // branch's feed exactly the way production tails main. Offsets are
@@ -752,6 +868,11 @@ final class AcidStreamProvider extends StreamSourceProvider {
     new AcidStream.AcidSource(sqlContext.sparkSession, tableOf(parameters),
       parameters.get("skipChangeCommits").exists(_.toBoolean),
       schemaOf(sqlContext, schema, parameters), cdf = isCdf(parameters),
+      cdfKey = parameters.get("key").map { k =>
+        require(isCdf(parameters),
+          "acid-stream: .option(\"key\", ...) requires mode=cdf")
+        k
+      },
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { s =>
         val n = s.toInt
         require(n >= 1, s"acid-stream: maxFilesPerTrigger must be >= 1, got $n")
