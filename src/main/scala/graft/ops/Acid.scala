@@ -109,9 +109,57 @@ object Acid {
     // merge-on-read applies to evolved reads too (ADVICE r11: skipping the
     // subtraction here silently resurrected deleted rows)
     subtractDeletes(spark, table, lines,
-      applyColumnMapping(lines,
+      applyColumnDefaults(lines, applyColumnMapping(lines,
         spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$table/$f"): _*)))
+          .parquet(files.map(f => s"$table/$f"): _*))))
+  }
+
+  /** Resolve DEFAULT COLUMN VALUES over a merged-schema read — Delta's
+    * `ALTER TABLE ... ADD COLUMN ... DEFAULT` for rows that PREDATE the
+    * column: files written before the add lack the column entirely, so
+    * the merged frame surfaces NULL there and `coalesce(col, default)`
+    * fills it. Exactness contract: [[addColumnDefault]] auto-installs a
+    * NOT NULL CHECK constraint on the column, so checked writers can
+    * never store a real NULL that the fill would masquerade — NULL in the
+    * merged frame always MEANS "row predates the column". */
+  private def applyColumnDefaults(lines: Seq[String], df: DataFrame): DataFrame = {
+    val defs = lines.filter(_.startsWith("# coldefault:")).map { l =>
+      val body = l.stripPrefix("# coldefault:")
+      val (c, e) = body.span(_ != '|')
+      (c.trim, e.drop(1))
+    }
+    defs.foldLeft(df) { case (d, (c, e)) =>
+      if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+      else d.withColumn(c, coalesce(col(c), expr(e)))
+    }
+  }
+
+  /** ALTER TABLE ... ADD COLUMN ... DEFAULT — metadata-only (one
+    * `# coldefault:` line): existing rows read the default via
+    * [[readEvolved]] without a byte rewritten, and a NOT NULL CHECK
+    * constraint on the column rides along so future checked appends
+    * cannot store the ambiguous NULL. Idempotent per txnId; refuses a
+    * second default for the same column (drop-and-re-add is the explicit
+    * operator action, like tags). */
+  def addColumnDefault(spark: SparkSession, table: String, colName: String,
+      defaultSql: String, txnId: Long): Long = withWriterLock(table) {
+    spark.range(1).select(expr(defaultSql)).collect() // must compile + evaluate
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isDefined, s"Acid.addColumnDefault: no committed version at $table")
+      require(prev.contains("# base:."),
+        s"addColumnDefault on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      require(!prev.exists(_.startsWith(s"# coldefault:$colName|")),
+        s"addColumnDefault: $colName already has a default on $table")
+      (("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:")) ++
+        Seq(s"# coldefault:$colName|$defaultSql",
+          s"# constraint:${colName}_default_notnull|$colName IS NOT NULL")) ++
+        prev.filterNot(_.startsWith("#"))
+    }
   }
 
   /** Resolve the manifest's COLUMN MAPPING over a merged-schema read —
@@ -605,7 +653,7 @@ object Acid {
         // row-lineage assignments are per-PHYSICAL-file and the high-water
         // mark is table metadata — both survive every append
         l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
-        l.startsWith("# rowid_next:")) ++
+        l.startsWith("# rowid_next:") || l.startsWith("# coldefault:")) ++
       prev.filterNot(_.startsWith("#")) ++ newFiles
 
   /** Optimistic multi-writer append — Delta's commit protocol shape,
@@ -1191,7 +1239,9 @@ object Acid {
           l.startsWith("# pval:") || l.startsWith("# pspec:") ||
           l.startsWith("# constraint:") ||
           l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
-          l.startsWith("# rows:")) ++
+          l.startsWith("# rows:") || l.startsWith("# coldefault:") ||
+          l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
+          l.startsWith("# rowid_next:")) ++
         written._2 ++
         prev.filterNot(_.startsWith("#")) ++ written._1
     }
@@ -1256,7 +1306,9 @@ object Acid {
           l.startsWith("# pval:") || l.startsWith("# pspec:") ||
           l.startsWith("# constraint:") ||
           l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
-          l.startsWith("# rows:")) ++
+          l.startsWith("# rows:") || l.startsWith("# coldefault:") ||
+          l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
+          l.startsWith("# rowid_next:")) ++
         written._2 ++
         prev.filterNot(_.startsWith("#")) ++ written._1
     }
@@ -1534,7 +1586,7 @@ object Acid {
           l.startsWith("# bloom:") || l.startsWith("# rows:") ||
           l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
           l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
-          l.startsWith("# rowid_next:")) ++
+          l.startsWith("# rowid_next:") || l.startsWith("# coldefault:")) ++
         prev.filterNot(_.startsWith("#"))
     }
   }
@@ -1924,7 +1976,8 @@ object Acid {
             // reads the RAW physical frame, so the new files keep the old
             // physical names and the mapping must keep resolving them.
             prev.filter(l => l.startsWith("# constraint:") ||
-              l.startsWith("# colmap:") || l.startsWith("# coldrop:")) ++
+              l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
+              l.startsWith("# coldefault:")) ++
             headers(newFiles) ++ newFiles
         }
       } finally merged.unpersist(blocking = false)

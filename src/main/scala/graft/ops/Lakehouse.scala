@@ -585,6 +585,54 @@ object Lakehouse {
         )
         ORDER BY commit_version, change_type, o_orderkey""".trim)),
 
+    // DEFAULT COLUMN VALUES (r17 — [[Acid.addColumnDefault]], Delta's
+    // `ALTER TABLE ... ADD COLUMN ... DEFAULT`): adding a defaulted column
+    // to a governed table is ONE metadata line — rows that predate the
+    // column read the default through the merged-schema seam (old files
+    // lack the column entirely, so the fill is per-file-generation exact),
+    // and the auto-installed NOT NULL CHECK constraint keeps future
+    // checked writers from storing the ambiguous NULL (a violating append
+    // refuses loudly with the table unmoved — in-body require). At 100 TB
+    // this is the only viable add-column-with-backfill story: the
+    // alternative rewrites the lake.
+    Q("sink_column_defaults",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("coldefault", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 2 === 0), txnId = 0L) // pre-column gen
+        Acid.addColumnDefault(spark, table, "region", "'unassigned'", txnId = 1L)
+        val withRegion = or.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("region",
+            concat(lit("r"), (col("o_orderkey") % 3).cast("string")))
+        Acid.appendTxnChecked(spark, table, withRegion, txnId = 2L)
+        // the ambiguous NULL refuses at the gate, table unmoved
+        val v = Acid.currentVersion(table).get
+        val refused = try {
+          Acid.appendTxnChecked(spark, table,
+            withRegion.withColumn("region",
+              when(col("o_orderkey") % 5 === 0, lit(null: String))
+                .otherwise(col("region"))), txnId = 3L)
+          false
+        } catch { case _: ConstraintViolationException => true }
+        require(refused && Acid.currentVersion(table).get == v,
+          "sink_column_defaults: a NULL in a defaulted column must refuse")
+        Acid.readEvolved(spark, table)
+          .groupBy(col("region"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key"))
+          .orderBy(col("region"))
+      },
+      Some("""
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'unassigned'
+                    ELSE 'r' || CAST(o_orderkey % 3 AS VARCHAR) END AS region,
+               COUNT(*) AS n, MIN(o_orderkey) AS min_key
+        FROM orders
+        GROUP BY 1
+        ORDER BY region""".trim)),
+
     // Partition-scoped OPTIMIZE (r17 — [[Acid.optimizeWhere]], Delta's
     // `OPTIMIZE ... WHERE`): a streaming-shaped ingest leaves every day
     // fragmented; compacting YESTERDAY must not read, list, or rewrite the

@@ -194,6 +194,16 @@ object SqlEntry {
         Acid.optimize(spark, m.group(1), m.group(4).toLong, m.group(3).toInt,
           clusterCol = Option(m.group(2))))
     }
+    // ALTER TABLE acid_table('<dir>') ADD COLUMN <c> DEFAULT <lit> TXN <id>
+    // — metadata-only defaulted column (Acid.addColumnDefault): pre-column
+    // rows read the default, a NOT NULL CHECK rides along
+    val addColumnStmt =
+      """(?is)^\s*ALTER\s+TABLE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+ADD\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+DEFAULT\s+('[^']*'|-?\d+(?:\.\d+)?)\s+TXN\s+(\d+)\s*$""".r
+    addColumnStmt.findFirstMatchIn(text).foreach { m =>
+      return ddlSummary("add_column_default",
+        Acid.addColumnDefault(spark, m.group(1), m.group(2), m.group(3),
+          m.group(4).toLong))
+    }
     // OPTIMIZE acid_table('<dir>') WHERE <col> = <v> TARGET <n> TXN <id>
     // — partition-scoped compaction (Acid.optimizeWhere): only the files
     // whose recorded tuple names the selector rewrite
