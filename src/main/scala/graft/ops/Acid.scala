@@ -278,7 +278,33 @@ object Acid {
     * cost deleteTxn's O(keys) commit defers to here. Shared by every read
     * path that resolves a manifest ([[readVersion]], [[readEvolved]]). */
   private def subtractDeletes(spark: SparkSession, table: String,
-      lines: Seq[String], base: DataFrame): DataFrame = {
+      lines: Seq[String], base0: DataFrame): DataFrame = {
+    // POSITIONAL vectors first (Iceberg v2 positional deletes / Delta
+    // deletion vectors): (file, row-position) pairs anti-join against the
+    // scan's own provenance (`_metadata.row_index` + a broadcast O(files)
+    // uri→relpath map). Must run BEFORE the equality anti-join — provenance
+    // columns only resolve on the raw file scan.
+    val pdelFiles = lines.filter(_.startsWith("# pdel:"))
+      .map(_.stripPrefix("# pdel:").trim)
+    val base = if (pdelFiles.isEmpty) base0 else {
+      val cols = base0.columns.toSeq
+      val files = lines.filterNot(_.startsWith("#"))
+      val uriMap = spark.createDataFrame(files.map(f =>
+        (Paths.get(table, f).toAbsolutePath.toUri.toString, f)))
+        .toDF("__uri", "__pf")
+      val pd = spark.read.parquet(pdelFiles.map(f => s"$table/$f"): _*)
+        .select(col("f").as("__pf"), col("pos").as("__pp")).distinct()
+      val tagged = try base0
+        .withColumn("__uri", input_file_name())
+        .withColumn("__pp", col("_metadata.row_index"))
+      catch { case e: org.apache.spark.sql.AnalysisException => sys.error(
+        s"positional delete vectors on $table need file provenance this " +
+          s"read path cannot carry — compactDeletes first (${e.getMessage})") }
+      tagged
+        .join(org.apache.spark.sql.functions.broadcast(uriMap), Seq("__uri"), "left")
+        .join(pd, Seq("__pf", "__pp"), "left_anti")
+        .select(cols.map(col): _*)
+    }
     val delFiles = lines.filter(_.startsWith("# delete:"))
       .map(_.stripPrefix("# delete:").trim)
     lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim) match {
@@ -287,6 +313,85 @@ object Acid {
           .select(col(k)).distinct()
         base.join(dels, Seq(k), "left_anti")
       case _ => base
+    }
+  }
+
+  /** The raw snapshot WITH row provenance — each visible row tagged with
+    * its data file (`_file`, table-relative) and row position (`_pos`).
+    * This is how a caller BUILDS a positional delete vector: compute the
+    * doomed rows' (file, pos) pairs here, hand them to
+    * [[deletePositionsTxn]] — e.g. exact dedup materialized as O(dups)
+    * metadata instead of an O(table) rewrite. Standing vectors (both
+    * kinds) already subtracted, so survivors-of-record are what you see. */
+  def readPositions(spark: SparkSession, table: String): DataFrame = {
+    val lines = headLines(table)
+    val files = lines.filterNot(_.startsWith("#"))
+    val base = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val cols = base.columns.toSeq
+    val uriMap = spark.createDataFrame(files.map(f =>
+      (Paths.get(table, f).toAbsolutePath.toUri.toString, f)))
+      .toDF("__uri", "_file")
+    val tagged = base
+      .withColumn("__uri", input_file_name())
+      .withColumn("_pos", col("_metadata.row_index"))
+      .join(org.apache.spark.sql.functions.broadcast(uriMap), Seq("__uri"))
+      .select((cols.map(col) :+ col("_file") :+ col("_pos")): _*)
+    // subtract standing vectors by hand (the helper would re-tag):
+    val pdelFiles = lines.filter(_.startsWith("# pdel:"))
+      .map(_.stripPrefix("# pdel:").trim)
+    val p1 = if (pdelFiles.isEmpty) tagged else {
+      val pd = spark.read.parquet(pdelFiles.map(f => s"$table/$f"): _*)
+        .select(col("f").as("_file"), col("pos").as("_pos")).distinct()
+      tagged.join(pd, Seq("_file", "_pos"), "left_anti")
+    }
+    val delFiles = lines.filter(_.startsWith("# delete:"))
+      .map(_.stripPrefix("# delete:").trim)
+    lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim) match {
+      case Some(k) if delFiles.nonEmpty =>
+        val dels = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+          .select(col(k)).distinct()
+        p1.join(dels, Seq(k), "left_anti")
+      case _ => p1
+    }
+  }
+
+  /** MoR POSITIONAL delete — hide specific row OCCURRENCES by (file,
+    * position), the operation equality vectors structurally cannot
+    * express (an equality key hides EVERY copy; a position hides exactly
+    * one). `positions` carries (`f`: table-relative file, `pos`: row
+    * index) — typically computed from [[readPositions]]. One O(positions)
+    * metadata commit (`# pdel:` vector files), zero data files touched;
+    * vectors accumulate across commits and fold away at the next
+    * rewrite/compaction (which reads the subtracted state). Change feeds
+    * refuse windows crossing a positional-delete commit (like Delta DVs,
+    * row-level feeds need CDC materialization for this commit class).
+    * Idempotent per txnId. */
+  def deletePositionsTxn(spark: SparkSession, table: String,
+      positions: DataFrame, txnId: Long): Long = withWriterLock(table) {
+    lazy val delFiles: Seq[String] = { // at most once
+      val delDir = Paths.get(table).resolve(s"pdel=$txnId")
+      positions.select(col("f").cast("string").as("f"),
+          col("pos").cast("long").as("pos")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+      val walk = Files.walk(delDir)
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => Paths.get(table).relativize(p).toString)
+        .sorted().toArray.map(_.toString).toSeq
+      finally walk.close()
+    }
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isDefined,
+        s"Acid.deletePositionsTxn: no committed version at $table")
+      require(prev.contains("# base:."),
+        s"deletePositionsTxn on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      (("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:")) ++
+        delFiles.map(f => s"# pdel:$f")) ++
+        prev.filterNot(_.startsWith("#"))
     }
   }
 
@@ -653,7 +758,8 @@ object Acid {
         // row-lineage assignments are per-PHYSICAL-file and the high-water
         // mark is table metadata — both survive every append
         l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
-        l.startsWith("# rowid_next:") || l.startsWith("# coldefault:")) ++
+        l.startsWith("# rowid_next:") || l.startsWith("# coldefault:") ||
+        l.startsWith("# pdel:")) ++
       prev.filterNot(_.startsWith("#")) ++ newFiles
 
   /** Optimistic multi-writer append — Delta's commit protocol shape,
@@ -1241,7 +1347,7 @@ object Acid {
           l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
           l.startsWith("# rows:") || l.startsWith("# coldefault:") ||
           l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
-          l.startsWith("# rowid_next:")) ++
+          l.startsWith("# rowid_next:") || l.startsWith("# pdel:")) ++
         written._2 ++
         prev.filterNot(_.startsWith("#")) ++ written._1
     }
@@ -1308,7 +1414,7 @@ object Acid {
           l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
           l.startsWith("# rows:") || l.startsWith("# coldefault:") ||
           l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
-          l.startsWith("# rowid_next:")) ++
+          l.startsWith("# rowid_next:") || l.startsWith("# pdel:")) ++
         written._2 ++
         prev.filterNot(_.startsWith("#")) ++ written._1
     }
@@ -1586,7 +1692,8 @@ object Acid {
           l.startsWith("# bloom:") || l.startsWith("# rows:") ||
           l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
           l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
-          l.startsWith("# rowid_next:") || l.startsWith("# coldefault:")) ++
+          l.startsWith("# rowid_next:") || l.startsWith("# coldefault:") ||
+          l.startsWith("# pdel:")) ++
         prev.filterNot(_.startsWith("#"))
     }
   }
@@ -2389,6 +2496,11 @@ object Acid {
       s"changeFeed($fromV, $toV) crosses a rewrite commit (files were " +
         "replaced without logical change) — consume the feed before " +
         "maintenance or materialize change files at write time")
+    require(linesFrom.filter(_.startsWith("# pdel:")) ==
+      linesTo.filter(_.startsWith("# pdel:")),
+      s"changeFeed($fromV, $toV) crosses a POSITIONAL delete commit — " +
+        "row-level feeds need CDC materialization for this commit class " +
+        "(Delta deletion vectors have the same caveat)")
     def delFiles(lines: Seq[String]): Seq[String] =
       lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim)
     def keyOf(lines: Seq[String]): Option[String] =
@@ -2472,6 +2584,11 @@ object Acid {
       val cur = manifestLines(table, v)
       require(prev.contains("# base:.") && cur.contains("# base:."),
         s"changeFeedRow on snapshot-mode table $table")
+      require(prev.filter(_.startsWith("# pdel:")) ==
+        cur.filter(_.startsWith("# pdel:")),
+        s"changeFeedRow: version $v of $table is a POSITIONAL delete " +
+          "commit — row-level feeds need CDC materialization for this " +
+          "commit class (Delta deletion vectors have the same caveat)")
       val pf = prev.filterNot(_.startsWith("#"))
       val cf = cur.filterNot(_.startsWith("#"))
       val added = cf.filterNot(pf.toSet)

@@ -585,6 +585,67 @@ object Lakehouse {
         )
         ORDER BY commit_version, change_type, o_orderkey""".trim)),
 
+    // POSITIONAL delete vectors (r17 — [[Acid.deletePositionsTxn]],
+    // Iceberg v2 positional deletes / Delta deletion vectors): hide
+    // specific row OCCURRENCES by (file, position) — the operation an
+    // equality vector structurally cannot express (a key hides EVERY
+    // copy; a position hides exactly one). The fixture is the operation's
+    // reason to exist: a doubled ingest (every row landed twice) is
+    // exact-deduplicated by materializing row_number()>1 occurrences as
+    // one O(dups) vector commit — ZERO data files touched (in-body
+    // require pins the data-file list byte-stable across both vector
+    // commits), then a second vector removes both copies of a key slice
+    // (vectors accumulate), and the closing OPTIMIZE folds everything
+    // (require pins no vector lines survive). At 100 TB this turns dedup
+    // from an O(table) rewrite into O(dups) metadata + one eventual
+    // background compaction.
+    Q("sink_positional_delete",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("posdel", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or, txnId = 0L) // v0
+        Acid.appendTxn(spark, table, or, txnId = 1L) // v1: exact duplicate
+        val filesBefore = Acid.headLines(table).filterNot(_.startsWith("#"))
+        // dedup as a vector: keep the first occurrence per key, hide the rest
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey")).orderBy(col("_file"), col("_pos"))
+        val dups = Acid.readPositions(spark, table)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") > 1)
+          .select(col("_file").as("f"), col("_pos").as("pos"))
+        Acid.deletePositionsTxn(spark, table, dups, txnId = 2L) // v2
+        // vectors accumulate: also hide BOTH remaining copies of %21 keys
+        Acid.deletePositionsTxn(spark, table,
+          Acid.readPositions(spark, table)
+            .filter(col("o_orderkey") % 21 === 0)
+            .select(col("_file").as("f"), col("_pos").as("pos")),
+          txnId = 3L)                                           // v3
+        val after = Acid.headLines(table)
+        require(after.filterNot(_.startsWith("#")) == filesBefore,
+          "sink_positional_delete: a vector commit touched a data file")
+        require(Acid.read(spark, table).count() ==
+          Acid.readPositions(spark, table).count(),
+          "sink_positional_delete: read paths disagree under vectors")
+        // compaction folds both vectors away
+        Acid.optimize(spark, table, txnId = 4L, targetFiles = 2)
+        require(!Acid.headLines(table).exists(_.startsWith("# pdel:")),
+          "sink_positional_delete: compaction must fold the vectors")
+        Acid.read(spark, table)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders
+        WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
+        ORDER BY o_orderkey""".trim)),
+
     // DEFAULT COLUMN VALUES (r17 — [[Acid.addColumnDefault]], Delta's
     // `ALTER TABLE ... ADD COLUMN ... DEFAULT`): adding a defaulted column
     // to a governed table is ONE metadata line — rows that predate the

@@ -2864,4 +2864,44 @@ class OperatorSpec extends SparkFixture {
     Acid.assignRowIds(spark, t, 8L)
     assert(Acid.currentVersion(t).get == v)
   }
+
+  test("positional delete vectors: coexist with equality vectors, time travel honors them, change feeds refuse the window") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_pdel").toString + "/t"
+    Acid.reset(t)
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    Acid.appendTxn(spark, t, rows, 0L)
+    Acid.appendTxn(spark, t, rows, 1L) // exact duplicates
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("_file"), col("_pos"))
+    Acid.deletePositionsTxn(spark, t,
+      Acid.readPositions(spark, t).withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select(col("_file").as("f"), col("_pos").as("pos")),
+      txnId = 2L)
+    assert(Acid.read(spark, t).count() == 3L, "dedup via positions")
+    // equality vector ON TOP of the positional vector: k=2 disappears
+    Acid.deleteTxn(spark, t, Seq(2L).toDF("k"), "k", txnId = 3L)
+    val vis = Acid.read(spark, t).select("k").as[Long].collect().sorted
+    assert(vis.toSeq == Seq(1L, 3L), s"both vector kinds must apply: ${vis.toSeq}")
+    // time travel: v1 = doubled, v2 = deduped, v3 = deduped minus k=2
+    assert(Acid.readVersion(spark, t, 1L).count() == 6L)
+    assert(Acid.readVersion(spark, t, 2L).count() == 3L)
+    assert(Acid.readVersion(spark, t, 3L).count() == 2L)
+    // change feeds refuse windows crossing the positional commit, loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Acid.changeFeed(spark, t, 1L, 2L).collect() }
+    assert(e1.getMessage.contains("POSITIONAL"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Acid.changeFeedRow(spark, t, 1L, 2L, "k").collect() }
+    assert(e2.getMessage.contains("POSITIONAL"), e2.getMessage)
+    // compaction folds both vector kinds; the feed works again downstream
+    Acid.optimize(spark, t, txnId = 4L, targetFiles = 1)
+    assert(!Acid.headLines(t).exists(l =>
+      l.startsWith("# pdel:") || l.startsWith("# delete:")))
+    Acid.appendTxn(spark, t, Seq((9L, "z")).toDF("k", "s"), 5L)
+    val feed = Acid.changeFeedRow(spark, t, 4L, 5L, "k")
+      .select("k", "change_type").as[(Long, String)].collect().toSet
+    assert(feed == Set((9L, "insert")))
+  }
 }
