@@ -399,4 +399,19 @@ class PipelineSpec extends SparkFixture {
     assert(plantIds.count(p => byId(p)._2 == 1) >= plantIds.size / 2,
       "fewer than half the planted near-dups were flagged")
   }
+
+  test("llm_quality_classifier: recovers the planted separator, rerun-identical, null feature stays null") {
+    val run1 = SparkEntry.queries("llm_quality_classifier")(spark, sf001).collect()
+    assert(run1.length == 1)
+    val r = run1(0)
+    val (n, pos, correct, acc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // balanced planted classes, separator recovered
+    assert(math.abs(pos * 2 - n) <= 2, s"classes unbalanced: $pos of $n")
+    assert(acc >= 0.95, s"accuracy $acc")
+    assert(correct >= (n * 0.95).toLong)
+    // deterministic: a second training run lands on the identical summary
+    val run2 = SparkEntry.queries("llm_quality_classifier")(spark, sf001).collect()
+    assert(run2(0) == r, s"rerun drifted: ${run2(0)} vs $r")
+  }
 }
