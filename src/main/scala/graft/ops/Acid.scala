@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, coalesce, col, count, explode, expr, input_file_name, lit, max, min, struct, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat, count, explode, expr, input_file_name, lit, max, min, struct, when}
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 
 /** Minimal ACID commit protocol for directory tables (r10 verdict item 5)
@@ -277,6 +277,17 @@ object Acid {
     * AQE broadcasts it and the data side never shuffles — the read-path
     * cost deleteTxn's O(keys) commit defers to here. Shared by every read
     * path that resolves a manifest ([[readVersion]], [[readEvolved]]). */
+  /** SQL-side path normalization (fold `..`/`.`/empty segments) so a
+    * vector row's `<root>/<f>` concat compares equal to the driver-side
+    * `Paths.normalize` string even across shallow-clone generations
+    * (where `f` itself carries `../` hops). HOF-only — stays in codegen. */
+  private def normPathExpr(inner: String): String =
+    s"concat('/', array_join(aggregate(split($inner, '/'), " +
+      "cast(array() as array<string>), " +
+      "(acc, x) -> case when x = '..' then slice(acc, 1, size(acc) - 1) " +
+      "when x = '.' or x = '' then acc " +
+      "else concat(acc, array(x)) end), '/'))"
+
   private def subtractDeletes(spark: SparkSession, table: String,
       lines: Seq[String], base0: DataFrame): DataFrame = {
     // POSITIONAL vectors first (Iceberg v2 positional deletes / Delta
@@ -289,11 +300,22 @@ object Acid {
     val base = if (pdelFiles.isEmpty) base0 else {
       val cols = base0.columns.toSeq
       val files = lines.filterNot(_.startsWith("#"))
-      val uriMap = spark.createDataFrame(files.map(f =>
-        (Paths.get(table, f).toAbsolutePath.toUri.toString, f)))
-        .toDF("__uri", "__pf")
-      val pd = spark.read.parquet(pdelFiles.map(f => s"$table/$f"): _*)
-        .select(col("f").as("__pf"), col("pos").as("__pp")).distinct()
+      // join on NORMALIZED ABSOLUTE paths: vector rows store paths relative
+      // to the root of the table that WROTE the vector, which after a
+      // shallow clone is not this table's root — each vector file's own
+      // location (…/<root>/pdel=<txn>/…) names that root, so resolving
+      // against it keeps zero-copy clones honoring inherited vectors
+      val uriMap = spark.createDataFrame(files.map { f =>
+        val p = Paths.get(table, f).toAbsolutePath.normalize
+        (p.toUri.toString, p.toString)
+      }).toDF("__uri", "__abs")
+      val pd = pdelFiles.map { pf =>
+        val root = Paths.get(table, pf).toAbsolutePath.normalize
+          .getParent.getParent
+        spark.read.parquet(s"$table/$pf")
+          .select(expr(normPathExpr(s"concat('$root/', f)")).as("__abs"),
+            col("pos").as("__pp"))
+      }.reduce(_ unionByName _).distinct()
       val tagged = try base0
         .withColumn("__uri", input_file_name())
         .withColumn("__pp", col("_metadata.row_index"))
@@ -302,7 +324,7 @@ object Acid {
           s"read path cannot carry — compactDeletes first (${e.getMessage})") }
       tagged
         .join(org.apache.spark.sql.functions.broadcast(uriMap), Seq("__uri"), "left")
-        .join(pd, Seq("__pf", "__pp"), "left_anti")
+        .join(pd, Seq("__abs", "__pp"), "left_anti")
         .select(cols.map(col): _*)
     }
     val delFiles = lines.filter(_.startsWith("# delete:"))
@@ -328,31 +350,41 @@ object Acid {
     val files = lines.filterNot(_.startsWith("#"))
     val base = spark.read.parquet(files.map(f => s"$table/$f"): _*)
     val cols = base.columns.toSeq
-    val uriMap = spark.createDataFrame(files.map(f =>
-      (Paths.get(table, f).toAbsolutePath.toUri.toString, f)))
-      .toDF("__uri", "_file")
+    val uriMap = spark.createDataFrame(files.map { f =>
+      val p = Paths.get(table, f).toAbsolutePath.normalize
+      (p.toUri.toString, f, p.toString)
+    }).toDF("__uri", "_file", "__abs")
     val tagged = base
       .withColumn("__uri", input_file_name())
       .withColumn("_pos", col("_metadata.row_index"))
       .join(org.apache.spark.sql.functions.broadcast(uriMap), Seq("__uri"))
-      .select((cols.map(col) :+ col("_file") :+ col("_pos")): _*)
-    // subtract standing vectors by hand (the helper would re-tag):
+      .select((cols.map(col) :+ col("_file") :+ col("_pos") :+ col("__abs")): _*)
+    // subtract standing vectors by hand (the helper would re-tag); vector
+    // rows resolve against the root that WROTE them (clone-safe, same
+    // rule as subtractDeletes)
     val pdelFiles = lines.filter(_.startsWith("# pdel:"))
       .map(_.stripPrefix("# pdel:").trim)
     val p1 = if (pdelFiles.isEmpty) tagged else {
-      val pd = spark.read.parquet(pdelFiles.map(f => s"$table/$f"): _*)
-        .select(col("f").as("_file"), col("pos").as("_pos")).distinct()
-      tagged.join(pd, Seq("_file", "_pos"), "left_anti")
+      val pd = pdelFiles.map { pf =>
+        val root = Paths.get(table, pf).toAbsolutePath.normalize
+          .getParent.getParent
+        spark.read.parquet(s"$table/$pf")
+          .select(expr(normPathExpr(s"concat('$root/', f)")).as("__abs"),
+            col("pos").as("_pos"))
+      }.reduce(_ unionByName _).distinct()
+      tagged.join(pd, Seq("__abs", "_pos"), "left_anti")
     }
     val delFiles = lines.filter(_.startsWith("# delete:"))
       .map(_.stripPrefix("# delete:").trim)
-    lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim) match {
+    val p2 = lines.find(_.startsWith("# delkey:"))
+      .map(_.stripPrefix("# delkey:").trim) match {
       case Some(k) if delFiles.nonEmpty =>
         val dels = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
           .select(col(k)).distinct()
         p1.join(dels, Seq(k), "left_anti")
       case _ => p1
     }
+    p2.drop("__abs")
   }
 
   /** MoR POSITIONAL delete — hide specific row OCCURRENCES by (file,
@@ -853,7 +885,11 @@ object Acid {
         val all = lines.filterNot(_.startsWith("#"))
         val survivors = all.filterNot(candidates.contains)
         val newFiles = if (candidates.isEmpty) Seq.empty else {
-          val scrubbed = spark.read.parquet(candidates.map(f => s"$table/$f"): _*)
+          // standing vectors fold into the rewrite (a positional entry
+          // names a (file, pos) that won't exist after the move — carrying
+          // the hidden row raw would resurrect it under the new position)
+          val scrubbed = subtractDeletes(spark, table, lines,
+            spark.read.parquet(candidates.map(f => s"$table/$f"): _*))
             .filter(!col(keyCol).isin(keys: _*))
           writeTxnData(spark, table, scrubbed, txnId)
         }
@@ -1120,7 +1156,7 @@ object Acid {
       return (curV, 0, snap.count(!_.startsWith("#"))) // replay → no-op
     require(snap.contains("# base:."),
       s"updateWhereCAS on snapshot-mode table $table")
-    require(!snap.exists(_.startsWith("# delete:")),
+    require(!snap.exists(l => l.startsWith("# delete:") || l.startsWith("# pdel:")),
       s"updateWhereCAS: $table carries standing delete vectors — use the " +
         "locked updateWhere (vector semantics do not commute with appends)")
     val all = snap.filterNot(_.startsWith("#"))
@@ -1163,7 +1199,7 @@ object Acid {
           s"updateWhereCAS($txnId) on $table: a concurrent writer rewrote " +
             s"file(s) this update read (${lostRead.take(3).mkString(", ")}) — " +
             "retry on the new snapshot")
-        if (prev.exists(_.startsWith("# delete:")))
+        if (prev.exists(l => l.startsWith("# delete:") || l.startsWith("# pdel:")))
           throw new WriteConflictException(
             s"updateWhereCAS($txnId) on $table: a concurrent merge-on-read " +
               "delete landed a standing vector — its hides apply to rows " +
@@ -2164,6 +2200,11 @@ object Acid {
       case l if l.startsWith("# txn:") || l.startsWith("# op:") => None
       case l if l.startsWith("# delete:") =>
         Some("# delete:" + reroot(l.stripPrefix("# delete:").trim))
+      case l if l.startsWith("# pdel:") =>
+        Some("# pdel:" + reroot(l.stripPrefix("# pdel:").trim))
+      case l if l.startsWith("# firstrow:") => Some(rerootStat(l, "# firstrow:"))
+      case l if l.startsWith("# rowid_phys:") =>
+        Some("# rowid_phys:" + reroot(l.stripPrefix("# rowid_phys:").trim))
       case l if l.startsWith("# pval:")   => Some(rerootStat(l, "# pval:"))
       case l if l.startsWith("# minmax:") => Some(rerootStat(l, "# minmax:"))
       case l if l.startsWith("# bloom:")  => Some(rerootStat(l, "# bloom:"))
@@ -3390,12 +3431,16 @@ object Acid {
           val lines = manifestLines(table, v)
           val rootRel = lines.contains("# base:.")
           lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
+            // positional vectors are live by reference exactly like
+            // equality vectors — GC'ing one silently resurrects rows
+            lines.filter(_.startsWith("# pdel:")).map(_.stripPrefix("# pdel:").trim) ++
             lines.filterNot(_.startsWith("#"))
               .map(f => if (rootRel) f else s"v=$v/$f")
         } ++ stagedWapIds(table).flatMap(id => wapFiles(table, id)) ++
         branchMap.keys.flatMap { n =>
           val ls = branchLines(table, n)
           ls.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
+            ls.filter(_.startsWith("# pdel:")).map(_.stripPrefix("# pdel:").trim) ++
             ls.filterNot(_.startsWith("#"))
         }).toSet
       val tmp = Paths.get(table, "_horizon.tmp")

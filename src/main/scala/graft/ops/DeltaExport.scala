@@ -281,6 +281,10 @@ object DeltaExport {
       sys.error(s"DeltaExport.exportAcid: no committed version at $table"))
     val (files, _) = Acid.manifestFiles(table, av)
     require(files.nonEmpty, s"DeltaExport.exportAcid: empty manifest at $table")
+    require(!Acid.headLines(table).exists(_.startsWith("# pdel:")),
+      s"DeltaExport.exportAcid: $table carries POSITIONAL delete vectors — " +
+        "compactDeletes (or optimize) to fold them before exporting; the " +
+        "zero-copy adds below would otherwise resurrect hidden positions")
     val tableRoot = Paths.get(table).toAbsolutePath
     val v = currentVersion(dir).map(_ + 1).getOrElse(0L)
     val dataSub = f"v$v%020d"

@@ -2904,4 +2904,42 @@ class OperatorSpec extends SparkFixture {
       .select("k", "change_type").as[(Long, String)].collect().toSet
     assert(feed == Set((9L, "insert")))
   }
+
+  test("positional vectors: vacuum keeps live vector files, shallow clones inherit hides, erase folds them") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_pdel2").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "x"), 0L)
+    Acid.appendTxn(spark, t, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "x"), 1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("_file"), col("_pos"))
+    Acid.deletePositionsTxn(spark, t,
+      Acid.readPositions(spark, t).withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select(col("_file").as("f"), col("_pos").as("pos")),
+      txnId = 2L)
+    assert(Acid.read(spark, t).count() == 3L)
+    // vacuum past the pre-vector versions: the VECTOR files must survive
+    // (they are live by reference) and the visible state must not move
+    Acid.appendTxn(spark, t, Seq((4L, 40L)).toDF("k", "x"), 3L)
+    Acid.vacuum(t, keep = 2)
+    assert(Acid.read(spark, t).count() == 4L,
+      "vacuum GC'd a live positional vector — rows resurrected or lost")
+    // a shallow clone inherits the hides zero-copy
+    val c = java.nio.file.Files.createTempDirectory("graft_pdel2c").toString + "/c"
+    Acid.shallowClone(t, c)
+    assert(Acid.read(spark, c).count() == 4L,
+      "shallow clone dropped inherited positional hides")
+    assert(Acid.read(spark, c).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // bloom-pruned GDPR erase folds standing vectors instead of carrying
+    // hidden rows raw into re-positioned files
+    Acid.analyzeTable(spark, t, txnId = 5L, bloom = Some(("k", col("k"))))
+    Acid.eraseKeys(spark, t, Seq(2L), "k", "k", txnId = 6L)
+    val vis = Acid.read(spark, t).select("k").as[Long].collect().sorted.toSeq
+    assert(vis == Seq(1L, 3L, 4L), s"erase under vectors wrong: $vis")
+    assert(Acid.read(spark, t).count() ==
+      Acid.read(spark, t).select("k").distinct().count(),
+      "a vector-hidden duplicate resurrected through the erase rewrite")
+  }
 }
