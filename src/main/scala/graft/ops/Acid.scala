@@ -399,7 +399,8 @@ object Acid {
     * row-level feeds need CDC materialization for this commit class).
     * Idempotent per txnId. */
   def deletePositionsTxn(spark: SparkSession, table: String,
-      positions: DataFrame, txnId: Long): Long = withWriterLock(table) {
+      positions: DataFrame, txnId: Long, cdc: Boolean = false): Long =
+    withWriterLock(table) {
     lazy val delFiles: Seq[String] = { // at most once
       val delDir = Paths.get(table).resolve(s"pdel=$txnId")
       positions.select(col("f").cast("string").as("f"),
@@ -411,18 +412,37 @@ object Acid {
         .sorted().toArray.map(_.toString).toSeq
       finally walk.close()
     }
+    // CDC materialization (Delta's change-data-feed files for DV commits):
+    // the doomed rows' FULL PREIMAGES land as a change file, so row-level
+    // feeds can cross this commit instead of refusing. Cost is O(files
+    // containing a doomed position) — the same files the delete touched.
+    lazy val cdcFiles: Seq[String] = { // at most once
+      val cdcDir = Paths.get(table).resolve(s"cdc=$txnId")
+      readPositions(spark, table)
+        .join(positions.select(col("f").cast("string").as("_file"),
+          col("pos").cast("long").as("_pos")).distinct(),
+          Seq("_file", "_pos"), "left_semi")
+        .drop("_file", "_pos")
+        .coalesce(1).write.mode("overwrite").parquet(cdcDir.toString)
+      val walk = Files.walk(cdcDir)
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => Paths.get(table).relativize(p).toString)
+        .sorted().toArray.map(_.toString).toSeq
+      finally walk.close()
+    }
     commitNextVersion(table) { (cur, prev) =>
       require(cur.isDefined,
         s"Acid.deletePositionsTxn: no committed version at $table")
       require(prev.contains("# base:."),
         s"deletePositionsTxn on snapshot-mode table $table")
       if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
-    } { (_, prev) =>
+    } { (v, prev) =>
       (("# base:." +:
         (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
         prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
           !l.startsWith("# base:") && !l.startsWith("# op:")) ++
-        delFiles.map(f => s"# pdel:$f")) ++
+        delFiles.map(f => s"# pdel:$f") ++
+        (if (cdc) cdcFiles.map(f => s"# cdc:$v|$f") else Seq.empty)) ++
         prev.filterNot(_.startsWith("#"))
     }
   }
@@ -2625,11 +2645,24 @@ object Acid {
       val cur = manifestLines(table, v)
       require(prev.contains("# base:.") && cur.contains("# base:."),
         s"changeFeedRow on snapshot-mode table $table")
-      require(prev.filter(_.startsWith("# pdel:")) ==
-        cur.filter(_.startsWith("# pdel:")),
-        s"changeFeedRow: version $v of $table is a POSITIONAL delete " +
-          "commit — row-level feeds need CDC materialization for this " +
-          "commit class (Delta deletion vectors have the same caveat)")
+      val pdelDelta = prev.filter(_.startsWith("# pdel:")) !=
+        cur.filter(_.startsWith("# pdel:"))
+      if (pdelDelta) {
+        // a positional-delete commit: consumable ONLY through materialized
+        // CDC preimages (deletePositionsTxn(cdc = true) — Delta deletion
+        // vectors have the same contract)
+        val cdcFiles = cur.collect {
+          case l if l.startsWith(s"# cdc:$v|") => l.stripPrefix(s"# cdc:$v|").trim
+        }
+        require(cdcFiles.nonEmpty,
+          s"changeFeedRow: version $v of $table is a POSITIONAL delete " +
+            "commit without materialized CDC — delete with cdc = true, or " +
+            "consume the feed before vector deletes")
+        Some(spark.read.parquet(cdcFiles.map(f => s"$table/$f"): _*)
+          .withColumn("change_type", lit("delete"))
+          .withColumn("commit_version", lit(v))
+          .select(outCols: _*))
+      } else {
       val pf = prev.filterNot(_.startsWith("#"))
       val cf = cur.filterNot(_.startsWith("#"))
       val added = cf.filterNot(pf.toSet)
@@ -2680,6 +2713,7 @@ object Acid {
               .select(outCols: _*))
         }
         Some(withMor)
+      }
       }
     }
     steps.reduceOption(_ unionByName _).getOrElse(emptyOut)
@@ -3434,6 +3468,10 @@ object Acid {
             // positional vectors are live by reference exactly like
             // equality vectors — GC'ing one silently resurrects rows
             lines.filter(_.startsWith("# pdel:")).map(_.stripPrefix("# pdel:").trim) ++
+            // materialized CDC preimage files stay readable as long as
+            // their manifest does (the feed reads them per version)
+            lines.filter(_.startsWith("# cdc:"))
+              .map(_.stripPrefix("# cdc:").dropWhile(_ != '|').drop(1).trim) ++
             lines.filterNot(_.startsWith("#"))
               .map(f => if (rootRel) f else s"v=$v/$f")
         } ++ stagedWapIds(table).flatMap(id => wapFiles(table, id)) ++

@@ -646,6 +646,58 @@ object Lakehouse {
         WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
         ORDER BY o_orderkey""".trim)),
 
+    // CDC-materialized positional deletes (r17 — the `cdc = true` mode of
+    // [[Acid.deletePositionsTxn]]): Delta's change-data-feed contract for
+    // deletion-vector commits — the doomed rows' FULL PREIMAGES land as a
+    // change file at delete time (O(files the delete touched)), so the
+    // row-granular feed CROSSES the vector commit instead of refusing.
+    // History: v0 and v1 land the same slice twice; v2 is the positional
+    // dedup WITH cdc. The feed over (0, 2] must carry v1's inserts and
+    // v2's deletes with exact preimages — a missing, doubled, or
+    // mis-imaged preimage breaks the hash.
+    Q("scan_change_feed_cdc",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("cdfcdc", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or, txnId = 0L) // v0
+        Acid.appendTxn(spark, table, or, txnId = 1L) // v1: duplicate land
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey")).orderBy(col("_file"), col("_pos"))
+        Acid.deletePositionsTxn(spark, table,
+          Acid.readPositions(spark, table)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
+            .select(col("_file").as("f"), col("_pos").as("pos")),
+          txnId = 2L, cdc = true)                    // v2: dedup + CDC
+        Acid.changeFeedRow(spark, table, 0L, 2L, "o_orderkey")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"),
+            col("change_type"), col("commit_version"))
+          .orderBy(col("commit_version"), col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS
+                      DECIMAL(18,2)) AS price
+          FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+               change_type, commit_version
+        FROM (
+          SELECT o_orderkey, o_orderstatus, price,
+                 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+          FROM base
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, price,
+                 'delete', CAST(2 AS BIGINT)
+          FROM base
+        )
+        ORDER BY commit_version, o_orderkey""".trim)),
+
     // DEFAULT COLUMN VALUES (r17 — [[Acid.addColumnDefault]], Delta's
     // `ALTER TABLE ... ADD COLUMN ... DEFAULT`): adding a defaulted column
     // to a governed table is ONE metadata line — rows that predate the
