@@ -811,7 +811,7 @@ object Acid {
         // mark is table metadata — both survive every append
         l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
         l.startsWith("# rowid_next:") || l.startsWith("# coldefault:") ||
-        l.startsWith("# pdel:")) ++
+        l.startsWith("# pdel:") || l.startsWith("# prop:")) ++
       prev.filterNot(_.startsWith("#")) ++ newFiles
 
   /** Optimistic multi-writer append — Delta's commit protocol shape,
@@ -1403,7 +1403,8 @@ object Acid {
           l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
           l.startsWith("# rows:") || l.startsWith("# coldefault:") ||
           l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
-          l.startsWith("# rowid_next:") || l.startsWith("# pdel:")) ++
+          l.startsWith("# rowid_next:") || l.startsWith("# pdel:") ||
+          l.startsWith("# prop:")) ++
         written._2 ++
         prev.filterNot(_.startsWith("#")) ++ written._1
     }
@@ -1470,7 +1471,8 @@ object Acid {
           l.startsWith("# minmax:") || l.startsWith("# bloom:") ||
           l.startsWith("# rows:") || l.startsWith("# coldefault:") ||
           l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
-          l.startsWith("# rowid_next:") || l.startsWith("# pdel:")) ++
+          l.startsWith("# rowid_next:") || l.startsWith("# pdel:") ||
+          l.startsWith("# prop:")) ++
         written._2 ++
         prev.filterNot(_.startsWith("#")) ++ written._1
     }
@@ -1749,7 +1751,7 @@ object Acid {
           l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
           l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
           l.startsWith("# rowid_next:") || l.startsWith("# coldefault:") ||
-          l.startsWith("# pdel:")) ++
+          l.startsWith("# pdel:") || l.startsWith("# prop:")) ++
         prev.filterNot(_.startsWith("#"))
     }
   }
@@ -1942,6 +1944,57 @@ object Acid {
     }
   }
 
+  // ---- table properties (Delta TBLPROPERTIES / Iceberg properties) ----
+
+  /** SET TBLPROPERTIES — metadata-only `# prop:<k>|<v>` manifest lines:
+    * re-SETting a key replaces its value, properties survive every commit
+    * class (the whitelists + generic metadata carries), and they are the
+    * operator-facing knob store DESCRIBE surfaces. Idempotent per txnId. */
+  def setProperties(table: String, props: Seq[(String, String)],
+      txnId: Long): Long = withWriterLock(table) {
+    require(props.nonEmpty, "setProperties: empty property list")
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains('|') && !k.contains('\n'),
+        s"setProperties: bad key '$k'")
+      require(!v.contains('\n'), s"setProperties: bad value for '$k'")
+    }
+    commitNextVersion(table) { (cur, prev) =>
+      require(cur.isDefined, s"Acid.setProperties: no committed version at $table")
+      require(prev.contains("# base:."),
+        s"setProperties on snapshot-mode table $table")
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+    } { (_, prev) =>
+      val keys = props.map(_._1).toSet
+      def propKey(l: String) = l.stripPrefix("# prop:").takeWhile(_ != '|')
+      (("# base:." +:
+        (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:") &&
+          !(l.startsWith("# prop:") && keys.contains(propKey(l)))) ++
+        props.map { case (k, v) => s"# prop:$k|$v" }) ++
+        prev.filterNot(_.startsWith("#"))
+    }
+  }
+
+  /** Current table properties (insertion-independent: sorted by key). */
+  def properties(table: String): Seq[(String, String)] =
+    headLines(table).collect { case l if l.startsWith("# prop:") =>
+      val body = l.stripPrefix("# prop:")
+      val (k, v) = body.span(_ != '|')
+      (k, v.drop(1))
+    }.sortBy(_._1)
+
+  /** DESCRIBE — the evolved schema (post column-mapping, defaults
+    * visible) plus table properties, as (section, name, value) rows:
+    * metadata-only except one footer read for the merged schema. */
+  def describeTable(spark: SparkSession, table: String): DataFrame = {
+    val cols = readEvolved(spark, table).schema.fields.toSeq
+      .map(f => ("column", f.name, f.dataType.simpleString))
+    val props = properties(table).map { case (k, v) => ("property", k, v) }
+    import spark.implicits._
+    (cols ++ props).toDF("section", "name", "value")
+  }
+
   // ---- row lineage (Iceberg v3 row ids, assigned lazily) ----
 
   /** Assign STABLE ROW IDS to every data file lacking one — Iceberg v3's
@@ -2087,7 +2140,7 @@ object Acid {
             (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
             prev.filter(l => l.startsWith("# constraint:") ||
               l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
-              l.startsWith("# rowid_next:")) ++
+              l.startsWith("# rowid_next:") || l.startsWith("# prop:")) ++
             newFiles.map(f => s"# rowid_phys:$f") ++ newFiles
         }
       } finally merged.unpersist(blocking = false)
@@ -2140,7 +2193,7 @@ object Acid {
             // physical names and the mapping must keep resolving them.
             prev.filter(l => l.startsWith("# constraint:") ||
               l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
-              l.startsWith("# coldefault:")) ++
+              l.startsWith("# coldefault:") || l.startsWith("# prop:")) ++
             headers(newFiles) ++ newFiles
         }
       } finally merged.unpersist(blocking = false)

@@ -646,6 +646,54 @@ object Lakehouse {
         WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
         ORDER BY o_orderkey""".trim)),
 
+    // TBLPROPERTIES + DESCRIBE (r17 — [[Acid.setProperties]] /
+    // [[Acid.describeTable]]): the operator-facing knob store and the
+    // first question anyone asks of an unfamiliar table. Properties are
+    // one `# prop:` line each (re-SET replaces; they survive every commit
+    // class — the key proves survival across an append AND a column
+    // rename), and DESCRIBE surfaces the EVOLVED schema (post
+    // column-mapping) plus the properties through pure SQL; the
+    // `table_properties('<dir>')` TVF makes them queryable/joinable. All
+    // metadata-only — zero data I/O at any table size.
+    Q("sql_describe",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("describe", sfDir)
+        Acid.reset(table)
+        Acid.appendTxn(spark, table,
+          Tables.orders(spark, sfDir)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              money(col("o_totalprice")).as("price"))
+            .limit(500), txnId = 0L)
+        SqlEntry.sqlLakehouse(spark, s"ALTER TABLE acid_table('$table') " +
+          "SET TBLPROPERTIES ('owner'='data-eng', 'retention.days'='30') TXN 1")
+        // survive an append and a metadata-only rename
+        Acid.appendTxn(spark, table,
+          Tables.orders(spark, sfDir)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              money(col("o_totalprice")).as("price"))
+            .limit(100), txnId = 2L)
+        SqlEntry.sqlLakehouse(spark, s"ALTER TABLE acid_table('$table') " +
+          "RENAME COLUMN price TO amount TXN 3")
+        // re-SET replaces, never duplicates
+        SqlEntry.sqlLakehouse(spark, s"ALTER TABLE acid_table('$table') " +
+          "SET TBLPROPERTIES ('retention.days'='45') TXN 4")
+        val nProps = SqlEntry.sqlLakehouse(spark,
+          s"SELECT COUNT(*) AS n FROM table_properties('$table')")
+          .head.getLong(0)
+        require(nProps == 2L, s"sql_describe: expected 2 properties, got $nProps")
+        SqlEntry.sqlLakehouse(spark, s"DESCRIBE acid_table('$table')")
+          .orderBy(col("section"), col("name"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('column', 'amount', 'decimal(12,2)'),
+          ('column', 'o_orderkey', 'bigint'),
+          ('column', 'o_orderstatus', 'string'),
+          ('property', 'owner', 'data-eng'),
+          ('property', 'retention.days', '45')
+        ) AS t(section, name, value)
+        ORDER BY section, name""".trim)),
+
     // CDC-materialized positional deletes (r17 — the `cdc = true` mode of
     // [[Acid.deletePositionsTxn]]): Delta's change-data-feed contract for
     // deletion-vector commits — the doomed rows' FULL PREIMAGES land as a

@@ -194,6 +194,23 @@ object SqlEntry {
         Acid.optimize(spark, m.group(1), m.group(4).toLong, m.group(3).toInt,
           clusterCol = Option(m.group(2))))
     }
+    // ALTER TABLE acid_table('<dir>') SET TBLPROPERTIES ('k'='v',...) TXN n
+    val setPropsStmt =
+      """(?is)^\s*ALTER\s+TABLE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s+TXN\s+(\d+)\s*$""".r
+    setPropsStmt.findFirstMatchIn(text).foreach { m =>
+      val pair = """'([^']*)'\s*=\s*'([^']*)'""".r
+      val props = pair.findAllMatchIn(m.group(2))
+        .map(p => (p.group(1), p.group(2))).toSeq
+      require(props.nonEmpty, "SET TBLPROPERTIES: no 'k'='v' pairs")
+      return ddlSummary("set_tblproperties",
+        Acid.setProperties(m.group(1), props, m.group(3).toLong))
+    }
+    // DESCRIBE acid_table('<dir>') — evolved schema + properties
+    val describeStmt =
+      """(?is)^\s*DESCRIBE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s*$""".r
+    describeStmt.findFirstMatchIn(text).foreach { m =>
+      return Acid.describeTable(spark, m.group(1))
+    }
     // ALTER TABLE acid_table('<dir>') ADD COLUMN <c> DEFAULT <lit> TXN <id>
     // — metadata-only defaulted column (Acid.addColumnDefault): pre-column
     // rows read the default, a NOT NULL CHECK rides along
@@ -289,6 +306,15 @@ object SqlEntry {
       val dir = m.group(1)
       val view = s"__graft_acid_hist_${slug(dir)}"
       Acid.history(spark, dir).createOrReplaceTempView(view)
+      out = out.replace(m.matched, view)
+    }
+    // table_properties('<dir>') — TBLPROPERTIES as a queryable TVF
+    val propsTvf = """table_properties\s*\(\s*'([^']+)'\s*\)""".r
+    propsTvf.findAllMatchIn(text).toSeq.foreach { m =>
+      val dir = m.group(1)
+      val view = s"__graft_acid_props_${slug(dir)}"
+      import spark.implicits._
+      Acid.properties(dir).toDF("key", "value").createOrReplaceTempView(view)
       out = out.replace(m.matched, view)
     }
     // table_refs('<dir>') — Iceberg's refs metadata table as a TVF shape
