@@ -545,10 +545,14 @@ object Lakehouse {
         val feed = Acid.changeFeedRow(spark, table, 0L, 3L, "o_orderkey")
         require(feed.filter(col("commit_version") === 3L).isEmpty,
           "changeFeedRow: maintenance rewrite leaked change events")
-        feed.select(col("o_orderkey"), col("o_orderstatus"),
-            emit(col("price"), 2).as("price"),
-            col("change_type"), col("commit_version"))
-          .orderBy(col("commit_version"), col("change_type"), col("o_orderkey"))
+        // consumed through the PURE-SQL entry (the table_changes_row TVF),
+        // so the SQL user's plan is the DataFrame user's plan
+        SqlEntry.sqlLakehouse(spark, s"""
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price,
+                 change_type, commit_version
+          FROM table_changes_row('$table', 0, 3, 'o_orderkey')
+          ORDER BY commit_version, change_type, o_orderkey""")
       },
       Some("""
         WITH base AS (

@@ -308,6 +308,18 @@ object SqlEntry {
       Acid.history(spark, dir).createOrReplaceTempView(view)
       out = out.replace(m.matched, view)
     }
+    // table_changes_row('<dir>', v1, v2, '<key>') — the ROW-GRANULAR CDF
+    // (update images, rewrite-crossing) as a TVF, Delta CDF's shape
+    val cdfRowTvf =
+      """table_changes_row\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*'([^']+)'\s*\)""".r
+    cdfRowTvf.findAllMatchIn(text).toSeq.foreach { m =>
+      val (dir, v1, v2, key) =
+        (m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4))
+      val view = s"__graft_acid_cdfrow_${slug(dir)}_${v1}_$v2"
+      Acid.changeFeedRow(spark, dir, v1, v2, key)
+        .createOrReplaceTempView(view)
+      out = out.replace(m.matched, view)
+    }
     // table_properties('<dir>') — TBLPROPERTIES as a queryable TVF
     val propsTvf = """table_properties\s*\(\s*'([^']+)'\s*\)""".r
     propsTvf.findAllMatchIn(text).toSeq.foreach { m =>
