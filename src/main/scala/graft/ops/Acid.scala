@@ -402,6 +402,15 @@ object Acid {
       positions: DataFrame, txnId: Long, cdc: Boolean = false): Long =
     withWriterLock(table) {
     lazy val delFiles: Seq[String] = { // at most once
+      // a position naming a file outside the manifest would silently hide
+      // NOTHING — for a delete primitive that is the dangerous failure
+      // mode (the caller believes rows are gone), so refuse loudly
+      val known = headLines(table).filterNot(_.startsWith("#")).toSet
+      val badRows = positions.select(col("f").cast("string").as("f")).distinct()
+        .collect().map(_.getString(0)).filterNot(known) // O(distinct files)
+      require(badRows.isEmpty,
+        s"deletePositionsTxn: position(s) name files not in $table's " +
+          s"manifest: ${badRows.take(3).mkString(", ")}")
       val delDir = Paths.get(table).resolve(s"pdel=$txnId")
       positions.select(col("f").cast("string").as("f"),
           col("pos").cast("long").as("pos")).distinct()
@@ -2670,6 +2679,9 @@ object Acid {
   def changeFeedRow(spark: SparkSession, table: String, fromV: Long,
       toV: Long, keyCol: String): DataFrame = {
     require(fromV < toV, s"changeFeedRow: need fromV < toV, got $fromV >= $toV")
+    require(fromV >= horizon(table),
+      s"changeFeedRow: version $fromV of $table vacuumed (horizon is " +
+        s"${horizon(table)}) — the window's manifests no longer exist")
     def vecKeys(lines: Seq[String]): Option[DataFrame] = {
       val fs = lines.filter(_.startsWith("# delete:"))
         .map(_.stripPrefix("# delete:").trim)

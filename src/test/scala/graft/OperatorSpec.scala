@@ -2941,5 +2941,18 @@ class OperatorSpec extends SparkFixture {
     assert(Acid.read(spark, t).count() ==
       Acid.read(spark, t).select("k").distinct().count(),
       "a vector-hidden duplicate resurrected through the erase rewrite")
+    // a position naming an unknown file refuses loudly — a delete that
+    // silently hides nothing is the dangerous failure mode
+    val bad = intercept[IllegalArgumentException] {
+      Acid.deletePositionsTxn(spark, t,
+        Seq(("txn=999/nope.parquet", 0L)).toDF("f", "pos"), txnId = 9L)
+    }
+    assert(bad.getMessage.contains("not in"), bad.getMessage)
+    // a vacuumed-away feed window refuses loudly instead of IOExceptioning
+    Acid.vacuum(t, keep = 1)
+    val gone = intercept[IllegalArgumentException] {
+      Acid.changeFeedRow(spark, t, 0L, Acid.currentVersion(t).get, "k")
+    }
+    assert(gone.getMessage.contains("vacuumed"), gone.getMessage)
   }
 }
