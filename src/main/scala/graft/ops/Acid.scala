@@ -2978,6 +2978,158 @@ object Acid {
     * replays after publish (same ledger-carry contract as [[restore]]).
     * Fails loudly if main advanced past the base — that case is
     * [[mergeBranch]]. Idempotent per `txnId`; retires the branch ref. */
+  /** Row-level MERGE INTO a BRANCH, copy-on-write — the dev-pipeline story
+    * completed: the merge job under test runs against the experiment
+    * branch with [[mergeCow]]'s exact semantics, MAIN NEVER SEES A BYTE
+    * (touched fork-base files rewrite into branch-local copies under
+    * `branch=<name>/txn=<id>/` — the base file itself is never touched, so
+    * main and sibling branches keep reading it), standing vectors fold in
+    * and reconcile identically, and a fast-forward publish later adopts
+    * the result wholesale. Branch-ledger idempotent per txnId, with
+    * [[appendTxnBranch]]'s cross-incarnation replay guard. */
+  def mergeCowBranch(spark: SparkSession, table: String, name: String,
+      changes: DataFrame, keyCol: String, txnId: Long,
+      opCol: Option[String] = None): (Long, Int, Int) = withWriterLock(table) {
+    val (base, head) = branches(table).getOrElse(name,
+      sys.error(s"Acid.mergeCowBranch: no branch '$name' at $table"))
+    val prev = branchLines(table, name)
+    if (prev.contains(s"# txn:$txnId"))
+      return (head, 0, prev.count(!_.startsWith("#"))) // replay → no-op
+    require(!committedTxns(table).contains(txnId),
+      s"Acid.mergeCowBranch: txn $txnId is already committed on main at " +
+        s"$table but not on branch '$name' — use a fresh txn id")
+    require(prev.contains("# base:."),
+      s"mergeCowBranch on snapshot-mode table $table")
+    val all = prev.filterNot(_.startsWith("#"))
+    val root = Paths.get(table).toAbsolutePath
+    val allKeys = changes.select(col(keyCol)).distinct()
+    val upserts = opCol match {
+      case Some(o) => changes.filter(col(o) =!= "delete").drop(o)
+      case None    => changes
+    }
+    val touched = if (all.isEmpty) Seq.empty[String]
+    else touchedFilesPlan(spark, all.map(f => s"$table/$f"), allKeys, keyCol)
+      .collect() // O(files) rows — manifest-construction control plane
+      .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
+      .sorted.toSeq
+    val survivors = all.filterNot(touched.contains)
+    val rewritten = {
+      val basePart =
+        if (touched.isEmpty) upserts.limit(0)
+        else subtractDeletes(spark, table, prev,
+          spark.read.parquet(touched.map(f => s"$table/$f"): _*))
+          .join(allKeys, Seq(keyCol), "left_anti")
+      basePart.unionByName(upserts)
+    }
+    val dataDir = Paths.get(table).resolve(s"branch=$name").resolve(s"txn=$txnId")
+    rewritten.write.mode("overwrite").parquet(dataDir.toString)
+    val newFiles = {
+      val walk = Files.walk(dataDir)
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => Paths.get(table).relativize(p).toString)
+        .sorted().toArray.map(_.toString).toSeq
+      finally walk.close()
+    }
+    // vector reconciliation — an upserted key leaves the standing vector
+    // (the explicit-MERGE-insert-resurrects rule, exactly as [[mergeCow]])
+    val upsertedKeyRows = upserts.select(col(keyCol)).distinct()
+    val newVector: Option[Seq[String]] = standingDeletes2(prev).map {
+      case (k, delFiles) =>
+        require(k == keyCol,
+          s"mergeCowBranch: branch uses delete key $k, got $keyCol")
+        val remaining = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+          .select(col(k)).distinct()
+          .join(upsertedKeyRows, Seq(k), "left_anti")
+        if (remaining.isEmpty) Seq.empty
+        else {
+          val delDir = Paths.get(table).resolve(s"branch=$name")
+            .resolve(s"del=$txnId")
+          remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+          val walk = Files.walk(delDir)
+          try walk.filter(p => p.toString.endsWith(".parquet"))
+            .map[String](p => Paths.get(table).relativize(p).toString)
+            .sorted().toArray.map(_.toString).toSeq
+          finally walk.close()
+        }
+    }
+    val deadStat = (l: String) => touched.exists(f =>
+      l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+        l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+    val vectorLines = newVector match {
+      case Some(fs) if fs.nonEmpty =>
+        Seq(s"# delkey:$keyCol") ++ fs.map(f => s"# delete:$f")
+      case _ => Seq.empty
+    }
+    val k1 = head + 1
+    val manifest = ("# base:." +:
+      (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+      vectorLines ++
+      prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+        !l.startsWith("# base:") && !l.startsWith("# op:") &&
+        !l.startsWith("# delkey:") && !l.startsWith("# delete:") &&
+        !deadStat(l)) ++
+      survivors ++ newFiles
+    Files.write(brManifest(table, name, k1),
+      manifest.mkString("", "\n", "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    writeBranchRef(table, name, base, k1, createNew = false)
+    (k1, touched.size, all.size)
+  }
+
+  /** Merge-on-read DELETE on a BRANCH: the branch's standing vector grows
+    * by `keys` (one O(keys) vector file under the branch's namespace),
+    * fork-base data untouched, main blind to it — publish carries the
+    * vector. Branch-ledger idempotent; same replay guard as appends. */
+  def deleteTxnBranch(spark: SparkSession, table: String, name: String,
+      keys: DataFrame, keyCol: String, txnId: Long): Long = withWriterLock(table) {
+    val (base, head) = branches(table).getOrElse(name,
+      sys.error(s"Acid.deleteTxnBranch: no branch '$name' at $table"))
+    val prev = branchLines(table, name)
+    if (prev.contains(s"# txn:$txnId")) return head // replay → no-op
+    require(!committedTxns(table).contains(txnId),
+      s"Acid.deleteTxnBranch: txn $txnId is already committed on main at " +
+        s"$table but not on branch '$name' — use a fresh txn id")
+    val prevKey = prev.find(_.startsWith("# delkey:"))
+      .map(_.stripPrefix("# delkey:").trim)
+    require(prevKey.forall(_ == keyCol),
+      s"deleteTxnBranch: branch uses delete key ${prevKey.getOrElse("")}, got $keyCol")
+    val delDir = Paths.get(table).resolve(s"branch=$name").resolve(s"del=$txnId")
+    keys.select(col(keyCol)).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val delFiles = {
+      val walk = Files.walk(delDir)
+      try walk.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](p => Paths.get(table).relativize(p).toString)
+        .sorted().toArray.map(_.toString).toSeq
+      finally walk.close()
+    }
+    val k1 = head + 1
+    val manifest = ("# base:." +:
+      (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+      Seq(s"# delkey:$keyCol") ++
+      (prev.filter(_.startsWith("# delete:")) ++ delFiles.map(f => s"# delete:$f")) ++
+      prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+        !l.startsWith("# base:") && !l.startsWith("# op:") &&
+        !l.startsWith("# delkey:") && !l.startsWith("# delete:")) ++
+      prev.filterNot(_.startsWith("#"))
+    Files.write(brManifest(table, name, k1),
+      manifest.mkString("", "\n", "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    writeBranchRef(table, name, base, k1, createNew = false)
+    k1
+  }
+
+  /** [[standingDeletes]] over explicit lines (branch manifests live
+    * outside the version chain). */
+  private def standingDeletes2(lines: Seq[String]): Option[(String, Seq[String])] = {
+    val delFiles = lines.filter(_.startsWith("# delete:"))
+      .map(_.stripPrefix("# delete:").trim)
+    lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
+      .filter(_ => delFiles.nonEmpty).map(k => (k, delFiles))
+  }
+
   def fastForwardBranch(table: String, name: String, txnId: Long): Long =
     withWriterLock(table) {
       // Through commitNextVersion like every other commit path (ADVICE r16):
@@ -3061,6 +3213,14 @@ object Acid {
         require(dels(brLines) == dels(baseLines),
           s"mergeBranch: branch '$name' recorded deletes since the fork — " +
             s"append-only branches merge; delete reconciliation needs mergeCow")
+        val removedBase = {
+          val brFiles = brLines.filterNot(_.startsWith("#")).toSet
+          baseLines.filterNot(_.startsWith("#")).filterNot(brFiles)
+        }
+        require(removedBase.isEmpty,
+          s"mergeBranch: branch '$name' REWROTE fork-base files (branch DML) — " +
+            "a three-way merge would resurrect the pre-DML rows; publish by " +
+            "fastForwardBranch with main unmoved, or re-fork and re-run")
         val newFiles = {
           val baseFiles = baseLines.filterNot(_.startsWith("#")).toSet
           brLines.filterNot(_.startsWith("#")).filterNot(baseFiles)
@@ -3116,6 +3276,14 @@ object Acid {
       require(dels(brLines) == dels(baseLines),
         s"rebaseBranch: branch '$name' recorded deletes since the fork — " +
           s"append-only branches rebase; delete reconciliation needs mergeCow")
+      val removedBase = {
+        val brFiles = brLines.filterNot(_.startsWith("#")).toSet
+        baseLines.filterNot(_.startsWith("#")).filterNot(brFiles)
+      }
+      require(removedBase.isEmpty,
+        s"rebaseBranch: branch '$name' REWROTE fork-base files (branch DML) — " +
+          "a three-way rebase would resurrect the pre-DML rows; publish by " +
+          "fastForwardBranch with main unmoved, or re-fork and re-run")
       val newFiles = {
         val baseFiles = baseLines.filterNot(_.startsWith("#")).toSet
         brLines.filterNot(_.startsWith("#")).filterNot(baseFiles)
@@ -3178,6 +3346,11 @@ object Acid {
     require(dels(after) == dels(before),
       s"cherryPick: branch commit $branchTxn changed delete vectors — " +
         s"only append-only commits cherry-pick")
+    require(before.filterNot(_.startsWith("#"))
+        .forall(after.filterNot(_.startsWith("#")).toSet),
+      s"cherryPick: branch commit $branchTxn REWROTE files (branch DML) — " +
+        "picking only its added files would resurrect the pre-DML rows; " +
+        "publish the whole branch by fastForwardBranch instead")
     val picked = {
       val prev = before.filterNot(_.startsWith("#")).toSet
       after.filterNot(_.startsWith("#")).filterNot(prev)

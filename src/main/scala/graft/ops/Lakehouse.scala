@@ -650,6 +650,81 @@ object Lakehouse {
         WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
         ORDER BY o_orderkey""".trim)),
 
+    // DML ON A BRANCH (r17 — [[Acid.mergeCowBranch]] /
+    // [[Acid.deleteTxnBranch]]): the dev-pipeline story COMPLETED — the
+    // CDC merge job under test runs its MERGE and MoR delete against the
+    // experiment branch with main's exact semantics; touched fork-base
+    // files rewrite into BRANCH-LOCAL copies so main never sees a byte
+    // (in-body require pins main's row count and sum bit-stable across
+    // both branch DMLs), and the fast-forward publish adopts the result
+    // wholesale — metadata-only, whatever the experiment rewrote. At
+    // 100 TB this is how row-level pipeline changes ship: run the real
+    // merge against a branch, audit, publish in O(1).
+    Q("sink_branch_dml",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("branch_dml", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 0), txnId = 0L)   // main v0
+        val mainBefore = Acid.read(spark, table)
+          .agg(count(lit(1)), sum(emit(col("price"), 2))).head
+        Acid.createBranch(table, "fix", 0L)
+        val updates = or
+          .filter(col("o_orderkey") % 15 === 0 && col("o_orderkey") % 21 =!= 0)
+          .withColumn("price", money(col("price") + 1000))
+          .withColumn("op", lit("upsert"))
+        val inserts = or
+          .filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)
+          .withColumn("op", lit("upsert"))
+        val deletes = or.filter(col("o_orderkey") % 21 === 0)
+          .withColumn("op", lit("delete"))
+        Acid.mergeCowBranch(spark, table, "fix",
+          updates.unionByName(inserts).unionByName(deletes),
+          "o_orderkey", txnId = 10L, opCol = Some("op"))        // branch k0
+        Acid.deleteTxnBranch(spark, table, "fix",
+          Tables.orders(spark, sfDir)
+            .filter(col("o_orderkey") % 33 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 11L)                            // branch k1
+        // main is BLIND to the branch's rewrites and vector
+        val mainAfter = Acid.read(spark, table)
+          .agg(count(lit(1)), sum(emit(col("price"), 2))).head
+        require(mainAfter == mainBefore,
+          s"sink_branch_dml: branch DML leaked into main " +
+            s"($mainBefore -> $mainAfter)")
+        // the audit read sees the post-DML state; publish adopts it O(1)
+        require(Acid.readBranch(spark, table, "fix")
+          .filter(col("o_orderkey") % 21 === 0).isEmpty,
+          "sink_branch_dml: merge-deleted keys visible on the branch")
+        Acid.fastForwardBranch(table, "fix", txnId = 12L)
+        Acid.read(spark, table)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CASE WHEN o_orderkey % 15 = 0 THEN price + 1000
+                      ELSE price END AS DECIMAL(12,2)) AS price
+          FROM base
+          WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
+            AND o_orderkey % 33 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, price
+          FROM base WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        )
+        ORDER BY o_orderkey""".trim)),
+
     // TBLPROPERTIES + DESCRIBE (r17 — [[Acid.setProperties]] /
     // [[Acid.describeTable]]): the operator-facing knob store and the
     // first question anyone asks of an unfamiliar table. Properties are

@@ -2955,4 +2955,63 @@ class OperatorSpec extends SparkFixture {
     }
     assert(gone.getMessage.contains("vacuumed"), gone.getMessage)
   }
+
+  test("branch DML: rewrites stay branch-local, replays no-op, three-way publishes refuse the resurrect") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_brdml").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "x"), 0L)
+    Acid.createBranch(t, "b", 0L)
+    val (bk, touched, total) = Acid.mergeCowBranch(spark, t, "b",
+      Seq((2L, 22L, "upsert"), (7L, 70L, "upsert"), (3L, 0L, "delete"))
+        .toDF("k", "x", "op"), "k", txnId = 10L, opCol = Some("op"))
+    assert(touched >= 1 && touched <= total)
+    // branch sees the DML, main is bit-blind
+    def st(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "x").as[(Long, Long)].collect().toMap
+    assert(st(Acid.readBranch(spark, t, "b")) ==
+      Map(1L -> 10L, 2L -> 22L, 4L -> 40L, 7L -> 70L))
+    assert(st(Acid.read(spark, t)) ==
+      Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    // MoR delete on the branch; replays of both DMLs no-op at the head
+    Acid.deleteTxnBranch(spark, t, "b", Seq(4L).toDF("k"), "k", txnId = 11L)
+    val head = Acid.branches(t)("b")._2
+    Acid.mergeCowBranch(spark, t, "b",
+      Seq((2L, 22L, "upsert")).toDF("k", "x", "op"), "k", 10L, Some("op"))
+    Acid.deleteTxnBranch(spark, t, "b", Seq(4L).toDF("k"), "k", 11L)
+    assert(Acid.branches(t)("b")._2 == head, "branch DML replay moved the head")
+    assert(st(Acid.readBranch(spark, t, "b")) ==
+      Map(1L -> 10L, 2L -> 22L, 7L -> 70L))
+    // main advances; every three-way publish path refuses the DML branch
+    // LOUDLY (merging only the branch's added files would resurrect the
+    // pre-DML rows); cherry-pick/rebase guards run before any claim
+    Acid.appendTxnCAS(spark, t, Seq((8L, 80L)).toDF("k", "x"), 13L)
+    // cross-incarnation guard: a txn on main but NOT in the branch's own
+    // ledger refuses (a fork-base txn would legitimately no-op instead)
+    intercept[IllegalArgumentException] {
+      Acid.mergeCowBranch(spark, t, "b",
+        Seq((9L, 90L)).toDF("k", "x"), "k", txnId = 13L)
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      Acid.cherryPick(t, "b", branchTxn = 10L, txnId = 14L) }
+    assert(e1.getMessage.contains("REWROTE"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Acid.rebaseBranch(t, "b", txnId = 15L) }
+    assert(e2.getMessage.contains("deletes since the fork") ||
+      e2.getMessage.contains("REWROTE"), e2.getMessage)
+    val prevStale = Acid.ClaimStaleMs
+    Acid.ClaimStaleMs = 200L
+    try {
+      val e3 = intercept[IllegalArgumentException] {
+        Acid.mergeBranch(t, "b", txnId = 16L) }
+      assert(e3.getMessage.contains("deletes since the fork") ||
+        e3.getMessage.contains("REWROTE"), e3.getMessage)
+    } finally Acid.ClaimStaleMs = prevStale
+    // the branch (and main) survive the refusals intact
+    assert(st(Acid.readBranch(spark, t, "b")) ==
+      Map(1L -> 10L, 2L -> 22L, 7L -> 70L))
+    assert(st(Acid.read(spark, t))(8L) == 80L)
+  }
 }
