@@ -144,6 +144,12 @@ object Acid {
   def addColumnDefault(spark: SparkSession, table: String, colName: String,
       defaultSql: String, txnId: Long): Long = withWriterLock(table) {
     spark.range(1).select(expr(defaultSql)).collect() // must compile + evaluate
+    // the exactness contract (NULL always MEANS "row predates the column")
+    // only holds for a NEW column — a default on an existing column would
+    // masquerade genuinely stored NULLs as the default
+    require(!readEvolved(spark, table).columns.contains(colName),
+      s"addColumnDefault: $colName already exists on $table — defaults " +
+        "attach to NEW columns only (backfill stored NULLs explicitly)")
     commitNextVersion(table) { (cur, prev) =>
       require(cur.isDefined, s"Acid.addColumnDefault: no committed version at $table")
       require(prev.contains("# base:."),
@@ -238,10 +244,19 @@ object Acid {
           s"compactDeletes before renaming it")
       if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
     } { (_, prev) =>
+      // column defaults (and their auto NOT NULL constraint) follow the
+      // rename — a stale name would materialize a phantom all-default
+      // column and leave the real one unfilled
+      def renamed(l: String): String =
+        if (l.startsWith(s"# coldefault:$from|"))
+          "# coldefault:" + to + l.stripPrefix(s"# coldefault:$from")
+        else if (l == s"# constraint:${from}_default_notnull|$from IS NOT NULL")
+          s"# constraint:${to}_default_notnull|$to IS NOT NULL"
+        else l
       ("# base:." +:
         (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
         prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
-          !l.startsWith("# base:") && !l.startsWith("# op:")) ++
+          !l.startsWith("# base:") && !l.startsWith("# op:")).map(renamed) ++
         Seq(s"# colmap:$from|$to") ++
         prev.filterNot(_.startsWith("#"))
     }
@@ -266,7 +281,12 @@ object Acid {
         ("# base:." +:
           (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
           prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
-            !l.startsWith("# base:") && !l.startsWith("# op:")) ++
+            !l.startsWith("# base:") && !l.startsWith("# op:") &&
+            // a dropped column takes its default and the default's auto
+            // NOT NULL constraint with it — otherwise the drop resurrects
+            // the column fully populated with the default
+            !l.startsWith(s"# coldefault:$name|") &&
+            l != s"# constraint:${name}_default_notnull|$name IS NOT NULL") ++
           Seq(s"# coldrop:$name") ++
           prev.filterNot(_.startsWith("#"))
       }
@@ -387,6 +407,16 @@ object Acid {
     p2.drop("__abs")
   }
 
+  /** List a just-written directory's parquet files, table-relative,
+    * sorted — the shape every vector/branch/cdc writer needs. */
+  private def listParquet(table: String, dir: Path): Seq[String] = {
+    val walk = Files.walk(dir)
+    try walk.filter(p => p.toString.endsWith(".parquet"))
+      .map[String](p => Paths.get(table).relativize(p).toString)
+      .sorted().toArray.map(_.toString).toSeq
+    finally walk.close()
+  }
+
   /** MoR POSITIONAL delete — hide specific row OCCURRENCES by (file,
     * position), the operation equality vectors structurally cannot
     * express (an equality key hides EVERY copy; a position hides exactly
@@ -415,11 +445,7 @@ object Acid {
       positions.select(col("f").cast("string").as("f"),
           col("pos").cast("long").as("pos")).distinct()
         .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-      val walk = Files.walk(delDir)
-      try walk.filter(p => p.toString.endsWith(".parquet"))
-        .map[String](p => Paths.get(table).relativize(p).toString)
-        .sorted().toArray.map(_.toString).toSeq
-      finally walk.close()
+      listParquet(table, delDir)
     }
     // CDC materialization (Delta's change-data-feed files for DV commits):
     // the doomed rows' FULL PREIMAGES land as a change file, so row-level
@@ -433,11 +459,7 @@ object Acid {
           Seq("_file", "_pos"), "left_semi")
         .drop("_file", "_pos")
         .coalesce(1).write.mode("overwrite").parquet(cdcDir.toString)
-      val walk = Files.walk(cdcDir)
-      try walk.filter(p => p.toString.endsWith(".parquet"))
-        .map[String](p => Paths.get(table).relativize(p).toString)
-        .sorted().toArray.map(_.toString).toSeq
-      finally walk.close()
+      listParquet(table, cdcDir)
     }
     commitNextVersion(table) { (cur, prev) =>
       require(cur.isDefined,
@@ -2130,6 +2152,14 @@ object Acid {
       require(attempts <= 50, s"optimizeLineage: concurrent-commit retry limit on $table")
       val snapV = currentVersion(table).getOrElse(
         sys.error(s"Acid.optimizeLineage: no committed version at $table"))
+      // readLineage reads the raw physical frames — mixed schema
+      // generations (column mapping / defaults) would silently lose the
+      // later generation's columns through this rewrite; refuse loudly
+      require(!manifestLines(table, snapV).exists(l =>
+        l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
+          l.startsWith("# coldefault:")),
+        s"optimizeLineage on $table: schema-evolution metadata present — " +
+          "lineage compaction of mixed schema generations is unsupported")
       val merged0 = readLineage(spark, table).withColumnRenamed("row_id", "__row_id")
       val merged = (clusterCol match {
         case Some(c) => merged0.repartitionByRange(targetFiles, col(c))
@@ -2183,6 +2213,12 @@ object Acid {
         commitNextVersion(table) { (cur, prev) =>
           require(prev.contains("# base:."),
             s"$what on snapshot-mode table $table")
+          // a plain rewrite would drop the row-id assignments AND the
+          // never-reuse high-water mark — silent id recycling downstream
+          require(!prev.exists(l => l.startsWith("# firstrow:") ||
+            l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
+            s"$what on row-lineage table $table — use optimizeLineage " +
+              "(it materializes ids through the rewrite)")
           if (prev.contains(s"# txn:$txnId")) Some(cur.get) // replay → no-op
           else if (cur.get != snapV) Some(StaleSnapshot)
           else None
@@ -2569,13 +2605,8 @@ object Acid {
   /** Standing equality-delete vector of version `v`: (key column, delete
     * file paths), if any. Control plane for readers that assemble their
     * own scans (the streaming source) yet must honor merge-on-read. */
-  private[graft] def standingDeletes(table: String, v: Long): Option[(String, Seq[String])] = {
-    val lines = manifestLines(table, v)
-    val delFiles = lines.filter(_.startsWith("# delete:"))
-      .map(_.stripPrefix("# delete:").trim)
-    lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
-      .filter(_ => delFiles.nonEmpty).map(k => (k, delFiles))
-  }
+  private[graft] def standingDeletes(table: String, v: Long): Option[(String, Seq[String])] =
+    standingDeletes2(manifestLines(table, v))
 
   /** Change data feed — row-level changes committed in versions
     * `(fromV, toV]` of an append-mode table (Delta CDF's `table_changes` /
@@ -2710,9 +2741,12 @@ object Acid {
       val cur = manifestLines(table, v)
       require(prev.contains("# base:.") && cur.contains("# base:."),
         s"changeFeedRow on snapshot-mode table $table")
-      val pdelDelta = prev.filter(_.startsWith("# pdel:")) !=
-        cur.filter(_.startsWith("# pdel:"))
-      if (pdelDelta) {
+      // only pdel ADDITIONS are delete commits needing CDC; a fold (a
+      // rewrite REMOVING vector lines) changed nothing logically and the
+      // ordinary file diff below cancels it out
+      val pdelAdded = cur.filter(_.startsWith("# pdel:")).toSet
+        .diff(prev.filter(_.startsWith("# pdel:")).toSet).nonEmpty
+      if (pdelAdded) {
         // a positional-delete commit: consumable ONLY through materialized
         // CDC preimages (deletePositionsTxn(cdc = true) — Delta deletion
         // vectors have the same contract)
@@ -2735,11 +2769,15 @@ object Acid {
       // vector delta: keys newly hidden at v (MoR delete). Their rows can
       // sit in ANY surviving file, so they are found by one prunable
       // semi-join against the prior snapshot, not by the file diff.
-      val nhKeys = (vecKeys(cur), vecKeys(prev)) match {
-        case (Some(c), Some(p)) => Some(c.join(p, Seq(keyCol), "left_anti"))
-        case (Some(c), None)    => Some(c)
-        case _                  => None
-      }
+      val vecLinesEq = prev.filter(_.startsWith("# delete:")) ==
+        cur.filter(_.startsWith("# delete:"))
+      val nhKeys =
+        if (vecLinesEq) None // unchanged vector: no O(table) MoR scan
+        else (vecKeys(cur), vecKeys(prev)) match {
+          case (Some(c), Some(p)) => Some(c.join(p, Seq(keyCol), "left_anti"))
+          case (Some(c), None)    => Some(c)
+          case _                  => None
+        }
       if (added.isEmpty && removed.isEmpty && nhKeys.isEmpty) None
       else {
         // old side = rows VISIBLE at v-1 inside the removed files (standing
@@ -3023,13 +3061,7 @@ object Acid {
     }
     val dataDir = Paths.get(table).resolve(s"branch=$name").resolve(s"txn=$txnId")
     rewritten.write.mode("overwrite").parquet(dataDir.toString)
-    val newFiles = {
-      val walk = Files.walk(dataDir)
-      try walk.filter(p => p.toString.endsWith(".parquet"))
-        .map[String](p => Paths.get(table).relativize(p).toString)
-        .sorted().toArray.map(_.toString).toSeq
-      finally walk.close()
-    }
+    val newFiles = listParquet(table, dataDir)
     // vector reconciliation — an upserted key leaves the standing vector
     // (the explicit-MERGE-insert-resurrects rule, exactly as [[mergeCow]])
     val upsertedKeyRows = upserts.select(col(keyCol)).distinct()
@@ -3045,11 +3077,7 @@ object Acid {
           val delDir = Paths.get(table).resolve(s"branch=$name")
             .resolve(s"del=$txnId")
           remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-          val walk = Files.walk(delDir)
-          try walk.filter(p => p.toString.endsWith(".parquet"))
-            .map[String](p => Paths.get(table).relativize(p).toString)
-            .sorted().toArray.map(_.toString).toSeq
-          finally walk.close()
+          listParquet(table, delDir)
         }
     }
     val deadStat = (l: String) => touched.exists(f =>
@@ -3097,13 +3125,7 @@ object Acid {
     val delDir = Paths.get(table).resolve(s"branch=$name").resolve(s"del=$txnId")
     keys.select(col(keyCol)).distinct()
       .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-    val delFiles = {
-      val walk = Files.walk(delDir)
-      try walk.filter(p => p.toString.endsWith(".parquet"))
-        .map[String](p => Paths.get(table).relativize(p).toString)
-        .sorted().toArray.map(_.toString).toSeq
-      finally walk.close()
-    }
+    val delFiles = listParquet(table, delDir)
     val k1 = head + 1
     val manifest = ("# base:." +:
       (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++

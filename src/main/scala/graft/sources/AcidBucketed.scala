@@ -71,7 +71,7 @@ object AcidBucketed {
   /** files + bucket value per file, from the head manifest's pvals. */
   private[sources] def bucketMap(table: String, bucketCol: String): Seq[(String, Long)] = {
     val lines = graft.ops.Acid.headLines(table)
-    require(!lines.exists(_.startsWith("# delete:")),
+    require(!lines.exists(l => l.startsWith("# delete:") || l.startsWith("# pdel:")),
       s"acid-bucketed: $table carries standing delete vectors — read via Acid.read")
     require(!lines.exists(l => l.startsWith("# colmap:") || l.startsWith("# coldrop:")),
       s"acid-bucketed: $table has column-mapping generations — read via Acid.readEvolved")

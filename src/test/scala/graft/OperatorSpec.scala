@@ -3014,4 +3014,39 @@ class OperatorSpec extends SparkFixture {
       Map(1L -> 10L, 2L -> 22L, 7L -> 70L))
     assert(st(Acid.read(spark, t))(8L) == 80L)
   }
+
+  test("column defaults follow renames and drops; defaults refuse existing columns; plain optimize refuses lineage tables") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_coldef").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), 0L)
+    // a default on an EXISTING column refuses (stored NULLs would masquerade)
+    intercept[IllegalArgumentException] {
+      Acid.addColumnDefault(spark, t, "s", "'x'", 1L) }
+    Acid.addColumnDefault(spark, t, "region", "'unset'", 1L)
+    Acid.appendTxnChecked(spark, t,
+      Seq((3L, "c", "east")).toDF("k", "s", "region"), 2L)
+    Acid.renameColumn(t, "region", "area", 3L)
+    val got = Acid.readEvolved(spark, t)
+    assert(got.columns.sorted.toSeq == Seq("area", "k", "s"),
+      s"phantom column after rename: ${got.columns.toSeq}")
+    val m = got.select("k", "area").as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "unset", 2L -> "unset", 3L -> "east"), s"$m")
+    // the auto NOT NULL constraint followed the rename: a NULL area refuses
+    intercept[graft.ops.ConstraintViolationException] {
+      Acid.appendTxnChecked(spark, t,
+        Seq((4L, "d", null: String)).toDF("k", "s", "area"), 4L) }
+    // dropping the column takes the default with it — no resurrection
+    Acid.dropColumn(t, "area", 5L)
+    assert(Acid.readEvolved(spark, t).columns.sorted.toSeq == Seq("k", "s"))
+    // plain optimize refuses a row-lineage table loudly (id reuse hazard)
+    val t2 = java.nio.file.Files.createTempDirectory("graft_linopt").toString + "/t"
+    Acid.reset(t2)
+    Acid.appendTxn(spark, t2, Seq((1L, 1L)).toDF("k", "x"), 0L)
+    Acid.assignRowIds(spark, t2, 1L)
+    val e = intercept[IllegalArgumentException] {
+      Acid.optimize(spark, t2, 2L, targetFiles = 1) }
+    assert(e.getMessage.contains("optimizeLineage"), e.getMessage)
+  }
 }
