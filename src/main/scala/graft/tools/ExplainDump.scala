@@ -431,6 +431,20 @@ object ExplainDump {
       "row counts come from ONE distributed scan grouped by " +
       "input_file_name — O(files) rows to the driver, folded to tuples " +
       "through the manifest's pval map; never a per-tuple scan."),
+    "scan_change_feed_row" -> ("Row-granular CDF (r17): per version step a " +
+      "manifest-diff full-outer join of the removed vs added files keyed " +
+      "on the merge key — each step reads ONLY the files its commit " +
+      "touched, the per-step frames union, and equal carried rows cancel " +
+      "so maintenance rewrites contribute nothing. The join sides are " +
+      "commit-sized, never table-sized. (join_storage_partitioned's " +
+      "zero-exchange SPJ plan is pinned structurally in-body and in " +
+      "PlanShapeSpec — its returned frame here is the materialized " +
+      "summary, so the audit lives in the spec, not this dump.)"),
+    "scan_change_feed_cdc" -> ("CDC-materialized positional deletes (r17): " +
+      "the vector commit's step reads the pre-materialized preimage file " +
+      "directly — O(changes) I/O with no reconstruction join at read " +
+      "time; the insert steps stay manifest-diff scans of the appended " +
+      "files only."),
   )
 
   def main(args: Array[String]): Unit = {
