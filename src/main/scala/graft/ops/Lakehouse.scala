@@ -675,15 +675,21 @@ object Lakehouse {
         val updates = or
           .filter(col("o_orderkey") % 15 === 0 && col("o_orderkey") % 21 =!= 0)
           .withColumn("price", money(col("price") + 1000))
-          .withColumn("op", lit("upsert"))
         val inserts = or
           .filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)
-          .withColumn("op", lit("upsert"))
         val deletes = or.filter(col("o_orderkey") % 21 === 0)
-          .withColumn("op", lit("delete"))
-        Acid.mergeCowBranch(spark, table, "fix",
-          updates.unionByName(inserts).unionByName(deletes),
-          "o_orderkey", txnId = 10L, opCol = Some("op"))        // branch k0
+        updates.unionByName(inserts).unionByName(deletes)
+          .createOrReplaceTempView("branch_dml_changes")
+        // the MERGE runs through the PURE-SQL entry's branch twin — the
+        // dress rehearsal is SQL end to end (audit reads below via
+        // BRANCH AS OF would be, too)
+        SqlEntry.sqlLakehouse(spark, s"""
+          MERGE INTO BRANCH 'fix' OF acid_table('$table')
+          USING branch_dml_changes ON o_orderkey
+          WHEN MATCHED AND o_orderkey % 21 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          TXN 10""")                                            // branch k0
         Acid.deleteTxnBranch(spark, table, "fix",
           Tables.orders(spark, sfDir)
             .filter(col("o_orderkey") % 33 === 0).select(col("o_orderkey")),

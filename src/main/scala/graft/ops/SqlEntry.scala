@@ -64,6 +64,42 @@ object SqlEntry {
       Seq((what, r._1, r._2.toLong, r._3.toLong))
         .toDF("operation", "new_version", "touched_files", "total_files")
     }
+    // MERGE INTO BRANCH '<name>' OF acid_table('<dir>') USING ... ON <key>
+    //   [WHEN MATCHED AND <pred> THEN DELETE] WHEN MATCHED THEN UPDATE SET *
+    //   WHEN NOT MATCHED THEN INSERT * TXN <id>
+    // — the branch twin (Acid.mergeCowBranch): the dress rehearsal of a
+    // row-level pipeline change, pure-SQL end to end (read the result back
+    // with acid_table(...) BRANCH AS OF '<name>').
+    val mergeBranchStmt =
+      """(?is)^\s*MERGE\s+INTO\s+BRANCH\s+'([A-Za-z0-9._-]+)'\s+OF\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+USING\s+(.+?)\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)\s+(WHEN\s+.+?)\s+TXN\s+(\d+)\s*$""".r
+    mergeBranchStmt.findFirstMatchIn(text).foreach { m =>
+      val (name, dir, src, keyCol, clauses, txn) = (m.group(1), m.group(2),
+        m.group(3).trim, m.group(4), m.group(5), m.group(6).toLong)
+      require(
+        """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""".r
+          .findFirstIn(clauses).isDefined &&
+        """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""".r
+          .findFirstIn(clauses).isDefined,
+        "MERGE INTO BRANCH: whole-row clauses required — " +
+          "WHEN MATCHED THEN UPDATE SET * and WHEN NOT MATCHED THEN INSERT *")
+      val delPred =
+        """(?is)WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE""".r
+          .findFirstMatchIn(clauses).map(_.group(1))
+      val srcSql =
+        if (src.startsWith("(")) src.stripPrefix("(").stripSuffix(")")
+        else s"SELECT * FROM $src"
+      val source = sqlLakehouse(spark, srcSql)
+      val changes = delPred match {
+        case Some(p) => source.withColumn("__op",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.expr(p),
+            "delete").otherwise("upsert"))
+        case None => source
+      }
+      val r = Acid.mergeCowBranch(spark, dir, name, changes, keyCol, txn,
+        opCol = delPred.map(_ => "__op"))
+      return dmlSummary("merge_branch", r)
+    }
     // MERGE INTO acid_table('<dir>') USING <view|(subquery)> ON <keyCol>
     //   [WHEN MATCHED AND <pred> THEN DELETE]
     //   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
