@@ -1913,4 +1913,57 @@ class StreamingSpec extends SparkFixture {
     assert(Catalog.readAt(spark, cat, pins2, "clean").count() == cleanN)
     assert(Catalog.readAt(spark, cat, pins2, "quarantine").count() == qN)
   }
+
+  test("streaming row-CDF crosses a CDC-materialized positional delete; un-materialized vector commits fail the stream loudly") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("cdfrow_pdel_tbl").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("cdfrow_pdel_ckpt").toString
+    Acid.reset(table)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+        .option("table", table).option("mode", "cdf")
+        .option("key", "k").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("k", "change_type", "_commit_version").collect()
+            .foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Acid.appendTxn(spark, table, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), 0L)
+    Acid.appendTxn(spark, table, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), 1L)
+    drain() // generation 1: v0+v1 inserts
+    assert(got.asScala.count(_._2 == "insert") == 4, s"$got")
+    // positional dedup WITH CDC: the resumed stream delivers the deletes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("_file"), col("_pos"))
+    Acid.deletePositionsTxn(spark, table,
+      Acid.readPositions(spark, table).withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select(col("_file").as("f"), col("_pos").as("pos")),
+      txnId = 2L, cdc = true)
+    drain() // generation 2 resumes mid-history and emits exactly the deletes
+    val dels = got.asScala.filter(_._2 == "delete").toSeq
+    assert(dels.map(x => (x._1, x._3)).sorted == Seq((1L, 2L), (2L, 2L)), s"$dels")
+    // an UN-materialized positional delete fails the stream loudly
+    Acid.deletePositionsTxn(spark, table,
+      Acid.readPositions(spark, table).filter(col("k") === 1L)
+        .select(col("_file").as("f"), col("_pos").as("pos")),
+      txnId = 3L, cdc = false)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+        .option("table", table).option("mode", "cdf").option("key", "k").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(6).exists(t => t.getMessage != null &&
+        t.getMessage.contains("POSITIONAL")), e.getMessage)
+  }
 }
