@@ -144,17 +144,22 @@ object Acid {
   def addColumnDefault(spark: SparkSession, table: String, colName: String,
       defaultSql: String, txnId: Long): Long = withWriterLock(table) {
     spark.range(1).select(expr(defaultSql)).collect() // must compile + evaluate
-    // the exactness contract (NULL always MEANS "row predates the column")
-    // only holds for a NEW column — a default on an existing column would
-    // masquerade genuinely stored NULLs as the default
-    require(!readEvolved(spark, table).columns.contains(colName),
-      s"addColumnDefault: $colName already exists on $table — defaults " +
-        "attach to NEW columns only (backfill stored NULLs explicitly)")
     commitNextVersion(table) { (cur, prev) =>
       require(cur.isDefined, s"Acid.addColumnDefault: no committed version at $table")
       require(prev.contains("# base:."),
         s"addColumnDefault on snapshot-mode table $table")
-      if (prev.contains(s"# txn:$txnId")) Some(cur.get) else None
+      if (prev.contains(s"# txn:$txnId")) Some(cur.get) // replay no-ops FIRST
+      else {
+        // the exactness contract (NULL always MEANS "row predates the
+        // column") only holds for a NEW column — a default on an existing
+        // column would masquerade genuinely stored NULLs as the default.
+        // Checked after the replay guard so per-txnId idempotency holds
+        // once the column exists BECAUSE of this very txn.
+        require(!readEvolved(spark, table).columns.contains(colName),
+          s"addColumnDefault: $colName already exists on $table — defaults " +
+            "attach to NEW columns only (backfill stored NULLs explicitly)")
+        None
+      }
     } { (_, prev) =>
       require(!prev.exists(_.startsWith(s"# coldefault:$colName|")),
         s"addColumnDefault: $colName already has a default on $table")
@@ -1050,11 +1055,7 @@ object Acid {
             else {
               val delDir = Paths.get(table).resolve(s"del=$txnId")
               remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-              val walk = Files.walk(delDir)
-              try walk.filter(p => p.toString.endsWith(".parquet"))
-                .map[String](p => Paths.get(table).relativize(p).toString)
-                .sorted().toArray.map(_.toString).toSeq
-              finally walk.close()
+              listParquet(table, delDir)
             }
         }
         val deadStat = (l: String) => touched.exists(f =>
@@ -2743,9 +2744,21 @@ object Acid {
         s"changeFeedRow on snapshot-mode table $table")
       // only pdel ADDITIONS are delete commits needing CDC; a fold (a
       // rewrite REMOVING vector lines) changed nothing logically and the
-      // ordinary file diff below cancels it out
-      val pdelAdded = cur.filter(_.startsWith("# pdel:")).toSet
-        .diff(prev.filter(_.startsWith("# pdel:")).toSet).nonEmpty
+      // ordinary file diff below cancels it out. Vector lines vanishing
+      // WITHOUT any file rewrite (RESTORE across a vector commit) is a
+      // resurrection the diff cannot see — refuse loudly.
+      val pdelPrev = prev.filter(_.startsWith("# pdel:")).toSet
+      val pdelCur = cur.filter(_.startsWith("# pdel:")).toSet
+      val removedAny = prev.filterNot(_.startsWith("#"))
+        .exists(f => !cur.contains(f))
+      require((pdelPrev.diff(pdelCur).isEmpty &&
+        prev.filter(_.startsWith("# delete:")).toSet
+          .diff(cur.filter(_.startsWith("# delete:")).toSet).isEmpty) ||
+        removedAny,
+        s"changeFeedRow: version $v of $table dropped delete-vector lines " +
+          "without rewriting a file (RESTORE across a vector commit?) — " +
+          "the feed cannot reconstruct the resurrection; re-seed the consumer")
+      val pdelAdded = pdelCur.diff(pdelPrev).nonEmpty
       if (pdelAdded) {
         // a positional-delete commit: consumable ONLY through materialized
         // CDC preimages (deletePositionsTxn(cdc = true) — Delta deletion
@@ -2987,12 +3000,7 @@ object Acid {
     val root = Paths.get(table)
     val dataDir = root.resolve(s"branch=$name").resolve(s"txn=$txnId")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val walk = Files.walk(dataDir)
-    val files =
-      try walk.filter(p => p.toString.endsWith(".parquet"))
-        .map[String](p => root.relativize(p).toString)
-        .sorted().toArray.map(_.toString).toSeq
-      finally walk.close()
+    val files = listParquet(table, dataDir)
     val k = head + 1
     Files.write(brManifest(table, name, k),
       appendManifest(prev, txnId, files).mkString("", "\n", "\n").getBytes("UTF-8"),
@@ -3010,12 +3018,6 @@ object Acid {
       spark.read.parquet(lines.filterNot(_.startsWith("#")).map(f => s"$table/$f"): _*))
   }
 
-  /** Publish a branch whose fork base is STILL main's head: main adopts
-    * the branch head manifest metadata-only — including the branch's txn
-    * ledger, so a stream that committed to the branch keeps no-oping its
-    * replays after publish (same ledger-carry contract as [[restore]]).
-    * Fails loudly if main advanced past the base — that case is
-    * [[mergeBranch]]. Idempotent per `txnId`; retires the branch ref. */
   /** Row-level MERGE INTO a BRANCH, copy-on-write — the dev-pipeline story
     * completed: the merge job under test runs against the experiment
     * branch with [[mergeCow]]'s exact semantics, MAIN NEVER SEES A BYTE
@@ -3038,6 +3040,13 @@ object Acid {
         s"$table but not on branch '$name' — use a fresh txn id")
     require(prev.contains("# base:."),
       s"mergeCowBranch on snapshot-mode table $table")
+    // the rewrite reads the touched files' raw physical frames — mixed
+    // schema generations (column mapping / defaults) would silently null
+    // the later generation's columns (same guard as optimizeLineage)
+    require(!prev.exists(l => l.startsWith("# colmap:") ||
+      l.startsWith("# coldrop:") || l.startsWith("# coldefault:")),
+      s"mergeCowBranch on $table: schema-evolution metadata present — " +
+        "branch DML across schema generations is unsupported")
     val all = prev.filterNot(_.startsWith("#"))
     val root = Paths.get(table).toAbsolutePath
     val allKeys = changes.select(col(keyCol)).distinct()
@@ -3152,6 +3161,12 @@ object Acid {
       .filter(_ => delFiles.nonEmpty).map(k => (k, delFiles))
   }
 
+  /** Publish a branch whose fork base is STILL main's head: main adopts
+    * the branch head manifest metadata-only — including the branch's txn
+    * ledger, so a stream that committed to the branch keeps no-oping its
+    * replays after publish (same ledger-carry contract as [[restore]]).
+    * Fails loudly if main advanced past the base — that case is
+    * [[mergeBranch]]. Idempotent per `txnId`; retires the branch ref. */
   def fastForwardBranch(table: String, name: String, txnId: Long): Long =
     withWriterLock(table) {
       // Through commitNextVersion like every other commit path (ADVICE r16):
@@ -3426,14 +3441,14 @@ object Acid {
       // liveness rule vacuum applies, scoped to this branch's data dir
       val cur = currentVersion(table)
       val tagged = tags(table).values.toSet
+      def refs(ls: Seq[String]): Seq[String] =
+        ls.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
+          ls.filter(_.startsWith("# pdel:")).map(_.stripPrefix("# pdel:").trim) ++
+          ls.filterNot(_.startsWith("#"))
       val live: Set[String] = (cur.toSeq.flatMap { c =>
-        ((horizon(table) to c) ++ tagged.filter(_ < horizon(table))).flatMap { v =>
-          val ls = manifestLines(table, v)
-          ls.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
-            ls.filterNot(_.startsWith("#"))
-        }
-      } ++ branches(table).keys.flatMap(n => branchLines(table, n)
-        .filterNot(_.startsWith("#"))) ++
+        ((horizon(table) to c) ++ tagged.filter(_ < horizon(table)))
+          .flatMap(v => refs(manifestLines(table, v)))
+      } ++ branches(table).keys.flatMap(n => refs(branchLines(table, n))) ++
         stagedWapIds(table).flatMap(id => wapFiles(table, id))).toSet
       val root = Paths.get(table)
       val walk = Files.walk(dataDir)
