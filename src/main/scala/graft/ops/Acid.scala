@@ -817,14 +817,9 @@ object Acid {
     * its own output) and return the table-relative file list. */
   private def writeTxnData(spark: SparkSession, table: String, df: DataFrame,
       txnId: Long): Seq[String] = {
-    val root = Paths.get(table)
-    val dataDir = root.resolve(s"txn=$txnId")
+    val dataDir = Paths.get(table).resolve(s"txn=$txnId")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val walk = Files.walk(dataDir)
-    try walk.filter(p => p.toString.endsWith(".parquet"))
-      .map[String](p => root.relativize(p).toString)
-      .sorted().toArray.map(_.toString).toSeq
-    finally walk.close()
+    listParquet(table, dataDir)
   }
 
   /** The append-commit manifest: predecessor's ledger + this txn, standing
@@ -1000,6 +995,71 @@ object Acid {
     * Concurrent lock-free appends rebase through the same stale-snapshot
     * retry as [[eraseKeys]]; idempotent per txnId via the ledger. Returns
     * (version, touched files, total files). */
+  /** One COW-merge attempt over an explicit manifest state — the shared
+    * algorithm of [[mergeCow]] (per optimistic retry) and
+    * [[mergeCowBranch]]: Delta's findTouchedFiles probe, the
+    * (touched − vectors − change keys) ∪ upserts rewrite landed under
+    * `dataDir`, and the upserted-keys-leave-the-vector reconciliation
+    * landed under `delDir`. Returns the manifest ingredients; committing
+    * them (version claim vs branch manifest) stays with the caller. */
+  private final case class CowMerge(touched: Seq[String],
+      survivors: Seq[String], newFiles: Seq[String],
+      vectorLines: Seq[String], deadStat: String => Boolean, total: Int)
+  private def cowMergeAttempt(spark: SparkSession, table: String,
+      lines: Seq[String], changes: DataFrame, keyCol: String,
+      opCol: Option[String], dataDir: Path, delDir: Path,
+      what: String): CowMerge = {
+    val all = lines.filterNot(_.startsWith("#"))
+    val root = Paths.get(table).toAbsolutePath
+    val allKeys = changes.select(col(keyCol)).distinct()
+    val upserts = opCol match {
+      case Some(o) => changes.filter(col(o) =!= "delete").drop(o)
+      case None    => changes
+    }
+    // Delta's findTouchedFiles: which files contain a changed key —
+    // one semi-join scan, O(files) rows back to the driver
+    val touched = if (all.isEmpty) Seq.empty[String]
+    else touchedFilesPlan(spark, all.map(f => s"$table/$f"), allKeys, keyCol)
+      .collect() // O(files) rows — manifest-construction control plane
+      .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
+      .sorted.toSeq
+    val survivors = all.filterNot(touched.contains)
+    // rewrite = (touched files − standing vectors − change keys) ∪ upserts
+    val rewritten = {
+      val basePart =
+        if (touched.isEmpty) upserts.limit(0)
+        else subtractDeletes(spark, table, lines,
+          spark.read.parquet(touched.map(f => s"$table/$f"): _*))
+          .join(allKeys, Seq(keyCol), "left_anti")
+      basePart.unionByName(upserts)
+    }
+    rewritten.write.mode("overwrite").parquet(dataDir.toString)
+    val newFiles = listParquet(table, dataDir)
+    // vector reconciliation: upserted keys leave the standing vector
+    val upsertedKeyRows = upserts.select(col(keyCol)).distinct()
+    val newVector: Option[Seq[String]] = standingDeletes2(lines).map {
+      case (k, delFiles) =>
+        require(k == keyCol, s"$what: table uses delete key $k, got $keyCol")
+        val remaining = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+          .select(col(k)).distinct()
+          .join(upsertedKeyRows, Seq(k), "left_anti")
+        if (remaining.isEmpty) Seq.empty
+        else {
+          remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+          listParquet(table, delDir)
+        }
+    }
+    val vectorLines = newVector match {
+      case Some(fs) if fs.nonEmpty =>
+        Seq(s"# delkey:$keyCol") ++ fs.map(f => s"# delete:$f")
+      case _ => Seq.empty // no vector, or reconciled to empty
+    }
+    val deadStat = (l: String) => touched.exists(f =>
+      l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+        l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+    CowMerge(touched, survivors, newFiles, vectorLines, deadStat, all.size)
+  }
+
   def mergeCow(spark: SparkSession, table: String, changes: DataFrame,
       keyCol: String, txnId: Long,
       opCol: Option[String] = None): (Long, Int, Int) = withWriterLock(table) {
@@ -1017,70 +1077,24 @@ object Acid {
         result = (cur.get, 0, lines.count(!_.startsWith("#"))) // replay → no-op
       } else {
         require(lines.contains("# base:."), s"mergeCow on snapshot-mode table $table")
-        val all = lines.filterNot(_.startsWith("#"))
-        val root = Paths.get(table).toAbsolutePath
-        val allKeys = changes.select(col(keyCol)).distinct()
-        val upserts = opCol match {
-          case Some(o) => changes.filter(col(o) =!= "delete").drop(o)
-          case None    => changes
-        }
-        // Delta's findTouchedFiles: which files contain a changed key —
-        // one semi-join scan, O(files) rows back to the driver
-        val touched = if (all.isEmpty) Seq.empty[String]
-        else touchedFilesPlan(spark, all.map(f => s"$table/$f"), allKeys, keyCol)
-          .collect() // O(files) rows — manifest-construction control plane
-          .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
-          .sorted.toSeq
-        val survivors = all.filterNot(touched.contains)
-        // rewrite = (touched files − standing vectors − change keys) ∪ upserts
-        val rewritten = {
-          val basePart =
-            if (touched.isEmpty) upserts.limit(0)
-            else subtractDeletes(spark, table, lines,
-              spark.read.parquet(touched.map(f => s"$table/$f"): _*))
-              .join(allKeys, Seq(keyCol), "left_anti")
-          basePart.unionByName(upserts)
-        }
-        val newFiles = writeTxnData(spark, table, rewritten, txnId)
-        // vector reconciliation: upserted keys leave the standing vector
-        val upsertedKeyRows = upserts.select(col(keyCol)).distinct()
-        val newVector: Option[Seq[String]] = cur.flatMap(standingDeletes(table, _)).map {
-          case (k, delFiles) =>
-            require(k == keyCol,
-              s"mergeCow: table uses delete key $k, got $keyCol")
-            val remaining = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
-              .select(col(k)).distinct()
-              .join(upsertedKeyRows, Seq(k), "left_anti")
-            if (remaining.isEmpty) Seq.empty
-            else {
-              val delDir = Paths.get(table).resolve(s"del=$txnId")
-              remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-              listParquet(table, delDir)
-            }
-        }
-        val deadStat = (l: String) => touched.exists(f =>
-          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+        val m = cowMergeAttempt(spark, table, lines, changes, keyCol, opCol,
+          Paths.get(table).resolve(s"txn=$txnId"),
+          Paths.get(table).resolve(s"del=$txnId"), "mergeCow")
         val v = commitNextVersion(table) { (c, prev) =>
           if (prev.contains(s"# txn:$txnId")) Some(c.get)
           else if (c != cur) Some(StaleSnapshot)
           else None
         } { (_, prev) =>
-          val vectorLines = newVector match {
-            case Some(fs) if fs.nonEmpty =>
-              Seq(s"# delkey:$keyCol") ++ fs.map(f => s"# delete:$f")
-            case _ => Seq.empty // no vector, or reconciled to empty
-          }
           ("# base:." +:
             (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
-            vectorLines ++
+            m.vectorLines ++
             prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
               !l.startsWith("# base:") && !l.startsWith("# op:") &&
               !l.startsWith("# delkey:") && !l.startsWith("# delete:") &&
-              !deadStat(l)) ++
-            survivors ++ newFiles
+              !m.deadStat(l)) ++
+            m.survivors ++ m.newFiles
         }
-        if (v != StaleSnapshot) result = (v, touched.size, all.size)
+        if (v != StaleSnapshot) result = (v, m.touched.size, m.total)
       }
     }
     result
@@ -3047,71 +3061,25 @@ object Acid {
       l.startsWith("# coldrop:") || l.startsWith("# coldefault:")),
       s"mergeCowBranch on $table: schema-evolution metadata present — " +
         "branch DML across schema generations is unsupported")
-    val all = prev.filterNot(_.startsWith("#"))
-    val root = Paths.get(table).toAbsolutePath
-    val allKeys = changes.select(col(keyCol)).distinct()
-    val upserts = opCol match {
-      case Some(o) => changes.filter(col(o) =!= "delete").drop(o)
-      case None    => changes
-    }
-    val touched = if (all.isEmpty) Seq.empty[String]
-    else touchedFilesPlan(spark, all.map(f => s"$table/$f"), allKeys, keyCol)
-      .collect() // O(files) rows — manifest-construction control plane
-      .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
-      .sorted.toSeq
-    val survivors = all.filterNot(touched.contains)
-    val rewritten = {
-      val basePart =
-        if (touched.isEmpty) upserts.limit(0)
-        else subtractDeletes(spark, table, prev,
-          spark.read.parquet(touched.map(f => s"$table/$f"): _*))
-          .join(allKeys, Seq(keyCol), "left_anti")
-      basePart.unionByName(upserts)
-    }
-    val dataDir = Paths.get(table).resolve(s"branch=$name").resolve(s"txn=$txnId")
-    rewritten.write.mode("overwrite").parquet(dataDir.toString)
-    val newFiles = listParquet(table, dataDir)
-    // vector reconciliation — an upserted key leaves the standing vector
-    // (the explicit-MERGE-insert-resurrects rule, exactly as [[mergeCow]])
-    val upsertedKeyRows = upserts.select(col(keyCol)).distinct()
-    val newVector: Option[Seq[String]] = standingDeletes2(prev).map {
-      case (k, delFiles) =>
-        require(k == keyCol,
-          s"mergeCowBranch: branch uses delete key $k, got $keyCol")
-        val remaining = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
-          .select(col(k)).distinct()
-          .join(upsertedKeyRows, Seq(k), "left_anti")
-        if (remaining.isEmpty) Seq.empty
-        else {
-          val delDir = Paths.get(table).resolve(s"branch=$name")
-            .resolve(s"del=$txnId")
-          remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-          listParquet(table, delDir)
-        }
-    }
-    val deadStat = (l: String) => touched.exists(f =>
-      l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-        l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
-    val vectorLines = newVector match {
-      case Some(fs) if fs.nonEmpty =>
-        Seq(s"# delkey:$keyCol") ++ fs.map(f => s"# delete:$f")
-      case _ => Seq.empty
-    }
+    val m = cowMergeAttempt(spark, table, prev, changes, keyCol, opCol,
+      Paths.get(table).resolve(s"branch=$name").resolve(s"txn=$txnId"),
+      Paths.get(table).resolve(s"branch=$name").resolve(s"del=$txnId"),
+      "mergeCowBranch")
     val k1 = head + 1
     val manifest = ("# base:." +:
       (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
-      vectorLines ++
+      m.vectorLines ++
       prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
         !l.startsWith("# base:") && !l.startsWith("# op:") &&
         !l.startsWith("# delkey:") && !l.startsWith("# delete:") &&
-        !deadStat(l)) ++
-      survivors ++ newFiles
+        !m.deadStat(l)) ++
+      m.survivors ++ m.newFiles
     Files.write(brManifest(table, name, k1),
       manifest.mkString("", "\n", "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
     writeBranchRef(table, name, base, k1, createNew = false)
-    (k1, touched.size, all.size)
+    (k1, m.touched.size, m.total)
   }
 
   /** Merge-on-read DELETE on a BRANCH: the branch's standing vector grows
