@@ -842,7 +842,10 @@ object Acid {
         // mark is table metadata — both survive every append
         l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
         l.startsWith("# rowid_next:") || l.startsWith("# coldefault:") ||
-        l.startsWith("# pdel:") || l.startsWith("# prop:")) ++
+        l.startsWith("# pdel:") || l.startsWith("# prop:") ||
+        // branch-op log lines ride branch manifests only (appendTxnBranch
+        // routes through here); fastForwardBranch strips them at publish
+        l.startsWith("# dml:")) ++
       prev.filterNot(_.startsWith("#")) ++ newFiles
 
   /** Optimistic multi-writer append — Delta's commit protocol shape,
@@ -1077,6 +1080,20 @@ object Acid {
         result = (cur.get, 0, lines.count(!_.startsWith("#"))) // replay → no-op
       } else {
         require(lines.contains("# base:."), s"mergeCow on snapshot-mode table $table")
+        // the probe + rewrite read raw physical frames — mixed schema
+        // generations would evaluate the key join over an arbitrary
+        // footer's schema and silently miss or null the later
+        // generation's columns (same guard as mergeCowBranch; ADVICE r17)
+        require(!mixedGenerations(lines),
+          s"mergeCow on $table: schema-evolution metadata present — " +
+            "row-level DML across schema generations is unsupported")
+        // MERGE on a lineage table needs fresh-id allocation for inserts
+        // AND materialization for carried rows — neither happens here;
+        // refuse instead of stranding stale assignment lines (r18)
+        require(!lines.exists(l => l.startsWith("# firstrow:") ||
+          l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
+          s"mergeCow on row-lineage table $table — lineage-preserving MERGE " +
+            "is unsupported (updateWhereLineage covers updates)")
         val m = cowMergeAttempt(spark, table, lines, changes, keyCol, opCol,
           Paths.get(table).resolve(s"txn=$txnId"),
           Paths.get(table).resolve(s"del=$txnId"), "mergeCow")
@@ -1146,6 +1163,20 @@ object Acid {
         result = (cur.get, 0, lines.count(!_.startsWith("#"))) // replay → no-op
       } else {
         require(lines.contains("# base:."), s"$what on snapshot-mode table $table")
+        // predicate probe + rewrite read raw physical frames — under mixed
+        // schema generations the predicate would evaluate NULL/missing on
+        // pre-evolution rows and the rewrite would drop a generation's
+        // stored columns: refuse loudly (ADVICE r17)
+        require(!mixedGenerations(lines),
+          s"$what on $table: schema-evolution metadata present — " +
+            "row-level DML across schema generations is unsupported")
+        // a plain COW rewrite drops the touched files' row-id assignments
+        // (r18): lineage tables update through updateWhereLineage, which
+        // materializes ids through the rewrite
+        require(!lines.exists(l => l.startsWith("# firstrow:") ||
+          l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
+          s"$what on row-lineage table $table — use updateWhereLineage " +
+            "(it materializes ids through the rewrite)")
         val all = lines.filterNot(_.startsWith("#"))
         val root = Paths.get(table).toAbsolutePath
         val touched = if (all.isEmpty) Seq.empty[String]
@@ -1225,6 +1256,12 @@ object Acid {
     require(!snap.exists(l => l.startsWith("# delete:") || l.startsWith("# pdel:")),
       s"updateWhereCAS: $table carries standing delete vectors — use the " +
         "locked updateWhere (vector semantics do not commute with appends)")
+    require(!mixedGenerations(snap),
+      s"updateWhereCAS on $table: schema-evolution metadata present — " +
+        "row-level DML across schema generations is unsupported")
+    require(!snap.exists(l => l.startsWith("# firstrow:") ||
+      l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
+      s"updateWhereCAS on row-lineage table $table — use updateWhereLineage")
     val all = snap.filterNot(_.startsWith("#"))
     val root = Paths.get(table).toAbsolutePath
     val touched = if (all.isEmpty) Seq.empty[String]
@@ -1893,6 +1930,14 @@ object Acid {
       if (lines.contains(s"# txn:$txnId")) return snapV // replay → no-op
       require(lines.contains("# base:."),
         s"optimizeWhere on snapshot-mode table $table")
+      // same guard as [[rewriteCommit]] (ADVICE r17): a partition-scoped
+      // rewrite drops the selected files' `# firstrow:` assignments, so a
+      // later assignRowIds would silently re-issue ids — row lineage must
+      // compact through optimizeLineage, which materializes the ids
+      require(!lines.exists(l => l.startsWith("# firstrow:") ||
+        l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
+        s"optimizeWhere on row-lineage table $table — use optimizeLineage " +
+          "(it materializes ids through the rewrite)")
       val sel = lines.collect {
         case l if l.startsWith("# pval:") =>
           val body = l.stripPrefix("# pval:")
@@ -1902,8 +1947,13 @@ object Acid {
       require(sel.nonEmpty,
         s"optimizeWhere: no file's partition tuple names $name=$value")
       val selSet = sel.toSet
+      // footer-union read under schema evolution, like [[readRewriteSnapshot]]
+      // — a plain scan would let an arbitrary footer drop a generation's
+      // stored column from the rewrite (ADVICE r17)
+      val selReader = if (mixedGenerations(lines))
+        spark.read.option("mergeSchema", "true") else spark.read
       val merged = subtractDeletes(spark, table, lines,
-        spark.read.parquet(sel.map(f => s"$table/$f"): _*))
+        selReader.parquet(sel.map(f => s"$table/$f"): _*))
         .coalesce(targetFiles).cache()
       merged.count() // materialize BEFORE the lock
       try out = withWriterLock(table) {
@@ -2111,7 +2161,16 @@ object Acid {
     * else — a hidden row keeps its id for when MERGE resurrects the key. */
   def readLineage(spark: SparkSession, table: String): DataFrame = {
     val lines = headLines(table)
-    val files = lines.filterNot(_.startsWith("#"))
+    subtractDeletes(spark, table, lines, lineageFrameFor(spark, table, lines,
+      lines.filterNot(_.startsWith("#")), "readLineage"))
+  }
+
+  /** The row_id-attached frame for a SUBSET of a manifest's data files —
+    * the shared kernel of [[readLineage]] (all files) and
+    * [[updateWhereLineage]] (the predicate-touched files only). No
+    * delete-vector subtraction here; callers decide. */
+  private def lineageFrameFor(spark: SparkSession, table: String,
+      lines: Seq[String], files: Seq[String], what: String): DataFrame = {
     val first: Map[String, Long] = lines.collect {
       case l if l.startsWith("# firstrow:") =>
         val b = l.stripPrefix("# firstrow:")
@@ -2121,14 +2180,14 @@ object Acid {
     val phys = lines.collect { case l if l.startsWith("# rowid_phys:") =>
       l.stripPrefix("# rowid_phys:").trim }.toSet
     files.find(f => !first.contains(f) && !phys(f)).foreach(f => sys.error(
-      s"Acid.readLineage: $f has no row-id assignment — run assignRowIds first"))
+      s"Acid.$what: $f has no row-id assignment — run assignRowIds first"))
     val lazyFiles = files.filterNot(phys)
     val physFiles = files.filter(phys)
     val parts = Seq(
       if (lazyFiles.isEmpty) None else Some {
         val base = spark.read.parquet(lazyFiles.map(f => s"$table/$f"): _*)
         require(!base.columns.contains("row_id"),
-          s"readLineage: $table already has a row_id data column")
+          s"$what: $table already has a row_id data column")
         val dataCols = base.columns.toSeq
         val uriMap = lazyFiles.map(f =>
           (Paths.get(table, f).toAbsolutePath.toUri.toString, first(f)))
@@ -2145,7 +2204,100 @@ object Acid {
           .withColumnRenamed("__row_id", "row_id")
       }
     ).flatten
-    subtractDeletes(spark, table, lines, parts.reduce(_ unionByName _))
+    parts.reduce(_ unionByName _)
+  }
+
+  /** `UPDATE ... SET ... WHERE` on a ROW-LINEAGE table, copy-on-write,
+    * ids PRESERVED — the Iceberg v3 DML contract the plain [[updateWhere]]
+    * refuses (its rewrite would drop the touched files' id assignments to
+    * a loud re-assign): rows in predicate-touched files rewrite WITH their
+    * `row_id` materialized as a physical `__row_id` column (the
+    * [[optimizeLineage]] mechanism), so a touched row keeps its id across
+    * the UPDATE and untouched files keep their lazy `# firstrow:`
+    * assignment lines byte-for-byte. SET semantics are [[updateWhere]]'s
+    * exactly (simultaneous projection against the PRE-update row; standing
+    * vectors subtract first so a hidden row can neither update nor
+    * resurrect). The `# rowid_next:` high-water mark carries — later
+    * appends still allocate above every id ever issued. Cost is O(files
+    * the predicate touches), never O(table); stale-snapshot rebase and
+    * per-txnId idempotence as everywhere. */
+  def updateWhereLineage(spark: SparkSession, table: String,
+      sets: Seq[(String, Column)], pred: Column,
+      txnId: Long): (Long, Int, Int) = withWriterLock(table) {
+    require(sets.nonEmpty, "updateWhereLineage: no SET assignments")
+    val bySet = sets.toMap
+    require(bySet.size == sets.size, "updateWhereLineage: duplicate SET column")
+    require(!bySet.contains("row_id") && !bySet.contains("__row_id"),
+      "updateWhereLineage: row_id is the lineage identity — not assignable")
+    val StaleSnapshot = -2L
+    var attempts = 0
+    var result: (Long, Int, Int) = null
+    while (result == null) {
+      attempts += 1
+      require(attempts <= 50,
+        s"updateWhereLineage: concurrent-commit retry limit on $table")
+      val cur = currentVersion(table)
+      val lines = cur.map(manifestLines(table, _)).getOrElse(
+        sys.error(s"Acid.updateWhereLineage: no committed version at $table"))
+      if (lines.contains(s"# txn:$txnId")) {
+        result = (cur.get, 0, lines.count(!_.startsWith("#"))) // replay → no-op
+      } else {
+        require(lines.contains("# base:."),
+          s"updateWhereLineage on snapshot-mode table $table")
+        require(!mixedGenerations(lines),
+          s"updateWhereLineage on $table: schema-evolution metadata present — " +
+            "row-level DML across schema generations is unsupported")
+        require(lines.exists(l => l.startsWith("# firstrow:") ||
+          l.startsWith("# rowid_phys:")),
+          s"updateWhereLineage on $table: not a row-lineage table — " +
+            "use updateWhere (or assignRowIds first)")
+        val all = lines.filterNot(_.startsWith("#"))
+        val root = Paths.get(table).toAbsolutePath
+        val touched = if (all.isEmpty) Seq.empty[String]
+        else spark.read.parquet(all.map(f => s"$table/$f"): _*)
+          .filter(pred)
+          .select(input_file_name().as("f")).distinct()
+          .collect() // O(files) rows — manifest-construction control plane
+          .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
+          .sorted.toSeq
+        val touchedSet = touched.toSet
+        val survivors = all.filterNot(touchedSet)
+        val newFiles =
+          if (touched.isEmpty) Seq.empty[String]
+          else {
+            val base = subtractDeletes(spark, table, lines,
+              lineageFrameFor(spark, table, lines, touched, "updateWhereLineage"))
+            sets.foreach { case (c, _) =>
+              require(base.columns.contains(c), s"updateWhereLineage: no column $c") }
+            val dataCols = base.columns.toSeq.filterNot(_ == "row_id")
+            val updated = base.select(dataCols.map { c =>
+              bySet.get(c) match {
+                case Some(e) => when(pred, e).otherwise(col(c)).as(c)
+                case None    => col(c)
+              }
+            } :+ col("row_id").as("__row_id"): _*)
+            writeTxnData(spark, table, updated, txnId)
+          }
+        val deadMeta = (l: String) => touched.exists(f =>
+          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|") ||
+            l.startsWith(s"# firstrow:$f|") || l.trim == s"# rowid_phys:$f")
+        val v = commitNextVersion(table) { (c, prev) =>
+          if (prev.contains(s"# txn:$txnId")) Some(c.get)
+          else if (c != cur) Some(StaleSnapshot)
+          else None
+        } { (_, prev) =>
+          ("# base:." +:
+            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:") && !deadMeta(l)) ++
+            newFiles.map(f => s"# rowid_phys:$f") ++
+            prev.filterNot(_.startsWith("#")).filterNot(touchedSet) ++ newFiles
+        }
+        if (v != StaleSnapshot) result = (v, touched.size, all.size)
+      }
+    }
+    result
   }
 
   /** Compaction that PRESERVES row ids — what Iceberg v3 does on any
@@ -2202,6 +2354,38 @@ object Acid {
     out
   }
 
+  /** True iff the manifest mixes file GENERATIONS whose parquet footers
+    * can disagree — a rename/drop/default landed while older files stayed
+    * on disk. A rewrite reading such a set with a plain parquet scan lets
+    * an ARBITRARY footer win schema inference: the later generation's
+    * stored column silently vanishes from the rewrite, and a carried
+    * `# coldefault:` line then masquerades the lost values as the default
+    * on the next [[readEvolved]] — silent corruption (ADVICE r17). */
+  private def mixedGenerations(lines: Seq[String]): Boolean =
+    lines.exists(l => l.startsWith("# colmap:") ||
+      l.startsWith("# coldrop:") || l.startsWith("# coldefault:"))
+
+  /** Rewrite-path snapshot read: plain parquet normally; footer-UNION
+    * (`mergeSchema`) when [[mixedGenerations]] — the union frame keeps
+    * every generation's physical columns (pre-evolution rows surface NULL
+    * in later columns, exactly as they do on disk), so the carried
+    * colmap/coldefault lines keep resolving over the rewritten files and
+    * no stored value is lost. Root-relative manifests only (every rewrite
+    * caller requires `# base:.` at commit; non-append tables fall back to
+    * [[readVersion]] to preserve its failure mode). */
+  private def readRewriteSnapshot(spark: SparkSession, table: String,
+      v: Long): DataFrame = {
+    val lines = manifestLines(table, v)
+    if (!lines.contains("# base:.") || !mixedGenerations(lines))
+      readVersion(spark, table, v)
+    else {
+      val files = lines.filterNot(_.startsWith("#"))
+      subtractDeletes(spark, table, lines,
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$table/$f"): _*))
+    }
+  }
+
   /** Shared snapshot-rewrite commit loop ([[compactDeletes]] /
     * [[optimize]]): materialize the merged current state OUTSIDE the lock
     * (the rewrite must not read files its own manifest is about to stop
@@ -2222,7 +2406,7 @@ object Acid {
       require(attempts <= 50, s"$what: concurrent-commit retry limit on $table")
       val snapV = currentVersion(table).getOrElse(
         sys.error(s"Acid.$what: no committed version at $table"))
-      val merged = layout(readVersion(spark, table, snapV)).cache()
+      val merged = layout(readRewriteSnapshot(spark, table, snapV)).cache()
       merged.count() // materialize BEFORE the lock
       try out = withWriterLock(table) {
         commitNextVersion(table) { (cur, prev) =>
@@ -2286,7 +2470,11 @@ object Acid {
     commitNextVersion(table) { (c, prev) =>
       if (prev.contains(s"# txn:$txnId")) Some(c.get) else None // replay
     } { (_, prev) =>
-      ("# base:." +:
+      // the op:restore stamp lets change-feed readers tell a rollback from
+      // a DML/fold commit — a restore that drops delete-vector lines
+      // resurrects keys in SURVIVING files, which no file diff can see
+      // (ADVICE r17); feeds refuse to cross such a step
+      ("# base:." +: s"# op:restore:$toV" +:
         (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
         target.filter(l => !l.startsWith("# txn:") && !l.startsWith("# base:") &&
           !l.startsWith("# op:"))
@@ -2672,6 +2860,15 @@ object Acid {
         "(Delta deletion vectors have the same caveat)")
     def delFiles(lines: Seq[String]): Seq[String] =
       lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim)
+    // vector monotonicity: append-mode deletes only ADD vector files; a
+    // vector line VANISHING with the data files intact is a RESTORE
+    // un-hiding keys in surviving files — inserts the file diff cannot
+    // see (ADVICE r17, sibling of changeFeedRow's restore guard)
+    require(delFiles(linesFrom).toSet.subsetOf(delFiles(linesTo).toSet),
+      s"changeFeed($fromV, $toV) crosses a commit that dropped delete-" +
+        "vector lines without replacing files (RESTORE across a vector " +
+        "commit?) — the resurrection is invisible to a file diff; " +
+        "re-seed the consumer")
     def keyOf(lines: Seq[String]): Option[String] =
       lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
     val added = filesTo.filterNot(filesFrom)
@@ -2765,13 +2962,20 @@ object Acid {
       val pdelCur = cur.filter(_.startsWith("# pdel:")).toSet
       val removedAny = prev.filterNot(_.startsWith("#"))
         .exists(f => !cur.contains(f))
-      require((pdelPrev.diff(pdelCur).isEmpty &&
+      val vecDropped = pdelPrev.diff(pdelCur).nonEmpty ||
         prev.filter(_.startsWith("# delete:")).toSet
-          .diff(cur.filter(_.startsWith("# delete:")).toSet).isEmpty) ||
-        removedAny,
+          .diff(cur.filter(_.startsWith("# delete:")).toSet).nonEmpty
+      // the removedAny escape is for DML/fold commits, whose file diff
+      // carries the logical change. A RESTORE can satisfy removedAny by
+      // reverting an append in the same stroke it reverts the vector
+      // commit (ADVICE r17) — the keys un-hidden in SURVIVING files then
+      // resurrect with no emitted event; refuse restores outright here.
+      val isRestoreStep = cur.exists(_.startsWith("# op:restore:"))
+      require(!vecDropped || (removedAny && !isRestoreStep),
         s"changeFeedRow: version $v of $table dropped delete-vector lines " +
-          "without rewriting a file (RESTORE across a vector commit?) — " +
-          "the feed cannot reconstruct the resurrection; re-seed the consumer")
+          "without a reconstructible file rewrite (RESTORE across a vector " +
+          "commit?) — the feed cannot reconstruct the resurrection; " +
+          "re-seed the consumer")
       val pdelAdded = pdelCur.diff(pdelPrev).nonEmpty
       if (pdelAdded) {
         // a positional-delete commit: consumable ONLY through materialized
@@ -3017,7 +3221,9 @@ object Acid {
     val files = listParquet(table, dataDir)
     val k = head + 1
     Files.write(brManifest(table, name, k),
-      appendManifest(prev, txnId, files).mkString("", "\n", "\n").getBytes("UTF-8"),
+      (appendManifest(prev, txnId, files) :+
+        s"# dml:$k|append|$txnId|-|-|${files.mkString(",")}")
+        .mkString("", "\n", "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
     writeBranchRef(table, name, base, k, createNew = false)
@@ -3061,19 +3267,29 @@ object Acid {
       l.startsWith("# coldrop:") || l.startsWith("# coldefault:")),
       s"mergeCowBranch on $table: schema-evolution metadata present — " +
         "branch DML across schema generations is unsupported")
-    val m = cowMergeAttempt(spark, table, prev, changes, keyCol, opCol,
+    // Persist the LOGICAL change frame under the branch namespace before
+    // touching anything — the op log's merge entry points at this copy, so
+    // [[rebaseBranchDml]] can re-run the exact same MERGE against a future
+    // base (and the merge itself consumes the frozen copy, making the
+    // rewrite deterministic even for a nondeterministic `changes` plan).
+    val chgDir = Paths.get(table).resolve(s"branch=$name").resolve(s"chg=$txnId")
+    changes.write.mode("overwrite").parquet(chgDir.toString)
+    val chgFiles = listParquet(table, chgDir)
+    val changesSaved = spark.read.parquet(chgFiles.map(f => s"$table/$f"): _*)
+    val m = cowMergeAttempt(spark, table, prev, changesSaved, keyCol, opCol,
       Paths.get(table).resolve(s"branch=$name").resolve(s"txn=$txnId"),
       Paths.get(table).resolve(s"branch=$name").resolve(s"del=$txnId"),
       "mergeCowBranch")
     val k1 = head + 1
-    val manifest = ("# base:." +:
+    val manifest = (("# base:." +:
       (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
       m.vectorLines ++
       prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
         !l.startsWith("# base:") && !l.startsWith("# op:") &&
         !l.startsWith("# delkey:") && !l.startsWith("# delete:") &&
         !m.deadStat(l)) ++
-      m.survivors ++ m.newFiles
+      m.survivors ++ m.newFiles) :+
+      s"# dml:$k1|merge|$txnId|$keyCol|${opCol.getOrElse("-")}|${chgFiles.mkString(",")}"
     Files.write(brManifest(table, name, k1),
       manifest.mkString("", "\n", "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -3104,14 +3320,15 @@ object Acid {
       .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
     val delFiles = listParquet(table, delDir)
     val k1 = head + 1
-    val manifest = ("# base:." +:
+    val manifest = (("# base:." +:
       (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
       Seq(s"# delkey:$keyCol") ++
       (prev.filter(_.startsWith("# delete:")) ++ delFiles.map(f => s"# delete:$f")) ++
       prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
         !l.startsWith("# base:") && !l.startsWith("# op:") &&
         !l.startsWith("# delkey:") && !l.startsWith("# delete:")) ++
-      prev.filterNot(_.startsWith("#"))
+      prev.filterNot(_.startsWith("#"))) :+
+      s"# dml:$k1|delete|$txnId|$keyCol|-|${delFiles.mkString(",")}"
     Files.write(brManifest(table, name, k1),
       manifest.mkString("", "\n", "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -3171,9 +3388,12 @@ object Acid {
         }
       } { (_, _) =>
         val lines = branchLines(table, name)
+        // the # dml: op log is branch-scope replay metadata — main never
+        // replays, so publish strips it (keeps main manifests canonical)
         "# base:." +:
           ((lines.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId") ++
-            lines.filterNot(l => l.startsWith("# txn:") || l == "# base:."))
+            lines.filterNot(l => l.startsWith("# txn:") || l == "# base:." ||
+              l.startsWith("# dml:")))
       }
       if (branches(table).contains(name)) dropBranchRefOnly(table, name)
       v
@@ -3249,8 +3469,11 @@ object Acid {
             s"commit cannot land twice")
         ("# base:." +:
           ((curLines.filter(_.startsWith("# txn:")) ++ newTxns :+ s"# txn:$txnId") ++
+            // # op: is a per-commit marker of MAIN'S HEAD commit, not of
+            // this merge — carrying it would make feed readers misread
+            // the publish as a rewrite/restore step
             curLines.filter(l => !l.startsWith("# txn:") && l != "# base:." &&
-              l.startsWith("#")))) ++
+              !l.startsWith("# op:") && l.startsWith("#")))) ++
           curLines.filterNot(_.startsWith("#")) ++ newFiles
       }
       if (branches(table).contains(name)) dropBranchRefOnly(table, name)
@@ -3310,15 +3533,167 @@ object Acid {
       Files.write(brManifest(table, name, k),
         (("# base:." +:
           ((curLines.filter(_.startsWith("# txn:")) ++ newTxns :+ s"# txn:$txnId") ++
+            // # op: marks MAIN'S HEAD commit, not this rebase — drop it
             curLines.filter(l => !l.startsWith("# txn:") && l != "# base:." &&
-              l.startsWith("#")))) ++
-          curLines.filterNot(_.startsWith("#")) ++ newFiles)
+              !l.startsWith("# op:") && l.startsWith("#")))) ++
+          curLines.filterNot(_.startsWith("#")) ++ newFiles ++
+          // keep the branch's op log across the (append-only) rebase so a
+          // later rebaseBranchDml still sees a complete replayable history
+          // (the rebase's own ledger txn gets a no-op marker entry)
+          brLines.filter(_.startsWith("# dml:")) :+
+          s"# dml:$k|rebase|$txnId|-|-|")
           .mkString("", "\n", "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
       writeBranchRef(table, name, cur, k, createNew = false)
       k
     }
+
+  /** One parsed branch-op-log entry (`# dml:<k>|<kind>|<txn>|<key>|<op>|<files>`):
+    * the replayable record every branch writer stamps so a rebase can
+    * re-run the branch's LOGICAL history on a new base. */
+  private final case class BranchOp(k: Long, kind: String, txn: Long,
+      keyCol: String, opCol: Option[String], files: Seq[String])
+  private def branchOpLog(lines: Seq[String]): Seq[BranchOp] =
+    lines.filter(_.startsWith("# dml:")).map { l =>
+      l.stripPrefix("# dml:").split("\\|", 6) match {
+        case Array(k, kind, txn, key, op, fs) =>
+          BranchOp(k.toLong, kind, txn.toLong, key,
+            if (op == "-") None else Some(op),
+            if (fs.isEmpty) Seq.empty else fs.split(',').toSeq)
+        case other => sys.error(s"Acid: malformed branch op-log line: $l")
+      }
+    }.sortBy(_.k)
+
+  /** REBASE a branch that carries DML onto main's current head — the lift
+    * of [[rebaseBranch]]'s "branch REWROTE fork-base files" refusal. A
+    * three-way FILE merge cannot work for DML (the branch's rewritten
+    * copies embed the OLD base's rows — grafting them onto a new base
+    * resurrects or drops whatever main changed since), so this replays the
+    * branch's LOGICAL history instead: every branch commit records a
+    * `# dml:` op-log line (append: the landed files; MoR delete: the key
+    * files; COW merge: a frozen copy of the change frame under
+    * `branch=<n>/chg=<txn>/`), and the rebase re-runs those ops in commit
+    * order against main's head manifest — exactly the state the operator
+    * would have reached running the same DML had they forked today. The
+    * result lands as ONE new branch commit with the op log re-stamped, so
+    * rebases compose; [[fastForwardBranch]] then publishes in O(1) while
+    * main holds still.
+    *
+    * Semantics are git-rebase's: the branch's row-level intent wins over
+    * main's concurrent changes to the SAME keys (a replayed MERGE
+    * re-probes main's files from scratch, so a mid-experiment main
+    * OPTIMIZE — the case the three-way merge refuses — is transparent
+    * here: the replay reads the compacted files like any other). Cost is
+    * O(files the replayed DML touches) per merge op — the same bill the
+    * original branch DML paid — plus O(lines) for appends/deletes; never
+    * O(table). Cross-ref txn collisions refuse as everywhere; idempotent
+    * per `txnId` against the branch ledger. Refuses branches whose
+    * commits predate the op log (no `# dml:` record — re-fork) and main
+    * bases carrying schema-evolution metadata (the replay reads raw
+    * physical frames, [[mergeCow]]'s own guard). */
+  def rebaseBranchDml(spark: SparkSession, table: String, name: String,
+      txnId: Long): Long = withWriterLock(table) {
+    val (base, head) = branches(table).getOrElse(name,
+      sys.error(s"Acid.rebaseBranchDml: no branch '$name' at $table"))
+    val cur = currentVersion(table).getOrElse(
+      sys.error(s"Acid.rebaseBranchDml: no committed version at $table"))
+    if (head < 0) { // empty branch: the rebase is just a ref move
+      writeBranchRef(table, name, cur, -1L, createNew = false)
+      return -1L
+    }
+    val brLines = branchLines(table, name)
+    if (brLines.contains(s"# txn:$txnId")) return head // replay → no-op
+    val baseLines = manifestLines(table, base)
+    val ops = branchOpLog(brLines)
+    val ownTxns = {
+      val baseTxns = baseLines.filter(_.startsWith("# txn:"))
+        .map(_.stripPrefix("# txn:").trim.toLong).toSet
+      brLines.filter(_.startsWith("# txn:"))
+        .map(_.stripPrefix("# txn:").trim.toLong).filterNot(baseTxns)
+    }
+    require(ops.map(_.txn).toSet == ownTxns.toSet,
+      s"rebaseBranchDml: branch '$name' holds commits with no op-log " +
+        s"record (logged ${ops.map(_.txn).mkString(",")} vs own " +
+        s"${ownTxns.mkString(",")}) — pre-op-log branch; re-fork and re-run")
+    val curLines = manifestLines(table, cur)
+    require(curLines.contains("# base:."),
+      s"rebaseBranchDml on snapshot-mode table $table")
+    require(!mixedGenerations(curLines),
+      s"rebaseBranchDml on $table: schema-evolution metadata present — " +
+        "row-level DML across schema generations is unsupported")
+    val collided = ops.map(o => s"# txn:${o.txn}")
+      .toSet.intersect(curLines.filter(_.startsWith("# txn:")).toSet)
+    require(collided.isEmpty,
+      s"rebaseBranchDml: txn ids committed on both main and branch " +
+        s"'$name' since the fork: ${collided.mkString(", ")}")
+    // replay the logical history, oldest first, against main's head
+    var state = curLines
+    ops.foreach { op =>
+      state = op.kind match {
+        case "rebase" => // ledger-only marker of a past rebase commit:
+          // carry the txn (its replay no-op contract survives), no data op
+          ("# base:." +:
+            (state.filter(_.startsWith("# txn:")) :+ s"# txn:${op.txn}")) ++
+            state.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:")) ++
+            state.filterNot(_.startsWith("#"))
+        case "append" => appendManifest(state, op.txn, op.files)
+        case "delete" =>
+          val prevKey = state.find(_.startsWith("# delkey:"))
+            .map(_.stripPrefix("# delkey:").trim)
+          require(prevKey.forall(_ == op.keyCol),
+            s"rebaseBranchDml: main now uses delete key " +
+              s"${prevKey.getOrElse("")}, branch recorded ${op.keyCol}")
+          ("# base:." +:
+            (state.filter(_.startsWith("# txn:")) :+ s"# txn:${op.txn}")) ++
+            Seq(s"# delkey:${op.keyCol}") ++
+            (state.filter(_.startsWith("# delete:")) ++
+              op.files.map(f => s"# delete:$f")) ++
+            state.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:") &&
+              !l.startsWith("# delkey:") && !l.startsWith("# delete:")) ++
+            state.filterNot(_.startsWith("#"))
+        case "merge" =>
+          val changes = spark.read.parquet(op.files.map(f => s"$table/$f"): _*)
+          // fresh dirs per (op, base): a later rebase onto another base
+          // must not overwrite files an earlier rebase may have published
+          val m = cowMergeAttempt(spark, table, state, changes, op.keyCol,
+            op.opCol,
+            Paths.get(table).resolve(s"branch=$name").resolve(s"txn=${op.txn}-r$cur"),
+            Paths.get(table).resolve(s"branch=$name").resolve(s"del=${op.txn}-r$cur"),
+            "rebaseBranchDml")
+          ("# base:." +:
+            (state.filter(_.startsWith("# txn:")) :+ s"# txn:${op.txn}")) ++
+            m.vectorLines ++
+            state.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:") &&
+              !l.startsWith("# delkey:") && !l.startsWith("# delete:") &&
+              !m.deadStat(l)) ++
+            m.survivors ++ m.newFiles
+        case other => sys.error(s"rebaseBranchDml: unknown op kind '$other'")
+      }
+    }
+    val k = head + 1
+    val rebased = ("# base:." +:
+      (state.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+      state.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+        !l.startsWith("# base:") && !l.startsWith("# op:") &&
+        !l.startsWith("# dml:")) ++
+      state.filterNot(_.startsWith("#")) ++
+      // re-stamp the op log verbatim (the LOGICAL inputs never move), so
+      // a second rebase onto a further-advanced main replays identically;
+      // this rebase's own ledger txn gets a no-op marker entry
+      (ops.map(o => s"# dml:${o.k}|${o.kind}|${o.txn}|${o.keyCol}|" +
+        s"${o.opCol.getOrElse("-")}|${o.files.mkString(",")}") :+
+        s"# dml:$k|rebase|$txnId|-|-|")
+    Files.write(brManifest(table, name, k),
+      rebased.mkString("", "\n", "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    writeBranchRef(table, name, cur, k, createNew = false)
+    k
+  }
 
   /** Cherry-pick ONE branch commit onto main — Iceberg's cherrypickSnapshot:
     * the branch stays open (unlike [[mergeBranch]]), only the files the
@@ -3382,8 +3757,9 @@ object Acid {
       ("# base:." +:
         ((curLines.filter(_.startsWith("# txn:")) :+ s"# txn:$branchTxn"
           :+ s"# txn:$txnId") ++
+          // # op: marks main's PREVIOUS commit, not this pick — drop it
           curLines.filter(l => !l.startsWith("# txn:") && l != "# base:." &&
-            l.startsWith("#")))) ++
+            !l.startsWith("# op:") && l.startsWith("#")))) ++
         curLines.filterNot(_.startsWith("#")) ++ picked
     }
   }

@@ -703,6 +703,90 @@ object Joins {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""".trim)),
 
+    // SPJ with COMPATIBLE-TRANSFORM grouping (r18 — Iceberg's
+    // bucket-family SPJ, the VERDICT item 5 extension): the fact is
+    // bucket(16)-partitioned, the dim bucket(8) — DIFFERENT transforms of
+    // the same family. The modular-bucket family is closed under
+    // reduction (floorMod(k,16) % 8 == floorMod(k,8) exactly), so the
+    // fact scan coarsens at plan time (`coarsen=8`: sub-buckets {v, v+8}
+    // merge into one input partition keyed v%8) and reports bucket(8)
+    // clustering it genuinely has. Catalyst then plans the 16⋈8 join with
+    // ZERO exchange on either side — in-body pinned like
+    // join_storage_partitioned, plus PlanShapeSpec. At 100 TB this is
+    // what lets a re-bucketed (grown) fact keep joining its old dims in
+    // place: bucket counts evolve by powers of two, reads stay aligned,
+    // nothing re-shuffles. Oracle = the plain logical join.
+    Q("join_spj_bucket_transform",
+      (spark, sfDir) => {
+        import graft.ops.Acid
+        val tA = graft.Tmp.dir("spjt_orders", sfDir)
+        val tB = graft.Tmp.dir("spjt_customer", sfDir)
+        Acid.reset(tA); Acid.reset(tB)
+        Acid.appendTxnHidden(spark, tA,
+          Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"),
+            (graft.Det.money(col("o_totalprice")) * 100).cast("long").as("cents")),
+          txnId = 0L, transforms = Seq(Acid.bucketOf("o_custkey", 16)))
+        Acid.appendTxnHidden(spark, tB,
+          Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment")),
+          txnId = 0L, transforms = Seq(Acid.bucketOf("c_custkey", 8)))
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val src = classOf[graft.sources.AcidBucketedSource].getName
+          // the 16-bucket fact scanned AS bucket(8): the derived column
+          // surfaces the coarse value, so both sides cluster identically
+          val dA = spark.read.format(src).option("path", tA)
+            .option("bucket", "b16_o_custkey").option("coarsen", "8").load()
+          val dB = spark.read.format(src).option("path", tB)
+            .option("bucket", "b8_c_custkey").load()
+          val agg = dA.join(dB,
+              dA("b16_o_custkey") === dB("b8_c_custkey") &&
+                dA("o_custkey") === dB("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+            .orderBy(col("c_mktsegment"))
+          val rows = agg.collect()
+          val finalPlan = agg.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          def walk(p: org.apache.spark.sql.execution.SparkPlan):
+              Seq[org.apache.spark.sql.execution.SparkPlan] =
+            p +: (p match {
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(q.plan)
+              case _ => p.children.flatMap(walk)
+            })
+          val smj = walk(finalPlan).collectFirst {
+            case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          }.getOrElse(sys.error(
+            "join_spj_bucket_transform: no SortMergeJoin in the final plan —\n" +
+              finalPlan.toString.take(3000)))
+          val shuffles = smj.children.flatMap(walk).collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+            case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+          }
+          require(shuffles.isEmpty,
+            s"join_spj_bucket_transform: the join shuffled —\n${finalPlan.toString.take(2000)}")
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq, 1), agg.schema)
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""".trim)),
+
     // Binned PURE range join (r8): count lineitems shipping within 7 days
     // of each order's date — NO equi key at all, the case Catalyst can
     // only plan as a nested-loop cross product (join_interval/asof both

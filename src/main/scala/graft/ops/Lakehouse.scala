@@ -1056,6 +1056,18 @@ object Lakehouse {
         Acid.optimizeLineage(spark, table, txnId = 5L, targetFiles = 2)
         require(idMap() == afterDel,
           "sink_row_lineage: compaction moved a row id")
+        // stability pin 3 (r18 — [[Acid.updateWhereLineage]]): row-level
+        // UPDATE preserves every id too — touched rows rewrite with their
+        // id materialized, untouched files keep their assignment lines.
+        // The value changes, the identity does not (Iceberg v3 DML).
+        Acid.updateWhereLineage(spark, table,
+          Seq("o_orderstatus" -> lit("U")),
+          col("o_orderkey") % 15 === 0, txnId = 6L)
+        require(idMap() == afterDel,
+          "sink_row_lineage: UPDATE moved a row id")
+        require(Acid.readLineage(spark, table)
+          .filter(col("o_orderkey") % 15 === 0 && col("o_orderstatus") =!= "U")
+          .isEmpty, "sink_row_lineage: UPDATE missed a matching row")
         // returned frame: PRE-delete per-generation allocation stats —
         // closed-form in the oracle because each generation owns exactly
         // one contiguous range
@@ -2045,6 +2057,94 @@ object Lakehouse {
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
           FROM orders, b WHERE o_orderkey < 15
         ) ORDER BY o_orderkey, o_orderstatus""".trim)),
+
+    // DML-branch REBASE (r18 — [[Acid.rebaseBranchDml]]): the r17 refusal
+    // LIFTED. A branch carrying row-level DML (COW merge + MoR delete)
+    // cannot three-way-merge across a rewritten main base — the branch's
+    // rewritten copies embed the OLD base's rows — so every branch commit
+    // records a replayable `# dml:` op-log entry (merge ops freeze their
+    // change frame under `branch=<n>/chg=<txn>/`), and the rebase RE-RUNS
+    // the branch's logical history, in commit order, against main's head:
+    // exactly the state the operator would have reached forking today.
+    // Main appends AND a mid-experiment main OPTIMIZE (the case the
+    // three-way rebase refuses, in-body pinned) are transparent: the
+    // replayed MERGE re-probes main's compacted files from scratch. Cost
+    // per rebase = O(files the replayed DML touches), never O(table);
+    // publish stays the O(1) fast-forward. At 100 TB this is how a
+    // week-long row-level experiment survives nightly compaction without
+    // re-running the pipeline by hand.
+    Q("sink_branch_rebase_dml",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("branch_rbdml", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 0), txnId = 0L)   // main v0
+        Acid.createBranch(table, "exp", 0L)
+        // branch DML: the same MERGE intent as sink_branch_dml...
+        val updates = or
+          .filter(col("o_orderkey") % 15 === 0 && col("o_orderkey") % 21 =!= 0)
+          .withColumn("price", money(col("price") + 1000))
+          .withColumn("__op", lit("upsert"))
+        val inserts = or
+          .filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)
+          .withColumn("__op", lit("upsert"))
+        val deletes = or.filter(col("o_orderkey") % 21 === 0)
+          .withColumn("__op", lit("delete"))
+        Acid.mergeCowBranch(spark, table, "exp",
+          updates.unionByName(inserts).unionByName(deletes),
+          "o_orderkey", txnId = 10L, opCol = Some("__op"))      // branch k0
+        Acid.deleteTxnBranch(spark, table, "exp",
+          or.filter(col("o_orderkey") % 33 === 0).select(col("o_orderkey")),
+          "o_orderkey", txnId = 11L)                            // branch k1
+        // ...then MAIN moves mid-experiment: new rows land AND the nightly
+        // OPTIMIZE rewrites every base file the branch DML had touched
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 2 && col("o_orderkey") % 7 === 0),
+          txnId = 1L)                                           // main v1
+        Acid.optimize(spark, table, 2L, targetFiles = 2)        // main v2
+        // the three-way rebase still refuses a DML branch (the r17 rail)
+        val refused =
+          try { Acid.rebaseBranch(table, "exp", txnId = 12L); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused,
+          "sink_branch_rebase_dml: three-way rebase accepted a DML branch")
+        // the logical replay lifts it; replays no-op through the ledger
+        val mainRows = Acid.read(spark, table).count()
+        val h = Acid.rebaseBranchDml(spark, table, "exp", txnId = 13L)
+        require(Acid.rebaseBranchDml(spark, table, "exp", txnId = 13L) == h,
+          "sink_branch_rebase_dml: replayed rebase must no-op")
+        require(Acid.read(spark, table).count() == mainRows,
+          "sink_branch_rebase_dml: rebase mutated main")
+        Acid.fastForwardBranch(table, "exp", txnId = 14L)
+        Acid.read(spark, table)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CASE WHEN o_orderkey % 15 = 0 THEN price + 1000
+                      ELSE price END AS DECIMAL(12,2)) AS price
+          FROM base
+          WHERE (o_orderkey % 3 = 0
+                 OR (o_orderkey % 3 = 2 AND o_orderkey % 7 = 0))
+            AND o_orderkey % 21 <> 0 AND o_orderkey % 33 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, price
+          FROM base WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        )
+        ORDER BY o_orderkey""".trim)),
 
     // Cherry-pick ONE branch commit (r16 — see [[Acid.cherryPick]]):
     // Iceberg's cherrypickSnapshot. The experiment branch carries two

@@ -691,21 +691,34 @@ object Llm {
     // Brute-force cosine top-10 (vectors are L2-normalized ⇒ cosine ≡ dot).
     // Ranked on the ROUNDED similarity with vec_id tiebreak so ordering is
     // identical across engines even at float boundaries.
+    //
+    // Top-k plan (r18, VERDICT item 4): a bounded typed Aggregator instead
+    // of row_number() over the full per-probe corpus. The window plan
+    // shuffles the ENTIRE probes×corpus product and sorts each probe's N
+    // candidate rows to keep 10 — at 100 TB the exchange alone is the job.
+    // The Aggregator's partial (map-side) phase reduces each input
+    // partition to ≤k rows per probe BEFORE the exchange, so the shuffle
+    // carries O(probes × k × partitions) rows and no full sort exists
+    // anywhere (PlanShapeSpec pins: ObjectHashAggregate, no Window). The
+    // (sim desc, vec_id asc) total order on ROUNDED sims makes the merge
+    // deterministic — result bit-identical to the window plan (oracle
+    // hash-checked).
     Q("llm_sim_knn",
       (spark, sfDir) => {
         val e = Tables.embeddings(spark, sfDir)
         val probes = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
         val corpus = e.select(col("vec_id"), col("embedding"))
-        val w = Window.partitionBy(col("probe_id"))
-          .orderBy(col("sim_r").desc, col("vec_id"))
+        val topk = udaf(new TopKBySim(10))
         probes.crossJoin(corpus)
           .filter(col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id"),
             round(expr(dotFn(spark, "p_emb", "embedding")), 6).as("sim_r"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
-          .select(col("probe_id"), col("rank"), col("vec_id"), col("sim_r"))
+          .groupBy(col("probe_id"))
+          .agg(topk(col("vec_id"), col("sim_r")).as("tk"))
+          .select(col("probe_id"), posexplode(col("tk")).as(Seq("i", "hit")))
+          .select(col("probe_id"), (col("i") + 1).cast("int").as("rank"),
+            col("hit.vec_id").as("vec_id"), col("hit.sim_r").as("sim_r"))
           .orderBy(col("probe_id"), col("rank"))
       },
       Some(s"""
@@ -971,4 +984,38 @@ object Llm {
         GROUP BY doc_id
         ORDER BY doc_id""".trim)),
   )
+}
+
+/** One KNN candidate: (corpus vector id, ROUNDED similarity). Total order
+  * for ranking is (sim_r DESC, vec_id ASC) — rounding first makes the
+  * order identical across engines at float boundaries. */
+case class SimHit(vec_id: Long, sim_r: Double)
+
+/** Bounded distributed top-k by similarity — the scalable twin of
+  * `row_number() OVER (PARTITION BY probe ORDER BY sim DESC) <= k`.
+  *
+  * As a typed [[org.apache.spark.sql.expressions.Aggregator]] it
+  * participates in PARTIAL aggregation: every input partition reduces to
+  * at most k candidates per group map-side, so the exchange carries
+  * O(groups × k × partitions) rows instead of the full candidate set, and
+  * no full per-group sort exists in the plan. The buffer invariant — kept
+  * sorted by (sim DESC, vec ASC), length ≤ k — makes `reduce` an O(1)
+  * reject for any candidate no better than the current k-th (the common
+  * case at scale) and `merge`/`finish` trivial. Deterministic for any
+  * partitioning because the order is total. */
+final class TopKBySim(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[SimHit, Seq[SimHit], Seq[SimHit]] {
+  private def better(a: SimHit, b: SimHit): Boolean =
+    a.sim_r > b.sim_r || (a.sim_r == b.sim_r && a.vec_id < b.vec_id)
+  private def trim(s: Seq[SimHit]): Seq[SimHit] = s.sortWith(better).take(k)
+  override def zero: Seq[SimHit] = Vector.empty
+  override def reduce(b: Seq[SimHit], a: SimHit): Seq[SimHit] =
+    if (b.size >= k && !better(a, b.last)) b else trim(b :+ a)
+  override def merge(b1: Seq[SimHit], b2: Seq[SimHit]): Seq[SimHit] =
+    trim(b1 ++ b2)
+  override def finish(r: Seq[SimHit]): Seq[SimHit] = r // invariant: sorted
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[SimHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SimHit]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[SimHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SimHit]]()
 }

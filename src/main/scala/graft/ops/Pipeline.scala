@@ -699,6 +699,16 @@ object Pipeline {
     // PipelineSpec pins rerun-determinism, plant recall, and that every
     // flagged dup really has a ≥ τ same-cell partner (precision = 1 by
     // construction, re-verified independently).
+    // r18 scaling fix (VERDICT item 3): cells sized √N, not a constant.
+    // With fixed 16 cells the within-cell pair work is Σ|cell|² ≈ N²/16 —
+    // still quadratic; nCells = ⌈√N⌉ makes it ≈ N·√N. A skewed cell (a
+    // semantic clique larger than `cellCap`) additionally salts into
+    // ⌈n/cap⌉ sub-cells before the self-join — the standing mega-bucket
+    // policy from the LSH paths ([[Llm.bandedPairs]]), bounding every
+    // reducer regardless of corpus degeneracy; the forgone cross-salt
+    // pairs inside such a clique are the accepted trade (the clique is
+    // near-identical by construction — its members flag via their salt
+    // peers). PipelineSpec pins the bound under a degenerate 10× corpus.
     Q("llm_semdedup",
       (spark, sfDir) => {
         val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -706,16 +716,12 @@ object Pipeline {
           .select((col("vec_id") + 100000).as("vec_id"),
             expr("transform(embedding, (x, i) -> IF(i = size(embedding) - 1, -x, x))")
               .as("embedding"))
-        val model = ivfTrain(emb.unionByName(planted), nCells = 16)
+        val all = emb.unionByName(planted)
+        val nCells = math.max(16,
+          math.ceil(math.sqrt(all.count().toDouble)).toInt)
+        val model = ivfTrain(all, nCells)
         val a = model.assigned
-        val dup = a.select(col("cell"), col("vec_id").as("a_id"), col("u").as("a_u"))
-          .join(a.select(col("cell"), col("vec_id").as("b_id"), col("u").as("b_u")),
-            Seq("cell"))
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("cos", expr(
-            "aggregate(zip_with(a_u, b_u, (p, q) -> p * q), 0.0d, (acc, v) -> acc + v)"))
-          .filter(round(col("cos"), 6) >= 0.92)
-          .select(col("b_id").as("vec_id")).distinct()
+        val dup = semdedupDups(a, cellCap = 512, tau = 0.92)
         a.select(col("vec_id"), col("cell"))
           .join(dup.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
           .select(col("vec_id"), col("cell"),
@@ -996,6 +1002,35 @@ object Pipeline {
 
   /** Deterministic Lloyd training + assignment — shared by the IVF search
     * ([[ivfTopK]]) and the clustering operator (`llm_cluster_assign`). */
+  /** Salted cell assignment for the SemDeDup pair stage: cells at or
+    * under `cellCap` keep salt 0 (all pairs compared — within-cell recall
+    * exact there); a cell above the cap splits into ⌈n/cap⌉ hash-salted
+    * sub-cells, bounding the self-join's largest group at ~cap whatever
+    * the corpus does. One window over the (cell) exchange — O(N). */
+  private[graft] def semdedupSalted(assigned: DataFrame, cellCap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    assigned.withColumn("cn", count(lit(1)).over(w))
+      .withColumn("salt", when(col("cn") <= cellCap, lit(0))
+        .otherwise(pmod(xxhash64(col("vec_id")),
+          ceil(col("cn") / cellCap).cast("int"))))
+  }
+
+  /** Within-(cell, salt) exact-cosine near-dup flags: the SemDeDup compare
+    * stage as an equi self-join on the salted cell key — never an
+    * all-pairs product. Returns the flagged (higher) `vec_id`s. */
+  private[graft] def semdedupDups(assigned: DataFrame, cellCap: Int,
+      tau: Double): DataFrame = {
+    val salted = semdedupSalted(assigned, cellCap)
+    salted.select(col("cell"), col("salt"), col("vec_id").as("a_id"), col("u").as("a_u"))
+      .join(salted.select(col("cell"), col("salt"), col("vec_id").as("b_id"), col("u").as("b_u")),
+        Seq("cell", "salt"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", expr(
+        "aggregate(zip_with(a_u, b_u, (p, q) -> p * q), 0.0d, (acc, v) -> acc + v)"))
+      .filter(round(col("cos"), 6) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+  }
+
   def ivfTrain(emb: DataFrame, nCells: Int): IvfModel = {
     // keyed on the canonicalized plan itself (structural equality), not a
     // hash — a hash collision would silently serve the wrong model
@@ -1027,13 +1062,17 @@ object Pipeline {
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("u"))
       .localCheckpoint()
 
-    // Seed centroids from fixed ids (deterministic, spread by the id LCG
-    // used elsewhere), then 3 Lloyd iterations. Each iteration: map-side
-    // argmin against the broadcast centroids, distributed (cell, dim) mean,
-    // 16×dim rows collected to rebuild the table.
+    // Seed centroids deterministically: the nCells rows FIRST in the id-LCG
+    // pseudo-random order (TakeOrdered top-k — O(N log k), no threshold to
+    // mis-tune; the r18 √N-cells caller made the old filter-then-limit
+    // seeding underdraw when nCells ≈ expected filter yield). Then 3 Lloyd
+    // iterations: map-side argmin against the broadcast centroids,
+    // distributed (cell, dim) mean, nCells×dim rows collected per round.
     var centroids: Array[Array[Double]] = unit
-      .filter(expr(s"((vec_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048 < ${2048 / nCells}"))
-      .orderBy(col("vec_id")).limit(nCells)
+      .withColumn("__r", expr(
+        "((vec_id % 2048 + 2048) % 2048 * 1103515245 + 12345) % 2048"))
+      .orderBy(col("__r"), col("vec_id")).limit(nCells)
+      .select(col("vec_id"), col("u"))
       .collect().map(_.getSeq[Double](1).toArray)
     require(centroids.length == nCells, s"seeding drew ${centroids.length} of $nCells centroids")
 
@@ -1049,6 +1088,16 @@ object Pipeline {
       }
       best
     }
+    // Native argmax-dot when the extension is installed (r18, VERDICT item
+    // 9): the centroid table rides in as ONE typed literal, the per-row
+    // loop code-generates with zero array conversion — the UDF stays as
+    // the bit-identical vanilla-session fallback (ArgmaxDotSpec pins the
+    // equality). This was the last Scala UDF on an LLM-path hot loop.
+    def assignCol(cents: Array[Array[Double]]): Column =
+      if (emb.sparkSession.catalog.functionExists("ivf_argmax_dot"))
+        call_function("ivf_argmax_dot", col("u"),
+          typedLit(cents.map(_.toSeq).toSeq))
+      else assignUdf(cents)(col("u"))
 
     for (_ <- 1 to 3) {
       // The assignment must be MATERIALIZED before the explode: projected
@@ -1058,7 +1107,7 @@ object Pipeline {
       // sf0.1 fused vs 0.7 s split). cache() is the barrier: the
       // InMemoryRelation stops the project collapse but fills lazily, so
       // the means collect is the only job this iteration runs.
-      val cells = unit.select(col("u"), assignUdf(centroids)(col("u")).as("cell"))
+      val cells = unit.select(col("u"), assignCol(centroids).as("cell"))
         .cache()
       val means = cells.select(col("cell"), posexplode(col("u")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
@@ -1076,7 +1125,7 @@ object Pipeline {
     }
 
     // materialized: probed twice (probe side + candidate side of the join)
-    val assigned = unit.select(col("vec_id"), col("u"), assignUdf(centroids)(col("u")).as("cell"))
+    val assigned = unit.select(col("vec_id"), col("u"), assignCol(centroids).as("cell"))
       .localCheckpoint()
     IvfModel(assigned, centroids)
   }

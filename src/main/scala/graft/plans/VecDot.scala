@@ -124,6 +124,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
       (children: Seq[Expression]) => Simhash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ivf_argmax_dot"),
+      new ExpressionInfo(classOf[ArgmaxDot].getName, "ivf_argmax_dot"),
+      (children: Seq[Expression]) => ArgmaxDot(children.head, children(1))))
     // queries written against the documented HOF fallback get the native
     // kernel automatically (see [[RewriteHofDotProduct]] soundness gates)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

@@ -62,7 +62,8 @@ class AcidBucketedSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new AcidBucketedTable(properties.get("path"), properties.get("bucket"), schema)
+    new AcidBucketedTable(properties.get("path"), properties.get("bucket"),
+      schema, Option(properties.get("coarsen")).map(_.toInt).getOrElse(0))
 }
 
 object AcidBucketed {
@@ -92,11 +93,28 @@ object AcidBucketed {
   }
 
   private[sources] def fileSchema(table: String): MessageType = {
-    val first = graft.ops.Acid.headLines(table).filterNot(_.startsWith("#")).headOption
-      .getOrElse(sys.error(s"acid-bucketed: $table has no data files"))
-    val in = HadoopInputFile.fromPath(new HPath(s"$table/$first"), hconf)
-    val r = ParquetFileReader.open(in)
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
+    val files = graft.ops.Acid.headLines(table).filterNot(_.startsWith("#"))
+    require(files.nonEmpty, s"acid-bucketed: $table has no data files")
+    def footer(f: String): MessageType = {
+      val in = HadoopInputFile.fromPath(new HPath(s"$table/$f"), hconf)
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    // O(files) footer stats — control plane, same cost class as the
+    // manifest read. Heterogeneous generations (additive evolution
+    // without a colmap line) would otherwise leave the later columns
+    // silently null in the SPJ scan (ADVICE r17): verify every file
+    // shares the first footer's schema, consistent with this source's
+    // other scope guards.
+    val first = footer(files.head)
+    files.tail.foreach { f =>
+      val s = footer(f)
+      require(s == first,
+        s"acid-bucketed: $f parquet schema differs from ${files.head} " +
+          s"($s vs $first) — heterogeneous file generations are out of " +
+          "scope for this scan; read via Acid.readEvolved")
+    }
+    first
   }
 
   private[sources] def toSpark(t: org.apache.parquet.schema.Type): DataType = {
@@ -123,13 +141,13 @@ object AcidBucketed {
 }
 
 final class AcidBucketedTable(table: String, bucketCol: String,
-    schema: StructType) extends Table with SupportsRead {
+    schema: StructType, coarsen: Int) extends Table with SupportsRead {
   override def name(): String = s"acid-bucketed($table, $bucketCol)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AcidBucketedScan(table, bucketCol, schema)
+    new AcidBucketedScan(table, bucketCol, schema, coarsen)
 }
 
 /** ScanBuilder + Scan + Batch in one: the scan reports
@@ -137,9 +155,28 @@ final class AcidBucketedTable(table: String, bucketCol: String,
   * partition per bucket (sorted by bucket value so both join sides align
   * positionally), and prunes columns down into the parquet read schema. */
 final class AcidBucketedScan(table: String, bucketCol: String,
-    full: StructType)
+    full: StructType, coarsen: Int = 0)
   extends ScanBuilder with Scan with Batch
   with SupportsReportPartitioning with SupportsPushDownRequiredColumns {
+
+  // Bucket-transform COARSENING (r18): scanning a bucket(n) table "as"
+  // bucket(c) for c | n — the modular-bucket family is closed under
+  // reduction (floorMod(k, n) % c == floorMod(k, c) exactly when c
+  // divides n), so merging sub-buckets {v : v % c == w} into one input
+  // partition keyed w yields a scan REPORTING bucket(c) clustering that
+  // is genuinely k-clustered on it. A bucket(16) fact then joins a
+  // bucket(8) dim with ZERO shuffle on either side — the DSv2 twin of
+  // Iceberg's compatible-transform storage-partitioned join. The derived
+  // bucket column surfaces the COARSE value (it never existed on disk;
+  // the manifest tuple is its only source, so the scan owns its domain).
+  if (coarsen > 0) {
+    val n = "^b(\\d+)_".r.findFirstMatchIn(bucketCol).map(_.group(1).toInt)
+      .getOrElse(sys.error(
+        s"acid-bucketed: coarsen needs a b<n>_-named bucket column, got $bucketCol"))
+    require(n % coarsen == 0,
+      s"acid-bucketed: coarsen=$coarsen does not divide the table's " +
+        s"bucket count $n — modular reduction would misalign rows")
+  }
 
   private var required: StructType = full
 
@@ -156,6 +193,7 @@ final class AcidBucketedScan(table: String, bucketCol: String,
 
   private lazy val buckets: Seq[(Long, Seq[String])] =
     AcidBucketed.bucketMap(table, bucketCol)
+      .map { case (f, v) => (f, if (coarsen > 0) v % coarsen else v) }
       .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
       .sortBy(_._1).map { case (b, fs) => (b, fs.sorted) }
 

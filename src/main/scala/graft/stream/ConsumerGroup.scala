@@ -45,6 +45,52 @@ object ConsumerGroup {
 
   private def ledgerPath(groupDir: String) = Paths.get(groupDir, "offsets.json")
   private def genPath(groupDir: String) = Paths.get(groupDir, "generation.txt")
+  private def asgPath(groupDir: String) = Paths.get(groupDir, "assignment.txt")
+  private def epochPath(groupDir: String) = Paths.get(groupDir, "part_epochs.txt")
+
+  private def writeAtomic(groupDir: String, target: java.nio.file.Path,
+      body: String): Unit = {
+    val tmp = Paths.get(groupDir, target.getFileName.toString + ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The recorded member → partitions assignment (empty before the first
+    * rebalance that records one). */
+  def currentAssignment(groupDir: String): Map[String, Seq[String]] = {
+    val p = asgPath(groupDir)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p, StandardCharsets.UTF_8).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val (m, ps) = l.span(_ != '\t')
+        m -> ps.drop(1).split(',').toSeq.filter(_.nonEmpty)
+      }.toMap
+  }
+
+  /** Per-partition OWNER EPOCHS (KIP-429's incremental fencing unit): a
+    * commit is fenced per PARTITION, not per group — only partitions that
+    * actually moved in a rebalance reject the old generation. Empty for
+    * pre-epoch groups (legacy whole-group fencing applies there). */
+  def partitionEpochs(groupDir: String): Map[String, Long] = {
+    val p = epochPath(groupDir)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p, StandardCharsets.UTF_8).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val (part, e) = l.span(_ != '\t'); part -> e.drop(1).trim.toLong
+      }.toMap
+  }
+
+  private def writeAssignment(groupDir: String,
+      asg: Map[String, Seq[String]]): Unit =
+    writeAtomic(groupDir, asgPath(groupDir),
+      asg.toSeq.sortBy(_._1).map { case (m, ps) =>
+        s"$m\t${ps.sorted.mkString(",")}" }.mkString("", "\n", "\n"))
+
+  private def bumpEpochs(groupDir: String, moved: Set[String], gen: Long): Unit =
+    writeAtomic(groupDir, epochPath(groupDir),
+      (partitionEpochs(groupDir) ++ moved.map(_ -> gen)).toSeq.sortBy(_._1)
+        .map { case (p, e) => s"$p\t$e" }.mkString("", "\n", "\n"))
 
   /** Group-coordinator critical section (ADVICE r14: the epoch fence was
     * check-then-act — a rebalance bumping the generation between a zombie's
@@ -102,8 +148,68 @@ object ConsumerGroup {
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, genPath(groupDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    (gen, assign(partitions, members))
+    val asg = assign(partitions, members)
+    writeAssignment(groupDir, asg)
+    // EAGER semantics: every partition is revoked-and-reassigned, so every
+    // partition's owner epoch bumps — any pre-rebalance generation is
+    // fenced everywhere (the classic stop-the-world protocol)
+    bumpEpochs(groupDir, partitions.toSet, gen)
+    (gen, asg)
   }
+
+  /** COOPERATIVE (incremental) rebalance — Kafka KIP-429's shape: instead
+    * of revoking every partition from every member (the eager
+    * stop-the-world above), compute a STICKY assignment that moves as few
+    * partitions as possible — surviving members keep what they own up to
+    * the balanced target, only the excess plus orphaned/new partitions
+    * change hands — and bump owner epochs ONLY for the moved set. The
+    * consequences, both pinned in StreamingSpec:
+    *
+    *  - an UNMOVED member never stops: its in-flight query keeps running
+    *    through the rebalance and its commits under the OLD generation
+    *    stay valid for its (unmoved) partitions — no rejoin, no restart;
+    *  - a member whose partition moved is fenced exactly there: its old
+    *    generation still commits its kept partitions but rejects the
+    *    moved one (per-partition fencing, the KIP-429 contract).
+    *
+    * Deterministic (sorted members/partitions, sorted keep-order), so a
+    * coordinator replay reproduces the layout. Returns (generation,
+    * assignment, moved partitions). */
+  def rebalanceCooperative(groupDir: String, partitions: Seq[String],
+      members: Seq[String]): (Long, Map[String, Seq[String]], Set[String]) =
+    withGroupLock(groupDir) {
+      require(members.nonEmpty, "consumer group needs at least one member")
+      val ps = partitions.sorted
+      val ms = members.sorted
+      val prev = currentAssignment(groupDir)
+      val base = ps.size / ms.size
+      val extra = ps.size % ms.size
+      val target: Map[String, Int] = ms.zipWithIndex.map { case (m, i) =>
+        m -> (base + (if (i < extra) 1 else 0)) }.toMap
+      // sticky keep: each surviving member retains its current partitions
+      // (still live) up to its target, in sorted order
+      val kept: Map[String, Seq[String]] = ms.map { m =>
+        m -> prev.getOrElse(m, Seq.empty).filter(ps.contains).sorted
+          .take(target(m))
+      }.toMap
+      val keptSet = kept.values.flatten.toSet
+      var pool = ps.filterNot(keptSet) // new + revoked + orphaned
+      val asg: Map[String, Seq[String]] = ms.map { m =>
+        val need = target(m) - kept(m).size
+        val take = pool.take(need)
+        pool = pool.drop(need)
+        m -> (kept(m) ++ take).sorted
+      }.toMap
+      def ownerIn(a: Map[String, Seq[String]], p: String): Option[String] =
+        a.toSeq.sortBy(_._1).collectFirst { case (m, l) if l.contains(p) => m }
+      val moved = ps.filter(p => ownerIn(prev, p) != ownerIn(asg, p)).toSet
+      val gen = currentGeneration(groupDir) + 1
+      val body = (gen.toString +: ms).mkString("", "\n", "\n")
+      writeAtomic(groupDir, genPath(groupDir), body)
+      writeAssignment(groupDir, asg)
+      bumpEpochs(groupDir, moved, gen) // ONLY the moved partitions
+      (gen, asg.withDefaultValue(Seq.empty), moved)
+    }
 
   /** Merge a member's end-of-run offsets into the group ledger, keeping the
     * MAX per partition (commits are monotone; a replayed member re-commits
@@ -115,11 +221,25 @@ object ConsumerGroup {
   def commitOffsets(groupDir: String, offsets: Map[String, Long],
       generation: Option[Long] = None): Unit = withGroupLock(groupDir) {
     // fence check INSIDE the coordinator lock: a rebalance cannot bump the
-    // epoch between this check and the ledger merge below
+    // epoch between this check and the ledger merge below. With recorded
+    // owner epochs the fence is PER PARTITION (KIP-429): a generation is
+    // stale only for partitions that moved past it — an unmoved member's
+    // old-generation commits stay valid. Pre-epoch groups keep the legacy
+    // whole-group fence.
     generation.foreach { g =>
-      val cur = currentGeneration(groupDir)
-      if (g != cur) throw new FencedGenerationException(
-        s"commit from generation $g rejected: group is at generation $cur")
+      val eps = partitionEpochs(groupDir)
+      if (eps.nonEmpty) {
+        offsets.keys.toSeq.sorted.find(p => g < eps.getOrElse(p, 0L))
+          .foreach { p =>
+            throw new FencedGenerationException(
+              s"commit from generation $g rejected: partition $p owner " +
+                s"epoch is ${eps(p)}")
+          }
+      } else {
+        val cur = currentGeneration(groupDir)
+        if (g != cur) throw new FencedGenerationException(
+          s"commit from generation $g rejected: group is at generation $cur")
+      }
     }
     val merged = (committedOffsets(groupDir).toSeq ++ offsets.toSeq)
       .groupMapReduce(_._1)(_._2)(math.max)

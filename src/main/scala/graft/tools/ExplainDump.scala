@@ -26,7 +26,13 @@ object ExplainDump {
     "window_running" -> "Single Window operator over one hash-partition exchange on user_id.",
     "stream_tumbling" -> "Batch twin of the streaming tumbling window: expand-free single aggregate.",
     "llm_sim_knn" -> ("Brute-force baseline: broadcast of 10 probes against the corpus scan, native " +
-      "vec_dot inside whole-stage codegen, per-probe top-k via window."),
+      "vec_dot inside whole-stage codegen; top-10 via the BOUNDED TopKBySim " +
+      "Aggregator (r18) — the partial (map-side) phase reduces every input " +
+      "partition to \u226410 candidates per probe BEFORE the exchange, so the " +
+      "shuffle carries O(probes \u00d7 k \u00d7 partitions) rows and no Window/full " +
+      "sort exists anywhere (PlanShapeSpec-pinned). At 100 TB the old " +
+      "row_number plan shuffled the whole probes\u00d7corpus product; this one " +
+      "ships ~320 rows."),
     "llm_dedup_near" -> ("Banded MinHash-LSH: compiled signature kernel, bucket shuffle carries " +
       "(band, bucket, doc_id) only, exact-Jaccard verify on ~10³ candidate pairs."),
     "llm_dedup_ngram" -> ("Exact AllPairs prefix filter (r3): hashed-gram postings, smallest-hash " +
@@ -445,6 +451,35 @@ object ExplainDump {
       "directly — O(changes) I/O with no reconstruction join at read " +
       "time; the insert steps stay manifest-diff scans of the appended " +
       "files only."),
+    "sink_branch_dml" -> ("Branch DML (r17): the MERGE's probe is one " +
+      "LEFT SEMI of the fork-base scan against the broadcast change keys " +
+      "(Delta findTouchedFiles — O(files) rows back), the rewrite reads " +
+      "ONLY the touched files and lands branch-local copies; main's plan " +
+      "for the same read is untouched because main's manifest never " +
+      "changes. At 100 TB the experiment pays O(touched), the publish " +
+      "O(manifest)."),
+    "sink_positional_delete" -> ("Positional delete vectors (r17): the " +
+      "dedup-as-vector plan is a window over readPositions (file, pos " +
+      "from _metadata.row_index) — one exchange keyed on the dedup key, " +
+      "emitting O(duplicates) vector rows; the data files are never " +
+      "rewritten until OPTIMIZE folds the vectors, and the fold is the " +
+      "rewriteCommit merge plan, O(live rows in touched files)."),
+    "sink_branch_rebase_dml" -> ("DML-branch rebase (r18): the replay " +
+      "re-runs the recorded MERGE against main's head — the SAME " +
+      "findTouchedFiles semi-join + touched-file rewrite plan as the " +
+      "original DML, just over the new base's (possibly compacted) " +
+      "files; appends/MoR deletes replay as manifest arithmetic with " +
+      "zero data I/O. Rebase cost = the original DML's bill, publish " +
+      "stays O(1) fast-forward. (The returned frame is the post-publish " +
+      "read; the refusal/replay choreography is in-body pinned.)"),
+    "join_spj_bucket_transform" -> ("Compatible-transform SPJ (r18): the " +
+      "bucket(16) fact scan coarsens to bucket(8) at plan time (modular " +
+      "family closure), so both sides report aligned " +
+      "KeyGroupedPartitioning and the SortMergeJoin runs with ZERO " +
+      "exchange below it — pinned in-body on the executed adaptive plan " +
+      "and executed in PlanShapeSpec. At 100 TB this keeps a re-bucketed " +
+      "fact joining its old dims in place across bucket-count " +
+      "generations."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -716,6 +716,75 @@ class ConcurrencySpec extends SparkFixture {
       s"final x inconsistent with $ok committed updates")
   }
 
+  test("rebaseBranchDml: branch DML replays across a mid-experiment main OPTIMIZE; publish equals sequential application") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_rbdml").toString + "/t"
+    val tw = java.nio.file.Files.createTempDirectory("graft_rbdml_twin").toString + "/t"
+    val base = (0L until 100L).map(k => (k, k * 10L)).toDF("k", "x")
+    val mainAdd = (500L until 510L).map(k => (k, k * 10L)).toDF("k", "x")
+    // branch MERGE intent: update x for k%10==0 (note k=500 — a key that
+    // does NOT exist at fork time but DOES on the rebased base: upsert
+    // semantics make replay == sequential application), delete k%9==0,
+    // insert fresh keys 1000..1004
+    val changes = (
+      (0L until 100L).filter(_ % 10 == 0).map(k => (k, k * 10L + 1L, "up")) ++
+        Seq((500L, 7777L, "up")) ++
+        (0L until 100L).filter(_ % 9 == 0).map(k => (k, 0L, "delete")) ++
+        (1000L until 1005L).map(k => (k, k, "up"))
+      ).toDF("k", "x", "__op")
+      // delete wins over the k=0/90 overlap rows (both %10 and %9 hit 0, 90):
+      // drop the update rows for deleted keys so the change set is key-unique
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(when(col("__op") === "delete", 0).otherwise(1))))
+      .filter(col("__rk") === 1).drop("__rk")
+    val delKeys = (0L until 100L).filter(_ % 13 == 0).map(Tuple1(_)).toDF("k")
+      .unionByName(Seq(Tuple1(507L)).toDF("k")) // a main-appended key too
+    val branchAdd = (2000L until 2005L).map(k => (k, k)).toDF("k", "x")
+    // --- the experiment table: fork, branch DML, main moves, rebase ---
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, base, 0L)
+    Acid.createBranch(t, "exp", 0L)
+    Acid.mergeCowBranch(spark, t, "exp", changes, "k", 10L, Some("__op"))
+    Acid.deleteTxnBranch(spark, t, "exp", delKeys, "k", 11L)
+    Acid.appendTxnBranch(spark, t, "exp", branchAdd, 12L)
+    Acid.appendTxn(spark, t, mainAdd, 1L)             // main advances...
+    Acid.optimize(spark, t, 2L, targetFiles = 1)      // ...and OPTIMIZEs
+    // the three-way paths refuse a DML branch across a rewritten base
+    val e1 = intercept[IllegalArgumentException] {
+      Acid.rebaseBranch(t, "exp", txnId = 13L) }
+    assert(e1.getMessage.contains("REWROTE") ||
+      e1.getMessage.contains("deletes since the fork"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Acid.fastForwardBranch(t, "exp", txnId = 14L) }
+    assert(e2.getMessage.contains("advanced"), e2.getMessage)
+    // the logical replay lifts the refusal
+    val mainBefore = Acid.read(spark, t).count()
+    val h = Acid.rebaseBranchDml(spark, t, "exp", txnId = 15L)
+    assert(Acid.rebaseBranchDml(spark, t, "exp", txnId = 15L) == h,
+      "replayed rebase must no-op through the branch ledger")
+    assert(Acid.read(spark, t).count() == mainBefore, "rebase mutated main")
+    Acid.fastForwardBranch(t, "exp", txnId = 16L)
+    // --- the sequential twin: main ops first, then the same DML on main ---
+    Acid.reset(tw)
+    Acid.appendTxn(spark, tw, base, 0L)
+    Acid.appendTxn(spark, tw, mainAdd, 1L)
+    Acid.optimize(spark, tw, 2L, targetFiles = 1)
+    Acid.mergeCow(spark, tw, changes, "k", 10L, Some("__op"))
+    Acid.deleteTxn(spark, tw, delKeys, "k", 11L)
+    Acid.appendTxn(spark, tw, branchAdd, 12L)
+    val got = Acid.read(spark, t).as[(Long, Long)].collect().toSet
+    val want = Acid.read(spark, tw).as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"rebase-publish != sequential twin: missing ${want.diff(got).take(5)}, " +
+        s"extra ${got.diff(want).take(5)}")
+    // the upsert-on-new-base row proves the replay saw main's append
+    assert(got.contains((500L, 7777L)), "replayed MERGE missed main's new row")
+    assert(!got.exists(_._1 == 507L), "replayed MoR delete missed main's new row")
+  }
+
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode

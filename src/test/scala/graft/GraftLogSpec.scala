@@ -580,4 +580,71 @@ class GraftLogSpec extends SparkFixture {
       ConsumerGroup.commitOffsets(group, Map("p=0" -> 99L), Some(g1))
     }
   }
+
+  test("cooperative rebalance (KIP-429): only moved partitions revoke, the unmoved member never stops, receipts union exact") {
+    import graft.stream.FencedGenerationException
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshPartLog(Map(
+      "p=0" -> Seq(Seq(0L, 1)), "p=1" -> Seq(Seq(10L, 11)),
+      "p=2" -> Seq(Seq(20L, 21)), "p=3" -> Seq(Seq(30L, 31))))
+    val parts = Seq("p=0", "p=1", "p=2", "p=3")
+    val group = Files.createTempDirectory("graftlog_cg_coop").toString
+    // generation 1: sticky-from-empty = balanced contiguous fill
+    val (g1, asg1, moved1) =
+      ConsumerGroup.rebalanceCooperative(group, parts, Seq("alice", "bob"))
+    assert(moved1 == parts.toSet, "first assignment moves everything")
+    assert(asg1("alice") == Seq("p=0", "p=1") && asg1("bob") == Seq("p=2", "p=3"))
+    // alice runs a LIVE tailing query on her partitions — the cooperative
+    // contract is that it survives the upcoming rebalance un-restarted
+    val tbl = "graftlog_coop_alice"
+    val q = GraftLog.readStream(spark, dir, assignedPartitions = Some(asg1("alice")))
+      .writeStream.format("memory").queryName(tbl)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    def aliceIds() = ids(spark.table(tbl))
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        require(System.nanoTime < deadline, s"timeout waiting: $what")
+        Thread.sleep(50)
+      }
+    }
+    waitFor("alice drains generation 1")(aliceIds() == Seq(0L, 1, 10, 11))
+    val bobG1 = ids(ConsumerGroup.drainMember(spark, dir, group, asg1("bob"),
+      generation = Some(g1)))
+    assert(bobG1 == Seq(20L, 21, 30, 31))
+    // carol joins: INCREMENTAL rebalance — alice's assignment must not
+    // change; only bob's excess partition moves to carol
+    val (g2, asg2, moved) =
+      ConsumerGroup.rebalanceCooperative(group, parts, Seq("alice", "bob", "carol"))
+    assert(g2 == g1 + 1)
+    assert(asg2("alice") == asg1("alice"), "unmoved member's assignment changed")
+    assert(moved == Set("p=3"), s"only the excess partition moves: $moved")
+    assert(asg2("carol") == Seq("p=3") && asg2("bob") == Seq("p=2"))
+    // per-partition fencing (the KIP-429 half the eager epoch cannot do):
+    // bob's OLD generation still commits his KEPT partition ...
+    ConsumerGroup.commitOffsets(group, Map("p=2" -> 2L), Some(g1))
+    // ... and is fenced exactly on the MOVED one
+    intercept[FencedGenerationException] {
+      ConsumerGroup.commitOffsets(group, Map("p=3" -> 999L), Some(g1)) }
+    // generation 2 lands on every partition; alice's never-restarted query
+    // tails her share live
+    GraftLog.appendSegment(s"$dir/p=0", 99, Seq(2L).map(line))
+    GraftLog.appendSegment(s"$dir/p=1", 99, Seq(12L).map(line))
+    GraftLog.appendSegment(s"$dir/p=2", 99, Seq(22L).map(line))
+    GraftLog.appendSegment(s"$dir/p=3", 99, Seq(32L).map(line))
+    assert(q.isActive, "the unmoved member's query stopped across the rebalance")
+    waitFor("alice tails generation 2")(aliceIds() == Seq(0L, 1, 2, 10, 11, 12))
+    q.stop(); q.awaitTermination()
+    // the new member resumes the moved partition from the GROUP's position
+    val carol = ids(ConsumerGroup.drainMember(spark, dir, group, asg2("carol"),
+      generation = Some(g2)))
+    assert(carol == Seq(32L), "carol must resume p=3 at bob's committed position")
+    val bobG2 = ids(ConsumerGroup.drainMember(spark, dir, group, asg2("bob"),
+      generation = Some(g2)))
+    assert(bobG2 == Seq(22L))
+    // union-of-receipts multiset is EXACT: nothing lost, nothing doubled
+    val union = (aliceIds() ++ bobG1 ++ carol ++ bobG2).sorted
+    assert(union == Seq(0L, 1, 2, 10, 11, 12, 20, 21, 22, 30, 31, 32),
+      s"receipts union broken: $union")
+  }
 }

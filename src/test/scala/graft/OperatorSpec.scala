@@ -3049,4 +3049,165 @@ class OperatorSpec extends SparkFixture {
       Acid.optimize(spark, t2, 2L, targetFiles = 1) }
     assert(e.getMessage.contains("optimizeLineage"), e.getMessage)
   }
+
+  test("rewrites across schema generations: optimize preserves stored values (mergeSchema); DML refuses; optimizeWhere refuses lineage") {
+    import spark.implicits._
+    import graft.ops.Acid
+    // -- the ADVICE r17 corruption scenario: ADD COLUMN ... DEFAULT, a
+    // post-evolution append with STORED values, then OPTIMIZE. A plain
+    // rewrite read lets an arbitrary footer drop the new column; the
+    // carried coldefault would masquerade the stored values as the
+    // default. The mergeSchema rewrite must keep them bit-exact.
+    val t = java.nio.file.Files.createTempDirectory("graft_rwgen").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"), 0L)
+    Acid.addColumnDefault(spark, t, "region", "'unset'", 1L)
+    Acid.appendTxnChecked(spark, t,
+      Seq((3L, "c", "east"), (4L, "d", "west")).toDF("k", "s", "region"), 2L)
+    Acid.optimize(spark, t, 3L, targetFiles = 1)
+    val got = Acid.readEvolved(spark, t)
+      .select("k", "region").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unset", 2L -> "unset", 3L -> "east", 4L -> "west"),
+      s"optimize corrupted a schema generation: $got")
+    // a rename generation survives the rewrite the same way: both physical
+    // names ride through the merged frame and the carried colmap stitches
+    Acid.renameColumn(t, "region", "area", 4L)
+    Acid.appendTxn(spark, t,
+      Seq((5L, "e", "north")).toDF("k", "s", "area"), 5L)
+    Acid.optimize(spark, t, 6L, targetFiles = 1)
+    val got2 = Acid.readEvolved(spark, t)
+      .select("k", "area").as[(Long, String)].collect().toMap
+    assert(got2 == Map(1L -> "unset", 2L -> "unset", 3L -> "east",
+      4L -> "west", 5L -> "north"), s"optimize corrupted a rename generation: $got2")
+    // -- row-level DML refuses mixed generations loudly (the probe and
+    // rewrite evaluate raw physical frames; same guard as mergeCowBranch)
+    val eM = intercept[IllegalArgumentException] {
+      Acid.mergeCow(spark, t, Seq((1L, "z", "south")).toDF("k", "s", "area"), "k", 7L) }
+    assert(eM.getMessage.contains("schema-evolution"), eM.getMessage)
+    val eU = intercept[IllegalArgumentException] {
+      Acid.updateWhere(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 8L) }
+    assert(eU.getMessage.contains("schema-evolution"), eU.getMessage)
+    val eC = intercept[IllegalArgumentException] {
+      Acid.updateWhereCAS(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 9L) }
+    assert(eC.getMessage.contains("schema-evolution"), eC.getMessage)
+    // -- optimizeWhere mirrors rewriteCommit's row-lineage guard: a
+    // partition-scoped rewrite would drop firstrow assignments silently
+    val t2 = java.nio.file.Files.createTempDirectory("graft_owlin").toString + "/t"
+    Acid.reset(t2)
+    Acid.appendTxn(spark, t2, Seq((1L, 1L)).toDF("k", "x"), 0L)
+    Acid.assignRowIds(spark, t2, 1L)
+    val eW = intercept[IllegalArgumentException] {
+      Acid.optimizeWhere(spark, t2, 2L, targetFiles = 1, part = ("day", 0L)) }
+    assert(eW.getMessage.contains("optimizeLineage"), eW.getMessage)
+  }
+
+  test("updateWhereLineage: ids bit-stable through UPDATE across lazy+phys generations; untouched assignment lines survive; plain DML refuses") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_uwlin").toString + "/t"
+    Acid.reset(t)
+    // generation 1: lazy firstrow assignment
+    Acid.appendTxn(spark, t,
+      (0L until 50L).map(k => (k, "a")).toDF("k", "s"), 0L)
+    Acid.assignRowIds(spark, t, 1L)
+    // generation 2: compacted → physical __row_id files
+    Acid.appendTxn(spark, t,
+      (50L until 100L).map(k => (k, "b")).toDF("k", "s"), 2L)
+    Acid.assignRowIds(spark, t, 3L)
+    def ids() = Acid.readLineage(spark, t)
+      .select(col("k"), col("row_id")).as[(Long, Long)].collect().toMap
+    val before = ids()
+    assert(before.size == 100 && before.values.toSet.size == 100)
+    val linesBefore = {
+      val v = Acid.currentVersion(t).get
+      val p = java.nio.file.Paths.get(t, s"manifest-$v.txt")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    }
+    // the UPDATE touches rows in both generations
+    val (_, touched, total) = Acid.updateWhereLineage(spark, t,
+      Seq("s" -> org.apache.spark.sql.functions.lit("z")),
+      col("k") % 25 === 0, 4L)
+    assert(touched >= 1 && touched < total, s"touched $touched of $total")
+    // identity invariant: EVERY id identical, including the updated rows'
+    assert(ids() == before, "UPDATE moved a row id")
+    val vals = Acid.readLineage(spark, t)
+      .select(col("k"), col("s")).as[(Long, String)].collect().toMap
+    assert((0L until 100L).forall(k =>
+      vals(k) == (if (k % 25 == 0) "z" else if (k < 50) "a" else "b")),
+      s"wrong values after lineage UPDATE: ${vals.toSeq.sortBy(_._1).take(8)}")
+    // untouched files' assignment lines are carried verbatim
+    val v = Acid.currentVersion(t).get
+    val after = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, s"manifest-$v.txt")), "UTF-8")
+    val keptFirstrow = linesBefore.linesIterator
+      .filter(_.startsWith("# firstrow:"))
+      .filter(l => after.linesIterator
+        .exists(d => !d.startsWith("#") && l.contains(d))).toSeq
+    keptFirstrow.foreach(l => assert(after.contains(l),
+      s"untouched assignment line dropped: $l"))
+    // replay no-ops
+    assert(Acid.updateWhereLineage(spark, t,
+      Seq("s" -> org.apache.spark.sql.functions.lit("z")),
+      col("k") % 25 === 0, 4L)._2 == 0)
+    // plain DML refuses the lineage table loudly
+    val eU = intercept[IllegalArgumentException] {
+      Acid.updateWhere(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 5L) }
+    assert(eU.getMessage.contains("updateWhereLineage"), eU.getMessage)
+    val eM = intercept[IllegalArgumentException] {
+      Acid.mergeCow(spark, t, Seq((1L, "q")).toDF("k", "s"), "k", 6L) }
+    assert(eM.getMessage.contains("lineage"), eM.getMessage)
+    // ids stay stable across a subsequent lineage compaction too
+    Acid.optimizeLineage(spark, t, 7L, targetFiles = 1)
+    assert(ids() == before, "post-UPDATE compaction moved a row id")
+  }
+
+  test("change feeds refuse RESTORE across a vector commit even when files were also removed; vector adds still flow") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_cfrestore").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), 0L) // v0
+    Acid.appendTxn(spark, t, Seq((3L, 30L)).toDF("k", "x"), 1L)            // v1
+    Acid.deleteTxn(spark, t, Seq(1L).toDF("k"), "k", 2L)                   // v2: vector hides k=1
+    // the vector-ADD step flows: one delete event for k=1
+    val pre = Acid.changeFeedRow(spark, t, 1L, 2L, "k")
+      .select("k", "change_type").as[(Long, String)].collect().toSet
+    assert(pre == Set((1L, "delete")), s"$pre")
+    // RESTORE to v0 reverts BOTH the v1 append and the v2 vector in one
+    // step: files removed AND vector lines dropped — the ADVICE r17
+    // bypass (removedAny used to wave the step through). k=1 resurrects
+    // in a SURVIVING file; no diff can emit it.
+    Acid.restore(t, 0L, 3L)                                                // v3
+    val eRow = intercept[IllegalArgumentException] {
+      Acid.changeFeedRow(spark, t, 2L, 3L, "k").collect() }
+    assert(eRow.getMessage.contains("re-seed"), eRow.getMessage)
+    // file-level twin: a restore dropping ONLY vector lines (no file
+    // removal) used to sail through changeFeed's subset check — the
+    // resurrection of k=1 was invisible to the endpoint diff
+    val u = java.nio.file.Files.createTempDirectory("graft_cfrestore2").toString + "/t"
+    Acid.reset(u)
+    Acid.appendTxn(spark, u, Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), 0L) // v0
+    Acid.deleteTxn(spark, u, Seq(1L).toDF("k"), "k", 1L)                   // v1
+    Acid.restore(u, 0L, 2L)                                                // v2
+    val eFile = intercept[IllegalArgumentException] {
+      Acid.changeFeed(spark, u, 1L, 2L).collect() }
+    assert(eFile.getMessage.contains("re-seed"), eFile.getMessage)
+  }
+
+  test("acid-bucketed source refuses heterogeneous file generations (footer sweep)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_spjhet").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxnHidden(spark, t,
+      spark.range(0, 16).select(col("id").as("k"), (col("id") * 2).as("x")),
+      0L, Seq(Acid.bucketOf("k", 4)))
+    Acid.appendTxnHidden(spark, t,
+      spark.range(16, 32).select(col("id").as("k"), (col("id") * 2).as("x"),
+        concat(lit("s"), col("id")).as("s")),
+      1L, Seq(Acid.bucketOf("k", 4)))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.AcidBucketed.schemaFor(t, "b4_k") }
+    assert(e.getMessage.contains("heterogeneous"), e.getMessage)
+  }
 }

@@ -400,6 +400,32 @@ class PipelineSpec extends SparkFixture {
       "fewer than half the planted near-dups were flagged")
   }
 
+  test("semdedup salting bounds the largest compare group under a degenerate 10x clique") {
+    import org.apache.spark.sql.functions._
+    // worst case at any scale: a semantic CLIQUE 10× the sf0.001 corpus,
+    // every vector identical, all landing in ONE cell. Without salting the
+    // self-join's single group does n²/2 comparisons in one task; with the
+    // cap it must split into ~n/cap hash-salted sub-groups.
+    val n = 6200L
+    val cap = 512
+    val a = spark.range(n).select(col("id").as("vec_id"),
+      lit(0).as("cell"), expr("array(1.0d, 0.0d)").as("u"))
+    val sizes = graft.ops.Pipeline.semdedupSalted(a, cap)
+      .groupBy(col("cell"), col("salt")).count()
+      .collect().map(_.getLong(2))
+    assert(sizes.sum == n, s"salting lost rows: ${sizes.sum} of $n")
+    assert(sizes.max <= 2L * cap,
+      s"largest salted group ${sizes.max} exceeds 2×cap — unbounded reducer")
+    val pairWork = sizes.map(s => s * s).sum
+    assert(pairWork <= 4L * cap * n,
+      s"pair work $pairWork is not linearly bounded (n²/2 would be ${n * n / 2})")
+    // flags still surface inside every sub-group: all but each group's
+    // minimum id flag (the clique is near-identical by construction)
+    val dups = graft.ops.Pipeline.semdedupDups(a, cap, 0.92).count()
+    assert(dups == n - sizes.length,
+      s"expected ${n - sizes.length} flagged in the salted clique, got $dups")
+  }
+
   test("llm_quality_classifier: recovers the planted separator, rerun-identical, null feature stays null") {
     val run1 = SparkEntry.queries("llm_quality_classifier")(spark, sf001).collect()
     assert(run1.length == 1)

@@ -96,6 +96,25 @@ class PlanShapeSpec extends SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("llm_sim_knn ranks via bounded partial aggregation — no Window, no full per-probe sort") {
+    // r18 (VERDICT item 4): the top-10 must come from the TopKBySim
+    // Aggregator's map-side partial phase (≤k rows per probe per partition
+    // cross the exchange), never a row_number window over the whole
+    // probes×corpus product.
+    val p = plan("llm_sim_knn")
+    assert(!p.contains("Window"), s"knn regressed to a window rank:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no aggregate top-k in plan:\n$p")
+  }
+
+  test("join_spj_bucket_transform: the 16-bucket fact joins the 8-bucket dim shuffle-free") {
+    // the key's own body REQUIRES zero exchange below the SortMergeJoin on
+    // the executed adaptive plan (a failed SPJ throws there) — executing
+    // it IS the plan assertion; this test keeps that execution in CI
+    val rows = SparkEntry.queries("join_spj_bucket_transform")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+  }
+
   test("join_cross is the only plan allowed a cartesian") {
     val p = plan("join_cross")
     assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)

@@ -157,4 +157,41 @@ class VecDotSpec extends SparkFixture {
     assert(short == Seq.fill(16)(Long.MaxValue),
       "fewer than 3 tokens has no shingle — the signature must be the empty-set one")
   }
+
+  test("ivf_argmax_dot equals the UDF fallback bit-for-bit on fixture unit vectors") {
+    assert(spark.catalog.functionExists("ivf_argmax_dot"))
+    // a deterministic centroid table from the corpus itself (first 7
+    // normalized vectors), then assign EVERY vector both ways
+    val unit = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / " +
+          "sqrt(aggregate(embedding, 0.0d, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+          .as("u"))
+    val cents: Array[Array[Double]] = unit.filter(col("vec_id") < 7)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val fallback = udf { (u: Seq[Double]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c); var d = 0.0; var i = 0
+        while (i < u.length) { d += u(i) * cent(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val both = unit.select(col("vec_id"),
+      call_function("ivf_argmax_dot", col("u"),
+        typedLit(cents.map(_.toSeq).toSeq)).as("native"),
+      fallback(col("u")).as("viaUdf"))
+    assert(both.filter(col("native") =!= col("viaUdf")).count() == 0,
+      "native argmax-dot diverged from the UDF fallback")
+    // ties break to the LOWEST index, like the UDF's strict '>' update
+    val tie = spark.sql(
+      "SELECT ivf_argmax_dot(array(1.0d, 0.0d), " +
+        "array(array(0.0d, 1.0d), array(1.0d, 0.0d), array(1.0d, 0.0d)))")
+      .head.getInt(0)
+    assert(tie == 1, s"tie must keep the first best index, got $tie")
+  }
 }
