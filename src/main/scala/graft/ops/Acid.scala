@@ -1092,8 +1092,8 @@ object Acid {
         // refuse instead of stranding stale assignment lines (r18)
         require(!lines.exists(l => l.startsWith("# firstrow:") ||
           l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
-          s"mergeCow on row-lineage table $table — lineage-preserving MERGE " +
-            "is unsupported (updateWhereLineage covers updates)")
+          s"mergeCow on row-lineage table $table — use mergeCowLineage " +
+            "(it keeps matched ids and allocates insert ids from the mark)")
         val m = cowMergeAttempt(spark, table, lines, changes, keyCol, opCol,
           Paths.get(table).resolve(s"txn=$txnId"),
           Paths.get(table).resolve(s"del=$txnId"), "mergeCow")
@@ -2293,6 +2293,158 @@ object Acid {
               !l.startsWith("# base:") && !l.startsWith("# op:") && !deadMeta(l)) ++
             newFiles.map(f => s"# rowid_phys:$f") ++
             prev.filterNot(_.startsWith("#")).filterNot(touchedSet) ++ newFiles
+        }
+        if (v != StaleSnapshot) result = (v, touched.size, all.size)
+      }
+    }
+    result
+  }
+
+  /** MERGE INTO a ROW-LINEAGE table, copy-on-write, ids PRESERVED AND
+    * ALLOCATED — the Iceberg v3 MERGE contract completing
+    * [[updateWhereLineage]]:
+    *
+    *  - MATCHED → update: the change row replaces the target row but
+    *    KEEPS the target's `row_id` (identity survives the value change);
+    *  - NOT MATCHED → insert: fresh ids allocate from the
+    *    `# rowid_next:` high-water mark, deterministically (inserts
+    *    ordered by `keyCol`), and the mark advances — an id is never
+    *    reused, even for a key deleted and re-inserted (the resurrected
+    *    key is a NEW row with a NEW id, Iceberg's rule);
+    *  - MATCHED + op "delete": the row goes and its id simply retires.
+    *
+    * Mechanics are [[mergeCow]]'s (findTouchedFiles probe, touched-only
+    * rewrite, survivors byte-untouched) with the rewrite running over the
+    * id-attached frame and landing `__row_id` physically
+    * (`# rowid_phys:` marks). Standing delete vectors subtract before
+    * matching, and upserted keys leave the vector (resurrection = insert
+    * with a fresh id). Cost O(files containing a matched key), never
+    * O(table). Idempotent per txnId; locked like [[updateWhereLineage]]
+    * (the high-water allocation must serialize with other writers).
+    * Returns (version, touched files, total files). */
+  def mergeCowLineage(spark: SparkSession, table: String, changes: DataFrame,
+      keyCol: String, txnId: Long,
+      opCol: Option[String] = None): (Long, Int, Int) = withWriterLock(table) {
+    val StaleSnapshot = -2L
+    var attempts = 0
+    var result: (Long, Int, Int) = null
+    while (result == null) {
+      attempts += 1
+      require(attempts <= 50, s"mergeCowLineage: concurrent-commit retry limit on $table")
+      val cur = currentVersion(table)
+      val lines = cur.map(manifestLines(table, _)).getOrElse(
+        sys.error(s"Acid.mergeCowLineage: no committed version at $table"))
+      if (lines.contains(s"# txn:$txnId")) {
+        result = (cur.get, 0, lines.count(!_.startsWith("#"))) // replay → no-op
+      } else {
+        require(lines.contains("# base:."),
+          s"mergeCowLineage on snapshot-mode table $table")
+        require(!mixedGenerations(lines),
+          s"mergeCowLineage on $table: schema-evolution metadata present — " +
+            "row-level DML across schema generations is unsupported")
+        require(lines.exists(l => l.startsWith("# firstrow:") ||
+          l.startsWith("# rowid_phys:")),
+          s"mergeCowLineage on $table: not a row-lineage table — use mergeCow")
+        val next = lines.find(_.startsWith("# rowid_next:"))
+          .map(_.stripPrefix("# rowid_next:").trim.toLong).getOrElse(
+            sys.error(s"mergeCowLineage: $table has no rowid_next mark — " +
+              "run assignRowIds first"))
+        val all = lines.filterNot(_.startsWith("#"))
+        val root = Paths.get(table).toAbsolutePath
+        val allKeys = changes.select(col(keyCol)).distinct()
+        val upserts = opCol match {
+          case Some(o) => changes.filter(col(o) =!= "delete").drop(o)
+          case None    => changes
+        }
+        val touched = if (all.isEmpty) Seq.empty[String]
+        else touchedFilesPlan(spark, all.map(f => s"$table/$f"), allKeys, keyCol)
+          .collect() // O(files) rows — manifest-construction control plane
+          .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
+          .sorted.toSeq
+        val touchedSet = touched.toSet
+        val survivors = all.filterNot(touchedSet)
+        // the VISIBLE id-attached target slice (vectors subtracted — a
+        // hidden row neither matches nor donates its id)
+        val target =
+          if (touched.isEmpty) null
+          else subtractDeletes(spark, table, lines,
+            lineageFrameFor(spark, table, lines, touched, "mergeCowLineage"))
+            .cache()
+        val dataCols: Seq[String] =
+          if (target != null) target.columns.toSeq.filterNot(_ == "row_id")
+          else upserts.columns.toSeq
+        // matched = change rows whose key is VISIBLE somewhere in the
+        // table; since touched covers every file containing a change key,
+        // visible-in-table == visible-in-target
+        val targetIds =
+          if (target == null) null
+          else target.select(col(keyCol), col("row_id")).cache()
+        val matchedUpserts =
+          if (target == null) upserts.limit(0)
+          else upserts.join(targetIds, Seq(keyCol), "inner")
+        val inserts0 =
+          if (target == null) upserts
+          else upserts.join(targetIds.select(col(keyCol)), Seq(keyCol), "left_anti")
+        // deterministic fresh-id allocation: inserts ordered by key
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))
+        val inserts = inserts0
+          .withColumn("row_id",
+            lit(next) + org.apache.spark.sql.functions.row_number().over(w) - 1L)
+        val nInserts = inserts.count()
+        val carried =
+          if (target == null) inserts.limit(0)
+          else target.join(allKeys, Seq(keyCol), "left_anti")
+        val rewritten = carried
+          .unionByName(matchedUpserts.select((dataCols.map(col) :+ col("row_id")): _*))
+          .unionByName(inserts.select((dataCols.map(col) :+ col("row_id")): _*))
+          .withColumnRenamed("row_id", "__row_id")
+        val newFiles =
+          if (target == null && nInserts == 0) Seq.empty[String]
+          else writeTxnData(spark, table, rewritten, txnId)
+        // vector reconciliation, mergeCow's rule: upserted keys leave the
+        // standing vector (the insert above is the resurrection)
+        val delDir = Paths.get(table).resolve(s"del=$txnId")
+        val newVector: Option[Seq[String]] = standingDeletes2(lines).map {
+          case (k, delFiles) =>
+            require(k == keyCol,
+              s"mergeCowLineage: table uses delete key $k, got $keyCol")
+            val remaining = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+              .select(col(k)).distinct()
+              .join(upserts.select(col(keyCol)).distinct(), Seq(k), "left_anti")
+            if (remaining.isEmpty) Seq.empty
+            else {
+              remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+              listParquet(table, delDir)
+            }
+        }
+        val vectorLines = newVector match {
+          case Some(fs) if fs.nonEmpty =>
+            Seq(s"# delkey:$keyCol") ++ fs.map(f => s"# delete:$f")
+          case _ => Seq.empty
+        }
+        val deadMeta = (l: String) => touched.exists(f =>
+          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|") ||
+            l.startsWith(s"# firstrow:$f|") || l.trim == s"# rowid_phys:$f")
+        val v = commitNextVersion(table) { (c, prev) =>
+          if (prev.contains(s"# txn:$txnId")) Some(c.get)
+          else if (c != cur) Some(StaleSnapshot)
+          else None
+        } { (_, prev) =>
+          ("# base:." +:
+            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            vectorLines ++
+            prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:") &&
+              !l.startsWith("# delkey:") && !l.startsWith("# delete:") &&
+              !l.startsWith("# rowid_next:") && !deadMeta(l)) ++
+            Seq(s"# rowid_next:${next + nInserts}") ++
+            newFiles.map(f => s"# rowid_phys:$f") ++
+            prev.filterNot(_.startsWith("#")).filterNot(touchedSet) ++ newFiles
+        }
+        if (target != null) {
+          target.unpersist(blocking = false)
+          targetIds.unpersist(blocking = false)
         }
         if (v != StaleSnapshot) result = (v, touched.size, all.size)
       }

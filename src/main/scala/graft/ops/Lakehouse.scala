@@ -1100,6 +1100,69 @@ object Lakehouse {
         FROM g1, g2
         ORDER BY gen""".trim)),
 
+    // LINEAGE-PRESERVING MERGE (r18 — [[Acid.mergeCowLineage]], the
+    // Iceberg-v3 DML contract completing sink_row_lineage's UPDATE): a
+    // MERGE against a row-lineage table keeps every MATCHED row's id
+    // (identity survives the value change — in-body pinned on the full
+    // (key → id) map) and allocates NOT-MATCHED inserts fresh contiguous
+    // ids from the `# rowid_next:` high-water mark (deterministic:
+    // inserts ordered by key), which then advances — an id is never
+    // reused. The oracle is closed-form because generation membership is
+    // an id-range test: gen1 ids stay exactly [0, n1) through the MERGE,
+    // inserts own exactly [n1, n1+m). At 100 TB this is what lets an
+    // incremental consumer (feature-store sync, CDC indexing) key its
+    // bookkeeping on row ids across upsert cycles.
+    Q("sink_lineage_merge",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("lineagemerge", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0), txnId = 0L)
+        Acid.assignRowIds(spark, table, txnId = 1L)
+        val n1 = Acid.readLineage(spark, table).count()
+        def idMap() = Acid.readLineage(spark, table)
+          .select(col("o_orderkey"), col("row_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val before = idMap()
+        val updates = or
+          .filter(col("o_orderkey") % 15 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+        val inserts = or.filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)
+        Acid.mergeCowLineage(spark, table, updates.unionByName(inserts),
+          "o_orderkey", txnId = 2L)
+        require(Acid.mergeCowLineage(spark, table, updates.unionByName(inserts),
+          "o_orderkey", txnId = 2L)._2 == 0,
+          "sink_lineage_merge: replayed MERGE must no-op")
+        val after = idMap()
+        // identity invariant: every pre-merge key keeps its exact id
+        require(before.forall { case (k, id) => after.get(k).contains(id) },
+          "sink_lineage_merge: MERGE moved a matched/carried row id")
+        Acid.readLineage(spark, table)
+          .withColumn("gen", when(col("row_id") < n1, 1L).otherwise(2L))
+          .groupBy(col("gen"))
+          .agg(count(lit(1)).as("n_rows"), min(col("row_id")).as("min_id"),
+            max(col("row_id")).as("max_id"), sum(col("row_id")).as("id_sum"),
+            sum(when(col("o_orderstatus") === "U", 1L).otherwise(0L)).as("n_updated"))
+          .orderBy(col("gen"))
+      },
+      Some("""
+        WITH g1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN o_orderkey % 15 = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS u
+                    FROM orders WHERE o_orderkey % 3 = 0),
+             g2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+                    WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0)
+        SELECT CAST(1 AS BIGINT) AS gen, n AS n_rows,
+               CAST(0 AS BIGINT) AS min_id, n - 1 AS max_id,
+               n * (n - 1) // 2 AS id_sum, u AS n_updated
+        FROM g1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), g2.n, g1.n, g1.n + g2.n - 1,
+               g2.n * g1.n + g2.n * (g2.n - 1) // 2, CAST(0 AS BIGINT)
+        FROM g1, g2
+        ORDER BY gen""".trim)),
+
     // Targeted key erasure (r14 — see [[Acid.eraseKeys]]): GDPR
     // right-to-be-forgotten at lake scale. A streaming-shaped ingest
     // (4 appends) is OPTIMIZEd into user-range-clustered files with

@@ -3161,6 +3161,54 @@ class OperatorSpec extends SparkFixture {
     assert(ids() == before, "post-UPDATE compaction moved a row id")
   }
 
+  test("mergeCowLineage: matched ids kept, deletes retire ids, resurrection allocates fresh, mark never reused") {
+    import spark.implicits._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_mlin").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t,
+      (0L until 10L).map(k => (k, "a")).toDF("k", "s"), 0L)
+    Acid.assignRowIds(spark, t, 1L) // ids 0..9, mark 10
+    Acid.deleteTxn(spark, t, Seq(3L).toDF("k"), "k", 2L) // vector-hide k=3
+    def ids() = Acid.readLineage(spark, t)
+      .select(col("k"), col("row_id")).as[(Long, Long)].collect().toMap
+    val before = ids()
+    assert(!before.contains(3L))
+    // MERGE: update k=1, delete k=2, resurrect k=3 (hidden → NEW row),
+    // insert k=100
+    val changes = Seq(
+      (1L, "u", "up"), (2L, "x", "delete"), (3L, "r", "up"), (100L, "n", "up"))
+      .toDF("k", "s", "__op")
+    Acid.mergeCowLineage(spark, t, changes, "k", 3L, Some("__op"))
+    val after = ids()
+    // matched row kept its id, value changed
+    assert(after(1L) == before(1L))
+    assert(Acid.readLineage(spark, t).filter(col("k") === 1L)
+      .select(col("s")).head.getString(0) == "u")
+    // deleted key gone, its id retired (nobody else holds it)
+    assert(!after.contains(2L))
+    assert(!after.values.toSet.contains(before(2L)),
+      "a retired id was reassigned")
+    // untouched rows bit-stable
+    before.removedAll(Seq(1L, 2L, 3L)).foreach { case (k, id) =>
+      assert(after(k) == id, s"carried row $k moved: ${before(k)} -> ${after(k)}") }
+    // resurrection and insert get FRESH ids above the old mark, allocated
+    // in key order (3 < 100)
+    assert(after(3L) == 10L && after(100L) == 11L,
+      s"fresh ids wrong: ${after(3L)}, ${after(100L)}")
+    // the vector reconciled: k=3 visible again with its new row
+    assert(Acid.readLineage(spark, t).filter(col("k") === 3L)
+      .select(col("s")).head.getString(0) == "r")
+    // the mark advanced — a later append+assign allocates above 12
+    Acid.appendTxn(spark, t, Seq((200L, "z")).toDF("k", "s"), 4L)
+    Acid.assignRowIds(spark, t, 5L)
+    assert(ids()(200L) == 12L, s"mark did not advance: ${ids()(200L)}")
+    // and lineage compaction preserves the whole map
+    val full = ids()
+    Acid.optimizeLineage(spark, t, 6L, targetFiles = 1)
+    assert(ids() == full, "compaction after lineage MERGE moved ids")
+  }
+
   test("change feeds refuse RESTORE across a vector commit even when files were also removed; vector adds still flow") {
     import spark.implicits._
     import graft.ops.Acid
