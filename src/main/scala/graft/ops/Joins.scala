@@ -787,6 +787,112 @@ object Joins {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""".trim)),
 
+    // SPJ under BUCKET SKEW — partially-clustered distribution (r18, the
+    // skew half of the compatible-transform story; Iceberg/SPARK-41471):
+    // one bucket of the fact is HOT (its key family carries 4× the rows,
+    // landed across 4 commits = 4 files) — under plain SPJ that bucket is
+    // ONE straggler task however large it grows. With `slice=true` the
+    // scan emits one input partition PER FILE (duplicate partition keys,
+    // legal in KeyGroupedPartitioning) and
+    // `partiallyClusteredDistribution.enabled` keeps the fact side SPLIT,
+    // replicating the dim's matching groups instead — the hot bucket runs
+    // as 4 tasks, still ZERO full shuffle on either side (in-body pinned:
+    // shuffle-free SMJ + the fact scan planned with MORE partitions than
+    // buckets). At 100 TB this is the difference between a skewed key
+    // family gating the whole join and it merely using more slots.
+    Q("join_spj_skew",
+      (spark, sfDir) => {
+        import graft.ops.Acid
+        val tA = graft.Tmp.dir("spjs_orders", sfDir)
+        val tB = graft.Tmp.dir("spjs_customer", sfDir)
+        Acid.reset(tA); Acid.reset(tB)
+        val fact = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+          col("o_custkey"),
+          (graft.Det.money(col("o_totalprice")) * 100).cast("long").as("cents"))
+        val hot = fact.filter(pmod(col("o_custkey"), lit(8)) === 3)
+        Acid.appendTxnHidden(spark, tA, fact, txnId = 0L,
+          transforms = Seq(Acid.bucketOf("o_custkey", 8)))
+        (1L to 3L).foreach(i => Acid.appendTxnHidden(spark, tA, hot, txnId = i,
+          transforms = Seq(Acid.bucketOf("o_custkey", 8))))
+        Acid.appendTxnHidden(spark, tB,
+          Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment")),
+          txnId = 0L, transforms = Seq(Acid.bucketOf("c_custkey", 8)))
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val src = classOf[graft.sources.AcidBucketedSource].getName
+          val dA = spark.read.format(src).option("path", tA)
+            .option("bucket", "b8_o_custkey").option("slice", "true").load()
+          val dB = spark.read.format(src).option("path", tB)
+            .option("bucket", "b8_c_custkey").load()
+          val agg = dA.join(dB,
+              dA("b8_o_custkey") === dB("b8_c_custkey") &&
+                dA("o_custkey") === dB("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+            .orderBy(col("c_mktsegment"))
+          val rows = agg.collect()
+          val finalPlan = agg.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          def walk(p: org.apache.spark.sql.execution.SparkPlan):
+              Seq[org.apache.spark.sql.execution.SparkPlan] =
+            p +: (p match {
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(q.plan)
+              case _ => p.children.flatMap(walk)
+            })
+          val smj = walk(finalPlan).collectFirst {
+            case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          }.getOrElse(sys.error(
+            "join_spj_skew: no SortMergeJoin in the final plan —\n" +
+              finalPlan.toString.take(3000)))
+          val shuffles = smj.children.flatMap(walk).collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+            case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+          }
+          require(shuffles.isEmpty,
+            s"join_spj_skew: the join shuffled —\n${finalPlan.toString.take(2000)}")
+          // the hot bucket must NOT have collapsed to one straggler: the
+          // fact scan plans one partition per FILE (> 8 buckets)
+          val factSlices = walk(finalPlan).collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.toString.contains("b8_o_custkey") => b.inputPartitions.size
+          }
+          require(factSlices.exists(_ > 8),
+            s"join_spj_skew: fact scan not sliced (partitions: $factSlices)")
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq, 1), agg.schema)
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      },
+      Some("""
+        WITH fact AS (
+          SELECT o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders
+          UNION ALL
+          SELECT o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders, (SELECT * FROM range(1, 4)) r
+          WHERE o_custkey % 8 = 3
+        )
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM fact JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""".trim)),
+
     // Binned PURE range join (r8): count lineitems shipping within 7 days
     // of each order's date — NO equi key at all, the case Catalyst can
     // only plan as a nested-loop cross product (join_interval/asof both

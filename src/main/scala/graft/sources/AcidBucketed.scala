@@ -63,7 +63,8 @@ class AcidBucketedSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new AcidBucketedTable(properties.get("path"), properties.get("bucket"),
-      schema, Option(properties.get("coarsen")).map(_.toInt).getOrElse(0))
+      schema, Option(properties.get("coarsen")).map(_.toInt).getOrElse(0),
+      Option(properties.get("slice")).exists(_.toBoolean))
 }
 
 object AcidBucketed {
@@ -141,13 +142,13 @@ object AcidBucketed {
 }
 
 final class AcidBucketedTable(table: String, bucketCol: String,
-    schema: StructType, coarsen: Int) extends Table with SupportsRead {
+    schema: StructType, coarsen: Int, slice: Boolean) extends Table with SupportsRead {
   override def name(): String = s"acid-bucketed($table, $bucketCol)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AcidBucketedScan(table, bucketCol, schema, coarsen)
+    new AcidBucketedScan(table, bucketCol, schema, coarsen, slice)
 }
 
 /** ScanBuilder + Scan + Batch in one: the scan reports
@@ -155,7 +156,7 @@ final class AcidBucketedTable(table: String, bucketCol: String,
   * partition per bucket (sorted by bucket value so both join sides align
   * positionally), and prunes columns down into the parquet read schema. */
 final class AcidBucketedScan(table: String, bucketCol: String,
-    full: StructType, coarsen: Int = 0)
+    full: StructType, coarsen: Int = 0, slice: Boolean = false)
   extends ScanBuilder with Scan with Batch
   with SupportsReportPartitioning with SupportsPushDownRequiredColumns {
 
@@ -197,9 +198,23 @@ final class AcidBucketedScan(table: String, bucketCol: String,
       .groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
       .sortBy(_._1).map { case (b, fs) => (b, fs.sorted) }
 
+  // PARTIALLY-CLUSTERED slicing (r18, the skew half of the SPJ story):
+  // with `slice=true` the scan emits one input partition PER FILE, each
+  // still declaring its bucket key ([[HasPartitionKey]] — duplicate keys
+  // are legal in KeyGroupedPartitioning). Under
+  // `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+  // .enabled` Catalyst keeps THIS side split and replicates the other
+  // side's matching groups, so a skewed bucket (one hot key, many
+  // files) runs as many tasks instead of one straggler — still with
+  // ZERO full shuffle on either side. Without the conf Spark groups the
+  // duplicate keys back itself; either way the join stays correct.
+  private lazy val slices: Seq[(Long, Seq[String])] =
+    if (!slice) buckets
+    else buckets.flatMap { case (b, fs) => fs.map(f => (b, Seq(f))) }
+
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.identity(bucketCol)), buckets.size)
+      Array(Expressions.identity(bucketCol)), slices.size)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // one projection string for all partitions: the real (non-derived)
@@ -210,7 +225,7 @@ final class AcidBucketedScan(table: String, bucketCol: String,
       if (real.isEmpty) new MessageType(msg.getName, msg.getType(0))
       else new MessageType(msg.getName,
         real.map(f => msg.getType(msg.getFieldIndex(f.name))): _*)
-    buckets.map { case (b, fs) =>
+    slices.map { case (b, fs) =>
       AcidBucketPartition(b, fs.map(f => s"$table/$f"), proj.toString,
         required.json, bucketCol): InputPartition
     }.toArray

@@ -472,6 +472,13 @@ object ExplainDump {
       "zero data I/O. Rebase cost = the original DML's bill, publish " +
       "stays O(1) fast-forward. (The returned frame is the post-publish " +
       "read; the refusal/replay choreography is in-body pinned.)"),
+    "join_spj_skew" -> ("Partially-clustered SPJ (r18): the fact's hot " +
+      "bucket (4 files) scans as 4 input partitions with duplicate " +
+      "partition keys; partiallyClusteredDistribution keeps the fact " +
+      "side split and replicates the dim's matching groups — the hot " +
+      "key family runs as 4 tasks, zero full shuffle (in-body pinned: " +
+      "shuffle-free SMJ + >8 fact slices). The SPJ answer to what AQE " +
+      "skew-split does for shuffle joins."),
     "join_spj_bucket_transform" -> ("Compatible-transform SPJ (r18): the " +
       "bucket(16) fact scan coarsens to bucket(8) at plan time (modular " +
       "family closure), so both sides report aligned " +

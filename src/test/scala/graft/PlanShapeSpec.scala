@@ -115,6 +115,13 @@ class PlanShapeSpec extends SparkFixture {
     assert(rows.nonEmpty)
   }
 
+  test("join_spj_skew: the hot bucket runs partially-clustered — sliced scan, zero shuffle") {
+    // in-body requires: shuffle-free SMJ AND fact scan planned with more
+    // partitions than buckets (the per-file slices) — executing is the pin
+    val rows = SparkEntry.queries("join_spj_skew")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+  }
+
   test("join_cross is the only plan allowed a cartesian") {
     val p = plan("join_cross")
     assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
