@@ -1040,28 +1040,37 @@ object Acid {
     val newFiles = listParquet(table, dataDir)
     // vector reconciliation: upserted keys leave the standing vector
     val upsertedKeyRows = upserts.select(col(keyCol)).distinct()
-    val newVector: Option[Seq[String]] = standingDeletes2(lines).map {
-      case (k, delFiles) =>
-        require(k == keyCol, s"$what: table uses delete key $k, got $keyCol")
-        val remaining = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
-          .select(col(k)).distinct()
-          .join(upsertedKeyRows, Seq(k), "left_anti")
-        if (remaining.isEmpty) Seq.empty
-        else {
-          remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-          listParquet(table, delDir)
-        }
-    }
-    val vectorLines = newVector match {
-      case Some(fs) if fs.nonEmpty =>
-        Seq(s"# delkey:$keyCol") ++ fs.map(f => s"# delete:$f")
-      case _ => Seq.empty // no vector, or reconciled to empty
-    }
+    val vectorLines = reconcileVector(spark, table, lines, upsertedKeyRows,
+      keyCol, delDir, what)
     val deadStat = (l: String) => touched.exists(f =>
       l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
         l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
     CowMerge(touched, survivors, newFiles, vectorLines, deadStat, all.size)
   }
+
+  /** Vector reconciliation shared by every COW-merge flavor
+    * ([[cowMergeAttempt]] / [[mergeCowLineage]]): upserted keys LEAVE the
+    * standing vector — an explicit MERGE insert of a previously-deleted
+    * key must resurrect it. Returns the next manifest's vector lines; an
+    * empty reconciled vector drops the delete lines entirely. */
+  private def reconcileVector(spark: SparkSession, table: String,
+      lines: Seq[String], upsertedKeyRows: DataFrame, keyCol: String,
+      delDir: Path, what: String): Seq[String] =
+    standingDeletes2(lines).map { case (k, delFiles) =>
+      require(k == keyCol, s"$what: table uses delete key $k, got $keyCol")
+      val remaining = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+        .select(col(k)).distinct()
+        .join(upsertedKeyRows, Seq(k), "left_anti")
+      if (remaining.isEmpty) Seq.empty[String]
+      else {
+        remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+        listParquet(table, delDir)
+      }
+    } match {
+      case Some(fs) if fs.nonEmpty =>
+        Seq(s"# delkey:$keyCol") ++ fs.map(f => s"# delete:$f")
+      case _ => Seq.empty // no vector, or reconciled to empty
+    }
 
   def mergeCow(spark: SparkSession, table: String, changes: DataFrame,
       keyCol: String, txnId: Long,
@@ -1307,6 +1316,17 @@ object Acid {
             s"updateWhereCAS($txnId) on $table: a concurrent merge-on-read " +
               "delete landed a standing vector — its hides apply to rows " +
               "this update already rewrote; retry on the new snapshot")
+        // the snapshot-time guards re-checked at commit (r18 review): a
+        // concurrent assignRowIds / schema-evolution commit landing in
+        // the window would otherwise have its assignment lines stranded
+        // by this rewrite (or its generations misread by the next one)
+        if (mixedGenerations(prev) || prev.exists(l =>
+          l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
+            l.startsWith("# rowid_next:")))
+          throw new WriteConflictException(
+            s"updateWhereCAS($txnId) on $table: a concurrent commit " +
+              "installed schema-evolution or row-lineage metadata — the " +
+              "rewrite no longer commutes; retry through the appropriate path")
         val addedSince = prevFiles.diff(all.toSet).toSeq.sorted
         if (addedSince.nonEmpty) {
           val hit = spark.read.parquet(addedSince.map(f => s"$table/$f"): _*)
@@ -2261,7 +2281,6 @@ object Acid {
           .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
           .sorted.toSeq
         val touchedSet = touched.toSet
-        val survivors = all.filterNot(touchedSet)
         val newFiles =
           if (touched.isEmpty) Seq.empty[String]
           else {
@@ -2351,10 +2370,20 @@ object Acid {
               "run assignRowIds first"))
         val all = lines.filterNot(_.startsWith("#"))
         val root = Paths.get(table).toAbsolutePath
-        val allKeys = changes.select(col(keyCol)).distinct()
+        // FREEZE the change frame before anything reads it (the same rule
+        // mergeCowBranch applies, and here it is correctness-critical: the
+        // id allocation below runs SEVERAL actions over the changes — a
+        // nondeterministic plan re-evaluating between inserts.count() and
+        // the data write would make the committed `# rowid_next:` mark
+        // disagree with the ids actually written → silent id reuse)
+        val chgDir = Paths.get(table).resolve(s"chg=$txnId")
+        changes.write.mode("overwrite").parquet(chgDir.toString)
+        val changesF = spark.read.parquet(
+          listParquet(table, chgDir).map(f => s"$table/$f"): _*)
+        val allKeys = changesF.select(col(keyCol)).distinct()
         val upserts = opCol match {
-          case Some(o) => changes.filter(col(o) =!= "delete").drop(o)
-          case None    => changes
+          case Some(o) => changesF.filter(col(o) =!= "delete").drop(o)
+          case None    => changesF
         }
         val touched = if (all.isEmpty) Seq.empty[String]
         else touchedFilesPlan(spark, all.map(f => s"$table/$f"), allKeys, keyCol)
@@ -2362,7 +2391,6 @@ object Acid {
           .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
           .sorted.toSeq
         val touchedSet = touched.toSet
-        val survivors = all.filterNot(touchedSet)
         // the VISIBLE id-attached target slice (vectors subtracted — a
         // hidden row neither matches nor donates its id)
         val target =
@@ -2375,17 +2403,20 @@ object Acid {
           else upserts.columns.toSeq
         // matched = change rows whose key is VISIBLE somewhere in the
         // table; since touched covers every file containing a change key,
-        // visible-in-table == visible-in-target
+        // visible-in-table == visible-in-target. The no-touched-file MERGE
+        // (pure inserts / deletes of absent keys) has an EMPTY matched set
+        // — shaped with the row_id column the projection below resolves
         val targetIds =
           if (target == null) null
           else target.select(col(keyCol), col("row_id")).cache()
         val matchedUpserts =
-          if (target == null) upserts.limit(0)
+          if (target == null) upserts.limit(0).withColumn("row_id", lit(0L))
           else upserts.join(targetIds, Seq(keyCol), "inner")
         val inserts0 =
           if (target == null) upserts
           else upserts.join(targetIds.select(col(keyCol)), Seq(keyCol), "left_anti")
-        // deterministic fresh-id allocation: inserts ordered by key
+        // deterministic fresh-id allocation: inserts ordered by key (the
+        // insert side is the change batch — O(batch) through one window)
         val w = org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))
         val inserts = inserts0
           .withColumn("row_id",
@@ -2403,25 +2434,9 @@ object Acid {
           else writeTxnData(spark, table, rewritten, txnId)
         // vector reconciliation, mergeCow's rule: upserted keys leave the
         // standing vector (the insert above is the resurrection)
-        val delDir = Paths.get(table).resolve(s"del=$txnId")
-        val newVector: Option[Seq[String]] = standingDeletes2(lines).map {
-          case (k, delFiles) =>
-            require(k == keyCol,
-              s"mergeCowLineage: table uses delete key $k, got $keyCol")
-            val remaining = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
-              .select(col(k)).distinct()
-              .join(upserts.select(col(keyCol)).distinct(), Seq(k), "left_anti")
-            if (remaining.isEmpty) Seq.empty
-            else {
-              remaining.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-              listParquet(table, delDir)
-            }
-        }
-        val vectorLines = newVector match {
-          case Some(fs) if fs.nonEmpty =>
-            Seq(s"# delkey:$keyCol") ++ fs.map(f => s"# delete:$f")
-          case _ => Seq.empty
-        }
+        val vectorLines = reconcileVector(spark, table, lines,
+          upserts.select(col(keyCol)).distinct(), keyCol,
+          Paths.get(table).resolve(s"del=$txnId"), "mergeCowLineage")
         val deadMeta = (l: String) => touched.exists(f =>
           l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
             l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|") ||
@@ -3750,9 +3765,31 @@ object Acid {
       sys.error(s"Acid.rebaseBranchDml: no branch '$name' at $table"))
     val cur = currentVersion(table).getOrElse(
       sys.error(s"Acid.rebaseBranchDml: no committed version at $table"))
-    if (head < 0) { // empty branch: the rebase is just a ref move
-      writeBranchRef(table, name, cur, -1L, createNew = false)
-      return -1L
+    if (head < 0) {
+      // An empty branch still lands the rebase as BRANCH COMMIT 0 (main's
+      // head lines + this txn + a no-op op-log marker): the branch ledger
+      // is what makes a replayed rebase no-op — a bare ref move would let
+      // a driver retry silently re-fork onto a further-advanced main
+      // (r18 review). Cross-incarnation guard as appendTxnBranch.
+      require(!committedTxns(table).contains(txnId),
+        s"Acid.rebaseBranchDml: txn $txnId is already committed on main " +
+          s"at $table — use a fresh txn id")
+      val curLines0 = manifestLines(table, cur)
+      require(curLines0.contains("# base:."),
+        s"rebaseBranchDml on snapshot-mode table $table")
+      val manifest = (("# base:." +:
+        (curLines0.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+        curLines0.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+          !l.startsWith("# base:") && !l.startsWith("# op:") &&
+          !l.startsWith("# dml:")) ++
+        curLines0.filterNot(_.startsWith("#"))) :+
+        s"# dml:0|rebase|$txnId|-|-|"
+      Files.write(brManifest(table, name, 0L),
+        manifest.mkString("", "\n", "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      writeBranchRef(table, name, cur, 0L, createNew = false)
+      return 0L
     }
     val brLines = branchLines(table, name)
     if (brLines.contains(s"# txn:$txnId")) return head // replay → no-op
@@ -4250,6 +4287,11 @@ object Acid {
           val ls = branchLines(table, n)
           ls.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim) ++
             ls.filter(_.startsWith("# pdel:")).map(_.stripPrefix("# pdel:").trim) ++
+            // op-log inputs are live as long as the branch is: the frozen
+            // change frames under chg=<txn>/ are referenced ONLY by
+            // '# dml:' lines, and GC'ing one would destroy the branch's
+            // rebaseBranchDml replay capability (r18)
+            branchOpLog(ls).flatMap(_.files) ++
             ls.filterNot(_.startsWith("#"))
         }).toSet
       val tmp = Paths.get(table, "_horizon.tmp")

@@ -93,7 +93,20 @@ object AcidBucketed {
     }
   }
 
+  // the validated footer schema is immutable per (table, version) — the
+  // homogeneity sweep below is O(files) of driver-side footer opens, and
+  // a single query asks twice (inferSchema at load, the projection at
+  // planning); memoize so each committed version pays the sweep once
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), MessageType]
+
   private[sources] def fileSchema(table: String): MessageType = {
+    val v = graft.ops.Acid.currentVersion(table).getOrElse(
+      sys.error(s"acid-bucketed: no committed version at $table"))
+    schemaCache.getOrElseUpdate((table, v), fileSchemaUncached(table))
+  }
+
+  private def fileSchemaUncached(table: String): MessageType = {
     val files = graft.ops.Acid.headLines(table).filterNot(_.startsWith("#"))
     require(files.nonEmpty, s"acid-bucketed: $table has no data files")
     def footer(f: String): MessageType = {

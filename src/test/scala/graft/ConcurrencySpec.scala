@@ -760,6 +760,10 @@ class ConcurrencySpec extends SparkFixture {
     val e2 = intercept[IllegalArgumentException] {
       Acid.fastForwardBranch(t, "exp", txnId = 14L) }
     assert(e2.getMessage.contains("advanced"), e2.getMessage)
+    // a vacuum between the divergence and the rebase must NOT reclaim the
+    // branch's frozen change frames (chg=<txn>/ is referenced only by the
+    // op log — r18): the replay below is the proof they survived
+    Acid.vacuum(t, keep = 1)
     // the logical replay lifts the refusal
     val mainBefore = Acid.read(spark, t).count()
     val h = Acid.rebaseBranchDml(spark, t, "exp", txnId = 15L)
@@ -783,6 +787,20 @@ class ConcurrencySpec extends SparkFixture {
     // the upsert-on-new-base row proves the replay saw main's append
     assert(got.contains((500L, 7777L)), "replayed MERGE missed main's new row")
     assert(!got.exists(_._1 == 507L), "replayed MoR delete missed main's new row")
+    // EMPTY-branch rebase is idempotent per txnId too (r18 review): a
+    // driver retry after main advanced must no-op on the ledger, not
+    // silently re-fork onto the newer head
+    val t2 = java.nio.file.Files.createTempDirectory("graft_rbempty").toString + "/t"
+    Acid.reset(t2)
+    Acid.appendTxn(spark, t2, base, 0L)
+    Acid.createBranch(t2, "e", 0L)
+    val h0 = Acid.rebaseBranchDml(spark, t2, "e", txnId = 50L)
+    val baseAfter = Acid.branches(t2)("e")._1
+    Acid.appendTxn(spark, t2, mainAdd, 1L) // main advances between retries
+    assert(Acid.rebaseBranchDml(spark, t2, "e", txnId = 50L) == h0,
+      "replayed empty-branch rebase must no-op")
+    assert(Acid.branches(t2)("e")._1 == baseAfter,
+      "replayed empty-branch rebase re-forked onto the advanced head")
   }
 
 }

@@ -3207,6 +3207,15 @@ class OperatorSpec extends SparkFixture {
     val full = ids()
     Acid.optimizeLineage(spark, t, 6L, targetFiles = 1)
     assert(ids() == full, "compaction after lineage MERGE moved ids")
+    // pure-insert MERGE (no existing file contains any change key — the
+    // touched-empty path, r18 review): fresh ids continue from the mark
+    Acid.mergeCowLineage(spark, t,
+      Seq((300L, "p"), (301L, "q")).toDF("k", "s"), "k", 7L)
+    val after2 = ids()
+    assert(after2(300L) == 13L && after2(301L) == 14L,
+      s"pure-insert merge ids wrong: ${after2(300L)}, ${after2(301L)}")
+    assert(after2.removedAll(Seq(300L, 301L)) == full,
+      "pure-insert merge disturbed existing rows")
   }
 
   test("change feeds refuse RESTORE across a vector commit even when files were also removed; vector adds still flow") {
