@@ -933,6 +933,20 @@ object Acid {
         result = (cur, 0, lines.count(!_.startsWith("#"))) // replay → no-op
       } else {
         require(lines.contains("# base:."), s"eraseKeys on snapshot-mode table $table")
+        // same rails as every raw COW rewrite (r18): mixed schema
+        // generations would let an arbitrary footer drop a generation's
+        // stored columns from the rewritten survivors, and a lineage
+        // table's assignments would strand
+        require(!mixedGenerations(lines),
+          s"eraseKeys on $table: schema-evolution metadata present — a raw " +
+            "rewrite would drop a generation's stored columns; erasure " +
+            "across schema generations is unsupported (deleteWhere-then-" +
+            "vacuum via a migration is the manual path)")
+        require(!lines.exists(l => l.startsWith("# firstrow:") ||
+          l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
+          s"eraseKeys on row-lineage table $table — the rewrite would " +
+            "strand id assignments; erase support for lineage tables is " +
+            "a migration, not a silent rewrite")
         val candidates = keys
           .flatMap(k => skipFilesBloom(table, cur, bloomName, k)._1)
           .distinct.sorted
@@ -3398,11 +3412,21 @@ object Acid {
   }
 
   /** Read the branch head (fork base ∪ branch commits, standing delete
-    * vectors applied — the preview [[fastForwardBranch]] would publish). */
+    * vectors applied — the preview [[fastForwardBranch]] would publish).
+    * A branch forked from a schema-evolved main carries the base's
+    * colmap/coldefault lines: the read goes footer-union + mapping +
+    * defaults ([[readEvolved]]'s semantics) — a plain scan would let an
+    * arbitrary footer drop a generation's columns (ADVICE r18 sweep). */
   def readBranch(spark: SparkSession, table: String, name: String): DataFrame = {
     val lines = branchLines(table, name)
-    subtractDeletes(spark, table, lines,
-      spark.read.parquet(lines.filterNot(_.startsWith("#")).map(f => s"$table/$f"): _*))
+    val files = lines.filterNot(_.startsWith("#"))
+    val base =
+      if (!mixedGenerations(lines))
+        spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      else applyColumnDefaults(lines, applyColumnMapping(lines,
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$table/$f"): _*)))
+    subtractDeletes(spark, table, lines, base)
   }
 
   /** Row-level MERGE INTO a BRANCH, copy-on-write — the dev-pipeline story

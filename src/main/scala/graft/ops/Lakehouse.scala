@@ -2174,9 +2174,13 @@ object Lakehouse {
           catch { case _: IllegalArgumentException => true }
         require(refused,
           "sink_branch_rebase_dml: three-way rebase accepted a DML branch")
-        // the logical replay lifts it; replays no-op through the ledger
+        // the logical replay lifts it — routed through the PURE-SQL entry
+        // (ALTER BRANCH ... REBASE), like sink_branch_dml's MERGE; the
+        // replay no-op is pinned through the API twin
         val mainRows = Acid.read(spark, table).count()
-        val h = Acid.rebaseBranchDml(spark, table, "exp", txnId = 13L)
+        val h = SqlEntry.sqlLakehouse(spark,
+          s"ALTER BRANCH 'exp' OF acid_table('$table') REBASE TXN 13")
+          .head.getLong(1)
         require(Acid.rebaseBranchDml(spark, table, "exp", txnId = 13L) == h,
           "sink_branch_rebase_dml: replayed rebase must no-op")
         require(Acid.read(spark, table).count() == mainRows,

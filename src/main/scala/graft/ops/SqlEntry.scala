@@ -100,6 +100,19 @@ object SqlEntry {
         opCol = delPred.map(_ => "__op"))
       return dmlSummary("merge_branch", r)
     }
+    // ALTER BRANCH '<name>' OF acid_table('<dir>') REBASE TXN <id> — the
+    // DML-aware rebase ([[Acid.rebaseBranchDml]], r18): replays the
+    // branch's recorded op log onto main's CURRENT head, so a branch
+    // carrying MERGE/MoR-delete commits stays publishable across main
+    // appends and maintenance rewrites; fastForwardBranch then ships it
+    // in O(1) while main holds still.
+    val rebaseBranchStmt =
+      """(?is)^\s*ALTER\s+BRANCH\s+'([A-Za-z0-9._-]+)'\s+OF\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+REBASE\s+TXN\s+(\d+)\s*$""".r
+    rebaseBranchStmt.findFirstMatchIn(text).foreach { m =>
+      import spark.implicits._
+      val k = Acid.rebaseBranchDml(spark, m.group(2), m.group(1), m.group(3).toLong)
+      return Seq(("rebase_branch", k)).toDF("operation", "branch_head")
+    }
     // MERGE INTO acid_table('<dir>') USING <view|(subquery)> ON <keyCol>
     //   [WHEN MATCHED AND <pred> THEN DELETE]
     //   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *

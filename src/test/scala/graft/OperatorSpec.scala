@@ -3090,6 +3090,17 @@ class OperatorSpec extends SparkFixture {
     val eC = intercept[IllegalArgumentException] {
       Acid.updateWhereCAS(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 9L) }
     assert(eC.getMessage.contains("schema-evolution"), eC.getMessage)
+    // -- a branch forked from the evolved main reads through the same
+    // mapping+defaults semantics (plain scans let a footer win — r18)
+    Acid.createBranch(t, "ev", Acid.currentVersion(t).get)
+    Acid.appendTxnBranch(spark, t, "ev",
+      Seq((9L, "i", "south")).toDF("k", "s", "area"), 10L)
+    val br = Acid.readBranch(spark, t, "ev")
+      .select("k", "area").as[(Long, String)].collect().toMap
+    assert(br == Map(1L -> "unset", 2L -> "unset", 3L -> "east",
+      4L -> "west", 5L -> "north", 9L -> "south"),
+      s"branch read corrupted a schema generation: $br")
+    Acid.dropBranch(t, "ev")
     // -- optimizeWhere mirrors rewriteCommit's row-lineage guard: a
     // partition-scoped rewrite would drop firstrow assignments silently
     val t2 = java.nio.file.Files.createTempDirectory("graft_owlin").toString + "/t"
