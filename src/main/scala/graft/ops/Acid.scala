@@ -1034,9 +1034,12 @@ object Acid {
       case None    => changes
     }
     // Delta's findTouchedFiles: which files contain a changed key —
-    // one semi-join scan, O(files) rows back to the driver
+    // one semi-join scan over the LOGICAL frame (r18: an evolved table
+    // probes post-rename key names and default-filled values), O(files)
+    // rows back to the driver
     val touched = if (all.isEmpty) Seq.empty[String]
-    else touchedFilesPlan(spark, all.map(f => s"$table/$f"), allKeys, keyCol)
+    else touchedFilesPlanOver(readLogical(spark, table, lines, all),
+      allKeys, keyCol)
       .collect() // O(files) rows — manifest-construction control plane
       .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
       .sorted.toSeq
@@ -1046,7 +1049,7 @@ object Acid {
       val basePart =
         if (touched.isEmpty) upserts.limit(0)
         else subtractDeletes(spark, table, lines,
-          spark.read.parquet(touched.map(f => s"$table/$f"): _*))
+          readLogical(spark, table, lines, touched))
           .join(allKeys, Seq(keyCol), "left_anti")
       basePart.unionByName(upserts)
     }
@@ -1103,13 +1106,6 @@ object Acid {
         result = (cur.get, 0, lines.count(!_.startsWith("#"))) // replay → no-op
       } else {
         require(lines.contains("# base:."), s"mergeCow on snapshot-mode table $table")
-        // the probe + rewrite read raw physical frames — mixed schema
-        // generations would evaluate the key join over an arbitrary
-        // footer's schema and silently miss or null the later
-        // generation's columns (same guard as mergeCowBranch; ADVICE r17)
-        require(!mixedGenerations(lines),
-          s"mergeCow on $table: schema-evolution metadata present — " +
-            "row-level DML across schema generations is unsupported")
         // MERGE on a lineage table needs fresh-id allocation for inserts
         // AND materialization for carried rows — neither happens here;
         // refuse instead of stranding stale assignment lines (r18)
@@ -1149,10 +1145,34 @@ object Acid {
     * the BroadcastHashJoin LeftSemi shape. */
   private[graft] def touchedFilesPlan(spark: SparkSession, paths: Seq[String],
       keys: DataFrame, keyCol: String): DataFrame =
-    spark.read.parquet(paths: _*)
-      .select(col(keyCol), input_file_name().as("f"))
+    touchedFilesPlanOver(spark.read.parquet(paths: _*), keys, keyCol)
+
+  /** [[touchedFilesPlan]] over a caller-built scan — the seam that lets
+    * evolved tables probe through their LOGICAL frame ([[readLogical]]):
+    * `input_file_name()` resolves through the mapping projections because
+    * the frame still has exactly one scan source. */
+  private[graft] def touchedFilesPlanOver(scan: DataFrame,
+      keys: DataFrame, keyCol: String): DataFrame =
+    scan.select(col(keyCol), input_file_name().as("f"))
       .join(keys, Seq(keyCol), "left_semi")
       .select(col("f")).distinct()
+
+  /** The LOGICAL frame of a file subset: a plain scan normally;
+    * footer-union + column mapping + defaults when the manifest mixes
+    * schema generations. This is what row-level DML probes and rewrites
+    * evaluate against (r18 — lifting the blanket refusal): predicates and
+    * key joins see post-evolution names and default-filled values, and
+    * the rewrite lands the logical schema — the carried colmap/coldefault
+    * lines keep resolving the UNTOUCHED files while rewritten files are
+    * simply current-generation (Delta's DML-on-column-mapped-tables
+    * behavior). */
+  private def readLogical(spark: SparkSession, table: String,
+      lines: Seq[String], files: Seq[String]): DataFrame =
+    if (!mixedGenerations(lines))
+      spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    else applyColumnDefaults(lines, applyColumnMapping(lines,
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$table/$f"): _*)))
 
   // ---- predicate-based row-level UPDATE / DELETE (copy-on-write) ----
 
@@ -1186,13 +1206,6 @@ object Acid {
         result = (cur.get, 0, lines.count(!_.startsWith("#"))) // replay → no-op
       } else {
         require(lines.contains("# base:."), s"$what on snapshot-mode table $table")
-        // predicate probe + rewrite read raw physical frames — under mixed
-        // schema generations the predicate would evaluate NULL/missing on
-        // pre-evolution rows and the rewrite would drop a generation's
-        // stored columns: refuse loudly (ADVICE r17)
-        require(!mixedGenerations(lines),
-          s"$what on $table: schema-evolution metadata present — " +
-            "row-level DML across schema generations is unsupported")
         // a plain COW rewrite drops the touched files' row-id assignments
         // (r18): lineage tables update through updateWhereLineage, which
         // materializes ids through the rewrite
@@ -1202,8 +1215,12 @@ object Acid {
             "(it materializes ids through the rewrite)")
         val all = lines.filterNot(_.startsWith("#"))
         val root = Paths.get(table).toAbsolutePath
+        // probe + rewrite run over the LOGICAL frame (r18): on an evolved
+        // table the predicate sees post-rename names and default-filled
+        // values — Delta's DML semantics on column-mapped tables — and
+        // the rewrite lands the logical schema
         val touched = if (all.isEmpty) Seq.empty[String]
-        else spark.read.parquet(all.map(f => s"$table/$f"): _*)
+        else readLogical(spark, table, lines, all)
           .filter(pred)
           .select(input_file_name().as("f")).distinct()
           .collect() // O(files) rows — manifest-construction control plane
@@ -1214,7 +1231,7 @@ object Acid {
           if (touched.isEmpty) Seq.empty[String]
           else writeTxnData(spark, table,
             transform(subtractDeletes(spark, table, lines,
-              spark.read.parquet(touched.map(f => s"$table/$f"): _*))), txnId)
+              readLogical(spark, table, lines, touched))), txnId)
         val deadStat = (l: String) => touched.exists(f =>
           l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
             l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))

@@ -1100,6 +1100,74 @@ object Lakehouse {
         FROM g1, g2
         ORDER BY gen""".trim)),
 
+    // DML ACROSS SCHEMA GENERATIONS (r18 — the refusal LIFTED into
+    // Delta's column-mapping DML contract): the table mixes THREE file
+    // generations (pre-default, default+stored, post-rename), and pure-SQL
+    // UPDATE and MERGE run against the LOGICAL frame — the predicate
+    // names the RENAMED column and matches default-filled rows that
+    // predate it; only predicate/key-touched files rewrite (landing the
+    // logical schema), untouched generations stay byte-identical and keep
+    // resolving through the carried colmap/coldefault lines. At 100 TB
+    // this is what makes ALTER TABLE metadata-only for real: renames and
+    // defaults never force a table rewrite, and DML keeps working the
+    // day after the ALTER.
+    Q("sink_dml_evolved",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("dml_evolved", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0), 0L)
+        Acid.addColumnDefault(spark, table, "region", "'unset'", 1L)
+        Acid.appendTxnChecked(spark, table,
+          or.filter(col("o_orderkey") % 3 === 1).withColumn("region", lit("east")), 2L)
+        Acid.renameColumn(table, "region", "zone", 3L)
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 2).withColumn("zone", lit("west")), 4L)
+        // SQL UPDATE whose predicate names the RENAMED column and whose
+        // matches live in the MIDDLE generation (stored under the old
+        // physical name)
+        SqlEntry.sqlLakehouse(spark, s"UPDATE acid_table('$table') " +
+          "SET price = CAST(price + 100 AS DECIMAL(12,2)) " +
+          "WHERE zone = 'east' TXN 5")
+        // untouched generations keep their stored/default values
+        require(Acid.readEvolved(spark, table)
+          .filter(col("o_orderkey") % 3 === 0 && col("zone") =!= "unset").isEmpty,
+          "sink_dml_evolved: UPDATE disturbed the pre-default generation")
+        // SQL MERGE keyed across generations: whole-row replace of the
+        // %15==0 keys (all in the OLDEST generation)
+        or.filter(col("o_orderkey") % 15 === 0)
+          .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+            money(lit(55)).as("price"), lit("hq").as("zone"))
+          .createOrReplaceTempView("dml_evolved_changes")
+        SqlEntry.sqlLakehouse(spark, s"MERGE INTO acid_table('$table') " +
+          "USING dml_evolved_changes ON o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * TXN 6")
+        Acid.readEvolved(spark, table)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"), col("zone"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          FROM orders
+        )
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 15 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(CAST(CASE WHEN o_orderkey % 15 = 0 THEN 55
+                    WHEN o_orderkey % 3 = 1 THEN price + 100
+                    ELSE price END AS DECIMAL(12,2)) AS DOUBLE) AS price,
+               CASE WHEN o_orderkey % 15 = 0 THEN 'hq'
+                    WHEN o_orderkey % 3 = 0 THEN 'unset'
+                    WHEN o_orderkey % 3 = 1 THEN 'east'
+                    ELSE 'west' END AS zone
+        FROM base
+        ORDER BY o_orderkey""".trim)),
+
     // LINEAGE-PRESERVING MERGE (r18 — [[Acid.mergeCowLineage]], the
     // Iceberg-v3 DML contract completing sink_row_lineage's UPDATE): a
     // MERGE against a row-lineage table keeps every MATCHED row's id

@@ -472,6 +472,15 @@ object ExplainDump {
       "zero data I/O. Rebase cost = the original DML's bill, publish " +
       "stays O(1) fast-forward. (The returned frame is the post-publish " +
       "read; the refusal/replay choreography is in-body pinned.)"),
+    "sink_dml_evolved" -> ("DML across schema generations (r18): the " +
+      "UPDATE/MERGE probe and rewrite run over the LOGICAL frame " +
+      "(footer-union + colmap + defaults) — the dumped plan is the " +
+      "post-DML evolved read: three file generations under one " +
+      "mergeSchema scan, the rename stitched by coalesce and the " +
+      "default filled as a projection, vectors as a broadcast " +
+      "anti-join. Only predicate/key-touched files were rewritten; " +
+      "at 100 TB ALTER TABLE stays metadata-only and DML stays " +
+      "O(touched files)."),
     "join_spj_skew" -> ("Partially-clustered SPJ (r18): the fact's hot " +
       "bucket (4 files) scans as 4 input partitions with duplicate " +
       "partition keys; partiallyClusteredDistribution keeps the fact " +

@@ -3050,7 +3050,7 @@ class OperatorSpec extends SparkFixture {
     assert(e.getMessage.contains("optimizeLineage"), e.getMessage)
   }
 
-  test("rewrites across schema generations: optimize preserves stored values (mergeSchema); DML refuses; optimizeWhere refuses lineage") {
+  test("rewrites across schema generations: optimize preserves stored values; DML works over the logical frame; optimizeWhere refuses lineage") {
     import spark.implicits._
     import graft.ops.Acid
     // -- the ADVICE r17 corruption scenario: ADD COLUMN ... DEFAULT, a
@@ -3079,16 +3079,29 @@ class OperatorSpec extends SparkFixture {
       .select("k", "area").as[(Long, String)].collect().toMap
     assert(got2 == Map(1L -> "unset", 2L -> "unset", 3L -> "east",
       4L -> "west", 5L -> "north"), s"optimize corrupted a rename generation: $got2")
-    // -- row-level DML refuses mixed generations loudly (the probe and
-    // rewrite evaluate raw physical frames; same guard as mergeCowBranch)
-    val eM = intercept[IllegalArgumentException] {
-      Acid.mergeCow(spark, t, Seq((1L, "z", "south")).toDF("k", "s", "area"), "k", 7L) }
-    assert(eM.getMessage.contains("schema-evolution"), eM.getMessage)
-    val eU = intercept[IllegalArgumentException] {
-      Acid.updateWhere(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 8L) }
-    assert(eU.getMessage.contains("schema-evolution"), eU.getMessage)
+    // -- row-level DML WORKS across schema generations (r18 lift): probe
+    // and rewrite run over the LOGICAL frame, so predicates see the
+    // post-rename name and default-filled values. Fresh-generation append
+    // first so the table genuinely mixes file schemas again.
+    Acid.appendTxn(spark, t, Seq((7L, "g", "south")).toDF("k", "s", "area"), 11L)
+    Acid.updateWhere(spark, t, Seq("s" -> lit("hit")), col("area") === "east", 12L)
+    def evolved() = Acid.readEvolved(spark, t).select("k", "s", "area")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got3 = evolved()
+    assert(got3(3L) == (("hit", "east")), s"pred on renamed column missed: $got3")
+    assert(got3(1L) == (("a", "unset")) && got3(7L) == (("g", "south")),
+      s"carried rows corrupted by evolved UPDATE: $got3")
+    Acid.mergeCow(spark, t,
+      Seq((1L, "z", "west2"), (8L, "h", "north2")).toDF("k", "s", "area"), "k", 13L)
+    val got4 = evolved()
+    assert(got4(1L) == (("z", "west2")) && got4(8L) == (("h", "north2")),
+      s"evolved MERGE wrong: $got4")
+    assert(got4(2L) == (("b", "unset")), s"evolved MERGE disturbed a carried row: $got4")
+    // updateWhereCAS alone keeps the refusal: its commute analysis does
+    // not extend to evolution commits
     val eC = intercept[IllegalArgumentException] {
-      Acid.updateWhereCAS(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 9L) }
+      Acid.updateWhereCAS(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 14L) }
     assert(eC.getMessage.contains("schema-evolution"), eC.getMessage)
     // -- a branch forked from the evolved main reads through the same
     // mapping+defaults semantics (plain scans let a footer win — r18)
@@ -3097,8 +3110,9 @@ class OperatorSpec extends SparkFixture {
       Seq((9L, "i", "south")).toDF("k", "s", "area"), 10L)
     val br = Acid.readBranch(spark, t, "ev")
       .select("k", "area").as[(Long, String)].collect().toMap
-    assert(br == Map(1L -> "unset", 2L -> "unset", 3L -> "east",
-      4L -> "west", 5L -> "north", 9L -> "south"),
+    assert(br == Map(1L -> "west2", 2L -> "unset", 3L -> "east",
+      4L -> "west", 5L -> "north", 7L -> "south", 8L -> "north2",
+      9L -> "south"),
       s"branch read corrupted a schema generation: $br")
     Acid.dropBranch(t, "ev")
     // -- optimizeWhere mirrors rewriteCommit's row-lineage guard: a
