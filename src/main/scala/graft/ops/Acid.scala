@@ -1053,6 +1053,7 @@ object Acid {
           .join(allKeys, Seq(keyCol), "left_anti")
       basePart.unionByName(upserts)
     }
+    checkConstraintLines(lines, rewritten, what)
     rewritten.write.mode("overwrite").parquet(dataDir.toString)
     val newFiles = listParquet(table, dataDir)
     // vector reconciliation: upserted keys leave the standing vector
@@ -1063,6 +1064,34 @@ object Acid {
       l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
         l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
     CowMerge(touched, survivors, newFiles, vectorLines, deadStat, all.size)
+  }
+
+  /** Evaluate the manifest's standing CHECK constraints over a frame a
+    * row-level rewrite (UPDATE/DELETE/MERGE) is about to WRITE — Delta
+    * enforces invariants on every write path, not only appends (r18
+    * review: an unchecked DML could store a real NULL into a defaulted
+    * column, which the read-side coalesce would then silently masquerade
+    * as the default — the exactness contract the auto NOT NULL constraint
+    * exists to protect). One O(batch) aggregate over the rewrite frame;
+    * a violating batch refuses loudly with the table unmoved. Carried
+    * rows re-checking is free of false positives: [[addConstraint]]
+    * validates existing data when the constraint lands. */
+  private def checkConstraintLines(lines: Seq[String], df: DataFrame,
+      what: String): Unit = {
+    val all = lines.filter(_.startsWith("# constraint:")).map { l =>
+      val body = l.stripPrefix("# constraint:")
+      val (n, p) = body.span(_ != '|'); (n.trim, p.drop(1))
+    }
+    if (all.nonEmpty) {
+      val aggs = all.map { case (n, p) =>
+        count(when(!expr(p) || expr(p).isNull, 1)).as(n) }
+      val row = df.agg(aggs.head, aggs.tail: _*).head
+      val bad = all.zipWithIndex
+        .map { case ((n, p), i) => (n, p, row.getLong(i)) }.filter(_._3 > 0)
+      if (bad.nonEmpty) throw new ConstraintViolationException(
+        s"$what: " +
+          bad.map { case (n, p, c) => s"$n ($p): $c rows" }.mkString("; "))
+    }
   }
 
   /** Vector reconciliation shared by every COW-merge flavor
@@ -1229,9 +1258,12 @@ object Acid {
         val survivors = all.filterNot(touched.contains)
         val newFiles =
           if (touched.isEmpty) Seq.empty[String]
-          else writeTxnData(spark, table,
-            transform(subtractDeletes(spark, table, lines,
-              readLogical(spark, table, lines, touched))), txnId)
+          else {
+            val out = transform(subtractDeletes(spark, table, lines,
+              readLogical(spark, table, lines, touched)))
+            checkConstraintLines(lines, out, what)
+            writeTxnData(spark, table, out, txnId)
+          }
         val deadStat = (l: String) => touched.exists(f =>
           l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
             l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
@@ -1324,6 +1356,7 @@ object Acid {
             case None    => col(c)
           }
         }: _*)
+        checkConstraintLines(snap, updated, "updateWhereCAS")
         writeTxnData(spark, table, updated, txnId)
       }
     beforeCommit()
@@ -2326,6 +2359,7 @@ object Acid {
                 case None    => col(c)
               }
             } :+ col("row_id").as("__row_id"): _*)
+            checkConstraintLines(lines, updated, "updateWhereLineage")
             writeTxnData(spark, table, updated, txnId)
           }
         val deadMeta = (l: String) => touched.exists(f =>
@@ -2462,7 +2496,10 @@ object Acid {
           .withColumnRenamed("row_id", "__row_id")
         val newFiles =
           if (target == null && nInserts == 0) Seq.empty[String]
-          else writeTxnData(spark, table, rewritten, txnId)
+          else {
+            checkConstraintLines(lines, rewritten, "mergeCowLineage")
+            writeTxnData(spark, table, rewritten, txnId)
+          }
         // vector reconciliation, mergeCow's rule: upserted keys leave the
         // standing vector (the insert above is the resurrection)
         val vectorLines = reconcileVector(spark, table, lines,
@@ -3436,14 +3473,8 @@ object Acid {
     * arbitrary footer drop a generation's columns (ADVICE r18 sweep). */
   def readBranch(spark: SparkSession, table: String, name: String): DataFrame = {
     val lines = branchLines(table, name)
-    val files = lines.filterNot(_.startsWith("#"))
-    val base =
-      if (!mixedGenerations(lines))
-        spark.read.parquet(files.map(f => s"$table/$f"): _*)
-      else applyColumnDefaults(lines, applyColumnMapping(lines,
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$table/$f"): _*)))
-    subtractDeletes(spark, table, lines, base)
+    subtractDeletes(spark, table, lines,
+      readLogical(spark, table, lines, lines.filterNot(_.startsWith("#"))))
   }
 
   /** Row-level MERGE INTO a BRANCH, copy-on-write — the dev-pipeline story
@@ -3468,13 +3499,6 @@ object Acid {
         s"$table but not on branch '$name' — use a fresh txn id")
     require(prev.contains("# base:."),
       s"mergeCowBranch on snapshot-mode table $table")
-    // the rewrite reads the touched files' raw physical frames — mixed
-    // schema generations (column mapping / defaults) would silently null
-    // the later generation's columns (same guard as optimizeLineage)
-    require(!prev.exists(l => l.startsWith("# colmap:") ||
-      l.startsWith("# coldrop:") || l.startsWith("# coldefault:")),
-      s"mergeCowBranch on $table: schema-evolution metadata present — " +
-        "branch DML across schema generations is unsupported")
     // Persist the LOGICAL change frame under the branch namespace before
     // touching anything — the op log's merge entry points at this copy, so
     // [[rebaseBranchDml]] can re-run the exact same MERGE against a future
@@ -3797,9 +3821,10 @@ object Acid {
     * original branch DML paid — plus O(lines) for appends/deletes; never
     * O(table). Cross-ref txn collisions refuse as everywhere; idempotent
     * per `txnId` against the branch ledger. Refuses branches whose
-    * commits predate the op log (no `# dml:` record — re-fork) and main
-    * bases carrying schema-evolution metadata (the replay reads raw
-    * physical frames, [[mergeCow]]'s own guard). */
+    * commits predate the op log (no `# dml:` record — re-fork). Schema-
+    * evolved bases replay fine: the merge replays run through the same
+    * LOGICAL-frame probe/rewrite as main DML ([[readLogical]]), and
+    * append/delete replays are manifest arithmetic. */
   def rebaseBranchDml(spark: SparkSession, table: String, name: String,
       txnId: Long): Long = withWriterLock(table) {
     val (base, head) = branches(table).getOrElse(name,
@@ -3849,9 +3874,6 @@ object Acid {
     val curLines = manifestLines(table, cur)
     require(curLines.contains("# base:."),
       s"rebaseBranchDml on snapshot-mode table $table")
-    require(!mixedGenerations(curLines),
-      s"rebaseBranchDml on $table: schema-evolution metadata present — " +
-        "row-level DML across schema generations is unsupported")
     val collided = ops.map(o => s"# txn:${o.txn}")
       .toSet.intersect(curLines.filter(_.startsWith("# txn:")).toSet)
     require(collided.isEmpty,

@@ -3103,6 +3103,14 @@ class OperatorSpec extends SparkFixture {
     val eC = intercept[IllegalArgumentException] {
       Acid.updateWhereCAS(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 14L) }
     assert(eC.getMessage.contains("schema-evolution"), eC.getMessage)
+    // -- DML writes are constraint-GATED like appends (r18 review): an
+    // explicit NULL into the defaulted column would be masqueraded as the
+    // default by the read-side coalesce — the auto NOT NULL refuses it
+    // with the table unmoved
+    intercept[graft.ops.ConstraintViolationException] {
+      Acid.updateWhere(spark, t, Seq("area" -> lit(null).cast("string")),
+        col("k") === 4L, 15L) }
+    assert(evolved()(4L) == (("d", "west")), "refused UPDATE mutated the table")
     // -- a branch forked from the evolved main reads through the same
     // mapping+defaults semantics (plain scans let a footer win — r18)
     Acid.createBranch(t, "ev", Acid.currentVersion(t).get)
@@ -3114,7 +3122,19 @@ class OperatorSpec extends SparkFixture {
       4L -> "west", 5L -> "north", 7L -> "south", 8L -> "north2",
       9L -> "south"),
       s"branch read corrupted a schema generation: $br")
-    Acid.dropBranch(t, "ev")
+    // -- and the WHOLE branch lifecycle crosses generations now: branch
+    // MERGE over the evolved fork, main advances, DML rebase, publish
+    Acid.mergeCowBranch(spark, t, "ev",
+      Seq((2L, "bb", "east3")).toDF("k", "s", "area"), "k", 20L)
+    assert(Acid.readBranch(spark, t, "ev")
+      .filter(col("k") === 2L).select("area").head.getString(0) == "east3")
+    assert(evolved()(2L) == (("b", "unset")), "branch DML leaked into main")
+    Acid.appendTxn(spark, t, Seq((10L, "j", "extra")).toDF("k", "s", "area"), 21L)
+    Acid.rebaseBranchDml(spark, t, "ev", 22L)
+    Acid.fastForwardBranch(t, "ev", 23L)
+    val fin = evolved()
+    assert(fin(2L) == (("bb", "east3")) && fin(9L) == (("i", "south")) &&
+      fin(10L) == (("j", "extra")), s"evolved branch publish wrong: $fin")
     // -- optimizeWhere mirrors rewriteCommit's row-lineage guard: a
     // partition-scoped rewrite would drop firstrow assignments silently
     val t2 = java.nio.file.Files.createTempDirectory("graft_owlin").toString + "/t"
