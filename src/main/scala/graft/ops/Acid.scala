@@ -822,6 +822,24 @@ object Acid {
     listParquet(table, dataDir)
   }
 
+  /** Write a DML rewrite frame, then run the standing CHECK constraints
+    * over the files that were ACTUALLY WRITTEN (ADVICE r18: a pre-write
+    * constraint aggregate is a separate Spark action from the write — a
+    * nondeterministic change plan or SET expression could pass the check
+    * and then write different, violating rows; validating the written
+    * bytes closes the two-action gap, the same reason mergeCowLineage
+    * freezes its change frame). A violation throws BEFORE commit, leaving
+    * only an uncommitted txn= dir that vacuum GCs. */
+  private def writeTxnDataChecked(spark: SparkSession, table: String,
+      df: DataFrame, txnId: Long, lines: Seq[String],
+      what: String): Seq[String] = {
+    val files = writeTxnData(spark, table, df, txnId)
+    if (files.nonEmpty && lines.exists(_.startsWith("# constraint:")))
+      checkConstraintLines(lines,
+        spark.read.parquet(files.map(f => s"$table/$f"): _*), what)
+    files
+  }
+
   /** The append-commit manifest: predecessor's ledger + this txn, standing
     * delete vectors carried forward, predecessor's files + the new ones. */
   private def appendManifest(prev: Seq[String], txnId: Long,
@@ -1053,9 +1071,14 @@ object Acid {
           .join(allKeys, Seq(keyCol), "left_anti")
       basePart.unionByName(upserts)
     }
-    checkConstraintLines(lines, rewritten, what)
+    // write FIRST, then constraint-check the written files (ADVICE r18:
+    // checking the plan pre-write is a separate action — a nondeterministic
+    // changes frame could pass the check yet write violating rows)
     rewritten.write.mode("overwrite").parquet(dataDir.toString)
     val newFiles = listParquet(table, dataDir)
+    if (newFiles.nonEmpty && lines.exists(_.startsWith("# constraint:")))
+      checkConstraintLines(lines,
+        spark.read.parquet(newFiles.map(f => s"$table/$f"): _*), what)
     // vector reconciliation: upserted keys leave the standing vector
     val upsertedKeyRows = upserts.select(col(keyCol)).distinct()
     val vectorLines = reconcileVector(spark, table, lines, upsertedKeyRows,
@@ -1261,8 +1284,7 @@ object Acid {
           else {
             val out = transform(subtractDeletes(spark, table, lines,
               readLogical(spark, table, lines, touched)))
-            checkConstraintLines(lines, out, what)
-            writeTxnData(spark, table, out, txnId)
+            writeTxnDataChecked(spark, table, out, txnId, lines, what)
           }
         val deadStat = (l: String) => touched.exists(f =>
           l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
@@ -1356,8 +1378,8 @@ object Acid {
             case None    => col(c)
           }
         }: _*)
-        checkConstraintLines(snap, updated, "updateWhereCAS")
-        writeTxnData(spark, table, updated, txnId)
+        writeTxnDataChecked(spark, table, updated, txnId, snap,
+          "updateWhereCAS")
       }
     beforeCommit()
     val deadStat = (l: String) => touched.exists(f =>
@@ -2359,8 +2381,8 @@ object Acid {
                 case None    => col(c)
               }
             } :+ col("row_id").as("__row_id"): _*)
-            checkConstraintLines(lines, updated, "updateWhereLineage")
-            writeTxnData(spark, table, updated, txnId)
+            writeTxnDataChecked(spark, table, updated, txnId, lines,
+              "updateWhereLineage")
           }
         val deadMeta = (l: String) => touched.exists(f =>
           l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
@@ -3095,18 +3117,41 @@ object Acid {
         "(Delta deletion vectors have the same caveat)")
     def delFiles(lines: Seq[String]): Seq[String] =
       lines.filter(_.startsWith("# delete:")).map(_.stripPrefix("# delete:").trim)
-    // vector monotonicity: append-mode deletes only ADD vector files; a
-    // vector line VANISHING with the data files intact is a RESTORE
-    // un-hiding keys in surviving files — inserts the file diff cannot
-    // see (ADVICE r17, sibling of changeFeedRow's restore guard)
-    require(delFiles(linesFrom).toSet.subsetOf(delFiles(linesTo).toSet),
-      s"changeFeed($fromV, $toV) crosses a commit that dropped delete-" +
-        "vector lines without replacing files (RESTORE across a vector " +
-        "commit?) — the resurrection is invisible to a file diff; " +
-        "re-seed the consumer")
     def keyOf(lines: Seq[String]): Option[String] =
       lines.find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
     val added = filesTo.filterNot(filesFrom)
+    // vector monotonicity: append-mode deletes only ADD vector files; a
+    // vector line VANISHING with the data files intact is a RESTORE
+    // un-hiding keys in surviving files — inserts the file diff cannot
+    // see (ADVICE r17, sibling of changeFeedRow's restore guard).
+    // EXCEPTION (ADVICE r18): a commit that reconciles the standing
+    // vector while only ADDING files (an explicit re-insert of a key
+    // that existed only in the vector) makes the resurrection fully
+    // visible in the added files — permit the drop iff every key removed
+    // from the vector appears in the commit's added files; the insert
+    // derivation below then emits it naturally. O(dropped vector files +
+    // added files) verification I/O, control plane.
+    if (!delFiles(linesFrom).toSet.subsetOf(delFiles(linesTo).toSet)) {
+      val visible = keyOf(linesFrom).exists { k =>
+        val fromKeys = spark.read
+          .parquet(delFiles(linesFrom).map(f => s"$table/$f"): _*)
+          .select(col(k)).distinct()
+        val toKeys =
+          if (delFiles(linesTo).isEmpty) fromKeys.limit(0)
+          else spark.read.parquet(delFiles(linesTo).map(f => s"$table/$f"): _*)
+            .select(col(k)).distinct()
+        val removed = fromKeys.join(toKeys, Seq(k), "left_anti")
+        added.nonEmpty && removed.join(
+          spark.read.parquet(added.map(f => s"$table/$f").toSeq: _*)
+            .select(col(k)).distinct(),
+          Seq(k), "left_anti").isEmpty
+      }
+      require(visible,
+        s"changeFeed($fromV, $toV) crosses a commit that dropped delete-" +
+          "vector lines without replacing files (RESTORE across a vector " +
+          "commit?) — the resurrection is invisible to a file diff; " +
+          "re-seed the consumer")
+    }
     val delsToFiles = delFiles(linesTo)
     val newDelFiles = delsToFiles.filterNot(delFiles(linesFrom).toSet)
     val insertsRaw =
@@ -3908,12 +3953,20 @@ object Acid {
             state.filterNot(_.startsWith("#"))
         case "merge" =>
           val changes = spark.read.parquet(op.files.map(f => s"$table/$f"): _*)
-          // fresh dirs per (op, base): a later rebase onto another base
-          // must not overwrite files an earlier rebase may have published
+          // fresh dirs per (op, base, THIS rebase's txn): a later rebase
+          // onto another base must not overwrite files an earlier rebase
+          // published — and (ADVICE r18) a SECOND rebase at the SAME main
+          // head with a fresh txnId must not overwrite dirs the branch's
+          // current head manifest still references (part-file names are
+          // not stable; an overwrite deletes the old files mid-read and
+          // leaves the superseded head dangling). Keying by the rebase's
+          // own txnId makes every rebase write fresh dirs.
           val m = cowMergeAttempt(spark, table, state, changes, op.keyCol,
             op.opCol,
-            Paths.get(table).resolve(s"branch=$name").resolve(s"txn=${op.txn}-r$cur"),
-            Paths.get(table).resolve(s"branch=$name").resolve(s"del=${op.txn}-r$cur"),
+            Paths.get(table).resolve(s"branch=$name")
+              .resolve(s"txn=${op.txn}-r$cur-t$txnId"),
+            Paths.get(table).resolve(s"branch=$name")
+              .resolve(s"del=${op.txn}-r$cur-t$txnId"),
             "rebaseBranchDml")
           ("# base:." +:
             (state.filter(_.startsWith("# txn:")) :+ s"# txn:${op.txn}")) ++

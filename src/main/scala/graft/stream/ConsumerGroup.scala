@@ -143,17 +143,22 @@ object ConsumerGroup {
   def rebalance(groupDir: String, partitions: Seq[String],
       members: Seq[String]): (Long, Map[String, Seq[String]]) = withGroupLock(groupDir) {
     val gen = currentGeneration(groupDir) + 1
-    val body = (gen.toString +: members.sorted).mkString("", "\n", "\n")
-    val tmp = Paths.get(groupDir, "generation.txt.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, genPath(groupDir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val asg = assign(partitions, members)
+    // Write ORDER matters across a coordinator crash (ADVICE r18): the
+    // generation file must land LAST. If it landed first and the crash hit
+    // before the epoch bump, moved partitions would carry stale epochs at
+    // the new generation — a revoked zombie's old-generation commit would
+    // pass the per-partition fence and max-merge ahead, making the new
+    // owner skip records (silent loss). Epochs-then-generation means a
+    // mid-crash OVER-fences (epochs ahead of the group generation → loud,
+    // retryable rejection) instead of under-fencing.
     writeAssignment(groupDir, asg)
     // EAGER semantics: every partition is revoked-and-reassigned, so every
     // partition's owner epoch bumps — any pre-rebalance generation is
     // fenced everywhere (the classic stop-the-world protocol)
     bumpEpochs(groupDir, partitions.toSet, gen)
+    val body = (gen.toString +: members.sorted).mkString("", "\n", "\n")
+    writeAtomic(groupDir, genPath(groupDir), body)
     (gen, asg)
   }
 
@@ -204,10 +209,13 @@ object ConsumerGroup {
         a.toSeq.sortBy(_._1).collectFirst { case (m, l) if l.contains(p) => m }
       val moved = ps.filter(p => ownerIn(prev, p) != ownerIn(asg, p)).toSet
       val gen = currentGeneration(groupDir) + 1
-      val body = (gen.toString +: ms).mkString("", "\n", "\n")
-      writeAtomic(groupDir, genPath(groupDir), body)
+      // Same crash-ordering contract as the eager path: assignment and
+      // epochs first, generation file LAST, so a coordinator crash between
+      // the writes over-fences (loud) rather than under-fences (silent skip).
       writeAssignment(groupDir, asg)
       bumpEpochs(groupDir, moved, gen) // ONLY the moved partitions
+      writeAtomic(groupDir, genPath(groupDir),
+        (gen.toString +: ms).mkString("", "\n", "\n"))
       (gen, asg.withDefaultValue(Seq.empty), moved)
     }
 
@@ -229,6 +237,14 @@ object ConsumerGroup {
     generation.foreach { g =>
       val eps = partitionEpochs(groupDir)
       if (eps.nonEmpty) {
+        // A generation ABOVE the group's current one is a protocol bug
+        // (no rebalance issued it) — the legacy whole-group check caught
+        // this; keep it alongside the per-partition fence (ADVICE r18),
+        // else a buggy member claiming a future generation bypasses
+        // fencing on every partition.
+        val cur = currentGeneration(groupDir)
+        if (g > cur) throw new FencedGenerationException(
+          s"commit from generation $g rejected: group is at generation $cur")
         offsets.keys.toSeq.sorted.find(p => g < eps.getOrElse(p, 0L))
           .foreach { p =>
             throw new FencedGenerationException(

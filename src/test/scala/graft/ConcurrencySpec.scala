@@ -803,6 +803,43 @@ class ConcurrencySpec extends SparkFixture {
       "replayed empty-branch rebase re-forked onto the advanced head")
   }
 
+  test("rebaseBranchDml: a second rebase at the SAME main head keeps the superseded head's replay files readable (ADVICE r18)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_rbtwice").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, (0L until 50L).map(k => (k, k * 10L)).toDF("k", "x"), 0L)
+    Acid.createBranch(t, "exp", 0L)
+    // a branch MERGE so the replay writes materialized part files
+    Acid.mergeCowBranch(spark, t, "exp",
+      (0L until 50L).filter(_ % 5 == 0).map(k => (k, k + 1L)).toDF("k", "x"),
+      "k", 10L)
+    Acid.appendTxn(spark, t, Seq((500L, 5000L)).toDF("k", "x"), 1L) // main moves
+    val h1 = Acid.rebaseBranchDml(spark, t, "exp", txnId = 20L)
+    val firstHead = Acid.readBranch(spark, t, "exp")
+      .as[(Long, Long)].collect().toSet
+    // second rebase at the SAME main head, FRESH txnId (a driver that lost
+    // the first ack and retried with a new id): replay dirs are keyed by
+    // the rebase's own txnId, so the first head's part files must survive —
+    // the old keying overwrote them (part-file names are not stable),
+    // failing concurrent readers and dangling the superseded manifest
+    val h2 = Acid.rebaseBranchDml(spark, t, "exp", txnId = 21L)
+    assert(h2 == h1 + 1)
+    // the SUPERSEDED head manifest still resolves to readable bytes — the
+    // view a concurrent reader that pinned manifest h1 mid-replay holds
+    val h1Files = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(t, s"manifest-br-exp-$h1.txt"))
+      .asScala.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    val againFirst = spark.read.parquet(h1Files.map(f => s"$t/$f"): _*)
+      .select("k", "x").as[(Long, Long)].collect().toSet
+    assert(againFirst == firstHead,
+      "second rebase clobbered the first rebase's replay files")
+    // and the new head carries identical logical content (same base, same ops)
+    assert(Acid.readBranch(spark, t, "exp").as[(Long, Long)].collect().toSet ==
+      firstHead)
+  }
+
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode

@@ -647,4 +647,44 @@ class GraftLogSpec extends SparkFixture {
     assert(union == Seq(0L, 1, 2, 10, 11, 12, 20, 21, 22, 30, 31, 32),
       s"receipts union broken: $union")
   }
+
+  test("fencing hardening (ADVICE r18): future generations rejected; a mid-rebalance crash over-fences, never under-fences") {
+    import graft.stream.FencedGenerationException
+    val group = Files.createTempDirectory("graftlog_cg_harden").toString
+    val parts = Seq("p=0", "p=1")
+    val (g1, _) = ConsumerGroup.rebalance(group, parts, Seq("alice"))
+    ConsumerGroup.commitOffsets(group, Map("p=0" -> 1L), Some(g1))
+    val ledger = ConsumerGroup.committedOffsets(group)
+    // a generation ABOVE the group's current one is a protocol bug — no
+    // rebalance issued it; with only the per-partition lower-bound check a
+    // buggy member claiming a future epoch would bypass fencing everywhere
+    intercept[FencedGenerationException] {
+      ConsumerGroup.commitOffsets(group, Map("p=0" -> 999L), Some(g1 + 5))
+    }
+    assert(ConsumerGroup.committedOffsets(group) == ledger,
+      "future-generation commit mutated the ledger")
+    // simulate a coordinator CRASH mid-rebalance: assignment + epochs for
+    // generation 2 landed, the generation file did not (the write order the
+    // fix pins — generation LAST). Both the old and the would-be-new
+    // generation must now be rejected on the moved partition: over-fencing
+    // (loud, retryable) instead of the silent skip a stale epoch allows.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(group, "part_epochs.txt"),
+      s"p=0\t${g1 + 1}\np=1\t${g1 + 1}\n")
+    intercept[FencedGenerationException] {
+      ConsumerGroup.commitOffsets(group, Map("p=0" -> 999L), Some(g1))
+    }
+    intercept[FencedGenerationException] {
+      ConsumerGroup.commitOffsets(group, Map("p=0" -> 999L), Some(g1 + 1))
+    }
+    assert(ConsumerGroup.committedOffsets(group) == ledger,
+      "crash-window commit mutated the ledger")
+    // a RETRY of the interrupted rebalance (the documented recovery) heals
+    // the group: the generation file catches up and commits flow again
+    val (g2, asg2) = ConsumerGroup.rebalance(group, parts, Seq("alice", "bob"))
+    assert(g2 == g1 + 1)
+    ConsumerGroup.commitOffsets(group, Map("p=0" -> 2L), Some(g2))
+    assert(ConsumerGroup.committedOffsets(group)("p=0") == 2L)
+    assert(asg2.values.flatten.toSet == parts.toSet)
+  }
 }
