@@ -504,8 +504,16 @@ object Acid {
     val lines = manifestLines(table, v)
     val rootRel = lines.contains("# base:.")
     val files = lines.filterNot(_.startsWith("#"))
+    // Time travel is LOGICAL-frame (r19, lifting the documented-raw
+    // caveat): version v resolves through v's OWN colmap/coldefault lines
+    // — an evolved snapshot surfaces post-rename names and default-filled
+    // values exactly as a live read of that version did, while a
+    // PRE-evolution version carries no evolution lines and reads its own
+    // raw schema (the table as it then was — Delta's rule). The pre-r19
+    // plain scan let an arbitrary footer win inference on
+    // mixed-generation versions.
     val base =
-      if (rootRel) spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      if (rootRel) readLogical(spark, table, lines, files)
       else spark.read
         .option("basePath", s"$table/v=$v")
         .parquet(files.map(f => s"$table/v=$v/$f"): _*)
@@ -951,15 +959,6 @@ object Acid {
         result = (cur, 0, lines.count(!_.startsWith("#"))) // replay → no-op
       } else {
         require(lines.contains("# base:."), s"eraseKeys on snapshot-mode table $table")
-        // same rails as every raw COW rewrite (r18): mixed schema
-        // generations would let an arbitrary footer drop a generation's
-        // stored columns from the rewritten survivors, and a lineage
-        // table's assignments would strand
-        require(!mixedGenerations(lines),
-          s"eraseKeys on $table: schema-evolution metadata present — a raw " +
-            "rewrite would drop a generation's stored columns; erasure " +
-            "across schema generations is unsupported (deleteWhere-then-" +
-            "vacuum via a migration is the manual path)")
         require(!lines.exists(l => l.startsWith("# firstrow:") ||
           l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
           s"eraseKeys on row-lineage table $table — the rewrite would " +
@@ -973,11 +972,21 @@ object Acid {
         val newFiles = if (candidates.isEmpty) Seq.empty else {
           // standing vectors fold into the rewrite (a positional entry
           // names a (file, pos) that won't exist after the move — carrying
-          // the hidden row raw would resurrect it under the new position)
+          // the hidden row raw would resurrect it under the new position).
+          // The candidate read goes through the LOGICAL frame (r19, lifting
+          // the r18 refusal): on an evolved table `keyCol` is the
+          // post-rename name, candidate files from any generation resolve
+          // via footer-union + colmap + defaults — same recipe as
+          // mergeCow/updateWhere DML — and the scrubbed rewrite lands the
+          // logical schema while the carried colmap/coldefault lines keep
+          // resolving the untouched survivors. Bloom pruning stays sound
+          // across generations: blooms are stat-name-keyed and files
+          // without one are conservatively rewritten.
           val scrubbed = subtractDeletes(spark, table, lines,
-            spark.read.parquet(candidates.map(f => s"$table/$f"): _*))
+            readLogical(spark, table, lines, candidates))
             .filter(!col(keyCol).isin(keys: _*))
-          writeTxnData(spark, table, scrubbed, txnId)
+          writeTxnDataChecked(spark, table, scrubbed, txnId, lines,
+            "eraseKeys")
         }
         val deadStat = (l: String) => candidates.exists(f =>
           l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
@@ -1350,16 +1359,18 @@ object Acid {
     require(!snap.exists(l => l.startsWith("# delete:") || l.startsWith("# pdel:")),
       s"updateWhereCAS: $table carries standing delete vectors — use the " +
         "locked updateWhere (vector semantics do not commute with appends)")
-    require(!mixedGenerations(snap),
-      s"updateWhereCAS on $table: schema-evolution metadata present — " +
-        "row-level DML across schema generations is unsupported")
     require(!snap.exists(l => l.startsWith("# firstrow:") ||
       l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
       s"updateWhereCAS on row-lineage table $table — use updateWhereLineage")
     val all = snap.filterNot(_.startsWith("#"))
     val root = Paths.get(table).toAbsolutePath
+    // probe + rewrite run over the LOGICAL frame (r19, lifting the r18
+    // refusal): on an evolved table the predicate and SET expressions see
+    // post-rename names and default-filled values, and the rewrite lands
+    // the logical schema — the commit loop's evolution-delta check below
+    // keeps the commute analysis honest against CONCURRENT evolution
     val touched = if (all.isEmpty) Seq.empty[String]
-    else spark.read.parquet(all.map(f => s"$table/$f"): _*)
+    else readLogical(spark, table, snap, all)
       .filter(pred)
       .select(input_file_name().as("f")).distinct()
       .collect() // O(files) rows — manifest-construction control plane
@@ -1369,7 +1380,7 @@ object Acid {
     val newFiles =
       if (touched.isEmpty) Seq.empty[String]
       else {
-        val base = spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+        val base = readLogical(spark, table, snap, touched)
         sets.foreach { case (c, _) =>
           require(base.columns.contains(c), s"updateWhereCAS: no column $c") }
         val updated = base.select(base.columns.toSeq.map { c =>
@@ -1402,11 +1413,17 @@ object Acid {
             s"updateWhereCAS($txnId) on $table: a concurrent merge-on-read " +
               "delete landed a standing vector — its hides apply to rows " +
               "this update already rewrote; retry on the new snapshot")
-        // the snapshot-time guards re-checked at commit (r18 review): a
-        // concurrent assignRowIds / schema-evolution commit landing in
-        // the window would otherwise have its assignment lines stranded
-        // by this rewrite (or its generations misread by the next one)
-        if (mixedGenerations(prev) || prev.exists(l =>
+        // the snapshot-time guards re-checked at commit (r18 review, r19
+        // narrowed to genuinely non-commuting commits): a concurrent
+        // assignRowIds commit would have its assignment lines stranded by
+        // this rewrite, and a concurrent SCHEMA-EVOLUTION commit (new
+        // colmap/coldrop/coldefault lines vs the snapshot) changes what
+        // the logical rewrite should have produced — snapshot-matching
+        // evolution metadata commutes and carries forward
+        val evoOf = (ls: Seq[String]) => ls.filter(l =>
+          l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
+            l.startsWith("# coldefault:"))
+        if (evoOf(prev) != evoOf(snap) || prev.exists(l =>
           l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
             l.startsWith("# rowid_next:")))
           throw new WriteConflictException(
@@ -1415,7 +1432,10 @@ object Acid {
               "rewrite no longer commutes; retry through the appropriate path")
         val addedSince = prevFiles.diff(all.toSet).toSeq.sorted
         if (addedSince.nonEmpty) {
-          val hit = spark.read.parquet(addedSince.map(f => s"$table/$f"): _*)
+          // logical read: the predicate references post-evolution names,
+          // and a concurrent append of a pre-default frame must still
+          // surface default-filled values to the probe
+          val hit = readLogical(spark, table, prev, addedSince)
             .filter(pred).limit(1).count() > 0
           if (hit) throw new WriteConflictException(
             s"updateWhereCAS($txnId) on $table: a concurrent append added " +
@@ -2289,25 +2309,37 @@ object Acid {
       s"Acid.$what: $f has no row-id assignment — run assignRowIds first"))
     val lazyFiles = files.filterNot(phys)
     val physFiles = files.filter(phys)
+    // LOGICAL frame per part (r19 — lineage × schema evolution, the
+    // Iceberg-v3 combination): on a mixed-generation table each part
+    // footer-unions its files, attaches row_id against the PHYSICAL
+    // layout (ids are positional — they must resolve before any
+    // projection), then applies colmap + defaults so both parts land the
+    // post-evolution schema and union cleanly. Single-generation tables
+    // take the exact pre-r19 path (plain scans, no-op mapping).
+    val mixed = mixedGenerations(lines)
+    def rd(fs: Seq[String]) =
+      (if (mixed) spark.read.option("mergeSchema", "true") else spark.read)
+        .parquet(fs.map(f => s"$table/$f"): _*)
+    def logical(df: DataFrame): DataFrame =
+      applyColumnDefaults(lines, applyColumnMapping(lines, df))
     val parts = Seq(
       if (lazyFiles.isEmpty) None else Some {
-        val base = spark.read.parquet(lazyFiles.map(f => s"$table/$f"): _*)
+        val base = rd(lazyFiles)
         require(!base.columns.contains("row_id"),
           s"$what: $table already has a row_id data column")
         val dataCols = base.columns.toSeq
         val uriMap = lazyFiles.map(f =>
           (Paths.get(table, f).toAbsolutePath.toUri.toString, first(f)))
         val mapDf = spark.createDataFrame(uriMap).toDF("__uri", "__first")
-        base
+        logical(base
           .withColumn("__uri", input_file_name())
           .withColumn("__idx", col("_metadata.row_index"))
           .join(org.apache.spark.sql.functions.broadcast(mapDf), Seq("__uri"))
           .withColumn("row_id", col("__first") + col("__idx"))
-          .select(dataCols.map(col) :+ col("row_id"): _*)
+          .select(dataCols.map(col) :+ col("row_id"): _*))
       },
       if (physFiles.isEmpty) None else Some {
-        spark.read.parquet(physFiles.map(f => s"$table/$f"): _*)
-          .withColumnRenamed("__row_id", "row_id")
+        logical(rd(physFiles).withColumnRenamed("__row_id", "row_id"))
       }
     ).flatten
     parts.reduce(_ unionByName _)
@@ -2350,17 +2382,16 @@ object Acid {
       } else {
         require(lines.contains("# base:."),
           s"updateWhereLineage on snapshot-mode table $table")
-        require(!mixedGenerations(lines),
-          s"updateWhereLineage on $table: schema-evolution metadata present — " +
-            "row-level DML across schema generations is unsupported")
         require(lines.exists(l => l.startsWith("# firstrow:") ||
           l.startsWith("# rowid_phys:")),
           s"updateWhereLineage on $table: not a row-lineage table — " +
             "use updateWhere (or assignRowIds first)")
         val all = lines.filterNot(_.startsWith("#"))
         val root = Paths.get(table).toAbsolutePath
+        // probe over the LOGICAL frame (r19 — lineage × evolution): the
+        // predicate sees post-rename names and default-filled values
         val touched = if (all.isEmpty) Seq.empty[String]
-        else spark.read.parquet(all.map(f => s"$table/$f"): _*)
+        else readLogical(spark, table, lines, all)
           .filter(pred)
           .select(input_file_name().as("f")).distinct()
           .collect() // O(files) rows — manifest-construction control plane
@@ -2445,9 +2476,6 @@ object Acid {
       } else {
         require(lines.contains("# base:."),
           s"mergeCowLineage on snapshot-mode table $table")
-        require(!mixedGenerations(lines),
-          s"mergeCowLineage on $table: schema-evolution metadata present — " +
-            "row-level DML across schema generations is unsupported")
         require(lines.exists(l => l.startsWith("# firstrow:") ||
           l.startsWith("# rowid_phys:")),
           s"mergeCowLineage on $table: not a row-lineage table — use mergeCow")
@@ -2472,8 +2500,10 @@ object Acid {
           case Some(o) => changesF.filter(col(o) =!= "delete").drop(o)
           case None    => changesF
         }
+        // key probe over the LOGICAL frame (r19 — lineage × evolution)
         val touched = if (all.isEmpty) Seq.empty[String]
-        else touchedFilesPlan(spark, all.map(f => s"$table/$f"), allKeys, keyCol)
+        else touchedFilesPlanOver(readLogical(spark, table, lines, all),
+          allKeys, keyCol)
           .collect() // O(files) rows — manifest-construction control plane
           .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
           .sorted.toSeq
@@ -2576,14 +2606,12 @@ object Acid {
       require(attempts <= 50, s"optimizeLineage: concurrent-commit retry limit on $table")
       val snapV = currentVersion(table).getOrElse(
         sys.error(s"Acid.optimizeLineage: no committed version at $table"))
-      // readLineage reads the raw physical frames — mixed schema
-      // generations (column mapping / defaults) would silently lose the
-      // later generation's columns through this rewrite; refuse loudly
-      require(!manifestLines(table, snapV).exists(l =>
-        l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
-          l.startsWith("# coldefault:")),
-        s"optimizeLineage on $table: schema-evolution metadata present — " +
-          "lineage compaction of mixed schema generations is unsupported")
+      // readLineage resolves the LOGICAL frame (r19): on an evolved table
+      // the compaction materializes post-rename names and default-filled
+      // values — after this rewrite every file is current-generation, the
+      // carried colmap/coldrop lines resolve to no-ops, and the defaults
+      // are STORED (their auto NOT NULL constraints carry, so future
+      // checked appends keep the exactness contract)
       val merged0 = readLineage(spark, table).withColumnRenamed("row_id", "__row_id")
       val merged = (clusterCol match {
         case Some(c) => merged0.repartitionByRange(targetFiles, col(c))
@@ -2601,8 +2629,12 @@ object Acid {
           val newFiles = writeTxnData(spark, table, merged, txnId)
           ("# base:." +: s"# op:rewrite:optimizeLineage" +:
             (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            // coldefault carries too (r19): the rewrite STORES the fill,
+            // but the default stays table metadata for future appends —
+            // a later file missing the column must still read the default
             prev.filter(l => l.startsWith("# constraint:") ||
               l.startsWith("# colmap:") || l.startsWith("# coldrop:") ||
+              l.startsWith("# coldefault:") ||
               l.startsWith("# rowid_next:") || l.startsWith("# prop:")) ++
             newFiles.map(f => s"# rowid_phys:$f") ++ newFiles
         }
@@ -3387,8 +3419,8 @@ object Acid {
     val lines = manifestLines(table, v)
     val rootRel = lines.contains("# base:.")
     val files = lines.filterNot(_.startsWith("#"))
-    val base =
-      if (rootRel) spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val base = // logical-frame like readVersion (r19)
+      if (rootRel) readLogical(spark, table, lines, files)
       else spark.read
         .option("basePath", s"$table/v=$v")
         .parquet(files.map(f => s"$table/v=$v/$f"): _*)

@@ -1168,6 +1168,149 @@ object Lakehouse {
         FROM base
         ORDER BY o_orderkey""".trim)),
 
+    // ERASURE + LOCK-FREE CAS UPDATE ACROSS SCHEMA GENERATIONS (r19 — the
+    // last two DML verbs that still refused after ALTER TABLE, lifted via
+    // the sink_dml_evolved logical-frame recipe): the table mixes THREE
+    // file generations; a lock-free [[Acid.updateWhereCAS]] whose
+    // predicate AND SET name the renamed column rewrites only the touched
+    // middle-generation files (its commit-time commute analysis now
+    // compares the evolution metadata against the snapshot instead of
+    // refusing its mere presence), and a GDPR [[Acid.eraseKeys]] then
+    // physically removes subjects spanning ALL generations — bloom-pruned
+    // candidates read through footer-union + colmap + defaults, the
+    // scrubbed rewrite lands the logical schema, survivors stay
+    // byte-untouched and keep resolving through the carried lines. At
+    // 100 TB: right-to-be-forgotten and optimistic row-level UPDATE keep
+    // working the day after a rename — neither forces a table migration.
+    Q("sink_erase_evolved",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("erase_evolved", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        // each generation lands as 4 range-clustered files so the erase's
+        // bloom pruning has something to prune (subjects are low keys —
+        // they live in the first file of each generation)
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")), 0L)
+        Acid.addColumnDefault(spark, table, "region", "'unset'", 1L)
+        Acid.appendTxnChecked(spark, table,
+          or.filter(col("o_orderkey") % 3 === 1).withColumn("region", lit("east"))
+            .repartitionByRange(4, col("o_orderkey")), 2L)
+        Acid.renameColumn(table, "region", "zone", 3L)
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 2).withColumn("zone", lit("west"))
+            .repartitionByRange(4, col("o_orderkey")), 4L)
+        // lock-free CAS UPDATE: predicate and SET name the RENAMED column,
+        // matches live in the middle generation (stored under the OLD
+        // physical name, pre-rename)
+        Acid.updateWhereCAS(spark, table, Seq("zone" -> lit("core")),
+          col("zone") === "east" && col("o_orderkey") % 2 === 0, txnId = 5L)
+        // pre-default generation must be byte-undisturbed by the CAS
+        require(Acid.readEvolved(spark, table)
+          .filter(col("o_orderkey") % 3 === 0 && col("zone") =!= "unset").isEmpty,
+          "sink_erase_evolved: CAS update disturbed the pre-default generation")
+        // blooms over the key column (name stable across generations) so
+        // the erase prunes; analyze AFTER the CAS so rewritten files have
+        // blooms too
+        Acid.analyzeTable(spark, table, 6L,
+          bloom = Some(("o_orderkey", col("o_orderkey"))))
+        // the erasure queue: nine deterministic subjects spanning all
+        // three generations (first keys cover every %3 class)
+        val subjects = or.select(col("o_orderkey"))
+          .orderBy(col("o_orderkey")).limit(9)
+          .collect().map(_.getLong(0)).toSeq // O(subjects) — the legal queue
+        val (v, rewritten, total) =
+          Acid.eraseKeys(spark, table, subjects, "o_orderkey", "o_orderkey",
+            txnId = 7L)
+        require(rewritten < total,
+          s"evolved erase rewrote everything ($rewritten/$total) — blooms pruned nothing")
+        require(Acid.eraseKeys(spark, table, subjects, "o_orderkey",
+          "o_orderkey", 7L)._1 == v, "replayed evolved erase advanced the table")
+        Acid.readEvolved(spark, table)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"), col("zone"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'unset'
+                    WHEN o_orderkey % 3 = 1 AND o_orderkey % 2 = 0 THEN 'core'
+                    WHEN o_orderkey % 3 = 1 THEN 'east'
+                    ELSE 'west' END AS zone
+        FROM base
+        WHERE o_orderkey NOT IN (
+          SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 9)
+        ORDER BY o_orderkey""".trim)),
+
+    // LOGICAL-FRAME TIME TRAVEL (r19 — the documented-raw caveat lifted):
+    // `VERSION AS OF` an evolved table resolves each version through that
+    // version's OWN colmap/coldefault lines — a post-default snapshot
+    // surfaces the fill under its then-current name, a post-rename
+    // snapshot surfaces the new name, and a PRE-evolution version reads
+    // its own raw schema (the table as it then was — Delta's rule,
+    // in-body pinned on the column set). The head read is additionally
+    // pinned ≡ readEvolved both ways. Zero data I/O beyond the two
+    // snapshot scans: resolution is manifest metadata. At 100 TB this is
+    // what makes audit reads of yesterday's table survive today's ALTER.
+    Q("scan_time_travel_evolved",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("tt_evolved", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0), 0L) // v0
+        Acid.addColumnDefault(spark, table, "region", "'unset'", 1L)             // v1
+        Acid.appendTxnChecked(spark, table,
+          or.filter(col("o_orderkey") % 3 === 1).withColumn("region", lit("east")), 2L) // v2
+        Acid.renameColumn(table, "region", "zone", 3L)                           // v3
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 3 === 2).withColumn("zone", lit("west")), 4L) // v4
+        // pre-evolution version reads its own raw schema (Delta's rule)
+        val v0cols = Acid.readVersion(spark, table, 0L).columns.toSeq
+        require(v0cols == Seq("o_orderkey", "o_orderstatus"),
+          s"scan_time_travel_evolved: v0 must read raw, got $v0cols")
+        // head travel ≡ readEvolved, both directions
+        val head = Acid.readVersion(spark, table, 4L)
+        val live = Acid.readEvolved(spark, table)
+        require(head.exceptAll(live).isEmpty && live.exceptAll(head).isEmpty,
+          "scan_time_travel_evolved: head travel diverges from readEvolved")
+        def summarize(df: org.apache.spark.sql.DataFrame, evoCol: String,
+            ver: Long) =
+          df.groupBy().agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(evoCol) === "unset", 1L).otherwise(0L)).as("n_unset"),
+            sum(when(col(evoCol) === "east", 1L).otherwise(0L)).as("n_east"),
+            sum(when(col(evoCol) === "west", 1L).otherwise(0L)).as("n_west"))
+            .withColumn("ver", lit(ver))
+        // v2: mixed generations under the ORIGINAL name — defaults fill
+        // the pre-default rows; v4: post-rename, three generations stitched
+        summarize(Acid.readVersion(spark, table, 2L), "region", 2L)
+          .unionByName(summarize(Acid.readVersion(spark, table, 4L), "zone", 4L))
+          .select(col("ver"), col("n_rows"), col("n_unset"),
+            col("n_east"), col("n_west"))
+          .orderBy(col("ver"))
+      },
+      Some("""
+        WITH n AS (SELECT
+            CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+          FROM orders)
+        SELECT CAST(2 AS BIGINT) AS ver, n1 + n2 AS n_rows, n1 AS n_unset,
+               n2 AS n_east, CAST(0 AS BIGINT) AS n_west
+        FROM n
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), n1 + n2 + n3, n1, n2, n3
+        FROM n
+        ORDER BY ver""".trim)),
+
     // LINEAGE-PRESERVING MERGE (r18 — [[Acid.mergeCowLineage]], the
     // Iceberg-v3 DML contract completing sink_row_lineage's UPDATE): a
     // MERGE against a row-lineage table keeps every MATCHED row's id
@@ -1229,6 +1372,104 @@ object Lakehouse {
         SELECT CAST(2 AS BIGINT), g2.n, g1.n, g1.n + g2.n - 1,
                g2.n * g1.n + g2.n * (g2.n - 1) // 2, CAST(0 AS BIGINT)
         FROM g1, g2
+        ORDER BY gen""".trim)),
+
+    // ROW LINEAGE × SCHEMA EVOLUTION (r19 — the refusal lifted; Iceberg
+    // v3 supports both together): a lineage table takes a column default,
+    // a checked append, and a RENAME without a byte rewritten; lineage
+    // UPDATE and MERGE then run over the LOGICAL frame (the predicate
+    // names the renamed column; pre-default rows surface the fill), ids
+    // stay bit-stable through every seam (in-body pinned on the full
+    // key → id map), inserts allocate above the high-water mark, and a
+    // closing optimizeLineage compacts ACROSS generations with the ids
+    // and the default fill materialized. The oracle is closed-form
+    // because generation membership is an id-range test. At 100 TB:
+    // ALTER TABLE on an id-carrying table no longer forfeits row-level
+    // DML or compaction — the two metadata families compose.
+    Q("sink_lineage_evolved",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("lineage_evolved", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        def idMap() = Acid.readLineage(spark, table)
+          .select(col("o_orderkey"), col("row_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // generation 1 (pre-default), ids [0, n1)
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0), 0L)
+        Acid.assignRowIds(spark, table, 1L)
+        val n1 = idMap().size.toLong
+        // evolution ON the lineage table: default, checked append, rename
+        Acid.addColumnDefault(spark, table, "region", "'unset'", 2L)
+        Acid.appendTxnChecked(spark, table,
+          or.filter(col("o_orderkey") % 3 === 1).withColumn("region", lit("east")), 3L)
+        Acid.assignRowIds(spark, table, 4L) // generation 2: ids [n1, n1+n2)
+        val n2 = idMap().size.toLong - n1
+        Acid.renameColumn(table, "region", "zone", 5L)
+        val before = idMap()
+        // lineage UPDATE: predicate names the RENAMED column; matches live
+        // only in generation 2 (generation 1 reads the default 'unset')
+        Acid.updateWhereLineage(spark, table,
+          Seq("o_orderstatus" -> lit("U")),
+          col("zone") === "east" && col("o_orderkey") % 2 === 0, 6L)
+        // lineage MERGE across the seam: matched rows (gen-1 keys) keep
+        // their ids, inserts allocate [n1+n2, ...) in key order
+        val updates = or.filter(col("o_orderkey") % 15 === 0)
+          .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+            lit("hq").as("zone"))
+        val inserts = or
+          .filter(col("o_orderkey") % 3 === 2 && col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+            lit("west").as("zone"))
+        Acid.mergeCowLineage(spark, table, updates.unionByName(inserts),
+          "o_orderkey", 7L)
+        val afterMerge = idMap()
+        require(before.forall { case (k, id) => afterMerge.get(k).contains(id) },
+          "sink_lineage_evolved: DML across the generation seam moved an id")
+        // compaction ACROSS generations: ids and the default fill
+        // materialize; the whole map must survive bit-for-bit
+        Acid.optimizeLineage(spark, table, 8L, targetFiles = 2)
+        require(idMap() == afterMerge,
+          "sink_lineage_evolved: evolved compaction moved ids")
+        Acid.readLineage(spark, table)
+          .withColumn("gen", when(col("row_id") < n1, 1L)
+            .when(col("row_id") < n1 + n2, 2L).otherwise(3L))
+          .groupBy(col("gen"))
+          .agg(count(lit(1)).as("n_rows"), min(col("row_id")).as("min_id"),
+            max(col("row_id")).as("max_id"), sum(col("row_id")).as("id_sum"),
+            sum(when(col("o_orderstatus") === "U", 1L).otherwise(0L)).as("n_updated"),
+            sum(when(col("o_orderstatus") === "M", 1L).otherwise(0L)).as("n_merged"),
+            sum(when(col("zone") === "unset", 1L).otherwise(0L)).as("n_unset"))
+          .orderBy(col("gen"))
+      },
+      Some("""
+        WITH g1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN o_orderkey % 15 = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS m
+                    FROM orders WHERE o_orderkey % 3 = 0),
+             g2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS u
+                    FROM orders WHERE o_orderkey % 3 = 1),
+             g3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+                    WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0)
+        SELECT CAST(1 AS BIGINT) AS gen, g1.n AS n_rows,
+               CAST(0 AS BIGINT) AS min_id, g1.n - 1 AS max_id,
+               g1.n * (g1.n - 1) // 2 AS id_sum,
+               CAST(0 AS BIGINT) AS n_updated, g1.m AS n_merged,
+               g1.n - g1.m AS n_unset
+        FROM g1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), g2.n, g1.n, g1.n + g2.n - 1,
+               g2.n * g1.n + g2.n * (g2.n - 1) // 2, g2.u,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM g1, g2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), g3.n, g1.n + g2.n,
+               g1.n + g2.n + g3.n - 1,
+               g3.n * (g1.n + g2.n) + g3.n * (g3.n - 1) // 2,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM g1, g2, g3
         ORDER BY gen""".trim)),
 
     // Targeted key erasure (r14 — see [[Acid.eraseKeys]]): GDPR
@@ -3091,5 +3332,77 @@ object Lakehouse {
         FROM documents, b
         WHERE doc_id % 13 <> 0
         ORDER BY doc_id""".trim)),
+
+    // MULTI-STATEMENT SQL TRANSACTION (r19 — BEGIN; <dml>; <dml>; COMMIT
+    // atomically, the last rejected SQL surface): the statements run
+    // against a txn-private branch (statement 2's MERGE sees statement
+    // 1's inserts — read-your-writes, in-body proven by updating keys
+    // that only exist AFTER the insert) and COMMIT publishes both in ONE
+    // metadata-only pointer flip — a reader can never observe the insert
+    // without the merge. A mid-txn failure (malformed second statement)
+    // leaves the table version unmoved and drops the txn branch; a
+    // replayed BEGIN block no-ops through main's ledger. At 100 TB the
+    // transaction costs its statements' data writes plus one O(lines)
+    // flip — no lock is held across the (possibly huge) data phase.
+    Q("sql_txn",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("sql_txn", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 2 === 0), 0L)
+        or.filter(col("o_orderkey") % 2 === 1)
+          .createOrReplaceTempView("sqltxn_inserts")
+        // update keys %5==0 — the ODD ones among them exist only after
+        // statement 1, so a matched update proves read-your-writes
+        or.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit("T").as("o_orderstatus"),
+            money(lit(1)).as("price"))
+          .createOrReplaceTempView("sqltxn_updates")
+        val r = SqlEntry.sqlLakehouse(spark,
+          s"BEGIN TXN 5; " +
+            s"INSERT INTO acid_table('$table') SELECT * FROM sqltxn_inserts TXN 6; " +
+            s"MERGE INTO acid_table('$table') USING sqltxn_updates " +
+            "ON o_orderkey WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT * TXN 7; " +
+            "COMMIT").head
+        require(r.getString(0) == "txn_commit" && r.getLong(2) == 2L,
+          s"sql_txn: unexpected commit summary $r")
+        val vAfter = Acid.currentVersion(table).get
+        // replayed transaction (driver retry) no-ops through the ledger
+        val rr = SqlEntry.sqlLakehouse(spark,
+          s"BEGIN TXN 5; INSERT INTO acid_table('$table') " +
+            "SELECT * FROM sqltxn_inserts TXN 6; COMMIT").head
+        require(rr.getLong(1) == vAfter, "sql_txn: replayed txn advanced the table")
+        // mid-txn failure: statement 2 projects the wrong columns — the
+        // whole transaction aborts with the table unmoved and no branch left
+        val aborted =
+          try {
+            SqlEntry.sqlLakehouse(spark,
+              s"BEGIN TXN 8; " +
+                s"INSERT INTO acid_table('$table') SELECT * FROM sqltxn_inserts TXN 9; " +
+                s"INSERT INTO acid_table('$table') SELECT o_orderkey FROM sqltxn_inserts TXN 10; " +
+                "COMMIT")
+            false
+          } catch { case _: Exception => true }
+        require(aborted, "sql_txn: malformed transaction did not abort")
+        require(Acid.currentVersion(table).get == vAfter,
+          "sql_txn: aborted transaction moved the table")
+        require(!Acid.branches(table).contains("txn-8"),
+          "sql_txn: aborted transaction leaked its branch")
+        SqlEntry.sqlLakehouse(spark, s"""
+          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+          FROM acid_table('$table')
+          ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'T'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(CAST(CASE WHEN o_orderkey % 5 = 0 THEN 1
+                    ELSE o_totalprice END AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders
+        ORDER BY o_orderkey""".trim)),
   )
 }

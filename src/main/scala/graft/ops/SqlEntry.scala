@@ -64,6 +64,51 @@ object SqlEntry {
       Seq((what, r._1, r._2.toLong, r._3.toLong))
         .toDF("operation", "new_version", "touched_files", "total_files")
     }
+    // BEGIN TXN <id>; <stmt>; [<stmt>; ...] COMMIT — MULTI-STATEMENT SQL
+    // TRANSACTION over ONE acid table (r19): the statements execute
+    // against a txn-private BRANCH forked from the current head
+    // (statement k reads statement k-1's effects — read-your-writes), and
+    // COMMIT publishes via the metadata-only fast-forward: ONE atomic
+    // pointer flip lands every statement or none. A mid-txn failure (bad
+    // statement, constraint violation) drops the branch with main
+    // unmoved; a concurrent main commit makes the publish refuse loudly
+    // (optimistic transaction — retry on the new head). Idempotent per
+    // the OUTER txn id (the publish stamps it on main's ledger).
+    // Supported statements: INSERT INTO / MERGE INTO acid_table (the
+    // verbs with branch twins; express UPDATE/DELETE as MERGE clauses).
+    // Multi-TABLE atomicity is [[Catalog.commitTxn]]'s seam, not this.
+    val txnBlock =
+      """(?is)^\s*BEGIN\s+TXN\s+(\d+)\s*;(.+?);?\s*COMMIT\s*$""".r
+    txnBlock.findFirstMatchIn(text).foreach { m =>
+      import spark.implicits._
+      val txnId = m.group(1).toLong
+      val stmts = splitTopLevel(m.group(2), ';')
+      require(stmts.nonEmpty, "BEGIN/COMMIT: empty transaction")
+      val dirRe = """acid_table\s*\(\s*'([^']+)'\s*\)""".r
+      val dirs = stmts.flatMap(s =>
+        dirRe.findAllMatchIn(s).map(_.group(1)).toSeq).distinct
+      require(dirs.size == 1,
+        s"BEGIN/COMMIT: statements must target ONE acid table, got $dirs " +
+          "(multi-table atomicity is the catalog txn's seam)")
+      val dir = dirs.head
+      def summary(v: Long) = Seq(("txn_commit", v, stmts.size.toLong))
+        .toDF("operation", "new_version", "statements")
+      if (Acid.committedTxns(dir).contains(txnId))
+        return summary(Acid.currentVersion(dir).get) // replay → no-op
+      val br = s"txn-$txnId"
+      val cur = Acid.currentVersion(dir).getOrElse(
+        sys.error(s"BEGIN TXN: no committed version at $dir"))
+      Acid.createBranch(dir, br, cur)
+      try {
+        stmts.foreach(s => runTxnStatement(spark, dir, br, s))
+        return summary(Acid.fastForwardBranch(dir, br, txnId))
+      } catch {
+        case e: Throwable =>
+          // abort: main never moved; the txn branch and its staged files go
+          if (Acid.branches(dir).contains(br)) Acid.dropBranch(dir, br)
+          throw e
+      }
+    }
     // MERGE INTO BRANCH '<name>' OF acid_table('<dir>') USING ... ON <key>
     //   [WHEN MATCHED AND <pred> THEN DELETE] WHEN MATCHED THEN UPDATE SET *
     //   WHEN NOT MATCHED THEN INSERT * TXN <id>
@@ -427,10 +472,84 @@ object SqlEntry {
     spark.sql(out)
   }
 
-  /** Split `a = f(x, y), b = z` on TOP-LEVEL commas only (assignments may
-    * carry function calls); quotes respected so a ',' literal never
-    * splits. */
-  private def splitTopLevel(s: String): Seq[String] = {
+  /** One statement INSIDE a BEGIN/COMMIT transaction, executed against the
+    * txn branch `br` of `dir`. Source subqueries referencing the txn's own
+    * table are rewritten to the branch read (`BRANCH AS OF`), so statement
+    * k sees statement k-1's effects — read-your-writes. INSERTs are
+    * constraint-gated against the table's standing CHECKs (same contract
+    * as the single-statement INSERT) and column-set-validated by name. */
+  private def runTxnStatement(spark: SparkSession, dir: String, br: String,
+      stmt: String): Unit = {
+    import org.apache.spark.sql.functions.{count, expr, when}
+    def branchSrc(sql: String): String = // read-your-writes for sources
+      sql.replaceAll(
+        """acid_table\s*\(\s*'""" + java.util.regex.Pattern.quote(dir) + """'\s*\)""",
+        s"acid_table('$dir') BRANCH AS OF '$br'")
+    val insertStmt =
+      """(?is)^\s*INSERT\s+INTO\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
+    insertStmt.findFirstMatchIn(stmt).foreach { m =>
+      require(m.group(1) == dir, s"txn statement targets ${m.group(1)}, txn is on $dir")
+      val df = sqlLakehouse(spark, branchSrc(m.group(2)))
+      val want = Acid.readBranch(spark, dir, br).schema.fieldNames.sorted.toSeq
+      val got = df.schema.fieldNames.sorted.toSeq
+      require(got == want,
+        s"INSERT INTO acid_table (txn): select columns $got do not match " +
+          s"the table's $want (insertion is by name)")
+      // write-side CHECK gate (appendTxnChecked's contract on the branch)
+      val standing = Acid.currentVersion(dir)
+        .map(Acid.constraints(dir, _)).getOrElse(Seq.empty)
+      if (standing.nonEmpty) {
+        val aggs = standing.map { case (n, p) =>
+          count(when(!expr(p) || expr(p).isNull, 1)).as(n) }
+        val row = df.agg(aggs.head, aggs.tail: _*).head
+        val bad = standing.zipWithIndex
+          .map { case ((n, p), i) => (n, p, row.getLong(i)) }.filter(_._3 > 0)
+        if (bad.nonEmpty) throw new ConstraintViolationException(
+          "txn INSERT: " +
+            bad.map { case (n, p, c) => s"$n ($p): $c rows" }.mkString("; "))
+      }
+      Acid.appendTxnBranch(spark, dir, br, df, m.group(3).toLong)
+      return
+    }
+    val mergeStmt =
+      """(?is)^\s*MERGE\s+INTO\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+USING\s+(.+?)\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)\s+(WHEN\s+.+?)\s+TXN\s+(\d+)\s*$""".r
+    mergeStmt.findFirstMatchIn(stmt).foreach { m =>
+      require(m.group(1) == dir, s"txn statement targets ${m.group(1)}, txn is on $dir")
+      val (src, keyCol, clauses, txn) =
+        (m.group(2).trim, m.group(3), m.group(4), m.group(5).toLong)
+      require(
+        """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""".r
+          .findFirstIn(clauses).isDefined &&
+        """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""".r
+          .findFirstIn(clauses).isDefined,
+        "MERGE (txn): whole-row clauses required — WHEN MATCHED THEN " +
+          "UPDATE SET * and WHEN NOT MATCHED THEN INSERT *")
+      val delPred =
+        """(?is)WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE""".r
+          .findFirstMatchIn(clauses).map(_.group(1))
+      val srcSql =
+        if (src.startsWith("(")) src.stripPrefix("(").stripSuffix(")")
+        else s"SELECT * FROM $src"
+      val source = sqlLakehouse(spark, branchSrc(srcSql))
+      val changes = delPred match {
+        case Some(p) => source.withColumn("__op",
+          org.apache.spark.sql.functions.when(expr(p), "delete")
+            .otherwise("upsert"))
+        case None => source
+      }
+      Acid.mergeCowBranch(spark, dir, br, changes, keyCol, txn,
+        opCol = delPred.map(_ => "__op"))
+      return
+    }
+    sys.error("BEGIN/COMMIT: unsupported transactional statement (INSERT " +
+      s"INTO / MERGE INTO acid_table only; express UPDATE/DELETE as MERGE " +
+      s"clauses): $stmt")
+  }
+
+  /** Split `a = f(x, y), b = z` on TOP-LEVEL delimiters only (assignments
+    * may carry function calls; txn blocks carry ';'-separated statements);
+    * quotes respected so a delimiter literal never splits. */
+  private def splitTopLevel(s: String, delim: Char = ','): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
@@ -441,7 +560,7 @@ object SqlEntry {
         case '\'' | '"' => quote = ch; cur += ch
         case '(' => depth += 1; cur += ch
         case ')' => depth -= 1; cur += ch
-        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c if c == delim && depth == 0 => out += cur.result(); cur.clear()
         case _ => cur += ch
       }
     }

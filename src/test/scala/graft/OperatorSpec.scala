@@ -3098,11 +3098,22 @@ class OperatorSpec extends SparkFixture {
     assert(got4(1L) == (("z", "west2")) && got4(8L) == (("h", "north2")),
       s"evolved MERGE wrong: $got4")
     assert(got4(2L) == (("b", "unset")), s"evolved MERGE disturbed a carried row: $got4")
-    // updateWhereCAS alone keeps the refusal: its commute analysis does
-    // not extend to evolution commits
-    val eC = intercept[IllegalArgumentException] {
-      Acid.updateWhereCAS(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 14L) }
-    assert(eC.getMessage.contains("schema-evolution"), eC.getMessage)
+    // updateWhereCAS works across schema generations too (r19 lift): the
+    // lock-free probe/rewrite run over the logical frame ...
+    Acid.updateWhereCAS(spark, t, Seq("s" -> lit("q")), col("k") === 1L, 14L)
+    assert(evolved()(1L) == (("q", "west2")), s"evolved CAS update missed: ${evolved()}")
+    // ... and its commute analysis is narrowed, not dropped: a CONCURRENT
+    // evolution commit landing between the snapshot and the claim changes
+    // what the logical rewrite should have produced — loud abort, table
+    // semantics unmoved (the interloping rename itself stands)
+    val eC = intercept[graft.ops.Acid.WriteConflictException] {
+      Acid.updateWhereCAS(spark, t, Seq("s" -> lit("r")), col("k") === 1L, 16L,
+        beforeCommit = () => { Acid.renameColumn(t, "area", "sector", 17L); () })
+    }
+    assert(eC.getMessage.contains("no longer commutes"), eC.getMessage)
+    assert(Acid.readEvolved(spark, t).filter(col("s") === "r").isEmpty,
+      "aborted CAS update landed rows")
+    Acid.renameColumn(t, "sector", "area", 18L) // undo for the checks below
     // -- DML writes are constraint-GATED like appends (r18 review): an
     // explicit NULL into the defaulted column would be masqueraded as the
     // default by the read-side coalesce — the auto NOT NULL refuses it
