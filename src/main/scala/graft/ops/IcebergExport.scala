@@ -1,0 +1,250 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Open-table-format interop, Iceberg side (r19 — the export seam
+  * [[DeltaExport]] opened, completed for the OTHER major log format):
+  * emit an [[Acid]] snapshot as an Iceberg-v2-SHAPED table layout that an
+  * independent reader can resolve with no knowledge of the Acid seam —
+  * the spec's full metadata chain, each layer a real file on disk:
+  *
+  *   metadata/version-hint.text         → current metadata version (the
+  *                                        HadoopTables catalog-less
+  *                                        convention)
+  *   metadata/v<N>.metadata.json        → table uuid, Iceberg-typed schema
+  *                                        (field-ids), snapshot log,
+  *                                        current-snapshot-id
+  *   metadata/snap-<id>.avro            → the MANIFEST LIST (one row per
+  *                                        manifest: path, length, spec-id,
+  *                                        added/existing counts)
+  *   metadata/manifest-<id>.avro        → the MANIFEST (one row per data
+  *                                        file: status, path, format,
+  *                                        record_count, file_size_in_bytes)
+  *   data files                         → zero-copy absolute-path refs to
+  *                                        the Acid table's own parquet
+  *                                        (Iceberg file refs are absolute
+  *                                        URIs by spec — no copy needed),
+  *                                        except vector-touched files,
+  *                                        which materialize reconciled
+  *
+  * Manifests and the manifest list are REAL Avro (the spec's container
+  * format) written through Spark's avro source with the spec's core field
+  * names; field-id annotations beyond what spark-avro can express are out
+  * of scope and documented here rather than faked. Merge-on-read
+  * reconciliation is [[DeltaExport.exportAcid]]'s exactly: one probe scan
+  * names the files containing a deleted key, only those materialize
+  * vector-subtracted, clean files export zero-copy — O(files containing a
+  * deleted key), never O(table). POSITIONAL vectors refuse loudly (the
+  * v2 positional-delete-file encoding is a write path this export does
+  * not fake). Re-export commits a NEW snapshot whose metadata keeps the
+  * previous snapshots in the snapshot log (Iceberg retains history;
+  * contrast Delta's remove-tombstones) and flips current-snapshot-id.
+  *
+  * [[readExport]] is the proof: it resolves version-hint → metadata.json
+  * → manifest list → manifests → file paths and reads the parquet — the
+  * exact walk an external Iceberg reader does — with zero Acid calls.
+  *
+  * At 100 TB the export is O(manifest) metadata plus O(vector-touched
+  * files) data I/O; the zero-copy refs mean a nightly interop export of a
+  * mostly-clean table moves almost no bytes.
+  */
+object IcebergExport {
+
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def metaDir(dir: String) = Paths.get(dir, "metadata")
+
+  /** Iceberg type string for a Spark type — the spec's primitive names.
+    * Nested types refuse loudly (exporting them needs field-id assignment
+    * through the tree, out of scope). */
+  private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case StringType => "string"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => sys.error(
+        s"IcebergExport: unsupported column type $other — nested/exotic " +
+          "types need spec field-id assignment, export them flattened")
+    }
+  }
+
+  /** Current metadata version per version-hint.text, if the export exists. */
+  def currentMetaVersion(dir: String): Option[Long] = {
+    val hint = metaDir(dir).resolve("version-hint.text")
+    if (!Files.exists(hint)) None
+    else Some(new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  private def writeSingleAvro(spark: SparkSession, df: DataFrame,
+      target: java.nio.file.Path): Long = {
+    val tmp = target.getParent.resolve(target.getFileName.toString + ".tmpdir")
+    df.coalesce(1).write.mode("overwrite").format(AvroFormat).save(tmp.toString)
+    val walk = Files.walk(tmp)
+    val part =
+      try walk.filter(_.toString.endsWith(".avro")).findFirst().orElseThrow(() =>
+        new IllegalStateException(s"IcebergExport: no avro part under $tmp"))
+      finally walk.close()
+    Files.move(part, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the staging dir (part file moved out; remainder is _SUCCESS etc.)
+    val w2 = Files.walk(tmp)
+    try w2.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally w2.close()
+    Files.size(target)
+  }
+
+  /** Export the Acid table's CURRENT snapshot into `dir` as the next
+    * Iceberg metadata version. Returns (metadata version, materialized
+    * files, total files). Idempotence is the CALLER's snapshot cadence
+    * (each call commits a new snapshot, like Iceberg's own commits). */
+  def exportAcid(spark: SparkSession, table: String,
+      dir: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    Files.createDirectories(metaDir(dir))
+    val av = Acid.currentVersion(table).getOrElse(
+      sys.error(s"IcebergExport.exportAcid: no committed version at $table"))
+    val (files, _) = Acid.manifestFiles(table, av)
+    require(files.nonEmpty, s"IcebergExport.exportAcid: empty manifest at $table")
+    require(!Acid.headLines(table).exists(_.startsWith("# pdel:")),
+      s"IcebergExport.exportAcid: $table carries POSITIONAL delete vectors " +
+        "— compactDeletes (or optimize) to fold them before exporting; " +
+        "faking v2 positional delete files would corrupt external readers")
+    val tableRoot = Paths.get(table).toAbsolutePath
+    val v = currentMetaVersion(dir).map(_ + 1).getOrElse(0L)
+    val dataSub = f"data-v$v%05d"
+    // merge-on-read reconciliation — DeltaExport.exportAcid's algorithm
+    val (zeroCopy, rewritten) = Acid.standingDeletes(table, av) match {
+      case None => (files, Seq.empty[String])
+      case Some((k, delFiles)) =>
+        val keys = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+          .select(col(k)).distinct()
+        val touched = Acid.touchedFilesPlan(spark,
+            files.map(f => s"$table/$f"), keys, k)
+          .collect() // O(files) rows — control plane
+          .map(r => tableRoot.relativize(
+            Paths.get(java.net.URI.create(r.getString(0)))).toString)
+          .sorted.toSeq
+        val clean = files.filterNot(touched.contains)
+        if (touched.isEmpty) (clean, Seq.empty[String])
+        else {
+          spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+            .join(keys, Seq(k), "left_anti")
+            .write.mode("overwrite").parquet(s"$dir/$dataSub")
+          val root = Paths.get(dir)
+          val walk = Files.walk(root.resolve(dataSub))
+          val out =
+            try walk.filter(p => p.toString.endsWith(".parquet"))
+              .map[String](p => root.toAbsolutePath.resolve(
+                root.relativize(p)).toString)
+              .sorted().toArray.map(_.toString).toSeq
+            finally walk.close()
+          (clean, out)
+        }
+    }
+    val dataPaths = zeroCopy.map(f => tableRoot.resolve(f).toString) ++ rewritten
+    // per-file record counts — the manifest's record_count field; at
+    // 100 TB writers take these from the footers (free), the re-read here
+    // is fixture-scale convenience (same note as Acid.commit's stats)
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    val counts: Map[String, Long] = spark.read.parquet(dataPaths: _*)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect() // O(files) rows — manifest-construction control plane
+      .map(r => Paths.get(java.net.URI.create(r.getString(0))).toString -> r.getLong(1))
+      .toMap
+    val snapshotId = 1000L + v // deterministic, unique per metadata version
+    // MANIFEST (avro): one row per data file, spec core columns
+    import spark.implicits._
+    val manifestName = f"manifest-$snapshotId%d.avro"
+    val manifestRows = dataPaths.map { p =>
+      (1 /* ADDED */, p, "PARQUET", counts.getOrElse(p, 0L), Files.size(Paths.get(p)))
+    }.toDF("status", "file_path", "file_format", "record_count",
+      "file_size_in_bytes")
+    val manifestLen = writeSingleAvro(spark, manifestRows,
+      metaDir(dir).resolve(manifestName))
+    // MANIFEST LIST (avro): one row per manifest
+    val listName = f"snap-$snapshotId%d.avro"
+    val listRows = Seq((
+      metaDir(dir).resolve(manifestName).toAbsolutePath.toString,
+      manifestLen, 0, snapshotId, dataPaths.size.toLong, 0L))
+      .toDF("manifest_path", "manifest_length", "partition_spec_id",
+        "added_snapshot_id", "added_files_count", "existing_files_count")
+    writeSingleAvro(spark, listRows, metaDir(dir).resolve(listName))
+    // METADATA JSON: schema with field-ids, snapshot log (history KEPT —
+    // prior snapshots stay resolvable), current-snapshot-id flip
+    val schema = Acid.readEvolved(spark, table).schema
+    val fieldsJson = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
+        s""""type":"${icebergType(f.dataType)}"}"""
+    }.mkString(",")
+    val prevSnapshots: Seq[String] = currentMetaVersion(dir) match {
+      case None => Seq.empty
+      case Some(pv) =>
+        val prev = new String(Files.readAllBytes(
+          metaDir(dir).resolve(f"v$pv%d.metadata.json")), StandardCharsets.UTF_8)
+        """\{"snapshot-id":.*?\}""".r.findAllIn(prev).toSeq
+    }
+    val snapJson =
+      s"""{"snapshot-id":$snapshotId,"sequence-number":${v + 1},""" +
+        s""""timestamp-ms":${Files.getLastModifiedTime(metaDir(dir)).toMillis},""" +
+        s""""manifest-list":"${metaDir(dir).resolve(listName).toAbsolutePath}",""" +
+        s""""summary":{"operation":"append"}}"""
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      dir.getBytes(StandardCharsets.UTF_8)).toString
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"$uuid",""" +
+        s""""location":"${Paths.get(dir).toAbsolutePath}",""" +
+        s""""last-sequence-number":${v + 1},"last-column-id":${schema.size},""" +
+        s""""schemas":[{"type":"struct","schema-id":0,"fields":[$fieldsJson]}],""" +
+        s""""current-schema-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],""" +
+        s""""default-spec-id":0,"current-snapshot-id":$snapshotId,""" +
+        s""""snapshots":[${(prevSnapshots :+ snapJson).mkString(",")}]}"""
+    Files.write(metaDir(dir).resolve(f"v$v%d.metadata.json"),
+      metaJson.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    // hint flips LAST (the catalog-less commit point)
+    val tmp = metaDir(dir).resolve("version-hint.text.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaDir(dir).resolve("version-hint.text"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    (v, rewritten.size, files.size)
+  }
+
+  /** Independent re-read through the exported metadata chain ONLY —
+    * version-hint → metadata.json → manifest-list avro → manifest avro →
+    * parquet — the walk an external Iceberg reader performs; zero Acid
+    * seam calls. */
+  def readExport(spark: SparkSession, dir: String): DataFrame = {
+    val v = currentMetaVersion(dir).getOrElse(
+      sys.error(s"IcebergExport.readExport: no version-hint at $dir"))
+    val meta = new String(Files.readAllBytes(
+      metaDir(dir).resolve(f"v$v%d.metadata.json")), StandardCharsets.UTF_8)
+    val curSnap = """"current-snapshot-id":(\d+)""".r
+      .findFirstMatchIn(meta).map(_.group(1).toLong).getOrElse(
+        sys.error("IcebergExport.readExport: no current-snapshot-id"))
+    val manifestList = (""""snapshot-id":""" + curSnap +
+      """,.*?"manifest-list":"([^"]+)"""").r
+      .findFirstMatchIn(meta).map(_.group(1)).getOrElse(
+        sys.error(s"IcebergExport.readExport: snapshot $curSnap not in metadata"))
+    val manifests = spark.read.format(AvroFormat).load(manifestList)
+      .select("manifest_path").collect().map(_.getString(0)).toSeq // O(manifests)
+    val dataFiles = spark.read.format(AvroFormat).load(manifests: _*)
+      .select("file_path").collect().map(_.getString(0)).toSeq // O(files)
+    require(dataFiles.nonEmpty, s"IcebergExport.readExport: empty snapshot at $dir")
+    spark.read.parquet(dataFiles: _*)
+  }
+}

@@ -375,6 +375,62 @@ object Lakehouse {
         GROUP BY event_type
         ORDER BY event_type""".trim)),
 
+    // ICEBERG-FORMAT EXPORT (r19 — the interop seam's other half, beside
+    // sink_delta_export): emit an Acid snapshot as the Iceberg-v2 metadata
+    // CHAIN — version-hint.text → v<N>.metadata.json (field-id'd schema,
+    // snapshot log, current-snapshot-id) → manifest-list avro → manifest
+    // avro → data files — with clean files exported ZERO-COPY as the
+    // spec's absolute-path refs and vector-touched files materialized
+    // reconciled (one probe scan names them; positional vectors refuse
+    // loudly). The output frame is produced by [[IcebergExport.readExport]]
+    // — an INDEPENDENT walk of the exported chain with zero Acid calls —
+    // so the oracle hash proves an external reader recovers the exact
+    // table. Re-export after an append commits a new snapshot that KEEPS
+    // the prior one in the snapshot log (Iceberg retains history; in-body
+    // pinned) and the refresh is visible through the chain. At 100 TB: a
+    // nightly interop export of a mostly-clean table moves ~zero bytes.
+    Q("sink_iceberg_export",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("iceberg_src", sfDir)
+        val out = graft.Tmp.dir("iceberg_export", sfDir)
+        Acid.reset(table); Acid.reset(out)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("price"))
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 2 === 0), 0L)
+        // a standing MoR vector: the export must reconcile, not resurrect
+        Acid.deleteTxn(spark, table,
+          or.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")),
+          "o_orderkey", 1L)
+        val (v0, mat0, tot0) = IcebergExport.exportAcid(spark, table, out)
+        require(v0 == 0L && mat0 <= tot0,
+          s"sink_iceberg_export: bad first export ($v0, $mat0/$tot0)")
+        // independent chain walk == the Acid read, both directions
+        val ext = IcebergExport.readExport(spark, out)
+        val acid = Acid.read(spark, table)
+        require(ext.exceptAll(acid).isEmpty && acid.exceptAll(ext).isEmpty,
+          "sink_iceberg_export: exported chain diverges from the table")
+        // refresh cadence: append, re-export → new snapshot, history kept
+        Acid.appendTxn(spark, table,
+          or.filter(col("o_orderkey") % 2 === 1), 2L)
+        val (v1, _, _) = IcebergExport.exportAcid(spark, table, out)
+        require(v1 == 1L, s"sink_iceberg_export: refresh landed v$v1")
+        val meta = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")), "UTF-8")
+        require("\"snapshot-id\":".r.findAllIn(meta).size == 2,
+          "sink_iceberg_export: refresh dropped the prior snapshot from the log")
+        IcebergExport.readExport(spark, out)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            emit(col("price"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        FROM orders
+        WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 10 = 0)
+        ORDER BY o_orderkey""".trim)),
+
     // OPTIMIZE — small-file compaction + clustering (r13): the maintenance
     // op the streaming-sink shape makes mandatory. stream_acid_sink commits
     // a version per micro-batch, so after a day the table is O(batches)

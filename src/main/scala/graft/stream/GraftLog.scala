@@ -491,11 +491,16 @@ object GraftLog {
   }
 }
 
-/** `format("graft-log")` entry point. */
+/** `format("graftlog")` entry point — registered through the standard
+  * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`
+  * lookup, so the short name resolves exactly the way
+  * `format("kafka")` does (r19: the one-jar-swap seam BASELINE.json's
+  * Kafka line implies — a pipeline switches feeds by changing the format
+  * string and the connection options, nothing else). */
 class GraftLogDataSource extends TableProvider with DataSourceRegister {
   private def wireV2(options: java.util.Map[String, String]): Boolean =
     Option(options.get("wireVersion")).exists(_.trim == "2")
-  override def shortName(): String = "graft-log"
+  override def shortName(): String = "graftlog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (wireV2(options)) GraftLog.schemaV2 else GraftLog.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -510,14 +515,34 @@ final class GraftLogTable(dir: String, wireV2: Boolean) extends Table with Suppo
     if (wireV2) GraftLog.schemaV2 else GraftLog.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Kafka-source option-name PARITY (r19): `startingOffsets` ("earliest"
+    // / "latest" / per-partition JSON vector), `assign` (partition list),
+    // and `maxOffsetsPerTrigger` are accepted under the exact names the
+    // Kafka source uses — a consumer swaps format("kafka") for
+    // format("graftlog") and keeps its option keys. Values adapt to the
+    // graft-log's string partition names ({"p=0":5} instead of Kafka's
+    // {"topic":{"0":5}} nesting — the log models one topic). The native
+    // names remain first-class and win when both are given.
+    val startVec = Option(options.get("startingOffsetVector"))
+      .map(j => GraftLogOffset.parse(j).parts)
+      .orElse(Option(options.get("startingOffsets")).flatMap { s =>
+        s.trim.toLowerCase match {
+          case "earliest" => None // log start — the default resume rule
+          case "latest"   => Some(GraftLog.totalsVector(dir))
+          case _          => Some(GraftLogOffset.parse(s).parts)
+        }
+      })
     new GraftLogScan(dir,
       Option(options.get("startingOffset")).map(_.toLong).getOrElse(0L),
-      Option(options.get("maxRecordsPerTrigger")).map(_.toLong), wireV2,
+      Option(options.get("maxRecordsPerTrigger"))
+        .orElse(Option(options.get("maxOffsetsPerTrigger"))).map(_.toLong),
+      wireV2,
       Option(options.get("assignedPartitions"))
+        .orElse(Option(options.get("assign")))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet),
-      Option(options.get("startingOffsetVector"))
-        .map(j => GraftLogOffset.parse(j).parts))
+      startVec)
+  }
 }
 
 final class GraftLogScan(dir: String, startingOffset: Long,

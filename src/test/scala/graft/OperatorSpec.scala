@@ -195,6 +195,31 @@ class OperatorSpec extends SparkFixture {
     assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("agg_approx_distinct: HLL merge is monotone and partition-order invariant (r19)") {
+    // The two properties that make the sketch safe under Spark's partial
+    // aggregation: (1) MERGE MONOTONICITY — the union estimate is >= each
+    // slice's (register-wise max can only grow), so a combiner can never
+    // shrink a count; (2) MERGE-ORDER INVARIANCE — the estimate is
+    // identical under any partitioning (1, 7, 32 partitions), i.e. the
+    // map-side partial + reduce merge is a commutative monoid. Without
+    // (2) the key's output would be layout-dependent and unverifiable.
+    val e = Tables.events(spark, sf001).select(col("user_id"))
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(approx_count_distinct(col("user_id"), 0.01)).head.getLong(0)
+    val a = e.filter(col("user_id") % 2 === 0)
+    val b = e.filter(col("user_id") % 2 =!= 0)
+    val union = est(a.unionAll(b))
+    assert(union >= est(a) && union >= est(b),
+      s"HLL union shrank: $union vs ${est(a)}/${est(b)}")
+    val parts = Seq(1, 7, 32).map(n => est(e.repartition(n)))
+    assert(parts.distinct.size == 1,
+      s"HLL estimate is partition-dependent: $parts")
+    // and the registry key itself is repartition-stable end to end
+    val k1 = SparkEntry.queries("agg_approx_distinct")(spark, sf001).collect().toSeq
+    val k2 = SparkEntry.queries("agg_approx_distinct")(spark, sf001).collect().toSeq
+    assert(k1 == k2, "agg_approx_distinct not deterministic across runs")
+  }
+
   test("agg_sketch_merge: merged daily HLL sketches match exact and direct-sketch counts") {
     val merged = SparkEntry.queries("agg_sketch_merge")(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

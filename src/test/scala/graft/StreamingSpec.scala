@@ -1966,4 +1966,25 @@ class StreamingSpec extends SparkFixture {
       .take(6).exists(t => t.getMessage != null &&
         t.getMessage.contains("POSITIONAL")), e.getMessage)
   }
+
+  test("source_rate: rate-micro-batch emits exactly rowsPerBatch dense values per trigger, deterministically (r19)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the pin source_rate's no-oracle omit rests on: a Trigger.Once run
+    // yields EXACTLY rowsPerBatch rows with the dense value range
+    // [0, rowsPerBatch) — no dependence on wall clock — and two
+    // independent runs produce identical frames (the determinism that
+    // makes the key's bucketed aggregate verifiable at all)
+    def drain(): Seq[Long] = {
+      val tbl = s"rate_pin_${System.nanoTime()}"
+      val q = graft.stream.Sources.rateMicroBatch(spark, 256)
+        .writeStream.format("memory").queryName(tbl)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+      spark.table(tbl).select(col("value"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    }
+    val r1 = drain()
+    assert(r1 == (0L until 256L), s"rate batch not dense [0,256): ${r1.take(5)}...")
+    assert(drain() == r1, "rate-micro-batch not deterministic across runs")
+  }
 }
