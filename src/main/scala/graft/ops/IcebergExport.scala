@@ -194,7 +194,11 @@ object IcebergExport {
       case Some(pv) =>
         val prev = new String(Files.readAllBytes(
           metaDir(dir).resolve(f"v$pv%d.metadata.json")), StandardCharsets.UTF_8)
-        """\{"snapshot-id":.*?\}""".r.findAllIn(prev).toSeq
+        // each snapshot object closes with its nested summary object — the
+        // pattern must swallow that `}}` pair, not stop at the first `}`
+        // (a reluctant `.*?\}` truncated mid-object and corrupted the
+        // carried snapshot log)
+        """\{"snapshot-id":.*?"summary":\{[^}]*\}\}""".r.findAllIn(prev).toSeq
     }
     val snapJson =
       s"""{"snapshot-id":$snapshotId,"sequence-number":${v + 1},""" +

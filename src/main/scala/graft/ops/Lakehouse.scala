@@ -434,10 +434,16 @@ object Lakehouse {
           or.filter(col("o_orderkey") % 2 === 1), 2L)
         val (v1, _, _) = IcebergExport.exportAcid(spark, table, out)
         require(v1 == 1L, s"sink_iceberg_export: refresh landed v$v1")
-        val meta = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")), "UTF-8")
+        val metaPath = java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")
+        val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
         require("\"snapshot-id\":".r.findAllIn(meta).size == 2,
           "sink_iceberg_export: refresh dropped the prior snapshot from the log")
+        // the carried log must be WELL-FORMED JSON, not merely regex-visible
+        // (r19 review: a truncating carry pattern passed the count check)
+        val parsed = spark.read.option("mode", "FAILFAST")
+          .json(metaPath.toString)
+        require(parsed.columns.contains("snapshots") && parsed.count() == 1L,
+          "sink_iceberg_export: v1 metadata.json failed to parse as JSON")
         IcebergExport.readExport(spark, out)
           .select(col("o_orderkey"), col("o_orderstatus"),
             emit(col("price"), 2).as("price"))
