@@ -575,8 +575,16 @@ object Acid {
     // filter as thousands of bit_or columns blows codegen and the hash
     // map (OOM observed at 2²⁰ bits); as groups the shuffle carries at
     // most min(2·ndv, words) rows per file
+    // pre-mod domain 2^31-1 (r19): the old 10^6 pre-mod collapsed keys
+    // beyond a million into shared residues — at sf1 the orders domain
+    // (6M keys) covered every residue ~6x, so every file's bloom matched
+    // every probe and pruning silently degraded to "rewrite everything".
+    // 2^31-1 keeps y*48271 ≤ 1.04e14, far under Long/ANSI overflow, and
+    // restores discriminative power to any practical key domain. Blooms
+    // are regenerated with their tables here (scratch fixtures); a
+    // persisted deployment would version the hash in the stat name.
     val positions = spark.read.parquet(paths: _*)
-      .withColumn("__y", org.apache.spark.sql.functions.pmod(expr0, org.apache.spark.sql.functions.lit(1000003L)))
+      .withColumn("__y", org.apache.spark.sql.functions.pmod(expr0, org.apache.spark.sql.functions.lit(2147483647L)))
       .withColumn("__h1", org.apache.spark.sql.functions.expr("(__y * 48271) % 2147483647"))
       .withColumn("__p1", org.apache.spark.sql.functions.expr(s"__h1 % $bits"))
       .withColumn("__p2", org.apache.spark.sql.functions.expr(s"(__h1 * 48271) % 2147483647 % $bits"))
@@ -604,7 +612,7 @@ object Acid {
     * the column expressions in [[bloomLines]]; `bits` comes from the
     * stored word count at read time. */
   private[ops] def bloomPositions(key: Long, bits: Int = BloomBits): (Int, Int) = {
-    val y = Math.floorMod(key, 1000003L)
+    val y = Math.floorMod(key, 2147483647L) // domain 2^31-1, see bloomLines
     val h1 = (y * 48271L) % 2147483647L
     val h2 = (h1 * 48271L) % 2147483647L
     ((h1 % bits).toInt, (h2 % bits).toInt)
