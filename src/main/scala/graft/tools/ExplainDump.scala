@@ -496,6 +496,47 @@ object ExplainDump {
       "and executed in PlanShapeSpec. At 100 TB this keeps a re-bucketed " +
       "fact joining its old dims in place across bucket-count " +
       "generations."),
+    "sink_erase_evolved" -> ("Erase + lock-free CAS UPDATE across schema " +
+      "generations (r19): the dumped plan is the post-erase evolved read " +
+      "— three generations under one mergeSchema scan, rename stitched " +
+      "by coalesce, default filled as a projection. The erase itself " +
+      "bloom-pruned candidates across generations (2^31-domain hashes; " +
+      "the sf1 gate caught the old 1e6 pre-mod saturating) and rewrote " +
+      "only files that can contain a subject; the CAS probe/rewrite ran " +
+      "the same logical frame with its commit-time commute check " +
+      "narrowed to evolution-metadata deltas. O(subject files), never " +
+      "O(table)."),
+    "sink_lineage_evolved" -> ("Row lineage x schema evolution (r19): " +
+      "the dumped plan is the id-range generation aggregate over " +
+      "readLineage's logical frame — lazy files attach row_id as " +
+      "firstrow + _metadata.row_index against a BROADCAST O(files) map " +
+      "(data never shuffles for ids), materialized files read __row_id " +
+      "back, and colmap/coldefault apply as projections per part before " +
+      "the union. DML and compaction across the seam keep ids bit-stable " +
+      "(in-body pinned); at 100 TB ALTER TABLE costs an id-carrying " +
+      "table nothing."),
+    "scan_time_travel_evolved" -> ("Logical-frame time travel (r19): " +
+      "each readVersion resolves through that VERSION's own " +
+      "colmap/coldefault lines — the dumped plan unions the v2 and v4 " +
+      "summaries, each a single mergeSchema scan of that version's file " +
+      "list with the mapping as projections; resolution is manifest " +
+      "metadata, zero extra I/O. Pre-evolution versions read raw (the " +
+      "table as it then was)."),
+    "sql_txn" -> ("Multi-statement SQL transaction (r19): the dumped " +
+      "plan is the post-commit read — the transaction itself ran its " +
+      "INSERT/MERGE against a txn-private branch (statement 2's MERGE " +
+      "probe is the standard findTouchedFiles semi-join over the BRANCH " +
+      "frame, so it sees statement 1's rows) and published with one " +
+      "metadata-only fast-forward flip. No lock spans the data phase; " +
+      "abort costs a branch drop. At 100 TB the txn bill is its " +
+      "statements' writes plus O(lines) manifest arithmetic."),
+    "sink_iceberg_export" -> ("Iceberg-format export (r19): the dumped " +
+      "plan is IcebergExport.readExport — an independent walk of the " +
+      "exported chain (version-hint -> metadata.json -> manifest-list " +
+      "avro -> manifest avro) resolving to a plain parquet scan of the " +
+      "zero-copy file refs. Export-side cost is O(manifest) metadata + " +
+      "O(vector-touched files) reconciliation I/O; a mostly-clean " +
+      "nightly interop export moves ~zero bytes."),
   )
 
   def main(args: Array[String]): Unit = {
