@@ -1283,19 +1283,24 @@ object Lakehouse {
         val or = Tables.orders(spark, sfDir)
           .select(col("o_orderkey"), col("o_orderstatus"),
             money(col("o_totalprice")).as("price"))
-        // each generation lands as 4 range-clustered files so the erase's
-        // bloom pruning has something to prune (subjects are low keys —
-        // they live in the first file of each generation)
+        // each generation lands range-clustered with ≤50k keys per file —
+        // the bound a real writer applies so per-file blooms stay sharp
+        // (the manifest caps a bloom at 2^20 bits ≈ 65k keys; beyond that
+        // it saturates and pruning degrades — the sf10 gate caught a
+        // fixed 4-file layout doing exactly that). Subjects are low keys:
+        // they live in the first file of each generation.
+        val perGen = math.max(4,
+          (or.count() / 3L / 50000L).toInt) // one O(1)-output count, control plane
         Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0)
-          .repartitionByRange(4, col("o_orderkey")), 0L)
+          .repartitionByRange(perGen, col("o_orderkey")), 0L)
         Acid.addColumnDefault(spark, table, "region", "'unset'", 1L)
         Acid.appendTxnChecked(spark, table,
           or.filter(col("o_orderkey") % 3 === 1).withColumn("region", lit("east"))
-            .repartitionByRange(4, col("o_orderkey")), 2L)
+            .repartitionByRange(perGen, col("o_orderkey")), 2L)
         Acid.renameColumn(table, "region", "zone", 3L)
         Acid.appendTxn(spark, table,
           or.filter(col("o_orderkey") % 3 === 2).withColumn("zone", lit("west"))
-            .repartitionByRange(4, col("o_orderkey")), 4L)
+            .repartitionByRange(perGen, col("o_orderkey")), 4L)
         // lock-free CAS UPDATE: predicate and SET name the RENAMED column,
         // matches live in the middle generation (stored under the OLD
         // physical name, pre-rename)
