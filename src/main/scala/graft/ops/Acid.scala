@@ -3059,9 +3059,23 @@ object Acid {
     val all = lines.filterNot(_.startsWith("#"))
     val kept = all.filter(f =>
       blooms.get(f).forall { w =>
-        // width is per-line (adaptive blooms; mixed generations coexist)
-        val (p1, p2) = bloomPositions(key, w.length * 64)
-        hasBit(w, p1) && hasBit(w, p2)
+        // width is per-line (adaptive blooms; mixed generations coexist).
+        // HASH generations coexist too (r19 review): blooms persisted
+        // before the pre-mod domain widened (1e6 → 2^31-1) set bits at the
+        // OLD positions — probing only the new pair would false-NEGATIVE
+        // on them and prune a file that contains the key (unsound for
+        // erase). Keep the file if EITHER generation's pair matches:
+        // conservative for both, soundness preserved, pruning slightly
+        // weaker only on legacy blooms.
+        val bits = w.length * 64
+        val (p1, p2) = bloomPositions(key, bits)
+        val (q1, q2) = {
+          val y = Math.floorMod(key, 1000003L) // legacy pre-mod domain
+          val h1 = (y * 48271L) % 2147483647L
+          val h2 = (h1 * 48271L) % 2147483647L
+          ((h1 % bits).toInt, (h2 % bits).toInt)
+        }
+        (hasBit(w, p1) && hasBit(w, p2)) || (hasBit(w, q1) && hasBit(w, q2))
       })
     (kept, all)
   }
@@ -3164,13 +3178,18 @@ object Acid {
     // vector line VANISHING with the data files intact is a RESTORE
     // un-hiding keys in surviving files — inserts the file diff cannot
     // see (ADVICE r17, sibling of changeFeedRow's restore guard).
-    // EXCEPTION (ADVICE r18): a commit that reconciles the standing
-    // vector while only ADDING files (an explicit re-insert of a key
-    // that existed only in the vector) makes the resurrection fully
-    // visible in the added files — permit the drop iff every key removed
-    // from the vector appears in the commit's added files; the insert
-    // derivation below then emits it naturally. O(dropped vector files +
-    // added files) verification I/O, control plane.
+    // EXCEPTION (ADVICE r18, tightened r19 review): a commit that
+    // reconciles the standing vector while only ADDING files (an explicit
+    // re-insert of a key that existed only in the vector) makes the
+    // resurrection fully visible in the added files — permit the drop iff
+    // every key removed from the vector (a) appears in the commit's added
+    // files AND (b) appears in NO surviving file. Without (b), a RESTORE
+    // un-hiding a key in a surviving file slipped through whenever some
+    // commit in the window coincidentally appended the same key — the
+    // surviving file's resurrected row would never be emitted (silent CDC
+    // loss). (b) is one semi-join scan of the surviving files pruned by a
+    // broadcast of the removed keys — at 100 TB skipFilesBloom-class
+    // pruning applies, same bill as the delete preimage below.
     if (!delFiles(linesFrom).toSet.subsetOf(delFiles(linesTo).toSet)) {
       val visible = keyOf(linesFrom).exists { k =>
         val fromKeys = spark.read
@@ -3181,8 +3200,12 @@ object Acid {
           else spark.read.parquet(delFiles(linesTo).map(f => s"$table/$f"): _*)
             .select(col(k)).distinct()
         val removed = fromKeys.join(toKeys, Seq(k), "left_anti")
-        added.nonEmpty && removed.join(
-          spark.read.parquet(added.map(f => s"$table/$f").toSeq: _*)
+        val surviving = filesFrom.toSeq.sorted
+        val inSurvivors = surviving.nonEmpty &&
+          readLogical(spark, table, linesTo, surviving)
+            .join(removed, Seq(k), "left_semi").limit(1).count() > 0
+        added.nonEmpty && !inSurvivors && removed.join(
+          readLogical(spark, table, linesTo, added.toSeq)
             .select(col(k)).distinct(),
           Seq(k), "left_anti").isEmpty
       }
@@ -3194,9 +3217,14 @@ object Acid {
     }
     val delsToFiles = delFiles(linesTo)
     val newDelFiles = delsToFiles.filterNot(delFiles(linesFrom).toSet)
+    // added files read through toV's LOGICAL frame (r19 review: with
+    // readVersion now logical, a raw read here would mix physical-named
+    // inserts with logical-named deletes on an evolved table — a feed
+    // window spanning a rename either threw on unionByName or emitted
+    // old-name rows a consumer cannot apply)
     val insertsRaw =
       if (added.isEmpty) readVersion(spark, table, toV).limit(0) // schema-stable
-      else spark.read.parquet(added.map(f => s"$table/$f").toSeq: _*)
+      else readLogical(spark, table, linesTo, added.toSeq)
     val insertTag = org.apache.spark.sql.functions.lit("insert")
     keyOf(linesTo).filter(_ => delsToFiles.nonEmpty) match {
       case Some(k) =>

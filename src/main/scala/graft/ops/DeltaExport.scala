@@ -285,6 +285,18 @@ object DeltaExport {
       s"DeltaExport.exportAcid: $table carries POSITIONAL delete vectors — " +
         "compactDeletes (or optimize) to fold them before exporting; the " +
         "zero-copy adds below would otherwise resurrect hidden positions")
+    // same divergence class as IcebergExport (r19 review): zero-copy refs
+    // are PHYSICAL files, the log's schemaString is the logical schema —
+    // evolved/lineage tables must OPTIMIZE (materializing the logical
+    // frame) before export or an external Delta reader surfaces NULLs /
+    // a stray __row_id column
+    require(!Acid.headLines(table).exists(l => l.startsWith("# colmap:") ||
+      l.startsWith("# coldrop:") || l.startsWith("# coldefault:") ||
+      l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
+      l.startsWith("# rowid_next:")),
+      s"DeltaExport.exportAcid: $table carries schema-evolution or " +
+        "row-lineage metadata — zero-copy adds would diverge from the " +
+        "declared schemaString; OPTIMIZE before exporting")
     val tableRoot = Paths.get(table).toAbsolutePath
     val v = currentVersion(dir).map(_ + 1).getOrElse(0L)
     val dataSub = f"v$v%020d"

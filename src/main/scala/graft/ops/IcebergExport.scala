@@ -122,6 +122,21 @@ object IcebergExport {
       s"IcebergExport.exportAcid: $table carries POSITIONAL delete vectors " +
         "— compactDeletes (or optimize) to fold them before exporting; " +
         "faking v2 positional delete files would corrupt external readers")
+    // zero-copy refs export PHYSICAL files while metadata declares the
+    // LOGICAL schema — on a column-mapped/defaulted table an external
+    // reader (no field-ids in the parquet) would surface NULLs where the
+    // engine stitches renames/fills, and a lineage table's physical
+    // __row_id column is absent from the declared schema. Refuse loudly;
+    // optimize/optimizeLineage first materializes the logical frame and
+    // makes the table exportable (r19 review).
+    require(!Acid.headLines(table).exists(l => l.startsWith("# colmap:") ||
+      l.startsWith("# coldrop:") || l.startsWith("# coldefault:") ||
+      l.startsWith("# firstrow:") || l.startsWith("# rowid_phys:") ||
+      l.startsWith("# rowid_next:")),
+      s"IcebergExport.exportAcid: $table carries schema-evolution or " +
+        "row-lineage metadata — zero-copy physical refs would diverge " +
+        "from the declared logical schema; OPTIMIZE (materializing the " +
+        "logical frame) before exporting")
     val tableRoot = Paths.get(table).toAbsolutePath
     val v = currentMetaVersion(dir).map(_ + 1).getOrElse(0L)
     val dataSub = f"data-v$v%05d"
@@ -215,6 +230,11 @@ object IcebergExport {
         s""""current-schema-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],""" +
         s""""default-spec-id":0,"current-snapshot-id":$snapshotId,""" +
         s""""snapshots":[${(prevSnapshots :+ snapJson).mkString(",")}]}"""
+    // v = hint+1 is by construction UNCOMMITTED (the hint flips last), so
+    // an existing file here is our own crashed export's orphan — replace
+    // it, or every retry would wedge on CREATE_NEW forever (r19 review).
+    // A COMMITTED metadata version can never be clobbered: it is ≤ hint.
+    Files.deleteIfExists(metaDir(dir).resolve(f"v$v%d.metadata.json"))
     Files.write(metaDir(dir).resolve(f"v$v%d.metadata.json"),
       metaJson.getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW,

@@ -98,12 +98,23 @@ object SqlEntry {
       val br = s"txn-$txnId"
       val cur = Acid.currentVersion(dir).getOrElse(
         sys.error(s"BEGIN TXN: no committed version at $dir"))
+      // crash recovery (r19 review): a driver that died mid-transaction
+      // leaves the txn branch on disk with the outer id NOT on main (the
+      // replay check above didn't fire) — the txn never committed, so the
+      // leftover is garbage; drop it and re-run from scratch. Without
+      // this, createBranch's CREATE_NEW wedged every documented
+      // same-txnId retry into FileAlreadyExistsException.
+      if (Acid.branches(dir).contains(br)) Acid.dropBranch(dir, br)
       Acid.createBranch(dir, br, cur)
       try {
         stmts.foreach(s => runTxnStatement(spark, dir, br, s))
         return summary(Acid.fastForwardBranch(dir, br, txnId))
       } catch {
-        case e: Throwable =>
+        // NonFatal: the success path's `return` travels as a control
+        // throwable — a Throwable catch would run abort cleanup on every
+        // successful commit (benign only by fastForward's current ref-
+        // retire ordering; r19 review)
+        case scala.util.control.NonFatal(e) =>
           // abort: main never moved; the txn branch and its staged files go
           if (Acid.branches(dir).contains(br)) Acid.dropBranch(dir, br)
           throw e
@@ -495,20 +506,28 @@ object SqlEntry {
       require(got == want,
         s"INSERT INTO acid_table (txn): select columns $got do not match " +
           s"the table's $want (insertion is by name)")
-      // write-side CHECK gate (appendTxnChecked's contract on the branch)
+      Acid.appendTxnBranch(spark, dir, br, df, m.group(3).toLong)
+      // write-side CHECK gate, WRITE-THEN-VERIFY (r19 review: a pre-write
+      // constraint aggregate is a separate Spark action — the exact
+      // two-action nondeterminism gap writeTxnDataChecked closes in Acid;
+      // validate the bytes the branch append actually landed). A
+      // violation aborts the WHOLE transaction (the caller drops the
+      // branch), main unmoved — the branch commit that advanced is
+      // txn-private garbage.
       val standing = Acid.currentVersion(dir)
         .map(Acid.constraints(dir, _)).getOrElse(Seq.empty)
       if (standing.nonEmpty) {
+        val written = spark.read.parquet(
+          s"$dir/branch=$br/txn=${m.group(3).toLong}")
         val aggs = standing.map { case (n, p) =>
           count(when(!expr(p) || expr(p).isNull, 1)).as(n) }
-        val row = df.agg(aggs.head, aggs.tail: _*).head
+        val row = written.agg(aggs.head, aggs.tail: _*).head
         val bad = standing.zipWithIndex
           .map { case ((n, p), i) => (n, p, row.getLong(i)) }.filter(_._3 > 0)
         if (bad.nonEmpty) throw new ConstraintViolationException(
           "txn INSERT: " +
             bad.map { case (n, p, c) => s"$n ($p): $c rows" }.mkString("; "))
       }
-      Acid.appendTxnBranch(spark, dir, br, df, m.group(3).toLong)
       return
     }
     val mergeStmt =

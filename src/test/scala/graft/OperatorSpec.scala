@@ -3358,6 +3358,20 @@ class OperatorSpec extends SparkFixture {
     // and a drop whose resurrection lands in NO added file still refuses
     // (the invisible-restore class the guard exists for) — pinned by the
     // sibling test above
+    // r19 review tightening: a RESTORE un-hiding a key in a SURVIVING
+    // file must refuse even when a later commit in the window
+    // coincidentally appends the same key — the added file made the key
+    // "visible" to the old check, but the surviving file's resurrected
+    // row would never be emitted (silent CDC loss)
+    val u = java.nio.file.Files.createTempDirectory("graft_cfcoinc").toString + "/t"
+    Acid.reset(u)
+    Acid.appendTxn(spark, u, Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), 0L) // v0: file F
+    Acid.deleteTxn(spark, u, Seq(1L).toDF("k"), "k", 1L)                   // v1: vector hides k=1
+    Acid.restore(u, 0L, 2L)                                                // v2: vector dropped, F survives
+    Acid.appendTxn(spark, u, Seq((1L, 99L)).toDF("k", "x"), 3L)           // v3: k=1 also appended
+    val eCo = intercept[IllegalArgumentException] {
+      Acid.changeFeed(spark, u, 1L, 3L).collect() }
+    assert(eCo.getMessage.contains("re-seed"), eCo.getMessage)
   }
 
   test("acid-bucketed source refuses heterogeneous file generations (footer sweep)") {
