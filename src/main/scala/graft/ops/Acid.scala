@@ -1017,6 +1017,74 @@ object Acid {
     result
   }
 
+  /** GDPR erase on a ROW-LINEAGE table (r19 — the last refusal in the
+    * DML × table-metadata matrix): [[eraseKeys]]'s bloom-pruned
+    * copy-on-write with the candidate rewrite running over the
+    * id-attached LOGICAL frame and landing ids MATERIALIZED (`__row_id` +
+    * `# rowid_phys:` marks — [[updateWhereLineage]]'s mechanism). Every
+    * SURVIVING row keeps its id bit-for-bit; the subjects' ids simply
+    * RETIRE — never reused, the `# rowid_next:` high-water mark carries.
+    * Files the blooms prove clean keep their lazy `# firstrow:` lines
+    * byte-untouched; evolved tables compose for free (the lineage frame
+    * is logical). Locked, not CAS — an id-carrying rewrite serializes
+    * with assignRowIds like every lineage writer; the stale-snapshot
+    * retry still guards against lock-free appendTxnCAS racers.
+    * Idempotent per txnId. Returns (version, rewritten, total). */
+  def eraseKeysLineage(spark: SparkSession, table: String, keys: Seq[Long],
+      keyCol: String, bloomName: String,
+      txnId: Long): (Long, Int, Int) = withWriterLock(table) {
+    val StaleSnapshot = -2L
+    var attempts = 0
+    var result: (Long, Int, Int) = null
+    while (result == null) {
+      attempts += 1
+      require(attempts <= 50, s"eraseKeysLineage: concurrent-commit retry limit on $table")
+      val cur = currentVersion(table).getOrElse(
+        sys.error(s"Acid.eraseKeysLineage: no committed version at $table"))
+      val lines = manifestLines(table, cur)
+      if (lines.contains(s"# txn:$txnId")) {
+        result = (cur, 0, lines.count(!_.startsWith("#"))) // replay → no-op
+      } else {
+        require(lines.contains("# base:."),
+          s"eraseKeysLineage on snapshot-mode table $table")
+        require(lines.exists(l => l.startsWith("# firstrow:") ||
+          l.startsWith("# rowid_phys:")),
+          s"eraseKeysLineage on $table: not a row-lineage table — use eraseKeys")
+        val candidates = keys
+          .flatMap(k => skipFilesBloom(table, cur, bloomName, k)._1)
+          .distinct.sorted
+        val all = lines.filterNot(_.startsWith("#"))
+        val survivors = all.filterNot(candidates.contains)
+        val newFiles = if (candidates.isEmpty) Seq.empty else {
+          val scrubbed = subtractDeletes(spark, table, lines,
+            lineageFrameFor(spark, table, lines, candidates, "eraseKeysLineage"))
+            .filter(!col(keyCol).isin(keys: _*))
+            .withColumnRenamed("row_id", "__row_id")
+          writeTxnDataChecked(spark, table, scrubbed, txnId, lines,
+            "eraseKeysLineage")
+        }
+        val deadMeta = (l: String) => candidates.exists(f =>
+          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|") ||
+            l.startsWith(s"# firstrow:$f|") || l.trim == s"# rowid_phys:$f")
+        val v = commitNextVersion(table) { (c, prev) =>
+          if (prev.contains(s"# txn:$txnId")) Some(c.get)
+          else if (c.get != cur) Some(StaleSnapshot)
+          else None
+        } { (_, prev) =>
+          ("# base:." +:
+            (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+            prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:") && !deadMeta(l)) ++
+            newFiles.map(f => s"# rowid_phys:$f") ++
+            survivors ++ newFiles
+        }
+        if (v != StaleSnapshot) result = (v, candidates.size, all.size)
+      }
+    }
+    result
+  }
+
   // ---- row-level MERGE (copy-on-write) ----
 
   /** MERGE INTO, copy-on-write — the Delta/Iceberg row-level MERGE

@@ -1626,6 +1626,70 @@ object Lakehouse {
           SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 3)
         ORDER BY event_id""".trim)),
 
+    // GDPR ERASE ON A ROW-LINEAGE TABLE (r19 — [[Acid.eraseKeysLineage]],
+    // the last refusal in the DML × table-metadata matrix): the
+    // bloom-pruned copy-on-write erase now composes with row ids — the
+    // candidate rewrite runs over the id-attached frame and lands ids
+    // MATERIALIZED, so every surviving row keeps its id bit-for-bit
+    // (in-body: exact map equality, after == before minus subjects), the
+    // subjects' ids retire and are never reused (a post-erase append
+    // allocates above the carried high-water mark, in-body), and files
+    // the blooms prove clean keep their lazy assignment lines
+    // byte-untouched (rewritten < total pinned). At 100 TB: the
+    // right-to-be-forgotten queue runs against the feature store's
+    // id-carrying table without invalidating a single downstream id.
+    Q("sink_erase_lineage",
+      (spark, sfDir) => {
+        val table = graft.Tmp.dir("erase_lineage", sfDir)
+        Acid.reset(table)
+        val or = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val perHalf = math.max(4, (or.count() / 2L / 50000L).toInt)
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(perHalf, col("o_orderkey")), 0L)
+        Acid.assignRowIds(spark, table, 1L)
+        Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(perHalf, col("o_orderkey")), 2L)
+        Acid.assignRowIds(spark, table, 3L)
+        Acid.analyzeTable(spark, table, 4L,
+          bloom = Some(("o_orderkey", col("o_orderkey"))))
+        def idMap() = Acid.readLineage(spark, table)
+          .select(col("o_orderkey"), col("row_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val before = idMap()
+        val subjects = or.select(col("o_orderkey"))
+          .orderBy(col("o_orderkey")).limit(6)
+          .collect().map(_.getLong(0)).toSeq // O(subjects) — the legal queue
+        val (v, rewritten, total) = Acid.eraseKeysLineage(spark, table,
+          subjects, "o_orderkey", "o_orderkey", txnId = 5L)
+        require(rewritten < total,
+          s"lineage erase rewrote everything ($rewritten/$total) — blooms pruned nothing")
+        require(Acid.eraseKeysLineage(spark, table, subjects, "o_orderkey",
+          "o_orderkey", 5L)._1 == v, "replayed lineage erase advanced the table")
+        val after = idMap()
+        require(after == before.removedAll(subjects),
+          "lineage erase moved a surviving row's id (or left a subject)")
+        // retired ids never come back: a post-erase append allocates ABOVE
+        // the carried high-water mark
+        import spark.implicits._
+        Acid.appendTxn(spark, table,
+          Seq((999999999L, "Z")).toDF("o_orderkey", "o_orderstatus"), 6L)
+        Acid.assignRowIds(spark, table, 7L)
+        val sentinelId = idMap()(999999999L)
+        require(sentinelId == before.values.max + 1,
+          s"post-erase id allocation reused a retired id range: $sentinelId")
+        Acid.readLineage(spark, table)
+          .filter(col("o_orderkey") =!= 999999999L)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus
+        FROM orders
+        WHERE o_orderkey NOT IN (
+          SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 6)
+        ORDER BY o_orderkey""".trim)),
+
     // CHECK constraints (r14 — see [[Acid.appendTxnChecked]]): Delta's
     // ADD CONSTRAINT contract — invariants ride the manifest and every
     // append validates its batch against ALL standing constraints in
