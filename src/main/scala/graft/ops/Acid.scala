@@ -943,6 +943,24 @@ object Acid {
     * to pin the stale-snapshot rebase deterministically. */
   private[graft] var eraseKeysRaceHook: () => Unit = () => ()
 
+  /** Same seam for [[eraseKeysLineage]] (r19 review: the sibling's
+    * concurrency window shipped untested). */
+  private[graft] var eraseKeysLineageRaceHook: () => Unit = () => ()
+
+  /** Manifest stat lines that describe files a rewrite is REPLACING —
+    * they must not carry forward (they describe dead files). The shared
+    * predicate of every touched-file rewrite (r19 review: the closure was
+    * copy-pasted at seven sites; a new per-file stat prefix must land
+    * exactly here). `lineage = true` additionally retires the files'
+    * row-id assignment lines (the rewrite re-lands ids materialized). */
+  private def deadStatLines(files: Seq[String], lineage: Boolean = false)(
+      l: String): Boolean =
+    files.exists(f =>
+      l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
+        l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|") ||
+        (lineage && (l.startsWith(s"# firstrow:$f|") ||
+          l.trim == s"# rowid_phys:$f")))
+
   def eraseKeys(spark: SparkSession, table: String, keys: Seq[Long],
       keyCol: String, bloomName: String, txnId: Long): (Long, Int, Int) = withWriterLock(table) {
     // Stale-snapshot retry (ADVICE r14, mirrors [[rewriteCommit]]): the
@@ -990,15 +1008,18 @@ object Acid {
           // resolving the untouched survivors. Bloom pruning stays sound
           // across generations: blooms are stat-name-keyed and files
           // without one are conservatively rewritten.
+          // NULL-key rows are never erasure subjects: `!isin` evaluates
+          // NULL for them and a bare filter would DROP them from rewritten
+          // files while identical rows in pruned files survive —
+          // nondeterministic loss (r19 review). coalesce keeps them, the
+          // same three-valued rule deleteWhere applies.
           val scrubbed = subtractDeletes(spark, table, lines,
             readLogical(spark, table, lines, candidates))
-            .filter(!col(keyCol).isin(keys: _*))
+            .filter(!coalesce(col(keyCol).isin(keys: _*), lit(false)))
           writeTxnDataChecked(spark, table, scrubbed, txnId, lines,
             "eraseKeys")
         }
-        val deadStat = (l: String) => candidates.exists(f =>
-          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+        val deadStat = deadStatLines(candidates) _
         eraseKeysRaceHook()
         val v = commitNextVersion(table) { (c, prev) =>
           if (prev.contains(s"# txn:$txnId")) Some(c.get)
@@ -1027,9 +1048,15 @@ object Acid {
     * Files the blooms prove clean keep their lazy `# firstrow:` lines
     * byte-untouched; evolved tables compose for free (the lineage frame
     * is logical). Locked, not CAS — an id-carrying rewrite serializes
-    * with assignRowIds like every lineage writer; the stale-snapshot
-    * retry still guards against lock-free appendTxnCAS racers.
-    * Idempotent per txnId. Returns (version, rewritten, total). */
+    * with assignRowIds like every lineage writer. The stale-snapshot
+    * retry keeps the SURVIVOR LIST sound against a lock-free
+    * appendTxnCAS racer (the commit can never drop the racer's file);
+    * completing the erase then requires the racer's file to get its id
+    * assignment first — the retry fails LOUDLY with lineageFrameFor's
+    * "run assignRowIds first" (the same contract readLineage applies to
+    * unassigned files), and the re-run after assignRowIds succeeds —
+    * spec-pinned in ConcurrencySpec. Idempotent per txnId. Returns
+    * (version, rewritten, total). */
   def eraseKeysLineage(spark: SparkSession, table: String, keys: Seq[Long],
       keyCol: String, bloomName: String,
       txnId: Long): (Long, Int, Int) = withWriterLock(table) {
@@ -1056,17 +1083,16 @@ object Acid {
         val all = lines.filterNot(_.startsWith("#"))
         val survivors = all.filterNot(candidates.contains)
         val newFiles = if (candidates.isEmpty) Seq.empty else {
+          // NULL-key rows survive (three-valued isin — see eraseKeys)
           val scrubbed = subtractDeletes(spark, table, lines,
             lineageFrameFor(spark, table, lines, candidates, "eraseKeysLineage"))
-            .filter(!col(keyCol).isin(keys: _*))
+            .filter(!coalesce(col(keyCol).isin(keys: _*), lit(false)))
             .withColumnRenamed("row_id", "__row_id")
           writeTxnDataChecked(spark, table, scrubbed, txnId, lines,
             "eraseKeysLineage")
         }
-        val deadMeta = (l: String) => candidates.exists(f =>
-          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|") ||
-            l.startsWith(s"# firstrow:$f|") || l.trim == s"# rowid_phys:$f")
+        val deadMeta = deadStatLines(candidates, lineage = true) _
+        eraseKeysLineageRaceHook()
         val v = commitNextVersion(table) { (c, prev) =>
           if (prev.contains(s"# txn:$txnId")) Some(c.get)
           else if (c.get != cur) Some(StaleSnapshot)
@@ -1168,9 +1194,7 @@ object Acid {
     val upsertedKeyRows = upserts.select(col(keyCol)).distinct()
     val vectorLines = reconcileVector(spark, table, lines, upsertedKeyRows,
       keyCol, delDir, what)
-    val deadStat = (l: String) => touched.exists(f =>
-      l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-        l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+    val deadStat = deadStatLines(touched) _
     CowMerge(touched, survivors, newFiles, vectorLines, deadStat, all.size)
   }
 
@@ -1371,9 +1395,7 @@ object Acid {
               readLogical(spark, table, lines, touched)))
             writeTxnDataChecked(spark, table, out, txnId, lines, what)
           }
-        val deadStat = (l: String) => touched.exists(f =>
-          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+        val deadStat = deadStatLines(touched) _
         val v = commitNextVersion(table) { (c, prev) =>
           if (prev.contains(s"# txn:$txnId")) Some(c.get)
           else if (c != cur) Some(StaleSnapshot)
@@ -1469,9 +1491,7 @@ object Acid {
           "updateWhereCAS")
       }
     beforeCommit()
-    val deadStat = (l: String) => touched.exists(f =>
-      l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-        l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|"))
+    val deadStat = deadStatLines(touched) _
     val v = commitNextVersion(table) { (c, prev) =>
       if (prev.contains(s"# txn:$txnId")) Some(c.get)
       else {
@@ -2418,6 +2438,13 @@ object Acid {
         logical(rd(physFiles).withColumnRenamed("__row_id", "row_id"))
       }
     ).flatten
+    // a lineage table erased/deleted down to ZERO data files has no footer
+    // to derive a schema from — loud and explanatory instead of the bare
+    // empty.reduce crash (r19 review); a fresh append + assignRowIds
+    // re-enables the table
+    require(parts.nonEmpty,
+      s"Acid.$what: $table has no data files (fully-erased lineage " +
+        "table?) — append + assignRowIds to re-enable lineage reads")
     parts.reduce(_ unionByName _)
   }
 
@@ -2491,10 +2518,7 @@ object Acid {
             writeTxnDataChecked(spark, table, updated, txnId, lines,
               "updateWhereLineage")
           }
-        val deadMeta = (l: String) => touched.exists(f =>
-          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|") ||
-            l.startsWith(s"# firstrow:$f|") || l.trim == s"# rowid_phys:$f")
+        val deadMeta = deadStatLines(touched, lineage = true) _
         val v = commitNextVersion(table) { (c, prev) =>
           if (prev.contains(s"# txn:$txnId")) Some(c.get)
           else if (c != cur) Some(StaleSnapshot)
@@ -2633,10 +2657,7 @@ object Acid {
         val vectorLines = reconcileVector(spark, table, lines,
           upserts.select(col(keyCol)).distinct(), keyCol,
           Paths.get(table).resolve(s"del=$txnId"), "mergeCowLineage")
-        val deadMeta = (l: String) => touched.exists(f =>
-          l.startsWith(s"# pval:$f|") || l.startsWith(s"# minmax:$f|") ||
-            l.startsWith(s"# bloom:$f|") || l.startsWith(s"# rows:$f|") ||
-            l.startsWith(s"# firstrow:$f|") || l.trim == s"# rowid_phys:$f")
+        val deadMeta = deadStatLines(touched, lineage = true) _
         val v = commitNextVersion(table) { (c, prev) =>
           if (prev.contains(s"# txn:$txnId")) Some(c.get)
           else if (c != cur) Some(StaleSnapshot)

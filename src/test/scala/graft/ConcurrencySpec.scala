@@ -840,6 +840,48 @@ class ConcurrencySpec extends SparkFixture {
       firstHead)
   }
 
+  test("eraseKeysLineage vs a lock-free CAS append: survivor list stays sound, the retry aborts loudly, assignRowIds + re-run completes (r19)") {
+    import spark.implicits._
+    import graft.ops.Acid
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files.createTempDirectory("graft_erslin_race").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, (0L until 100L).map(k => (k, k * 10L)).toDF("k", "x"), 0L)
+    Acid.assignRowIds(spark, t, 1L)
+    Acid.analyzeTable(spark, t, 2L, bloom = Some(("k", col("k"))))
+    def idMap() = Acid.readLineage(spark, t)
+      .select(col("k"), col("row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = idMap()
+    // a lock-free append lands INSIDE the snapshot-to-claim window: the
+    // stale-snapshot precheck must retry rather than commit a survivor
+    // list that drops the racer's file — and the retry must fail LOUDLY
+    // (the racer's file has no id assignment; silently erasing around it
+    // would be a lie), never silently lose the racer's rows
+    Acid.eraseKeysLineageRaceHook = () => {
+      Acid.eraseKeysLineageRaceHook = () => () // fire once
+      Acid.appendTxnCAS(spark, t, Seq((500L, 1L)).toDF("k", "x"), 10L)
+      ()
+    }
+    val e = intercept[RuntimeException] {
+      try Acid.eraseKeysLineage(spark, t, Seq(3L, 7L), "k", "k", 11L)
+      finally Acid.eraseKeysLineageRaceHook = () => ()
+    }
+    assert(e.getMessage.contains("assignRowIds"), e.getMessage)
+    // nothing committed by the aborted erase; the racer's row is intact
+    assert(!Acid.committedTxns(t).contains(11L), "aborted erase committed")
+    // the documented recovery: assign the racer's ids, re-run the erase
+    Acid.assignRowIds(spark, t, 12L)
+    val (v, rewritten, total) = Acid.eraseKeysLineage(spark, t, Seq(3L, 7L), "k", "k", 11L)
+    assert(rewritten <= total)
+    val after = idMap()
+    assert(after(500L) == 100L, s"racer's row lost or re-id'd: ${after.get(500L)}")
+    assert(after.removedAll(Seq(500L)) == before.removedAll(Seq(3L, 7L)),
+      "surviving ids moved across the raced erase")
+    assert(Acid.eraseKeysLineage(spark, t, Seq(3L, 7L), "k", "k", 11L)._1 == v,
+      "replayed lineage erase advanced the table")
+  }
+
 }
 
 /** Static rendezvous for the optimistic-append overlap proof: local-mode

@@ -2052,6 +2052,20 @@ class OperatorSpec extends SparkFixture {
       .filter(col("k").isin(subjects: _*)).count()
     assert(resurrect == 0L,
       "subject bytes survive on disk after erase+vacuum — not forgotten")
+    // NULL-key rows are never erasure subjects (r19 review: `!isin`
+    // evaluates NULL for them — a bare filter dropped them from rewritten
+    // files while identical rows in pruned files survived)
+    import spark.implicits._
+    val tn = java.nio.file.Files.createTempDirectory("graft_erase_null").toString + "/t"
+    Acid.reset(tn)
+    Acid.appendTxn(spark, tn,
+      Seq((Some(1L), 10L), (None, 20L), (Some(3L), 30L), (None, 40L))
+        .toDF("k", "payload"), 0L)
+    Acid.eraseKeys(spark, tn, Seq(1L), "k", "k", 1L)
+    val left = Acid.read(spark, tn).select("payload")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(20L, 30L, 40L),
+      s"NULL-key rows were erased alongside the subject: $left")
   }
 
   test("Acid mergeCow: survivors byte-identical, vector reconciliation, replay no-op, empty-table bootstrap") {
