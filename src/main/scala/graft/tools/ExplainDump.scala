@@ -530,6 +530,14 @@ object ExplainDump {
       "metadata-only fast-forward flip. No lock spans the data phase; " +
       "abort costs a branch drop. At 100 TB the txn bill is its " +
       "statements' writes plus O(lines) manifest arithmetic."),
+    "sink_erase_lineage" -> ("GDPR erase on a row-lineage table (r19): " +
+      "the dumped plan is the post-erase lineage read — surviving lazy " +
+      "files attach ids via the broadcast firstrow map, the rewritten " +
+      "candidates read their materialized __row_id back. The erase " +
+      "itself bloom-pruned candidates and rewrote only files that can " +
+      "contain a subject; every surviving id is bit-stable (in-body " +
+      "exact-map pin) and retired ids never return. O(subject files), " +
+      "never O(table)."),
     "sink_iceberg_export" -> ("Iceberg-format export (r19): the dumped " +
       "plan is IcebergExport.readExport — an independent walk of the " +
       "exported chain (version-hint -> metadata.json -> manifest-list " +
