@@ -56,30 +56,22 @@ object TextOps {
     * pairs at ~2^-b, so the candidate set stays ∝ L·n²/2^b, never all
     * pairs. Table 0 reproduces the previous single-table seed layout. */
   def signBuckets(nTables: Int, nBits: Int): Seq[Float] => Array[Int] = { v =>
-    val out = new Array[Int](nTables)
-    var t = 0
-    while (t < nTables) {
-      var bucket = 0
-      var j = 0
-      while (j < nBits) {
-        var acc = 0.0
-        var i = 0
-        while (i < v.length) {
-          var z = ((t * nBits + j).toLong * 1021 + i) * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z ^= (z >>> 31)
-          acc += v(i) * (z.toDouble / 9.223372036854776e18)
-          i += 1
-        }
-        if (acc >= 0) bucket |= (1 << j)
-        j += 1
-      }
-      out(t) = bucket
-      t += 1
-    }
-    out
+    // no-extension fallback twin of the native graft.plans.SignBuckets
+    // expression — one shared kernel (the UDF wraps into ArrayData first),
+    // so bucket ids cannot drift between paths (the simhash64 recipe)
+    graft.plans.SignBuckets.kernel(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray),
+      nTables, nBits)
   }
+
+  /** Bucketing column: the native codegen'd `sign_buckets` expression when
+    * the extension is installed (r20 — the last recurring Scala UDF on an
+    * LLM hot loop, the ivf_argmax_dot precedent), the bit-identical UDF
+    * twin on a vanilla session. */
+  def signBucketsCol(spark: SparkSession, nTables: Int, nBits: Int)(v: Column): Column =
+    if (spark.catalog.functionExists("sign_buckets"))
+      call_function("sign_buckets", v, lit(nTables), lit(nBits))
+    else udf(signBuckets(nTables, nBits)).apply(v)
 
   /** EXACT prefix-filter candidate pairs (the AllPairs/PPJoin scheme) for
     * set-similarity joins at threshold t = `tNum`/`tDen`: `hashed` carries
@@ -150,9 +142,9 @@ object TextOps {
     * collision beats re-joining embeddings onto deduped id pairs. */
   def annTopK(emb: DataFrame, probeFilter: Column, nTables: Int, nBits: Int,
       k: Int): DataFrame = {
-    val bucketsUdf = udf(signBuckets(nTables, nBits))
+    val buckets = signBucketsCol(emb.sparkSession, nTables, nBits) _
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      posexplode(bucketsUdf(col("embedding"))).as(Seq("tbl", "bucket")))
+      posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
     val probes = bucketed.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("tbl"), col("bucket"))
@@ -463,7 +455,7 @@ object TextOps {
             expr("transform(embedding, (x, i) -> IF(i = size(embedding) - 1, -x, x))")
               .as("embedding"))
         val all = emb.unionByName(planted)
-        val bucketsUdf = udf(signBuckets(8, 8))
+        val buckets8 = signBucketsCol(spark, 8, 8) _
         // Candidate pairs via the shared salted bucket-join (tables are the
         // bands): the bucketing kernel evaluates ONCE and the shuffle
         // carries (table, bucket, vec_id) only — a bucketed SELF-join would
@@ -474,7 +466,7 @@ object TextOps {
         // to the corpus), where a forced hint on the vector table would
         // pin the full embedding set to every executor at 100 TB.
         val banded = all.select(col("vec_id").as("doc_id"),
-          posexplode(bucketsUdf(col("embedding"))).as(Seq("band", "bucket")))
+          posexplode(buckets8(col("embedding"))).as(Seq("band", "bucket")))
         val dot = Llm.dotFn(spark, "a_e", "b_e")
         Llm.bandedPairs(banded)
           .join(all.select(col("vec_id").as("a_id"), col("embedding").as("a_e")), "a_id")

@@ -128,6 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ivf_argmax_dot"),
       new ExpressionInfo(classOf[ArgmaxDot].getName, "ivf_argmax_dot"),
       (children: Seq[Expression]) => ArgmaxDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sign_buckets"),
+      new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
+      (children: Seq[Expression]) => SignBuckets(children.head, children(1), children(2))))
     // queries written against the documented HOF fallback get the native
     // kernel automatically (see [[RewriteHofDotProduct]] soundness gates)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

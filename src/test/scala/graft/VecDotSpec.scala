@@ -194,4 +194,47 @@ class VecDotSpec extends SparkFixture {
       .head.getInt(0)
     assert(tie == 1, s"tie must keep the first best index, got $tie")
   }
+
+  test("sign_buckets equals the UDF fallback bit-for-bit and stays in codegen") {
+    assert(spark.catalog.functionExists("sign_buckets"))
+    val emb = Tables.embeddings(spark, sf001).select(col("vec_id"), col("embedding"))
+    // the UDF twin wraps the SAME kernel — but pin against a from-scratch
+    // reimplementation too, so a kernel edit that breaks the original
+    // arithmetic (not just the wiring) still fails here
+    val reimpl = udf { (v: Seq[Float]) =>
+      val out = new Array[Int](8)
+      for (t <- 0 until 8) {
+        var bucket = 0
+        for (j <- 0 until 8) {
+          var acc = 0.0
+          for (i <- v.indices) {
+            var z = ((t * 8 + j).toLong * 1021 + i) * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^= (z >>> 31)
+            acc += v(i) * (z.toDouble / 9.223372036854776e18)
+          }
+          if (acc >= 0) bucket |= (1 << j)
+        }
+        out(t) = bucket
+      }
+      out
+    }
+    val both = emb.select(col("vec_id"),
+      call_function("sign_buckets", col("embedding"), lit(8), lit(8)).as("native"),
+      udf(graft.ops.TextOps.signBuckets(8, 8)).apply(col("embedding")).as("viaUdf"),
+      reimpl(col("embedding")).as("viaReimpl"))
+    assert(both.filter(col("native") =!= col("viaUdf") ||
+      col("native") =!= col("viaReimpl")).count() == 0,
+      "native sign_buckets diverged from the UDF twin / reimplementation")
+    // the bucketing projection must participate in whole-stage codegen
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val codegen = emb
+        .select(call_function("sign_buckets", col("embedding"), lit(8), lit(8)).as("b"))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!codegen.startsWith("Found 0"), codegen.take(150))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
