@@ -173,6 +173,30 @@ object Acid {
     }
   }
 
+  /** Evolution-metadata lines of version `v` (colmap/coldrop/coldefault) —
+    * the schema-resolution state a streaming source pins at creation: a
+    * live query compares the batch-end version's lines against its pinned
+    * copy and fails loudly on any delta (Delta's streaming contract — a
+    * schema change under a running stream is a restart, never a silent
+    * re-shape). Order-preserving, so chained renames compare faithfully. */
+  private[graft] def evolutionLines(table: String, v: Long): Seq[String] =
+    manifestLines(table, v).filter(l => l.startsWith("# colmap:") ||
+      l.startsWith("# coldrop:") || l.startsWith("# coldefault:"))
+
+  /** True iff the CURRENT manifest carries any evolution metadata — the
+    * switch that routes a streaming source's creation schema (and its
+    * batch reads) through the logical-frame resolution. */
+  private[graft] def hasEvolution(table: String): Boolean =
+    currentVersion(table).exists(v => evolutionLines(table, v).nonEmpty)
+
+  /** Apply the given evolution lines (colmap then defaults) to a
+    * merged-schema frame — the shared resolution step of [[readEvolved]],
+    * exposed for the acid streaming source's restart path (old-generation
+    * files delivered after an evolution commit must surface renamed /
+    * defaulted columns exactly as batch reads do). */
+  private[graft] def resolveEvolution(lines: Seq[String], df: DataFrame): DataFrame =
+    applyColumnDefaults(lines, applyColumnMapping(lines, df))
+
   /** Resolve the manifest's COLUMN MAPPING over a merged-schema read —
     * the Delta column-mapping / Iceberg field-id contract scoped to the
     * manifest seam: `# colmap:<old>|<new>` lines record renames (applied

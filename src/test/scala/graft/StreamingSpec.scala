@@ -1746,6 +1746,62 @@ class StreamingSpec extends SparkFixture {
       s"CDF versions must be the logical commits only, got ${cdf.map(_._3).toSet}")
   }
 
+  test("acid-stream across schema evolution: a live query fails loudly; restart adopts the evolved schema and resolves old generations (r20)") {
+    import graft.ops.Acid
+    import graft.stream.AcidStream
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val table = java.nio.file.Files.createTempDirectory("acidevo_tbl").toString + "/t"
+    Acid.appendTxn(spark, table, spark.range(0, 10)
+      .select(col("id"), (col("id") * 2).cast("double").as("value")), txnId = 0L)
+    // a source created NOW pins the pre-evolution metadata — the live query
+    val schema0 = Acid.read(spark, table).schema
+    val live = new AcidStream.AcidSource(spark, table,
+      skipChangeCommits = false, schema0)
+    // ...under which a column-mapping rename lands (v1, metadata-only)
+    Acid.renameColumn(table, "value", "amount", 1L)
+    val ex = intercept[IllegalStateException] { live.getBatch(None, LongOffset(1)) }
+    assert(ex.getMessage.contains("restart the query"), ex.getMessage)
+    // skipChangeCommits does NOT waive the fence — a schema change is not a
+    // change commit, it is a shape change; only a restart can adopt it
+    val live2 = new AcidStream.AcidSource(spark, table,
+      skipChangeCommits = true, schema0)
+    // (live2 pins POST-rename metadata at its own creation — land another
+    // evolution under it to prove the fence is metadata-delta, not mode)
+    Acid.addColumnDefault(spark, table, "src", "'bronze'", 2L)
+    val ex2 = intercept[IllegalStateException] { live2.getBatch(None, LongOffset(2)) }
+    assert(ex2.getMessage.contains("restart the query"), ex2.getMessage)
+    // v3: an append in the EVOLVED shape
+    Acid.appendTxnChecked(spark, table, spark.range(100, 105)
+      .select(col("id"), col("id").cast("double").as("amount"),
+        lit("late").as("src")), txnId = 3L)
+    // the RESTARTED query (fresh source) carries the logical schema; the
+    // pre-evolution generation resolves through the mapping + default
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, String)]()
+    @volatile var batchCols: Seq[String] = Seq.empty
+    val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+      .option("table", table).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batchCols = b.columns.toSeq
+        b.select(col("id"), col("amount"), col("src")).collect()
+          .foreach(r => seen.add((r.getLong(0), r.getDouble(1), r.getString(2)))); ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("acidevo_ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batchCols == Seq("id", "amount", "src"),
+      s"restarted stream must carry the evolved logical schema, got $batchCols")
+    val rows = seen.asScala.toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == ((0L until 10L) ++ (100L until 105L)),
+      s"restart must deliver every generation exactly once, got ${rows.map(_._1)}")
+    assert(rows.filter(_._1 < 10).forall(r => r._2 == r._1 * 2.0 && r._3 == "bronze"),
+      "old-generation files must surface the renamed column's stored values " +
+        s"and the default fill, got ${rows.filter(_._1 < 10)}")
+    assert(rows.filter(_._1 >= 100).forall(r => r._2 == r._1.toDouble && r._3 == "late"),
+      s"new-generation rows must pass through unresolved, got ${rows.filter(_._1 >= 100)}")
+  }
+
   test("stream_incremental_mv: maintained state equals a full recompute at EVERY version, across delete and restart") {
     import graft.ops.Acid
     import graft.stream.IncrementalMv
