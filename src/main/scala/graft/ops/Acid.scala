@@ -3795,6 +3795,140 @@ object Acid {
     k1
   }
 
+  // ---- predicate COW UPDATE / DELETE on a BRANCH (r20 — lifts sql_txn's
+  // INSERT/MERGE-only restriction: native UPDATE/DELETE statements inside
+  // BEGIN/COMMIT compile to these) ----
+
+  private final case class CowWhere(touched: Seq[String],
+      survivors: Seq[String], newFiles: Seq[String],
+      deadStat: String => Boolean, total: Int)
+
+  /** One predicate-COW attempt over explicit manifest lines —
+    * [[cowWhere]]'s per-attempt body lifted to the branch/rebase seam:
+    * probe the files containing a predicate-matching row over the LOGICAL
+    * frame, rewrite only those through the update/delete transform
+    * (standing vectors subtracted first, so a hidden row can neither
+    * update nor resurrect), write under `dataDir`, constraint-check the
+    * WRITTEN bytes (write-then-verify, the one-action contract). The
+    * standing vector lines carry forward unchanged — the rewritten files
+    * already have hidden rows removed; the lines keep hiding them in
+    * survivors, exactly [[cowWhere]]'s contract. */
+  private def cowWhereAttempt(spark: SparkSession, table: String,
+      lines: Seq[String], kind: String, setCols: Seq[String],
+      setExprs: Seq[String], predSql: String, dataDir: Path,
+      what: String): CowWhere = {
+    val pred = expr(predSql)
+    val all = lines.filterNot(_.startsWith("#"))
+    val root = Paths.get(table).toAbsolutePath
+    val touched = if (all.isEmpty) Seq.empty[String]
+    else readLogical(spark, table, lines, all)
+      .filter(pred)
+      .select(input_file_name().as("f")).distinct()
+      .collect() // O(files) rows — manifest-construction control plane
+      .map(r => root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString)
+      .sorted.toSeq
+    val survivors = all.filterNot(touched.contains)
+    val newFiles =
+      if (touched.isEmpty) Seq.empty[String]
+      else {
+        val base = subtractDeletes(spark, table, lines,
+          readLogical(spark, table, lines, touched))
+        val out = kind match {
+          case "updwhere" =>
+            setCols.foreach(c => require(base.columns.contains(c),
+              s"$what: no column $c"))
+            val bySet = setCols.zip(setExprs).toMap
+            base.select(base.columns.toSeq.map { c =>
+              bySet.get(c) match {
+                case Some(e) => when(pred, expr(e)).otherwise(col(c)).as(c)
+                case None    => col(c)
+              }
+            }: _*)
+          case "delwhere" => base.filter(!coalesce(pred, lit(false)))
+          case other => sys.error(s"$what: unknown predicate-COW kind '$other'")
+        }
+        out.write.mode("overwrite").parquet(dataDir.toString)
+        val nf = listParquet(table, dataDir)
+        if (nf.nonEmpty && lines.exists(_.startsWith("# constraint:")))
+          checkConstraintLines(lines,
+            spark.read.parquet(nf.map(f => s"$table/$f"): _*), what)
+        nf
+      }
+    CowWhere(touched, survivors, newFiles, deadStatLines(touched) _, all.size)
+  }
+
+  /** Predicate COW UPDATE on a BRANCH — [[updateWhere]]'s semantics
+    * against the branch head, main never sees a byte (touched fork-base
+    * files rewrite into branch-local copies under `branch=<n>/txn=<id>/`).
+    * SET assignments and the predicate are SQL TEXT: the logical statement
+    * freezes to a spec parquet under the branch namespace, referenced by
+    * the `# dml:` op-log line, so [[rebaseBranchDml]] replays the
+    * STATEMENT (not the stale file images) against a future base — and
+    * vacuum keeps it alive with the branch like every op-log input.
+    * Branch-ledger idempotent per txnId; cross-incarnation replay guard
+    * as every branch writer. */
+  def updateWhereBranch(spark: SparkSession, table: String, name: String,
+      sets: Seq[(String, String)], predSql: String,
+      txnId: Long): (Long, Int, Int) = {
+    require(sets.nonEmpty, "updateWhereBranch: no SET assignments")
+    require(sets.map(_._1).distinct.size == sets.size,
+      "updateWhereBranch: duplicate SET column")
+    cowWhereBranch(spark, table, name, "updwhere", sets, predSql, txnId,
+      "updateWhereBranch")
+  }
+
+  /** Predicate COW DELETE on a BRANCH — [[deleteWhere]]'s semantics with
+    * [[updateWhereBranch]]'s branch isolation and replayable op-log. */
+  def deleteWhereBranch(spark: SparkSession, table: String, name: String,
+      predSql: String, txnId: Long): (Long, Int, Int) =
+    cowWhereBranch(spark, table, name, "delwhere", Seq.empty, predSql,
+      txnId, "deleteWhereBranch")
+
+  private def cowWhereBranch(spark: SparkSession, table: String,
+      name: String, kind: String, sets: Seq[(String, String)],
+      predSql: String, txnId: Long,
+      what: String): (Long, Int, Int) = withWriterLock(table) {
+    val (base, head) = branches(table).getOrElse(name,
+      sys.error(s"Acid.$what: no branch '$name' at $table"))
+    val prev = branchLines(table, name)
+    if (prev.contains(s"# txn:$txnId"))
+      return (head, 0, prev.count(!_.startsWith("#"))) // replay → no-op
+    require(!committedTxns(table).contains(txnId),
+      s"Acid.$what: txn $txnId is already committed on main at $table " +
+        s"but not on branch '$name' — use a fresh txn id")
+    require(prev.contains("# base:."),
+      s"$what on snapshot-mode table $table")
+    require(!prev.exists(l => l.startsWith("# firstrow:") ||
+      l.startsWith("# rowid_phys:") || l.startsWith("# rowid_next:")),
+      s"$what on row-lineage table $table — lineage DML goes through the " +
+        "lineage writers (they materialize ids through the rewrite)")
+    // freeze the LOGICAL statement for rebase replay (the mergeCowBranch
+    // chg= pattern, but the statement instead of a change frame — a
+    // predicate re-evaluates against the future base by design)
+    import spark.implicits._
+    val specDir = Paths.get(table).resolve(s"branch=$name").resolve(s"spec=$txnId")
+    Seq((kind, predSql, sets.map(_._1), sets.map(_._2)))
+      .toDF("kind", "pred", "set_cols", "set_exprs")
+      .coalesce(1).write.mode("overwrite").parquet(specDir.toString)
+    val specFiles = listParquet(table, specDir)
+    val w = cowWhereAttempt(spark, table, prev, kind, sets.map(_._1),
+      sets.map(_._2), predSql,
+      Paths.get(table).resolve(s"branch=$name").resolve(s"txn=$txnId"), what)
+    val k1 = head + 1
+    val manifest = (("# base:." +:
+      (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
+      prev.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+        !l.startsWith("# base:") && !l.startsWith("# op:") && !w.deadStat(l)) ++
+      w.survivors ++ w.newFiles) :+
+      s"# dml:$k1|$kind|$txnId|-|-|${specFiles.mkString(",")}"
+    Files.write(brManifest(table, name, k1),
+      manifest.mkString("", "\n", "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    writeBranchRef(table, name, base, k1, createNew = false)
+    (k1, w.touched.size, w.total)
+  }
+
   /** [[standingDeletes]] over explicit lines (branch manifests live
     * outside the version chain). */
   private def standingDeletes2(lines: Seq[String]): Option[(String, Seq[String])] = {
@@ -4157,6 +4291,26 @@ object Acid {
               !l.startsWith("# delkey:") && !l.startsWith("# delete:") &&
               !m.deadStat(l)) ++
             m.survivors ++ m.newFiles
+        case "updwhere" | "delwhere" =>
+          // replay the frozen LOGICAL statement against the current state
+          // — the predicate re-probes the future base from scratch, so
+          // rows main changed since the fork get the branch's update/
+          // delete intent exactly as if the operator had forked today
+          val spec = spark.read
+            .parquet(op.files.map(f => s"$table/$f"): _*).head()
+          val w = cowWhereAttempt(spark, table, state, op.kind,
+            spec.getAs[scala.collection.Seq[String]]("set_cols").toSeq,
+            spec.getAs[scala.collection.Seq[String]]("set_exprs").toSeq,
+            spec.getAs[String]("pred"),
+            Paths.get(table).resolve(s"branch=$name")
+              .resolve(s"txn=${op.txn}-r$cur-t$txnId"),
+            "rebaseBranchDml")
+          ("# base:." +:
+            (state.filter(_.startsWith("# txn:")) :+ s"# txn:${op.txn}")) ++
+            state.filter(l => l.startsWith("#") && !l.startsWith("# txn:") &&
+              !l.startsWith("# base:") && !l.startsWith("# op:") &&
+              !w.deadStat(l)) ++
+            w.survivors ++ w.newFiles
         case other => sys.error(s"rebaseBranchDml: unknown op kind '$other'")
       }
     }

@@ -3532,14 +3532,24 @@ object Lakehouse {
           .select(col("o_orderkey"), lit("T").as("o_orderstatus"),
             money(lit(1)).as("price"))
           .createOrReplaceTempView("sqltxn_updates")
+        // all FOUR DML verbs native in one transaction (r20 — UPDATE and
+        // DELETE no longer express as MERGE clauses): the UPDATE's
+        // predicate matches rows from every earlier statement (odd %7
+        // keys exist only after the INSERT; %35 keys were just MERGEd to
+        // 'T' and now advance to 'U' — read-your-writes across all three),
+        // and the DELETE removes %11 keys across the whole txn state
         val r = SqlEntry.sqlLakehouse(spark,
           s"BEGIN TXN 5; " +
             s"INSERT INTO acid_table('$table') SELECT * FROM sqltxn_inserts TXN 6; " +
             s"MERGE INTO acid_table('$table') USING sqltxn_updates " +
             "ON o_orderkey WHEN MATCHED THEN UPDATE SET * " +
             "WHEN NOT MATCHED THEN INSERT * TXN 7; " +
+            s"UPDATE acid_table('$table') " +
+            "SET price = CAST(price + 10 AS DECIMAL(12,2)), o_orderstatus = 'U' " +
+            "WHERE o_orderkey % 7 = 0 TXN 11; " +
+            s"DELETE FROM acid_table('$table') WHERE o_orderkey % 11 = 0 TXN 12; " +
             "COMMIT").head
-        require(r.getString(0) == "txn_commit" && r.getLong(2) == 2L,
+        require(r.getString(0) == "txn_commit" && r.getLong(2) == 4L,
           s"sql_txn: unexpected commit summary $r")
         val vAfter = Acid.currentVersion(table).get
         // replayed transaction (driver retry) no-ops through the ledger
@@ -3570,11 +3580,16 @@ object Lakehouse {
       },
       Some("""
         SELECT o_orderkey,
-               CASE WHEN o_orderkey % 5 = 0 THEN 'T'
+               CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                    WHEN o_orderkey % 5 = 0 THEN 'T'
                     ELSE o_orderstatus END AS o_orderstatus,
-               CAST(CAST(CASE WHEN o_orderkey % 5 = 0 THEN 1
+               CAST(CAST(CASE WHEN o_orderkey % 7 = 0 THEN
+                      CAST(CASE WHEN o_orderkey % 5 = 0 THEN 1
+                           ELSE o_totalprice END AS DECIMAL(12,2)) + 10
+                    WHEN o_orderkey % 5 = 0 THEN 1
                     ELSE o_totalprice END AS DECIMAL(12,2)) AS DOUBLE) AS price
         FROM orders
+        WHERE o_orderkey % 11 <> 0
         ORDER BY o_orderkey""".trim)),
   )
 }

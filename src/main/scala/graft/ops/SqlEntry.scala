@@ -74,8 +74,9 @@ object SqlEntry {
     // unmoved; a concurrent main commit makes the publish refuse loudly
     // (optimistic transaction — retry on the new head). Idempotent per
     // the OUTER txn id (the publish stamps it on main's ledger).
-    // Supported statements: INSERT INTO / MERGE INTO acid_table (the
-    // verbs with branch twins; express UPDATE/DELETE as MERGE clauses).
+    // Supported statements: INSERT INTO / MERGE INTO / UPDATE / DELETE
+    // FROM acid_table — all four DML verbs native since r20 (UPDATE and
+    // DELETE compile to the branch predicate-COW twins).
     // Multi-TABLE atomicity is [[Catalog.commitTxn]]'s seam, not this.
     val txnBlock =
       """(?is)^\s*BEGIN\s+TXN\s+(\d+)\s*;(.+?);?\s*COMMIT\s*$""".r
@@ -560,9 +561,34 @@ object SqlEntry {
         opCol = delPred.map(_ => "__op"))
       return
     }
+    // UPDATE acid_table('<dir>') SET c = <expr>[, ...] WHERE <pred> TXN <id>
+    // — native inside a transaction (r20, lifting the INSERT/MERGE-only
+    // restriction): compiles to the branch predicate-COW
+    // ([[Acid.updateWhereBranch]]), read-your-writes by construction (the
+    // probe runs over the branch head), replayable through the op-log spec
+    val updateStmt =
+      """(?is)^\s*UPDATE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
+    updateStmt.findFirstMatchIn(stmt).foreach { m =>
+      require(m.group(1) == dir, s"txn statement targets ${m.group(1)}, txn is on $dir")
+      val sets = splitTopLevel(m.group(2)).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"UPDATE acid_table (txn): malformed assignment '$a'")
+        (a.take(i).trim, a.drop(i + 1).trim)
+      }
+      Acid.updateWhereBranch(spark, dir, br, sets, m.group(3).trim,
+        m.group(4).toLong)
+      return
+    }
+    // DELETE FROM acid_table('<dir>') WHERE <pred> TXN <id> — same compile
+    val deleteStmt =
+      """(?is)^\s*DELETE\s+FROM\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+WHERE\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
+    deleteStmt.findFirstMatchIn(stmt).foreach { m =>
+      require(m.group(1) == dir, s"txn statement targets ${m.group(1)}, txn is on $dir")
+      Acid.deleteWhereBranch(spark, dir, br, m.group(2).trim, m.group(3).toLong)
+      return
+    }
     sys.error("BEGIN/COMMIT: unsupported transactional statement (INSERT " +
-      s"INTO / MERGE INTO acid_table only; express UPDATE/DELETE as MERGE " +
-      s"clauses): $stmt")
+      s"INTO / MERGE INTO / UPDATE / DELETE FROM acid_table): $stmt")
   }
 
   /** Split `a = f(x, y), b = z` on TOP-LEVEL delimiters only (assignments

@@ -803,6 +803,56 @@ class ConcurrencySpec extends SparkFixture {
       "replayed empty-branch rebase re-forked onto the advanced head")
   }
 
+  test("updateWhereBranch/deleteWhereBranch: branch predicate-COW rebases as the STATEMENT; publish equals sequential application (r20)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.Acid
+    val t = java.nio.file.Files.createTempDirectory("graft_wbr").toString + "/t"
+    val tw = java.nio.file.Files.createTempDirectory("graft_wbr_twin").toString + "/t"
+    val base = (0L until 100L).map(k => (k, k * 10L)).toDF("k", "x")
+    // main's append after the fork contains rows MATCHING both predicates
+    // (k=200 %4==0, k=208 %13==0): the rebase replays the STATEMENT, so
+    // the branch's update/delete intent reaches them — git-rebase wins
+    val mainAdd = Seq((200L, 1L), (201L, 2L), (208L, 3L)).toDF("k", "x")
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, base, 0L)
+    Acid.createBranch(t, "exp", 0L)
+    val u = Acid.updateWhereBranch(spark, t, "exp",
+      Seq(("x", "x + 1")), "k % 4 = 0", 10L)
+    assert(u._2 > 0 && u._2 <= u._3, s"update touched ${u._2}/${u._3}")
+    // replay no-ops on the branch ledger
+    assert(Acid.updateWhereBranch(spark, t, "exp",
+      Seq(("x", "x + 1")), "k % 4 = 0", 10L)._2 == 0,
+      "replayed branch UPDATE must no-op")
+    Acid.deleteWhereBranch(spark, t, "exp", "k % 13 = 0", 11L)
+    // main never saw a byte of the branch DML
+    assert(Acid.read(spark, t).as[(Long, Long)].collect().toSet ==
+      (0L until 100L).map(k => (k, k * 10L)).toSet,
+      "branch predicate-COW leaked into main")
+    Acid.appendTxn(spark, t, mainAdd, 1L) // main advances
+    // vacuum must keep the frozen statement specs alive with the branch
+    Acid.vacuum(t, keep = 1)
+    val h = Acid.rebaseBranchDml(spark, t, "exp", txnId = 15L)
+    assert(Acid.rebaseBranchDml(spark, t, "exp", txnId = 15L) == h,
+      "replayed rebase must no-op through the branch ledger")
+    Acid.fastForwardBranch(t, "exp", txnId = 16L)
+    // sequential twin: main ops first, then the same statements on main
+    Acid.reset(tw)
+    Acid.appendTxn(spark, tw, base, 0L)
+    Acid.appendTxn(spark, tw, mainAdd, 1L)
+    Acid.updateWhere(spark, tw, Seq(("x", expr("x + 1"))), expr("k % 4 = 0"), 10L)
+    Acid.deleteWhere(spark, tw, expr("k % 13 = 0"), 11L)
+    val got = Acid.read(spark, t).as[(Long, Long)].collect().toSet
+    val want = Acid.read(spark, tw).as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"rebase-publish != sequential twin: missing ${want.diff(got).take(5)}, " +
+        s"extra ${got.diff(want).take(5)}")
+    // the statement reached main's post-fork rows in both directions
+    assert(got.contains((200L, 2L)), "replayed UPDATE missed main's new matching row")
+    assert(!got.exists(_._1 == 208L), "replayed DELETE missed main's new matching row")
+    assert(got.contains((201L, 2L)), "a non-matching main row was disturbed")
+  }
+
   test("rebaseBranchDml: a second rebase at the SAME main head keeps the superseded head's replay files readable (ADVICE r18)") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
