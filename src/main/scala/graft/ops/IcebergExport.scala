@@ -32,8 +32,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Manifests and the manifest list are REAL Avro (the spec's container
   * format) written through Spark's avro source with the spec's core field
-  * names; field-id annotations beyond what spark-avro can express are out
-  * of scope and documented here rather than faked. Merge-on-read
+  * names and shape — manifest entries nest the spec's `data_file` record
+  * (status / snapshot_id / data_file{content, file_path, file_format,
+  * record_count, file_size_in_bytes}), the manifest list carries
+  * content/sequence-number/row-count columns, and metadata.json includes
+  * last-updated-ms, sort-orders, last-partition-id, properties, and the
+  * snapshot log. INTEROP CLAIM, stated honestly: this export is
+  * SHAPE-FAITHFUL and SELF-VERIFIED ([[readExport]] resolves the chain
+  * with zero Acid calls). A spec-STRICT external reader (the Iceberg
+  * library, Trino) additionally requires field-id annotations inside the
+  * Avro file schemas themselves, which spark-avro cannot express —
+  * external-reader validation has NOT run, and is documented here rather
+  * than faked. Merge-on-read
   * reconciliation is [[DeltaExport.exportAcid]]'s exactly: one probe scan
   * names the files containing a deleted key, only those materialize
   * vector-subtracted, clean files export zero-copy — O(files containing a
@@ -43,9 +53,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * previous snapshots in the snapshot log (Iceberg retains history;
   * contrast Delta's remove-tombstones) and flips current-snapshot-id.
   *
-  * [[readExport]] is the proof: it resolves version-hint → metadata.json
-  * → manifest list → manifests → file paths and reads the parquet — the
-  * exact walk an external Iceberg reader does — with zero Acid calls.
+  * [[readExport]] is the self-verification: it resolves version-hint →
+  * metadata.json → manifest list → manifests → file paths and reads the
+  * parquet — the same chain walk an external Iceberg reader performs —
+  * with zero Acid calls.
   *
   * At 100 TB the export is O(manifest) metadata plus O(vector-touched
   * files) data I/O; the zero-copy refs mean a nightly interop export of a
@@ -57,9 +68,8 @@ object IcebergExport {
 
   private def metaDir(dir: String) = Paths.get(dir, "metadata")
 
-  /** Iceberg type string for a Spark type — the spec's primitive names.
-    * Nested types refuse loudly (exporting them needs field-id assignment
-    * through the tree, out of scope). */
+  /** Iceberg type string for a Spark PRIMITIVE type — the spec's names.
+    * Nested types go through [[icebergSchemaJson]]'s tree walk. */
   private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
@@ -75,9 +85,73 @@ object IcebergExport {
       case BinaryType => "binary"
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case other => sys.error(
-        s"IcebergExport: unsupported column type $other — nested/exotic " +
-          "types need spec field-id assignment, export them flattened")
+        s"IcebergExport: unsupported column type $other — exotic types " +
+          "have no Iceberg spec mapping, export them cast/flattened")
     }
+  }
+
+  /** Iceberg schema JSON with FIELD-IDS ASSIGNED THROUGH THE TREE (r20 —
+    * lifting the nested-type refusal): structs, lists, and maps emit the
+    * spec's nested-type JSON ({"type":"struct",...} / {"type":"list",
+    * "element-id":...} / {"type":"map","key-id":...}), with a counter
+    * handing out unique ids — top-level columns keep ids 1..n exactly as
+    * the flat-table export always assigned (re-exports of flat tables are
+    * byte-stable across this change), nested ids continue from n+1.
+    * Returns (fields JSON, last-column-id). */
+  private def icebergSchemaJson(
+      schema: org.apache.spark.sql.types.StructType): (String, Int) = {
+    import org.apache.spark.sql.types._
+    var next = schema.size
+    def nid(): Int = { next += 1; next }
+    def typeJson(dt: DataType): String = dt match {
+      case st: StructType =>
+        val fs = st.fields.map { f =>
+          val fid = nid()
+          s"""{"id":$fid,"name":"${f.name}","required":${!f.nullable},""" +
+            s""""type":${typeJson(f.dataType)}}"""
+        }.mkString(",")
+        s"""{"type":"struct","fields":[$fs]}"""
+      case ArrayType(et, containsNull) =>
+        val eid = nid()
+        s"""{"type":"list","element-id":$eid,"element":${typeJson(et)},""" +
+          s""""element-required":${!containsNull}}"""
+      case MapType(kt, vt, valueContainsNull) =>
+        val kid = nid()
+        val kj = typeJson(kt)
+        val vid = nid()
+        s"""{"type":"map","key-id":$kid,"key":$kj,"value-id":$vid,""" +
+          s""""value":${typeJson(vt)},"value-required":${!valueContainsNull}}"""
+      case prim => s""""${icebergType(prim)}""""
+    }
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
+        s""""type":${typeJson(f.dataType)}}"""
+    }.mkString(",")
+    (fields, next)
+  }
+
+  /** Serialize exporters per export dir (ADVICE r19): two concurrent
+    * exporters reading the same version-hint would both compute v = hint+1
+    * and the second's orphan-replace would clobber the first's in-flight
+    * metadata before the hint flips. Same O_EXCL spin-lock protocol as the
+    * Acid writer lock; a crashed exporter's stale lock fails loudly with
+    * the file to remove (the Acid lock's operational model). */
+  private def withExportLock[T](dir: String)(body: => T): T = {
+    Files.createDirectories(metaDir(dir))
+    val lock = metaDir(dir).resolve("_export.lock")
+    var spins = 0
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        spins += 1
+        require(spins < 12000,
+          s"IcebergExport: export-lock timeout on $dir — a concurrent " +
+            s"exporter holds (or a crashed one leaked) $lock")
+        Thread.sleep(5)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
   }
 
   /** Current metadata version per version-hint.text, if the export exists. */
@@ -111,8 +185,8 @@ object IcebergExport {
     * files, total files). Idempotence is the CALLER's snapshot cadence
     * (each call commits a new snapshot, like Iceberg's own commits). */
   def exportAcid(spark: SparkSession, table: String,
-      dir: String): (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.col
+      dir: String): (Long, Int, Int) = withExportLock(dir) {
+    import org.apache.spark.sql.functions.{col, struct}
     Files.createDirectories(metaDir(dir))
     val av = Acid.currentVersion(table).getOrElse(
       sys.error(s"IcebergExport.exportAcid: no committed version at $table"))
@@ -180,30 +254,45 @@ object IcebergExport {
       .map(r => Paths.get(java.net.URI.create(r.getString(0))).toString -> r.getLong(1))
       .toMap
     val snapshotId = 1000L + v // deterministic, unique per metadata version
-    // MANIFEST (avro): one row per data file, spec core columns
+    // the snapshot's COMMIT TIME (the source manifest's mtime, which the
+    // atomic manifest write stamped) — ADVICE r19: the metadata dir's own
+    // mtime was the EXPORT time, wrong for timestamp-based travel
+    val commitMs = Files.getLastModifiedTime(
+      Paths.get(table, s"manifest-$av.txt")).toMillis
+    // MANIFEST (avro): one row per data file, the spec's NESTED shape —
+    // status/snapshot_id at entry level, the data_file record inside
     import spark.implicits._
     val manifestName = f"manifest-$snapshotId%d.avro"
     val manifestRows = dataPaths.map { p =>
-      (1 /* ADDED */, p, "PARQUET", counts.getOrElse(p, 0L), Files.size(Paths.get(p)))
-    }.toDF("status", "file_path", "file_format", "record_count",
-      "file_size_in_bytes")
+      (1 /* ADDED */, snapshotId, 0 /* content: DATA */, p, "PARQUET",
+        counts.getOrElse(p, 0L), Files.size(Paths.get(p)))
+    }.toDF("status", "snapshot_id", "content", "file_path", "file_format",
+      "record_count", "file_size_in_bytes")
+      .select(col("status"), col("snapshot_id"),
+        struct(col("content"), col("file_path"), col("file_format"),
+          col("record_count"), col("file_size_in_bytes")).as("data_file"))
     val manifestLen = writeSingleAvro(spark, manifestRows,
       metaDir(dir).resolve(manifestName))
-    // MANIFEST LIST (avro): one row per manifest
+    // MANIFEST LIST (avro): one row per manifest, with the spec's
+    // content/sequence-number/row-count columns
     val listName = f"snap-$snapshotId%d.avro"
+    val totalRows = counts.values.sum
     val listRows = Seq((
       metaDir(dir).resolve(manifestName).toAbsolutePath.toString,
-      manifestLen, 0, snapshotId, dataPaths.size.toLong, 0L))
+      manifestLen, 0, 0 /* content: data manifests */, snapshotId,
+      v + 1 /* sequence_number */, v + 1 /* min_sequence_number */,
+      dataPaths.size, 0, 0, totalRows, 0L, 0L))
       .toDF("manifest_path", "manifest_length", "partition_spec_id",
-        "added_snapshot_id", "added_files_count", "existing_files_count")
+        "content", "added_snapshot_id", "sequence_number",
+        "min_sequence_number", "added_files_count", "existing_files_count",
+        "deleted_files_count", "added_rows_count", "existing_rows_count",
+        "deleted_rows_count")
     writeSingleAvro(spark, listRows, metaDir(dir).resolve(listName))
-    // METADATA JSON: schema with field-ids, snapshot log (history KEPT —
-    // prior snapshots stay resolvable), current-snapshot-id flip
+    // METADATA JSON: schema with field-ids (nested types included — the
+    // tree walk), snapshot log (history KEPT — prior snapshots stay
+    // resolvable), current-snapshot-id flip
     val schema = Acid.readEvolved(spark, table).schema
-    val fieldsJson = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},""" +
-        s""""type":"${icebergType(f.dataType)}"}"""
-    }.mkString(",")
+    val (fieldsJson, lastColumnId) = icebergSchemaJson(schema)
     val prevSnapshots: Seq[String] = currentMetaVersion(dir) match {
       case None => Seq.empty
       case Some(pv) =>
@@ -217,23 +306,39 @@ object IcebergExport {
     }
     val snapJson =
       s"""{"snapshot-id":$snapshotId,"sequence-number":${v + 1},""" +
-        s""""timestamp-ms":${Files.getLastModifiedTime(metaDir(dir)).toMillis},""" +
+        s""""timestamp-ms":$commitMs,""" +
         s""""manifest-list":"${metaDir(dir).resolve(listName).toAbsolutePath}",""" +
         s""""summary":{"operation":"append"}}"""
+    val allSnapshots = prevSnapshots :+ snapJson
+    // snapshot-log: (timestamp-ms, snapshot-id) pairs in commit order —
+    // rebuilt from the snapshot objects we already carry, so the log and
+    // the snapshots can never disagree
+    val snapLog = allSnapshots.map { s =>
+      val sid = """"snapshot-id":(\d+)""".r.findFirstMatchIn(s).get.group(1)
+      val ts = """"timestamp-ms":(\d+)""".r.findFirstMatchIn(s).get.group(1)
+      s"""{"timestamp-ms":$ts,"snapshot-id":$sid}"""
+    }
     val uuid = java.util.UUID.nameUUIDFromBytes(
       dir.getBytes(StandardCharsets.UTF_8)).toString
     val metaJson =
       s"""{"format-version":2,"table-uuid":"$uuid",""" +
         s""""location":"${Paths.get(dir).toAbsolutePath}",""" +
-        s""""last-sequence-number":${v + 1},"last-column-id":${schema.size},""" +
+        s""""last-updated-ms":$commitMs,""" +
+        s""""last-sequence-number":${v + 1},"last-column-id":$lastColumnId,""" +
         s""""schemas":[{"type":"struct","schema-id":0,"fields":[$fieldsJson]}],""" +
         s""""current-schema-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],""" +
-        s""""default-spec-id":0,"current-snapshot-id":$snapshotId,""" +
-        s""""snapshots":[${(prevSnapshots :+ snapJson).mkString(",")}]}"""
+        s""""default-spec-id":0,"last-partition-id":999,""" +
+        s""""sort-orders":[{"order-id":0,"fields":[]}],""" +
+        s""""default-sort-order-id":0,"properties":{},""" +
+        s""""current-snapshot-id":$snapshotId,""" +
+        s""""snapshots":[${allSnapshots.mkString(",")}],""" +
+        s""""snapshot-log":[${snapLog.mkString(",")}]}"""
     // v = hint+1 is by construction UNCOMMITTED (the hint flips last), so
-    // an existing file here is our own crashed export's orphan — replace
-    // it, or every retry would wedge on CREATE_NEW forever (r19 review).
-    // A COMMITTED metadata version can never be clobbered: it is ≤ hint.
+    // an existing file here is a crashed export's orphan — replace it, or
+    // every retry would wedge on CREATE_NEW forever (r19 review). A
+    // COMMITTED metadata version can never be clobbered (it is ≤ hint),
+    // and a CONCURRENT exporter's in-flight metadata can't be either: the
+    // export lock serializes the whole read-hint→flip-hint window.
     Files.deleteIfExists(metaDir(dir).resolve(f"v$v%d.metadata.json"))
     Files.write(metaDir(dir).resolve(f"v$v%d.metadata.json"),
       metaJson.getBytes(StandardCharsets.UTF_8),
@@ -267,7 +372,7 @@ object IcebergExport {
     val manifests = spark.read.format(AvroFormat).load(manifestList)
       .select("manifest_path").collect().map(_.getString(0)).toSeq // O(manifests)
     val dataFiles = spark.read.format(AvroFormat).load(manifests: _*)
-      .select("file_path").collect().map(_.getString(0)).toSeq // O(files)
+      .select("data_file.file_path").collect().map(_.getString(0)).toSeq // O(files)
     require(dataFiles.nonEmpty, s"IcebergExport.readExport: empty snapshot at $dir")
     spark.read.parquet(dataFiles: _*)
   }

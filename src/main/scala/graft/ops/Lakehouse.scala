@@ -413,9 +413,15 @@ object Lakehouse {
         val table = graft.Tmp.dir("iceberg_src", sfDir)
         val out = graft.Tmp.dir("iceberg_export", sfDir)
         Acid.reset(table); Acid.reset(out)
+        // nested columns ride along (r20 — the nested-type refusal lifted:
+        // field-ids assign through the tree): a struct and a list column
+        // round-trip the chain and surface in the oracle projection
         val or = Tables.orders(spark, sfDir)
           .select(col("o_orderkey"), col("o_orderstatus"),
-            money(col("o_totalprice")).as("price"))
+            money(col("o_totalprice")).as("price"),
+            struct(col("o_orderstatus").as("status"),
+              (col("o_orderkey") % 10).as("bucket")).as("props"),
+            array(col("o_orderkey"), col("o_orderkey") + 1).as("tags"))
         Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 2 === 0), 0L)
         // a standing MoR vector: the export must reconcile, not resurrect
         Acid.deleteTxn(spark, table,
@@ -436,7 +442,9 @@ object Lakehouse {
         require(v1 == 1L, s"sink_iceberg_export: refresh landed v$v1")
         val metaPath = java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")
         val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
-        require("\"snapshot-id\":".r.findAllIn(meta).size == 2,
+        // count snapshot OBJECTS (the snapshot-log entries also carry a
+        // snapshot-id field, so match the object opener, not the raw key)
+        require("""\{"snapshot-id":""".r.findAllIn(meta).size == 2,
           "sink_iceberg_export: refresh dropped the prior snapshot from the log")
         // the carried log must be WELL-FORMED JSON, not merely regex-visible
         // (r19 review: a truncating carry pattern passed the count check)
@@ -444,14 +452,24 @@ object Lakehouse {
           .json(metaPath.toString)
         require(parsed.columns.contains("snapshots") && parsed.count() == 1L,
           "sink_iceberg_export: v1 metadata.json failed to parse as JSON")
+        // the metadata must declare the nested schema with tree field-ids
+        require(meta.contains("\"type\":\"struct\",\"fields\":[{\"id\":6") &&
+          meta.contains("\"type\":\"list\",\"element-id\":"),
+          "sink_iceberg_export: nested schema missing tree field-ids")
         IcebergExport.readExport(spark, out)
           .select(col("o_orderkey"), col("o_orderstatus"),
-            emit(col("price"), 2).as("price"))
+            emit(col("price"), 2).as("price"),
+            col("props.status").as("p_status"),
+            col("props.bucket").as("p_bucket"),
+            element_at(col("tags"), 2).as("tag2"))
           .orderBy(col("o_orderkey"))
       },
       Some("""
         SELECT o_orderkey, o_orderstatus,
-               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+               o_orderstatus AS p_status,
+               o_orderkey % 10 AS p_bucket,
+               o_orderkey + 1 AS tag2
         FROM orders
         WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 10 = 0)
         ORDER BY o_orderkey""".trim)),

@@ -803,6 +803,38 @@ class ConcurrencySpec extends SparkFixture {
       "replayed empty-branch rebase re-forked onto the advanced head")
   }
 
+  test("IcebergExport: concurrent exporters serialize on the export lock; both snapshots land (ADVICE r19)") {
+    import spark.implicits._
+    import graft.ops.{Acid, IcebergExport}
+    val t = java.nio.file.Files.createTempDirectory("graft_icex").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("graft_icex_out").toString + "/e"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, (0L until 50L).map(k => (k, k * 2L)).toDF("k", "x"), 0L)
+    // two exporters race the same dir: without the lock both read hint
+    // = absent, compute v=0, and the second's orphan-replace clobbers the
+    // first's in-flight metadata; with it they serialize to v0 then v1
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map(_ => new Thread(() => {
+      try { IcebergExport.exportAcid(spark, t, out); () }
+      catch { case e: Throwable => errs.add(e) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent export failed: ${errs.peek()}")
+    assert(IcebergExport.currentMetaVersion(out).contains(1L),
+      s"two exports must land two metadata versions, hint = " +
+        s"${IcebergExport.currentMetaVersion(out)}")
+    // the head chain resolves and matches the table; BOTH snapshots are in
+    // the log and the earlier metadata version file is intact
+    assert(IcebergExport.readExport(spark, out).count() == 50L)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "metadata", "v1.metadata.json")), "UTF-8")
+    assert("""\{"snapshot-id":""".r.findAllIn(meta).size == 2,
+      "second export dropped the first snapshot from the log")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "metadata", "v0.metadata.json")),
+      "the first exporter's committed metadata was clobbered")
+  }
+
   test("updateWhereBranch/deleteWhereBranch: branch predicate-COW rebases as the STATEMENT; publish equals sequential application (r20)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
