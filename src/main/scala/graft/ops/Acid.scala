@@ -604,9 +604,12 @@ object Acid {
     // (6M keys) covered every residue ~6x, so every file's bloom matched
     // every probe and pruning silently degraded to "rewrite everything".
     // 2^31-1 keeps y*48271 ≤ 1.04e14, far under Long/ANSI overflow, and
-    // restores discriminative power to any practical key domain. Blooms
-    // are regenerated with their tables here (scratch fixtures); a
-    // persisted deployment would version the hash in the stat name.
+    // restores discriminative power to any practical key domain. The
+    // hash generation is VERSIONED in the stat line (`|h2|` token,
+    // ADVICE r19): readers probe versioned blooms with the new position
+    // pair only, and keep the dual-generation probe solely for
+    // unversioned legacy lines — without the marker every bloom paid the
+    // legacy pair's chance matches forever (~double the FPR).
     val positions = spark.read.parquet(paths: _*)
       .withColumn("__y", org.apache.spark.sql.functions.pmod(expr0, org.apache.spark.sql.functions.lit(2147483647L)))
       .withColumn("__h1", org.apache.spark.sql.functions.expr("(__y * 48271) % 2147483647"))
@@ -628,7 +631,7 @@ object Acid {
       val arr = new Array[Long](words)
       rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
       val rel = relTo.relativize(Paths.get(java.net.URI.create(file))).toString
-      s"# bloom:$rel|$name|${arr.mkString(",")}"
+      s"# bloom:$rel|$name|h2|${arr.mkString(",")}"
     }.toSeq.sorted
   }
 
@@ -3161,34 +3164,43 @@ object Acid {
   def skipFilesBloom(table: String, v: Long, statsName: String,
       key: Long): (Seq[String], Seq[String]) = {
     val lines = manifestLines(table, v)
+    // (words, versioned): the `h2` token marks blooms written with the
+    // widened 2^31-1 pre-mod (ADVICE r19 — versioning the hash in the
+    // stat line lets new blooms probe ONLY the new position pair; the
+    // legacy dual probe applies solely to unversioned lines, instead of
+    // permanently ~doubling every bloom's false-positive rate)
     val blooms = lines.filter(_.startsWith("# bloom:")).flatMap { l =>
       l.stripPrefix("# bloom:").split('|') match {
+        case Array(f, n, "h2", ws) if n == statsName =>
+          Some(f -> (ws.split(',').map(_.toLong), true))
         case Array(f, n, ws) if n == statsName =>
-          Some(f -> ws.split(',').map(_.toLong))
+          Some(f -> (ws.split(',').map(_.toLong), false))
         case _ => None
       }
     }.toMap
     def hasBit(w: Array[Long], p: Int): Boolean = (w(p / 64) >>> (p % 64) & 1L) == 1L
     val all = lines.filterNot(_.startsWith("#"))
     val kept = all.filter(f =>
-      blooms.get(f).forall { w =>
-        // width is per-line (adaptive blooms; mixed generations coexist).
-        // HASH generations coexist too (r19 review): blooms persisted
-        // before the pre-mod domain widened (1e6 → 2^31-1) set bits at the
-        // OLD positions — probing only the new pair would false-NEGATIVE
-        // on them and prune a file that contains the key (unsound for
-        // erase). Keep the file if EITHER generation's pair matches:
-        // conservative for both, soundness preserved, pruning slightly
-        // weaker only on legacy blooms.
+      blooms.get(f).forall { case (w, versioned) =>
+        // width is per-line (adaptive blooms; mixed generations coexist)
         val bits = w.length * 64
         val (p1, p2) = bloomPositions(key, bits)
-        val (q1, q2) = {
-          val y = Math.floorMod(key, 1000003L) // legacy pre-mod domain
-          val h1 = (y * 48271L) % 2147483647L
-          val h2 = (h1 * 48271L) % 2147483647L
-          ((h1 % bits).toInt, (h2 % bits).toInt)
+        val newHit = hasBit(w, p1) && hasBit(w, p2)
+        if (versioned) newHit
+        else {
+          // unversioned legacy line: written before the pre-mod domain
+          // widened (1e6 → 2^31-1) — bits sit at the OLD positions, so
+          // probing only the new pair would false-NEGATIVE and prune a
+          // file that contains the key (unsound for erase). EITHER
+          // generation's pair keeps the file: conservative for both.
+          val (q1, q2) = {
+            val y = Math.floorMod(key, 1000003L) // legacy pre-mod domain
+            val h1 = (y * 48271L) % 2147483647L
+            val h2 = (h1 * 48271L) % 2147483647L
+            ((h1 % bits).toInt, (h2 % bits).toInt)
+          }
+          newHit || (hasBit(w, q1) && hasBit(w, q2))
         }
-        (hasBit(w, p1) && hasBit(w, p2)) || (hasBit(w, q1) && hasBit(w, q2))
       })
     (kept, all)
   }
@@ -3313,7 +3325,14 @@ object Acid {
           else spark.read.parquet(delFiles(linesTo).map(f => s"$table/$f"): _*)
             .select(col(k)).distinct()
         val removed = fromKeys.join(toKeys, Seq(k), "left_anti")
-        val surviving = filesFrom.toSeq.sorted
+        // survivors = fromV's files STILL LIVE at toV (ADVICE r19): a
+        // replaced file cannot resurrect rows at toV, so intersecting
+        // keeps the check sound — and keeps the probe off files a vacuum
+        // may have reclaimed. Under the rewrite-crossing require above
+        // the intersection is currently the identity (filesFrom ⊆
+        // filesTo); the intersect future-proofs the probe if that
+        // admission is ever relaxed.
+        val surviving = filesFrom.intersect(filesTo.toSet).toSeq.sorted
         val inSurvivors = surviving.nonEmpty &&
           readLogical(spark, table, linesTo, surviving)
             .join(removed, Seq(k), "left_semi").limit(1).count() > 0

@@ -105,6 +105,18 @@ object SqlEntry {
       // leftover is garbage; drop it and re-run from scratch. Without
       // this, createBranch's CREATE_NEW wedged every documented
       // same-txnId retry into FileAlreadyExistsException.
+      //
+      // CONTRACT (ADVICE r19): outer txn ids are ONE-DRIVER-AT-A-TIME —
+      // the id names a logical transaction, and its retry semantics
+      // (replay no-op after commit, reclaim-and-rerun after crash) only
+      // hold when a single driver owns the id at any moment. Two drivers
+      // CONCURRENTLY running the same BEGIN TXN id are racing the same
+      // logical transaction: this drop would delete the other driver's
+      // in-flight branch mid-transaction. The failure is loud for the
+      // victim (its next statement errors on the missing branch) and main
+      // is never corrupted (neither publish lands twice — the ledger
+      // replay check serializes), but the operators' contract is: retry a
+      // txn id only after its previous driver is known dead.
       if (Acid.branches(dir).contains(br)) Acid.dropBranch(dir, br)
       Acid.createBranch(dir, br, cur)
       try {

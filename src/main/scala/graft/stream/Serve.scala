@@ -191,7 +191,7 @@ object Serve {
     @transient private var queue: java.util.concurrent.ArrayBlockingQueue[String] = _
     @transient private var sender: Thread = _
     @transient @volatile private var disconnected = false
-    private val Poison = " __serve_eof__"
+    private val Poison = "\u0000__serve_eof__"
 
     override def open(partitionId: Long, epochId: Long): Boolean = {
       sock = new Socket()

@@ -1532,6 +1532,41 @@ class OperatorSpec extends SparkFixture {
     assert(keptNoStats.size == all.size, "files without blooms must be kept")
   }
 
+  test("bloom hash versioning: h2-marked lines probe the new pair only; unversioned legacy lines keep the dual probe (ADVICE r19)") {
+    import graft.ops.Acid
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_ver")
+    // a key ABOVE the legacy 1e6 pre-mod domain — below it both
+    // generations reduce to the same y and the positions coincide
+    val key = 5000017L
+    val bits = 4096
+    // the two generations' probe positions, from the documented formulas
+    def pair(preMod: Long): (Int, Int) = {
+      val y = Math.floorMod(key, preMod)
+      val h1 = (y * 48271L) % 2147483647L
+      val h2 = (h1 * 48271L) % 2147483647L
+      ((h1 % bits).toInt, (h2 % bits).toInt)
+    }
+    val (p1, p2) = pair(2147483647L) // current
+    val (q1, q2) = pair(1000003L)    // legacy
+    assert(Set(p1, p2) != Set(q1, q2), "fixture key must separate the generations")
+    // a filter whose bits sit ONLY at the LEGACY positions (what a
+    // pre-widening writer persisted for this key)
+    val w = new Array[Long](bits / 64)
+    for (q <- Seq(q1, q2)) w(q / 64) |= (1L << (q % 64))
+    val words = w.mkString(",")
+    java.nio.file.Files.write(dir.resolve("manifest-0.txt"),
+      (s"# bloom:f1.parquet|k|h2|$words\n" + // versioned: new hash claimed
+        s"# bloom:f2.parquet|k|$words\n" +   // unversioned: legacy bloom
+        "f1.parquet\nf2.parquet\n").getBytes("UTF-8"))
+    val (kept, all) = Acid.skipFilesBloom(dir.toString, 0L, "k", key)
+    assert(all == Seq("f1.parquet", "f2.parquet"))
+    // f1 claims the new hash but only legacy bits are set → provably
+    // absent under the new pair → pruned (no legacy-pair FPR tax)
+    // f2 is unversioned → the dual probe keeps it (legacy bits match)
+    assert(kept == Seq("f2.parquet"),
+      s"versioned bloom must prune on the new pair only, kept $kept")
+  }
+
   test("Acid: lock-free CAS appends — 8 racing writers all land, ledger complete, rows conserved") {
     import graft.ops.Acid
     val table = java.nio.file.Files.createTempDirectory("graft_acid_cas").toString
