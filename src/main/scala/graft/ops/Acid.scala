@@ -4485,6 +4485,37 @@ object Acid {
     * drop serializes on the writer lock individually (expiry is
     * maintenance, not a transaction). Returns the expired ref names,
     * kind-prefixed. */
+  /** Staleness horizon for the automatic txn-branch sweep (ms). A LIVE
+    * transaction refreshes its branch ref's mtime on every statement
+    * commit, so only a transaction idle past this horizon is collectible —
+    * the same mtime-staleness rule as [[ClaimStaleMs]]. Mutable only so
+    * the sweep is testable without an hour's sleep. */
+  @volatile private[graft] var TxnBranchStaleMs = 3600000L
+
+  /** Sweep EXPIRED `txn-*` branches — the BEGIN/COMMIT crash leak closed
+    * (VERDICT r19 item 7): a driver killed mid-transaction leaves its
+    * txn-private branch on disk; the documented same-id retry reclaims it,
+    * but an id never retried leaked until a manual [[expireRefs]]. Called
+    * at transaction open (the SQL BEGIN handler), so the garbage of past
+    * crashes is collected exactly where new garbage could be created.
+    * Safe by construction: a swept branch's ref still exists, so it was
+    * never published (publish retires the ref) — dropping it cannot tear
+    * data out of main ([[dropBranch]]'s published-file liveness rule). */
+  def sweepTxnBranches(table: String): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val dead = branches(table).keys.toSeq.sorted
+      .filter(_.startsWith("txn-"))
+      .filter { n =>
+        try now - Files.getLastModifiedTime(branchRef(table, n)).toMillis >
+          TxnBranchStaleMs
+        catch { case _: java.io.IOException => false } // raced a drop
+      }
+    dead.filter { n =>
+      try { dropBranch(table, n); true }
+      catch { case _: RuntimeException => false } // raced a drop/publish
+    }.map(n => s"branch:$n")
+  }
+
   def expireRefs(table: String, maxAgeMs: Long,
       keep: Set[String] = Set.empty): Seq[String] = {
     val now = System.currentTimeMillis()

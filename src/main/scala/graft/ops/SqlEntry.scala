@@ -97,6 +97,11 @@ object SqlEntry {
       if (Acid.committedTxns(dir).contains(txnId))
         return summary(Acid.currentVersion(dir).get) // replay → no-op
       val br = s"txn-$txnId"
+      // transaction open doubles as the txn-branch GC point (r20): sweep
+      // any OTHER txn's branch whose ref went stale past the horizon — a
+      // crashed driver's id that is never retried would otherwise leak
+      // its branch until a manual expireRefs
+      Acid.sweepTxnBranches(dir)
       val cur = Acid.currentVersion(dir).getOrElse(
         sys.error(s"BEGIN TXN: no committed version at $dir"))
       // crash recovery (r19 review): a driver that died mid-transaction

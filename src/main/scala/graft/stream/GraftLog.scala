@@ -529,10 +529,20 @@ final class GraftLogTable(dir: String, wireV2: Boolean) extends Table with Suppo
       .orElse(Option(options.get("startingOffsets")).flatMap { s =>
         s.trim.toLowerCase match {
           case "earliest" => None // log start — the default resume rule
-          case "latest"   => Some(GraftLog.totalsVector(dir))
+          case "latest"   => None // resolved at FIRST-BATCH PLANNING, below
           case _          => Some(GraftLogOffset.parse(s).parts)
         }
       })
+    // `latest` is a DEFERRED marker, not an eager snapshot (Kafka parity,
+    // VERDICT r19): the end vector resolves inside initialOffset — the
+    // engine's first-batch planning — not here at scan construction, so a
+    // producer burst landing between query creation and the first trigger
+    // is excluded exactly as the Kafka source excludes it. An explicit
+    // startingOffsetVector wins when both are given (the native name is
+    // first-class).
+    val startLatest = Option(options.get("startingOffsetVector")).isEmpty &&
+      Option(options.get("startingOffsets"))
+        .exists(_.trim.equalsIgnoreCase("latest"))
     new GraftLogScan(dir,
       Option(options.get("startingOffset")).map(_.toLong).getOrElse(0L),
       Option(options.get("maxRecordsPerTrigger"))
@@ -541,14 +551,15 @@ final class GraftLogTable(dir: String, wireV2: Boolean) extends Table with Suppo
       Option(options.get("assignedPartitions"))
         .orElse(Option(options.get("assign")))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet),
-      startVec)
+      startVec, startLatest)
   }
 }
 
 final class GraftLogScan(dir: String, startingOffset: Long,
     maxRecordsPerTrigger: Option[Long], wireV2: Boolean,
     assignedPartitions: Option[Set[String]] = None,
-    startingOffsetVector: Option[Map[String, Long]] = None)
+    startingOffsetVector: Option[Map[String, Long]] = None,
+    startLatest: Boolean = false)
   extends ScanBuilder with Scan {
   override def build(): Scan = this
   override def readSchema(): StructType =
@@ -556,7 +567,7 @@ final class GraftLogScan(dir: String, startingOffset: Long,
   override def description(): String = s"graft-log $dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftLogMicroBatchStream(dir, startingOffset, maxRecordsPerTrigger, wireV2,
-      assignedPartitions, startingOffsetVector)
+      assignedPartitions, startingOffsetVector, startLatest)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       // batch reads start at the log-start offset — retention-expired
@@ -600,7 +611,8 @@ object GraftLogOffset {
 final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
     maxRecordsPerTrigger: Option[Long], wireV2: Boolean = false,
     assignedPartitions: Option[Set[String]] = None,
-    startingOffsetVector: Option[Map[String, Long]] = None)
+    startingOffsetVector: Option[Map[String, Long]] = None,
+    startLatest: Boolean = false)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Consumer-group membership (`assignedPartitions`): this consumer reads
@@ -637,6 +649,19 @@ final class GraftLogMicroBatchStream(dir: String, startingOffset: Long,
     val totals = visible(GraftLog.totalsVector(dir))
     val bases = totals.map { case (p, _) =>
       p -> GraftLog.baseOrdinal(GraftLog.partDir(dir, p)) }
+    // `startingOffsets=latest` resolves HERE — the engine's first-batch
+    // planning — not at scan construction (VERDICT r19, Kafka parity): a
+    // record landing between query creation and the first trigger is
+    // before this resolution point, so it is excluded, exactly as a Kafka
+    // consumer created-then-started skips it. initialOffset runs once per
+    // checkpoint lifetime; restarts resume from the WAL, so the snapshot
+    // never re-resolves. Under AvailableNow the frozen end is the same
+    // vector — the run drains nothing, Kafka's latest-at-start rule.
+    if (startLatest) {
+      require(startingOffset == 0L,
+        "graft-log: startingOffset and startingOffsets=latest are exclusive")
+      return GraftLogOffset(logEnd())
+    }
     startingOffsetVector match {
       case Some(vec) =>
         // per-partition seek — the consumer-group REBALANCE handoff: a

@@ -803,6 +803,44 @@ class ConcurrencySpec extends SparkFixture {
       "replayed empty-branch rebase re-forked onto the advanced head")
   }
 
+  test("txn-branch GC: a killed transaction's stale branch is swept at the next BEGIN; a live one survives (r20)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Acid, SqlEntry}
+    val t = java.nio.file.Files.createTempDirectory("graft_txngc").toString + "/t"
+    Acid.reset(t)
+    Acid.appendTxn(spark, t, (0L until 10L).map(k => (k, k)).toDF("k", "x"), 0L)
+    // simulate a driver killed mid-transaction: its txn branch (with a
+    // staged statement) is on disk, its id never reached main
+    Acid.createBranch(t, "txn-77", 0L)
+    Acid.appendTxnBranch(spark, t, "txn-77",
+      Seq((100L, 100L)).toDF("k", "x"), 78L)
+    assert(Acid.branches(t).contains("txn-77"))
+    val prevStale = Acid.TxnBranchStaleMs
+    try {
+      Acid.TxnBranchStaleMs = 50L
+      // a FRESH ref survives the sweep (a live concurrent txn's branch)
+      assert(Acid.sweepTxnBranches(t).isEmpty,
+        "a fresh txn branch must not be swept")
+      Thread.sleep(80)
+      // the next transaction's BEGIN collects the stale leak...
+      (0L until 3L).map(k => (k + 500L, k)).toDF("k", "x")
+        .createOrReplaceTempView("txngc_ins")
+      SqlEntry.sqlLakehouse(spark, s"BEGIN TXN 80; " +
+        s"INSERT INTO acid_table('$t') SELECT * FROM txngc_ins TXN 81; COMMIT")
+      assert(!Acid.branches(t).contains("txn-77"),
+        "stale txn branch survived the next BEGIN's sweep")
+      // ...and the dead txn's work was never published
+      assert(!Acid.committedTxns(t).contains(77L) &&
+        !Acid.committedTxns(t).contains(78L),
+        "a collected txn's statements leaked into main")
+      assert(Acid.read(spark, t).filter(col("k") === 100L).count() == 0,
+        "a collected txn's staged rows surfaced on main")
+      // the sweeping transaction itself committed normally
+      assert(Acid.read(spark, t).filter(col("k") >= 500L).count() == 3)
+    } finally Acid.TxnBranchStaleMs = prevStale
+  }
+
   test("IcebergExport: concurrent exporters serialize on the export lock; both snapshots land (ADVICE r19)") {
     import spark.implicits._
     import graft.ops.{Acid, IcebergExport}

@@ -688,6 +688,34 @@ class GraftLogSpec extends SparkFixture {
       == Seq(0L, 1, 2, 3, 10, 11, 12))
   }
 
+  test("startingOffsets=latest resolves at first-batch planning, not scan construction (Kafka parity, r20)") {
+    import graft.stream.{GraftLogOffset, GraftLogTable}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = freshPartLog(Map("p=0" -> Seq(Seq(0L, 1, 2))))
+    def stream(startingOffsets: String) = {
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("startingOffsets", startingOffsets)
+      new GraftLogTable(dir, wireV2 = false)
+        .newScanBuilder(new CaseInsensitiveStringMap(opts)).build()
+        .toMicroBatchStream(Files.createTempDirectory("gl_latest").toString)
+    }
+    // query CREATION under `latest`: the scan builder runs now...
+    val lateStream = stream("latest")
+    // ...and a producer burst lands BETWEEN creation and the first trigger
+    GraftLog.appendSegment(s"$dir/p=0", 99, Seq(3L, 4L).map(line))
+    // first-batch planning resolves `latest` to the end NOW — the burst is
+    // EXCLUDED (the Kafka consumer's created-then-started behavior; the
+    // old eager snapshot at newScanBuilder would have included it)
+    val start = lateStream.initialOffset().asInstanceOf[GraftLogOffset].parts
+    assert(start == Map("p=0" -> 5L),
+      s"latest must resolve at first planning, after the burst: $start")
+    // under `earliest` the same burst is included from the log start
+    val startE = stream("earliest").initialOffset()
+      .asInstanceOf[GraftLogOffset].parts
+    assert(startE == Map("p=0" -> 0L),
+      s"earliest must start at the log base: $startE")
+  }
+
   test("fencing hardening (ADVICE r18): future generations rejected; a mid-rebalance crash over-fences, never under-fences") {
     import graft.stream.FencedGenerationException
     val group = Files.createTempDirectory("graftlog_cg_harden").toString
