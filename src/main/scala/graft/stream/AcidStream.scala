@@ -461,6 +461,21 @@ object AcidStream {
       head + 1 // count of ordinals
     }
 
+    private def evoLinesAt(k: Long): Seq[String] =
+      brLinesAt(table, name, k).filter(l => l.startsWith("# colmap:") ||
+        l.startsWith("# coldrop:") || l.startsWith("# coldefault:"))
+
+    /** Evolution metadata + head ordinal pinned at source creation — the
+      * branch twin of [[AcidSource]]'s r20 fence: a branch forked from an
+      * evolved main carries the base's colmap/coldefault lines, so its
+      * batches must read the LOGICAL frame (a raw pinned-schema read
+      * silently surfaces NULL for every renamed column's old-generation
+      * rows); and a REBASE pulling NEW evolution lines under a live tail
+      * fails loudly — the restarted query re-pins. */
+    private val evoPinnedAt: Long = headOrdinals - 1
+    private val evo0: Seq[String] =
+      if (evoPinnedAt < 0) Seq.empty else evoLinesAt(evoPinnedAt)
+
     override def prepareForTriggerAvailableNow(): Unit =
       availableNowCap = Some(headOrdinals)
 
@@ -481,6 +496,14 @@ object AcidStream {
     override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
       val s = start.map(parsePos(_)._1).getOrElse(0L)
       val e = parsePos(end)._1
+      // schema-evolution fence past the pin point (r20, the AcidSource
+      // rule): a rebase ordinal pulling main's NEW evolution lines under
+      // this live tail cannot be represented in the pinned shape
+      if (e - 1 > evoPinnedAt && evoLinesAt(e - 1) != evo0)
+        throw new IllegalStateException(
+          s"acid-branch-stream: schema evolution reached branch '$name' of " +
+            s"$table at or before ordinal ${e - 1} while this query was " +
+            "running — restart the query to adopt the evolved schema")
       val files = (s until e).flatMap { k =>
         val prev = brLinesAt(table, name, k - 1).filterNot(_.startsWith("#")).toSet
         brLinesAt(table, name, k).filterNot(_.startsWith("#")).filterNot(prev)
@@ -490,8 +513,16 @@ object AcidStream {
           spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
           spark.createDataFrame(java.util.Collections.emptyList[Row](), schema0)
             .queryExecution.toRdd, schema0)
-      val batch = spark.read.schema(schema0)
-        .parquet(files.map(f => s"$table/$f"): _*)
+      // a branch forked from an evolved main reads the LOGICAL frame —
+      // the raw pinned-schema read would NULL every renamed column in
+      // old-generation files (the AcidSource r20 treatment)
+      val batch =
+        if (evo0.isEmpty)
+          spark.read.schema(schema0).parquet(files.map(f => s"$table/$f"): _*)
+        else Acid.resolveEvolution(evo0,
+            spark.read.option("mergeSchema", "true")
+              .parquet(files.map(f => s"$table/$f"): _*))
+          .select(schema0.fieldNames.map(col).toSeq: _*)
       // the branch head's standing vectors (fork-base inheritance) apply
       // to the feed exactly as readBranch applies them to batch reads
       val headLines = brLinesAt(table, name, headOrdinals - 1)

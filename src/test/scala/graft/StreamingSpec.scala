@@ -1802,6 +1802,47 @@ class StreamingSpec extends SparkFixture {
       s"new-generation rows must pass through unresolved, got ${rows.filter(_._1 >= 100)}")
   }
 
+  test("acid-branch stream: a branch forked from an evolved main tails the LOGICAL frame (r20)") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("acidevo_br_tbl").toString + "/t"
+    // main: one old-generation append, then rename + default (metadata-only)
+    Acid.appendTxn(spark, table, spark.range(0, 8)
+      .select(col("id"), (col("id") * 3).cast("double").as("value")), txnId = 0L)
+    Acid.renameColumn(table, "value", "amount", 1L)
+    Acid.addColumnDefault(spark, table, "src", "'base'", 2L)
+    // the experiment forks from the EVOLVED head and lands new-shape work;
+    // a post-fork MAIN append (ids 50..52) must stay invisible to the feed
+    Acid.createBranch(table, "exp", 2L)
+    Acid.appendTxnChecked(spark, table, spark.range(50, 53)
+      .select(col("id"), col("id").cast("double").as("amount"),
+        lit("exp").as("src")), txnId = 10L)
+    Acid.appendTxnBranch(spark, table, "exp", spark.range(100, 103)
+      .select(col("id"), col("id").cast("double").as("amount"),
+        lit("br").as("src")), txnId = 11L)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, String)]()
+    val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+      .option("table", table).option("branch", "exp").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("id"), col("amount"), col("src")).collect()
+          .foreach(r => seen.add((r.getLong(0), r.getDouble(1), r.getString(2)))); ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("acidevo_br_ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = seen.asScala.toSeq.sortBy(_._1)
+    // ordinal 0 = fork base ∪ branch commit: the OLD-generation rows must
+    // surface the renamed column's stored values and the default fill —
+    // the raw pinned-schema read NULLed both (the r20 fix)
+    assert(rows.map(_._1) == ((0L until 8L) ++ (100L until 103L)),
+      s"branch feed delivered the wrong rows: ${rows.map(_._1)}")
+    assert(rows.filter(_._1 < 8).forall(r => r._2 == r._1 * 3.0 && r._3 == "base"),
+      s"old-generation rows did not resolve through the mapping: ${rows.filter(_._1 < 8)}")
+    assert(rows.filter(_._1 >= 100).forall(r => r._2 == r._1.toDouble && r._3 == "br"),
+      s"branch-commit rows disturbed: ${rows.filter(_._1 >= 100)}")
+  }
+
   test("stream_incremental_mv: maintained state equals a full recompute at EVERY version, across delete and restart") {
     import graft.ops.Acid
     import graft.stream.IncrementalMv
