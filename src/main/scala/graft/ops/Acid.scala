@@ -4485,6 +4485,20 @@ object Acid {
     * drop serializes on the writer lock individually (expiry is
     * maintenance, not a transaction). Returns the expired ref names,
     * kind-prefixed. */
+  def expireRefs(table: String, maxAgeMs: Long,
+      keep: Set[String] = Set.empty): Seq[String] = {
+    val now = System.currentTimeMillis()
+    def stale(p: Path): Boolean =
+      Files.exists(p) && now - Files.getLastModifiedTime(p).toMillis > maxAgeMs
+    val deadTags = tags(table).keys.toSeq.sorted.filterNot(keep)
+      .filter(n => stale(Paths.get(table, s"tag-$n.txt")))
+    val deadBranches = branches(table).keys.toSeq.sorted.filterNot(keep)
+      .filter(n => stale(branchRef(table, n)))
+    deadTags.foreach(dropTag(table, _))
+    deadBranches.foreach(dropBranch(table, _))
+    deadTags.map(n => s"tag:$n") ++ deadBranches.map(n => s"branch:$n")
+  }
+
   /** Staleness horizon for the automatic txn-branch sweep (ms). A LIVE
     * transaction refreshes its branch ref's mtime on every statement
     * commit, so only a transaction idle past this horizon is collectible —
@@ -4500,7 +4514,10 @@ object Acid {
     * crashes is collected exactly where new garbage could be created.
     * Safe by construction: a swept branch's ref still exists, so it was
     * never published (publish retires the ref) — dropping it cannot tear
-    * data out of main ([[dropBranch]]'s published-file liveness rule). */
+    * data out of main ([[dropBranch]]'s published-file liveness rule).
+    * A sweep failure must never block the OPENING transaction: each drop
+    * races other sweepers/drivers benignly, so any non-fatal error just
+    * skips that branch until the next open. */
   def sweepTxnBranches(table: String): Seq[String] = {
     val now = System.currentTimeMillis()
     val dead = branches(table).keys.toSeq.sorted
@@ -4512,22 +4529,8 @@ object Acid {
       }
     dead.filter { n =>
       try { dropBranch(table, n); true }
-      catch { case _: RuntimeException => false } // raced a drop/publish
+      catch { case scala.util.control.NonFatal(_) => false } // raced a drop/publish
     }.map(n => s"branch:$n")
-  }
-
-  def expireRefs(table: String, maxAgeMs: Long,
-      keep: Set[String] = Set.empty): Seq[String] = {
-    val now = System.currentTimeMillis()
-    def stale(p: Path): Boolean =
-      Files.exists(p) && now - Files.getLastModifiedTime(p).toMillis > maxAgeMs
-    val deadTags = tags(table).keys.toSeq.sorted.filterNot(keep)
-      .filter(n => stale(Paths.get(table, s"tag-$n.txt")))
-    val deadBranches = branches(table).keys.toSeq.sorted.filterNot(keep)
-      .filter(n => stale(branchRef(table, n)))
-    deadTags.foreach(dropTag(table, _))
-    deadBranches.foreach(dropBranch(table, _))
-    deadTags.map(n => s"tag:$n") ++ deadBranches.map(n => s"branch:$n")
   }
 
   /** Commit-history METADATA table — Delta `DESCRIBE HISTORY` / Iceberg's

@@ -391,10 +391,22 @@ object AcidStream {
                 "skipChangeCommits=true to skip it", ex)
         }
       }
+      // On an EVOLVED table each per-version piece carries its OWN
+      // generation's schema (changeFeed/readVersion are version-local by
+      // the time-travel contract) — a feed window spanning the evolution
+      // would wedge on unionByName FOREVER, including after the restart
+      // the fence demands (r20 review). Resolve every piece through the
+      // PINNED head metadata instead: pre-evolution pieces surface
+      // renamed/defaulted columns, post-evolution pieces no-op, and the
+      // riding change_type/_commit_version columns pass through.
+      val resolved =
+        if (evo0.isEmpty) parts
+        else parts.map(p => Acid.resolveEvolution(evo0, p)
+          .select(schema0.fieldNames.map(col).toSeq: _*))
       val batch =
-        if (parts.isEmpty)
+        if (resolved.isEmpty)
           spark.createDataFrame(java.util.Collections.emptyList[Row](), schema0)
-        else parts.reduce(_.unionByName(_))
+        else resolved.reduce(_.unionByName(_))
       // the CDF plan contains semi/anti JOINS (delete preimages): leaf
       // re-flagging would make them stream-stream joins, so wrap the
       // planned RDD under ONE streaming leaf instead (the V1 Kafka-source

@@ -1802,6 +1802,52 @@ class StreamingSpec extends SparkFixture {
       s"new-generation rows must pass through unresolved, got ${rows.filter(_._1 >= 100)}")
   }
 
+  test("acid-stream CDF across schema evolution: every generation's pieces resolve under the head schema on restart (r20)") {
+    import graft.ops.Acid
+    val table = java.nio.file.Files.createTempDirectory("acidevo_cdf_tbl").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("acidevo_cdf_ckpt").toString
+    Acid.appendTxn(spark, table, spark.range(0, 6)
+      .select(col("id"), (col("id") * 2).cast("double").as("value")), txnId = 0L)
+    def drain(collect: DataFrame => Unit): Unit = {
+      val q = spark.readStream.format("graft.stream.AcidStreamProvider")
+        .option("table", table).option("mode", "cdf").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) => collect(b); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val n1 = new java.util.concurrent.atomic.AtomicLong()
+    drain(b => n1.addAndGet(b.filter(col("change_type") === "insert").count()))
+    assert(n1.get() == 6, s"pre-evolution CDF drain delivered ${n1.get()}")
+    // evolution + a new-shape append + a MoR delete land UNDRAINED
+    Acid.renameColumn(table, "value", "amount", 1L)
+    Acid.addColumnDefault(spark, table, "src", "'b'", 2L)
+    Acid.appendTxnChecked(spark, table, spark.range(10, 13)
+      .select(col("id"), col("id").cast("double").as("amount"),
+        lit("x").as("src")), txnId = 3L)
+    import spark.implicits._
+    Acid.deleteTxn(spark, table, Seq(10L).toDF("id"), "id", txnId = 4L)
+    // the restarted CDF query spans generations: pre-evolution recovery
+    // batches, the two metadata commits, the new-shape insert, and the
+    // delete preimage must ALL union under the head logical schema — the
+    // version-local pieces wedged unionByName before the r20 resolution
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, String, String, Long)]()
+    drain(b => b.select(col("id"), col("amount"), col("src"),
+        col("change_type"), col("_commit_version")).collect()
+      .foreach(r => seen.add((r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3), r.getLong(4)))))
+    val rows = seen.asScala.toSeq.sortBy(r => (r._5, r._1))
+    assert(rows.map(r => (r._1, r._4, r._5)) ==
+      Seq((10L, "insert", 3L), (11L, "insert", 3L), (12L, "insert", 3L),
+        (10L, "delete", 4L)),
+      s"CDF across evolution delivered the wrong change set: $rows")
+    assert(rows.filter(_._4 == "insert").forall(r => r._2 == r._1.toDouble && r._3 == "x"),
+      s"new-generation insert pieces mis-resolved: $rows")
+    assert(rows.last._2 == 10.0 && rows.last._3 == "x",
+      s"delete preimage mis-resolved: ${rows.last}")
+  }
+
   test("acid-branch stream: a branch forked from an evolved main tails the LOGICAL frame (r20)") {
     import graft.ops.Acid
     val table = java.nio.file.Files.createTempDirectory("acidevo_br_tbl").toString + "/t"
