@@ -522,14 +522,28 @@ object ExplainDump {
       "list with the mapping as projections; resolution is manifest " +
       "metadata, zero extra I/O. Pre-evolution versions read raw (the " +
       "table as it then was)."),
-    "sql_txn" -> ("Multi-statement SQL transaction (r19): the dumped " +
-      "plan is the post-commit read — the transaction itself ran its " +
-      "INSERT/MERGE against a txn-private branch (statement 2's MERGE " +
-      "probe is the standard findTouchedFiles semi-join over the BRANCH " +
-      "frame, so it sees statement 1's rows) and published with one " +
+    "sql_txn" -> ("Multi-statement SQL transaction (r19; all FOUR DML " +
+      "verbs native since r20): the dumped plan is the post-commit read " +
+      "— the transaction ran INSERT/MERGE/UPDATE/DELETE against a " +
+      "txn-private branch (the MERGE probe is the standard " +
+      "findTouchedFiles semi-join over the BRANCH frame and the " +
+      "UPDATE/DELETE are branch predicate-COW: probe + rewrite of only " +
+      "the touched fork-base files into the branch namespace, statement " +
+      "k seeing statement k-1's rows throughout) and published with one " +
       "metadata-only fast-forward flip. No lock spans the data phase; " +
       "abort costs a branch drop. At 100 TB the txn bill is its " +
       "statements' writes plus O(lines) manifest arithmetic."),
+    "stream_across_evolution" -> ("Streaming across schema evolution " +
+      "(r20): the dumped plan is the post-drain per-generation rollup — " +
+      "the interesting plans ran inside the drains. The live query's " +
+      "getBatch fences loudly when an evolution commit lands past its " +
+      "pinned metadata; the RESTARTED source reads each batch as the " +
+      "logical frame (one mergeSchema scan of exactly the batch's " +
+      "committed files + the colmap/coldefault projections), so an " +
+      "undrained pre-evolution append surfaces renamed/defaulted " +
+      "columns with zero extra I/O — resolution is manifest metadata. " +
+      "At 100 TB the restart re-reads nothing: versions are offsets, " +
+      "and the evolved read costs the same file list it always did."),
     "sink_erase_lineage" -> ("GDPR erase on a row-lineage table (r19): " +
       "the dumped plan is the post-erase lineage read — surviving lazy " +
       "files attach ids via the broadcast firstrow map, the rewritten " +
@@ -538,13 +552,18 @@ object ExplainDump {
       "contain a subject; every surviving id is bit-stable (in-body " +
       "exact-map pin) and retired ids never return. O(subject files), " +
       "never O(table)."),
-    "sink_iceberg_export" -> ("Iceberg-format export (r19): the dumped " +
-      "plan is IcebergExport.readExport — an independent walk of the " +
-      "exported chain (version-hint -> metadata.json -> manifest-list " +
-      "avro -> manifest avro) resolving to a plain parquet scan of the " +
-      "zero-copy file refs. Export-side cost is O(manifest) metadata + " +
-      "O(vector-touched files) reconciliation I/O; a mostly-clean " +
-      "nightly interop export moves ~zero bytes."),
+    "sink_iceberg_export" -> ("Iceberg-format export (r19; r20: nested " +
+      "types with tree field-ids, spec-shaped nested data_file manifest " +
+      "entries, per-dir export lock): the dumped plan is " +
+      "IcebergExport.readExport — an independent walk of the exported " +
+      "chain (version-hint -> metadata.json -> manifest-list avro -> " +
+      "manifest avro) resolving to a plain parquet scan of the " +
+      "zero-copy file refs, struct/list columns included. Export-side " +
+      "cost is O(manifest) metadata + O(vector-touched files) " +
+      "reconciliation I/O; a mostly-clean nightly interop export moves " +
+      "~zero bytes. Shape-faithful and self-verified (spec-strict " +
+      "readers additionally need Avro-embedded field-ids spark-avro " +
+      "cannot express)."),
   )
 
   def main(args: Array[String]): Unit = {
