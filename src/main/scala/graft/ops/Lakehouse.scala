@@ -806,6 +806,15 @@ object Lakehouse {
           Tables.orders(spark, sfDir)
             .filter(col("o_orderkey") % 33 === 0).select(col("o_orderkey")),
           "o_orderkey", txnId = 11L)                            // branch k1
+        // predicate-COW verbs on the branch through PURE SQL too (r20 —
+        // the UPDATE/DELETE symmetry of MERGE INTO BRANCH): status flag
+        // on %9 keys, then a COW delete of the %27 slice — both rewrite
+        // fork-base files into branch-local copies, main still blind
+        SqlEntry.sqlLakehouse(spark, s"UPDATE BRANCH 'fix' OF " +
+          s"acid_table('$table') SET o_orderstatus = 'B' " +
+          "WHERE o_orderkey % 9 = 0 TXN 13")                   // branch k2
+        SqlEntry.sqlLakehouse(spark, s"DELETE FROM BRANCH 'fix' OF " +
+          s"acid_table('$table') WHERE o_orderkey % 27 = 0 TXN 14") // k3
         // main is BLIND to the branch's rewrites and vector
         val mainAfter = Acid.read(spark, table)
           .agg(count(lit(1)), sum(emit(col("price"), 2))).head
@@ -828,7 +837,9 @@ object Lakehouse {
                  CAST(o_totalprice AS DECIMAL(12,2)) AS price
           FROM orders
         )
-        SELECT o_orderkey, o_orderstatus,
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'B'
+                    ELSE o_orderstatus END AS o_orderstatus,
                CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price
         FROM (
           SELECT o_orderkey, o_orderstatus,
@@ -836,7 +847,7 @@ object Lakehouse {
                       ELSE price END AS DECIMAL(12,2)) AS price
           FROM base
           WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
-            AND o_orderkey % 33 <> 0
+            AND o_orderkey % 33 <> 0 AND o_orderkey % 27 <> 0
           UNION ALL
           SELECT o_orderkey, o_orderstatus, price
           FROM base WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0

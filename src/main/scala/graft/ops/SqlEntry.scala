@@ -225,6 +225,31 @@ object SqlEntry {
         opCol = delPred.map(_ => "__op"))
       return dmlSummary("merge", r)
     }
+    // UPDATE BRANCH '<name>' OF acid_table('<dir>') SET c = <expr>[, ...]
+    //   WHERE <pred> TXN <id> — branch predicate-COW UPDATE (r20, the
+    //   MERGE INTO BRANCH symmetry): the fix-under-test runs its UPDATE
+    //   against the experiment branch, main never sees a byte, and the
+    //   statement (not the file images) replays on rebase
+    val updateBranchStmt =
+      """(?is)^\s*UPDATE\s+BRANCH\s+'([A-Za-z0-9._-]+)'\s+OF\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
+    updateBranchStmt.findFirstMatchIn(text).foreach { m =>
+      val sets = splitTopLevel(m.group(3)).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"UPDATE BRANCH: malformed assignment '$a'")
+        (a.take(i).trim, a.drop(i + 1).trim)
+      }
+      val r = Acid.updateWhereBranch(spark, m.group(2), m.group(1), sets,
+        m.group(4).trim, m.group(5).toLong)
+      return dmlSummary("update_branch", r)
+    }
+    // DELETE FROM BRANCH '<name>' OF acid_table('<dir>') WHERE <pred> TXN <id>
+    val deleteBranchStmt =
+      """(?is)^\s*DELETE\s+FROM\s+BRANCH\s+'([A-Za-z0-9._-]+)'\s+OF\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+WHERE\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
+    deleteBranchStmt.findFirstMatchIn(text).foreach { m =>
+      val r = Acid.deleteWhereBranch(spark, m.group(2), m.group(1),
+        m.group(3).trim, m.group(4).toLong)
+      return dmlSummary("delete_branch", r)
+    }
     // UPDATE acid_table('<dir>') SET c = <expr>[, ...] WHERE <pred> TXN <id>
     val updateStmt =
       """(?is)^\s*UPDATE\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s+TXN\s+(\d+)\s*$""".r
