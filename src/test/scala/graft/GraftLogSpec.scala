@@ -666,9 +666,10 @@ class GraftLogSpec extends SparkFixture {
         .load(), ckpt)
     assert(ids(got) == Seq(1L, 2, 10, 11, 12),
       s"kafka-named options misrouted: ${ids(got)}")
-    // "latest" resolves to the end vector at query start (Kafka's rule):
-    // the first AvailableNow run drains NOTHING — history is skipped —
-    // and a checkpoint restart then consumes only what arrived after
+    // "latest" resolves to the end vector at FIRST-BATCH PLANNING (r20,
+    // Kafka's rule — see the dedicated deferred-resolution test): the
+    // first AvailableNow run drains NOTHING — history is skipped — and a
+    // checkpoint restart then consumes only what arrived after
     val ckpt2 = Files.createTempDirectory("graftlog_kafka_seam2").toString
     assert(drainToTable(
       spark.readStream.format("graftlog").option("path", dir)
