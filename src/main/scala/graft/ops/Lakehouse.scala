@@ -3620,5 +3620,197 @@ object Lakehouse {
         FROM orders
         WHERE o_orderkey % 11 <> 0
         ORDER BY o_orderkey""".trim)),
+
+    // MATERIALIZED-VIEW QUERY REWRITE (r20 — the optimizer half of the MV
+    // story; `stream_incremental_mv` is the maintenance half): a
+    // registered MV turns a matching aggregate over the base table into a
+    // roll-up over the view via a `Rule[LogicalPlan]` on the public
+    // `spark.experimental.extraOptimizations` hook
+    // (plans/MvRewrite.scala). In-body requires pin the full lifecycle:
+    // (1) with the MV fresh, the SAME DataFrame query routes to the MV —
+    // the optimized plan scans the view's parquet and NOT the base — and
+    // its answer equals the pre-registration direct recompute; (2) a base
+    // commit makes the pin stale and the query silently falls back to the
+    // base scan (never wrong, just unaccelerated — Oracle/Calcite's
+    // staleness rule); (3) a refresh + re-register restores the route.
+    // The rewrite compensates: count(1) → coalesce(sum(n), 0), sum(cents)
+    // → sum(sum_cents), a filter on a KEY column commutes with the
+    // roll-up because it selects whole groups. At 100 TB this is the
+    // difference between scanning the lake and scanning O(groups) rows;
+    // freshness costs one pointer read against files the scan listed
+    // anyway.
+    Q("sql_mv_rewrite",
+      (spark, sfDir) => {
+        val base = graft.Tmp.dir("mv_rw_base", sfDir)
+        val mvDir = graft.Tmp.dir("mv_rw_mv", sfDir)
+        Acid.reset(base)
+        graft.plans.MvRewrite.unregister("orders_by_status_prio")
+        val or = Tables.orders(spark, sfDir).select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          (money(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+        Acid.appendTxn(spark, base, or.filter(col("o_orderkey") % 3 =!= 2), 0L)
+        Acid.appendTxn(spark, base, or.filter(col("o_orderkey") % 3 === 2), 1L)
+        def refreshMv(): Unit = {
+          Acid.read(spark, base)
+            .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+            .write.mode("overwrite").parquet(mvDir)
+          graft.plans.MvRewrite.register(spark, "orders_by_status_prio",
+            base, mvDir, Seq("o_orderstatus", "o_orderpriority"), "n",
+            Map("price_cents" -> "sum_cents"))
+        }
+        def query() = Acid.read(spark, base)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+          .orderBy(col("o_orderstatus"))
+        def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.inputFiles.toSeq
+                case _ => Seq.empty[String]
+              }
+          }.flatten.toSet
+        // the recompute the rewrite must match, taken BEFORE any MV exists
+        val direct = query().collect().toSeq
+        refreshMv()
+        val q1 = query()
+        val s1 = scanned(q1)
+        require(s1.exists(_.contains("mv_rw_mv")) &&
+          !s1.exists(_.contains("mv_rw_base")),
+          s"sql_mv_rewrite: fresh MV not routed (scans $s1)")
+        require(q1.collect().toSeq == direct,
+          "sql_mv_rewrite: rewrite changed the answer")
+        // base moves → pin stale → the SAME query declines, never wrong
+        Acid.appendTxn(spark, base, or.filter(col("o_orderkey") % 17 === 3), 2L)
+        val s2 = scanned(query())
+        require(s2.exists(_.contains("mv_rw_base")) &&
+          !s2.exists(_.contains("mv_rw_mv")),
+          s"sql_mv_rewrite: stale MV still routed (scans $s2)")
+        // refresh lifecycle: recompute + re-pin, and the route comes back
+        refreshMv()
+        val q3 = query()
+        val s3 = scanned(q3)
+        require(s3.exists(_.contains("mv_rw_mv")) &&
+          !s3.exists(_.contains("mv_rw_base")),
+          s"sql_mv_rewrite: refreshed MV not routed (scans $s3)")
+        q3
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+          FROM orders
+          UNION ALL
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+          FROM orders WHERE o_orderkey % 17 = 3
+        )
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+        FROM base
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""".trim)),
+
+    // JOIN-MV QUERY REWRITE (r20 — the star-schema half of the MV story,
+    // Calcite/Oracle's classic summary-table rewrite): the MV is defined
+    // over `fact ⋈ dim` (orders ⋈ customer on custkey, grouped by
+    // segment × status), so a user query that aggregates over the SAME
+    // join answers from the MV without touching EITHER side — the
+    // optimized plan contains no join at all. No PK/FK assumption is
+    // needed: the view is a function of the join RESULT, so any grouping
+    // subset rolls up exactly regardless of multiplicities. Inferred
+    // isnotnull(join key) filters are recognized as subsumed by the MV's
+    // own inner join. Freshness pins the fact's acid version + file set
+    // AND the dim's file set; a fact commit declines the route (in-body)
+    // and a refresh restores it. At 100 TB this removes the fact scan AND
+    // the join shuffle — the two dominant costs of every star query.
+    Q("sql_mv_join_rewrite",
+      (spark, sfDir) => {
+        val fact = graft.Tmp.dir("mvj_fact", sfDir)
+        val mvDir = graft.Tmp.dir("mvj_mv", sfDir)
+        Acid.reset(fact)
+        graft.plans.MvRewrite.unregister("orders_by_segment_status")
+        val or = Tables.orders(spark, sfDir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (money(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+        Acid.appendTxn(spark, fact, or.filter(col("o_orderkey") % 3 =!= 2), 0L)
+        Acid.appendTxn(spark, fact, or.filter(col("o_orderkey") % 3 === 2), 1L)
+        def dim = Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        def refreshMv(): Unit = {
+          Acid.read(spark, fact)
+            .join(dim, col("o_custkey") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+            .write.mode("overwrite").parquet(mvDir)
+          graft.plans.MvRewrite.registerJoin(spark, "orders_by_segment_status",
+            fact, dim, "o_custkey", "c_custkey", mvDir,
+            Seq("c_mktsegment", "o_orderstatus"), "n",
+            Map("price_cents" -> "sum_cents"))
+        }
+        def query() = Acid.read(spark, fact)
+          .join(dim, col("o_custkey") === col("c_custkey"))
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+          .orderBy(col("c_mktsegment"))
+        def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.inputFiles.toSeq
+                case _ => Seq.empty[String]
+              }
+          }.flatten.toSet
+        val direct = query().collect().toSeq
+        refreshMv()
+        val q1 = query()
+        val s1 = scanned(q1)
+        require(s1.exists(_.contains("mvj_mv")) &&
+          !s1.exists(_.contains("mvj_fact")) &&
+          !s1.exists(_.contains("customer.parquet")),
+          s"sql_mv_join_rewrite: fresh MV not routed (scans $s1)")
+        require(q1.collect().toSeq == direct,
+          "sql_mv_join_rewrite: rewrite changed the answer")
+        // a fact commit makes the pin stale — back to the real join
+        Acid.appendTxn(spark, fact, or.filter(col("o_orderkey") % 17 === 3), 2L)
+        val s2 = scanned(query())
+        require(s2.exists(_.contains("mvj_fact")) &&
+          s2.exists(_.contains("customer.parquet")) &&
+          !s2.exists(_.contains("mvj_mv")),
+          s"sql_mv_join_rewrite: stale MV still routed (scans $s2)")
+        refreshMv()
+        val q3 = query()
+        val s3 = scanned(q3)
+        require(s3.exists(_.contains("mvj_mv")) &&
+          !s3.exists(_.contains("mvj_fact")),
+          s"sql_mv_join_rewrite: refreshed MV not routed (scans $s3)")
+        q3
+      },
+      Some("""
+        WITH fact AS (
+          SELECT o_custkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+          FROM orders
+          UNION ALL
+          SELECT o_custkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+          FROM orders WHERE o_orderkey % 17 = 3
+        )
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+        FROM fact JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""".trim)),
   )
 }

@@ -564,6 +564,31 @@ object ExplainDump {
       "~zero bytes. Shape-faithful and self-verified (spec-strict " +
       "readers additionally need Avro-embedded field-ids spark-avro " +
       "cannot express)."),
+    "sql_mv_rewrite" -> ("Materialized-view query rewrite (r20): the " +
+      "dumped plan IS the proof — the user aggregates over the BASE acid " +
+      "table, but the scan under the HashAggregate reads the registered " +
+      "MV's parquet (O(groups) rows), not the base (O(table)). The " +
+      "rewrite is a Rule[LogicalPlan] on the public " +
+      "spark.experimental.extraOptimizations hook: count(1) compensates " +
+      "to coalesce(sum(n),0), sum(cents) to sum(sum_cents), and the " +
+      "key-column filter commutes because it selects whole groups. " +
+      "Freshness is pinned to the base's acid version + exact file set — " +
+      "a stale view or time-travel read declines and the same query runs " +
+      "unrewritten on the base (never wrong, just unaccelerated). At " +
+      "100 TB this turns every matching dashboard query from a lake scan " +
+      "into a metadata-cost lookup; the freshness probe is one pointer " +
+      "read."),
+    "sql_mv_join_rewrite" -> ("Join-MV (star-schema summary table) " +
+      "rewrite (r20): the user query joins the acid fact table to the " +
+      "customer dim and aggregates — but the dumped plan contains NO " +
+      "JOIN and scans NEITHER side: the registered fact-join-dim MV " +
+      "answers it as a roll-up (the Calcite summary-table rewrite). " +
+      "Inferred isnotnull(join-key) filters are recognized as subsumed " +
+      "by the MV's own inner join; freshness pins the fact's acid " +
+      "version + file set AND the dim's file set, so any movement on " +
+      "either side falls back to the real join. At 100 TB this deletes " +
+      "the two dominant star-query costs at once — the fact scan and " +
+      "the join shuffle."),
   )
 
   def main(args: Array[String]): Unit = {
