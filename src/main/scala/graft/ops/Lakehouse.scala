@@ -3650,14 +3650,25 @@ object Lakehouse {
           (money(col("o_totalprice")) * 100).cast("long").as("price_cents"))
         Acid.appendTxn(spark, base, or.filter(col("o_orderkey") % 3 =!= 2), 0L)
         Acid.appendTxn(spark, base, or.filter(col("o_orderkey") % 3 === 2), 1L)
+        // the lifecycle is PURE SQL (r20): CREATE materializes + pins,
+        // REFRESH recomputes from the stored recipe + re-pins
         def refreshMv(): Unit = {
-          Acid.read(spark, base)
-            .groupBy(col("o_orderstatus"), col("o_orderpriority"))
-            .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
-            .write.mode("overwrite").parquet(mvDir)
-          graft.plans.MvRewrite.register(spark, "orders_by_status_prio",
-            base, mvDir, Seq("o_orderstatus", "o_orderpriority"), "n",
-            Map("price_cents" -> "sum_cents"))
+          if (graft.plans.MvRewrite.lookup("orders_by_status_prio").isEmpty)
+            SqlEntry.sqlLakehouse(spark,
+              s"CREATE MATERIALIZED VIEW orders_by_status_prio AT '$mvDir' " +
+                "AS SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+                s"SUM(price_cents) AS sum_cents FROM acid_table('$base') " +
+                "GROUP BY o_orderstatus, o_orderpriority")
+          else {
+            // the append-only staleness window MUST take the O(changes)
+            // incremental path, not a lake rescan — and its merged result
+            // must still hash-match the oracle's full recompute
+            val r = SqlEntry.sqlLakehouse(spark,
+              "REFRESH MATERIALIZED VIEW orders_by_status_prio").head
+            require(r.getString(3) == "incremental",
+              s"sql_mv_rewrite: append-only refresh took the ${r.getString(3)} path")
+          }
+          ()
         }
         def query() = Acid.read(spark, base)
           .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -3696,6 +3707,20 @@ object Lakehouse {
         require(s3.exists(_.contains("mv_rw_mv")) &&
           !s3.exists(_.contains("mv_rw_base")),
           s"sql_mv_rewrite: refreshed MV not routed (scans $s3)")
+        // the SQL-ENTERED twin routes too: acid_table(...) resolves to the
+        // same logical shape, so the pure-SQL user's aggregate answers
+        // from the view with no code change
+        val sqlQ = SqlEntry.sqlLakehouse(spark,
+          "SELECT o_orderstatus, COUNT(*) AS n, SUM(price_cents) AS " +
+            s"sum_cents FROM acid_table('$base') WHERE o_orderpriority " +
+            "IN ('1-URGENT', '2-HIGH') GROUP BY o_orderstatus " +
+            "ORDER BY o_orderstatus")
+        val s4 = scanned(sqlQ)
+        require(s4.exists(_.contains("mv_rw_mv")) &&
+          !s4.exists(_.contains("mv_rw_base")),
+          s"sql_mv_rewrite: SQL-entered aggregate not routed (scans $s4)")
+        require(sqlQ.collect().toSeq == q3.collect().toSeq,
+          "sql_mv_rewrite: SQL and DataFrame twins disagree")
         q3
       },
       Some("""

@@ -392,6 +392,64 @@ object SqlEntry {
           bloom = Option(m.group(3)).map(c => (c, col(c))),
           rowCounts = m.group(4) != null))
     }
+    // CREATE MATERIALIZED VIEW <name> AT '<mvDir>' AS SELECT <keys...>,
+    //   COUNT(*) AS <n>, SUM(<col>) AS <s> [, SUM..] FROM
+    //   acid_table('<dir>') GROUP BY <keys...> — materialize + register
+    // the MV for the query-rewrite rule (plans/MvRewrite): a full
+    // recompute pinned at the base's current version; matching aggregates
+    // (DataFrame OR SQL-entered) route to the view until the base moves.
+    val createMvStmt =
+      """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AT\s+'([^']+)'\s+AS\s+SELECT\s+(.+?)\s+FROM\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+GROUP\s+BY\s+(.+?)\s*$""".r
+    createMvStmt.findFirstMatchIn(text).foreach { m =>
+      val (name, mvDir, dir) = (m.group(1), m.group(2), m.group(4))
+      val keys = splitTopLevel(m.group(5)).map(_.trim)
+      val countRe = """(?is)^COUNT\s*\(\s*\*\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      val sumRe = """(?is)^SUM\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      var countCol: Option[String] = None
+      val sums = Map.newBuilder[String, String]
+      splitTopLevel(m.group(3)).map(_.trim).foreach { item =>
+        countRe.findFirstMatchIn(item) match {
+          case Some(c) => countCol = Some(c.group(1))
+          case None => sumRe.findFirstMatchIn(item) match {
+            case Some(sm) => sums += (sm.group(1) -> sm.group(2))
+            case None => require(keys.contains(item),
+              s"CREATE MATERIALIZED VIEW: select item '$item' is neither " +
+                "a GROUP BY key, COUNT(*) AS c, nor SUM(col) AS s")
+          }
+        }
+      }
+      val n = countCol.getOrElse(sys.error(
+        "CREATE MATERIALIZED VIEW: a COUNT(*) AS <c> column is required " +
+          "(the roll-up weight)"))
+      val v = graft.plans.MvRewrite.create(spark, name, dir, mvDir,
+        keys, n, sums.result())
+      import spark.implicits._
+      return Seq(("create_mv", name, v)).toDF("operation", "view", "pinned_version")
+    }
+    // REFRESH MATERIALIZED VIEW <name> — INCREMENTAL-FIRST: the change
+    // feed between the pinned and current versions merges into the
+    // standing view as O(groups) signed deltas (falling back to a full
+    // recompute when the window crosses a rewrite/vacuum); re-pins at the
+    // current version and restores the route. The `mode` column reports
+    // which path ran.
+    val refreshMvStmt =
+      """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    refreshMvStmt.findFirstMatchIn(text).foreach { m =>
+      val (v, mode) = graft.plans.MvRewrite.refresh(spark, m.group(1))
+      import spark.implicits._
+      return Seq(("refresh_mv", m.group(1), v, mode))
+        .toDF("operation", "view", "pinned_version", "mode")
+    }
+    // DROP MATERIALIZED VIEW <name> — unregister (the parquet stays; a
+    // view is a cache, dropping it only removes the route)
+    val dropMvStmt =
+      """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    dropMvStmt.findFirstMatchIn(text).foreach { m =>
+      graft.plans.MvRewrite.unregister(m.group(1))
+      import spark.implicits._
+      return Seq(("drop_mv", m.group(1), -1L))
+        .toDF("operation", "view", "pinned_version")
+    }
     // VACUUM acid_table('<dir>') KEEP <n>
     val vacuumStmt =
       """(?is)^\s*VACUUM\s+acid_table\s*\(\s*'([^']+)'\s*\)\s+KEEP\s+(\d+)\s*$""".r

@@ -74,12 +74,14 @@ object MvRewrite extends Rule[LogicalPlan]
   final case class MvDef(
       name: String,
       baseDir: String,
+      mvDir: String,
       mvRelation: LogicalRelation,
       keyCols: Seq[String],
       countCol: String,
       sums: Map[String, String],
       pinnedVersion: Long,
-      pinnedFiles: Set[String])
+      pinnedFiles: Set[String],
+      delKey: Option[String])
 
   private val defs = new ConcurrentHashMap[String, MvDef]()
 
@@ -111,7 +113,7 @@ object MvRewrite extends Rule[LogicalPlan]
     val files = graft.ops.Acid.read(spark, baseDir)
       .inputFiles.map(norm).toSet
     defs.put(name, MvDef(name, norm(new java.io.File(baseDir).getAbsolutePath),
-      rel, keyCols, countCol, sums, v, files))
+      mvDir, rel, keyCols, countCol, sums, v, files, delKeyOf(baseDir)))
     // arm the rule through the public per-session optimizer hook; idempotent
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
       spark.experimental.extraOptimizations =
@@ -135,7 +137,8 @@ object MvRewrite extends Rule[LogicalPlan]
       sums: Map[String, String],
       pinnedVersion: Long,
       pinnedFactFiles: Set[String],
-      pinnedDimFiles: Set[String])
+      pinnedDimFiles: Set[String],
+      factDelKey: Option[String])
 
   private val joinDefs = new ConcurrentHashMap[String, MvJoinDef]()
 
@@ -162,7 +165,7 @@ object MvRewrite extends Rule[LogicalPlan]
     require(dimFiles.nonEmpty, "MvRewrite.registerJoin: dim frame has no files")
     joinDefs.put(name, MvJoinDef(name,
       norm(new java.io.File(factDir).getAbsolutePath), factFk, dimPk, rel,
-      keyCols, countCol, sums, v, factFiles, dimFiles))
+      keyCols, countCol, sums, v, factFiles, dimFiles, delKeyOf(factDir)))
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MvRewrite
@@ -170,6 +173,96 @@ object MvRewrite extends Rule[LogicalPlan]
 
   def unregister(name: String): Unit = { defs.remove(name); joinDefs.remove(name) }
   def clear(): Unit = { defs.clear(); joinDefs.clear() }
+
+  /** Materialize the aggregate a single-table MvDef describes (full
+    * recompute from the base's CURRENT version) and write it to `mvDir`.
+    * At 100 TB the refresh would be the change-feed incremental path
+    * (`stream_incremental_mv`); the full recompute is the bootstrap and
+    * the semantics twin the incremental result must match. */
+  private def materialize(spark: SparkSession, baseDir: String,
+      mvDir: String, keyCols: Seq[String], countCol: String,
+      sums: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val aggs = (count(lit(1)).cast(LongType).as(countCol) +:
+      sums.toSeq.sortBy(_._1).map { case (b, m) => sum(col(b)).as(m) })
+    graft.ops.Acid.read(spark, baseDir)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvDir)
+  }
+
+  /** Create-and-register: full recompute at the base's current version,
+    * then pin — the SQL `CREATE MATERIALIZED VIEW` verb. Returns the
+    * pinned base version. */
+  def create(spark: SparkSession, name: String, baseDir: String,
+      mvDir: String, keyCols: Seq[String], countCol: String,
+      sums: Map[String, String]): Long = {
+    materialize(spark, baseDir, mvDir, keyCols, countCol, sums)
+    register(spark, name, baseDir, mvDir, keyCols, countCol, sums)
+    defs.get(name).pinnedVersion
+  }
+
+  /** Refresh a registered single-table view — the SQL `REFRESH
+    * MATERIALIZED VIEW` verb. INCREMENTAL-FIRST: the change feed between
+    * the pinned and current versions collapses to O(groups) signed
+    * deltas (insert → +1/+x, delete preimage → −1/−x — the same abelian
+    * arithmetic `stream_incremental_mv` streams) and merges into the
+    * standing view by a null-safe full-outer key join, dropping groups
+    * whose count reaches zero. Cost is O(changes + groups), never
+    * O(table) — at 100 TB this is the difference between a nightly
+    * refresh and a nightly lake scan. When the window cannot be read as
+    * a feed (a rewrite/positional-delete commit crossed it, or the
+    * pinned version was vacuumed) the refresh falls back to the full
+    * recompute — correct either way, and the returned mode says which
+    * path ran. Returns (new pinned version, "noop"|"incremental"|"full").
+    */
+  def refresh(spark: SparkSession, name: String): (Long, String) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    val d = Option(defs.get(name)).getOrElse(
+      sys.error(s"MvRewrite.refresh: no registered view '$name'"))
+    val cur = graft.ops.Acid.currentVersion(d.baseDir).getOrElse(
+      sys.error(s"MvRewrite.refresh: ${d.baseDir} has no committed version"))
+    if (cur == d.pinnedVersion) return (cur, "noop")
+    val mode =
+      try {
+        val feed = graft.ops.Acid.changeFeed(spark, d.baseDir, d.pinnedVersion, cur)
+        val sign = when(col("change_type") === lit("insert"), lit(1L))
+          .otherwise(lit(-1L))
+        val sumCols = d.sums.toSeq.sortBy(_._1)
+        val delta = feed.groupBy(d.keyCols.map(col): _*)
+          .agg(sum(sign).as("__dn"),
+            sumCols.map { case (b, m) => sum(sign * col(b)).as(s"__d_$m") }: _*)
+        val old = spark.read.parquet(d.mvDir).as("o")
+        val x = delta.as("x")
+        // null-safe key join: a NULL-keyed group must merge, not duplicate
+        val cond = d.keyCols.map(k => col(s"o.$k") <=> col(s"x.$k"))
+          .reduce(_ && _)
+        val merged = old.join(x, cond, "full_outer").select(
+          d.keyCols.map(k => coalesce(col(s"o.$k"), col(s"x.$k")).as(k)) ++
+            Seq((coalesce(col(s"o.${d.countCol}"), lit(0L)) +
+              coalesce(col("x.__dn"), lit(0L))).as(d.countCol)) ++
+            sumCols.map { case (_, m) =>
+              (coalesce(col(s"o.$m"), lit(0L)) +
+                coalesce(col(s"x.__d_$m"), lit(0L))).as(m)
+            }: _*)
+          .filter(col(d.countCol) =!= 0L)
+        // materialize off the files about to be overwritten (at 100 TB a
+        // refresh writes a NEW mv version dir; overwrite is the
+        // fixture-scale stand-in)
+        val frozen = merged.localCheckpoint(true)
+        frozen.write.mode("overwrite").parquet(d.mvDir)
+        "incremental"
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          materialize(spark, d.baseDir, d.mvDir, d.keyCols, d.countCol, d.sums)
+          "full"
+      }
+    register(spark, name, d.baseDir, d.mvDir, d.keyCols, d.countCol, d.sums)
+    (defs.get(name).pinnedVersion, mode)
+  }
+
+  /** Registered single-table view, if any (the SQL surface's probe). */
+  def lookup(name: String): Option[MvDef] = Option(defs.get(name))
 
   /** Walk down through attribute-only Projects and key-column Filters to
     * the V1 file scan; collect the filter conditions on the way. */
@@ -182,6 +275,64 @@ object MvRewrite extends Rule[LogicalPlan]
     case _ => None
   }
 
+  private def isDistinctShape(a: Aggregate): Boolean =
+    a.groupingExpressions == a.aggregateExpressions &&
+      a.aggregateExpressions.forall(_.isInstanceOf[AttributeReference])
+
+  /** The vector side of a MoR subtraction: an optional distinct over
+    * attribute Projects over the vector-file scan (the optimizer may have
+    * dropped the distinct — duplicates are irrelevant under anti-join). */
+  @tailrec private def stripVector(p: LogicalPlan, seenDistinct: Boolean)
+      : Option[LogicalRelation] = p match {
+    case a: Aggregate if !seenDistinct && isDistinctShape(a) =>
+      stripVector(a.child, seenDistinct = true)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripVector(c, seenDistinct)
+    // inferred isnotnull(key) is a no-op under an EqualTo anti-join (null
+    // keys never match) — part of the join machinery, not a user filter
+    case Filter(IsNotNull(_: AttributeReference), c) =>
+      stripVector(c, seenDistinct)
+    case r: LogicalRelation => Some(r)
+    case _ => None
+  }
+
+  /** Strip to a table's BASE READ: either a bare scan, or the standing
+    * MoR equality-delete subtraction (`Acid.subtractDeletes` — a
+    * left-anti join of the data scan against the distinct vector keys).
+    * Returns (every file the read touches — data AND vector, so the
+    * pinned-file-set equality still fences freshness exactly —, the user
+    * filter conjuncts, and the anti-join key name if a subtraction was
+    * crossed; the caller must verify it IS the registered table's delete
+    * key, not a user-authored anti-join on some other column). */
+  private def stripBase(p: LogicalPlan)
+      : Option[(Set[String], Seq[Expression], Option[String])] = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripBase(c)
+    case Filter(cond, c) =>
+      stripBase(c).map { case (f, cs, k) => (f, cs :+ cond, k) }
+    case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+      for {
+        (lf, lconds, None) <- stripBase(j.left) // one subtraction, not nested
+        vrel <- stripVector(j.right, seenDistinct = false)
+        vf <- scanFiles(vrel)
+        k <- j.condition match {
+          case Some(EqualTo(a: AttributeReference, b: AttributeReference))
+              if a.name == b.name => Some(a.name)
+          case _ => None
+        }
+      } yield (lf ++ vf, lconds, Some(k))
+    case r: LogicalRelation => scanFiles(r).map(f => (f, Nil, None))
+    case _ => None
+  }
+
+  /** The table's equality-delete key recorded in its head manifest, if a
+    * standing vector exists — what a plan-side anti-join must subtract ON
+    * for the scan to BE the table's own read. */
+  private def delKeyOf(tableDir: String): Option[String] =
+    try graft.ops.Acid.headLines(tableDir)
+      .find(_.startsWith("# delkey:")).map(_.stripPrefix("# delkey:").trim)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   private def scanFiles(rel: LogicalRelation): Option[Set[String]] =
     rel.relation match {
       case h: HadoopFsRelation => Some(h.location.inputFiles.map(norm).toSet)
@@ -192,22 +343,23 @@ object MvRewrite extends Rule[LogicalPlan]
     * All registered views covering the scanned base are tried in stable
     * name order — the first whose gates all pass wins. */
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
-    strip(agg.child, Nil).flatMap { case (scan, conds0) =>
+    stripBase(agg.child).flatMap { case (files, conds0, antiKey) =>
       val conds = conds0.flatMap(splitConjunctivePredicates)
-      scanFiles(scan).flatMap { files =>
-        defs.values.asScala.toSeq.sortBy(_.name)
-          .filter(d => files.nonEmpty &&
-            files.forall(_.startsWith(d.baseDir + "/")))
-          .flatMap(d => rewriteWith(agg, conds, files, d))
-          .headOption
-      }
+      defs.values.asScala.toSeq.sortBy(_.name)
+        .filter(d => files.nonEmpty &&
+          files.forall(_.startsWith(d.baseDir + "/")))
+        .flatMap(d => rewriteWith(agg, conds, files, antiKey, d))
+        .headOption
     }
 
   private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
-      files: Set[String], d: MvDef): Option[LogicalPlan] = {
-    // freshness: exactly the pinned snapshot, and the base unmoved
+      files: Set[String], antiKey: Option[String], d: MvDef): Option[LogicalPlan] = {
+    // freshness: exactly the pinned snapshot (data AND vector files), the
+    // base unmoved, and — when the plan crossed an anti-join — it is the
+    // table's OWN standing-vector subtraction, not a user anti-join
     if (files == d.pinnedFiles &&
-        graft.ops.Acid.currentVersion(d.baseDir).contains(d.pinnedVersion))
+        graft.ops.Acid.currentVersion(d.baseDir).contains(d.pinnedVersion) &&
+        antiKey.forall(k => d.delKey.contains(k)))
       buildRollup(agg, conds, d.mvRelation, d.keyCols, d.countCol, d.sums)
     else None
   }
@@ -230,27 +382,30 @@ object MvRewrite extends Rule[LogicalPlan]
     stripToJoin(agg.child, Nil).flatMap { case (j, topConds) =>
       if (j.joinType != Inner) None
       else (for {
-        (leftScan, leftConds) <- strip(j.left, Nil).toSeq
-        (rightScan, rightConds) <- strip(j.right, Nil).toSeq
-        leftFiles <- scanFiles(leftScan).toSeq
-        rightFiles <- scanFiles(rightScan).toSeq
+        (leftFiles, leftConds, leftAnti) <- stripBase(j.left).toSeq
+        (rightFiles, rightConds, rightAnti) <- stripBase(j.right).toSeq
+        leftOut = j.left.outputSet
         // a single equi-condition between bare attributes, one per side
         EqualTo(x: AttributeReference, y: AttributeReference) <- j.condition.toSeq
         d <- joinDefs.values.asScala.toSeq.sortBy(_.name)
-        (factFiles, dimFiles, factOut, fkAttr, pkAttr) <- Seq(
-          (leftFiles, rightFiles, leftScan.outputSet, x, y),
-          (rightFiles, leftFiles, rightScan.outputSet, x, y)).flatMap {
-            case (ff, df, fo, a, b) =>
-              // the fk must come from the fact side, the pk from the dim
-              if (fo.contains(a)) Seq((ff, df, fo, a, b))
-              else if (fo.contains(b)) Seq((ff, df, fo, b, a))
-              else Seq.empty
+        (factFiles, dimFiles, factOut, factAnti, dimAnti, fkAttr, pkAttr) <- Seq(
+          (leftFiles, rightFiles, leftOut, leftAnti, rightAnti, x, y),
+          (rightFiles, leftFiles, j.right.outputSet, rightAnti, leftAnti, x, y))
+          .flatMap { case (ff, df, fo, fa, da, a, b) =>
+            // the fk must come from the fact side, the pk from the dim
+            if (fo.contains(a)) Seq((ff, df, fo, fa, da, a, b))
+            else if (fo.contains(b)) Seq((ff, df, fo, fa, da, b, a))
+            else Seq.empty
           }
         if factFiles.nonEmpty &&
           factFiles.forall(_.startsWith(d.factDir + "/")) &&
           factFiles == d.pinnedFactFiles &&
           dimFiles == d.pinnedDimFiles &&
           graft.ops.Acid.currentVersion(d.factDir).contains(d.pinnedVersion) &&
+          // a crossed anti-join must be the FACT's own standing-vector
+          // subtraction; the dim read must be a plain scan
+          factAnti.forall(k => d.factDelKey.contains(k)) &&
+          dimAnti.isEmpty &&
           fkAttr.name == d.factFk && pkAttr.name == d.dimPk &&
           factOut.contains(fkAttr) && !factOut.contains(pkAttr)
         // IsNotNull(join key) conjuncts are inferred from the inner join's

@@ -577,7 +577,14 @@ object ExplainDump {
       "unrewritten on the base (never wrong, just unaccelerated). At " +
       "100 TB this turns every matching dashboard query from a lake scan " +
       "into a metadata-cost lookup; the freshness probe is one pointer " +
-      "read."),
+      "read. The lifecycle is pure SQL (CREATE/REFRESH/DROP MATERIALIZED " +
+      "VIEW) and SQL-entered aggregates over acid_table(...) route " +
+      "exactly like DataFrame ones. REFRESH is incremental-first: the " +
+      "change feed between the pinned and current versions merges as " +
+      "O(groups) signed deltas — O(changes), never O(table) — falling " +
+      "back to a full recompute across rewrite commits; MoR-delete " +
+      "tables keep their route (the standing-vector subtraction is " +
+      "recognized as part of the base read)."),
     "sql_mv_join_rewrite" -> ("Join-MV (star-schema summary table) " +
       "rewrite (r20): the user query joins the acid fact table to the " +
       "customer dim and aggregates — but the dumped plan contains NO " +

@@ -197,6 +197,89 @@ class MvRewriteSpec extends SparkFixture {
     assert(!jroutes(rowFilter), "a row-level filter must decline")
   }
 
+  test("SQL verbs: CREATE MATERIALIZED VIEW routes SQL + DataFrame aggregates; DROP removes the route") {
+    import graft.ops.SqlEntry
+    val base = "/tmp/graft_mvspec_sqlbase"
+    val mv = "/tmp/graft_mvspec_sqlmv"
+    Acid.reset(base)
+    val or = Tables.orders(spark, sf001).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      (money(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+    Acid.appendTxn(spark, base, or, 0L)
+    val out = SqlEntry.sqlLakehouse(spark,
+      s"CREATE MATERIALIZED VIEW mvspec_sql AT '$mv' AS SELECT " +
+        "o_orderstatus, COUNT(*) AS n, SUM(price_cents) AS sum_cents " +
+        s"FROM acid_table('$base') GROUP BY o_orderstatus").head
+    assert(out.getString(0) == "create_mv" && out.getLong(2) == 0L)
+    def sqlAgg = SqlEntry.sqlLakehouse(spark,
+      "SELECT o_orderstatus, COUNT(*) AS n FROM " +
+        s"acid_table('$base') GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    val routedScan = scanned(sqlAgg)
+    assert(routedScan.exists(_.contains("mvspec_sqlmv")) &&
+      !routedScan.exists(_.contains("mvspec_sqlbase")),
+      s"SQL-entered aggregate must route, scanned $routedScan")
+    // values match the base recompute exactly
+    val expect = Acid.read(spark, base).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).orderBy(col("o_orderstatus"))
+      .collect().toSeq
+    assert(sqlAgg.collect().toSeq == expect)
+    // DROP removes the route; the same text runs on the base again
+    SqlEntry.sqlLakehouse(spark, "DROP MATERIALIZED VIEW mvspec_sql")
+    assert(scanned(sqlAgg).exists(_.contains("mvspec_sqlbase")),
+      "after DROP the aggregate must scan the base")
+  }
+
+  test("incremental REFRESH: appends + MoR deletes merge as deltas and equal the full recompute; a COW rewrite falls back to full") {
+    import graft.ops.SqlEntry
+    val base = "/tmp/graft_mvspec_incbase"
+    val mv = "/tmp/graft_mvspec_incmv"
+    Acid.reset(base)
+    val or = Tables.orders(spark, sf001).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      (money(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+    Acid.appendTxn(spark, base, or.filter(col("o_orderkey") % 3 === 0), 0L)
+    SqlEntry.sqlLakehouse(spark,
+      s"CREATE MATERIALIZED VIEW mvspec_inc AT '$mv' AS SELECT " +
+        "o_orderstatus, COUNT(*) AS n, SUM(price_cents) AS sum_cents " +
+        s"FROM acid_table('$base') GROUP BY o_orderstatus")
+    // stale the view with an append AND a MoR equality delete — the feed
+    // carries both inserts and delete preimages
+    Acid.appendTxn(spark, base, or.filter(col("o_orderkey") % 3 === 1), 1L)
+    Acid.deleteTxn(spark, base,
+      Tables.orders(spark, sf001).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey")), "o_orderkey", 2L)
+    val r = SqlEntry.sqlLakehouse(spark,
+      "REFRESH MATERIALIZED VIEW mvspec_inc").head
+    assert(r.getString(3) == "incremental",
+      s"append+MoR-delete window must refresh incrementally, got ${r.getString(3)}")
+    // the incrementally-maintained view equals the full recompute exactly
+    val expect = Acid.read(spark, base).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy(col("o_orderstatus")).collect().toSeq
+    val got = spark.read.parquet(mv)
+      .orderBy(col("o_orderstatus")).collect().toSeq
+    assert(got == expect, "incremental refresh diverged from the recompute")
+    // and the refreshed view routes again
+    val q = Acid.read(spark, base).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanned(q).exists(_.contains("mvspec_incmv")),
+      s"refreshed view must route, scanned ${scanned(q)}")
+    // a COW UPDATE rewrites files — the feed refuses the window and the
+    // refresh falls back to the full recompute, still correct
+    Acid.updateWhere(spark, base,
+      Seq(("o_orderstatus", lit("X"))), col("o_orderkey") % 11 === 0, 3L)
+    val r2 = SqlEntry.sqlLakehouse(spark,
+      "REFRESH MATERIALIZED VIEW mvspec_inc").head
+    assert(r2.getString(3) == "full",
+      s"rewrite-crossing window must fall back to full, got ${r2.getString(3)}")
+    val expect2 = Acid.read(spark, base).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy(col("o_orderstatus")).collect().toSeq
+    assert(spark.read.parquet(mv).orderBy(col("o_orderstatus"))
+      .collect().toSeq == expect2)
+    MvRewrite.unregister("mvspec_inc")
+  }
+
   test("time travel to a pre-pin version declines even though the version pin matches") {
     ready
     // same current version, but the scan's file set is v0-as-of-registration
