@@ -101,8 +101,8 @@ object MvRewrite extends Rule[LogicalPlan]
     val rel = spark.read.parquet(mvDir).queryExecution.analyzed.collectFirst {
       case l: LogicalRelation => l
     }.getOrElse(sys.error(s"MvRewrite.register: no relation under $mvDir"))
-    val bad = (keyCols :+ countCol) ++ sums.values
-    val missing = bad.filterNot(c => rel.output.exists(_.name == c))
+    val required = (keyCols :+ countCol) ++ sums.values
+    val missing = required.filterNot(c => rel.output.exists(_.name == c))
     require(missing.isEmpty, s"MvRewrite.register: MV lacks columns $missing")
     (countCol +: sums.values.toSeq).foreach { c =>
       require(rel.output.find(_.name == c).get.dataType == LongType,
@@ -263,17 +263,6 @@ object MvRewrite extends Rule[LogicalPlan]
 
   /** Registered single-table view, if any (the SQL surface's probe). */
   def lookup(name: String): Option[MvDef] = Option(defs.get(name))
-
-  /** Walk down through attribute-only Projects and key-column Filters to
-    * the V1 file scan; collect the filter conditions on the way. */
-  @tailrec private def strip(p: LogicalPlan, conds: Seq[Expression])
-      : Option[(LogicalRelation, Seq[Expression])] = p match {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      strip(c, conds)
-    case Filter(cond, c) => strip(c, conds :+ cond)
-    case r: LogicalRelation => Some((r, conds))
-    case _ => None
-  }
 
   private def isDistinctShape(a: Aggregate): Boolean =
     a.groupingExpressions == a.aggregateExpressions &&
