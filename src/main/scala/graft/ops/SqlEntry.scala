@@ -404,17 +404,25 @@ object SqlEntry {
       val (name, mvDir, dir) = (m.group(1), m.group(2), m.group(4))
       val keys = splitTopLevel(m.group(5)).map(_.trim)
       val countRe = """(?is)^COUNT\s*\(\s*\*\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
-      val sumRe = """(?is)^SUM\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+      val aggRe = """(?is)^(SUM|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
       var countCol: Option[String] = None
       val sums = Map.newBuilder[String, String]
+      val mins = Map.newBuilder[String, String]
+      val maxs = Map.newBuilder[String, String]
       splitTopLevel(m.group(3)).map(_.trim).foreach { item =>
         countRe.findFirstMatchIn(item) match {
           case Some(c) => countCol = Some(c.group(1))
-          case None => sumRe.findFirstMatchIn(item) match {
-            case Some(sm) => sums += (sm.group(1) -> sm.group(2))
+          case None => aggRe.findFirstMatchIn(item) match {
+            case Some(sm) =>
+              val entry = (sm.group(2) -> sm.group(3))
+              sm.group(1).toUpperCase match {
+                case "SUM" => sums += entry
+                case "MIN" => mins += entry
+                case "MAX" => maxs += entry
+              }
             case None => require(keys.contains(item),
               s"CREATE MATERIALIZED VIEW: select item '$item' is neither " +
-                "a GROUP BY key, COUNT(*) AS c, nor SUM(col) AS s")
+                "a GROUP BY key, COUNT(*) AS c, nor SUM/MIN/MAX(col) AS s")
           }
         }
       }
@@ -422,7 +430,7 @@ object SqlEntry {
         "CREATE MATERIALIZED VIEW: a COUNT(*) AS <c> column is required " +
           "(the roll-up weight)"))
       val v = graft.plans.MvRewrite.create(spark, name, dir, mvDir,
-        keys, n, sums.result())
+        keys, n, sums.result(), mins.result(), maxs.result())
       import spark.implicits._
       return Seq(("create_mv", name, v)).toDF("operation", "view", "pinned_version")
     }

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
@@ -79,6 +79,8 @@ object MvRewrite extends Rule[LogicalPlan]
       keyCols: Seq[String],
       countCol: String,
       sums: Map[String, String],
+      mins: Map[String, String],
+      maxs: Map[String, String],
       pinnedVersion: Long,
       pinnedFiles: Set[String],
       delKey: Option[String])
@@ -97,23 +99,35 @@ object MvRewrite extends Rule[LogicalPlan]
     * Re-registering a name replaces the pin — the refresh lifecycle. */
   def register(spark: SparkSession, name: String, baseDir: String,
       mvDir: String, keyCols: Seq[String], countCol: String,
-      sums: Map[String, String]): Unit = {
+      sums: Map[String, String],
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty): Unit = {
     val rel = spark.read.parquet(mvDir).queryExecution.analyzed.collectFirst {
       case l: LogicalRelation => l
     }.getOrElse(sys.error(s"MvRewrite.register: no relation under $mvDir"))
-    val required = (keyCols :+ countCol) ++ sums.values
+    val required = (keyCols :+ countCol) ++ sums.values ++ mins.values ++ maxs.values
     val missing = required.filterNot(c => rel.output.exists(_.name == c))
     require(missing.isEmpty, s"MvRewrite.register: MV lacks columns $missing")
     (countCol +: sums.values.toSeq).foreach { c =>
       require(rel.output.find(_.name == c).get.dataType == LongType,
         s"MvRewrite.register: MV column $c must be LongType (exact partials)")
     }
+    // min/max partials need no arithmetic — any orderable type, but it
+    // must be the BASE column's exact type or the compensated output type
+    // would shift under the caller's feet
+    val baseSchema = graft.ops.Acid.read(spark, baseDir).schema
+    (mins ++ maxs).foreach { case (b, m) =>
+      val bt = baseSchema.find(_.name == b).getOrElse(sys.error(
+        s"MvRewrite.register: base has no column $b")).dataType
+      require(rel.output.find(_.name == m).get.dataType == bt,
+        s"MvRewrite.register: MV column $m must have the base type of $b ($bt)")
+    }
     val v = graft.ops.Acid.currentVersion(baseDir).getOrElse(
       sys.error(s"MvRewrite.register: $baseDir has no committed version"))
     val files = graft.ops.Acid.read(spark, baseDir)
       .inputFiles.map(norm).toSet
     defs.put(name, MvDef(name, norm(new java.io.File(baseDir).getAbsolutePath),
-      mvDir, rel, keyCols, countCol, sums, v, files, delKeyOf(baseDir)))
+      mvDir, rel, keyCols, countCol, sums, mins, maxs, v, files, delKeyOf(baseDir)))
     // arm the rule through the public per-session optimizer hook; idempotent
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
       spark.experimental.extraOptimizations =
@@ -181,10 +195,13 @@ object MvRewrite extends Rule[LogicalPlan]
     * the semantics twin the incremental result must match. */
   private def materialize(spark: SparkSession, baseDir: String,
       mvDir: String, keyCols: Seq[String], countCol: String,
-      sums: Map[String, String]): Unit = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
+      sums: Map[String, String], mins: Map[String, String],
+      maxs: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
     val aggs = (count(lit(1)).cast(LongType).as(countCol) +:
-      sums.toSeq.sortBy(_._1).map { case (b, m) => sum(col(b)).as(m) })
+      (sums.toSeq.sortBy(_._1).map { case (b, m) => sum(col(b)).as(m) } ++
+        mins.toSeq.sortBy(_._1).map { case (b, m) => min(col(b)).as(m) } ++
+        maxs.toSeq.sortBy(_._1).map { case (b, m) => max(col(b)).as(m) }))
     graft.ops.Acid.read(spark, baseDir)
       .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -196,9 +213,11 @@ object MvRewrite extends Rule[LogicalPlan]
     * pinned base version. */
   def create(spark: SparkSession, name: String, baseDir: String,
       mvDir: String, keyCols: Seq[String], countCol: String,
-      sums: Map[String, String]): Long = {
-    materialize(spark, baseDir, mvDir, keyCols, countCol, sums)
-    register(spark, name, baseDir, mvDir, keyCols, countCol, sums)
+      sums: Map[String, String],
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty): Long = {
+    materialize(spark, baseDir, mvDir, keyCols, countCol, sums, mins, maxs)
+    register(spark, name, baseDir, mvDir, keyCols, countCol, sums, mins, maxs)
     defs.get(name).pinnedVersion
   }
 
@@ -217,7 +236,7 @@ object MvRewrite extends Rule[LogicalPlan]
     * path ran. Returns (new pinned version, "noop"|"incremental"|"full").
     */
   def refresh(spark: SparkSession, name: String): (Long, String) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, sum, when}
     val d = Option(defs.get(name)).getOrElse(
       sys.error(s"MvRewrite.refresh: no registered view '$name'"))
     val cur = graft.ops.Acid.currentVersion(d.baseDir).getOrElse(
@@ -226,12 +245,23 @@ object MvRewrite extends Rule[LogicalPlan]
     val mode =
       try {
         val feed = graft.ops.Acid.changeFeed(spark, d.baseDir, d.pinnedVersion, cur)
+        // count/sum deltas are invertible; min/max are NOT — a deleted row
+        // could have carried the group's extremum. An insert-only window
+        // still refreshes min/max incrementally (monotone under inserts);
+        // any delete in the window forces the full recompute.
+        if ((d.mins.nonEmpty || d.maxs.nonEmpty) &&
+            !feed.filter(col("change_type") === lit("delete")).isEmpty)
+          sys.error("min/max partials are not invertible under deletes")
         val sign = when(col("change_type") === lit("insert"), lit(1L))
           .otherwise(lit(-1L))
         val sumCols = d.sums.toSeq.sortBy(_._1)
+        val minCols = d.mins.toSeq.sortBy(_._1)
+        val maxCols = d.maxs.toSeq.sortBy(_._1)
         val delta = feed.groupBy(d.keyCols.map(col): _*)
           .agg(sum(sign).as("__dn"),
-            sumCols.map { case (b, m) => sum(sign * col(b)).as(s"__d_$m") }: _*)
+            (sumCols.map { case (b, m) => sum(sign * col(b)).as(s"__d_$m") } ++
+              minCols.map { case (b, m) => min(col(b)).as(s"__d_$m") } ++
+              maxCols.map { case (b, m) => max(col(b)).as(s"__d_$m") }): _*)
         val old = spark.read.parquet(d.mvDir).as("o")
         val x = delta.as("x")
         // null-safe key join: a NULL-keyed group must merge, not duplicate
@@ -244,7 +274,13 @@ object MvRewrite extends Rule[LogicalPlan]
             sumCols.map { case (_, m) =>
               (coalesce(col(s"o.$m"), lit(0L)) +
                 coalesce(col(s"x.__d_$m"), lit(0L))).as(m)
-            }: _*)
+            } ++
+            // least/greatest skip nulls, so a group present on one side
+            // only keeps its own extremum
+            minCols.map { case (_, m) =>
+              least(col(s"o.$m"), col(s"x.__d_$m")).as(m) } ++
+            maxCols.map { case (_, m) =>
+              greatest(col(s"o.$m"), col(s"x.__d_$m")).as(m) }: _*)
           .filter(col(d.countCol) =!= 0L)
         // materialize off the files about to be overwritten (at 100 TB a
         // refresh writes a NEW mv version dir; overwrite is the
@@ -254,10 +290,12 @@ object MvRewrite extends Rule[LogicalPlan]
         "incremental"
       } catch {
         case scala.util.control.NonFatal(_) =>
-          materialize(spark, d.baseDir, d.mvDir, d.keyCols, d.countCol, d.sums)
+          materialize(spark, d.baseDir, d.mvDir, d.keyCols, d.countCol,
+            d.sums, d.mins, d.maxs)
           "full"
       }
-    register(spark, name, d.baseDir, d.mvDir, d.keyCols, d.countCol, d.sums)
+    register(spark, name, d.baseDir, d.mvDir, d.keyCols, d.countCol,
+      d.sums, d.mins, d.maxs)
     (defs.get(name).pinnedVersion, mode)
   }
 
@@ -349,7 +387,8 @@ object MvRewrite extends Rule[LogicalPlan]
     if (files == d.pinnedFiles &&
         graft.ops.Acid.currentVersion(d.baseDir).contains(d.pinnedVersion) &&
         antiKey.forall(k => d.delKey.contains(k)))
-      buildRollup(agg, conds, d.mvRelation, d.keyCols, d.countCol, d.sums)
+      buildRollup(agg, conds, d.mvRelation, d.keyCols, d.countCol, d.sums,
+        d.mins, d.maxs)
     else None
   }
 
@@ -408,8 +447,8 @@ object MvRewrite extends Rule[LogicalPlan]
               a.name == d.factFk || a.name == d.dimPk
             case _ => false
           }
-        plan <- buildRollup(agg, conds,
-          d.mvRelation, d.keyCols, d.countCol, d.sums).toSeq
+        plan <- buildRollup(agg, conds, d.mvRelation, d.keyCols,
+          d.countCol, d.sums, Map.empty, Map.empty).toSeq
       } yield plan).headOption
     }
 
@@ -418,7 +457,8 @@ object MvRewrite extends Rule[LogicalPlan]
     * Aggregate(keys, compensated outputs, Project(Filter*(mv scan))). */
   private def buildRollup(agg: Aggregate, conds: Seq[Expression],
       mvRelation: LogicalRelation, keyCols: Seq[String], countCol: String,
-      sums: Map[String, String]): Option[LogicalPlan] = {
+      sums: Map[String, String], mins: Map[String, String],
+      maxs: Map[String, String]): Option[LogicalPlan] = {
     for {
       // filters select whole groups, deterministically, with no subqueries
       _ <- Some(())
@@ -429,7 +469,8 @@ object MvRewrite extends Rule[LogicalPlan]
         case a: AttributeReference => keyCols.contains(a.name)
         case _ => false
       }).map(_.map(_.asInstanceOf[AttributeReference]))
-      out <- rewriteOutputs(agg.aggregateExpressions, groupAttrs, countCol, sums)
+      out <- rewriteOutputs(agg.aggregateExpressions, groupAttrs, countCol,
+        sums, mins, maxs)
     } yield {
       val rel = mvRelation.newInstance()
       val byName = rel.output.map(a => a.name -> a).toMap
@@ -456,7 +497,9 @@ object MvRewrite extends Rule[LogicalPlan]
       exprs: Seq[NamedExpression],
       groupAttrs: Seq[AttributeReference],
       countCol: String,
-      sums: Map[String, String]): Option[Seq[(Map[String, AttributeReference] => NamedExpression, Seq[String])]] = {
+      sums: Map[String, String],
+      mins: Map[String, String],
+      maxs: Map[String, String]): Option[Seq[(Map[String, AttributeReference] => NamedExpression, Seq[String])]] = {
     val builders = exprs.map {
       // a grouped key passed through (bare or aliased)
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
@@ -482,6 +525,24 @@ object MvRewrite extends Rule[LogicalPlan]
               val mvCol = sums(a.name)
               Some(((m: Map[String, AttributeReference]) =>
                 Alias(AggregateExpression(Sum(m(mvCol)), Complete,
+                  isDistinct = false), al.name)(exprId = al.exprId), Seq(mvCol)))
+            case _ => None
+          }
+          // min/max roll up as themselves (min of per-group minima, same
+          // type as the base column by registration contract)
+          case mn: Min => mn.child match {
+            case a: AttributeReference if mins.contains(a.name) =>
+              val mvCol = mins(a.name)
+              Some(((m: Map[String, AttributeReference]) =>
+                Alias(AggregateExpression(Min(m(mvCol)), Complete,
+                  isDistinct = false), al.name)(exprId = al.exprId), Seq(mvCol)))
+            case _ => None
+          }
+          case mx: Max => mx.child match {
+            case a: AttributeReference if maxs.contains(a.name) =>
+              val mvCol = maxs(a.name)
+              Some(((m: Map[String, AttributeReference]) =>
+                Alias(AggregateExpression(Max(m(mvCol)), Complete,
                   isDistinct = false), al.name)(exprId = al.exprId), Seq(mvCol)))
             case _ => None
           }

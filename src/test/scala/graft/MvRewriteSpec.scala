@@ -280,6 +280,78 @@ class MvRewriteSpec extends SparkFixture {
     MvRewrite.unregister("mvspec_inc")
   }
 
+  test("min/max partials: roll up exactly, decline when unregistered, refresh incrementally only while insert-only") {
+    import graft.ops.SqlEntry
+    val base = "/tmp/graft_mvspec_mmbase"
+    val mv = "/tmp/graft_mvspec_mmmv"
+    Acid.reset(base)
+    val or = Tables.orders(spark, sf001).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      (money(col("o_totalprice")) * 100).cast("long").as("price_cents"))
+    Acid.appendTxn(spark, base, or.filter(col("o_orderkey") % 2 === 0), 0L)
+    SqlEntry.sqlLakehouse(spark,
+      s"CREATE MATERIALIZED VIEW mvspec_mm AT '$mv' AS SELECT " +
+        "o_orderstatus, COUNT(*) AS n, SUM(price_cents) AS sum_cents, " +
+        "MIN(price_cents) AS min_cents, MAX(price_cents) AS max_cents " +
+        s"FROM acid_table('$base') GROUP BY o_orderstatus")
+    def q = Acid.read(spark, base).groupBy(col("o_orderstatus"))
+      .agg(min(col("price_cents")).as("lo"), max(col("price_cents")).as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+    assert(scanned(q).exists(_.contains("mvspec_mmmv")),
+      s"min/max aggregate must route, scanned ${scanned(q)}")
+    MvRewrite.unregister("mvspec_mm")
+    val direct = q.collect().toSeq
+    SqlEntry.sqlLakehouse(spark,  // re-pin (base unchanged → same content)
+      s"CREATE MATERIALIZED VIEW mvspec_mm AT '$mv' AS SELECT " +
+        "o_orderstatus, COUNT(*) AS n, SUM(price_cents) AS sum_cents, " +
+        "MIN(price_cents) AS min_cents, MAX(price_cents) AS max_cents " +
+        s"FROM acid_table('$base') GROUP BY o_orderstatus")
+    assert(q.collect().toSeq == direct, "min/max roll-up diverged")
+    // min over an UNREGISTERED column declines
+    val other = Acid.read(spark, base).groupBy(col("o_orderstatus"))
+      .agg(min(col("o_orderkey")).as("k"))
+    assert(!scanned(other).exists(_.contains("mvspec_mmmv")),
+      "min of an unregistered column must decline")
+    // ground truth = the UNREGISTERED recompute compared to the MV's own
+    // parquet — a routed-vs-routed compare would be a tautology
+    def mvMatchesRecompute(): Unit = {
+      MvRewrite.unregister("mvspec_mm")
+      val truth = Acid.read(spark, base).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+          min(col("price_cents")).as("min_cents"),
+          max(col("price_cents")).as("max_cents"))
+        .orderBy(col("o_orderstatus")).collect().toSeq
+      val got = spark.read.parquet(mv)
+        .select(col("o_orderstatus"), col("n"), col("sum_cents"),
+          col("min_cents"), col("max_cents"))
+        .orderBy(col("o_orderstatus")).collect().toSeq
+      assert(got == truth, "MV content diverged from the recompute")
+      // re-arm WITHOUT recomputing — the content under test stays
+      MvRewrite.register(spark, "mvspec_mm", base, mv, Seq("o_orderstatus"),
+        "n", Map("price_cents" -> "sum_cents"),
+        Map("price_cents" -> "min_cents"), Map("price_cents" -> "max_cents"))
+    }
+    // insert-only staleness refreshes INCREMENTALLY (min/max monotone)
+    Acid.appendTxn(spark, base, or.filter(col("o_orderkey") % 2 === 1), 1L)
+    val r1 = SqlEntry.sqlLakehouse(spark,
+      "REFRESH MATERIALIZED VIEW mvspec_mm").head
+    assert(r1.getString(3) == "incremental",
+      s"insert-only window with min/max must stay incremental, got ${r1.getString(3)}")
+    mvMatchesRecompute()
+    // a delete in the window could have carried a group's extremum — the
+    // refresh must take the full path, and still be exact
+    Acid.deleteTxn(spark, base,
+      Tables.orders(spark, sf001).filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey")), "o_orderkey", 2L)
+    val r2 = SqlEntry.sqlLakehouse(spark,
+      "REFRESH MATERIALIZED VIEW mvspec_mm").head
+    assert(r2.getString(3) == "full",
+      s"min/max across a delete window must recompute, got ${r2.getString(3)}")
+    mvMatchesRecompute()
+    MvRewrite.unregister("mvspec_mm")
+  }
+
   test("time travel to a pre-pin version declines even though the version pin matches") {
     ready
     // same current version, but the scan's file set is v0-as-of-registration
