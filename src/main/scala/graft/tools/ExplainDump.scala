@@ -577,7 +577,9 @@ object ExplainDump {
       "unrewritten on the base (never wrong, just unaccelerated). At " +
       "100 TB this turns every matching dashboard query from a lake scan " +
       "into a metadata-cost lookup; the freshness probe is one pointer " +
-      "read. The lifecycle is pure SQL (CREATE/REFRESH/DROP MATERIALIZED " +
+      "read. The roll-up algebra covers count, sum, and min/max " +
+      "partials (extrema roll up as themselves, any orderable type). " +
+      "The lifecycle is pure SQL (CREATE/REFRESH/DROP MATERIALIZED " +
       "VIEW) and SQL-entered aggregates over acid_table(...) route " +
       "exactly like DataFrame ones. REFRESH is incremental-first: the " +
       "change feed between the pinned and current versions merges as " +
