@@ -280,6 +280,52 @@ class MvRewriteSpec extends SparkFixture {
     MvRewrite.unregister("mvspec_inc")
   }
 
+  test("parents survive the rewrite: HAVING and ORDER BY over the rewritten aggregate resolve (exprIds preserved)") {
+    val q = tbl.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("s"))
+      .filter(col("n") > 5L)          // HAVING over the rewritten output
+      .orderBy(col("s").desc)
+    assert(routed(q), s"expected MV route under HAVING/sort, scanned ${scanned(q)}")
+    MvRewrite.unregister("mvspec")
+    val direct = try {
+      tbl.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("s"))
+        .filter(col("n") > 5L).orderBy(col("s").desc).collect().toSeq
+    } finally MvRewrite.register(spark, "mvspec", base, mvDir,
+      Seq("o_orderstatus", "o_orderpriority"), "n",
+      Map("price_cents" -> "sum_cents"))
+    assert(q.collect().toSeq == direct)
+  }
+
+  test("two MVs over one base: the matcher tries every covering view and picks the one whose grain fits") {
+    ready
+    val mvCoarse = "/tmp/graft_mvspec_mv_coarse"
+    // a second, coarser view: status-grain only
+    Acid.read(spark, base).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .write.mode("overwrite").parquet(mvCoarse)
+    MvRewrite.register(spark, "mvspec_coarse", base, mvCoarse,
+      Seq("o_orderstatus"), "n", Map("price_cents" -> "sum_cents"))
+    try {
+      // a priority-grain query fits ONLY the fine view — the coarse one
+      // (sorted first by name) must be tried, fail its grain gate, and
+      // fall through to the fine view rather than declining outright
+      val fine = tbl.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val sFine = scanned(fine)
+      assert(sFine.exists(_.contains("mvspec_mv")) &&
+        !sFine.exists(_.contains("mv_coarse")) &&
+        !sFine.exists(_.contains("mvspec_base")),
+        s"priority grain must route to the fine view, scanned $sFine")
+      // a status-grain query is answerable by either; some view must win
+      val coarse = tbl.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val sCoarse = scanned(coarse)
+      assert(!sCoarse.exists(_.contains("mvspec_base")),
+        s"status grain must route to a view, scanned $sCoarse")
+    } finally MvRewrite.unregister("mvspec_coarse")
+  }
+
   test("min/max partials: roll up exactly, decline when unregistered, refresh incrementally only while insert-only") {
     import graft.ops.SqlEntry
     val base = "/tmp/graft_mvspec_mmbase"
