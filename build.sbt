@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Local measurement hook (unset for the driver's protocol): extra JVM
+  // flags for the forked run, e.g. event-log confs when profiling a key.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split("\\s+").toSeq)
+    .getOrElse(Seq.empty)

@@ -3721,6 +3721,13 @@ object Lakehouse {
           s"sql_mv_rewrite: SQL-entered aggregate not routed (scans $s4)")
         require(sqlQ.collect().toSeq == q3.collect().toSeq,
           "sql_mv_rewrite: SQL and DataFrame twins disagree")
+        // disarm before returning: a view left registered would keep the
+        // session-wide rewrite rule probing (and freshness-checking against
+        // the filesystem) every Aggregate of every LATER query in the
+        // session. The answer is route-independent — q1==direct is pinned
+        // above — so the harness's re-execution of the returned frame is
+        // merely unaccelerated, never different.
+        graft.plans.MvRewrite.unregister("orders_by_status_prio")
         q3
       },
       Some("""
@@ -3817,6 +3824,10 @@ object Lakehouse {
         require(s3.exists(_.contains("mvj_mv")) &&
           !s3.exists(_.contains("mvj_fact")),
           s"sql_mv_join_rewrite: refreshed MV not routed (scans $s3)")
+        // disarm before returning (see sql_mv_rewrite): the route equality
+        // is pinned by q1==direct, so later queries shouldn't keep paying
+        // the armed rule's per-Aggregate probe for this key's view.
+        graft.plans.MvRewrite.unregister("orders_by_segment_status")
         q3
       },
       Some("""

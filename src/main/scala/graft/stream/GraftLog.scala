@@ -280,32 +280,48 @@ object GraftLog {
 
   /** Stage a batch events DataFrame into log segments of `segmentRows`
     * lines, ordered by event_id (the staging contract that makes ordinal ↔
-    * event rank line up for the seek tests). Driver-side `toLocalIterator`
-    * — this is harness plumbing standing in for the broker's own segment
-    * writer, not a data-path operator. */
+    * event rank line up for the seek tests). Harness plumbing standing in
+    * for the broker's own segment writer, not a data-path operator — but
+    * it runs inside many timed keys, so the wire rendering happens on
+    * EXECUTORS (one job; the r20 `toLocalIterator` predecessor ran one
+    * sequential job per sort partition) and only the finished lines cross
+    * to the driver. The rendered bytes are identical: the same
+    * `java.lang.Double.toString` formatting, collected in sort order
+    * (range-partitioned sort + order-preserving narrow map). */
   def stage(spark: SparkSession, events: DataFrame, dir: String,
       segmentRows: Int = 4096, firstSegment: Int = 0): Unit = {
     import org.apache.spark.sql.functions.{col, unix_micros}
-    Files.createDirectories(Paths.get(dir))
-    val it = events
+    import spark.implicits._
+    val lines = events
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"), col("value"), col("props"))
       .orderBy(col("event_id"))
-      .toLocalIterator()
+      .as[(Long, Long, Long, String, Double, String)]
+      .map { case (id, tsUs, uid, typ, v, props) =>
+        s"$id\t$tsUs\t$uid\t$typ\t${java.lang.Double.toString(v)}\t$props"
+      }
+      .collect()
+    writeSegments(dir, lines, segmentRows, firstSegment, header = None)
+  }
+
+  /** Driver-side segment writer over pre-rendered lines (shared by
+    * [[stage]] / [[stageV2]]). */
+  private def writeSegments(dir: String, lines: Array[String],
+      segmentRows: Int, firstSegment: Int, header: Option[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
     var seg = firstSegment - 1
     var inSeg = segmentRows // force a roll on the first record
     var out: java.io.BufferedWriter = null
     try {
-      while (it.hasNext) {
+      lines.foreach { line =>
         if (inSeg >= segmentRows) {
           if (out != null) out.close()
           seg += 1; inSeg = 0
           out = Files.newBufferedWriter(
             Paths.get(dir, f"$SegmentPrefix$seg%05d.log"), StandardCharsets.UTF_8)
+          header.foreach { h => out.write(h); out.newLine() }
         }
-        val r = it.next()
-        out.write(s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
-          s"${r.getString(3)}\t${java.lang.Double.toString(r.getDouble(4))}\t${r.getString(5)}")
+        out.write(line)
         out.newLine()
         inSeg += 1
       }
@@ -348,6 +364,35 @@ object GraftLog {
     finally walk.close()
   }
 
+  /** Stage a batch events DataFrame as a PARTITIONED log: rows routed to
+    * `p=<k>` broker partitions by `user_id % numParts` (the producer's
+    * keyed-partitioning contract), event_id-ordered within each. One
+    * Spark job renders every partition's lines (the per-partition
+    * [[stage]] loop this replaces re-scanned and re-sorted the input once
+    * per partition); the per-partition byte streams are identical because
+    * the global event_id sort order restricted to one partition IS that
+    * partition's sort order. */
+  def stagePartitioned(spark: SparkSession, events: DataFrame, dir: String,
+      numParts: Int, segmentRows: Int = 4096, firstSegment: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, unix_micros}
+    import spark.implicits._
+    val rows = events
+      .select(pmod(col("user_id"), lit(numParts)).cast("int").as("p"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+      .as[(Int, Long, Long, Long, String, Double, String)]
+      .map { case (p, id, tsUs, uid, typ, v, props) =>
+        (p, s"$id\t$tsUs\t$uid\t$typ\t${java.lang.Double.toString(v)}\t$props")
+      }
+      .collect()
+    (0 until numParts).foreach { k =>
+      writeSegments(s"$dir/p=$k",
+        rows.iterator.filter(_._1 == k).map(_._2).toArray,
+        segmentRows, firstSegment, header = None)
+    }
+  }
+
   /** Append one extra segment of already-wire-format lines (test feeder). */
   def appendSegment(dir: String, index: Int, lines: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(dir))
@@ -363,32 +408,17 @@ object GraftLog {
   def stageV2(spark: SparkSession, events: DataFrame, dir: String,
       segmentRows: Int = 4096, firstSegment: Int = 0): Unit = {
     import org.apache.spark.sql.functions.{col, unix_micros}
-    Files.createDirectories(Paths.get(dir))
-    val it = events
+    import spark.implicits._
+    val lines = events
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"), col("value"), col("props"), col("source"))
       .orderBy(col("event_id"))
-      .toLocalIterator()
-    var seg = firstSegment - 1
-    var inSeg = segmentRows // force a roll on the first record
-    var out: java.io.BufferedWriter = null
-    try {
-      while (it.hasNext) {
-        if (inSeg >= segmentRows) {
-          if (out != null) out.close()
-          seg += 1; inSeg = 0
-          out = Files.newBufferedWriter(
-            Paths.get(dir, f"$SegmentPrefix$seg%05d.log"), StandardCharsets.UTF_8)
-          out.write("#v=2"); out.newLine()
-        }
-        val r = it.next()
-        out.write(s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
-          s"${r.getString(3)}\t${java.lang.Double.toString(r.getDouble(4))}\t" +
-          s"${r.getString(5)}\t${r.getString(6)}")
-        out.newLine()
-        inSeg += 1
+      .as[(Long, Long, Long, String, Double, String, String)]
+      .map { case (id, tsUs, uid, typ, v, props, source) =>
+        s"$id\t$tsUs\t$uid\t$typ\t${java.lang.Double.toString(v)}\t$props\t$source"
       }
-    } finally if (out != null) out.close()
+      .collect()
+    writeSegments(dir, lines, segmentRows, firstSegment, header = Some("#v=2"))
   }
 
   /** Open the log as a streaming DataFrame. `startingOffset` seeks; a

@@ -76,7 +76,7 @@ object Serve {
       .outputMode(OutputMode.Append())
       .trigger(trigger)
     checkpointDir.foreach(c => w.option("checkpointLocation", c))
-    w.start()
+    StreamOps.withStateParallelism(lines.sparkSession) { w.start() }
   }
 
   /** Slow-consumer policy for [[pushLines]]: disconnect a subscriber whose

@@ -198,10 +198,8 @@ object Sources {
       stagedPartLogDirs.getOrElseUpdate(sfDir, {
         val dir = java.nio.file.Files.createTempDirectory("graft_plog")
         val ev = graft.Tables.events(spark, sfDir)
-        (0 until 4).foreach { k =>
-          GraftLog.stage(spark, ev.filter(pmod(col("user_id"), lit(4)) === k),
-            dir.resolve(s"p=$k").toString, segmentRows = 4096)
-        }
+        GraftLog.stagePartitioned(spark, ev, dir.toString, numParts = 4,
+          segmentRows = 4096)
         sys.addShutdownHook {
           try deleteRecursively(dir) catch { case _: Exception => () }
         }

@@ -131,15 +131,44 @@ object StreamOps {
     if (spark.conf.getOption(ProviderKey).isEmpty)
       spark.conf.set(ProviderKey, RocksDbProvider)
 
+  /** Streaming STATE partitioning is a scale knob of its own, not the
+    * session's batch shuffle parallelism (r20, opt guide §2): every
+    * stateful micro-batch opens + commits one state store — a RocksDB
+    * instance under this engine's provider — PER shuffle partition, so a
+    * tiny-state query on a 32-core session pays 32 store lifecycles per
+    * batch while 100 TB of state wants thousands spread over a cluster.
+    * Default: defaultParallelism/4 clamped to ≥4 (scale-adaptive: grows
+    * with the session, never a constant); production overrides via
+    * `spark.graft.stream.statePartitions`. An explicit SMALLER session
+    * setting wins (keys that pin partitions to the stream's key
+    * cardinality keep their pin). Scoped around query START — Spark
+    * freezes the value into the checkpoint at creation, so the scope only
+    * needs to cover `.start()`. */
+  private[stream] def withStateParallelism[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val target = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt)
+      .getOrElse(math.max(4, spark.sparkContext.defaultParallelism / 4))
+    if (before.toInt <= target) body
+    else {
+      spark.conf.set(key, target.toString)
+      try body finally spark.conf.set(key, before)
+    }
+  }
+
   /** Run a streaming DF to completion (AvailableNow) into a memory sink,
     * return the sink contents as a batch DataFrame. Runs on the RocksDB
-    * state store (see [[ensureRocksDb]]). */
+    * state store (see [[ensureRocksDb]]) at state parallelism
+    * ([[withStateParallelism]]). */
   private[stream] def runToTable(spark: SparkSession, sdf: DataFrame,
       mode: OutputMode): DataFrame = {
     ensureRocksDb(spark)
     val tbl = s"graft_sink_${sinkId.incrementAndGet()}"
-    val q = sdf.writeStream.format("memory").queryName(tbl).outputMode(mode)
-      .trigger(Trigger.AvailableNow()).start()
+    val q = withStateParallelism(spark) {
+      sdf.writeStream.format("memory").queryName(tbl).outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(tbl)
   }
@@ -737,13 +766,14 @@ object StreamOps {
         val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
         val cut = maxId * 3 / 5 // generation 1 = ids <= cut
         def land(df: DataFrame, firstSegment: Int): Unit =
-          (0 until 4).foreach { k =>
-            GraftLog.stage(spark, df.filter(pmod(col("user_id"), lit(4)) === k),
-              s"$log/p=$k", segmentRows = 2048, firstSegment = firstSegment)
-          }
+          GraftLog.stagePartitioned(spark, df, log, numParts = 4,
+            segmentRows = 2048, firstSegment = firstSegment)
         land(ev.filter(col("event_id") <= cut), 0)
         val parts = (0 until 4).map(k => s"p=$k")
-        val per = Some(2048L) // keep every drain multi-batch
+        // keep every drain multi-batch (the contract under test) while the
+        // budget scales with the staged log — a fixed 2048 ran ~90
+        // micro-batches of pure engine lifecycle per member at sf0.1
+        val per = Some(math.max(2048L, GraftLog.logTotal(log) / 12 + 1))
         val gen1 = ConsumerGroup.assign(parts, Seq("alice", "bob"))
         val aliceG1 = ConsumerGroup.drainMember(spark, log, group, gen1("alice"), per)
         val bobG1 = ConsumerGroup.drainMember(spark, log, group, gen1("bob"), per)
@@ -784,13 +814,12 @@ object StreamOps {
         val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
         val cut = maxId * 3 / 5
         def land(df: DataFrame, firstSegment: Int): Unit =
-          (0 until 4).foreach { k =>
-            GraftLog.stage(spark, df.filter(pmod(col("user_id"), lit(4)) === k),
-              s"$log/p=$k", segmentRows = 2048, firstSegment = firstSegment)
-          }
+          GraftLog.stagePartitioned(spark, df, log, numParts = 4,
+            segmentRows = 2048, firstSegment = firstSegment)
         land(ev.filter(col("event_id") <= cut), 0)
         val parts = (0 until 4).map(k => s"p=$k")
-        val per = Some(2048L)
+        // size-adaptive multi-batch budget (see serve_consumer_group)
+        val per = Some(math.max(2048L, GraftLog.logTotal(log) / 12 + 1))
         // generation 1: alice is the whole group
         val (g1, asg1) = ConsumerGroup.rebalance(group, parts, Seq("alice"))
         val aliceG1 = ConsumerGroup.drainMember(spark, log, group,
@@ -1565,14 +1594,16 @@ object StreamOps {
         val agg = Sources.replayEvents(spark, stage.toString)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sumVal6(col("value")).as("sum_val"))
-        val q = agg.writeStream.outputMode(OutputMode.Update())
-          .foreachBatch { (df: DataFrame, id: Long) =>
-            df.withColumn("batch_id", lit(id))
-              .write.mode("append").parquet(outDir)
-            ()
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
+        val q = withStateParallelism(spark) {
+          agg.writeStream.outputMode(OutputMode.Update())
+            .foreachBatch { (df: DataFrame, id: Long) =>
+              df.withColumn("batch_id", lit(id))
+                .write.mode("append").parquet(outDir)
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        }
         q.awaitTermination()
         val w = Window.partitionBy(col("event_type"))
           .orderBy(col("batch_id").desc)
