@@ -1771,7 +1771,8 @@ object Acid {
       }
       // one task per partition tuple keeps the file count O(tuples), not
       // O(tuples × tasks) — the small-files guard a real writer applies
-      shadowed.repartition(col(s"__part_${transforms.head._1}"))
+      shadowed.repartition(
+          spark.sparkContext.defaultParallelism * 8, shadows.map(col): _*)
         .write.mode("overwrite")
         .partitionBy(shadows: _*).parquet(dataDir.toString)
       val walk = Files.walk(dataDir)

@@ -55,12 +55,15 @@ object Components {
     var converged = sig._1 == 0L
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      // large-star over the symmetric view
+      // large-star over the symmetric view. No dedup here (r20): small-star
+      // min is duplicate-insensitive and the round's closing distinct
+      // canonicalizes the output — the intermediate distinct was a full
+      // extra exchange per round for an identical fixpoint.
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")).distinct()
+        .select(col("v").as("u"), col("m").as("v"))
       // small-star over canonical ls (every neighbor of u is < u)
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ss = ls.join(ssMin, "u")

@@ -458,9 +458,12 @@ object Graph {
         var e = pairs.select(col("pa").as("s"), col("pb").as("d"))
           .unionByName(pairs.select(col("pb").as("s"), col("pa").as("d")))
           .localCheckpoint()
-        var labels = e.sparkSession.emptyDataFrame
-          .withColumn("node", lit(0L)).withColumn("coreness", lit(0))
-          .limit(0)
+        // per-round dropped-node frames accumulate driver-side and union
+        // once at the end (each round's frame reads only that round's
+        // CHECKPOINTED before/after edge sets, so the deferred union
+        // replays nothing) — the r20 predecessor eagerly checkpointed the
+        // growing union every peel level
+        val labelParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         var k = 2
         var edgeCount = e.count()
         while (edgeCount > 0 && k < 64) {
@@ -484,14 +487,15 @@ object Graph {
           // dropped = before − after; weak sets alone would miss a node
           // whose every edge vanished with its removed neighbors
           val after = e.select(col("s").as("node")).distinct()
-          labels = labels.unionByName(
-            before.join(after, Seq("node"), "left_anti")
-              .withColumn("coreness", lit(k - 1))).localCheckpoint()
+          labelParts += before.join(after, Seq("node"), "left_anti")
+            .withColumn("coreness", lit(k - 1))
           edgeCount = e.count()
           k += 1
         }
         require(edgeCount == 0, s"graph_kcore: max coreness exceeds $k")
-        labels.orderBy(col("node"))
+        val empty = pairs.sparkSession.range(0)
+          .select(col("id").as("node"), lit(0).as("coreness")).limit(0)
+        labelParts.foldLeft(empty)(_ unionByName _).orderBy(col("node"))
       },
       None),
 
@@ -587,7 +591,11 @@ object Graph {
         val nodes = edges.select(col("pa").as("node"))
           .unionByName(edges.select(col("pb").as("node"))).distinct()
           .localCheckpoint()
-        var forest = edges.limit(0)
+        // picked edges accumulate in a driver-side list of (checkpointed)
+        // per-round frames, unioned once at the end — the r20 predecessor
+        // checkpointed the GROWING forest union every round, an extra
+        // eager materialization per round that nothing read until the end
+        val forestParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         var labels = nodes.withColumn("comp", col("node")).localCheckpoint()
         var rounds = 0
         var crossing = 1L
@@ -608,8 +616,7 @@ object Graph {
               .select(col("e.pa").as("pa"), col("e.pb").as("pb"),
                 col("e.c").as("c"), col("e.ca").as("ca"), col("e.cb").as("cb"))
               .distinct().localCheckpoint()
-            forest = forest.unionByName(picked.select("pa", "pb", "c"))
-              .localCheckpoint()
+            forestParts += picked.select("pa", "pb", "c")
             // relabel on the COMPONENT-level graph (|comps| nodes,
             // geometrically shrinking) — never re-close the full forest
             val compNodes = labels.select(col("comp").as("node")).distinct()
@@ -623,6 +630,8 @@ object Graph {
           }
         }
         require(crossing == 0, s"graph_mst: no fixpoint in $rounds rounds")
+        val forest = forestParts.foldLeft(edges.limit(0).select("pa", "pb", "c"))(
+          _ unionByName _)
         forest.orderBy(col("pa"), col("pb"))
       },
       None),
