@@ -641,8 +641,11 @@ object Lakehouse {
             .filter(col("o_orderkey") % 33 === 0).select(col("o_orderkey")),
           "o_orderkey", txnId = 2L)                                  // v2 MoR
         Acid.optimize(spark, table, txnId = 3L, targetFiles = 2)     // v3
-        val feed = Acid.changeFeedRow(spark, table, 0L, 3L, "o_orderkey")
-        require(feed.filter(col("commit_version") === 3L).isEmpty,
+        // the maintenance-silence pin needs only the v2→v3 window (the
+        // OPTIMIZE step's own diff); probing it through the full 0→3 feed
+        // re-materialized the merge and MoR diffs a second time before the
+        // SQL TVF below computes them again (r20)
+        require(Acid.changeFeedRow(spark, table, 2L, 3L, "o_orderkey").isEmpty,
           "changeFeedRow: maintenance rewrite leaked change events")
         // consumed through the PURE-SQL entry (the table_changes_row TVF),
         // so the SQL user's plan is the DataFrame user's plan
@@ -1526,13 +1529,15 @@ object Lakehouse {
         // generation 1 (pre-default), ids [0, n1)
         Acid.appendTxn(spark, table, or.filter(col("o_orderkey") % 3 === 0), 0L)
         Acid.assignRowIds(spark, table, 1L)
-        val n1 = idMap().size.toLong
+        // generation sizes only need counts, not the full key→id collect
+        // the DML pins below use (r20)
+        val n1 = Acid.readLineage(spark, table).count()
         // evolution ON the lineage table: default, checked append, rename
         Acid.addColumnDefault(spark, table, "region", "'unset'", 2L)
         Acid.appendTxnChecked(spark, table,
           or.filter(col("o_orderkey") % 3 === 1).withColumn("region", lit("east")), 3L)
         Acid.assignRowIds(spark, table, 4L) // generation 2: ids [n1, n1+n2)
-        val n2 = idMap().size.toLong - n1
+        val n2 = Acid.readLineage(spark, table).count() - n1
         Acid.renameColumn(table, "region", "zone", 5L)
         val before = idMap()
         // lineage UPDATE: predicate names the RENAMED column; matches live
