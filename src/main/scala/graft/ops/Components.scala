@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components by large-star/small-star alternation
@@ -55,20 +56,27 @@ object Components {
     var converged = sig._1 == 0L
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      // large-star over the symmetric view. No dedup here (r20): small-star
-      // min is duplicate-insensitive and the round's closing distinct
-      // canonicalizes the output — the intermediate distinct was a full
-      // extra exchange per round for an identical fixpoint.
+      // Each star step is "per-hub min, attached back to every edge of the
+      // hub" — a WINDOW min over the hub partition, not a groupBy-min
+      // re-joined onto the edges (r20): the join form shuffled the edge
+      // set twice per step (once under the aggregate, once under the
+      // join, non-reusable because the partial-agg subtree differs) where
+      // the window shuffles it once. Skew behavior is unchanged — the
+      // join, too, had to co-locate all of a hub's edges in one
+      // partition. No intermediate dedup either: small-star min is
+      // duplicate-insensitive and the round's closing distinct
+      // canonicalizes the output. Fixpoint identical.
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+      val ls = sym
+        .withColumn("m", least(col("u"),
+          min(col("v")).over(Window.partitionBy(col("u")))))
+        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
       // small-star over canonical ls (every neighbor of u is < u)
-      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+      val ssm = ls.withColumn("m",
+        min(col("v")).over(Window.partitionBy(col("u"))))
+      val ss = ssm.select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssm.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint()
       val next = signature(ss)
