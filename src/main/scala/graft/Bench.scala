@@ -39,6 +39,12 @@ object Bench {
       // fixture scale it removes most per-micro-batch provider overhead)
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // numRowsTotal is a progress METRIC; tracking it costs RocksDB one
+      // get per put (the documented trade in Spark's state-store tuning
+      // docs). Nothing in the harness reads it — StreamingSpec, which
+      // pins eviction via the metric, runs its own sessions (r20).
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,6 +28,9 @@ object Verify {
       // fixture scale it removes most per-micro-batch provider overhead)
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // see Bench: metric-only row tracking costs a RocksDB get per put
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
