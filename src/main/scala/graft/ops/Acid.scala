@@ -461,31 +461,42 @@ object Acid {
       positions: DataFrame, txnId: Long, cdc: Boolean = false): Long =
     withWriterLock(table) {
     lazy val delFiles: Seq[String] = { // at most once
-      // a position naming a file outside the manifest would silently hide
-      // NOTHING — for a delete primitive that is the dangerous failure
-      // mode (the caller believes rows are gone), so refuse loudly
-      val known = headLines(table).filterNot(_.startsWith("#")).toSet
-      val badRows = positions.select(col("f").cast("string").as("f")).distinct()
-        .collect().map(_.getString(0)).filterNot(known) // O(distinct files)
-      require(badRows.isEmpty,
-        s"deletePositionsTxn: position(s) name files not in $table's " +
-          s"manifest: ${badRows.take(3).mkString(", ")}")
+      // land the vector FIRST, then validate from the WRITTEN file: the
+      // old order ran the caller's `positions` plan twice (a distinct-file
+      // collect probe, then the write) — and `positions` is typically a
+      // full window/anti-join chain over the table (r20, opt guide §1.2).
+      // A failed validation leaves only an uncommitted pdel= dir that
+      // vacuum GCs — the same contract as writeTxnDataChecked's
+      // constraint-violation path.
       val delDir = Paths.get(table).resolve(s"pdel=$txnId")
       positions.select(col("f").cast("string").as("f"),
           col("pos").cast("long").as("pos")).distinct()
         .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
-      listParquet(table, delDir)
+      val written = listParquet(table, delDir)
+      // a position naming a file outside the manifest would silently hide
+      // NOTHING — for a delete primitive that is the dangerous failure
+      // mode (the caller believes rows are gone), so refuse loudly
+      val known = headLines(table).filterNot(_.startsWith("#")).toSet
+      val badRows = spark.read.parquet(written.map(f => s"$table/$f"): _*)
+        .select(col("f")).distinct()
+        .collect().map(_.getString(0)).filterNot(known) // O(distinct files)
+      require(badRows.isEmpty,
+        s"deletePositionsTxn: position(s) name files not in $table's " +
+          s"manifest: ${badRows.take(3).mkString(", ")}")
+      written
     }
     // CDC materialization (Delta's change-data-feed files for DV commits):
     // the doomed rows' FULL PREIMAGES land as a change file, so row-level
     // feeds can cross this commit instead of refusing. Cost is O(files
     // containing a doomed position) — the same files the delete touched.
+    // The semi-join probe side reads the WRITTEN vector (forcing delFiles
+    // first), never re-running the caller's positions plan (r20).
     lazy val cdcFiles: Seq[String] = { // at most once
       val cdcDir = Paths.get(table).resolve(s"cdc=$txnId")
+      val vec = spark.read.parquet(delFiles.map(f => s"$table/$f"): _*)
+        .select(col("f").as("_file"), col("pos").as("_pos"))
       readPositions(spark, table)
-        .join(positions.select(col("f").cast("string").as("_file"),
-          col("pos").cast("long").as("_pos")).distinct(),
-          Seq("_file", "_pos"), "left_semi")
+        .join(vec, Seq("_file", "_pos"), "left_semi")
         .drop("_file", "_pos")
         .coalesce(1).write.mode("overwrite").parquet(cdcDir.toString)
       listParquet(table, cdcDir)
@@ -773,18 +784,31 @@ object Acid {
         .sorted().toArray.map(_.toString)
       finally walk.close()
     require(files.nonEmpty, s"Acid.commit: empty version $v at $table")
-    val statLines = stats.toSeq.flatMap { case (name, expr) =>
-      val abs = dataDir.toAbsolutePath
-      spark.read.parquet(dataDir.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(expr).as("lo"), max(expr).as("hi"))
-        .collect() // O(files) rows — manifest-construction control plane
-        .map { r =>
-          // input_file_name yields a file: URI — relativize through Path so
-          // the stat key matches the manifest's data-file lines exactly
-          val rel = abs.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
-          s"# minmax:$rel|$name|${r.getLong(1)}|${r.getLong(2)}"
-        }.sorted
+    // min/max and per-file row counts share ONE pass over the fresh data
+    // (r20, opt guide §1.2): separate jobs per stat kind re-scanned the
+    // version once each — the fused groupBy(file) computes every requested
+    // aggregate together, still an O(files)-row control-plane collect
+    val abs = dataDir.toAbsolutePath
+    val fusedRows: Array[org.apache.spark.sql.Row] =
+      if (stats.isEmpty && !rowCounts) Array.empty
+      else {
+        val aggs = stats.toSeq.flatMap { case (_, expr) =>
+          Seq(min(expr).as("lo"), max(expr).as("hi")) } ++
+          (if (rowCounts) Seq(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")) else Seq.empty)
+        spark.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // O(files) rows — manifest-construction control plane
+      }
+    // input_file_name yields a file: URI — relativize through Path so
+    // the stat key matches the manifest's data-file lines exactly
+    def relOf(r: org.apache.spark.sql.Row): String =
+      abs.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
+    val statLines = stats.toSeq.flatMap { case (name, _) =>
+      fusedRows.map { r =>
+        s"# minmax:${relOf(r)}|$name|${r.getLong(1)}|${r.getLong(2)}"
+      }.sorted
     }
     // per-file 4096-bit bloom over a long-valued expr: one pass computing
     // all 64 words as bit_or aggregates (fully distributed — no per-file
@@ -802,16 +826,8 @@ object Acid {
     // from the parquet footers they just wrote (free); the re-read here
     // is fixture-scale convenience, same as the zone-map path above.
     val rowLines = if (!rowCounts) Seq.empty else {
-      val abs = dataDir.toAbsolutePath
-      spark.read.parquet(dataDir.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n"))
-        .collect() // O(files) rows — manifest-construction control plane
-        .map { r =>
-          val rel = abs.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
-          s"# rows:$rel|${r.getLong(1)}"
-        }.sorted.toSeq
+      val nIdx = 1 + 2 * stats.size // f, (lo, hi)*, n — from the fused pass
+      fusedRows.map(r => s"# rows:${relOf(r)}|${r.getLong(nIdx)}").sorted.toSeq
     }
     ledger ++ statLines ++ bloomStatLines ++ rowLines ++ files.toSeq
     }

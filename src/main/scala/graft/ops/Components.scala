@@ -36,6 +36,34 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** One large-star + small-star alternation over a CANONICAL edge set
+    * (u > v, deduped) — the loop body of [[runWithRounds]], exposed so the
+    * plan-witness dump (plans/r20/cc_star_round_after.txt) explains exactly
+    * the expression the fixpoint loop runs. Each star step is "per-hub min
+    * attached back to every edge of the hub" — a WINDOW min over the hub
+    * partition the edge set shuffles once per step, where the
+    * groupBy-min-rejoin form shuffled it twice (once under the aggregate,
+    * once under the join, non-reusable because the partial-agg subtree
+    * differs). Skew behavior is unchanged — the join, too, had to
+    * co-locate all of a hub's edges in one partition. No intermediate
+    * dedup either: small-star min is duplicate-insensitive and the
+    * round's closing distinct canonicalizes the output. */
+  def round(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val ls = sym
+      .withColumn("m", least(col("u"),
+        min(col("v")).over(Window.partitionBy(col("u")))))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+    // small-star over canonical ls (every neighbor of u is < u)
+    val ssm = ls.withColumn("m",
+      min(col("v")).over(Window.partitionBy(col("u"))))
+    ssm.select(col("v").as("u"), col("m").as("v"))
+      .unionByName(ssm.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Labels for `nodes` ("node") given undirected `edges` ("src","dst"):
     * returns (node, comp) where comp = the component's minimum node id;
     * isolated nodes label themselves. Also returns the round count (the
@@ -56,33 +84,14 @@ object Components {
     var converged = sig._1 == 0L
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      // Each star step is "per-hub min, attached back to every edge of the
-      // hub" — a WINDOW min over the hub partition, not a groupBy-min
-      // re-joined onto the edges (r20): the join form shuffled the edge
-      // set twice per step (once under the aggregate, once under the
-      // join, non-reusable because the partial-agg subtree differs) where
-      // the window shuffles it once. Skew behavior is unchanged — the
-      // join, too, had to co-locate all of a hub's edges in one
-      // partition. No intermediate dedup either: small-star min is
-      // duplicate-insensitive and the round's closing distinct
-      // canonicalizes the output. Fixpoint identical.
-      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val ls = sym
-        .withColumn("m", least(col("u"),
-          min(col("v")).over(Window.partitionBy(col("u")))))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-      // small-star over canonical ls (every neighbor of u is < u)
-      val ssm = ls.withColumn("m",
-        min(col("v")).over(Window.partitionBy(col("u"))))
-      val ss = ssm.select(col("v").as("u"), col("m").as("v"))
-        .unionByName(ssm.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+      val ss = round(e).localCheckpoint()
       val next = signature(ss)
       // signature equality is the cheap per-round test; confirm the actual
-      // fixpoint with one exact set compare only when it fires (paid once)
-      converged = next == sig && ss.except(e).isEmpty && e.except(ss).isEmpty
+      // fixpoint with ONE exact set compare when it fires (paid once):
+      // both sides are distinct sets and the signatures carry their
+      // counts, so equal counts + ss ⊆ e ⟺ set equality — the reverse
+      // except was a second full-shuffle job proving nothing extra (r20)
+      converged = next == sig && ss.except(e).isEmpty
       sig = next
       e = ss
     }

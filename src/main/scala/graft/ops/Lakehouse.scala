@@ -430,10 +430,14 @@ object Lakehouse {
         val (v0, mat0, tot0) = IcebergExport.exportAcid(spark, table, out)
         require(v0 == 0L && mat0 <= tot0,
           s"sink_iceberg_export: bad first export ($v0, $mat0/$tot0)")
-        // independent chain walk == the Acid read, both directions
+        // independent chain walk == the Acid read. Multiset equality via
+        // equal counts + one-direction exceptAll (empty exceptAll ⟹ every
+        // ext multiplicity ≤ acid's; equal totals close it) — the same pin
+        // as the old two-direction form for one less full-width shuffle
+        // compare (r20, opt guide §1.2)
         val ext = IcebergExport.readExport(spark, out)
         val acid = Acid.read(spark, table)
-        require(ext.exceptAll(acid).isEmpty && acid.exceptAll(ext).isEmpty,
+        require(ext.count() == acid.count() && ext.exceptAll(acid).isEmpty,
           "sink_iceberg_export: exported chain diverges from the table")
         // refresh cadence: append, re-export → new snapshot, history kept
         Acid.appendTxn(spark, table,
@@ -1407,10 +1411,12 @@ object Lakehouse {
         val v0cols = Acid.readVersion(spark, table, 0L).columns.toSeq
         require(v0cols == Seq("o_orderkey", "o_orderstatus"),
           s"scan_time_travel_evolved: v0 must read raw, got $v0cols")
-        // head travel ≡ readEvolved, both directions
+        // head travel ≡ readEvolved: equal counts + one-direction exceptAll
+        // is multiset equality (see sink_iceberg_export) — one less
+        // full-width shuffle compare than the two-direction form (r20)
         val head = Acid.readVersion(spark, table, 4L)
         val live = Acid.readEvolved(spark, table)
-        require(head.exceptAll(live).isEmpty && live.exceptAll(head).isEmpty,
+        require(head.count() == live.count() && head.exceptAll(live).isEmpty,
           "scan_time_travel_evolved: head travel diverges from readEvolved")
         def summarize(df: org.apache.spark.sql.DataFrame, evoCol: String,
             ver: Long) =
