@@ -110,8 +110,75 @@ object Acid {
     // subtraction here silently resurrected deleted rows)
     subtractDeletes(spark, table, lines,
       applyColumnDefaults(lines, applyColumnMapping(lines,
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$table/$f"): _*))))
+        readMergedSchema(spark, files.map(f => s"$table/$f")))))
+  }
+
+  /** Per-file parquet footer schemas, cached per (absolute path, size,
+    * mtime) — data files behind a committed manifest are IMMUTABLE, so
+    * their footer schema is manifest-grade metadata: at 100 TB the
+    * manifest itself carries the schema (Delta's metaData action, Iceberg
+    * field-ids) and a reader never sweeps footers. Caching the per-file
+    * footer read models exactly that; it caches no query RESULT and no
+    * row ever enters it. */
+  private val fileSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** The union-schema read every evolved/mixed-generation path uses, with
+    * the footer sweep done once per file per JVM instead of one
+    * DISTRIBUTED inference job per read (r20, opt guide §1.2/§5): each
+    * file's schema comes from the cache (single driver-side footer read on
+    * miss), the driver merges them with mergeSchema's field rules (first
+    * file's field order, later-only fields appended, nullable OR-ed), and
+    * the scan gets the merged schema EXPLICITLY. Files missing a column
+    * surface NULL exactly as under mergeSchema. Any type conflict the
+    * driver merge cannot reproduce falls back to the genuine mergeSchema
+    * read (which would fail or widen per Spark's own rules). */
+  private[graft] def readMergedSchema(spark: SparkSession,
+      paths: Seq[String]): DataFrame = {
+    def fileSchema(p: String): org.apache.spark.sql.types.StructType = {
+      val abs = Paths.get(p).toAbsolutePath.normalize
+      val key = s"$abs|${Files.size(abs)}|${Files.getLastModifiedTime(abs).toMillis}"
+      fileSchemaCache.computeIfAbsent(key, _ => {
+        // direct footer read + Spark's own parquet→Catalyst converter —
+        // milliseconds per footer, no DataFrameReader resolution and no job
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          spark.sessionState.newHadoopConf(),
+          new org.apache.hadoop.fs.Path(abs.toString),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        // Spark's own inference prefers the serialized Spark schema in the
+        // footer's key-value metadata (ParquetFileFormat.readSchemaFromFooter)
+        // — match it exactly; fall back to the parquet→Catalyst converter
+        // for files Spark did not write
+        val meta = footer.getFileMetaData
+        Option(meta.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+          .flatMap(j => scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+          .getOrElse(new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+            .convert(meta.getSchema))
+      })
+    }
+    def mergeTwo(a: org.apache.spark.sql.types.StructType,
+        b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+      val aNames = a.fieldNames.toSet
+      val merged = a.fields.map { fa =>
+        b.fields.find(_.name == fa.name) match {
+          case Some(fb) =>
+            require(fa.dataType == fb.dataType,
+              s"readMergedSchema: type conflict on ${fa.name}")
+            fa.copy(nullable = fa.nullable || fb.nullable)
+          case None => fa
+        }
+      } ++ b.fields.filterNot(f => aNames(f.name))
+      org.apache.spark.sql.types.StructType(merged)
+    }
+    try {
+      val merged = paths.map(fileSchema).reduce(mergeTwo)
+      spark.read.schema(merged).parquet(paths: _*)
+    } catch { case _: IllegalArgumentException =>
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
 
   /** Resolve DEFAULT COLUMN VALUES over a merged-schema read — Delta's
@@ -1375,8 +1442,7 @@ object Acid {
     if (!mixedGenerations(lines))
       spark.read.parquet(files.map(f => s"$table/$f"): _*)
     else applyColumnDefaults(lines, applyColumnMapping(lines,
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$table/$f"): _*)))
+      readMergedSchema(spark, files.map(f => s"$table/$f"))))
 
   // ---- predicate-based row-level UPDATE / DELETE (copy-on-write) ----
 
@@ -1893,8 +1959,7 @@ object Acid {
     }
     if (kept.isEmpty) {
       require(files.nonEmpty, s"readPrunedHidden: empty manifest at $table v$cur")
-      val empty = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$table/$f"): _*).limit(0)
+      val empty = readMergedSchema(spark, files.map(f => s"$table/$f")).limit(0)
       (subtractDeletes(spark, table, lines, empty), 0, files.size)
     } else {
       val base = spark.read.parquet(kept.map(f => s"$table/$f"): _*)
@@ -1933,8 +1998,7 @@ object Acid {
     // return a schema-stable empty frame over the table's merged schema
     if (kept.isEmpty) {
       require(files.nonEmpty, s"readPrunedEvolved: empty manifest at $table v$cur")
-      val empty = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$table/$f"): _*).limit(0)
+      val empty = readMergedSchema(spark, files.map(f => s"$table/$f")).limit(0)
       (subtractDeletes(spark, table, lines, empty), 0, files.size)
     } else {
       val base = spark.read.parquet(kept.map(f => s"$table/$f"): _*)
@@ -2225,10 +2289,10 @@ object Acid {
       // footer-union read under schema evolution, like [[readRewriteSnapshot]]
       // — a plain scan would let an arbitrary footer drop a generation's
       // stored column from the rewrite (ADVICE r17)
-      val selReader = if (mixedGenerations(lines))
-        spark.read.option("mergeSchema", "true") else spark.read
-      val merged = subtractDeletes(spark, table, lines,
-        selReader.parquet(sel.map(f => s"$table/$f"): _*))
+      val selScan = if (mixedGenerations(lines))
+        readMergedSchema(spark, sel.map(f => s"$table/$f"))
+      else spark.read.parquet(sel.map(f => s"$table/$f"): _*)
+      val merged = subtractDeletes(spark, table, lines, selScan)
         .coalesce(targetFiles).cache()
       merged.count() // materialize BEFORE the lock
       try out = withWriterLock(table) {
@@ -2467,8 +2531,8 @@ object Acid {
     // take the exact pre-r19 path (plain scans, no-op mapping).
     val mixed = mixedGenerations(lines)
     def rd(fs: Seq[String]) =
-      (if (mixed) spark.read.option("mergeSchema", "true") else spark.read)
-        .parquet(fs.map(f => s"$table/$f"): _*)
+      if (mixed) readMergedSchema(spark, fs.map(f => s"$table/$f"))
+      else spark.read.parquet(fs.map(f => s"$table/$f"): _*)
     def logical(df: DataFrame): DataFrame =
       applyColumnDefaults(lines, applyColumnMapping(lines, df))
     val parts = Seq(
@@ -2820,8 +2884,7 @@ object Acid {
     else {
       val files = lines.filterNot(_.startsWith("#"))
       subtractDeletes(spark, table, lines,
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$table/$f"): _*))
+        readMergedSchema(spark, files.map(f => s"$table/$f")))
     }
   }
 
@@ -3102,8 +3165,7 @@ object Acid {
       // schema-stable empty frame (ADVICE r15): build from ALL files with
       // mergeSchema, like readPrunedEvolved — a single file's schema would
       // silently drop evolved columns from the empty result
-      if (kept.isEmpty) spark.read.option("mergeSchema", "true")
-        .parquet(all.map(f => s"$table/$f"): _*).limit(0)
+      if (kept.isEmpty) readMergedSchema(spark, all.map(f => s"$table/$f")).limit(0)
       else spark.read.parquet(kept.map(f => s"$table/$f"): _*)
     (subtractDeletes(spark, table, lines, base), kept.size, all.size)
   }

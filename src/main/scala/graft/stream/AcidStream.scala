@@ -324,8 +324,7 @@ object AcidStream {
         if (evo0.isEmpty)
           spark.read.schema(schema0).parquet(files.map(f => s"$table/$f"): _*)
         else Acid.resolveEvolution(evo0,
-            spark.read.option("mergeSchema", "true")
-              .parquet(files.map(f => s"$table/$f"): _*))
+            Acid.readMergedSchema(spark, files.map(f => s"$table/$f")))
           .select(schema0.fieldNames.map(col).toSeq: _*)
       Acid.standingDeletes(table, e) match {
         case Some((k, delFiles)) =>
@@ -532,8 +531,7 @@ object AcidStream {
         if (evo0.isEmpty)
           spark.read.schema(schema0).parquet(files.map(f => s"$table/$f"): _*)
         else Acid.resolveEvolution(evo0,
-            spark.read.option("mergeSchema", "true")
-              .parquet(files.map(f => s"$table/$f"): _*))
+            Acid.readMergedSchema(spark, files.map(f => s"$table/$f")))
           .select(schema0.fieldNames.map(col).toSeq: _*)
       // the branch head's standing vectors (fork-base inheritance) apply
       // to the feed exactly as readBranch applies them to batch reads
