@@ -123,6 +123,26 @@ object Acid {
   private val fileSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Exact row count of an immutable parquet file, from its footer's
+    * block metadata — the per-file `count(1)` every manifest writer needs,
+    * without a Spark job (r20; the same immutable-file-metadata argument
+    * as [[fileSchemaCache]]: at 100 TB writers harvest counts from the
+    * footers they just produced). Cached per (path, size, mtime). */
+  private val fileRowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def footerRowCount(spark: SparkSession, path: String): Long = {
+    val abs = Paths.get(path).toAbsolutePath.normalize
+    val key = s"$abs|${Files.size(abs)}|${Files.getLastModifiedTime(abs).toMillis}"
+    fileRowCountCache.computeIfAbsent(key, _ => {
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        spark.sessionState.newHadoopConf(),
+        new org.apache.hadoop.fs.Path(abs.toString),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      java.lang.Long.valueOf(
+        footer.getBlocks.stream.mapToLong(_.getRowCount).sum)
+    }).longValue
+  }
+
   /** The union-schema read every evolved/mixed-generation path uses, with
     * the footer sweep done once per file per JVM instead of one
     * DISTRIBUTED inference job per read (r20, opt guide §1.2/§5): each
@@ -851,31 +871,18 @@ object Acid {
         .sorted().toArray.map(_.toString)
       finally walk.close()
     require(files.nonEmpty, s"Acid.commit: empty version $v at $table")
-    // min/max and per-file row counts share ONE pass over the fresh data
-    // (r20, opt guide §1.2): separate jobs per stat kind re-scanned the
-    // version once each — the fused groupBy(file) computes every requested
-    // aggregate together, still an O(files)-row control-plane collect
     val abs = dataDir.toAbsolutePath
-    val fusedRows: Array[org.apache.spark.sql.Row] =
-      if (stats.isEmpty && !rowCounts) Array.empty
-      else {
-        val aggs = stats.toSeq.flatMap { case (_, expr) =>
-          Seq(min(expr).as("lo"), max(expr).as("hi")) } ++
-          (if (rowCounts) Seq(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n")) else Seq.empty)
-        spark.read.parquet(dataDir.toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect() // O(files) rows — manifest-construction control plane
-      }
     // input_file_name yields a file: URI — relativize through Path so
     // the stat key matches the manifest's data-file lines exactly
     def relOf(r: org.apache.spark.sql.Row): String =
       abs.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
-    val statLines = stats.toSeq.flatMap { case (name, _) =>
-      fusedRows.map { r =>
-        s"# minmax:${relOf(r)}|$name|${r.getLong(1)}|${r.getLong(2)}"
-      }.sorted
+    val statLines = stats.toSeq.flatMap { case (name, expr) =>
+      spark.read.parquet(dataDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(expr).as("lo"), max(expr).as("hi"))
+        .collect() // O(files) rows — manifest-construction control plane
+        .map(r => s"# minmax:${relOf(r)}|$name|${r.getLong(1)}|${r.getLong(2)}")
+        .sorted
     }
     // per-file 4096-bit bloom over a long-valued expr: one pass computing
     // all 64 words as bit_or aggregates (fully distributed — no per-file
@@ -892,10 +899,15 @@ object Acid {
     // O(files) arithmetic, zero data I/O. At 100 TB writers take these
     // from the parquet footers they just wrote (free); the re-read here
     // is fixture-scale convenience, same as the zone-map path above.
-    val rowLines = if (!rowCounts) Seq.empty else {
-      val nIdx = 1 + 2 * stats.size // f, (lo, hi)*, n — from the fused pass
-      fusedRows.map(r => s"# rows:${relOf(r)}|${r.getLong(nIdx)}").sorted.toSeq
-    }
+    // per-file row counts come straight from the parquet FOOTERS the write
+    // just produced (r20) — exactly the "writers take these from the
+    // footers (free)" note above, now literal: zero Spark jobs, exact
+    // counts. Empty part files carry no line, matching the old
+    // groupBy(file) behavior (an empty file groups to no row).
+    val rowLines = if (!rowCounts) Seq.empty else files.toSeq
+      .map(f => f -> footerRowCount(spark, abs.resolve(f).toString))
+      .filter(_._2 > 0)
+      .map { case (f, n) => s"# rows:$f|$n" }.sorted
     ledger ++ statLines ++ bloomStatLines ++ rowLines ++ files.toSeq
     }
   }
@@ -2363,13 +2375,10 @@ object Acid {
       }
       val rowLines = if (!rowCounts) Seq.empty else {
         val missing = files.filterNot(f => prev.exists(_.startsWith(s"# rows:$f|")))
-        if (missing.isEmpty) Seq.empty
-        else spark.read.parquet(missing.map(f => s"$table/$f"): _*)
-          .groupBy(input_file_name().as("f"))
-          .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
-          .collect()
-          .map(r => s"# rows:${rel(r.getString(0))}|${r.getLong(1)}")
-          .sorted.toSeq
+        // counts from the immutable files' footers — no scan job (r20)
+        missing.map(f => f -> footerRowCount(spark, s"$table/$f"))
+          .filter(_._2 > 0)
+          .map { case (f, n) => s"# rows:$f|$n" }.sorted
       }
       ("# base:." +:
         (prev.filter(_.startsWith("# txn:")) :+ s"# txn:$txnId")) ++
@@ -2466,16 +2475,9 @@ object Acid {
           f -> n.drop(1).toLong
       }.toMap
       val toCount = missing.filterNot(recorded.contains)
-      val root = Paths.get(table).toAbsolutePath
+      // counts from the immutable files' footers — no scan job (r20)
       val counted: Map[String, Long] =
-        if (toCount.isEmpty) Map.empty
-        else spark.read.parquet(toCount.map(f => s"$table/$f"): _*)
-          .groupBy(input_file_name().as("f"))
-          .agg(count(lit(1)).as("n"))
-          .collect() // O(files) rows — manifest-construction control plane
-          .map(r => root.relativize(
-            Paths.get(java.net.URI.create(r.getString(0)))).toString -> r.getLong(1))
-          .toMap
+        toCount.map(f => f -> footerRowCount(spark, s"$table/$f")).toMap
       var next = prev.find(_.startsWith("# rowid_next:"))
         .map(_.stripPrefix("# rowid_next:").trim.toLong).getOrElse(0L)
       val newLines = missing.map { f =>
@@ -4782,8 +4784,8 @@ object Acid {
     * table: one row per distinct partition tuple of the current version
     * with its data-file count and exact row count. Tuples come from the
     * manifest's `# pval:` lines (O(files) driver-side text); row counts
-    * come from ONE distributed scan grouped by `input_file_name`, folded
-    * to tuples through the broadcast file→tuple map — never a per-tuple
+    * come from the immutable files' parquet FOOTERS (r20 — zero Spark
+    * jobs), folded to tuples driver-side — never a per-tuple
     * scan. Reports PHYSICAL data-file facts (standing delete vectors are
     * not subtracted), same contract as Iceberg's partitions table. Files
     * written before any transform existed report under the empty tuple. */
@@ -4799,15 +4801,9 @@ object Acid {
         parts(0) -> (if (parts.length > 1) parts(1) else "")
       }.toMap
     val files = lines.filterNot(_.startsWith("#"))
-    val root = Paths.get(table).toAbsolutePath
-    val perFile = spark.read.parquet(files.map(f => s"$table/$f"): _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
-      .collect() // O(files) rows — metadata-construction control plane
-      .map { r =>
-        val rel = root.relativize(Paths.get(java.net.URI.create(r.getString(0)))).toString
-        rel -> r.getLong(1)
-      }.toMap
+    // counts from the immutable files' footers — no scan job (r20)
+    val perFile: Map[String, Long] =
+      files.map(f => f -> footerRowCount(spark, s"$table/$f")).toMap
     val rows = files.groupBy(f => tupleOf.getOrElse(f, ""))
       .map { case (t, fs) =>
         Row(t, fs.size.toLong, fs.map(f => perFile.getOrElse(f, 0L)).sum)

@@ -597,15 +597,24 @@ object Graph {
         // eager materialization per round that nothing read until the end
         val forestParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         var labels = nodes.withColumn("comp", col("node")).localCheckpoint()
+        // crossing-CANDIDATE edges, shrinking monotonically (r20, opt guide
+        // §2.3): an edge whose endpoints share a component can never cross
+        // again (labels only coarsen), so each round re-tags only the
+        // PREVIOUS round's crossing set instead of the full edge set — the
+        // per-round joins shuffle strictly fewer bytes as components merge.
+        // Fixpoint identical; e2 is already checkpointed, so the carried
+        // projection replays nothing.
+        var live = edges
         var rounds = 0
         var crossing = 1L
         while (crossing > 0 && rounds < 20) {
           val la = labels.select(col("node").as("pa"), col("comp").as("ca"))
           val lb = labels.select(col("node").as("pb"), col("comp").as("cb"))
-          val e2 = edges.join(la, "pa").join(lb, "pb")
+          val e2 = live.join(la, "pa").join(lb, "pb")
             .filter(col("ca") =!= col("cb")).localCheckpoint()
           crossing = e2.count()
           if (crossing > 0) {
+            live = e2.select(col("pa"), col("pb"), col("c"))
             val tagged = e2.select(col("ca").as("comp"),
                 struct(col("c"), col("pa"), col("pb"),
                   col("ca"), col("cb")).as("e"))

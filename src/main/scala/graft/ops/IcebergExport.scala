@@ -244,15 +244,12 @@ object IcebergExport {
         }
     }
     val dataPaths = zeroCopy.map(f => tableRoot.resolve(f).toString) ++ rewritten
-    // per-file record counts — the manifest's record_count field; at
-    // 100 TB writers take these from the footers (free), the re-read here
-    // is fixture-scale convenience (same note as Acid.commit's stats)
-    import org.apache.spark.sql.functions.{count, input_file_name, lit}
-    val counts: Map[String, Long] = spark.read.parquet(dataPaths: _*)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect() // O(files) rows — manifest-construction control plane
-      .map(r => Paths.get(java.net.URI.create(r.getString(0))).toString -> r.getLong(1))
-      .toMap
+    // per-file record counts — the manifest's record_count field, taken
+    // from the immutable files' parquet footers (r20): exactly the
+    // "writers take these from the footers (free)" contract, zero Spark
+    // jobs instead of a full re-scan per export
+    val counts: Map[String, Long] =
+      dataPaths.map(p => p -> Acid.footerRowCount(spark, p)).toMap
     val snapshotId = 1000L + v // deterministic, unique per metadata version
     // the snapshot's COMMIT TIME (the source manifest's mtime, which the
     // atomic manifest write stamped) — ADVICE r19: the metadata dir's own
